@@ -1,0 +1,682 @@
+"""Declared relational query surface (SURVEY.md §2b, Q1-Q40).
+
+The reference system (jilieryuyi/wing-binlog-go) delegates all analytics to
+downstream consumers (`readme.md:40-43`); this module IS that analytic
+surface, built entirely on Catalyst built-ins — no custom rules, no RDDs,
+no Python UDFs in any hot path.
+
+Each entry pairs a DataFrame-API builder with the equivalent DuckDB SQL
+oracle. Cross-engine hash stability rules:
+
+- Money/measure doubles are cast to DECIMAL before SUM (exact, associative,
+  order-independent — a double sum would be partition-order dependent on a
+  cluster), then ROUNDed and cast back to DOUBLE so both engines produce
+  the identical IEEE value.
+- Every computed column is aliased identically in both dialects.
+- Every oracle query has a total ORDER BY on a unique key (or is a scalar
+  aggregate) so LIMIT is deterministic.
+- DuckDB integer SUMs return HUGEINT → oracle casts them to BIGINT to
+  match Spark's LongType.
+
+Scale notes (100 TB design): dimension joins (region/nation/customer vs
+fact tables) use explicit ``broadcast()`` hints; fact-fact joins rely on
+sort-merge + AQE skew handling; every scan is a plain parquet read so
+filter pushdown + column pruning reach the file footer (verified in
+tests/test_plans.py via ``explain``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from wing_binlog_go_spark.tables import read_table
+
+
+class QuerySpec(NamedTuple):
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def _dec(col, scale: int = 2):
+    """Exact decimal for order-independent aggregation across partitions."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def _money(agg_col, scale: int = 2):
+    """ROUND + cast back to double → identical IEEE value in both engines."""
+    return F.round(agg_col, scale).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Q1-Q5: scan / project / filter / predicates / null semantics
+# ---------------------------------------------------------------------------
+
+
+@register("q01_parquet_scan", "SELECT COUNT(*) AS cnt FROM lineitem")
+def q01(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "q02_projection",
+    """SELECT l_orderkey, l_partkey FROM lineitem
+       ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+)
+def q02(spark, sf_dir):
+    # Column pruning: the scan must read only 3 of 11 columns (ReadSchema).
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_partkey")
+    )
+
+
+@register(
+    "q03_filter",
+    """SELECT COUNT(*) AS cnt FROM lineitem
+       WHERE l_quantity > 30 AND l_discount BETWEEN 0.02 AND 0.06""",
+)
+def q03(spark, sf_dir):
+    # Both predicates push down to the parquet scan (PushedFilters).
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 30) & F.col("l_discount").between(0.02, 0.06)
+    ).agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "q04_in_predicate",
+    """SELECT COUNT(*) AS cnt FROM orders
+       WHERE o_orderpriority IN ('1-URGENT','2-HIGH')""",
+)
+def q04(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@register(
+    "q05_null_semantics",
+    """SELECT COUNT(*) AS n_rows, COUNT(o.o_orderkey) AS n_orders
+       FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey""",
+)
+def q05(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.agg(
+        F.count("*").alias("n_rows"), F.count("o_orderkey").alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6-Q15: joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q06_inner_join",
+    """SELECT c_mktsegment, COUNT(*) AS cnt
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+)
+def q06(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q07_broadcast_join",
+    """SELECT n_name, COUNT(*) AS cnt
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name""",
+)
+def q07(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    # nation is 25 rows at any SF — broadcast avoids shuffling the fact side.
+    return (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q08_left_outer_join",
+    """SELECT COUNT(*) AS cnt FROM customer LEFT JOIN orders
+       ON c_custkey = o_custkey WHERE o_orderkey IS NULL""",
+)
+def q08(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .filter(F.col("o_orderkey").isNull())
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "q09_full_outer_join",
+    """SELECT COUNT(*) AS cnt FROM
+       (SELECT c_custkey AS k FROM customer) a
+       FULL JOIN (SELECT o_custkey AS k FROM orders) b ON a.k = b.k
+       WHERE a.k IS NULL OR b.k IS NULL""",
+)
+def q09(spark, sf_dir):
+    a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    j = a.join(b, a.k == b.k, "full")
+    return j.filter(a.k.isNull() | b.k.isNull()).agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "q10_left_semi_join",
+    """SELECT COUNT(*) AS cnt FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+def q10(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@register(
+    "q11_left_anti_join",
+    """SELECT COUNT(*) AS cnt FROM part
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""",
+)
+def q11(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@register(
+    "q12_range_join",
+    """SELECT COUNT(*) AS cnt FROM lineitem l JOIN orders o
+       ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate""",
+)
+def q12(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    # Equi-key carries the join; the range predicate is a post-join filter,
+    # so this stays a sort-merge join (not a nested-loop) at any scale.
+    return li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+    ).agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "q13_cross_join",
+    "SELECT COUNT(*) AS cnt FROM region CROSS JOIN nation",
+)
+def q13(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(n).agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "q14_tpch_q3",
+    """SELECT l_orderkey,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(1.0 - l_discount AS DECIMAL(18,4))), 2)
+                   AS DOUBLE) AS rev,
+              o_orderdate
+       FROM customer, orders, lineitem
+       WHERE c_mktsegment = 'BUILDING'
+         AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+         AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+       GROUP BY l_orderkey, o_orderdate
+       ORDER BY rev DESC, l_orderkey LIMIT 10""",
+)
+def q14(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    # customer is the small side after the segment filter → broadcast;
+    # orders⋈lineitem shuffles on orderkey (both filtered first — the
+    # date predicates push to the scans).
+    rev = F.sum(_dec("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_money(rev).alias("rev"))
+        .orderBy(F.desc("rev"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "rev", "o_orderdate")
+    )
+
+
+@register(
+    "q15_asof_join",
+    """SELECT e.event_id, MAX(o.o_orderdate) AS last_orderdate
+       FROM events e JOIN orders o
+         ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+       GROUP BY e.event_id ORDER BY e.event_id LIMIT 100""",
+)
+def q15(spark, sf_dir):
+    # As-of join expressed as equi-join + range filter + MAX-dedupe.
+    # (operators.asof_join has the scalable merge-based variant.)
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
+        .groupBy("event_id")
+        .agg(F.max("o_orderdate").alias("last_orderdate"))
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16-Q21: aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q16_tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_base_price,
+              CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_disc,
+              COUNT(*) AS count_order
+       FROM lineitem GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+)
+def q16(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    # Hash aggregate with map-side partial aggregation; decimal sums are
+    # partition-order independent so the plan is stable at any parallelism.
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+            _money(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
+            _money(F.sum(_dec("l_discount", 4)), 4).alias("sum_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q17_count_distinct",
+    "SELECT COUNT(DISTINCT o_custkey) AS n_cust FROM orders",
+)
+def q17(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(F.countDistinct("o_custkey").alias("n_cust"))
+
+
+@register("q18_approx_count_distinct", None)  # tolerance-checked, not hashed
+def q18(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(F.approx_count_distinct("o_custkey", 0.02).alias("n_cust_approx"))
+
+
+@register(
+    "q19_rollup",
+    """SELECT n_name, c_mktsegment, COUNT(*) AS cnt
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY ROLLUP(n_name, c_mktsegment)
+       ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST, cnt""",
+)
+def q19(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(
+            F.asc_nulls_first("n_name"),
+            F.asc_nulls_first("c_mktsegment"),
+            F.asc("cnt"),
+        )
+    )
+
+
+@register(
+    "q20_having",
+    """SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey
+       HAVING COUNT(*) > 5 ORDER BY c DESC, o_custkey LIMIT 50""",
+)
+def q20(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 5)
+        .orderBy(F.desc("c"), F.asc("o_custkey"))
+        .limit(50)
+    )
+
+
+@register(
+    "q21_scalar_subquery",
+    """SELECT COUNT(*) AS cnt FROM lineitem
+       WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)""",
+)
+def q21(spark, sf_dir):
+    # Catalyst decorrelates the scalar subquery into a broadcast of one row.
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """SELECT COUNT(*) AS cnt FROM lineitem
+           WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22-Q26: window functions / sort / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q22_window_ranking",
+    """SELECT o_custkey, o_orderkey, rn FROM
+       (SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders) t
+       WHERE rn = 1 ORDER BY o_custkey LIMIT 100""",
+)
+def q22(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .orderBy("o_custkey")
+        .limit(100)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+@register(
+    "q23_window_lag",
+    """SELECT o_orderkey,
+              CAST(ROUND(LAG(CAST(o_totalprice AS DECIMAL(18,2)))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey), 2) AS DOUBLE)
+              AS prev_price
+       FROM orders ORDER BY o_orderkey LIMIT 100""",
+)
+def q23(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("prev_price", _money(F.lag(_dec("o_totalprice")).over(w)))
+        .orderBy("o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "prev_price")
+    )
+
+
+@register(
+    "q24_window_frame",
+    """SELECT o_orderkey,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+                   AS DOUBLE) AS run_sum
+       FROM orders ORDER BY o_orderkey LIMIT 100""",
+)
+def q24(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        o.withColumn("run_sum", _money(F.sum(_dec("o_totalprice")).over(w)))
+        .orderBy("o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "run_sum")
+    )
+
+
+@register(
+    "q25_multi_key_sort",
+    """SELECT l_orderkey, l_linenumber FROM lineitem
+       ORDER BY l_shipdate DESC, l_orderkey, l_linenumber LIMIT 100""",
+)
+def q25(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    # Top-k: Spark plans TakeOrderedAndProject — no full sort at scale.
+    return (
+        li.orderBy(F.desc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(100)
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "q26_topk_per_group",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM
+       (SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+       WHERE rn <= 3 ORDER BY o_custkey, o_orderkey LIMIT 200""",
+)
+def q26(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(200)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q27-Q28: set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q27_union",
+    """SELECT COUNT(*) AS cnt FROM
+       (SELECT o_custkey AS k FROM orders
+        UNION SELECT c_custkey AS k FROM customer) t""",
+)
+def q27(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return o.union(c).distinct().agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "q28_intersect",
+    """SELECT COUNT(*) AS cnt FROM
+       (SELECT c_custkey FROM customer
+        INTERSECT SELECT o_custkey FROM orders) t""",
+)
+def q28(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return c.intersect(o).agg(F.count("*").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Q29-Q35: scalar function surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q29_string_functions",
+    """SELECT COUNT(*) AS cnt FROM part
+       WHERE p_type LIKE '%BRASS%'
+         AND regexp_matches(lower(p_name), '^[a-z ]+$')""",
+)
+def q29(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("%BRASS%")
+        & F.lower(F.col("p_name")).rlike("^[a-z ]+$")
+    ).agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "q30_date_functions",
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS y, COUNT(*) AS cnt
+       FROM orders GROUP BY y ORDER BY y""",
+)
+def q30(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("y"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("y")
+    )
+
+
+@register(
+    "q31_math_decimal",
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(l_tax AS DECIMAL(18,4))), 2) AS DOUBLE)
+              AS tax_total
+       FROM lineitem""",
+)
+def q31(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        _money(F.sum(_dec("l_extendedprice") * _dec("l_tax", 4))).alias("tax_total")
+    )
+
+
+@register(
+    "q32_conditional",
+    """SELECT CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_urgent
+       FROM orders""",
+)
+def q32(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("n_urgent")
+    )
+
+
+@register(
+    "q33_array_functions",
+    """SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words
+       FROM documents""",
+)
+def q33(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(F.sum(F.size(F.split("text", " "))).alias("n_words"))
+
+
+@register(
+    "q34_map_functions",
+    """SELECT event_id, json_extract_string(props, '$.k') AS k_val
+       FROM events ORDER BY event_id LIMIT 10""",
+)
+def q34(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.orderBy("event_id")
+        .limit(10)
+        .select(
+            "event_id",
+            F.element_at(
+                F.from_json("props", "map<string,string>"), "k"
+            ).alias("k_val"),
+        )
+    )
+
+
+@register(
+    "q35_json_functions",
+    """SELECT event_id, json_extract_string(props, '$.k') AS k_json
+       FROM events ORDER BY event_id LIMIT 10""",
+)
+def q35(spark, sf_dir):
+    # Mirrors envelope parsing (reference O9: handler.go:83 JSON marshal /
+    # client.go JSON parse) as a batch function.
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.orderBy("event_id")
+        .limit(10)
+        .select("event_id", F.get_json_object("props", "$.k").alias("k_json"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q36, Q40: dedup (exact) / sampling.  Q37-Q39 live in operators/ and
+# functions/ and are registered by the entry module.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q36_exact_dedup",
+    """SELECT COUNT(*) AS cnt FROM
+       (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) t""",
+)
+def q36(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .dropDuplicates()
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register("q40_sampling", None)  # row-count tolerance, not hash-matched
+def q40(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).agg(F.count("*").alias("cnt"))

@@ -1,0 +1,68 @@
+"""Test-corpus table loaders.
+
+The driver corpus (TESTDATA.md) is one parquet file per table under
+``/root/testdata/sf*/``. At 100 TB these would be partitioned parquet/Delta
+datasets; loading stays identical (``spark.read.parquet`` on a directory),
+and every query in ``plans`` relies on Catalyst pushing filters/projections
+into the scan rather than on anything about file layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one corpus table, normalizing physical-type quirks.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read it as nanos-since-epoch (legacy
+    conf) and truncate to microseconds with integer arithmetic (DIV, not
+    double division — epoch-nanos exceed a double's 53-bit mantissa).
+    The corpus has no sub-microsecond values, so this is lossless.
+    """
+    path = table_path(sf_dir, name)
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register_views: bool = True
+) -> dict[str, DataFrame]:
+    """Load every corpus table; optionally register temp views for SQL."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        if not os.path.exists(table_path(sf_dir, name)):
+            continue
+        df = read_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
