@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from wing_binlog_go_spark.registry import all_queries
+from wing_binlog_go_spark.session import get_spark
+
+HEADLINE = [
+    "q01_parquet_scan",
+    "q03_filter",
+    "q06_inner_join",
+    "q07_broadcast_join",
+    "q12_range_join",
+    "q14_tpch_q3",
+    "q15_asof_join",
+    "q16_tpch_q1",
+    "q17_count_distinct",
+    "q19_rollup",
+    "q22_window_ranking",
+    "q24_window_frame",
+    "q25_multi_key_sort",
+    "q27_union",
+    "q36_exact_dedup",
+    "q37_minhash_dedup",
+    "q38_ann_brute_force",
+    "q39_word_count",
+    "q39d_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("wing-binlog-go-spark-bench")
+    registry = all_queries()
+
+    # warm the JVM + parquet footer caches so per-query numbers measure the
+    # query, not session bring-up (driver compares across rounds).
+    registry["q01_parquet_scan"].spark(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

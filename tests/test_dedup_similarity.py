@@ -1,0 +1,108 @@
+"""Property tests for non-oracle operators (SURVEY §5.2 item 4):
+MinHash/SimHash recall on planted near-duplicates, LSH ANN recall vs
+brute force, approx-distinct and sampling tolerance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wing_binlog_go_spark.operators.dedup import (
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+)
+from wing_binlog_go_spark.operators.similarity import brute_force_topk, lsh_topk
+from wing_binlog_go_spark.tables import read_table
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, sf_small):
+    """Corpus + planted near-dups: for 10 docs, a copy with the last two
+    words swapped (high Jaccard), plus 5 exact copies."""
+    base = read_table(spark, sf_small, "documents").limit(100)
+    toks = F.split(F.lower("text"), " ")
+    near = (
+        base.limit(10)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(
+                " ", F.concat(F.slice(toks, 1, F.size(toks) - 2), F.array(F.lit("zzz"), F.lit("qqq")))
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    exact = base.limit(5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return base.unionByName(near).unionByName(exact)
+
+
+def test_minhash_recalls_planted_dups(docs_with_dups):
+    pairs = minhash_dedup_pairs(docs_with_dups, threshold=0.5).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    # exact copies must always collide in every band
+    exact_expected = {(i, i + 200000) for i in range(5)}
+    assert exact_expected <= found, f"missing exact dups: {exact_expected - found}"
+    exact_est = [r.est_jaccard for r in pairs if (r.doc_a, r.doc_b) in exact_expected]
+    assert all(e == 1.0 for e in exact_est)
+    # near dups (2 words changed out of ≥10): expect most recalled
+    near_expected = {(i, i + 100000) for i in range(10)}
+    recall = len(near_expected & found) / len(near_expected)
+    assert recall >= 0.6, f"near-dup recall {recall}"
+
+
+def test_simhash_recalls_exact_dups(docs_with_dups):
+    pairs = simhash_dedup_pairs(docs_with_dups, max_hamming=3).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    exact_expected = {(i, i + 200000) for i in range(5)}
+    assert exact_expected <= found
+    assert all(
+        r.hamming == 0 for r in pairs if (r.doc_a, r.doc_b) in exact_expected
+    )
+
+
+def test_ngram_jaccard_exact_dup_is_one(docs_with_dups):
+    pairs = ngram_jaccard_pairs(docs_with_dups, k=5, threshold=0.99).collect()
+    found = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    for i in range(5):
+        assert found.get((i, i + 200000)) == 1.0
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, sf_small):
+    emb = read_table(spark, sf_small, "embeddings")
+    q = (
+        emb.orderBy("vec_id")
+        .limit(20)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = lsh_topk(emb, q, k=5, n_bits=4, n_tables=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[qid] & approx_sets.get(qid, set())) / len(exact_sets[qid])
+        for qid in exact_sets
+    ]
+    avg_recall = sum(recalls) / len(recalls)
+    assert avg_recall >= 0.4, f"ANN recall@5 {avg_recall:.2f}"
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders")
+    exact = o.select("o_custkey").distinct().count()
+    approx = o.agg(F.approx_count_distinct("o_custkey", 0.02).alias("a")).collect()[0].a
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_sampling_tolerance(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    s = li.sample(fraction=0.1, seed=42).count()
+    assert 0.07 * n < s < 0.13 * n

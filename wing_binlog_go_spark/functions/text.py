@@ -1,0 +1,235 @@
+"""Text-analysis functions over the ``documents`` table.
+
+Training-data-pipeline text ops (driver north star): language ID (stopword
+n-gram heuristic), quality scoring (length / stopword-ratio features),
+token counting (whitespace + regex "BPE-ish"), document fingerprinting
+(md5 exact + minhash-sketch). Everything is column expressions — JVM-side,
+codegen-fused, shuffle-free except the explicit groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wing_binlog_go_spark.operators.dedup import tokens, word_shingles
+from wing_binlog_go_spark.plans.relational import QuerySpec
+from wing_binlog_go_spark.tables import read_table
+
+QUERIES: dict[str, QuerySpec] = {}
+
+# Marker stopwords per language, checked in fixed priority order for
+# deterministic argmax ties. (The corpus text is synthetic; determinism,
+# not linguistic accuracy, is what the oracle checks.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "a", "in"),
+    "de": ("der", "und", "die", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    lits = ", ".join(f"'{w}'" for w in words)
+    return F.size(F.expr(f"filter(_toks, t -> t IN ({lits}))"))
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    out = df.withColumn("_toks", tokens(text_col))
+    for lang, words in LANG_MARKERS.items():
+        out = out.withColumn(f"_score_{lang}", _count_in(F.col("_toks"), words))
+    return out
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> Column:
+    """Predicted language: argmax marker count, 'und' (undetermined) if 0."""
+    scored = lang_scores(df, text_col)
+    best = F.greatest(*[F.col(f"_score_{lang}") for lang in LANG_MARKERS])
+    pred = F.lit("und")
+    # reversed: earlier languages win ties (en > de > fr > es)
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(
+            (F.col(f"_score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored, pred
+
+
+def quality_features(text_col: str = "text") -> dict[str, Column]:
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    stop = F.size(
+        F.expr("filter(split(lower(text), ' '), t -> t IN ('the','a','and','of','in'))")
+    )
+    avg_tok_len = (n_chars - (n_tokens - 1)) / n_tokens  # chars minus spaces
+    return {
+        "n_tokens": n_tokens.cast("bigint"),
+        "n_chars": n_chars.cast("bigint"),
+        "stop_ratio": F.round(stop / n_tokens, 6),
+        "avg_tok_len": F.round(avg_tok_len, 6),
+    }
+
+
+def minhash_sketch(text_col: str = "text", k: int = 3, size: int = 8) -> Column:
+    """Bottom-``size`` sketch of shingle hashes — a compact doc fingerprint
+    whose overlap estimates Jaccard (non-oracle: DuckDB lacks xxhash64)."""
+    hashes = F.transform(word_shingles(text_col, k), lambda s: F.xxhash64(s))
+    return F.slice(F.array_sort(hashes), 1, size)
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+
+def _q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(20)
+    )
+
+
+_WORD_COUNT_ORACLE = """
+SELECT w, COUNT(*) AS c FROM
+  (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+GROUP BY w ORDER BY c DESC, w LIMIT 20
+"""
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct(tokens("text"))).cast("bigint").alias("n_uniq"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+_TOKEN_STATS_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS n_uniq
+FROM documents ORDER BY doc_id LIMIT 200
+"""
+
+
+def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.sum(F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)))
+        .alias("n_bpe_tokens")
+    )
+
+
+_BPE_ORACLE = """
+SELECT CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+       AS n_bpe_tokens
+FROM documents
+"""
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return (
+        d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+_QUALITY_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(lower(text), ' ') AS toks,
+         length(text) AS nc
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(nc AS BIGINT) AS n_chars,
+       ROUND(len(list_filter(toks, t -> t IN ('the','a','and','of','in')))
+             / len(toks), 6) AS stop_ratio,
+       ROUND((nc - (len(toks) - 1)) / len(toks), 6) AS avg_tok_len
+FROM t ORDER BY doc_id LIMIT 200
+"""
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    scored, pred = lang_id(d, "text")
+    return (
+        scored.select("doc_id", pred.alias("pred_lang"), F.col("lang").alias("label"))
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+def _lang_oracle() -> str:
+    score_exprs = ",\n         ".join(
+        f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in ws)}))) AS s_{lang}"
+        for lang, ws in LANG_MARKERS.items()
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_MARKERS) + ")"
+    # same priority order as the Spark side: first language hitting the max wins
+    case = "CASE "
+    for lang in LANG_MARKERS:
+        case += f"WHEN s_{lang} = {best} AND {best} > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         {score_exprs}
+  FROM t
+)
+SELECT doc_id, {case} AS pred_lang, lang AS label
+FROM s ORDER BY doc_id LIMIT 200
+"""
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.lower("text")).alias("fp"))
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id LIMIT 200
+"""
+
+
+def _q_minhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    # concat_ws so the driver compares a scalar column, not an array
+    return (
+        d.select(
+            "doc_id",
+            F.concat_ws(",", minhash_sketch("text").cast("array<string>")).alias(
+                "sketch"
+            ),
+        )
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
+QUERIES["q39_word_count"] = QuerySpec(_q_word_count, _WORD_COUNT_ORACLE)
+QUERIES["q39b_token_stats"] = QuerySpec(_q_token_stats, _TOKEN_STATS_ORACLE)
+QUERIES["q39c_bpe_token_count"] = QuerySpec(_q_bpe_token_count, _BPE_ORACLE)
+QUERIES["q39d_quality_score"] = QuerySpec(_q_quality, _QUALITY_ORACLE)
+QUERIES["q39e_lang_id"] = QuerySpec(_q_lang_id, _lang_oracle())
+QUERIES["q39f_fingerprint_md5"] = QuerySpec(_q_fingerprint, _FINGERPRINT_ORACLE)
+QUERIES["q39g_minhash_sketch"] = QuerySpec(_q_minhash_sketch, None)  # no xxhash64 in DuckDB

@@ -1,0 +1,334 @@
+"""Deduplication operators over the ``documents`` table.
+
+Training-data-pipeline dedup family (driver north star), all expressed with
+JVM-side built-ins — no Python UDFs anywhere, so every stage stays inside
+whole-stage codegen and scales by partitioning:
+
+- exact dedup            → hash groupBy (also plans/relational q36)
+- MinHash + LSH near-dup → shingle → minhash signature → band → bucket join
+- SimHash near-dup       → 64-bit token-hash sign aggregate → chunk join
+- n-gram Jaccard         → inverted shingle index self-join (exact, oracled)
+
+Scale design (100 TB): the only shuffles are (a) groupBy(doc_id) to build
+signatures — combiner-friendly min/sum aggregates, map-side partial — and
+(b) the band/chunk bucket self-join, whose fan-out is controlled by band
+width (wider bands ⇒ fewer, higher-precision candidates). The all-pairs
+exact-Jaccard join is bounded by an inverted-index equi-join on shingle,
+never a cross join. Hash family = xxhash64(seed_i, value) — deterministic
+across runs/executors, no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wing_binlog_go_spark.plans.relational import QuerySpec
+from wing_binlog_go_spark.tables import read_table
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+
+def tokens(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(c), " ")
+
+
+def word_shingles(col, k: int = 3) -> F.Column:
+    """Distinct k-word shingles; docs shorter than k collapse to one shingle."""
+    toks = tokens(col)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, k: int = 3
+) -> DataFrame:
+    """(id, mh: array<long>[num_hashes]) — computed per-row, ZERO shuffle.
+
+    Each minhash is ``array_min(transform(shingles, s -> xxhash64(i, s)))``
+    over the row's own shingle array, so signature building is a pure map
+    stage: embarrassingly parallel, no explode, no groupBy. The only
+    shuffles in the whole dedup pipeline are the band bucket join and the
+    final verify joins. Signature is one array column so shuffled rows stay
+    narrow.
+    """
+    # ONE fold over the shingle-hash array, updating all num_hashes mins
+    # per element with zip_with. Loop order matters: putting the shingle
+    # array inside the per-hash lambda (the "obvious" nesting) makes the
+    # interpreter rebuild+rehash every shingle num_hashes times per row —
+    # higher-order functions are CodegenFallback, so nothing saves you.
+    # As the outer fold's child, the shingle hashing runs exactly once.
+    # Hash family: mh[i] = min over shingles s of xxhash64(i, xxhash64(s)).
+    shingle_hashes = F.transform(word_shingles(text_col, k), lambda s: F.xxhash64(s))
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    mh = F.aggregate(
+        shingle_hashes,
+        F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc, seeds, lambda a, i: F.least(a, F.xxhash64(i, h))
+        ),
+    )
+    return df.select(id_col, mh.alias("mh"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Band the signature; docs sharing any band-hash become a candidate pair."""
+    rows_per_band = num_hashes // bands
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.element_at("mh", b * rows_per_band + i + 1)
+                    for i in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col).alias("doc"), F.posexplode(band_hashes).alias("band", "bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def estimate_jaccard(
+    pairs: DataFrame, sig: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """Fraction of agreeing minhashes ≈ Jaccard similarity."""
+    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("mh").alias("mh_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("mh").alias("mh_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree / F.lit(num_hashes)).alias("est_jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (doc_a < doc_b) with estimated Jaccard ≥ threshold."""
+    # The repartition is a deliberate optimizer barrier, not just a
+    # partitioning choice: without it CollapseProject inlines the
+    # signature expression into every one of the band-hash's 32
+    # element_at references, recomputing the full signature 32× per row
+    # (measured ~100× slowdown — higher-order functions don't codegen).
+    # It also pre-shuffles by id so the downstream verify joins co-locate.
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_k).repartition(
+        F.col(id_col)
+    )
+    cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    est = estimate_jaccard(cand, sig, id_col, num_hashes)
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash: sign of per-bit sums of token hashes → (id, simhash).
+
+    Pure per-row computation (no explode/groupBy → zero shuffle), written
+    as ONE nested higher-order SQL expression so codegen compiles a single
+    loop instead of 64 aggregate columns (compile time, not run time, is
+    what 64 separate expressions cost).
+    """
+    # Same loop-order rule as minhash_signature: fold ONCE over token
+    # hashes, maintaining all 64 bit-sums per element; then reduce the
+    # sums to sign bits. Token hashing is the fold's child → one eval.
+    tok = df.select(
+        id_col,
+        F.transform(
+            F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t)
+        ).alias("_th"),
+    )
+    sim = F.expr(
+        """
+        aggregate(
+          zip_with(
+            aggregate(_th, array_repeat(0, 64),
+                      (acc, h) -> zip_with(acc, sequence(0, 63),
+                        (a, b) -> a + IF((shiftright(h, b) & 1) = 1, 1, -1))),
+            sequence(0, 63),
+            (s, b) -> IF(s > 0, shiftleft(cast(1 as long), b),
+                         cast(0 as long))),
+          cast(0 as long), (acc, x) -> acc | x)
+        """
+    )
+    return tok.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bits.
+
+    Candidate generation: split the 64-bit hash into 4 16-bit chunks — any
+    pair within hamming distance 3 must agree on ≥1 chunk (pigeonhole), so
+    the self-join is an equi-join on (chunk_no, chunk_value), never O(n²).
+    """
+    # repartition = optimizer barrier (see minhash_dedup_pairs): stops the
+    # 4 chunk references from inlining 4 recomputations of the signature.
+    sig = simhash_signature(df, id_col, text_col).repartition(F.col(id_col))
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), 16 * c)
+            .bitwiseAND(F.lit(0xFFFF))
+            for c in range(4)
+        ]
+    )
+    b = sig.select(
+        F.col(id_col).alias("doc"),
+        F.col("simhash"),
+        F.posexplode(chunks).alias("chunk_no", "chunk"),
+    )
+    lhs, rhs = b.alias("a"), b.alias("b")
+    cand = (
+        lhs.join(
+            rhs,
+            (F.col("a.chunk_no") == F.col("b.chunk_no"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard via inverted index (oracle-able)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact Jaccard over k-word shingles for pairs sharing ≥1 shingle."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("s")
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, threshold=0.2).orderBy("doc_a", "doc_b")
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_dedup_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, k=5, threshold=0.1).orderBy("doc_a", "doc_b")
+
+
+_NGRAM_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id AS doc,
+         unnest(list_distinct(
+           CASE WHEN len(t) >= 5
+                THEN list_transform(range(1, len(t) - 3),
+                                    i -> array_to_string(t[i:i+4], ' '))
+                ELSE [array_to_string(t, ' ')] END)) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc
+), common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT doc_a, doc_b,
+       ROUND(common / (na.n + nb.n - common), 6) AS jaccard
+FROM common
+JOIN sizes na ON na.doc = doc_a
+JOIN sizes nb ON nb.doc = doc_b
+WHERE ROUND(common / (na.n + nb.n - common), 6) >= 0.1
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES["q37_minhash_dedup"] = QuerySpec(_q_minhash, None)  # recall property-test
+QUERIES["q37b_simhash_dedup"] = QuerySpec(_q_simhash, None)
+QUERIES["q37c_ngram_jaccard"] = QuerySpec(_q_ngram_jaccard, _NGRAM_JACCARD_ORACLE)

@@ -1,0 +1,263 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Two paths (driver north star):
+
+- ``brute_force_topk`` — exact cosine top-k. The query set is broadcast, so
+  the corpus is scanned once with no shuffle; per-query top-k is a window
+  over a corpus-partitioned intermediate. This is the *correctness
+  baseline* (oracled against DuckDB's list_cosine_similarity) and is also
+  the right plan whenever |queries| is small — at 100 TB the corpus scan
+  dominates and is embarrassingly parallel.
+- ``lsh_topk`` — random-hyperplane (sign) LSH with L independent tables:
+  candidates = bucket collisions in any table, exact cosine re-rank on
+  candidates only. The scale path when |queries| is large: both sides hash
+  to (table, bucket) and the join is an equi-join instead of a cross join.
+
+Hyperplanes are generated driver-side from a fixed seed (numpy
+RandomState) and enter the plan as literals — deterministic, no RNG on
+executors. All math is built-in higher-order functions (zip_with /
+aggregate) on doubles; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from wing_binlog_go_spark.plans.relational import QuerySpec
+from wing_binlog_go_spark.tables import read_table
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def as_double(vec) -> Column:
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` for every row of ``queries``.
+
+    ``queries`` must have columns (query_id_col, vec_col); it is broadcast.
+    Self-matches (query_id == vec_id) are excluded.
+    """
+    c = corpus.select(
+        F.col(id_col), as_double(vec_col).alias("_cv")
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double(vec_col).alias("_qv")
+    )
+    scored = (
+        c.crossJoin(broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col("_qv"), F.col("_cv")).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "rnk",
+            F.round("_sim", 6).alias("sim_r"),
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, table: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed + 1000 * table)
+    return rng.randn(n_bits, dim).tolist()
+
+
+def bucket_expr(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit j = 1 iff dot(vec, plane_j) > 0."""
+    bits = [
+        F.when(
+            dot(vec_col, F.array(*[F.lit(float(v)) for v in plane])) > 0,
+            F.lit(1 << j).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: union of bucket collisions across L tables,
+    exact cosine re-rank on the (much smaller) candidate set.
+
+    Tune n_bits to corpus size: collision recall per table falls as
+    (1 - θ/π)^n_bits, so small corpora want few bits (4 ⇒ 16 buckets);
+    at 10^9+ vectors use 16-24 bits so buckets stay bounded while the
+    extra tables recover recall.
+    """
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("_cv"))
+    q = queries.select(F.col(query_id_col), as_double(vec_col).alias("_qv"))
+
+    def with_buckets(df, vcol, out_prefix):
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    bucket_expr(F.col(vcol), _hyperplanes(dim, n_bits, t)).alias("bkt"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            "*", F.explode(arr).alias("_tb")
+        ).select("*", F.col("_tb.tbl").alias(f"{out_prefix}_tbl"), F.col("_tb.bkt").alias(f"{out_prefix}_bkt")).drop("_tb")
+
+    cb = with_buckets(c, "_cv", "c")
+    qb = with_buckets(q, "_qv", "q")
+    cand = (
+        cb.join(
+            broadcast(qb),
+            (F.col("c_tbl") == F.col("q_tbl")) & (F.col("c_bkt") == F.col("q_bkt")),
+        )
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, "_qv", "_cv")
+        .distinct()
+    )
+    scored = cand.select(
+        query_id_col, id_col, cosine(F.col("_qv"), F.col("_cv")).alias("_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "rnk", F.round("_sim", 6).alias("sim_r"))
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-duplicate pairs by cosine ≥ threshold (brute force).
+
+    At cluster scale swap the cross join for ``lsh_topk``-style bucket
+    candidates; kept exact here so it is oracle-checkable.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("_va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+
+def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.orderBy("vec_id")
+        .limit(10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return brute_force_topk(emb, q, k=5).orderBy("query_id", "rnk")
+
+
+_ANN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 10
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), s AS (
+  SELECT query_id, vec_id, list_cosine_similarity(qv, cv) AS sim
+  FROM q CROSS JOIN c WHERE vec_id != query_id
+), r AS (
+  SELECT query_id, vec_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, vec_id) AS INTEGER) AS rnk,
+         ROUND(sim, 6) AS sim_r
+  FROM s
+)
+SELECT query_id, vec_id, rnk, sim_r FROM r WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.orderBy("vec_id")
+        .limit(10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return lsh_topk(emb, q, k=5).orderBy("query_id", "rnk")
+
+
+def _q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.95).orderBy("id_a", "id_b")
+
+
+_NEAR_DUP_ORACLE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.dv, b.dv), 6) AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.dv, b.dv), 6) >= 0.95
+ORDER BY id_a, id_b
+"""
+
+QUERIES["q38_ann_brute_force"] = QuerySpec(_q_ann_brute, _ANN_ORACLE)
+QUERIES["q38b_ann_lsh"] = QuerySpec(_q_ann_lsh, None)  # recall property-test
+QUERIES["q38c_embedding_near_dup"] = QuerySpec(_q_near_dup, _NEAR_DUP_ORACLE)
