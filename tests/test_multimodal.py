@@ -1,0 +1,62 @@
+"""Multimodal plumbing: schema contract, Arrow batch shape, stubbed
+decode path, frame-sample explosion."""
+
+from __future__ import annotations
+
+import pytest
+
+from wing_binlog_go_spark.multimodal import (
+    MEDIA_SCHEMA,
+    decode_image,
+    fake_decode_image,
+    frame_sample_plan,
+    image_features,
+    size_bucketed,
+)
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, bytes([10, 20, 30, 40]), ("image/png", 2, 2, None)),
+        (2, b"", ("image/png", 0, 0, None)),
+        (3, bytes(range(256)), ("image/jpeg", 16, 16, None)),
+        (4, b"\xff" * 1000, ("video/mp4", 640, 480, 3500)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_fake_decode_is_deterministic():
+    a, b = fake_decode_image(bytes([1, 2, 3])), fake_decode_image(bytes([1, 2, 3]))
+    assert a == b and a["n_bytes"] == 3
+
+
+def test_image_features_pipeline(media):
+    feats = {r.media_id: r for r in image_features(media).collect()}
+    assert feats[1].n_bytes == 4 and feats[1].mean_byte == 25.0
+    assert feats[2].n_bytes == 0 and feats[2].mean_byte == 0.0
+    assert feats[3].mean_byte == 127.5
+    # phash stable across runs
+    again = {r.media_id: r.phash for r in image_features(media).collect()}
+    assert again == {k: v.phash for k, v in feats.items()}
+
+
+def test_metadata_predicates_skip_payload(media):
+    # filter on meta only — plan should not reference payload bytes
+    imgs = media.filter(media.meta.mime.startswith("image/")).select("media_id")
+    assert {r.media_id for r in imgs.collect()} == {1, 2, 3}
+    assert "payload" not in imgs.columns
+
+
+def test_frame_sample_explosion(media):
+    frames = frame_sample_plan(media.filter(media.media_id == 4), every_ms=1000).collect()
+    assert [f.frame_ts_ms for f in frames] == [0, 1000, 2000, 3000]
+
+
+def test_size_bucketing_preserves_rows(media):
+    assert size_bucketed(media, buckets=4).count() == 4

@@ -1,0 +1,268 @@
+"""Streaming pipeline e2e (SURVEY §5.2 items 2 & 5): availableNow runs of
+the CDC pipeline, route fan-out, event_index continuity across restart,
+upsert materialization, custom binlog DataSource, and the S1-S7 windowed
+analytics surface."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from wing_binlog_go_spark.functions.envelope import CHANGE_SCHEMA
+from wing_binlog_go_spark.sources.binlog import BinlogDataSource
+from wing_binlog_go_spark.sources.changelog import (
+    fixture_records,
+    write_fixture_changelog,
+)
+from wing_binlog_go_spark.streaming.pipeline import (
+    Route,
+    run_pipeline,
+    upsert_parquet,
+)
+from wing_binlog_go_spark.streaming.sinks import collecting_writer, jsonl_route_writer
+from wing_binlog_go_spark.streaming.windows import (
+    session_counts,
+    tumbling_counts,
+)
+
+
+def test_pipeline_fanout_and_filters(spark, tmp_path):
+    log_dir = tmp_path / "log"
+    write_fixture_changelog(str(log_dir), split_files=False)
+    all_events: list = []
+    typed_only: list = []
+    routes = [
+        Route("all", collecting_writer(all_events)),  # empty filters ⇒ match-all
+        Route("typed", collecting_writer(typed_only), filters=[r"^fixtures\.cdc_.*$"]),
+    ]
+    q = run_pipeline(
+        spark, str(log_dir), routes, checkpoint_dir=str(tmp_path / "ckpt"),
+        exclude=[r"^ignored_db\..*"],
+    )
+    q.awaitTermination(60)
+    n_fixture = len(fixture_records())
+    assert len(all_events) == n_fixture - 1  # ignored_db excluded pre-decode
+    payloads = [json.loads(p) for _, p in typed_only]
+    assert {p["table"] for p in payloads} == {"cdc_typed_all"}
+    # multicast: typed route events are a subset of the all route (O13)
+    assert {p for _, p in typed_only} <= {p for _, p in all_events}
+
+
+def test_pipeline_index_continuity_across_restart(spark, tmp_path):
+    log_dir = tmp_path / "log"
+    ckpt = str(tmp_path / "ckpt")
+    log_dir.mkdir()
+    # first file only
+    recs = fixture_records()
+    f1 = [r for r in recs if r["binlog_file"] == "mysql-bin.000003"]
+    f2 = [r for r in recs if r["binlog_file"] == "mysql-bin.000004"]
+    with open(log_dir / "a.jsonl", "w") as f:
+        for r in f1:
+            f.write(json.dumps(r) + "\n")
+    got: list = []
+    q = run_pipeline(spark, str(log_dir), [Route("m", collecting_writer(got))], ckpt)
+    q.awaitTermination(60)
+    idx_first = [json.loads(p)["event_index"] for _, p in got]
+    assert idx_first == list(range(1, len(f1) + 1))
+    # "restart": new file arrives, new query same checkpoint
+    with open(log_dir / "b.jsonl", "w") as f:
+        for r in f2:
+            f.write(json.dumps(r) + "\n")
+    got2: list = []
+    q2 = run_pipeline(spark, str(log_dir), [Route("m", collecting_writer(got2))], ckpt)
+    q2.awaitTermination(60)
+    idx_second = [json.loads(p)["event_index"] for _, p in got2]
+    # continues after the persisted base — no reuse, no gaps (O10/O11)
+    assert idx_second == list(range(len(f1) + 1, len(f1) + len(f2) + 1))
+
+
+def test_upsert_materialization(spark, tmp_path):
+    """insert/update/delete sequence → final table state (O25/S8)."""
+    log_dir = tmp_path / "log"
+    write_fixture_changelog(str(log_dir), split_files=False)
+    target = str(tmp_path / "table")
+
+    def materialize(env, batch_id):
+        upsert_parquet(
+            env.filter(F.col("full_table") == "fixtures.cdc_typed_all"), target, pk="id"
+        )
+
+    q = run_pipeline(
+        spark, str(log_dir), [Route("mat", materialize)], str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(60)
+    final = {r._pk: r.row for r in spark.read.parquet(target).collect()}
+    # id=1,2 updated to v2; id=3 plain; id=5 deleted; 99,100,200,201 inserted
+    assert final["1"]["c_vchar"] == "row1v2"
+    assert final["2"]["c_vchar"] == "row2v2"
+    assert final["3"]["c_vchar"] == "row3"
+    assert "5" not in final
+    assert final["100"]["c_new"] == "x"
+    assert set(final) == {"1", "2", "3", "99", "100", "200", "201"}
+
+
+def test_upsert_replay_is_idempotent(spark, tmp_path):
+    log_dir = tmp_path / "log"
+    write_fixture_changelog(str(log_dir), split_files=False)
+    target = str(tmp_path / "table")
+    from wing_binlog_go_spark.functions.envelope import to_envelopes
+    from wing_binlog_go_spark.sources.changelog import read_changelog
+
+    env = to_envelopes(read_changelog(spark, str(log_dir)))
+
+    def snapshot():
+        return sorted(
+            ((r._pk, r.row, r.event_index) for r in spark.read.parquet(target).collect()),
+            key=lambda t: (str(t[0]), t[2]),
+        )
+
+    upsert_parquet(env, target, pk="id")
+    state1 = snapshot()
+    upsert_parquet(env, target, pk="id")  # replay the same batch (O19)
+    assert snapshot() == state1
+
+
+def test_binlog_datasource_batch_and_stream(spark, tmp_path):
+    log_dir = tmp_path / "log"
+    write_fixture_changelog(str(log_dir), split_files=True)
+    spark.dataSource.register(BinlogDataSource)
+    # batch read
+    df = spark.read.format("binlog").option("path", str(log_dir)).load()
+    assert df.schema == CHANGE_SCHEMA
+    assert df.count() == len(fixture_records())
+    # streaming read with checkpointed offsets
+    out: list = []
+
+    def sink(batch_df, batch_id):
+        out.extend(batch_df.collect())
+
+    q = (
+        spark.readStream.format("binlog")
+        .option("path", str(log_dir))
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert len(out) == len(fixture_records())
+    # ordered by binlog coordinates (file, pos, row)
+    coords = [(r.binlog_file, r.binlog_pos, r.row_no) for r in out]
+    assert coords == sorted(coords)
+
+
+def test_binlog_datasource_mysql_hook_fails_loudly(spark, tmp_path):
+    from wing_binlog_go_spark.sources.binlog import BinlogStreamReader
+
+    with pytest.raises(NotImplementedError):
+        BinlogStreamReader({"path": str(tmp_path), "mysql_host": "db.example"})
+
+
+# ---------------------------------------------------------------------------
+# S1-S7 windowed analytics (golden values computed offline)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def late_events(spark):
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, "2024-01-01 00:01:00", 1, "a", 1.0, "{}"),
+        (2, "2024-01-01 00:02:00", 1, "a", 2.0, "{}"),
+        (3, "2024-01-01 00:07:00", 2, "a", 3.0, "{}"),
+        (4, "2024-01-01 00:03:30", 1, "a", 4.0, "{}"),  # late but in watermark
+        (5, "2024-01-01 00:12:00", 2, "a", 5.0, "{}"),
+        (6, "2024-01-01 00:58:00", 1, "a", 6.0, "{}"),  # 29-min gap: same session?
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    return df
+
+
+def test_tumbling_counts_batch_semantics(late_events):
+    got = {
+        (str(r.win_start), r.cnt, r.sum_value)
+        for r in tumbling_counts(late_events, window="5 minutes").collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", 3, 7.0),   # events 1,2,4
+        ("2024-01-01 00:05:00", 1, 3.0),   # event 3
+        ("2024-01-01 00:10:00", 1, 5.0),   # event 5
+        ("2024-01-01 00:55:00", 1, 6.0),   # event 6
+    }
+
+
+def test_session_window_gap_boundary(spark):
+    # gaps of exactly 29 vs 31 minutes around a 30-minute session gap
+    rows = [
+        (1, "2024-01-01 00:00:00", 7),
+        (2, "2024-01-01 00:29:00", 7),   # 29 min later → same session
+        (3, "2024-01-01 01:00:00", 7),   # 31 min later → NEW session
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    sess = session_counts(df, gap="30 minutes").orderBy("win_start").collect()
+    assert [s.cnt for s in sess] == [2, 1]
+
+
+def test_streaming_window_agg_with_watermark(spark, tmp_path, late_events):
+    """Run tumbling agg as an actual stream with late rows (S1/S7)."""
+    src = tmp_path / "events"
+    src.mkdir()
+    late_events.coalesce(1).write.mode("overwrite").json(str(src))
+    stream = spark.readStream.schema(late_events.schema).json(str(src))
+    agg = tumbling_counts(stream, window="5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbles")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    # append mode emits only windows sealed by the watermark: max ts 00:58
+    # − 10 min = 00:48 ⇒ the 00:55 window stays open and is NOT emitted
+    got = {
+        (str(r.win_start), r.cnt) for r in spark.sql("SELECT * FROM tumbles").collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", 3),
+        ("2024-01-01 00:05:00", 1),
+        ("2024-01-01 00:10:00", 1),
+    }
+
+
+def test_dedupe_within_watermark_stream(spark, tmp_path):
+    """S4: duplicate event_index rows collapse to one (replay dedupe)."""
+    rows = [
+        {"event_index": 1, "ts": "2024-01-01T00:00:00.000Z", "v": "a"},
+        {"event_index": 1, "ts": "2024-01-01T00:00:01.000Z", "v": "a-dup"},
+        {"event_index": 2, "ts": "2024-01-01T00:00:02.000Z", "v": "b"},
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "data.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = "event_index long, ts timestamp, v string"
+    stream = spark.readStream.schema(schema).json(str(src))
+    from wing_binlog_go_spark.streaming.windows import dedupe_within_watermark
+
+    deduped = dedupe_within_watermark(stream, "ts", ["event_index"], "1 minute")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("SELECT event_index FROM dedup ORDER BY event_index").collect()
+    assert [r.event_index for r in got] == [1, 2]

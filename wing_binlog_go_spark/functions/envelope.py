@@ -1,0 +1,250 @@
+"""CDC event-envelope shaping + MySQL value-decode rules, as column
+expressions.
+
+Reference semantics being reproduced (jilieryuyi/wing-binlog-go):
+
+- Envelope shape {database, table, event_type, time, event_index,
+  event:{data | old_data+new_data}} — src/library/binlog/handler.go:113-184,
+  payload examples examples/subscribe.php:40-100.
+- insert/delete carry the full row in ``event.data``; update carries the
+  before/after pair in ``event.data.old_data`` / ``new_data``
+  (handler.go:137-181); DDL emits an ``alter`` envelope with no ``event``
+  (handler.go:101-110).
+- ``event_index``: monotonic per-event counter (handler.go:139,168). The
+  reference uses a process-wide atomic restored from its pos file — an
+  anti-pattern on a distributed engine, so we derive a deterministic
+  equivalent: dense order over (binlog_file, binlog_pos, row_no). Replays
+  produce identical indexes (the reference can duplicate indexes on crash
+  replay; ours cannot).
+- ``time``: the reference stamps wall-clock at processing (handler.go:133);
+  we stamp the binlog header time for determinism — documented divergence.
+- Field decode rules — src/library/binlog/util.go:61-146: unsigned
+  widening (+256/+65536/+2^24/+2^32, uint64 wrap), ENUM ordinal→label,
+  SET bitmask→CSV labels; zero-date → NULL mirrors the go-mysql decoder
+  (vendor/.../replication/row_event.go:456-463).
+
+Everything is a plain Column expression usable identically on batch and
+streaming DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+# Raw change record (what a binlog-shaped source emits before shaping) —
+# FIXTURES.md §3; field provenance: position vendor/.../mysql/position.go:8-11,
+# action constants vendor/.../canal/rows.go:11-15, update before/after pairing
+# vendor/.../canal/rows.go:17-27.
+CHANGE_SCHEMA = T.StructType(
+    [
+        T.StructField("binlog_file", T.StringType()),
+        T.StructField("binlog_pos", T.LongType()),
+        T.StructField("xid_commit", T.BooleanType()),
+        T.StructField("database", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("action", T.StringType()),  # insert|update|delete|ddl
+        T.StructField("row_no", T.IntegerType()),
+        T.StructField("before", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("after", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("ddl_query", T.StringType()),
+        T.StructField("ts_header", T.TimestampType()),
+    ]
+)
+
+# Envelope schema (SURVEY §1.1). `time` is unix seconds (long) to match the
+# reference's JSON payload exactly (examples/subscribe.php: "time":1524115287).
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("database", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("time", T.LongType()),
+        T.StructField("event_index", T.LongType()),
+        T.StructField(
+            "event",
+            T.StructType(
+                [
+                    T.StructField("data", T.MapType(T.StringType(), T.StringType())),
+                    T.StructField("old_data", T.MapType(T.StringType(), T.StringType())),
+                    T.StructField("new_data", T.MapType(T.StringType(), T.StringType())),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def event_type_col(action=None) -> Column:
+    """canal action → envelope event_type (rows.go:11-15, handler.go:104)."""
+    if action is None:
+        action = F.col("action")
+    return F.when(action == "ddl", F.lit("alter")).otherwise(action)
+
+
+def to_envelopes(changes: DataFrame, index_base: int = 0) -> DataFrame:
+    """Shape raw change records into the reference envelope.
+
+    ``event_index`` = index_base + dense position in (binlog_file,
+    binlog_pos, row_no) order. In streaming, pass the running count from
+    the checkpoint as ``index_base`` per micro-batch (see
+    streaming.pipeline); ordering within a batch is total because binlog
+    coordinates are unique per row event.
+    """
+    w = Window.orderBy("binlog_file", "binlog_pos", "row_no")
+    is_upd = F.col("action") == "update"
+    is_del = F.col("action") == "delete"
+    is_ddl = F.col("action") == "ddl"
+    data = (
+        F.when(is_ddl, F.lit(None).cast("map<string,string>"))
+        .when(is_upd, F.lit(None).cast("map<string,string>"))
+        .when(is_del, F.col("before"))
+        .otherwise(F.col("after"))
+    )
+    return changes.select(
+        F.col("database"),
+        F.col("table"),
+        event_type_col().alias("event_type"),
+        F.unix_timestamp("ts_header").alias("time"),
+        (F.lit(index_base) + F.row_number().over(w)).cast("long").alias("event_index"),
+        F.struct(
+            data.alias("data"),
+            F.when(is_upd, F.col("before")).alias("old_data"),
+            F.when(is_upd, F.col("after")).alias("new_data"),
+        ).alias("event"),
+        # passthroughs used by routing/sinks, not part of the JSON payload
+        F.concat_ws(".", "database", "table").alias("full_table"),
+        F.col("binlog_file"),
+        F.col("binlog_pos"),
+        F.col("xid_commit"),
+    )
+
+
+def envelope_json(env: DataFrame = None) -> Column:
+    """Envelope → JSON payload, reference wire shape (handler.go:83).
+
+    The reference's JSON is polymorphic: insert/delete carry
+    ``event.data = {col: val}`` while update nests the pair at
+    ``event.data.old_data`` / ``event.data.new_data``
+    (handler.go:137-181, examples/subscribe.php:40-100), and ``alter``
+    has no ``event`` member at all (handler.go:101-110). A single Spark
+    struct can't express that, so serialize per event_type; the
+    DataFrame-side schema stays the normalized EVENT_SCHEMA.
+    """
+    head = ("database", "table", "event_type", "time", "event_index")
+    upd = F.to_json(
+        F.struct(
+            *head,
+            F.struct(
+                F.struct(
+                    F.col("event.old_data").alias("old_data"),
+                    F.col("event.new_data").alias("new_data"),
+                ).alias("data")
+            ).alias("event"),
+        )
+    )
+    ins_del = F.to_json(
+        F.struct(*head, F.struct(F.col("event.data").alias("data")).alias("event"))
+    )
+    alter = F.to_json(F.struct(*head))
+    return (
+        F.when(F.col("event_type") == "update", upd)
+        .when(F.col("event_type") == "alter", alter)
+        .otherwise(ins_del)
+    )
+
+
+def parse_envelope_json(col) -> Column:
+    """Inverse of envelope_json (consumer side, client/tcp.go:444-449)."""
+    return F.from_json(col, EVENT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Field decode rules (util.go:61-146)
+# ---------------------------------------------------------------------------
+
+_UNSIGNED_WIDEN = {
+    8: 1 << 8,  # tinyint  → +256        (util.go:69-75)
+    16: 1 << 16,  # smallint → +65536     (util.go:76-82)
+    24: 1 << 24,  # mediumint             (util.go:83-93)
+    32: 1 << 32,  # int                   (util.go:83-93)
+}
+
+
+def widen_unsigned(col, bits: int) -> Column:
+    """Signed-decoded unsigned column → true unsigned value.
+
+    The binlog decodes unsigned ints through signed Go types; negative
+    values mean the high bit was set (util.go:61-122). 64-bit uses the
+    uint64 reinterpretation, which exceeds LongType → Decimal(20,0).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if bits == 64:
+        # 2^64 exceeds a JVM long literal → decimal-from-string
+        two64 = F.expr("CAST('18446744073709551616' AS DECIMAL(21,0))")
+        neg = (c.cast("decimal(21,0)") + two64).cast("decimal(20,0)")
+        return F.when(c < 0, neg).otherwise(c.cast("decimal(20,0)"))
+    add = _UNSIGNED_WIDEN[bits]
+    return (F.when(c < 0, c.cast("long") + add).otherwise(c.cast("long"))).alias(
+        f"u{bits}"
+    )
+
+
+def decode_enum(ordinal, labels: list[str]) -> Column:
+    """1-based ENUM ordinal → label; 0 (invalid/empty) → '' (util.go:96-100)."""
+    c = F.col(ordinal) if isinstance(ordinal, str) else ordinal
+    arr = F.array(*[F.lit(x) for x in labels])
+    return F.when(c >= 1, F.element_at(arr, c.cast("int"))).otherwise(F.lit(""))
+
+
+def decode_set(bitmask, labels: list[str]) -> Column:
+    """SET bitmask → comma-joined member labels (util.go:101-113)."""
+    c = F.col(bitmask) if isinstance(bitmask, str) else bitmask
+    members = [
+        F.when(c.bitwiseAND(F.lit(1 << i)) != 0, F.lit(lab)) for i, lab in enumerate(labels)
+    ]
+    return F.array_join(F.array_compact(F.array(*members)), ",")
+
+
+def decode_date(col) -> Column:
+    """'0000-00-00' zero-dates → NULL, else DateType (row_event.go:456-463)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c == "0000-00-00", F.lit(None).cast("date")).otherwise(
+        c.cast("date")
+    )
+
+
+def decode_year(col) -> Column:
+    """YEAR stored as offset from 1900 (row_event.go:465-467)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c == 0, F.lit(0)).otherwise(c.cast("int") + F.lit(1900))
+
+
+# ---------------------------------------------------------------------------
+# Table filters / routing (O6, O12)
+# ---------------------------------------------------------------------------
+
+
+def match_filters(table_col, patterns: list[str]) -> Column:
+    """OR of regexes; empty list ⇒ match-all (service/util.go:9-22).
+
+    Reference topics are lowercased before matching (subscribe/node.go:44-53).
+    """
+    c = F.col(table_col) if isinstance(table_col, str) else table_col
+    if not patterns:
+        return F.lit(True)
+    out = F.lit(False)
+    for p in patterns:
+        out = out | F.lower(c).rlike(p.lower())
+    return out
+
+
+def table_filter(df: DataFrame, include: list[str], exclude: list[str]) -> DataFrame:
+    """include/exclude regex filter on db.table (canal.go:87-111,245-281)."""
+    col = F.col("full_table")
+    out = df.filter(match_filters(col, include))
+    if exclude:
+        out = out.filter(~match_filters(col, exclude))
+    return out

