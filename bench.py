@@ -23,6 +23,7 @@ HEADLINE = [
     "q12_range_join",
     "q14_tpch_q3",
     "q15_asof_join",
+    "q15b_asof_merge",
     "q16_tpch_q1",
     "q17_count_distinct",
     "q19_rollup",

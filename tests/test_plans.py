@@ -1,0 +1,104 @@
+"""Physical-plan quality gates (the 100 TB checks): filters reach the
+parquet scan, projections prune the read schema, dimension joins
+broadcast, top-k avoids full sorts, aggregates partial-aggregate.
+These assert on explain output so plan regressions fail loudly."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from wing_binlog_go_spark.operators.skew import salted_join
+from wing_binlog_go_spark.registry import all_queries
+from wing_binlog_go_spark.tables import read_table
+
+_Q = all_queries()
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    p = plan_of(_Q["q03_filter"].spark(spark, sf_dir))
+    assert "PushedFilters:" in p
+    assert "l_quantity" in p.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    p = plan_of(_Q["q02_projection"].spark(spark, sf_dir))
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    # 3 of 11 lineitem columns: the two projected + the sort tiebreaker
+    assert "l_orderkey" in read_schema and "l_partkey" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_comment" not in read_schema
+    assert read_schema.count(":") <= 4
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    p = plan_of(_Q["q07_broadcast_join"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_tpch_q3_join_strategy(spark, sf_dir):
+    # filtered customer broadcast; fact-fact stays shuffle-based
+    p = plan_of(_Q["q14_tpch_q3"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    # date predicates pushed into both fact scans
+    pushed = [seg.split("\n")[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any("o_orderdate" in s for s in pushed)
+    assert any("l_shipdate" in s for s in pushed)
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    p = plan_of(_Q["q25_multi_key_sort"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_aggregate_is_partial(spark, sf_dir):
+    # map-side partial + final: two HashAggregate nodes around the shuffle
+    p = plan_of(_Q["q16_tpch_q1"].spark(spark, sf_dir))
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_no_python_udfs_in_relational_plans(spark, sf_dir):
+    for name in ("q14_tpch_q3", "q16_tpch_q1", "q22_window_ranking", "q39_word_count"):
+        p = plan_of(_Q[name].spark(spark, sf_dir))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_wholestage_codegen_covers_core_plans(spark, sf_dir):
+    # AQE materializes the real plan only at execution; "*(n)" markers in
+    # the executed plan are the WholeStageCodegen stage annotations
+    df = _Q["q16_tpch_q1"].spark(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in executed
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = o.join(c, o.o_custkey == c.c_custkey).count()
+    salted = salted_join(o, c, key="o_custkey", build_key="c_custkey", salt=8).count()
+    assert plain == salted
+    # segment distribution identical, not just the total
+    a = sorted(
+        (r.c_mktsegment, r["count"])
+        for r in o.join(c, o.o_custkey == c.c_custkey).groupBy("c_mktsegment").count().collect()
+    )
+    b = sorted(
+        (r.c_mktsegment, r["count"])
+        for r in salted_join(o, c, key="o_custkey", build_key="c_custkey", salt=8)
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    assert a == b

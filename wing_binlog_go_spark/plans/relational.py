@@ -680,3 +680,204 @@ def q36(spark, sf_dir):
 def q40(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.sample(fraction=0.1, seed=42).agg(F.count("*").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Q41+: extended surface — set ops, subqueries, pivot, statistical and
+# ordered-set aggregates, lateral explode, filtered aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q41_except",
+    """SELECT COUNT(*) AS cnt FROM
+       (SELECT c_custkey FROM customer
+        EXCEPT SELECT o_custkey FROM orders) t""",
+)
+def q41(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return c.exceptAll(o).distinct().agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "q42_in_subquery",
+    """SELECT COUNT(*) AS cnt FROM orders
+       WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)""",
+)
+def q42(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """SELECT COUNT(*) AS cnt FROM orders
+           WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)"""
+    )
+
+
+@register(
+    "q43_pivot",
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+              CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS BIGINT) AS urgent,
+              CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 END), 0) AS BIGINT) AS high,
+              CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 END), 0) AS BIGINT) AS low
+       FROM orders GROUP BY y ORDER BY y""",
+)
+def q43(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    pv = (
+        o.groupBy(F.year("o_orderdate").alias("y"))
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "5-LOW"])
+        .count()
+    )
+    return (
+        pv.select(
+            "y",
+            F.coalesce(F.col("`1-URGENT`"), F.lit(0)).alias("urgent"),
+            F.coalesce(F.col("`2-HIGH`"), F.lit(0)).alias("high"),
+            F.coalesce(F.col("`5-LOW`"), F.lit(0)).alias("low"),
+        )
+        .orderBy("y")
+    )
+
+
+@register(
+    "q44_stats_agg",
+    """SELECT ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+              ROUND(var_samp(l_discount), 6) AS var_disc,
+              ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qe
+       FROM lineitem""",
+)
+def q44(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qe"),
+    )
+
+
+@register(
+    "q45_percentiles",
+    """SELECT ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+              ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90
+       FROM orders""",
+)
+def q45(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+    )
+
+
+@register(
+    "q46_min_max_by",
+    """SELECT n_name,
+              max_by(c_name, c_acctbal) AS richest,
+              min_by(c_name, c_acctbal) AS poorest
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name""",
+)
+def q46(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_name", "c_acctbal").alias("richest"),
+            F.min_by("c_name", "c_acctbal").alias("poorest"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q47_filtered_agg",
+    """SELECT COUNT(*) AS n_all,
+              COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+              CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                   FILTER (WHERE l_discount > 0.05), 2) AS DOUBLE) AS qty_discounted
+       FROM lineitem""",
+)
+def q47(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_all"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+        _money(
+            F.sum(F.when(F.col("l_discount") > 0.05, _dec("l_quantity")))
+        ).alias("qty_discounted"),
+    )
+
+
+@register(
+    "q48_date_trunc",
+    """SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS cnt
+       FROM orders GROUP BY m ORDER BY m LIMIT 24""",
+)
+def q48(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("m")
+        .limit(24)
+    )
+
+
+@register(
+    "q49_string_agg",
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+       FROM nation JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name ORDER BY r_name""",
+)
+def q49(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "q50_lateral_explode",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                 FROM documents WHERE doc_id < 10)
+       SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+              toks[CAST(i AS INTEGER)] AS w
+       FROM t, UNNEST(range(1, len(toks) + 1)) AS r(i)
+       ORDER BY doc_id, pos""",
+)
+def q50(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "w"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+@register(
+    "q51_null_handling",
+    """SELECT COUNT(*) AS cnt,
+              CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS zero_disc,
+              ROUND(COALESCE(MAX(NULLIF(l_discount, 0.0)), -1), 2) AS max_nonzero
+       FROM lineitem""",
+)
+def q51(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    nz = F.nullif("l_discount", F.lit(0.0))
+    return li.agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(nz.isNull(), 1).otherwise(0)).alias("zero_disc"),
+        F.round(F.coalesce(F.max(nz), F.lit(-1.0)), 2).alias("max_nonzero"),
+    )

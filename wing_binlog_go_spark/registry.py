@@ -16,6 +16,7 @@ def all_queries() -> dict[str, QuerySpec]:
     for mod_name in (
         "wing_binlog_go_spark.operators.dedup",
         "wing_binlog_go_spark.operators.similarity",
+        "wing_binlog_go_spark.operators.asof_join",
         "wing_binlog_go_spark.functions.text",
     ):
         try:
