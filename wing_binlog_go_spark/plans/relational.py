@@ -866,6 +866,137 @@ def q50(spark, sf_dir):
 
 
 @register(
+    "q52_tpch_q5",
+    """SELECT n_name,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(1.0 - l_discount AS DECIMAL(18,4))), 2)
+                   AS DOUBLE) AS revenue
+       FROM customer, orders, lineitem, supplier, nation, region
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+       GROUP BY n_name ORDER BY revenue DESC, n_name""",
+)
+def q52(spark, sf_dir):
+    # TPC-H Q5 shape: 6-way join. Fact-fact (lineitem⋈orders) shuffles on
+    # orderkey; every dimension (supplier/customer/nation/region chain)
+    # broadcasts. The local-supplier predicate c_nationkey = s_nationkey
+    # rides the join output as a filter.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.sum(
+        _dec("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_money(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "q53_window_distribution",
+    """SELECT o_orderkey,
+              ntile(4) OVER w AS quartile,
+              ROUND(percent_rank() OVER w, 6) AS pr,
+              ROUND(cume_dist() OVER w, 6) AS cd
+       FROM orders
+       WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+       ORDER BY o_orderkey LIMIT 100""",
+)
+def q53(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q54_correlated_subquery",
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+              AS total
+       FROM lineitem l1
+       WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity)
+                           FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""",
+)
+def q54(spark, sf_dir):
+    # TPC-H Q17 shape — Catalyst decorrelates into an aggregate + join
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                  AS total
+           FROM lineitem l1
+           WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity)
+                               FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)"""
+    )
+
+
+@register(
+    "q55_first_last_value",
+    """SELECT o_orderkey,
+              first_value(o_orderkey) OVER w AS first_in_cust,
+              last_value(o_orderkey) OVER w AS last_so_far
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       ORDER BY o_orderkey LIMIT 100""",
+)
+def q55(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_in_cust"),
+            F.last("o_orderkey").over(w).alias("last_so_far"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q56_union_all",
+    """SELECT COUNT(*) AS cnt FROM
+       (SELECT o_custkey AS k FROM orders
+        UNION ALL SELECT c_custkey AS k FROM customer) t""",
+)
+def q56(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return o.unionAll(c).agg(F.count("*").alias("cnt"))
+
+
+@register(
     "q51_null_handling",
     """SELECT COUNT(*) AS cnt,
               CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END)

@@ -1,0 +1,102 @@
+"""S5: arbitrary stateful streaming via ``applyInPandasWithState``.
+
+The reference's only stateful operator is its process-wide event counter
+(handler.go:139,168 atomic increment, restored from the pos file at boot
+— O10). The engine's default replacement is the deterministic
+coordinate-derived event_index (functions/envelope.py). This module is
+the strict-continuity variant for consumers that demand a gapless
+per-key sequence maintained as state: counts live in the state store
+(RocksDB in production), survive restarts via the checkpoint, and key
+partitioning distributes what the reference kept in one process.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_event_counts(stream: DataFrame, key_col: str = "full_table") -> DataFrame:
+    """Per-key running event counter: emits (key, events_in_batch,
+    running_total) each micro-batch; the total is stateful."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        (total,) = state.get if state.exists else (0,)
+        total += n
+        state.update((total,))
+        yield pd.DataFrame(
+            {"key": [key[0]], "events_in_batch": [n], "running_total": [total]}
+        )
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType="key string, events_in_batch long, running_total long",
+            stateStructType="total long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def sessionize(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Custom sessionizer with explicit state (the hand-rolled analog of
+    session_window, shown as the S5 extension point): state carries the
+    open session's (start, last_seen, count); a row past the gap closes
+    it and emits the finished session."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        times: list[Any] = []
+        for pdf in pdfs:
+            times.extend(pdf[ts_col].tolist())
+        times.sort()
+        if state.exists:
+            start, last, count = state.get
+        else:
+            start = last = None
+            count = 0
+        out = []
+        for t in times:
+            epoch = int(pd.Timestamp(t).timestamp())
+            if last is not None and epoch - last > gap_seconds:
+                out.append((key[0], start, last, count))
+                start, count = epoch, 0
+            if start is None:
+                start = epoch
+            last = epoch
+            count += 1
+        state.update((start, last, count))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["key", "session_start", "session_end", "n_events"]
+            )
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "key long, session_start long, session_end long, n_events long"
+            ),
+            stateStructType="start long, last long, count long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
