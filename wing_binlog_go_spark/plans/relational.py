@@ -429,7 +429,7 @@ def q22(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") == 1)
         .orderBy("o_custkey")
         .limit(100)
@@ -927,7 +927,7 @@ def q53(spark, sf_dir):
     return (
         o.select(
             "o_orderkey",
-            F.ntile(4).over(w).alias("quartile"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
             F.round(F.percent_rank().over(w), 6).alias("pr"),
             F.round(F.cume_dist().over(w), 6).alias("cd"),
         )
