@@ -238,6 +238,35 @@ def test_streaming_window_agg_with_watermark(spark, tmp_path, late_events):
     }
 
 
+def test_stream_static_join_enrichment(spark, tmp_path):
+    """S6: streaming events enriched against a static dimension."""
+    import json as _json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.jsonl", "w") as f:
+        for uid, v in [(1, 10.0), (2, 20.0), (99, 30.0)]:
+            f.write(_json.dumps({"user_id": uid, "value": v}) + "\n")
+    stream = spark.readStream.schema("user_id long, value double").json(str(src))
+    dim = spark.createDataFrame([(1, "gold"), (2, "silver")], "user_id long, tier string")
+    from wing_binlog_go_spark.streaming.windows import stream_static_join
+
+    joined = stream_static_join(stream, dim, "user_id", "left")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("enriched")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r.user_id, r.tier)
+        for r in spark.sql("SELECT user_id, tier FROM enriched").collect()
+    }
+    assert got == {(1, "gold"), (2, "silver"), (99, None)}
+
+
 def test_dedupe_within_watermark_stream(spark, tmp_path):
     """S4: duplicate event_index rows collapse to one (replay dedupe)."""
     rows = [

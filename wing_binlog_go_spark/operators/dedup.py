@@ -49,7 +49,7 @@ def word_shingles(col, k: int = 3) -> F.Column:
 
 
 def minhash_signature(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, k: int = 3
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, k: int = 3
 ) -> DataFrame:
     """(id, mh: array<long>[num_hashes]) — computed per-row, ZERO shuffle.
 
@@ -82,7 +82,11 @@ def minhash_signature(
 def lsh_candidate_pairs(
     sig: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """Band the signature; docs sharing any band-hash become a candidate pair."""
+    """Band the signature; docs sharing any band-hash become a candidate pair.
+
+    ``bands`` should divide ``num_hashes``; if not, the trailing
+    ``num_hashes % bands`` signature positions are simply unused.
+    """
     rows_per_band = num_hashes // bands
     band_hashes = F.array(
         *[
@@ -138,12 +142,18 @@ def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 32,
+    num_hashes: int = 16,
     bands: int = 8,
     shingle_k: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Near-duplicate pairs (doc_a < doc_b) with estimated Jaccard ≥ threshold."""
+    """Near-duplicate pairs (doc_a < doc_b) with estimated Jaccard ≥ threshold.
+
+    Defaults: 16 hashes in 8 bands of 2 — band-collision probability
+    1-(1-j²)^8 keeps recall ≥0.999 at j=0.8 while halving signature
+    compute and plan-compile cost vs 32 hashes; the est_jaccard verify
+    stage prunes the extra false candidates the narrower bands admit.
+    """
     # The repartition is a deliberate optimizer barrier, not just a
     # partitioning choice: without it CollapseProject inlines the
     # signature expression into every one of the band-hash's 32
