@@ -58,17 +58,25 @@ def main() -> None:
         spec.spark(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_query_wall_clock_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # BASELINE.md contract: first green run records BENCH.json; later
+    # runs compare against it (2× budget) without overwriting.
+    bench_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
+    if not os.path.exists(bench_path):
+        with open(bench_path, "w") as f:
+            json.dump(result, f, indent=1)
+    else:
+        with open(bench_path) as f:
+            baseline = json.load(f)
+        if baseline.get("sf") == result["sf"] and baseline.get("value"):
+            result["vs_baseline"] = round(result["value"] / baseline["value"], 3)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

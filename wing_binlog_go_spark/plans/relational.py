@@ -997,6 +997,134 @@ def q56(spark, sf_dir):
 
 
 @register(
+    "q57_regexp_functions",
+    """SELECT p_partkey,
+              regexp_replace(p_type, '[AEIOU]', '_', 'g') AS masked,
+              regexp_extract(p_name, '([a-z]+)', 1) AS first_word
+       FROM part ORDER BY p_partkey LIMIT 100""",
+)
+def q57(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.regexp_replace("p_type", "[AEIOU]", "_").alias("masked"),
+            F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q58_bitwise",
+    """SELECT CAST(SUM(l_orderkey & 255) AS BIGINT) AS and_sum,
+              CAST(SUM(xor(l_orderkey, l_partkey)) AS BIGINT) AS xor_sum,
+              CAST(MAX(l_orderkey << 1) AS BIGINT) AS shl_max
+       FROM lineitem""",
+)
+def q58(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.sum(F.col("l_orderkey").bitwiseAND(F.lit(255))).alias("and_sum"),
+        F.sum(F.col("l_orderkey").bitwiseXOR(F.col("l_partkey"))).alias("xor_sum"),
+        F.max(F.shiftleft("l_orderkey", 1)).alias("shl_max"),
+    )
+
+
+@register(
+    "q59_nullsafe_equality",
+    """SELECT COUNT(*) AS cnt FROM
+       (SELECT c_custkey AS k FROM customer) a
+       FULL JOIN (SELECT o_custkey AS k FROM orders GROUP BY o_custkey) b
+       ON a.k IS NOT DISTINCT FROM b.k""",
+)
+def q59(spark, sf_dir):
+    a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    b = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    return a.join(b, a.k.eqNullSafe(b.k), "full").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "q60_array_hof",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                 FROM documents)
+       SELECT doc_id,
+              CAST(len(list_filter(toks, x -> length(x) > 4)) AS INTEGER) AS n_long,
+              CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS chars
+       FROM t ORDER BY doc_id LIMIT 100""",
+)
+def q60(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+            F.aggregate(
+                F.transform(toks, lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("chars"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "q61_map_entries",
+    """SELECT event_id,
+              CAST(1 AS INTEGER) AS n_keys,
+              'k' AS first_key
+       FROM events ORDER BY event_id LIMIT 20""",
+)
+def q61(spark, sf_dir):
+    # map construction + introspection: parse props into a map, then
+    # map_keys/size. (props has the single key 'k' by corpus
+    # construction, making the oracle a constant — the Spark side still
+    # exercises the real map functions.)
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        e.select(
+            "event_id",
+            F.size(F.map_keys(m)).alias("n_keys"),
+            F.element_at(F.map_keys(m), 1).alias("first_key"),
+        )
+        .orderBy("event_id")
+        .limit(20)
+    )
+
+
+@register(
+    "q62_interval_arith",
+    """SELECT o_orderkey,
+              o_orderdate + INTERVAL 90 DAY AS due,
+              CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00')
+                   AS INTEGER) AS days_to_y2k
+       FROM orders ORDER BY o_orderkey LIMIT 50""",
+)
+def q62(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due"),
+            F.datediff(
+                F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate")
+            ).alias("days_to_y2k"),
+        )
+        .orderBy("o_orderkey")
+        .limit(50)
+    )
+
+
+@register(
     "q51_null_handling",
     """SELECT COUNT(*) AS cnt,
               CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END)

@@ -1,0 +1,54 @@
+"""Table maintenance: small-file compaction for streaming sinks.
+
+Streaming parquet sinks append one file per batch per partition; at a
+few seconds per micro-batch that is thousands of small files a day —
+the classic lakehouse small-file problem (SURVEY §4 notes OPTIMIZE-style
+compaction as the maintenance job at the 100 TB north star; Delta's
+OPTIMIZE is the managed equivalent).
+
+``compact_parquet`` rewrites a directory into ~target_file_mb files via
+a coalesce-or-repartition chosen from the actual on-disk size, staging
+through a temp dir so readers never see a half-written table.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def dir_size_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            total += os.path.getsize(os.path.join(root, fn))
+    return total
+
+
+def parquet_file_count(path: str) -> int:
+    return sum(
+        1
+        for _root, _d, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> int:
+    """Rewrite ``path`` into ceil(size / target) files; returns the new
+    file count. coalesce (no shuffle) is enough because we only ever
+    merge down."""
+    size = dir_size_bytes(path)
+    n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+    staged = path.rstrip("/") + "._compact"
+    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(staged)
+    backup = path.rstrip("/") + "._old"
+    os.rename(path, backup)
+    os.rename(staged, path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return parquet_file_count(path)
