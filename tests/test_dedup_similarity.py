@@ -94,6 +94,50 @@ def test_lsh_ann_recall_vs_brute_force(spark, sf_small):
     assert avg_recall >= 0.4, f"ANN recall@5 {avg_recall:.2f}"
 
 
+def test_ivf_ann_recall_vs_brute_force(spark, sf_small):
+    from wing_binlog_go_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_small, "embeddings")
+    q = (
+        emb.orderBy("vec_id")
+        .limit(20)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = ivf_topk(emb, q, k=5, n_centroids=16, n_probe=6).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[qid] & approx_sets.get(qid, set())) / len(exact_sets[qid])
+        for qid in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6
+
+
+def test_lsh_near_dup_recall_vs_exact(spark, sf_small):
+    from wing_binlog_go_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    emb = read_table(spark, sf_small, "embeddings")
+    # lower threshold so the corpus yields pairs to compare
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.8).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_lsh(emb, threshold=0.8).collect()
+    }
+    assert approx <= exact  # LSH can miss, never invent
+    if exact:
+        assert len(approx) / len(exact) >= 0.5
+
+
 def test_approx_count_distinct_tolerance(spark, sf_dir):
     o = read_table(spark, sf_dir, "orders")
     exact = o.select("o_custkey").distinct().count()

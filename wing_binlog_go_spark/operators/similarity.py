@@ -173,6 +173,127 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer → inverted lists → probe.
+
+    Corpus vectors are assigned to their nearest centroid (one pass, map
+    side); each query probes its ``n_probe`` nearest centroids and ranks
+    only those lists. At 10^9 vectors this reads n_probe/n_centroids of
+    the corpus per query batch instead of all of it, and the centroid
+    assignment is a broadcast join (centroids are tiny). Centroids come
+    from Spark ML KMeans with a fixed seed — deterministic.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("_cv"))
+    q = queries.select(F.col(query_id_col), as_double(vec_col).alias("_qv"))
+
+    train = c.select(array_to_vector("_cv").alias("features"))
+    km = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(train)
+    cents = [list(map(float, ctr)) for ctr in km.clusterCenters()]
+
+    def nearest(vcol: Column, n: int) -> Column:
+        """indices of the n nearest centroids by squared L2 (array expr)."""
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            vcol,
+                            F.array(*[F.lit(x) for x in ctr]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(i).alias("i"),
+                )
+                for i, ctr in enumerate(cents)
+            ]
+        )
+        return F.slice(F.array_sort(dists), 1, n)
+
+    assigned = c.select(
+        id_col, "_cv", F.element_at(nearest(F.col("_cv"), 1), 1)["i"].alias("_list")
+    )
+    probed = q.select(
+        query_id_col,
+        "_qv",
+        F.explode(F.transform(nearest(F.col("_qv"), n_probe), lambda s: s["i"])).alias(
+            "_list"
+        ),
+    )
+    cand = assigned.join(broadcast(probed), "_list").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = cand.select(
+        query_id_col, id_col, cosine(F.col("_qv"), F.col("_cv")).alias("_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "rnk", F.round("_sim", 6).alias("sim_r"))
+    )
+
+
+def embedding_near_dup_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    n_tables: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs via hyperplane-LSH buckets (the scale path for
+    embedding_near_dup_pairs): only vectors sharing a bucket in some
+    table are compared, so the join is equi on (table, bucket) — near
+    dups at cos≥0.95 (θ≤18°) collide in one of 6 8-bit tables with
+    p ≈ 1-(1-(1-18/180)^8)^6 ≈ 0.98."""
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                bucket_expr(F.col("_v"), _hyperplanes(dim, n_bits, t)).alias("bkt"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    b = c.select(id_col, "_v", F.explode(arr).alias("_tb")).select(
+        id_col, "_v", F.col("_tb.tbl").alias("tbl"), F.col("_tb.bkt").alias("bkt")
+    )
+    lhs = b.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "tbl", "bkt"
+    )
+    rhs = b.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "tbl", "bkt"
+    )
+    cand = (
+        lhs.join(rhs, ["tbl", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_va", "_vb")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -258,6 +379,17 @@ WHERE ROUND(list_cosine_similarity(a.dv, b.dv), 6) >= 0.95
 ORDER BY id_a, id_b
 """
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.orderBy("vec_id")
+        .limit(10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return ivf_topk(emb, q, k=5).orderBy("query_id", "rnk")
+
+
 QUERIES["q38_ann_brute_force"] = QuerySpec(_q_ann_brute, _ANN_ORACLE)
 QUERIES["q38b_ann_lsh"] = QuerySpec(_q_ann_lsh, None)  # recall property-test
 QUERIES["q38c_embedding_near_dup"] = QuerySpec(_q_near_dup, _NEAR_DUP_ORACLE)
+QUERIES["q38d_ann_ivf"] = QuerySpec(_q_ann_ivf, None)  # recall property-test
