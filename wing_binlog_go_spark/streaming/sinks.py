@@ -144,6 +144,79 @@ def http_route_writer(urls: list[str]) -> Callable[[DataFrame, int], None]:
     return write
 
 
+def partitioned_archive_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """Append-only event archive partitioned by (database, table,
+    event_date) — the §4 layout for 100 TB event tables: partition
+    pruning serves per-table/per-day consumers without reading siblings,
+    and the layout matches how a Delta/Iceberg table would be defined.
+    """
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        (
+            env.withColumn(
+                "event_date", F.to_date(F.timestamp_seconds(F.col("time")))
+            )
+            .select(
+                "database",
+                "table",
+                "event_date",
+                "event_type",
+                "event_index",
+                envelope_json().alias("payload"),
+            )
+            .write.mode("append")
+            .partitionBy("database", "table", "event_date")
+            .parquet(out_dir)
+        )
+
+    return write
+
+
+def typed_replica_writer(
+    registry, table_full_names: list[str], base_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """The reference's headline use case — MySQL → queryable replica
+    (readme.md:40-41 "data synchronization to NoSQL/search") — as one
+    route: upsert each registered table into its own parquet table keyed
+    on the registry's PK. State stays in envelope-map form (one merge
+    code path); ``read_typed_replica`` decodes to typed columns at read.
+    """
+    import os
+
+    from wing_binlog_go_spark.streaming.pipeline import upsert_parquet
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        for full in table_full_names:
+            spec = registry.get(full)
+            if spec is None:
+                continue
+            pk = spec.pk_columns[0] if spec.pk_columns else None
+            if pk is None:
+                continue
+            subset = env.filter(env.full_table == full)
+            target = os.path.join(base_dir, full.replace(".", "__"))
+            upsert_parquet(subset, target, pk=pk)
+
+    return write
+
+
+def read_typed_replica(spark, registry, full_name: str, base_dir: str) -> DataFrame:
+    """Typed view over a replica table written by typed_replica_writer."""
+    import os
+
+    from wing_binlog_go_spark.functions.schema_registry import decode_column
+
+    spec = registry.get(full_name)
+    target = os.path.join(base_dir, full_name.replace(".", "__"))
+    raw = spark.read.parquet(target)
+    return raw.select(
+        *[
+            decode_column(F.element_at("row", c.name), c.raw_type).alias(c.name)
+            for c in spec.columns
+        ]
+    )
+
+
 def jsonl_route_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
     """One JSONL file per batch — handy for golden-file tests."""
 
