@@ -53,6 +53,23 @@ def test_metadata_predicates_skip_payload(media):
     assert "payload" not in imgs.columns
 
 
+def test_audio_features_pipeline(spark):
+    from wing_binlog_go_spark.multimodal import audio_features, decode_audio, MEDIA_SCHEMA
+
+    rows = [
+        (10, bytes([128, 128, 128, 128]), ("audio/wav", None, None, 4)),  # silence
+        (11, bytes([0, 255, 0, 255]), ("audio/wav", None, None, 4)),      # square wave
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in audio_features(df).collect()}
+    assert feats[10].rms == 0.0 and feats[10].zero_crossings == 0
+    assert feats[11].rms > 100 and feats[11].zero_crossings == 3
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF")
+
+
 def test_frame_sample_explosion(media):
     frames = frame_sample_plan(media.filter(media.media_id == 4), every_ms=1000).collect()
     assert [f.frame_ts_ms for f in frames] == [0, 1000, 2000, 3000]

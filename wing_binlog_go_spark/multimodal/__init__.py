@@ -96,6 +96,53 @@ def image_features(df: DataFrame, batch_decoder=fake_decode_image) -> DataFrame:
     return df.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def decode_audio(payload: bytes) -> "object":
+    """Real decode would go through soundfile/ffmpeg — not available."""
+    raise NotImplementedError(
+        "audio codecs are not installed in this environment; "
+        "use fake_decode_audio for the deterministic test path"
+    )
+
+
+def fake_decode_audio(payload: bytes) -> dict:
+    """Deterministic stand-in: treat bytes as signed samples."""
+    samples = [b - 128 for b in payload]
+    n = len(samples)
+    rms = (sum(s * s for s in samples) / n) ** 0.5 if n else 0.0
+    zc = sum(
+        1 for a, b in zip(samples, samples[1:]) if (a < 0) != (b < 0)
+    )
+    return {"n_bytes": n, "rms": rms, "zero_crossings": zc}
+
+
+def audio_features(df: DataFrame, batch_decoder=fake_decode_audio) -> DataFrame:
+    """payload → audio feature rows via mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [batch_decoder(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                    "rms": [f["rms"] for f in feats],
+                    "zero_crossings": [f["zero_crossings"] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled timestamp.
 

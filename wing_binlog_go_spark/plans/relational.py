@@ -1125,6 +1125,53 @@ def q62(spark, sf_dir):
 
 
 @register(
+    "q63_recursive_cte",
+    """WITH RECURSIVE seq(n) AS (
+         SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 100)
+       SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS cnt FROM seq""",
+)
+def q63(spark, sf_dir):
+    # iteration inside the engine (Spark 4 WITH RECURSIVE) — the basis
+    # for hierarchy/graph expansion without driver-side loops
+    return spark.sql(
+        """WITH RECURSIVE seq(n) AS (
+             SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 100)
+           SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS cnt FROM seq"""
+    )
+
+
+@register(
+    "q64_values_inline",
+    """SELECT v.code, COUNT(c_custkey) AS cnt
+       FROM (VALUES ('BUILDING'), ('MACHINERY'), ('NOSEGMENT')) v(code)
+       LEFT JOIN customer ON c_mktsegment = v.code
+       GROUP BY v.code ORDER BY v.code""",
+)
+def q64(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    v = spark.createDataFrame(
+        [("BUILDING",), ("MACHINERY",), ("NOSEGMENT",)], "code string"
+    )
+    return (
+        v.join(c, c.c_mktsegment == v.code, "left")
+        .groupBy("code")
+        .agg(F.count("c_custkey").alias("cnt"))
+        .orderBy("code")
+    )
+
+
+@register(
+    "q65_ilike",
+    """SELECT COUNT(*) AS cnt FROM part WHERE p_type ILIKE '%brass%'""",
+)
+def q65(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_type").ilike("%brass%")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@register(
     "q51_null_handling",
     """SELECT COUNT(*) AS cnt,
               CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END)
