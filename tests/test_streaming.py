@@ -267,6 +267,37 @@ def test_stream_static_join_enrichment(spark, tmp_path):
     assert got == {(1, "gold"), (2, "silver"), (99, None)}
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two live streams joined on key within a time interval."""
+    import json as _json
+
+    from wing_binlog_go_spark.streaming.windows import stream_stream_interval_join
+
+    lsrc, rsrc = tmp_path / "l", tmp_path / "r"
+    lsrc.mkdir(), rsrc.mkdir()
+    with open(lsrc / "a.jsonl", "w") as f:
+        f.write(_json.dumps({"k": 1, "ts": "2024-01-01T00:10:00.000Z"}) + "\n")
+        f.write(_json.dumps({"k": 2, "ts": "2024-01-01T00:10:00.000Z"}) + "\n")
+    with open(rsrc / "a.jsonl", "w") as f:
+        # k=1: one within 10 min, one too old; k=3: wrong key
+        f.write(_json.dumps({"k": 1, "rts": "2024-01-01T00:05:00.000Z", "v": "in"}) + "\n")
+        f.write(_json.dumps({"k": 1, "rts": "2024-01-01T23:55:00.000Z", "v": "old"}) + "\n")
+        f.write(_json.dumps({"k": 3, "rts": "2024-01-01T00:09:00.000Z", "v": "other"}) + "\n")
+    l = spark.readStream.schema("k long, ts timestamp").json(str(lsrc))
+    r = spark.readStream.schema("k long, rts timestamp, v string").json(str(rsrc))
+    joined = stream_stream_interval_join(l, r, "k", within="10 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = [(r.k, r.v) for r in spark.sql("SELECT k, v FROM ssj").collect()]
+    assert got == [(1, "in")]
+
+
 def test_dedupe_within_watermark_stream(spark, tmp_path):
     """S4: duplicate event_index rows collapse to one (replay dedupe)."""
     rows = [

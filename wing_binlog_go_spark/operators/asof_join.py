@@ -62,11 +62,14 @@ def asof_join(
         *[F.col(c).alias(f"_rv_{c}") for c in right_values],
     )
     # side order breaks time ties: right first ⇒ a right row AT the left
-    # timestamp is visible (inclusive); flip for exclusive.
+    # timestamp is visible (inclusive); flip for exclusive. The trailing
+    # value-column ordering makes ties among IDENTICAL (key, time) right
+    # rows deterministic (the max value tuple wins) instead of
+    # partition-order dependent.
     tie = F.asc("_side") if inclusive else F.desc("_side")
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.asc("_t"), tie)
+        .orderBy(F.asc("_t"), tie, *[F.asc(f"_rv_{c}") for c in right_values])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l.unionByName(r).select(

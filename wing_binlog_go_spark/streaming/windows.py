@@ -90,3 +90,27 @@ def dedupe_within_watermark(
 def stream_static_join(stream: DataFrame, dim: DataFrame, on, how: str = "inner"):
     """S6: enrich a stream against a static dimension (broadcast by size)."""
     return stream.join(dim, on, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "rts",
+    within: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream join: right events within ``within`` BEFORE each left
+    event on the same key. Both sides carry watermarks and the join has a
+    two-sided time bound, so Spark can evict state — without the interval
+    condition a stream-stream join buffers forever.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] <= l[left_ts])
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])
