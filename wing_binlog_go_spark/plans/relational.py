@@ -1172,6 +1172,157 @@ def q65(spark, sf_dir):
 
 
 @register(
+    "q66_bigrams",
+    """WITH t AS (SELECT string_split(lower(text), ' ') AS toks FROM documents),
+       b AS (SELECT toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)] AS bg
+             FROM t, UNNEST(range(1, len(toks))) AS r(i))
+       SELECT bg, COUNT(*) AS c FROM b GROUP BY bg ORDER BY c DESC, bg LIMIT 25""",
+)
+def q66(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("bg"))
+        .limit(25)
+    )
+
+
+@register(
+    "q67_histogram",
+    """SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                        WHEN o_totalprice >= 500000 THEN 11
+                        ELSE CAST(FLOOR(o_totalprice / 50000) AS INTEGER) + 1
+                   END AS INTEGER) AS bucket,
+              COUNT(*) AS cnt
+       FROM orders GROUP BY bucket ORDER BY bucket""",
+)
+def q67(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(500000), F.lit(10))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q68_sessionization",
+    """WITH gaps AS (
+         SELECT user_id, ts,
+                CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                       OR LAG(ts) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), sess AS (
+         SELECT user_id,
+                CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         FROM gaps
+       )
+       SELECT user_id, session_id, COUNT(*) AS n_events
+       FROM sess GROUP BY user_id, session_id
+       ORDER BY user_id, session_id LIMIT 200""",
+)
+def q68(spark, sf_dir):
+    # batch sessionization via gap flags + running sum — the window-
+    # function formulation of streaming.stateful.sessionize
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap > 1800, 1).when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("new_session", new_sess)
+        .withColumn("session_id", F.sum("new_session").over(run).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("user_id", "session_id")
+        .limit(200)
+    )
+
+
+@register(
+    "q69_funnel",
+    """WITH firsts AS (
+         SELECT user_id,
+                MIN(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+                MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+                MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+         FROM events GROUP BY user_id
+       )
+       SELECT COUNT(*) AS n_users,
+              CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+              CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                            THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+              CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                             AND t_buy > t_click
+                            THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
+       FROM firsts""",
+)
+def q69(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    clicked = F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("viewed"),
+        F.sum(F.when(clicked, 1).otherwise(0)).alias("clicked_after_view"),
+        F.sum(
+            F.when(clicked & (F.col("t_buy") > F.col("t_click")), 1).otherwise(0)
+        ).alias("full_funnel"),
+    )
+
+
+@register(
+    "q70_retention",
+    """WITH weeks AS (
+         SELECT DISTINCT user_id,
+                CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) // 7
+                     AS INTEGER) AS week
+         FROM events
+       )
+       SELECT w.week, COUNT(DISTINCT w.user_id) AS retained
+       FROM weeks w JOIN (SELECT DISTINCT user_id FROM weeks WHERE week = 0) c
+         ON w.user_id = c.user_id
+       GROUP BY w.week ORDER BY w.week LIMIT 10""",
+)
+def q70(spark, sf_dir):
+    # cohort retention: users active in week 0 still active in week N
+    e = _t(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts"), F.lit("2024-01-01").cast("timestamp")) / 7
+    ).cast("int")
+    weeks = e.select("user_id", week.alias("week")).distinct()
+    cohort = weeks.filter(F.col("week") == 0).select("user_id").distinct()
+    return (
+        weeks.join(cohort, "user_id")
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("retained"))
+        .orderBy("week")
+        .limit(10)
+    )
+
+
+@register(
     "q51_null_handling",
     """SELECT COUNT(*) AS cnt,
               CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END)
