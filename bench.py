@@ -36,6 +36,8 @@ HEADLINE = [
     "q38_ann_brute_force",
     "q39_word_count",
     "q39d_quality_score",
+    "q52_tpch_q5",
+    "q68_sessionization",
 ]
 
 

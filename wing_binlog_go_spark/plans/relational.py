@@ -1323,6 +1323,29 @@ def q70(spark, sf_dir):
 
 
 @register(
+    "q71_unpivot",
+    """SELECT l_orderkey, l_linenumber, measure, val FROM
+       (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        FROM lineitem)
+       UNPIVOT (val FOR measure IN (l_quantity, l_discount, l_tax))
+       ORDER BY l_orderkey, l_linenumber, measure LIMIT 150""",
+)
+def q71(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_discount", "l_tax"],
+            "measure",
+            "val",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+        .limit(150)
+    )
+
+
+@register(
     "q51_null_handling",
     """SELECT COUNT(*) AS cnt,
               CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END)
