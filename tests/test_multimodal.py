@@ -75,5 +75,20 @@ def test_frame_sample_explosion(media):
     assert [f.frame_ts_ms for f in frames] == [0, 1000, 2000, 3000]
 
 
+def test_phash_near_dup_finds_exact_copies(spark):
+    from wing_binlog_go_spark.multimodal import phash_near_dup_pairs
+
+    rows = [
+        (1, bytes(range(100)), ("image/png", 8, 8, None)),
+        (2, bytes(range(100)), ("image/png", 8, 8, None)),   # exact copy of 1
+        (3, bytes([7] * 64), ("image/png", 8, 8, None)),
+        (4, bytes(range(99)) + b"\x00", ("image/png", 8, 8, None)),  # near 1
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {(r.media_a, r.media_b): r.hamming for r in phash_near_dup_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0  # exact copies always found
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
 def test_size_bucketing_preserves_rows(media):
     assert size_bucketed(media, buckets=4).count() == 4

@@ -226,6 +226,51 @@ def _q_minhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tf_idf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-(doc, term) TF-IDF: tf × ln(N/df). Two shuffles (term counts,
+    doc frequencies) + a broadcast of the tiny df table; no ML pipeline
+    object, just relational algebra, so it composes with everything."""
+    from pyspark.sql.functions import broadcast
+
+    tok = docs.select(id_col, F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.count()
+    df_tbl = (
+        tok.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    )
+    return tf.join(broadcast(df_tbl), "term").select(
+        id_col,
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        tf_idf(d)
+        .orderBy(F.desc("tfidf"), F.asc("doc_id"), F.asc("term"))
+        .limit(50)
+    )
+
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, tf.term,
+       ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+ORDER BY tfidf DESC, doc_id, tf.term LIMIT 50
+"""
+
+QUERIES["q39h_tfidf"] = QuerySpec(_q_tfidf, _TFIDF_ORACLE)
 QUERIES["q39_word_count"] = QuerySpec(_q_word_count, _WORD_COUNT_ORACLE)
 QUERIES["q39b_token_stats"] = QuerySpec(_q_token_stats, _TOKEN_STATS_ORACLE)
 QUERIES["q39c_bpe_token_count"] = QuerySpec(_q_bpe_token_count, _BPE_ORACLE)

@@ -160,6 +160,47 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def phash_near_dup_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate media by perceptual-hash distance.
+
+    Same scale shape as text SimHash dedup (operators/dedup.py): split
+    the 64-bit phash into 4 16-bit chunks — any pair within hamming 3
+    shares ≥1 chunk (pigeonhole) — so candidates come from an equi-join
+    on (chunk_no, chunk), never an O(n²) comparison.
+    """
+    feats = image_features(df).select("media_id", "phash")
+    feats = feats.repartition(F.col("media_id"))  # optimizer barrier + co-locate
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("phash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+            for c in range(4)
+        ]
+    )
+    b = feats.select(
+        F.col("media_id").alias("m"),
+        F.col("phash"),
+        F.posexplode(chunks).alias("chunk_no", "chunk"),
+    )
+    lhs, rhs = b.alias("a"), b.alias("b")
+    return (
+        lhs.join(
+            rhs,
+            (F.col("a.chunk_no") == F.col("b.chunk_no"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.m") < F.col("b.m")),
+        )
+        .select(
+            F.col("a.m").alias("media_a"),
+            F.col("b.m").alias("media_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def size_bucketed(df: DataFrame, buckets: int = 32) -> DataFrame:
     """Repartition by payload-size bucket so giant blobs spread evenly."""
     return df.withColumn(
