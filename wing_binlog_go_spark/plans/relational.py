@@ -1346,6 +1346,85 @@ def q71(spark, sf_dir):
 
 
 @register(
+    "q72_struct_ops",
+    """SELECT o_orderkey,
+              struct_extract(struct_pack(k := o_orderkey, p := o_totalprice), 'k')
+                AS k_out,
+              ROUND(struct_extract(struct_pack(k := o_orderkey, p := o_totalprice),
+                                   'p'), 2) AS p_out
+       FROM orders ORDER BY o_orderkey LIMIT 50""",
+)
+def q72(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    s = F.struct(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p"))
+    return (
+        o.select(
+            "o_orderkey",
+            s.getField("k").alias("k_out"),
+            F.round(s.getField("p"), 2).alias("p_out"),
+        )
+        .orderBy("o_orderkey")
+        .limit(50)
+    )
+
+
+@register(
+    "q74_time_bucket",
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+              COUNT(*) AS cnt,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
+       FROM events GROUP BY bucket_start ORDER BY bucket_start LIMIT 100""",
+)
+def q74(spark, sf_dir):
+    # batch twin of the S2 tumbling window — window().start must equal
+    # DuckDB's time_bucket for epoch-aligned intervals, which makes the
+    # streaming window semantics oracle-checkable
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").start.alias("bucket_start"))
+        .agg(
+            F.count("*").alias("cnt"),
+            _money(F.sum(_dec("value", 4)), 4).alias("sum_value"),
+        )
+        .orderBy("bucket_start")
+        .limit(100)
+    )
+
+
+@register(
+    "q75_date_spine",
+    """WITH spine AS (
+         SELECT CAST(d AS TIMESTAMP) AS day
+         FROM generate_series(TIMESTAMP '1995-01-01 00:00:00',
+                              TIMESTAMP '1995-01-31 00:00:00',
+                              INTERVAL '1 day') AS t(d)
+       )
+       SELECT day, COUNT(o_orderkey) AS cnt
+       FROM spine LEFT JOIN orders ON date_trunc('day', o_orderdate) = day
+       GROUP BY day ORDER BY day""",
+)
+def q75(spark, sf_dir):
+    # gap-filling date spine: sequence+explode generates the calendar,
+    # left join keeps empty days at zero
+    o = _t(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("1995-01-31").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    return (
+        spine.join(o, F.date_trunc("day", o.o_orderdate) == spine.day, "left")
+        .groupBy("day")
+        .agg(F.count("o_orderkey").alias("cnt"))
+        .orderBy("day")
+    )
+
+
+@register(
     "q51_null_handling",
     """SELECT COUNT(*) AS cnt,
               CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END)
