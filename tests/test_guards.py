@@ -1,0 +1,43 @@
+"""Guard tests: sf_dir is respected (no hardcoded paths), session
+factory applies the scale configs, approx sketches stay in tolerance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wing_binlog_go_spark.registry import all_queries
+from wing_binlog_go_spark.tables import read_table
+
+_Q = all_queries()
+
+
+def test_queries_respect_sf_dir(spark):
+    """Same query, different scale factor → different result: catches any
+    accidentally hardcoded data path in a query builder."""
+    small = _Q["q01_parquet_scan"].spark(spark, "/root/testdata/sf0.001").collect()[0].cnt
+    big = _Q["q01_parquet_scan"].spark(spark, "/root/testdata/sf0.01").collect()[0].cnt
+    assert small != big and big > small
+
+
+def test_entry_runs_on_smallest_sf(spark):
+    import __spark_entry__ as mod
+
+    rows = mod.entry(spark).collect()
+    assert len(rows) > 0
+
+
+def test_session_factory_configs(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert spark.conf.get("spark.sql.parquet.filterPushdown") == "true"
+
+
+def test_percentile_approx_tolerance(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders")
+    exact, approx = o.agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("e"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)).alias("a"),
+    ).collect()[0]
+    assert abs(approx - exact) / exact < 0.02
