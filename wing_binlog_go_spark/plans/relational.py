@@ -1425,6 +1425,62 @@ def q75(spark, sf_dir):
 
 
 @register(
+    "q76_cube_grouping",
+    """SELECT n_name, c_mktsegment,
+              CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+              CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
+              COUNT(*) AS cnt
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY CUBE(n_name, c_mktsegment)
+       ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST, cnt""",
+)
+def q76(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .cube("n_name", "c_mktsegment")
+        .agg(
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy(
+            F.asc_nulls_first("n_name"),
+            F.asc_nulls_first("c_mktsegment"),
+            F.asc("cnt"),
+        )
+        .select("n_name", "c_mktsegment", "g_nation", "g_seg", "cnt")
+    )
+
+
+@register(
+    "q77_range_frame",
+    """SELECT o_orderkey,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2)
+                   AS DOUBLE) AS rolling_30d
+       FROM orders ORDER BY o_orderkey LIMIT 100""",
+)
+def q77(spark, sf_dir):
+    # value-based RANGE frame (vs q24's ROWS frame): a true 30-day rolling
+    # sum — rows at equal order values share the frame
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, Window.currentRow)
+    )
+    return (
+        o.withColumn("rolling_30d", _money(F.sum(_dec("o_totalprice")).over(w)))
+        .orderBy("o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "rolling_30d")
+    )
+
+
+@register(
     "q51_null_handling",
     """SELECT COUNT(*) AS cnt,
               CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END)
