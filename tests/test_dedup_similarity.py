@@ -94,6 +94,24 @@ def test_lsh_ann_recall_vs_brute_force(spark, sf_small):
     assert avg_recall >= 0.4, f"ANN recall@5 {avg_recall:.2f}"
 
 
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_small):
+    """est_jaccard (16-hash estimate) stays within ±0.3 of exact 3-gram
+    Jaccard on every pair both methods surface."""
+    docs = read_table(spark, sf_small, "documents").limit(200)
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_dedup_pairs(docs, threshold=0.0, shingle_k=3).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.05).collect()
+    }
+    both = set(est) & set(exact)
+    assert both, "no overlapping pairs to compare"
+    errs = [abs(est[p] - exact[p]) for p in both]
+    assert max(errs) <= 0.3, f"max estimate error {max(errs)}"
+
+
 def test_ivf_ann_recall_vs_brute_force(spark, sf_small):
     from wing_binlog_go_spark.operators.similarity import ivf_topk
 

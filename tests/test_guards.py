@@ -34,6 +34,24 @@ def test_session_factory_configs(spark):
     assert spark.conf.get("spark.sql.parquet.filterPushdown") == "true"
 
 
+def test_oracle_harness_detects_mismatches(spark, sf_dir):
+    """Meta-test: the comparator must FAIL on wrong values/counts/columns
+    — otherwise every 'MATCH' in this suite is meaningless."""
+    from tests.oracle_harness import compare, duckdb_conn
+
+    con = duckdb_conn(sf_dir)
+    df = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ok, _ = compare(df, con, "SELECT n_nationkey, n_name FROM nation")
+    assert ok
+    ok, msg = compare(df, con, "SELECT n_nationkey, lower(n_name) AS n_name FROM nation")
+    assert not ok and "value mismatch" in msg
+    ok, msg = compare(df, con, "SELECT n_nationkey, n_name FROM nation LIMIT 3")
+    assert not ok and "row count" in msg
+    ok, msg = compare(df, con, "SELECT n_nationkey AS wrong, n_name FROM nation")
+    assert not ok and "column mismatch" in msg
+    con.close()
+
+
 def test_percentile_approx_tolerance(spark, sf_dir):
     o = read_table(spark, sf_dir, "orders")
     exact, approx = o.agg(
