@@ -84,16 +84,57 @@ def event_type_col(action=None) -> Column:
     return F.when(action == "ddl", F.lit("alter")).otherwise(action)
 
 
+def with_dense_index(
+    df: DataFrame, order_cols: list[str], out: str = "_dense_index", base: int = 0
+) -> DataFrame:
+    """Global dense 1-based index in ``order_cols`` order — WITHOUT a
+    single-partition global sort.
+
+    The zipWithIndex pattern on DataFrames: range-repartition on the
+    order columns (each partition holds a contiguous key range), sort
+    within partitions, number rows per partition, then add per-partition
+    offsets computed from a tiny driver-side count map. Range boundaries
+    may vary run-to-run, but the index depends only on the total order,
+    which is unique when ``order_cols`` are (binlog coordinates are).
+    """
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    numbered = ranged.withColumn("_rn", F.row_number().over(w))
+    counts = {
+        r._pid: r.cnt
+        for r in numbered.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    acc = base
+    offsets: dict[int, int] = {}
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    if not offsets:
+        return df.withColumn(out, F.lit(None).cast("long"))
+    mapping = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    return numbered.withColumn(
+        out,
+        (F.element_at(mapping, F.col("_pid")) + F.col("_rn")).cast("long"),
+    ).drop("_pid", "_rn")
+
+
 def to_envelopes(changes: DataFrame, index_base: int = 0) -> DataFrame:
     """Shape raw change records into the reference envelope.
 
     ``event_index`` = index_base + dense position in (binlog_file,
-    binlog_pos, row_no) order. In streaming, pass the running count from
-    the checkpoint as ``index_base`` per micro-batch (see
-    streaming.pipeline); ordering within a batch is total because binlog
-    coordinates are unique per row event.
+    binlog_pos, row_no) order, computed with ``with_dense_index`` — the
+    range-partitioned zipWithIndex, so no single-partition global sort
+    even on large batches. In streaming, pass the running count from the
+    checkpoint as ``index_base`` per micro-batch (see streaming.pipeline);
+    ordering within a batch is total because binlog coordinates are
+    unique per row event.
     """
-    w = Window.orderBy("binlog_file", "binlog_pos", "row_no")
+    coords = ["binlog_file", "binlog_pos", "row_no"]
+    indexed = with_dense_index(changes, coords, "_ei", base=index_base)
     is_upd = F.col("action") == "update"
     is_del = F.col("action") == "delete"
     is_ddl = F.col("action") == "ddl"
@@ -103,12 +144,12 @@ def to_envelopes(changes: DataFrame, index_base: int = 0) -> DataFrame:
         .when(is_del, F.col("before"))
         .otherwise(F.col("after"))
     )
-    return changes.select(
+    return indexed.select(
         F.col("database"),
         F.col("table"),
         event_type_col().alias("event_type"),
         F.unix_timestamp("ts_header").alias("time"),
-        (F.lit(index_base) + F.row_number().over(w)).cast("long").alias("event_index"),
+        F.col("_ei").alias("event_index"),
         F.struct(
             data.alias("data"),
             F.when(is_upd, F.col("before")).alias("old_data"),
