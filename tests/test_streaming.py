@@ -154,6 +154,25 @@ def test_binlog_datasource_batch_and_stream(spark, tmp_path):
     assert coords == sorted(coords)
 
 
+def test_pipeline_over_binlog_source(spark, tmp_path):
+    """Full path: custom DataSource → envelopes → routed sink."""
+    log_dir = tmp_path / "log"
+    write_fixture_changelog(str(log_dir), split_files=True)
+    got: list = []
+    q = run_pipeline(
+        spark,
+        str(log_dir),
+        [Route("m", collecting_writer(got))],
+        str(tmp_path / "ckpt"),
+        source="binlog",
+    )
+    q.awaitTermination(90)
+    payloads = [json.loads(p) for _, p in got]
+    assert len(payloads) == len(fixture_records())
+    idx = sorted(p["event_index"] for p in payloads)
+    assert idx == list(range(1, len(payloads) + 1))
+
+
 def test_binlog_datasource_mysql_hook_fails_loudly(spark, tmp_path):
     from wing_binlog_go_spark.sources.binlog import BinlogStreamReader
 

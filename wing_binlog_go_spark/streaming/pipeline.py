@@ -96,15 +96,30 @@ def run_pipeline(
     include: list[str] | None = None,
     exclude: list[str] | None = None,
     available_now: bool = True,
+    source: str = "files",
 ):
     """Start the CDC pipeline; returns the StreamingQuery.
 
     include/exclude are the reference's table allow/deny regexes (O6),
     applied before envelope shaping — the cheap-early-filter the
     reference applies before row decode (canal.go:283-288).
+
+    ``source`` selects the ingest path over the same CHANGE_SCHEMA:
+    "files" = JSON file stream (default), "binlog" = the custom Python
+    DataSource with (file, pos, row) offsets (sources.binlog).
     """
     state = IndexState(os.path.join(checkpoint_dir, "event_index.json"))
-    changes = stream_changelog(spark, changelog_dir)
+    if source == "binlog":
+        from wing_binlog_go_spark.sources.binlog import BinlogDataSource
+
+        spark.dataSource.register(BinlogDataSource)
+        changes = (
+            spark.readStream.format("binlog").option("path", changelog_dir).load()
+        )
+    elif source == "files":
+        changes = stream_changelog(spark, changelog_dir)
+    else:
+        raise ValueError(f"unknown source {source!r}; expected 'files' or 'binlog'")
     if include or exclude:
         pre = F.concat_ws(".", "database", "table")
         changes = changes.filter(match_filters(pre, include or []))
