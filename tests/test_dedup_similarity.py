@@ -94,6 +94,44 @@ def test_lsh_ann_recall_vs_brute_force(spark, sf_small):
     assert avg_recall >= 0.4, f"ANN recall@5 {avg_recall:.2f}"
 
 
+def test_dedup_clusters_and_canonical_survivors(spark):
+    from wing_binlog_go_spark.operators.dedup import dedup_clusters, keep_canonical
+
+    # two clusters: {1,2,3} via chain 1-2, 2-3; {10,11}; 99 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    labels = {r.doc: r.cluster for r in dedup_clusters(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 10, 11, 99)], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in keep_canonical(docs, pairs).collect())
+    assert kept == [1, 10, 99]  # one survivor per cluster + untouched doc
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    from wing_binlog_go_spark.operators.dedup import dedup_clusters
+
+    # a 12-node chain exercises multi-round propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    labels = {r.doc: r.cluster for r in dedup_clusters(pairs).collect()}
+    assert set(labels.values()) == {0}
+
+
+def test_end_to_end_dedup_removes_planted_copies(spark, docs_with_dups):
+    from wing_binlog_go_spark.operators.dedup import keep_canonical
+
+    pairs = minhash_dedup_pairs(docs_with_dups, threshold=0.9)
+    kept = keep_canonical(docs_with_dups, pairs)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # each exact copy (200000+i of i) loses to its original
+    for i in range(5):
+        assert i in kept_ids and (i + 200000) not in kept_ids
+
+
 def test_minhash_estimate_tracks_exact_jaccard(spark, sf_small):
     """est_jaccard (16-hash estimate) stays within ±0.3 of exact 3-gram
     Jaccard on every pair both methods surface."""

@@ -293,6 +293,81 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# pair → cluster → canonical survivor (the "actually drop the dups" step)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (doc, cluster).
+
+    Iterative min-label propagation: every doc starts labeled with
+    itself; each round, a doc adopts the smallest label among itself and
+    its neighbors; converged when no label changes. Rounds needed =
+    graph diameter — near-dup clusters are small and dense, so this
+    converges in a few rounds (label propagation halves long chains each
+    alternation; ``max_iterations`` bounds pathological chains).
+    Deterministic: min() has no ties to break.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("cluster", F.col("doc"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("n_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("n_min"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc")
+            .filter(F.col("u.cluster") != F.col("l.cluster"))
+            .count()
+        )
+        labels = updated.localCheckpoint(eager=True)  # cut lineage per round
+        if changed == 0:
+            break
+    return labels
+
+
+def keep_canonical(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop near-duplicates: one survivor (the min id) per cluster;
+    docs in no cluster survive untouched."""
+    clusters = dedup_clusters(pairs)
+    # rename before the self-derived join: survivors comes FROM clusters,
+    # so joining on same-named columns risks resolving to a trivially
+    # true predicate
+    survivors = (
+        clusters.groupBy("cluster")
+        .agg(F.min("doc").alias("keep"))
+        .withColumnRenamed("cluster", "s_cluster")
+    )
+    losers = (
+        clusters.join(survivors, F.col("cluster") == F.col("s_cluster"))
+        .filter(F.col("doc") != F.col("keep"))
+        .select(F.col("doc").alias(id_col))
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # registered queries
 # ---------------------------------------------------------------------------
 
@@ -339,6 +414,16 @@ WHERE ROUND(common / (na.n + nb.n - common), 6) >= 0.1
 ORDER BY doc_a, doc_b
 """
 
+def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: pairs → connected components → canonical
+    survivors (iterative; not SQL-expressible → rows-only check)."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.9)
+    kept = keep_canonical(docs, pairs)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 QUERIES["q37_minhash_dedup"] = QuerySpec(_q_minhash, None)  # recall property-test
+QUERIES["q37d_dedup_survivors"] = QuerySpec(_q_dedup_survivors, None)
 QUERIES["q37b_simhash_dedup"] = QuerySpec(_q_simhash, None)
 QUERIES["q37c_ngram_jaccard"] = QuerySpec(_q_ngram_jaccard, _NGRAM_JACCARD_ORACLE)
