@@ -317,6 +317,58 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert got == [(1, "in")]
 
 
+def test_late_event_beyond_watermark_dropped(spark, tmp_path):
+    """S7/FIXTURES §4: a row arriving after the watermark passed its
+    window must be dropped. Two sequential runs on one checkpoint: run 1
+    advances the watermark far past the victim window; run 2 delivers a
+    too-late row for it."""
+    import json as _json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    emitted: list = []
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(src))
+        agg = tumbling_counts(stream, window="5 minutes", watermark="10 minutes")
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: emitted.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    write("a.jsonl", [
+        {"event_id": 1, "ts": "2024-01-01T00:01:00.000Z", "user_id": 1,
+         "event_type": "a", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T02:00:00.000Z", "user_id": 1,
+         "event_type": "a", "value": 1.0, "props": "{}"},  # watermark → 01:50
+    ])
+    run()
+    # run 2: a row for the long-sealed 00:00 window — beyond watermark
+    write("b.jsonl", [
+        {"event_id": 3, "ts": "2024-01-01T00:02:00.000Z", "user_id": 1,
+         "event_type": "a", "value": 99.0, "props": "{}"},
+        {"event_id": 4, "ts": "2024-01-01T02:06:00.000Z", "user_id": 1,
+         "event_type": "a", "value": 1.0, "props": "{}"},  # advances stream
+    ])
+    run()
+    per_window: dict = {}
+    for r in emitted:
+        per_window.setdefault(str(r.win_start), []).append(r.cnt)
+    # the 00:00 window was emitted once with cnt=1 and never revised:
+    # the late event_id=3 was dropped, not merged or re-emitted
+    assert per_window.get("2024-01-01 00:00:00") == [1]
+
+
 def test_dedupe_within_watermark_stream(spark, tmp_path):
     """S4: duplicate event_index rows collapse to one (replay dedupe)."""
     rows = [

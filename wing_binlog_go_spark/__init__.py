@@ -25,4 +25,12 @@ Everything here is built on public Apache Spark APIs only.
 __version__ = "0.1.0"
 
 from wing_binlog_go_spark.session import get_spark  # noqa: F401
-from wing_binlog_go_spark.tables import TABLE_NAMES, load_tables  # noqa: F401
+from wing_binlog_go_spark.tables import TABLE_NAMES, load_tables, read_table  # noqa: F401
+
+
+def queries():
+    """The full registered query surface (lazy import to keep package
+    import light)."""
+    from wing_binlog_go_spark.registry import all_queries
+
+    return all_queries()
