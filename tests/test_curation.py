@@ -1,0 +1,65 @@
+"""End-to-end corpus curation: every dropped document is accounted for,
+planted junk/duplicates are removed, clean documents survive."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wing_binlog_go_spark.functions.curation import curate
+from wing_binlog_go_spark.tables import read_table
+
+
+@pytest.fixture(scope="module")
+def messy_corpus(spark, sf_small):
+    base = read_table(spark, sf_small, "documents").limit(100)
+    extra = spark.createDataFrame(
+        [
+            # too short (quality)
+            (500001, "hi", "en", "srcX", 2),
+            # all stopwords (quality: stop_ratio = 1.0)
+            (500002, "the the a of in the a", "en", "srcX", 21),
+            # disallowed language
+            (500003, "perfectly fine text with plenty of words here", "xx", "srcX", 46),
+            # exact duplicate pair (identical text)
+            (500004, "unique sentence for exact duplicate checking purposes", "en", "srcX", 53),
+            (500005, "unique sentence for exact duplicate checking purposes", "en", "srcX", 53),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return base.unionByName(extra)
+
+
+def test_curation_accounting_and_removals(messy_corpus):
+    curated, rep = curate(
+        messy_corpus,
+        min_tokens=5,
+        max_stop_ratio=0.95,
+        allowed_langs=["en", "de", "fr", "es", "zh"],
+        near_dup_threshold=0.9,
+    )
+    kept = {r.doc_id for r in curated.select("doc_id").collect()}
+    # planted junk removed at the right stages
+    assert 500001 not in kept and 500002 not in kept  # quality
+    assert 500003 not in kept                          # lang
+    assert 500004 in kept and 500005 not in kept       # exact dup: min id wins
+    # accounting: input = output + all drops
+    assert rep.input_docs == (
+        rep.output_docs
+        + rep.dropped_quality
+        + rep.dropped_lang
+        + rep.dropped_exact_dup
+        + rep.dropped_near_dup
+    )
+    assert rep.dropped_quality >= 2
+    assert rep.dropped_lang >= 1
+    assert rep.dropped_exact_dup >= 1
+    assert len(rep.stages) == 4
+
+
+def test_curation_clean_corpus_is_mostly_untouched(spark, sf_small):
+    docs = read_table(spark, sf_small, "documents").limit(50)
+    curated, rep = curate(docs, min_tokens=1, max_stop_ratio=1.0)
+    # no quality/lang drops configured away; only dup stages may act
+    assert rep.dropped_quality == 0 and rep.dropped_lang == 0
+    assert rep.output_docs + rep.dropped_exact_dup + rep.dropped_near_dup == 50

@@ -1,0 +1,98 @@
+"""Corpus curation: the end-to-end training-data cleaning pipeline.
+
+Composes the engine's text-quality features, language filtering, exact
+fingerprint dedup, and MinHash near-dup removal into one call — the
+workflow a 100 TB pretraining-corpus pipeline runs nightly. Every stage
+is the already-tested primitive; this module only sequences them and
+reports what each stage dropped (silent-cap rule: curation must account
+for every removed document).
+
+Stage order matters at scale: cheap row-local filters (quality, lang)
+run first and shrink the corpus before the only shuffling stage
+(near-dup pairing) sees it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wing_binlog_go_spark.functions.text import quality_features
+from wing_binlog_go_spark.operators.dedup import (
+    keep_canonical,
+    minhash_dedup_pairs,
+)
+
+
+@dataclass
+class CurationReport:
+    input_docs: int = 0
+    dropped_quality: int = 0
+    dropped_lang: int = 0
+    dropped_exact_dup: int = 0
+    dropped_near_dup: int = 0
+    output_docs: int = 0
+    stages: list[str] = field(default_factory=list)
+
+
+def curate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_stop_ratio: float = 0.9,
+    allowed_langs: list[str] | None = None,
+    lang_col: str = "lang",
+    near_dup_threshold: float = 0.9,
+) -> tuple[DataFrame, CurationReport]:
+    """documents → curated documents + per-stage drop accounting."""
+    rep = CurationReport()
+    rep.input_docs = docs.count()
+
+    # 1. quality: row-local expressions, no shuffle
+    feats = quality_features(text_col)
+    scored = docs.withColumn("_ntok", feats["n_tokens"]).withColumn(
+        "_stop", feats["stop_ratio"]
+    )
+    good = scored.filter(
+        (F.col("_ntok") >= min_tokens) & (F.col("_stop") <= max_stop_ratio)
+    ).drop("_ntok", "_stop")
+    n = good.count()
+    rep.dropped_quality = rep.input_docs - n
+    rep.stages.append(f"quality: -{rep.dropped_quality}")
+
+    # 2. language allow-list (metadata column; swap in functions.text
+    #    lang_id when no label exists)
+    if allowed_langs:
+        kept = good.filter(F.col(lang_col).isin(allowed_langs))
+        m = kept.count()
+        rep.dropped_lang = n - m
+        n, good = m, kept
+        rep.stages.append(f"lang: -{rep.dropped_lang}")
+
+    # 3. exact dedup by normalized-text fingerprint (one narrow shuffle)
+    fp = good.withColumn("_fp", F.md5(F.lower(F.col(text_col))))
+    w_first = (
+        fp.groupBy("_fp").agg(F.min(id_col).alias("_keep_id"))
+    )
+    exact = (
+        fp.join(w_first, "_fp")
+        .filter(F.col(id_col) == F.col("_keep_id"))
+        .drop("_fp", "_keep_id")
+    )
+    m = exact.count()
+    rep.dropped_exact_dup = n - m
+    n = m
+    rep.stages.append(f"exact-dup: -{rep.dropped_exact_dup}")
+
+    # 4. near-dup removal (MinHash LSH pairs → components → survivors)
+    pairs = minhash_dedup_pairs(
+        exact, id_col=id_col, text_col=text_col, threshold=near_dup_threshold
+    )
+    curated = keep_canonical(exact, pairs, id_col=id_col)
+    rep.output_docs = curated.count()
+    rep.dropped_near_dup = n - rep.output_docs
+    rep.stages.append(f"near-dup: -{rep.dropped_near_dup}")
+    return curated, rep
