@@ -26,7 +26,7 @@ JSON parsing, but declarative, so Catalyst prunes untouched columns.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

@@ -12,7 +12,7 @@ wrapper: stop by name, reload = stop + re-read config + restart, members
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable
+from typing import Callable
 
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
