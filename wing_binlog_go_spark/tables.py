@@ -34,6 +34,21 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Defensive conf pinning for sessions we didn't build (the driver
+    calls query builders with ITS SparkSession): Spark 4 defaults ANSI
+    mode ON (element_at/cast/overflow errors instead of MySQL-style
+    permissive NULLs — the semantics this engine declares), and a
+    non-UTC session timezone would shift instant-typed timestamps in
+    collected output. Both are runtime-settable and idempotent.
+    """
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf locked down → proceed with session defaults
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table, normalizing physical-type quirks.
 
@@ -41,14 +56,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     vectorized reader rejects; we read it as nanos-since-epoch (legacy
     conf) and truncate to microseconds with integer arithmetic (DIV, not
     double division — epoch-nanos exceed a double's 53-bit mantissa).
-    The corpus has no sub-microsecond values, so this is lossless.
+    The corpus has no sub-microsecond values, so this is lossless. The
+    result is cast to TIMESTAMP_NTZ (with the session pinned to UTC the
+    cast is value-preserving), matching how DuckDB reads the column and
+    making downstream results timezone-independent.
     """
+    _pin_session_confs(spark)
     path = table_path(sf_dir, name)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
+            )
         return df
     return spark.read.parquet(path)
 
