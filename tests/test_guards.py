@@ -52,6 +52,24 @@ def test_oracle_harness_detects_mismatches(spark, sf_dir):
     con.close()
 
 
+def test_queries_survive_ansi_non_utc_session(spark, sf_dir):
+    """The driver calls builders with ITS session — Spark 4 defaults
+    ANSI on, and host timezone is arbitrary. read_table must pin both."""
+    hostile = spark.newSession()
+    hostile.conf.set("spark.sql.ansi.enabled", "true")
+    hostile.conf.set("spark.sql.session.timeZone", "America/New_York")
+
+    from tests.oracle_harness import compare, duckdb_conn
+
+    con = duckdb_conn(sf_dir)
+    for name in ("q30_date_functions", "q34_map_functions", "q74_time_bucket"):
+        spec = _Q[name]
+        ok, msg = compare(spec.spark(hostile, sf_dir), con, spec.oracle)
+        assert ok, f"{name} under hostile session: {msg}"
+    con.close()
+    assert hostile.conf.get("spark.sql.session.timeZone") == "UTC"  # pinned
+
+
 def test_percentile_approx_tolerance(spark, sf_dir):
     o = read_table(spark, sf_dir, "orders")
     exact, approx = o.agg(
