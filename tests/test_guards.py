@@ -28,10 +28,13 @@ def test_entry_runs_on_smallest_sf(spark):
 
 
 def test_session_factory_configs(spark):
+    # NOTE: ansi/timeZone are also pinned by read_table on any session,
+    # so assert here only what the FACTORY uniquely provides
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
-    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
     assert spark.conf.get("spark.sql.parquet.filterPushdown") == "true"
+    assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
 
 
 def test_oracle_harness_detects_mismatches(spark, sf_dir):
@@ -59,6 +62,8 @@ def test_queries_survive_ansi_non_utc_session(spark, sf_dir):
     hostile.conf.set("spark.sql.ansi.enabled", "true")
     hostile.conf.set("spark.sql.session.timeZone", "America/New_York")
 
+    from pyspark.sql import functions as F2
+
     from tests.oracle_harness import compare, duckdb_conn
 
     con = duckdb_conn(sf_dir)
@@ -67,7 +72,17 @@ def test_queries_survive_ansi_non_utc_session(spark, sf_dir):
         ok, msg = compare(spec.spark(hostile, sf_dir), con, spec.oracle)
         assert ok, f"{name} under hostile session: {msg}"
     con.close()
-    assert hostile.conf.get("spark.sql.session.timeZone") == "UTC"  # pinned
+    # both confs actually pinned — not just timezone
+    assert hostile.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert hostile.conf.get("spark.sql.ansi.enabled") == "false"
+    # and the permissive semantics genuinely hold: an op that THROWS
+    # under ANSI (element_at on a missing map key) returns NULL
+    probe = read_table(hostile, sf_dir, "events").select(
+        F2.element_at(
+            F2.from_json("props", "map<string,string>"), "no_such_key"
+        ).alias("v")
+    )
+    assert probe.limit(1).collect()[0].v is None
 
 
 def test_percentile_approx_tolerance(spark, sf_dir):

@@ -39,14 +39,19 @@ def _pin_session_confs(spark: SparkSession) -> None:
     calls query builders with ITS SparkSession): Spark 4 defaults ANSI
     mode ON (element_at/cast/overflow errors instead of MySQL-style
     permissive NULLs — the semantics this engine declares), and a
-    non-UTC session timezone would shift instant-typed timestamps in
-    collected output. Both are runtime-settable and idempotent.
+    non-UTC session timezone changes how toPandas renders instant-typed
+    timestamps. This is a DOCUMENTED side effect on the caller's session;
+    correctness of this engine's own values does NOT depend on it — all
+    timestamp columns it produces are NTZ via timezone-independent
+    expressions — so a locked-down conf degrades to (a) louder errors
+    under ANSI, (b) caller-timezone rendering of any LTZ values, never to
+    silently shifted data.
     """
     try:
         spark.conf.set("spark.sql.ansi.enabled", "false")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
-        pass  # conf locked down → proceed with session defaults
+        pass
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -57,9 +62,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     conf) and truncate to microseconds with integer arithmetic (DIV, not
     double division — epoch-nanos exceed a double's 53-bit mantissa).
     The corpus has no sub-microsecond values, so this is lossless. The
-    result is cast to TIMESTAMP_NTZ (with the session pinned to UTC the
-    cast is value-preserving), matching how DuckDB reads the column and
-    making downstream results timezone-independent.
+    result becomes TIMESTAMP_NTZ via convert_timezone('UTC', ·), which
+    reads the epoch instant at UTC wall clock REGARDLESS of session
+    timezone — correct even if conf pinning was rejected — matching how
+    DuckDB reads the column.
+
+    Side effects on the caller's session, by design: ANSI off + UTC
+    (see _pin_session_confs) and nanosAsLong=true (required to read this
+    parquet at all; left set because the conf is captured into resolved
+    plans and unsetting mid-lineage is unsafe).
     """
     _pin_session_confs(spark)
     path = table_path(sf_dir, name)
@@ -69,7 +80,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
                 "ts",
-                F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
+                F.expr("convert_timezone('UTC', timestamp_micros(ts DIV 1000))"),
             )
         return df
     return spark.read.parquet(path)
