@@ -47,43 +47,44 @@ def asof_join(
     match carry NULLs.
     """
     lcols = [c for c in left.columns]
+    # ALL right values travel as ONE struct: last(ignorenulls) then picks
+    # the whole latest right ROW atomically — per-column carries would
+    # skip a NULL member and stitch together values from different rows.
+    rv_struct = F.struct(*[F.col(c) for c in right_values])
+    rv_type = right.select(rv_struct.alias("_rv")).schema["_rv"].dataType.simpleString()
     l = left.select(
         F.col(left_on).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).alias(f"_rv_{c}") for c in right_values],
+        F.lit(None).cast(rv_type).alias("_rv"),
     )
     r = right.select(
         F.col(right_on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
-        *[F.col(c).alias(f"_rv_{c}") for c in right_values],
+        rv_struct.alias("_rv"),
     )
     # side order breaks time ties: right first ⇒ a right row AT the left
     # timestamp is visible (inclusive); flip for exclusive. The trailing
-    # value-column ordering makes ties among IDENTICAL (key, time) right
-    # rows deterministic (the max value tuple wins) instead of
-    # partition-order dependent.
+    # struct ordering makes ties among IDENTICAL (key, time) right rows
+    # deterministic (max value tuple wins) instead of partition-order
+    # dependent.
     tie = F.asc("_side") if inclusive else F.desc("_side")
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.asc("_t"), tie, *[F.asc(f"_rv_{c}") for c in right_values])
+        .orderBy(F.asc("_t"), tie, F.asc("_rv"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l.unionByName(r).select(
-        "*",
-        *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in right_values
-        ],
+        "*", F.last("_rv", ignorenulls=True).over(w).alias("_asof")
     )
     return (
         carried.filter(F.col("_side") == 1)
         .select(
             *lcols,
-            *[F.col(f"_asof_{c}").alias(c) for c in right_values],
+            *[F.col(f"_asof.{c}").alias(c) for c in right_values],
         )
     )
 

@@ -302,11 +302,12 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
 
     Iterative min-label propagation: every doc starts labeled with
     itself; each round, a doc adopts the smallest label among itself and
-    its neighbors; converged when no label changes. Rounds needed =
-    graph diameter — near-dup clusters are small and dense, so this
-    converges in a few rounds (label propagation halves long chains each
-    alternation; ``max_iterations`` bounds pathological chains).
-    Deterministic: min() has no ties to break.
+    its neighbors; converged when no label changes. The min label moves
+    one hop per round, so rounds needed = cluster diameter — near-dup
+    clusters are small and dense in practice. If a pathological chain
+    exceeds ``max_iterations`` this RAISES rather than silently
+    returning split clusters (which would let duplicates survive
+    downstream keep_canonical). Deterministic: min() has no ties.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -318,6 +319,7 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .distinct()
         .withColumn("cluster", F.col("doc"))
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc)
@@ -342,6 +344,12 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         labels = updated.localCheckpoint(eager=True)  # cut lineage per round
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iterations} rounds "
+            f"({changed} labels still moving); raise max_iterations — "
+            "returning split clusters would let duplicates survive"
+        )
     return labels
 
 

@@ -26,7 +26,17 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """probe ⋈ build on key, with the hot-key shuffle spread over ``salt``
-    sub-keys. build is replicated ``salt``× (keep it the smaller side)."""
+    sub-keys. build is replicated ``salt``× (keep it the smaller side).
+
+    Only join types where an unmatched BUILD row produces no output are
+    row-identical under salting (the build side is replicated, so a
+    right/full outer join would emit its unmatched rows ``salt`` times).
+    """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "cross"):
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins, not {how!r}: "
+            "replicated build rows would duplicate outer-side output"
+        )
     build_key = build_key or key
     # deterministic scatter: hash the probe row's full content
     probe_s = probe.withColumn(

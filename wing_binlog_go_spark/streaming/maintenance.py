@@ -20,6 +20,29 @@ import shutil
 from pyspark.sql import SparkSession
 
 
+def swap_dir(new_dir: str, path: str) -> None:
+    """Replace directory ``path`` with ``new_dir`` as crash-safely as a
+    local filesystem allows: each rename is atomic; a crash between them
+    is recoverable because the previous table survives at ``.old`` and
+    ``recover_swap`` (called first) restores it. Delta/Iceberg commit
+    logs are the real answer at scale; this is the best plain-FS analog.
+    """
+    backup = path + "._old"
+    shutil.rmtree(backup, ignore_errors=True)  # stale backup from a crash
+    if os.path.exists(path):
+        os.rename(path, backup)
+    os.rename(new_dir, path)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
+def recover_swap(path: str) -> None:
+    """If a crash left no table at ``path`` but a backup exists, restore
+    it before doing anything else."""
+    backup = path + "._old"
+    if not os.path.exists(path) and os.path.exists(backup):
+        os.rename(backup, path)
+
+
 def dir_size_bytes(path: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -43,12 +66,12 @@ def compact_parquet(
     """Rewrite ``path`` into ceil(size / target) files; returns the new
     file count. coalesce (no shuffle) is enough because we only ever
     merge down."""
+    path = path.rstrip("/")
+    recover_swap(path)
     size = dir_size_bytes(path)
     n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
-    staged = path.rstrip("/") + "._compact"
+    staged = path + "._compact"
+    shutil.rmtree(staged, ignore_errors=True)
     spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(staged)
-    backup = path.rstrip("/") + "._old"
-    os.rename(path, backup)
-    os.rename(staged, path)
-    shutil.rmtree(backup, ignore_errors=True)
+    swap_dir(staged, path)
     return parquet_file_count(path)

@@ -76,6 +76,11 @@ class IndexState:
         base = state["next"]
         state["batches"][key] = base
         state["next"] = base + n_rows
+        # only recent batches can replay — prune older entries so the
+        # state file stays O(1) instead of growing with stream lifetime
+        state["batches"] = {
+            k: v for k, v in state["batches"].items() if int(k) >= batch_id - 10
+        }
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(state, f)
@@ -152,15 +157,22 @@ def run_pipeline(
 # ---------------------------------------------------------------------------
 
 
-def latest_image_per_pk(env: DataFrame, pk: str = "id") -> DataFrame:
-    """Newest row image (or tombstone) per primary key in the batch."""
+def latest_image_per_pk(env: DataFrame, pk: str | list[str] = "id") -> DataFrame:
+    """Newest row image (or tombstone) per primary key in the batch.
+
+    ``pk`` may be a single column or a composite key list — composite
+    keys join into one string key with an unprintable separator (a
+    2-column PK (1,1) vs (1,2) must NOT collapse).
+    """
+    pk_cols = [pk] if isinstance(pk, str) else list(pk)
     img = (
         F.when(F.col("event_type") == "update", F.col("event.new_data"))
         .when(F.col("event_type") == "insert", F.col("event.data"))
         .otherwise(F.col("event.data"))  # delete: the removed row
     )
+    key = F.concat_ws("\x1f", *[F.element_at(img, c) for c in pk_cols])
     rows = env.filter(F.col("event_type").isin("insert", "update", "delete")).select(
-        F.element_at(img, pk).alias("_pk"),
+        key.alias("_pk"),
         img.alias("row"),
         (F.col("event_type") == "delete").alias("is_delete"),
         F.col("event_index"),
@@ -173,15 +185,19 @@ def latest_image_per_pk(env: DataFrame, pk: str = "id") -> DataFrame:
 
 
 def upsert_parquet(
-    env: DataFrame, target_dir: str, pk: str = "id"
+    env: DataFrame, target_dir: str, pk: str | list[str] = "id"
 ) -> None:
     """Apply a batch of envelopes to a parquet table, last-writer-wins by
     event_index; idempotent under replay (re-applying the same envelopes
-    yields the same table). Production: Delta ``MERGE INTO t USING u ON
-    t.pk = u.pk WHEN MATCHED ... WHEN NOT MATCHED INSERT`` — same keys,
-    same winner rule.
+    yields the same table). The commit is a staged write + atomic rename
+    swap (swap_dir), so a crash never leaves a half-written or deleted
+    table. Production: Delta ``MERGE INTO t USING u ON t.pk = u.pk WHEN
+    MATCHED ... WHEN NOT MATCHED INSERT`` — same keys, same winner rule.
     """
+    from wing_binlog_go_spark.streaming.maintenance import recover_swap, swap_dir
+
     spark = env.sparkSession
+    recover_swap(target_dir)
     updates = latest_image_per_pk(env, pk)
     if os.path.exists(target_dir):
         current = spark.read.parquet(target_dir)
@@ -199,18 +215,18 @@ def upsert_parquet(
     else:
         merged = updates
     result = merged.filter(~F.col("is_delete"))
-    # stage → re-read → overwrite: the merged plan lazily reads target_dir,
-    # so writing it in place would clobber its own input mid-scan
+    # stage the full new table (also avoids the plan clobbering its own
+    # parquet input mid-scan), then swap directories atomically
     tmp = target_dir + "._staging"
-    result.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(target_dir)
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
+    result.write.mode("overwrite").parquet(tmp)
+    swap_dir(tmp, target_dir)
 
 
 def upsert_parquet_bucketed(
-    env: DataFrame, target_dir: str, pk: str = "id", num_buckets: int = 16
+    env: DataFrame, target_dir: str, pk: str | list[str] = "id", num_buckets: int = 16
 ) -> None:
     """Bucket-pruned upsert: the MERGE cost model on plain parquet.
 
@@ -224,36 +240,44 @@ def upsert_parquet_bucketed(
     Deterministic bucket fn (pmod(xxhash64(pk), B)) means replays hit
     the same buckets — idempotence is preserved per bucket.
     """
+    from wing_binlog_go_spark.streaming.maintenance import recover_swap, swap_dir
+
     spark = env.sparkSession
     bucket = F.pmod(F.xxhash64(F.col("_pk")), F.lit(num_buckets)).cast("int")
-    updates = latest_image_per_pk(env, pk).withColumn("_bucket", bucket)
-    changed = [r._bucket for r in updates.select("_bucket").distinct().collect()]
-    for b in changed:
-        bdir = os.path.join(target_dir, f"bucket={b}")
-        u = updates.filter(F.col("_bucket") == b).drop("_bucket")
-        if os.path.exists(bdir):
-            current = spark.read.parquet(bdir)
-            merged = (
-                current.select("_pk", "row", "is_delete", "event_index")
-                .unionByName(u)
-                .groupBy("_pk")
-                .agg(
-                    F.max_by(
-                        F.struct("row", "is_delete", "event_index"), "event_index"
-                    ).alias("w")
+    # persist: the distinct-buckets collect AND every per-bucket filter
+    # read this; without it each pass recomputes the full aggregation
+    updates = latest_image_per_pk(env, pk).withColumn("_bucket", bucket).persist()
+    try:
+        changed = [r._bucket for r in updates.select("_bucket").distinct().collect()]
+        for b in changed:
+            bdir = os.path.join(target_dir, f"bucket={b}")
+            recover_swap(bdir)
+            u = updates.filter(F.col("_bucket") == b).drop("_bucket")
+            if os.path.exists(bdir):
+                current = spark.read.parquet(bdir)
+                merged = (
+                    current.select("_pk", "row", "is_delete", "event_index")
+                    .unionByName(u)
+                    .groupBy("_pk")
+                    .agg(
+                        F.max_by(
+                            F.struct("row", "is_delete", "event_index"), "event_index"
+                        ).alias("w")
+                    )
+                    .select("_pk", "w.row", "w.is_delete", "w.event_index")
                 )
-                .select("_pk", "w.row", "w.is_delete", "w.event_index")
-            )
-        else:
-            merged = u
-        result = merged.filter(~F.col("is_delete"))
-        # dot-prefixed staging dir: invisible to hive partition discovery
-        tmp = os.path.join(target_dir, f".staging_bucket_{b}")
-        result.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(bdir)
-        import shutil
+            else:
+                merged = u
+            result = merged.filter(~F.col("is_delete"))
+            # dot-prefixed staging dir: invisible to hive partition discovery
+            tmp = os.path.join(target_dir, f".staging_bucket_{b}")
+            import shutil
 
-        shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)
+            result.write.mode("overwrite").parquet(tmp)
+            swap_dir(tmp, bdir)
+    finally:
+        updates.unpersist()
 
 
 def read_bucketed_table(spark: SparkSession, target_dir: str) -> DataFrame:

@@ -188,14 +188,13 @@ def typed_replica_writer(
     def write(env: DataFrame, batch_id: int) -> None:
         for full in table_full_names:
             spec = registry.get(full)
-            if spec is None:
-                continue
-            pk = spec.pk_columns[0] if spec.pk_columns else None
-            if pk is None:
+            if spec is None or not spec.pk_columns:
                 continue
             subset = env.filter(env.full_table == full)
             target = os.path.join(base_dir, full.replace(".", "__"))
-            upsert_parquet(subset, target, pk=pk)
+            # full PK list: composite keys must not collapse onto the
+            # first column
+            upsert_parquet(subset, target, pk=spec.pk_columns)
 
     return write
 
@@ -225,7 +224,9 @@ def jsonl_route_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
         rows = env.select(envelope_json().alias("p")).collect()
         if not rows:
             return
-        with open(os.path.join(out_dir, f"batch-{batch_id:05d}.jsonl"), "a") as f:
+        # "w", not "a": filenames are batch-unique, so a replayed batch
+        # overwrites its own file instead of appending duplicates
+        with open(os.path.join(out_dir, f"batch-{batch_id:05d}.jsonl"), "w") as f:
             for row in rows:
                 f.write(row.p + "\n")
 

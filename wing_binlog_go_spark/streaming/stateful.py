@@ -60,12 +60,19 @@ def sessionize(
     open session's (start, last_seen, count); a row past the gap closes
     it and emits the finished session."""
 
+    def _epoch(t: Any) -> int:
+        # numeric values ARE epoch seconds (e.g. the envelope's `time`
+        # field); pd.Timestamp would misread them as nanoseconds
+        if isinstance(t, (int, float)):
+            return int(t)
+        return int(pd.Timestamp(t).timestamp())
+
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        times: list[Any] = []
+        times: list[int] = []
         for pdf in pdfs:
-            times.extend(pdf[ts_col].tolist())
+            times.extend(_epoch(t) for t in pdf[ts_col].tolist())
         times.sort()
         if state.exists:
             start, last, count = state.get
@@ -73,8 +80,7 @@ def sessionize(
             start = last = None
             count = 0
         out = []
-        for t in times:
-            epoch = int(pd.Timestamp(t).timestamp())
+        for epoch in times:
             if last is not None and epoch - last > gap_seconds:
                 out.append((key[0], start, last, count))
                 start, count = epoch, 0
@@ -88,12 +94,15 @@ def sessionize(
                 out, columns=["key", "session_start", "session_end", "n_events"]
             )
 
+    # output key column mirrors the input key column's type instead of
+    # hardcoding long (string session keys are common)
+    key_type = stream.schema[key_col].dataType.simpleString()
     return (
         stream.groupBy(key_col)
         .applyInPandasWithState(
             update,
             outputStructType=(
-                "key long, session_start long, session_end long, n_events long"
+                f"key {key_type}, session_start long, session_end long, n_events long"
             ),
             stateStructType="start long, last long, count long",
             outputMode="append",
