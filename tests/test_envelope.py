@@ -166,9 +166,14 @@ def test_match_filters_semantics(spark, changes):
     env = to_envelopes(changes)
     # empty filter list ⇒ match-all (service/util.go:14-16)
     assert env.filter(match_filters("full_table", [])).count() == env.count()
-    # OR of regexes; topics matched lowercase (subscribe/node.go:44-53)
-    only = env.filter(match_filters("full_table", ["^FIXTURES\\.cdc_.*$"]))
+    # OR of regexes; SUBJECT matched lowercase (subscribe/node.go:44-53
+    # lowercases topics, so patterns are expected lowercase; an
+    # uppercase literal in a pattern therefore never matches — and the
+    # pattern is NOT lowercased, which would corrupt \D-style classes)
+    only = env.filter(match_filters("full_table", [r"^fixtures\.cdc_.*$"]))
     assert only.select("full_table").distinct().collect()[0].full_table == "fixtures.cdc_typed_all"
+    upper = env.filter(match_filters("full_table", [r"^FIXTURES\.cdc_.*$"]))
+    assert upper.count() == 0
 
 
 def test_table_include_exclude(spark, changes):

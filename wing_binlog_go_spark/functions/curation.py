@@ -56,9 +56,16 @@ def curate(
     scored = docs.withColumn("_ntok", feats["n_tokens"]).withColumn(
         "_stop", feats["stop_ratio"]
     )
-    good = scored.filter(
-        (F.col("_ntok") >= min_tokens) & (F.col("_stop") <= max_stop_ratio)
-    ).drop("_ntok", "_stop")
+    # persist the surviving set: each stage's count() is an action, and
+    # without this every count re-scans the corpus through all prior
+    # filters (2-3× total cost at the nightly-100TB scale this targets)
+    good = (
+        scored.filter(
+            (F.col("_ntok") >= min_tokens) & (F.col("_stop") <= max_stop_ratio)
+        )
+        .drop("_ntok", "_stop")
+        .persist()
+    )
     n = good.count()
     rep.dropped_quality = rep.input_docs - n
     rep.stages.append(f"quality: -{rep.dropped_quality}")
@@ -81,6 +88,7 @@ def curate(
         fp.join(w_first, "_fp")
         .filter(F.col(id_col) == F.col("_keep_id"))
         .drop("_fp", "_keep_id")
+        .persist()
     )
     m = exact.count()
     rep.dropped_exact_dup = n - m
@@ -95,4 +103,6 @@ def curate(
     rep.output_docs = curated.count()
     rep.dropped_near_dup = n - rep.output_docs
     rep.stages.append(f"near-dup: -{rep.dropped_near_dup}")
+    good.unpersist()
+    exact.unpersist()
     return curated, rep

@@ -101,7 +101,13 @@ def with_dense_index(
         "_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    numbered = ranged.withColumn("_rn", F.row_number().over(w))
+    # materialize once: the counts collect below and the caller's action
+    # are separate jobs — without this the range shuffle+sort runs twice
+    # AND index stability would rest on both jobs choosing identical
+    # range boundaries
+    numbered = ranged.withColumn("_rn", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
     counts = {
         r._pid: r.cnt
         for r in numbered.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
@@ -278,7 +284,12 @@ def match_filters(table_col, patterns: list[str]) -> Column:
         return F.lit(True)
     out = F.lit(False)
     for p in patterns:
-        out = out | F.lower(c).rlike(p.lower())
+        # lowercase the SUBJECT only — lowercasing the pattern corrupts
+        # uppercase metacharacter classes (\D, \W, \S become their
+        # inverses). The reference stores topics lowercased, so patterns
+        # are expected lowercase; uppercase literals in a pattern simply
+        # never match, same as the reference.
+        out = out | F.lower(c).rlike(p)
     return out
 
 

@@ -167,6 +167,10 @@ class SchemaRegistry:
             decode_column(F.element_at(img, c.name), c.raw_type).alias(c.name)
             for c in spec.columns
         ]
-        return envelopes.filter(F.col("full_table") == full_name).select(
-            "event_type", "event_index", *cols
+        # exclude alter envelopes: they carry no row image and would
+        # surface as phantom all-NULL rows
+        return (
+            envelopes.filter(F.col("full_table") == full_name)
+            .filter(F.col("event_type").isin("insert", "update", "delete"))
+            .select("event_type", "event_index", *cols)
         )

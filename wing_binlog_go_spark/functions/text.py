@@ -30,8 +30,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
-    lits = ", ".join(f"'{w}'" for w in words)
-    return F.size(F.expr(f"filter(_toks, t -> t IN ({lits}))"))
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
 def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -41,8 +40,10 @@ def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> Column:
-    """Predicted language: argmax marker count, 'und' (undetermined) if 0."""
+def lang_id(df: DataFrame, text_col: str = "text") -> tuple[DataFrame, Column]:
+    """Predicted language: argmax marker count, 'und' (undetermined) if 0.
+    Returns (scored_df, prediction_column) — the column references score
+    columns that only exist on the returned DataFrame."""
     scored = lang_scores(df, text_col)
     best = F.greatest(*[F.col(f"_score_{lang}") for lang in LANG_MARKERS])
     pred = F.lit("und")
@@ -58,9 +59,7 @@ def quality_features(text_col: str = "text") -> dict[str, Column]:
     toks = tokens(text_col)
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
-    stop = F.size(
-        F.expr("filter(split(lower(text), ' '), t -> t IN ('the','a','and','of','in'))")
-    )
+    stop = _count_in(toks, ("the", "a", "and", "of", "in"))
     avg_tok_len = (n_chars - (n_tokens - 1)) / n_tokens  # chars minus spaces
     return {
         "n_tokens": n_tokens.cast("bigint"),

@@ -31,12 +31,19 @@ _CACHE: dict[str, object] = {}
 
 
 def norm_value(*cols):
-    """Vectorized scalar example: min-max scale a measure column."""
+    """Vectorized scalar example: signed log1p compression.
+
+    Deliberately ROW-LOCAL: a scalar pandas_udf sees one Arrow batch at
+    a time, so any cross-row statistic (min/max/mean) would be
+    batch-local and partitioning-dependent. Column-global scaling
+    belongs in an aggregate + join (or Window), not a scalar UDF.
+    """
     if "norm" not in _CACHE:
 
         def _norm(v: pd.Series) -> pd.Series:
-            rng = (v.max() - v.min()) or 1.0
-            return (v - v.min()) / rng
+            import numpy as np
+
+            return np.sign(v) * np.log1p(v.abs())
 
         _CACHE["norm"] = pandas_udf(_norm, "double")
     return _CACHE["norm"](*cols)

@@ -1181,10 +1181,17 @@ def q65(spark, sf_dir):
 def q66(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.lower("text"), " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
+    # guard single-token docs: sequence(1, 0) DESCENDS to [1, 0] and
+    # element_at(toks, 0) throws even with ANSI off
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         d.select(F.explode(bigrams).alias("bg"))
         .groupBy("bg")

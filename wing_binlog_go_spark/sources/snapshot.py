@@ -18,8 +18,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from wing_binlog_go_spark.functions.envelope import CHANGE_SCHEMA
 
 SNAPSHOT_FILE = ""  # sorts before any real "mysql-bin.NNNNNN"
@@ -59,6 +57,8 @@ def snapshot_as_changes(
     Values are stringified into the envelope's map<string,string> the
     same way binlog row images are.
     """
+    from wing_binlog_go_spark.functions.envelope import with_dense_index
+
     cols = snapshot.columns
     kv = []
     for c in cols:
@@ -68,9 +68,11 @@ def snapshot_as_changes(
         if snapshot_ts
         else F.current_timestamp()
     )
-    ordered = snapshot.select(
-        F.create_map(*kv).alias("after"),
-        F.row_number().over(Window.orderBy(*cols)).alias("_rn"),
+    # parallel dense numbering (range-partitioned zipWithIndex) — a plain
+    # global Window here would single-partition the entire snapshot,
+    # defeating the parallel JDBC read
+    ordered = with_dense_index(snapshot, cols, out="_row_order").select(
+        F.create_map(*kv).alias("after"), F.col("_row_order").alias("_rn")
     )
     return ordered.select(
         F.lit(SNAPSHOT_FILE).alias("binlog_file"),
@@ -88,6 +90,17 @@ def snapshot_as_changes(
 
 
 def bootstrap_union(snapshot_changes: DataFrame, stream_changes: DataFrame) -> DataFrame:
-    """Snapshot-then-stream: one DataFrame, totally ordered by binlog
-    coordinates (snapshot file "" < any real binlog file)."""
+    """Snapshot-then-stream as ONE BATCH DataFrame, totally ordered by
+    binlog coordinates (snapshot file "" < any real binlog file).
+
+    Both inputs must be batch: Spark cannot union batch with streaming.
+    For a live stream, apply the snapshot FIRST (e.g. upsert_parquet of
+    ``snapshot_as_changes`` envelopes), then start the streaming query —
+    the materializer's last-writer-wins makes the sequencing safe.
+    """
+    if snapshot_changes.isStreaming or stream_changes.isStreaming:
+        raise ValueError(
+            "bootstrap_union is batch-only (Spark cannot union batch with "
+            "streaming); apply the snapshot before starting the stream"
+        )
     return snapshot_changes.unionByName(stream_changes)
