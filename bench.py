@@ -52,9 +52,13 @@ def main() -> None:
     registry["q01_parquet_scan"].spark(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    skipped: list[str] = []
     for name in HEADLINE:
         spec = registry.get(name)
         if spec is None:
+            # a missing headline query means an operator module failed to
+            # import — surface it instead of silently shrinking the total
+            skipped.append(name)
             continue
         # best-of-2: the second run reuses compiled codegen and parquet
         # footer caches, so min() measures the query rather than one-time
@@ -66,13 +70,19 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    try:
+        sf_val: object = float(sf)
+    except ValueError:
+        sf_val = sf
     result = {
         "metric": "headline_query_wall_clock_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
+    if skipped:
+        result["skipped"] = skipped
     # BASELINE.md contract: first green run records BENCH.json; later
     # runs compare against it (2× budget) without overwriting.
     bench_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")

@@ -75,6 +75,26 @@ def test_frame_sample_explosion(media):
     assert [f.frame_ts_ms for f in frames] == [0, 1000, 2000, 3000]
 
 
+def test_null_payload_yields_null_features(spark):
+    from wing_binlog_go_spark.multimodal import audio_features
+
+    rows = [(1, None, ("image/png", 1, 1, None)),
+            (2, bytes([1, 2]), ("image/png", 1, 1, None))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in image_features(df).collect()}
+    assert feats[1].n_bytes is None and feats[1].phash is None
+    assert feats[2].n_bytes == 2
+    audio = {r.media_id: r for r in audio_features(df).collect()}
+    assert audio[1].rms is None
+
+
+def test_negative_duration_frame_sample(spark):
+    rows = [(9, b"x", ("video/mp4", 1, 1, -500))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = frame_sample_plan(df, every_ms=1000).collect()
+    assert [f.frame_ts_ms for f in frames] == [0]
+
+
 def test_phash_near_dup_finds_exact_copies(spark):
     from wing_binlog_go_spark.multimodal import phash_near_dup_pairs
 

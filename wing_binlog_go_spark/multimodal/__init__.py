@@ -66,16 +66,22 @@ def decode_image(payload: bytes) -> "object":
     )
 
 
-def fake_decode_image(payload: bytes) -> dict:
+def fake_decode_image(payload: bytes | None) -> dict:
     """Deterministic stand-in for a decoder: derives stable pseudo-features
-    from the raw bytes so the pipeline shape is testable end-to-end."""
+    from the raw bytes so the pipeline shape is testable end-to-end.
+    NULL payloads (failed fetches are normal in a media corpus) yield
+    null-ish features instead of killing the task."""
+    if payload is None:
+        return {"n_bytes": None, "mean_byte": None, "phash": None}
     n = len(payload)
     mean = (sum(payload) / n) if n else 0.0
-    # 64-bit rolling hash as a stand-in perceptual hash
+    # 64-bit rolling hash as a stand-in perceptual hash; two's-complement
+    # reinterpretation into a signed long (NOT a bias shift — external
+    # recomputations of the hash must byte-match)
     h = 1469598103934665603
     for b in payload:
         h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-    return {"n_bytes": n, "mean_byte": mean, "phash": h - (1 << 63)}
+    return {"n_bytes": n, "mean_byte": mean, "phash": h - (1 << 64) if h >= (1 << 63) else h}
 
 
 def image_features(df: DataFrame, batch_decoder=fake_decode_image) -> DataFrame:
@@ -114,8 +120,10 @@ def decode_audio(payload: bytes) -> "object":
     )
 
 
-def fake_decode_audio(payload: bytes) -> dict:
+def fake_decode_audio(payload: bytes | None) -> dict:
     """Deterministic stand-in: treat bytes as signed samples."""
+    if payload is None:
+        return {"n_bytes": None, "rms": None, "zero_crossings": None}
     samples = [b - 128 for b in payload]
     n = len(samples)
     rms = (sum(s * s for s in samples) / n) ** 0.5 if n else 0.0
@@ -150,59 +158,42 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     which is the part that matters for partitioning (a 2-hour video is
     7200 rows at 1 fps) — is real Spark: sequence+explode, no UDF.
     """
+    # greatest(0, ·): a corrupt negative duration would make sequence()
+    # raise 'illegal boundaries' (step sign must match direction)
+    safe_duration = F.greatest(
+        F.lit(0), F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+    )
     return df.select(
         "media_id",
         F.explode(
-            F.sequence(
-                F.lit(0), F.coalesce(F.col("meta.duration_ms"), F.lit(0)), F.lit(every_ms)
-            )
+            F.sequence(F.lit(0), safe_duration, F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
 
 
 def phash_near_dup_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-duplicate media by perceptual-hash distance.
+    """Near-duplicate media by perceptual-hash distance — the chunked
+    pigeonhole join shared with text SimHash dedup
+    (operators.dedup.hamming_chunk_pairs)."""
+    from wing_binlog_go_spark.operators.dedup import hamming_chunk_pairs
 
-    Same scale shape as text SimHash dedup (operators/dedup.py): split
-    the 64-bit phash into 4 16-bit chunks — any pair within hamming 3
-    shares ≥1 chunk (pigeonhole) — so candidates come from an equi-join
-    on (chunk_no, chunk), never an O(n²) comparison.
-    """
-    feats = image_features(df).select("media_id", "phash")
-    feats = feats.repartition(F.col("media_id"))  # optimizer barrier + co-locate
-    chunks = F.array(
-        *[
-            F.shiftrightunsigned(F.col("phash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
-            for c in range(4)
-        ]
+    feats = (
+        image_features(df)
+        .filter(F.col("phash").isNotNull())  # NULL payloads have no hash
+        .select("media_id", "phash")
+        .repartition(F.col("media_id"))  # optimizer barrier + co-locate
     )
-    b = feats.select(
-        F.col("media_id").alias("m"),
-        F.col("phash"),
-        F.posexplode(chunks).alias("chunk_no", "chunk"),
-    )
-    lhs, rhs = b.alias("a"), b.alias("b")
-    return (
-        lhs.join(
-            rhs,
-            (F.col("a.chunk_no") == F.col("b.chunk_no"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.m") < F.col("b.m")),
-        )
-        .select(
-            F.col("a.m").alias("media_a"),
-            F.col("b.m").alias("media_b"),
-            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias(
-                "hamming"
-            ),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    return hamming_chunk_pairs(
+        feats, "media_id", "phash", max_hamming, out_a="media_a", out_b="media_b"
     )
 
 
 def size_bucketed(df: DataFrame, buckets: int = 32) -> DataFrame:
-    """Repartition by payload-size bucket so giant blobs spread evenly."""
+    """Spread blob rows evenly across partitions by hashed id.
+
+    (Size % buckets would send all equal-sized blobs — the common case
+    after a resize step — to ONE bucket, concentrating skew instead of
+    spreading it.)"""
     return df.withColumn(
-        "_size_bucket", (F.length("payload") % buckets).cast("int")
-    ).repartition(buckets, "_size_bucket").drop("_size_bucket")
+        "_spread", F.pmod(F.xxhash64("media_id"), F.lit(buckets)).cast("int")
+    ).repartition(buckets, "_spread").drop("_spread")

@@ -206,31 +206,39 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return tok.select(F.col(id_col), sim.alias("simhash"))
 
 
-def simhash_dedup_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def hamming_chunk_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
     max_hamming: int = 3,
+    n_chunks: int = 4,
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
 ) -> DataFrame:
-    """Pairs within ``max_hamming`` bits.
+    """Pairs of 64-bit hashes within ``max_hamming`` bits (shared by
+    SimHash text dedup and perceptual-hash media dedup).
 
-    Candidate generation: split the 64-bit hash into 4 16-bit chunks — any
-    pair within hamming distance 3 must agree on ≥1 chunk (pigeonhole), so
-    the self-join is an equi-join on (chunk_no, chunk_value), never O(n²).
+    Candidate generation: split the hash into ``n_chunks`` equal chunks —
+    any pair within hamming < n_chunks must agree on ≥1 chunk
+    (pigeonhole: ensure max_hamming < n_chunks), so the self-join is an
+    equi-join on (chunk_no, chunk_value), never O(n²).
     """
-    # repartition = optimizer barrier (see minhash_dedup_pairs): stops the
-    # 4 chunk references from inlining 4 recomputations of the signature.
-    sig = simhash_signature(df, id_col, text_col).repartition(F.col(id_col))
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_chunks>{max_hamming} for the "
+            "pigeonhole guarantee"
+        )
+    bits = 64 // n_chunks
+    mask = (1 << bits) - 1
     chunks = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), 16 * c)
-            .bitwiseAND(F.lit(0xFFFF))
-            for c in range(4)
+            F.shiftrightunsigned(F.col(hash_col), bits * c).bitwiseAND(F.lit(mask))
+            for c in range(n_chunks)
         ]
     )
     b = sig.select(
-        F.col(id_col).alias("doc"),
-        F.col("simhash"),
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
         F.posexplode(chunks).alias("chunk_no", "chunk"),
     )
     lhs, rhs = b.alias("a"), b.alias("b")
@@ -239,18 +247,29 @@ def simhash_dedup_pairs(
             rhs,
             (F.col("a.chunk_no") == F.col("b.chunk_no"))
             & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            & (F.col("a._id") < F.col("b._id")),
         )
         .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.col("a._id").alias(out_a),
+            F.col("b._id").alias(out_b),
+            F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h"))).alias("hamming"),
         )
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bits via the chunked pigeonhole join."""
+    # repartition = optimizer barrier (see minhash_dedup_pairs): stops the
+    # 4 chunk references from inlining 4 recomputations of the signature.
+    sig = simhash_signature(df, id_col, text_col).repartition(F.col(id_col))
+    return hamming_chunk_pairs(sig, id_col, "simhash", max_hamming)
 
 
 # ---------------------------------------------------------------------------
