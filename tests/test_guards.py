@@ -92,3 +92,21 @@ def test_percentile_approx_tolerance(spark, sf_dir):
         F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)).alias("a"),
     ).collect()[0]
     assert abs(approx - exact) / exact < 0.02
+
+
+def test_registry_priority_window_and_no_failed_modules():
+    """The driver verifies queries in registration order with a capped
+    window (round 1 stopped at 50): every north-star family member must
+    be inside the first 50 keys, and no operator module may silently
+    fail to import (no-silent-caps)."""
+    from wing_binlog_go_spark import registry
+
+    qs = registry.all_queries()
+    assert registry.failed_modules == {}
+    window = list(qs)[:50]
+    north_star = [
+        k for k in qs if k.startswith(("q37", "q38", "q39")) or k == "q15b_asof_merge"
+    ]
+    assert north_star and set(north_star) <= set(window)
+    # priority list stays consistent with what's actually registered
+    assert set(registry._PRIORITY) <= set(qs)

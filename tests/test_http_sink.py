@@ -51,3 +51,51 @@ def test_http_sink_posts_envelopes_and_survives_dead_node(spark, tmp_path):
         assert set(upd["event"]["data"]) == {"old_data", "new_data"}
     finally:
         server.shutdown()
+
+
+class _SlowRecorder(BaseHTTPRequestHandler):
+    received: list = []
+    delay: float = 0.5
+
+    def do_POST(self):
+        import time
+
+        body = self.rfile.read(int(self.headers["Content-Length"]))
+        time.sleep(type(self).delay)
+        type(self).received.append(json.loads(body))
+        self.send_response(200)
+        self.end_headers()
+        self.wfile.write(b"ok")
+
+    def log_message(self, *args):
+        pass
+
+
+def test_http_sink_slow_node_does_not_serialize_batch(spark, tmp_path):
+    """Reference parity (http/node.go:47-54, NumCPU+2 senders): with a
+    0.5 s-per-request node, N events delivered serially would take
+    N*0.5 s; the pooled sender must land well under that."""
+    import time
+    from http.server import ThreadingHTTPServer
+
+    _SlowRecorder.received = []
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _SlowRecorder)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        log = tmp_path / "log"
+        write_fixture_changelog(str(log), split_files=False)
+        env = to_envelopes(read_changelog(spark, str(log))).coalesce(1)
+        n = env.count()
+        assert n >= 8
+        writer = http_route_writer([f"http://127.0.0.1:{port}/hook"], max_workers=8)
+        start = time.monotonic()
+        writer(env, batch_id=0)
+        elapsed = time.monotonic() - start
+        assert len(_SlowRecorder.received) == n
+        # serial would be ≥ n*0.5 s of pure sleep; pooled should take
+        # ~ceil(n/8)*0.5 s (+ spark overhead). Assert a comfortable bound.
+        assert elapsed < n * 0.5 * 0.6, f"{elapsed=} vs serial {n * 0.5}"
+    finally:
+        server.shutdown()

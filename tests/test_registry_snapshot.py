@@ -20,7 +20,7 @@ from wing_binlog_go_spark.sources.snapshot import (
     bootstrap_union,
     snapshot_as_changes,
 )
-from wing_binlog_go_spark.streaming.pipeline import upsert_parquet
+from wing_binlog_go_spark.streaming.pipeline import pk_str, upsert_parquet
 
 TYPED_COLUMNS = [
     ColumnSpec("id", "bigint(20)", is_pk=True),
@@ -127,6 +127,6 @@ def test_snapshot_bootstrap_then_stream(spark, tmp_path):
     target = str(tmp_path / "table")
     upsert_parquet(env, target, pk="id")
     final = {r._pk: dict(r.row) for r in spark.read.parquet(target).collect()}
-    assert final["77"]["c_vchar"] == "snap77"  # untouched snapshot row survives
-    assert final["1"]["c_vchar"] == "row1v2"   # stream update beats snapshot
-    assert "5" not in final                    # stream delete beats snapshot
+    assert final[pk_str("77")]["c_vchar"] == "snap77"  # untouched snapshot row survives
+    assert final[pk_str("1")]["c_vchar"] == "row1v2"   # stream update beats snapshot
+    assert pk_str("5") not in final                    # stream delete beats snapshot

@@ -18,6 +18,7 @@ from wing_binlog_go_spark.sources.changelog import (
 )
 from wing_binlog_go_spark.streaming.pipeline import (
     Route,
+    pk_str,
     run_pipeline,
     upsert_parquet,
 )
@@ -95,12 +96,12 @@ def test_upsert_materialization(spark, tmp_path):
     q.awaitTermination(60)
     final = {r._pk: r.row for r in spark.read.parquet(target).collect()}
     # id=1,2 updated to v2; id=3 plain; id=5 deleted; 99,100,200,201 inserted
-    assert final["1"]["c_vchar"] == "row1v2"
-    assert final["2"]["c_vchar"] == "row2v2"
-    assert final["3"]["c_vchar"] == "row3"
-    assert "5" not in final
-    assert final["100"]["c_new"] == "x"
-    assert set(final) == {"1", "2", "3", "99", "100", "200", "201"}
+    assert final[pk_str("1")]["c_vchar"] == "row1v2"
+    assert final[pk_str("2")]["c_vchar"] == "row2v2"
+    assert final[pk_str("3")]["c_vchar"] == "row3"
+    assert pk_str("5") not in final
+    assert final[pk_str("100")]["c_new"] == "x"
+    assert set(final) == {pk_str(k) for k in ("1", "2", "3", "99", "100", "200", "201")}
 
 
 def test_upsert_replay_is_idempotent(spark, tmp_path):

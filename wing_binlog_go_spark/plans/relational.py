@@ -695,9 +695,12 @@ def q40(spark, sf_dir):
         EXCEPT SELECT o_custkey FROM orders) t""",
 )
 def q41(spark, sf_dir):
+    # subtract = SQL EXCEPT (set semantics): a key present on BOTH sides
+    # is removed entirely regardless of multiplicity — exceptAll would
+    # leave left-multiplicity minus right-multiplicity copies behind.
     c = _t(spark, sf_dir, "customer").select("c_custkey")
     o = _t(spark, sf_dir, "orders").select("o_custkey")
-    return c.exceptAll(o).distinct().agg(F.count("*").alias("cnt"))
+    return c.subtract(o).agg(F.count("*").alias("cnt"))
 
 
 @register(

@@ -157,12 +157,41 @@ def run_pipeline(
 # ---------------------------------------------------------------------------
 
 
+def _pk_key(img, pk_cols: list[str]):
+    """Injective string key over PK components of a map image.
+
+    Each component is tagged ``n`` (NULL) or ``v<len>:<value>`` — the
+    null tag and the length prefix make the encoding injective, so
+    ('1', NULL) vs ('1', '') cannot collide and a separator byte inside
+    a value cannot re-align component boundaries.
+    """
+    parts = []
+    for c in pk_cols:
+        v = F.element_at(img, c)
+        parts.append(
+            F.when(v.isNull(), F.lit("n")).otherwise(
+                F.concat(F.lit("v"), F.length(v).cast("string"), F.lit(":"), v)
+            )
+        )
+    return F.concat_ws("\x1f", *parts)
+
+
+def pk_str(*values) -> str:
+    """Python-side mirror of ``_pk_key``'s encoding (tests/debugging)."""
+    return "\x1f".join(
+        "n" if v is None else f"v{len(str(v))}:{v}" for v in values
+    )
+
+
 def latest_image_per_pk(env: DataFrame, pk: str | list[str] = "id") -> DataFrame:
     """Newest row image (or tombstone) per primary key in the batch.
 
-    ``pk`` may be a single column or a composite key list — composite
-    keys join into one string key with an unprintable separator (a
-    2-column PK (1,1) vs (1,2) must NOT collapse).
+    ``pk`` may be a single column or a composite key list (injective
+    encoding via ``_pk_key``). A MySQL UPDATE may change the PK itself
+    (canal delivers it as one before/after row pair, rows.go:17-27); for
+    those events an extra tombstone is emitted under the OLD key at the
+    same event_index, so last-writer-wins removes the stale image — the
+    replica never keeps two rows for one logical row.
     """
     pk_cols = [pk] if isinstance(pk, str) else list(pk)
     img = (
@@ -170,13 +199,26 @@ def latest_image_per_pk(env: DataFrame, pk: str | list[str] = "id") -> DataFrame
         .when(F.col("event_type") == "insert", F.col("event.data"))
         .otherwise(F.col("event.data"))  # delete: the removed row
     )
-    key = F.concat_ws("\x1f", *[F.element_at(img, c) for c in pk_cols])
-    rows = env.filter(F.col("event_type").isin("insert", "update", "delete")).select(
+    key = _pk_key(img, pk_cols)
+    changes = env.filter(F.col("event_type").isin("insert", "update", "delete"))
+    rows = changes.select(
         key.alias("_pk"),
         img.alias("row"),
         (F.col("event_type") == "delete").alias("is_delete"),
         F.col("event_index"),
     )
+    old_key = _pk_key(F.col("event.old_data"), pk_cols)
+    pk_moves = (
+        changes.filter(F.col("event_type") == "update")
+        .filter(~old_key.eqNullSafe(key))
+        .select(
+            old_key.alias("_pk"),
+            F.col("event.old_data").alias("row"),
+            F.lit(True).alias("is_delete"),
+            F.col("event_index"),
+        )
+    )
+    rows = rows.unionByName(pk_moves)
     return (
         rows.groupBy("_pk")
         .agg(F.max_by(F.struct("row", "is_delete", "event_index"), "event_index").alias("w"))

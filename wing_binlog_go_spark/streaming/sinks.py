@@ -112,32 +112,55 @@ def redis_route_writer(
     return write
 
 
-def http_route_writer(urls: list[str]) -> Callable[[DataFrame, int], None]:
+def http_route_writer(
+    urls: list[str], max_workers: int | None = None, timeout: float = 3.0
+) -> Callable[[DataFrame, int], None]:
     """POST each envelope JSON to every node URL in the group (O16).
-    The reference runs NumCPU+2 senders per node with a 10k queue
-    (http/node.go:21-80); here concurrency = partitions × nodes and
-    backpressure is the micro-batch boundary."""
+
+    The reference runs NumCPU+2 sender goroutines per node over a 10k
+    queue (http/node.go:21-80); here each partition runs a thread pool
+    of the same size, so one slow or dead webhook delays only its own
+    in-flight request instead of serializing the whole micro-batch.
+    In-flight submissions are windowed so an arbitrarily large partition
+    never materializes all its futures at once (the pool queue is the
+    reference's bounded channel). Like the reference, per-node delivery
+    order is not guaranteed (multiple senders per node); consumers dedupe
+    and order on event_index (O19).
+    """
 
     def write(env: DataFrame, batch_id: int) -> None:
         payloads = env.select(envelope_json().alias("p"))
 
         def post(rows) -> None:
+            import os as _os
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
             from urllib import request
 
-            for row in rows:
-                for url in urls:
-                    req = request.Request(
-                        url,
-                        data=row.p.encode("utf-8"),
-                        headers={"Content-Type": "application/json"},
-                    )
-                    try:
-                        request.urlopen(req, timeout=3).read()
-                    except Exception:
-                        # reference drops after retries and logs
-                        # (http/node.go:66-75); delivery remains
-                        # at-least-once overall
-                        pass
+            workers = max_workers or (_os.cpu_count() or 2) + 2
+
+            def send(url: str, body: bytes) -> None:
+                req = request.Request(
+                    url, data=body, headers={"Content-Type": "application/json"}
+                )
+                try:
+                    request.urlopen(req, timeout=timeout).read()
+                except Exception:
+                    # reference drops after retries and logs
+                    # (http/node.go:66-75); delivery remains
+                    # at-least-once overall
+                    pass
+
+            in_flight: deque = deque()
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                for row in rows:
+                    body = row.p.encode("utf-8")
+                    for url in urls:
+                        in_flight.append(ex.submit(send, url, body))
+                        if len(in_flight) >= workers * 4:
+                            in_flight.popleft().result()
+                while in_flight:
+                    in_flight.popleft().result()
 
         payloads.foreachPartition(post)
 
