@@ -1,0 +1,129 @@
+"""Partition-planned binlog DataSource (O1/O2): offset-aware file
+skipping (only new bytes are planned into partitions), torn-line
+clamping, and GTID set restart (StartFromGTID, canal.go:180-184)."""
+
+from __future__ import annotations
+
+import json
+
+from wing_binlog_go_spark.sources.binlog import (
+    BinlogDataSource,
+    GtidSet,
+    _complete_size,
+    _plan_partitions,
+)
+from wing_binlog_go_spark.sources.changelog import (
+    fixture_records,
+    write_fixture_changelog,
+)
+
+
+def test_gtid_set_parse_and_contains():
+    s = GtidSet("3E11FA47-71CA-11E1-9E33-C80AA9429562:1-5:9, aaaa:3")
+    u = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    assert s.contains(f"{u}:1") and s.contains(f"{u}:5") and s.contains(f"{u}:9")
+    assert not s.contains(f"{u}:6") and not s.contains(f"{u}:10")
+    assert s.contains("AAAA:3") and not s.contains("aaaa:4")
+    assert not s.contains(None) and not s.contains("garbage")
+
+
+def test_partition_planning_reads_only_new_bytes(tmp_path):
+    start = {"files": {"a.jsonl": 100}}
+    end = {"files": {"a.jsonl": 250, "b.jsonl": 40}}
+    parts = _plan_partitions(start, end, None)
+    assert [(p.fname, p.start, p.end) for p in parts] == [
+        ("a.jsonl", 100, 250),
+        ("b.jsonl", 0, 40),
+    ]
+    # nothing grew → no partitions, no reads at all
+    assert _plan_partitions(end, end, None) == []
+
+
+def test_complete_size_clamps_torn_trailing_line(tmp_path):
+    p = tmp_path / "log.jsonl"
+    full = json.dumps({"k": 1}) + "\n"
+    p.write_text(full + '{"k": 2, "torn')  # writer mid-append
+    assert _complete_size(str(p)) == len(full)
+    p.write_text(full + json.dumps({"k": 2}) + "\n")
+    assert _complete_size(str(p)) == len(p.read_bytes())
+
+
+def test_stream_resumes_without_rereading_and_sees_appends(spark, tmp_path):
+    """Offset-aware skipping end-to-end: run 1 consumes the directory;
+    an append arrives; run 2 on the same checkpoint emits ONLY the new
+    record."""
+    log = tmp_path / "log"
+    write_fixture_changelog(str(log), split_files=True)
+    spark.dataSource.register(BinlogDataSource)
+    out: list = []
+
+    def run():
+        q = (
+            spark.readStream.format("binlog")
+            .option("path", str(log))
+            .load()
+            .writeStream.foreachBatch(lambda df, bid: out.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run()
+    n_fixture = len(fixture_records())
+    assert len(out) == n_fixture
+    # append one more record to an existing file
+    extra = dict(fixture_records()[0])
+    extra.update(binlog_file="mysql-bin.000004", binlog_pos=999, row_no=0,
+                 after={"id": "500", "c_vchar": "appended", "c_int": "1"})
+    with open(log / "mysql-bin.000004.jsonl", "a") as f:
+        f.write(json.dumps(extra) + "\n")
+    out.clear()
+    run()
+    assert len(out) == 1 and out[0].after["id"] == "500"
+
+
+def test_start_gtid_skips_contained_transactions(spark, tmp_path):
+    """StartFromGTID semantics: transactions inside the starting set are
+    already applied downstream and must not be re-emitted."""
+    log = tmp_path / "log"
+    write_fixture_changelog(str(log), split_files=True)
+    recs = fixture_records()
+    uuid = recs[0]["gtid"].split(":")[0]
+    # exclude the first two transactions
+    spark.dataSource.register(BinlogDataSource)
+    df = (
+        spark.read.format("binlog")
+        .option("path", str(log))
+        .option("start_gtid", f"{uuid}:1-2")
+        .load()
+    )
+    got = df.collect()
+    kept = [r for r in recs if int(r["gtid"].split(":")[1]) > 2]
+    assert len(got) == len(kept)
+    assert {r.gtid for r in got} == {r["gtid"] for r in kept}
+    # streaming path honors it too
+    out: list = []
+    q = (
+        spark.readStream.format("binlog")
+        .option("path", str(log))
+        .option("start_gtid", f"{uuid}:1-2")
+        .load()
+        .writeStream.foreachBatch(lambda d, b: out.extend(d.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert len(out) == len(kept)
+
+
+def test_invalid_gtid_set_fails_loudly(spark, tmp_path):
+    import pytest
+
+    log = tmp_path / "log"
+    write_fixture_changelog(str(log), split_files=True)
+    from wing_binlog_go_spark.sources.binlog import BinlogStreamReader
+
+    with pytest.raises(ValueError):
+        BinlogStreamReader({"path": str(log), "start_gtid": "no-intervals-here"})

@@ -206,3 +206,25 @@ def test_sampling_tolerance(spark, sf_dir):
     n = li.count()
     s = li.sample(fraction=0.1, seed=42).count()
     assert 0.07 * n < s < 0.13 * n
+
+
+def test_minhash_signature_store_roundtrip(spark, docs_with_dups, tmp_path):
+    """Amortized path: persisted signatures give the SAME pairs as the
+    end-to-end computation (signatures are pure functions of content)."""
+    from wing_binlog_go_spark.operators.dedup import (
+        load_minhash_signatures,
+        persist_minhash_signatures,
+    )
+
+    store = str(tmp_path / "sig")
+    persist_minhash_signatures(docs_with_dups, store)
+    sig = load_minhash_signatures(spark, store)
+    from_store = {
+        (r.doc_a, r.doc_b, round(r.est_jaccard, 9))
+        for r in minhash_dedup_pairs(None, signatures=sig, threshold=0.5).collect()
+    }
+    end_to_end = {
+        (r.doc_a, r.doc_b, round(r.est_jaccard, 9))
+        for r in minhash_dedup_pairs(docs_with_dups, threshold=0.5).collect()
+    }
+    assert from_store == end_to_end and from_store

@@ -112,3 +112,52 @@ def test_phash_near_dup_finds_exact_copies(spark):
 
 def test_size_bucketing_preserves_rows(media):
     assert size_bucketed(media, buckets=4).count() == 4
+
+
+def test_phash_planted_near_dup_recall_at_loose_threshold(spark):
+    """Planted perceptual near-dups: a decoder stub assigns each copy a
+    phash within k bits of its original (k = 1..7, re-encode noise); the
+    auto-chunked pigeonhole join must recall ALL of them at
+    max_hamming=7 and none of the far pairs (the exact bit_count filter
+    makes recall deterministic, not probabilistic)."""
+    import random
+
+    from wing_binlog_go_spark.multimodal import phash_near_dup_pairs
+
+    rng = random.Random(42)
+    base_hashes = {i: rng.getrandbits(63) for i in range(10)}
+
+    def flip(h, k):
+        for bit in rng.sample(range(64), k):
+            h ^= 1 << bit
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    planted = {}  # media_id -> phash
+    expected = set()
+    for i, h in base_hashes.items():
+        planted[i] = h
+        k = (i % 7) + 1
+        planted[i + 1000] = flip(h, k)  # near-dup copy, k bits away
+        expected.add((i, i + 1000))
+
+    def stub_decoder(payload):
+        mid = int.from_bytes(payload, "big")
+        return {"n_bytes": len(payload), "mean_byte": 0.0, "phash": planted[mid]}
+
+    rows = [
+        (mid, mid.to_bytes(4, "big"), ("image/png", 8, 8, None))
+        for mid in planted
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {
+        (r.media_a, r.media_b): r.hamming
+        for r in phash_near_dup_pairs(
+            df, max_hamming=7, batch_decoder=stub_decoder
+        ).collect()
+    }
+    assert expected <= set(pairs), f"missed planted dups: {expected - set(pairs)}"
+    for (a, b), ham in pairs.items():
+        assert ham <= 7
+    # distinct random base hashes must not pair with each other
+    cross = {(a, b) for a, b in pairs if a < 1000 and b < 1000}
+    assert not cross

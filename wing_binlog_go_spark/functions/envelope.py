@@ -51,6 +51,10 @@ CHANGE_SCHEMA = T.StructType(
         T.StructField("after", T.MapType(T.StringType(), T.StringType())),
         T.StructField("ddl_query", T.StringType()),
         T.StructField("ts_header", T.TimestampType()),
+        # GTID of the enclosing transaction ("uuid:txno"), when the
+        # upstream runs with gtid_mode=ON (O2, canal.go:180-184). NULL
+        # for coordinate-only streams.
+        T.StructField("gtid", T.StringType()),
     ]
 )
 

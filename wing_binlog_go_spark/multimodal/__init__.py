@@ -171,20 +171,43 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def phash_near_dup_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+def phash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n_chunks: int | None = None,
+    batch_decoder=fake_decode_image,
+) -> DataFrame:
     """Near-duplicate media by perceptual-hash distance — the chunked
     pigeonhole join shared with text SimHash dedup
-    (operators.dedup.hamming_chunk_pairs)."""
+    (operators.dedup.hamming_chunk_pairs).
+
+    Perceptual near-dup thresholds are often looser than SimHash text
+    thresholds (re-encodes/resizes flip many bits), so ``n_chunks``
+    defaults to ``max_hamming + 1`` — the minimum satisfying the
+    pigeonhole guarantee — instead of the fixed 4 of the text path.
+    More chunks ⇒ shorter chunk values ⇒ more false candidates, all
+    pruned by the exact bit_count filter; the join stays an equi-join.
+    ``batch_decoder`` swaps the codec (the real decoder when available,
+    a deterministic fake in this environment).
+    """
     from wing_binlog_go_spark.operators.dedup import hamming_chunk_pairs
 
+    if n_chunks is None:
+        n_chunks = max_hamming + 1
     feats = (
-        image_features(df)
+        image_features(df, batch_decoder=batch_decoder)
         .filter(F.col("phash").isNotNull())  # NULL payloads have no hash
         .select("media_id", "phash")
         .repartition(F.col("media_id"))  # optimizer barrier + co-locate
     )
     return hamming_chunk_pairs(
-        feats, "media_id", "phash", max_hamming, out_a="media_a", out_b="media_b"
+        feats,
+        "media_id",
+        "phash",
+        max_hamming,
+        n_chunks=n_chunks,
+        out_a="media_a",
+        out_b="media_b",
     )
 
 

@@ -138,14 +138,40 @@ def estimate_jaccard(
     )
 
 
-def minhash_dedup_pairs(
+def persist_minhash_signatures(
     df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> None:
+    """Signature store: compute signatures ONCE and write them as parquet.
+
+    Signatures are pure functions of document content, so a pipeline that
+    dedups repeatedly (every ingest batch, every corpus release) should
+    amortize the signature scan instead of re-reading the full text
+    corpus each run — at 100 TB the text scan dominates; the signature
+    table is ~1000× smaller (num_hashes longs per doc).
+    """
+    minhash_signature(df, id_col, text_col, num_hashes, shingle_k).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_minhash_signatures(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 16,
     bands: int = 8,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (doc_a < doc_b) with estimated Jaccard ≥ threshold.
 
@@ -153,19 +179,67 @@ def minhash_dedup_pairs(
     1-(1-j²)^8 keeps recall ≥0.999 at j=0.8 while halving signature
     compute and plan-compile cost vs 32 hashes; the est_jaccard verify
     stage prunes the extra false candidates the narrower bands admit.
+
+    ``signatures`` (from ``load_minhash_signatures``) skips the text scan
+    entirely — the amortized path for recurring dedup runs.
+
+    Plan shape: signatures are localCheckpointed (cuts the HOF expression
+    tree out of the optimizer — CollapseProject would otherwise inline
+    the signature fold into every band-hash reference, recomputing it
+    ~32× per row, measured ~100×; and the band self-join would recompute
+    the whole signature stage per side), then ONE band equi-join carries
+    both mh arrays so est_jaccard needs no further joins: explode → join
+    → agg is the entire shuffle footprint. (localCheckpoint is
+    executor-local storage: with dynamic allocation use reliable
+    checkpointing or the parquet signature store instead.)
     """
-    # The repartition is a deliberate optimizer barrier, not just a
-    # partitioning choice: without it CollapseProject inlines the
-    # signature expression into every one of the band-hash's 32
-    # element_at references, recomputing the full signature 32× per row
-    # (measured ~100× slowdown — higher-order functions don't codegen).
-    # It also pre-shuffles by id so the downstream verify joins co-locate.
-    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_k).repartition(
-        F.col(id_col)
+    if signatures is None:
+        if df is None:
+            raise ValueError("need a documents DataFrame or a signatures table")
+        signatures = minhash_signature(
+            df, id_col, text_col, num_hashes, shingle_k
+        ).localCheckpoint(eager=True)
+    rows_per_band = num_hashes // bands
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.element_at("mh", b * rows_per_band + i + 1)
+                    for i in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
     )
-    cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
-    est = estimate_jaccard(cand, sig, id_col, num_hashes)
-    return est.filter(F.col("est_jaccard") >= threshold)
+    buckets = signatures.select(
+        F.col(id_col).alias("doc"),
+        F.col("mh"),
+        F.posexplode(band_hashes).alias("band", "bh"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    agree = F.size(
+        F.filter(F.zip_with(F.col("a.mh"), F.col("b.mh"), lambda x, y: x == y),
+                 lambda eq: eq)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            (agree / F.lit(num_hashes)).alias("est_jaccard"),
+        )
+        # pairs colliding in several bands appear once per band; the
+        # estimate is identical on every copy → first() dedupes
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------

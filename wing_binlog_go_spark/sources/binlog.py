@@ -4,20 +4,43 @@
 Reference parity: the reference registers as a MySQL replica and streams
 row events from a saved (file, pos) checkpoint
 (vendor/.../canal/canal.go:174-178, sync loop canal/sync.go:43-169,
-restore+clamp src/library/binlog/handler.go:32-55). Here the same
+restore+clamp src/library/binlog/handler.go:32-55) or from a GTID set
+(StartFromGTID, canal.go:180-184 / canal/sync.go:23-41). Here the same
 contract — resumable offsets over an ordered change stream, emitting
-CHANGE_SCHEMA rows — is implemented as a DataSource whose backing is:
+CHANGE_SCHEMA rows — is implemented as a partition-planned
+``DataSourceStreamReader`` whose backing is:
 
 - a changelog directory of JSONL files (always available; what tests and
-  local runs use), ordered by (binlog_file, binlog_pos, row_no);
+  local runs use);
 - a real MySQL replication feed IF a `pymysql`-replication stack is
   importable (not shipped in this environment) — the hook raises a clear
   error instead of silently degrading.
 
-Offsets are ``{"file": ..., "pos": ..., "row": ...}`` — the engine's
-analog of the reference's pos cache record (util.go:11-57). Replay from
-an old offset re-emits rows (at-least-once, O19); downstream dedupe on
-event_index makes it effectively-once.
+Scale design (the round-1 reader was a ``SimpleDataSourceStreamReader``
+that re-read and re-sorted the WHOLE directory on the driver every
+cycle — a driver bottleneck at 100× changelog volume):
+
+- the driver only LISTS the directory and stats file sizes per
+  ``latestOffset()`` (O(#files), no content reads);
+- offsets record consumed bytes per file, clamped to the last complete
+  line, so a writer appending mid-record never yields a torn row;
+- ``partitions(start, end)`` plans one input partition per file byte
+  range — only NEW bytes are ever read, on executors, in parallel;
+- rows within a partition keep file order; global event ordering is the
+  downstream ``event_index`` derivation over binlog coordinates
+  (functions/envelope.py), which is where ordering must live on a
+  cluster anyway.
+
+Offset shape::
+
+    {"files": {"<name>.jsonl": consumed_bytes, ...},
+     "gtid_exclude": "uuid:1-5,uuid2:3"}     # optional, O2
+
+``option("start_gtid", <set>)`` reproduces StartFromGTID: records whose
+``gtid`` is contained in the set are skipped (their transactions are
+already applied downstream). Replay from an old offset re-emits rows
+(at-least-once, O19); downstream dedupe on event_index makes it
+effectively-once.
 
 Usage::
 
@@ -35,26 +58,51 @@ from datetime import datetime
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    SimpleDataSourceStreamReader,
+    DataSourceStreamReader,
+    InputPartition,
 )
 
 from wing_binlog_go_spark.functions.envelope import CHANGE_SCHEMA
 
-_ZERO = {"file": "", "pos": -1, "row": -1}
+
+# ---------------------------------------------------------------------------
+# GTID sets (O2) — public MySQL format "uuid:ivl[:ivl]...[,uuid:...]",
+# interval "n" or "n-m" inclusive (dev.mysql.com GTID set notation).
+# ---------------------------------------------------------------------------
 
 
-def _load_records(path: str) -> list[tuple]:
-    """All change records under ``path``, totally ordered by binlog coords."""
-    rows: list[dict] = []
-    for fname in sorted(os.listdir(path)):
-        if not fname.endswith(".jsonl"):
-            continue
-        with open(os.path.join(path, fname)) as f:
-            for line in f:
-                if line.strip():
-                    rows.append(json.loads(line))
-    rows.sort(key=lambda r: (r["binlog_file"], r["binlog_pos"], r.get("row_no") or 0))
-    return [_to_tuple(r) for r in rows]
+class GtidSet:
+    """Parsed GTID set with containment checks (canal/sync.go:23-41)."""
+
+    def __init__(self, text: str | None):
+        self.intervals: dict[str, list[tuple[int, int]]] = {}
+        for part in (text or "").split(","):
+            part = part.strip()
+            if not part:
+                continue
+            uuid, *ivls = part.split(":")
+            if not ivls:
+                raise ValueError(f"GTID set entry without intervals: {part!r}")
+            out = self.intervals.setdefault(uuid.lower(), [])
+            for ivl in ivls:
+                lo, _, hi = ivl.partition("-")
+                out.append((int(lo), int(hi) if hi else int(lo)))
+
+    def contains(self, gtid: str | None) -> bool:
+        """True if a single 'uuid:txno' GTID is inside this set."""
+        if not gtid or ":" not in gtid:
+            return False
+        uuid, _, txno = gtid.partition(":")
+        try:
+            n = int(txno)
+        except ValueError:
+            return False
+        return any(lo <= n <= hi for lo, hi in self.intervals.get(uuid.lower(), ()))
+
+
+# ---------------------------------------------------------------------------
+# Record parsing (runs on executors)
+# ---------------------------------------------------------------------------
 
 
 def _to_tuple(r: dict) -> tuple:
@@ -73,18 +121,79 @@ def _to_tuple(r: dict) -> tuple:
         r.get("after"),
         r.get("ddl_query"),
         ts,
+        r.get("gtid"),
     )
 
 
-def _coord(t: tuple) -> dict:
-    return {"file": t[0], "pos": t[1], "row": t[6]}
+def _complete_size(path: str) -> int:
+    """File size clamped back to the last complete line, so a torn
+    trailing record (writer mid-append) is never planned into a batch."""
+    size = os.path.getsize(path)
+    if size == 0:
+        return 0
+    with open(path, "rb") as f:
+        f.seek(size - 1)
+        if f.read(1) == b"\n":
+            return size
+        back = min(size, 1 << 20)
+        f.seek(size - back)
+        tail = f.read(back)
+        idx = tail.rfind(b"\n")
+        return size - back + idx + 1 if idx >= 0 else 0
 
 
-def _after(t: tuple, off: dict) -> bool:
-    return (t[0], t[1], t[6]) > (off["file"], off["pos"], off["row"])
+def _list_complete_sizes(path: str) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for fname in sorted(os.listdir(path)):
+        if fname.endswith(".jsonl"):
+            out[fname] = _complete_size(os.path.join(path, fname))
+    return out
 
 
-class BinlogStreamReader(SimpleDataSourceStreamReader):
+def _read_range(
+    dir_path: str, fname: str, start: int, end: int, gtid_exclude: str | None
+):
+    """Parse the [start, end) byte range of one changelog file."""
+    skip = GtidSet(gtid_exclude) if gtid_exclude else None
+    with open(os.path.join(dir_path, fname), "rb") as f:
+        f.seek(start)
+        payload = f.read(end - start)
+    for line in payload.splitlines():
+        if not line.strip():
+            continue
+        rec = json.loads(line)
+        if skip is not None and skip.contains(rec.get("gtid")):
+            continue
+        yield _to_tuple(rec)
+
+
+class BinlogPartition(InputPartition):
+    def __init__(self, fname: str, start: int, end: int, gtid_exclude: str | None):
+        self.fname = fname
+        self.start = start
+        self.end = end
+        self.gtid_exclude = gtid_exclude
+
+
+def _plan_partitions(
+    start: dict, end: dict, gtid_exclude: str | None
+) -> list[BinlogPartition]:
+    """One partition per file byte-range that grew between two offsets."""
+    done = start.get("files", {})
+    parts = []
+    for fname in sorted(end.get("files", {})):
+        lo, hi = done.get(fname, 0), end["files"][fname]
+        if hi > lo:
+            parts.append(BinlogPartition(fname, lo, hi, gtid_exclude))
+    return parts
+
+
+# ---------------------------------------------------------------------------
+# Stream / batch readers
+# ---------------------------------------------------------------------------
+
+
+class BinlogStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
@@ -97,24 +206,39 @@ class BinlogStreamReader(SimpleDataSourceStreamReader):
                 "direct MySQL replication requires a binlog client library; "
                 "front the stream with a changelog directory or Kafka instead"
             )
+        self.gtid_exclude = options.get("start_gtid") or None
+        if self.gtid_exclude:
+            GtidSet(self.gtid_exclude)  # validate eagerly, on the driver
 
     def initialOffset(self) -> dict:
         # Clamp semantics (handler.go:32-55): start from the beginning of
-        # whatever the changelog currently holds.
-        return dict(_ZERO)
+        # whatever the changelog currently holds; with start_gtid, skip
+        # transactions already contained in the set (StartFromGTID).
+        off = {"files": {}}
+        if self.gtid_exclude:
+            off["gtid_exclude"] = self.gtid_exclude
+        return off
 
-    def read(self, start: dict):
-        records = _load_records(self.path)
-        fresh = [t for t in records if _after(t, start)]
-        end = _coord(fresh[-1]) if fresh else dict(start)
-        return iter(fresh), end
+    def latestOffset(self) -> dict:
+        off = {"files": _list_complete_sizes(self.path)}
+        if self.gtid_exclude:
+            off["gtid_exclude"] = self.gtid_exclude
+        return off
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        # Deterministic replay window for recovery (at-least-once, O19).
-        records = _load_records(self.path)
-        return iter(
-            [t for t in records if _after(t, start) and not _after(t, end)]
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        return _plan_partitions(start, end, end.get("gtid_exclude"))
+
+    def read(self, partition: BinlogPartition):
+        yield from _read_range(
+            self.path,
+            partition.fname,
+            partition.start,
+            partition.end,
+            partition.gtid_exclude,
         )
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in the checkpoint offset log
 
 
 class BinlogBatchReader(DataSourceReader):
@@ -122,9 +246,20 @@ class BinlogBatchReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("binlog source requires option 'path'")
+        self.gtid_exclude = options.get("start_gtid") or None
 
-    def read(self, partition):
-        yield from _load_records(self.path)
+    def partitions(self) -> list[InputPartition]:
+        sizes = _list_complete_sizes(self.path)
+        return _plan_partitions({"files": {}}, {"files": sizes}, self.gtid_exclude)
+
+    def read(self, partition: BinlogPartition):
+        yield from _read_range(
+            self.path,
+            partition.fname,
+            partition.start,
+            partition.end,
+            partition.gtid_exclude,
+        )
 
 
 class BinlogDataSource(DataSource):
@@ -140,5 +275,5 @@ class BinlogDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return BinlogBatchReader(self.options)
 
-    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+    def streamReader(self, schema) -> DataSourceStreamReader:
         return BinlogStreamReader(self.options)

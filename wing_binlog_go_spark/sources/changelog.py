@@ -52,6 +52,10 @@ def fixture_records() -> list[dict]:
     6. a transaction split across files (restart/replay window)
     """
     f1, f2 = "mysql-bin.000003", "mysql-bin.000004"
+    # All events of one transaction share its GTID (O2); the counter
+    # advances past each xid commit, like the server's sequence number.
+    server_uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    txn = {"no": 1}
     recs: list[dict] = []
 
     def rec(file, pos, db, table, action, row_no=0, before=None, after=None,
@@ -69,8 +73,11 @@ def fixture_records() -> list[dict]:
                 "after": after,
                 "ddl_query": ddl,
                 "ts_header": _ts(ts),
+                "gtid": f"{server_uuid}:{txn['no']}",
             }
         )
+        if xid or action == "ddl":
+            txn["no"] += 1  # DDL is its own transaction (own GTID) in MySQL
 
     # 1. multi-row insert: one statement, 3 rows (handler.go:167-182)
     for i in range(3):

@@ -86,6 +86,8 @@ def snapshot_as_changes(
         F.col("after"),
         F.lit(None).cast("string").alias("ddl_query"),
         ts.alias("ts_header"),
+        # a mysqldump-style snapshot has no replication coordinates
+        F.lit(None).cast("string").alias("gtid"),
     ).select(*[f.name for f in CHANGE_SCHEMA.fields])
 
 
