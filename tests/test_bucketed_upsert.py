@@ -78,3 +78,86 @@ def test_bucketed_replay_idempotent(spark, tmp_path):
         (r._pk, r.event_index) for r in read_bucketed_table(spark, target).collect()
     )
     assert s1 == s2
+
+
+def _batch2(spark):
+    """A second batch touching several buckets: updates + a delete."""
+    from tests.test_upsert_pk_semantics import ENV_SCHEMA
+
+    rows = [
+        ("update", 1000 + i,
+         (None, {"id": str(i), "c_vchar": "old"}, {"id": str(i), "c_vchar": f"v2-{i}"}))
+        for i in range(1, 4)
+    ] + [("delete", 1010, ({"id": "99", "c_vchar": "committed"}, None, None))]
+    return spark.createDataFrame(rows, ENV_SCHEMA)
+
+
+def test_crash_mid_multi_bucket_commit_rolls_forward(spark, tmp_path, monkeypatch):
+    """Crash AFTER the manifest landed but mid-swap: the writer dies
+    with some buckets new and some old; the next reader/writer must
+    converge to the all-new state (manifest = point of commit)."""
+    from wing_binlog_go_spark.streaming import maintenance
+    from wing_binlog_go_spark.streaming.pipeline import _bucket_manifest_path
+
+    env = _env(spark, tmp_path)
+    target = str(tmp_path / "t")
+    upsert_parquet_bucketed(env, target, pk="id", num_buckets=8)
+    batch2 = _batch2(spark)
+    expected = str(tmp_path / "expected")
+    upsert_parquet_bucketed(env, expected, pk="id", num_buckets=8)
+    upsert_parquet_bucketed(batch2, expected, pk="id", num_buckets=8)
+
+    real_swap = maintenance.swap_dir
+    calls = {"n": 0}
+
+    def dying_swap(new_dir, path):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash mid-commit")
+        real_swap(new_dir, path)
+
+    monkeypatch.setattr(maintenance, "swap_dir", dying_swap)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        upsert_parquet_bucketed(batch2, target, pk="id", num_buckets=8)
+    monkeypatch.setattr(maintenance, "swap_dir", real_swap)
+    assert os.path.exists(_bucket_manifest_path(target))  # crash left manifest
+
+    # the next READER rolls the commit forward
+    got = sorted(
+        (r._pk, r.event_index) for r in read_bucketed_table(spark, target).collect()
+    )
+    want = sorted(
+        (r._pk, r.event_index) for r in read_bucketed_table(spark, expected).collect()
+    )
+    assert got == want
+    assert not os.path.exists(_bucket_manifest_path(target))
+
+
+def test_crash_before_manifest_leaves_old_state(spark, tmp_path):
+    """Staging dirs without a manifest = crash before the point of
+    commit: the table must stay all-old and the garbage staging data is
+    ignored/overwritten by the next run."""
+    from wing_binlog_go_spark.streaming.pipeline import recover_bucket_commit
+
+    env = _env(spark, tmp_path)
+    target = str(tmp_path / "t")
+    upsert_parquet_bucketed(env, target, pk="id", num_buckets=8)
+    before = sorted(
+        (r._pk, r.event_index) for r in read_bucketed_table(spark, target).collect()
+    )
+    # fake a pre-manifest crash: leftover staging dirs, no manifest
+    os.makedirs(os.path.join(target, ".staging_bucket_0"), exist_ok=True)
+    with open(os.path.join(target, ".staging_bucket_0", "garbage"), "w") as f:
+        f.write("not parquet")
+    assert recover_bucket_commit(target) is False
+    assert before == sorted(
+        (r._pk, r.event_index) for r in read_bucketed_table(spark, target).collect()
+    )
+    # the next commit proceeds normally despite the leftover staging dir
+    upsert_parquet_bucketed(_batch2(spark), target, pk="id", num_buckets=8)
+    final = {r._pk: r.event_index for r in read_bucketed_table(spark, target).collect()}
+    from wing_binlog_go_spark.streaming.pipeline import pk_str
+
+    assert final[pk_str("1")] == 1001 and pk_str("99") not in final

@@ -267,6 +267,43 @@ def upsert_parquet(
     swap_dir(tmp, target_dir)
 
 
+def _bucket_manifest_path(target_dir: str) -> str:
+    return os.path.join(target_dir, "_commit_manifest.json")
+
+
+def recover_bucket_commit(target_dir: str) -> bool:
+    """Roll an interrupted multi-bucket commit FORWARD.
+
+    The commit protocol (``upsert_parquet_bucketed``) stages every
+    changed bucket first, then atomically writes a manifest naming them,
+    then swaps each bucket in. A manifest on disk therefore means all
+    staging data is complete: recovery finishes the remaining swaps so
+    the table converges to the all-new state — never a mix that stays.
+    No manifest means the crash happened before the point of commit:
+    stale staging dirs are discarded and the table is the all-old state.
+    Returns True if a commit was rolled forward.
+    """
+    import shutil
+
+    from wing_binlog_go_spark.streaming.maintenance import recover_swap, swap_dir
+
+    manifest = _bucket_manifest_path(target_dir)
+    if not os.path.exists(manifest):
+        return False
+    with open(manifest) as f:
+        buckets = json.load(f)["buckets"]
+    for b in buckets:
+        bdir = os.path.join(target_dir, f"bucket={b}")
+        staged = os.path.join(target_dir, f".staging_bucket_{b}")
+        if os.path.exists(staged):
+            swap_dir(staged, bdir)  # not yet (or half) swapped: finish it
+        else:
+            recover_swap(bdir)  # crashed mid-rename inside swap_dir
+            shutil.rmtree(bdir + "._old", ignore_errors=True)
+    os.remove(manifest)
+    return True
+
+
 def upsert_parquet_bucketed(
     env: DataFrame, target_dir: str, pk: str | list[str] = "id", num_buckets: int = 16
 ) -> None:
@@ -279,18 +316,30 @@ def upsert_parquet_bucketed(
     files. With uniform keys and B buckets, a batch touching k keys
     rewrites ≈ min(k, B)/B of the table.
 
+    Multi-bucket commits are atomic-on-recovery: every staging dir is
+    written BEFORE an atomically-renamed manifest names the swap set;
+    a crash before the manifest leaves the all-old table, after it the
+    next writer (or reader via ``recover_bucket_commit``) rolls the
+    whole set forward. Delta/Iceberg commit logs give the same
+    write-visibility point with real snapshot isolation at scale.
+
     Deterministic bucket fn (pmod(xxhash64(pk), B)) means replays hit
     the same buckets — idempotence is preserved per bucket.
     """
+    import shutil
+
     from wing_binlog_go_spark.streaming.maintenance import recover_swap, swap_dir
 
     spark = env.sparkSession
+    os.makedirs(target_dir, exist_ok=True)
+    recover_bucket_commit(target_dir)
     bucket = F.pmod(F.xxhash64(F.col("_pk")), F.lit(num_buckets)).cast("int")
     # persist: the distinct-buckets collect AND every per-bucket filter
     # read this; without it each pass recomputes the full aggregation
     updates = latest_image_per_pk(env, pk).withColumn("_bucket", bucket).persist()
     try:
         changed = [r._bucket for r in updates.select("_bucket").distinct().collect()]
+        # phase 1: stage every changed bucket (reads see the old table)
         for b in changed:
             bdir = os.path.join(target_dir, f"bucket={b}")
             recover_swap(bdir)
@@ -313,16 +362,28 @@ def upsert_parquet_bucketed(
             result = merged.filter(~F.col("is_delete"))
             # dot-prefixed staging dir: invisible to hive partition discovery
             tmp = os.path.join(target_dir, f".staging_bucket_{b}")
-            import shutil
-
             shutil.rmtree(tmp, ignore_errors=True)
             result.write.mode("overwrite").parquet(tmp)
-            swap_dir(tmp, bdir)
+        # phase 2: the point of commit — manifest lands atomically
+        manifest = _bucket_manifest_path(target_dir)
+        with open(manifest + ".tmp", "w") as f:
+            json.dump({"buckets": [int(b) for b in changed]}, f)
+        os.replace(manifest + ".tmp", manifest)
+        # phase 3: swap buckets in; any crash here is rolled forward
+        for b in changed:
+            swap_dir(
+                os.path.join(target_dir, f".staging_bucket_{b}"),
+                os.path.join(target_dir, f"bucket={b}"),
+            )
+        os.remove(manifest)
     finally:
         updates.unpersist()
 
 
 def read_bucketed_table(spark: SparkSession, target_dir: str) -> DataFrame:
     """Read a bucketed upsert table; hive-style partition discovery turns
-    bucket=N dirs into a prunable `bucket` column."""
+    bucket=N dirs into a prunable `bucket` column. A manifest left by an
+    interrupted commit is rolled forward first, so readers never observe
+    a lasting mix of old and new buckets."""
+    recover_bucket_commit(target_dir)
     return spark.read.parquet(target_dir).drop("bucket")
