@@ -63,3 +63,31 @@ def test_curation_clean_corpus_is_mostly_untouched(spark, sf_small):
     # no quality/lang drops configured away; only dup stages may act
     assert rep.dropped_quality == 0 and rep.dropped_lang == 0
     assert rep.output_docs + rep.dropped_exact_dup + rep.dropped_near_dup == 50
+
+
+def test_decontaminate_drops_planted_overlap(spark):
+    """A training doc containing a benchmark 8-gram verbatim must be
+    dropped; clean docs survive."""
+    from wing_binlog_go_spark.functions.text import (
+        contamination_overlap,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "bench_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains the full benchmark 8-gram inside a longer doc
+            (10, "prefix words alpha beta gamma delta epsilon zeta eta theta suffix"),
+            # shares only a 4-gram → no 8-gram overlap
+            (11, "alpha beta gamma delta something else entirely different here now"),
+            (12, "completely unrelated text with no shared tokens at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    overlap = contamination_overlap(docs, bench, k=8).collect()
+    assert {(r.doc_id, r.bench_id) for r in overlap} == {(10, 1)}
+    kept = sorted(r.doc_id for r in decontaminate(docs, bench, k=8).collect())
+    assert kept == [11, 12]

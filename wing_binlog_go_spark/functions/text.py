@@ -269,7 +269,103 @@ FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
 ORDER BY tfidf DESC, doc_id, tf.term LIMIT 50
 """
 
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap against an eval set)
+# ---------------------------------------------------------------------------
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, bench_id, overlapping_ngrams): training docs sharing any
+    k-gram with a benchmark/eval document — the standard train/test
+    decontamination check (n-gram overlap filtering as published for
+    large LM training corpora).
+
+    Scale shape: the benchmark side is small by nature (eval sets are
+    thousands of docs) → broadcast; the corpus side is a pure
+    map+explode scan. The only shuffle is the final (doc, bench) count
+    aggregation, which is combiner-friendly.
+    """
+    doc_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, k)).alias("s"),
+    )
+    bench_sh = bench.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(word_shingles(bench_text_col, k)).alias("s"),
+    ).distinct()
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "s")
+        # shingles are distinct per doc (word_shingles), so COUNT(*) is
+        # the number of DISTINCT overlapping k-grams
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("overlapping_ngrams"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int = 8,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Drop training documents overlapping any benchmark doc by ≥
+    ``min_overlap`` k-grams (left_anti on the contaminated id set)."""
+    dirty = (
+        contamination_overlap(
+            docs, bench, k, id_col, text_col, bench_id_col, bench_text_col
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("overlapping_ngrams").alias("total"))
+        .filter(F.col("total") >= min_overlap)
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return docs.join(dirty, id_col, "left_anti")
+
+
+def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic benchmark = every 97th doc; overlap vs the rest."""
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_overlap(
+        corpus, bench, k=5, bench_id_col="doc_id"
+    ).orderBy("doc_id", "bench_id")
+
+
+_DECONTAMINATION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(t) >= 5
+                THEN list_transform(range(1, len(t) - 3),
+                                    i -> array_to_string(t[i:i+4], ' '))
+                ELSE [array_to_string(t, ' ')] END)) AS s
+  FROM toks
+)
+SELECT d.doc_id AS doc_id, b.doc_id AS bench_id,
+       CAST(COUNT(*) AS BIGINT) AS overlapping_ngrams
+FROM (SELECT * FROM sh WHERE doc_id % 97 <> 0) d
+JOIN (SELECT * FROM sh WHERE doc_id % 97 = 0) b ON d.s = b.s
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
 QUERIES["q39h_tfidf"] = QuerySpec(_q_tfidf, _TFIDF_ORACLE)
+QUERIES["q39i_decontamination"] = QuerySpec(_q_decontamination, _DECONTAMINATION_ORACLE)
 QUERIES["q39_word_count"] = QuerySpec(_q_word_count, _WORD_COUNT_ORACLE)
 QUERIES["q39b_token_stats"] = QuerySpec(_q_token_stats, _TOKEN_STATS_ORACLE)
 QUERIES["q39c_bpe_token_count"] = QuerySpec(_q_bpe_token_count, _BPE_ORACLE)

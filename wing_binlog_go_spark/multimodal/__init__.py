@@ -194,11 +194,13 @@ def phash_near_dup_pairs(
 
     if n_chunks is None:
         n_chunks = max_hamming + 1
+    # localCheckpoint: the chunk self-join would otherwise run the Arrow
+    # decode pass once per side (mapInPandas is opaque to exchange reuse)
     feats = (
         image_features(df, batch_decoder=batch_decoder)
         .filter(F.col("phash").isNotNull())  # NULL payloads have no hash
         .select("media_id", "phash")
-        .repartition(F.col("media_id"))  # optimizer barrier + co-locate
+        .localCheckpoint(eager=True)
     )
     return hamming_chunk_pairs(
         feats,

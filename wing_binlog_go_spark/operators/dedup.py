@@ -340,9 +340,11 @@ def simhash_dedup_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Pairs within ``max_hamming`` bits via the chunked pigeonhole join."""
-    # repartition = optimizer barrier (see minhash_dedup_pairs): stops the
-    # 4 chunk references from inlining 4 recomputations of the signature.
-    sig = simhash_signature(df, id_col, text_col).repartition(F.col(id_col))
+    # localCheckpoint cuts the HOF signature fold out of the optimizer
+    # (same reasoning as minhash_dedup_pairs): the chunk expressions and
+    # the self-join's two sides otherwise each re-derive the signature
+    # stage (measured ~1.6× on the headline corpus).
+    sig = simhash_signature(df, id_col, text_col).localCheckpoint(eager=True)
     return hamming_chunk_pairs(sig, id_col, "simhash", max_hamming)
 
 
