@@ -91,3 +91,56 @@ def test_decontaminate_drops_planted_overlap(spark):
     assert {(r.doc_id, r.bench_id) for r in overlap} == {(10, 1)}
     kept = sorted(r.doc_id for r in decontaminate(docs, bench, k=8).collect())
     assert kept == [11, 12]
+
+
+def test_curation_with_benchmark_stage(spark, messy_corpus):
+    """The optional decontamination stage drops docs overlapping the
+    benchmark and accounts for them; totals still balance."""
+    one = messy_corpus.filter(F.col("doc_id") == 0).collect()
+    if not one:
+        one = messy_corpus.limit(1).collect()
+    bench = spark.createDataFrame(
+        [(1, one[0].text)], "bench_id long, text string"
+    )
+    curated, rep = curate(
+        messy_corpus,
+        min_tokens=5,
+        max_stop_ratio=0.95,
+        allowed_langs=["en", "de", "fr", "es", "zh"],
+        near_dup_threshold=0.9,
+        benchmark=bench,
+        benchmark_ngram=8,
+    )
+    assert rep.dropped_contaminated >= 1  # the source doc itself overlaps
+    assert rep.output_docs == curated.count()
+    assert rep.output_docs == (
+        rep.input_docs
+        - rep.dropped_quality
+        - rep.dropped_lang
+        - rep.dropped_exact_dup
+        - rep.dropped_near_dup
+        - rep.dropped_contaminated
+    )
+    survivor_ids = {r.doc_id for r in curated.select("doc_id").collect()}
+    assert one[0].doc_id not in survivor_ids
+
+
+def test_diversity_sample_caps_clusters_deterministically(spark, sf_small):
+    from wing_binlog_go_spark.operators.similarity import diversity_sample
+
+    emb = read_table(spark, sf_small, "embeddings")
+    out1 = diversity_sample(emb, per_cluster=5, n_clusters=4)
+    counts = {r._cluster: r.cnt for r in
+              out1.groupBy("_cluster").agg(F.count("*").alias("cnt")).collect()}
+    assert counts and all(c <= 5 for c in counts.values())
+    # every non-empty cluster is represented (sampling caps, never empties)
+    assert len(counts) >= 2
+    # deterministic: same seed → identical sample
+    ids1 = sorted(r.vec_id for r in out1.select("vec_id").collect())
+    ids2 = sorted(
+        r.vec_id
+        for r in diversity_sample(emb, per_cluster=5, n_clusters=4)
+        .select("vec_id")
+        .collect()
+    )
+    assert ids1 == ids2

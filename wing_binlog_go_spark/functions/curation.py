@@ -33,6 +33,7 @@ class CurationReport:
     dropped_lang: int = 0
     dropped_exact_dup: int = 0
     dropped_near_dup: int = 0
+    dropped_contaminated: int = 0
     output_docs: int = 0
     stages: list[str] = field(default_factory=list)
 
@@ -46,6 +47,8 @@ def curate(
     allowed_langs: list[str] | None = None,
     lang_col: str = "lang",
     near_dup_threshold: float = 0.9,
+    benchmark: DataFrame | None = None,
+    benchmark_ngram: int = 8,
 ) -> tuple[DataFrame, CurationReport]:
     """documents → curated documents + per-stage drop accounting."""
     rep = CurationReport()
@@ -100,9 +103,30 @@ def curate(
         exact, id_col=id_col, text_col=text_col, threshold=near_dup_threshold
     )
     curated = keep_canonical(exact, pairs, id_col=id_col)
-    rep.output_docs = curated.count()
-    rep.dropped_near_dup = n - rep.output_docs
+    m = curated.count()
+    rep.dropped_near_dup = n - m
+    n = m
     rep.stages.append(f"near-dup: -{rep.dropped_near_dup}")
+
+    # 5. benchmark decontamination last: it must see the docs that will
+    #    actually ship (dropping dups first avoids re-checking them), and
+    #    the eval-set broadcast join is the cheapest stage per row
+    if benchmark is not None:
+        from wing_binlog_go_spark.functions.text import decontaminate
+
+        curated = decontaminate(
+            curated,
+            benchmark,
+            k=benchmark_ngram,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        m = curated.count()
+        rep.dropped_contaminated = n - m
+        n = m
+        rep.stages.append(f"decontaminate: -{rep.dropped_contaminated}")
+
+    rep.output_docs = n
     good.unpersist()
     exact.unpersist()
     return curated, rep

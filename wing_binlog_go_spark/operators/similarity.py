@@ -319,6 +319,64 @@ def embedding_near_dup_pairs(
     )
 
 
+def diversity_sample(
+    corpus: DataFrame,
+    per_cluster: int = 100,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cluster diversity downsampling: cap each semantic
+    cluster at ``per_cluster`` docs, so over-represented modes (boiler-
+    plate, templates) can't dominate a training mix.
+
+    Mechanics: k-means centroids (fixed seed, driver-side, broadcast as
+    literals) → map-side nearest-centroid assignment (no shuffle) → one
+    window per cluster keeping the ``per_cluster`` smallest
+    xxhash64(seed, id) values — a deterministic pseudo-random sample, so
+    replays/audits reproduce the exact mix. Output adds the `_cluster`
+    column for mix accounting. The only shuffle is the per-cluster
+    window, keyed by cluster (bounded cardinality, AQE-skew-safe).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.withColumn("_dv", as_double(vec_col))
+    train = c.select(array_to_vector("_dv").alias("features"))
+    km = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
+    cents = [list(map(float, ctr)) for ctr in km.clusterCenters()]
+
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_dv"),
+                        F.array(*[F.lit(x) for x in ctr]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, ctr in enumerate(cents)
+        ]
+    )
+    assigned = c.withColumn(
+        "_cluster", F.element_at(F.array_sort(dists), 1)["i"]
+    ).drop("_dv")
+    w = Window.partitionBy("_cluster").orderBy(
+        F.xxhash64(F.lit(seed), F.col(id_col)), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_cluster)
+        .drop("_rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registered queries
 # ---------------------------------------------------------------------------
@@ -389,7 +447,17 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, q, k=5).orderBy("query_id", "rnk")
 
 
+def _q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        diversity_sample(emb, per_cluster=10, n_clusters=8)
+        .select("vec_id", "_cluster")
+        .orderBy("vec_id")
+    )
+
+
 QUERIES["q38_ann_brute_force"] = QuerySpec(_q_ann_brute, _ANN_ORACLE)
 QUERIES["q38b_ann_lsh"] = QuerySpec(_q_ann_lsh, None)  # recall property-test
 QUERIES["q38c_embedding_near_dup"] = QuerySpec(_q_near_dup, _NEAR_DUP_ORACLE)
 QUERIES["q38d_ann_ivf"] = QuerySpec(_q_ann_ivf, None)  # recall property-test
+QUERIES["q38e_diversity_sample"] = QuerySpec(_q_diversity_sample, None)  # KMeans — no SQL oracle

@@ -37,11 +37,11 @@ _OPERATOR_MODULES = (
 failed_modules: dict[str, str] = {}
 
 # First 50 = the driver's round-1 verification window.  Layout:
-#   1-11   north-star queries WITH DuckDB oracles (full hash check)
-#   12-17  north-star approximate variants (rows-only driver check)
-#   18-50  relational core (all hash-verified in round 1; re-verified here)
-# Everything else (q18/q25/q26/q40, q41-q77 extras) follows in module
-# order — they keep local oracle coverage and earned round-1 rows.
+#   1-12   north-star queries WITH DuckDB oracles (full hash check)
+#   13-19  north-star approximate variants (rows-only driver check)
+#   20-50  relational core (all hash-verified in round 1; re-verified here)
+# Everything else (q13/q18/q25/q26/q34/q40, q41-q77 extras) follows in
+# module order — they keep local oracle coverage and earned round-1 rows.
 _PRIORITY = (
     # North-star, oracle-bearing.
     "q37c_ngram_jaccard",
@@ -55,12 +55,14 @@ _PRIORITY = (
     "q39e_lang_id",
     "q39f_fingerprint_md5",
     "q39h_tfidf",
+    "q39i_decontamination",
     # North-star, approximate (rows-only check by design).
     "q37_minhash_dedup",
     "q37b_simhash_dedup",
     "q37d_dedup_survivors",
     "q38b_ann_lsh",
     "q38d_ann_ivf",
+    "q38e_diversity_sample",
     "q39g_minhash_sketch",
     # Relational core.
     "q01_parquet_scan",
@@ -75,7 +77,6 @@ _PRIORITY = (
     "q10_left_semi_join",
     "q11_left_anti_join",
     "q12_range_join",
-    "q13_cross_join",
     "q14_tpch_q3",
     "q15_asof_join",
     "q16_tpch_q1",
@@ -93,7 +94,6 @@ _PRIORITY = (
     "q31_math_decimal",
     "q32_conditional",
     "q33_array_functions",
-    "q34_map_functions",
     "q35_json_functions",
     "q36_exact_dedup",
 )
