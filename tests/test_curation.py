@@ -144,3 +144,32 @@ def test_diversity_sample_caps_clusters_deterministically(spark, sf_small):
         .collect()
     )
     assert ids1 == ids2
+
+
+def test_pii_redaction_planted(spark):
+    from wing_binlog_go_spark.functions.text import pii_counts, redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at alice.smith+work@example.co.uk for details"),
+            (2, "server at 192.168.1.100 answered, call +1 (555) 123-4567 now"),
+            (3, "no sensitive content in this perfectly ordinary sentence"),
+        ],
+        "doc_id long, text string",
+    )
+    counts = pii_counts("text")
+    got = {
+        r.doc_id: (r.email, r.phone, r.ipv4)
+        for r in docs.select(
+            "doc_id",
+            counts["email"].alias("email"),
+            counts["phone"].alias("phone"),
+            counts["ipv4"].alias("ipv4"),
+        ).collect()
+    }
+    assert got[1][0] == 1 and got[2][2] == 1 and got[2][1] >= 1
+    assert got[3] == (0, 0, 0)
+    red = {r.doc_id: r.red for r in docs.select("doc_id", redact_pii("text").alias("red")).collect()}
+    assert "example.co.uk" not in red[1] and "[PII]" in red[1]
+    assert "192.168.1.100" not in red[2] and "555" not in red[2]
+    assert red[3] == "no sensitive content in this perfectly ordinary sentence"

@@ -102,3 +102,19 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         .collect()
     )
     assert a == b
+
+
+def test_decontamination_broadcasts_benchmark_side(spark, sf_dir):
+    """q39i must broadcast the (small) eval-set shingles and never
+    cross-join: corpus shuffle is limited to the final count agg."""
+    p = plan_of(_Q["q39i_decontamination"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_minhash_band_join_is_equi_join(spark, sf_dir):
+    """q37's candidate generation must stay an equi-join on band hashes
+    (the whole point of LSH); any nested-loop/cartesian is a regression."""
+    p = plan_of(_Q["q37_minhash_dedup"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p

@@ -270,6 +270,61 @@ ORDER BY tfidf DESC, doc_id, tf.term LIMIT 50
 """
 
 # ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# Patterns kept to the Java/RE2 common subset so the same regex runs in
+# Spark (Java) and DuckDB (RE2) — no backrefs, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_counts(text_col: str = "text") -> dict[str, Column]:
+    """Per-category PII hit counts for one document (column exprs).
+
+    regexp_count is JVM-side and codegen-friendly; a corpus-wide scrub
+    is a pure map stage."""
+    c = F.col(text_col)
+    return {name: F.regexp_count(c, F.lit(pat)) for name, pat in PII_PATTERNS.items()}
+
+
+def redact_pii(text_col: str = "text", replacement: str = "[PII]") -> Column:
+    """Replace every PII span with ``replacement`` (chained
+    regexp_replace — one pass per category, all JVM-side)."""
+    c = F.col(text_col)
+    for pat in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, replacement)
+    return c
+
+
+def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide PII audit: docs-hit and total hits per category."""
+    docs = read_table(spark, sf_dir, "documents")
+    counts = pii_counts("text")
+    agg = []
+    for name in PII_PATTERNS:
+        agg.append(F.sum((counts[name] > 0).cast("bigint")).alias(f"docs_{name}"))
+        agg.append(F.sum(counts[name].cast("bigint")).alias(f"hits_{name}"))
+    return docs.agg(*agg)
+
+
+def _pii_oracle() -> str:
+    cols = []
+    for name, pat in PII_PATTERNS.items():
+        dpat = pat.replace("'", "''")
+        cols.append(
+            f"CAST(SUM(CASE WHEN regexp_matches(text, '{dpat}') THEN 1 ELSE 0 END) AS BIGINT) AS docs_{name}"
+        )
+        cols.append(
+            f"CAST(SUM(len(regexp_extract_all(text, '{dpat}'))) AS BIGINT) AS hits_{name}"
+        )
+    return "SELECT " + ", ".join(cols) + " FROM documents"
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination (n-gram overlap against an eval set)
 # ---------------------------------------------------------------------------
 
@@ -366,6 +421,7 @@ ORDER BY 1, 2
 
 QUERIES["q39h_tfidf"] = QuerySpec(_q_tfidf, _TFIDF_ORACLE)
 QUERIES["q39i_decontamination"] = QuerySpec(_q_decontamination, _DECONTAMINATION_ORACLE)
+QUERIES["q39j_pii_scan"] = QuerySpec(_q_pii_scan, _pii_oracle())
 QUERIES["q39_word_count"] = QuerySpec(_q_word_count, _WORD_COUNT_ORACLE)
 QUERIES["q39b_token_stats"] = QuerySpec(_q_token_stats, _TOKEN_STATS_ORACLE)
 QUERIES["q39c_bpe_token_count"] = QuerySpec(_q_bpe_token_count, _BPE_ORACLE)
