@@ -10,6 +10,7 @@ stable across engines (the DuckDB oracle also runs in UTC).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -44,6 +45,17 @@ def get_spark(
         # --- python boundary ------------------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- catalog ---------------------------------------------------
+        # bucketed tables (operators/bucketing.py) go through saveAsTable;
+        # keep the local warehouse out of the repo working dir. Static
+        # conf — only effective for the session that creates the JVM.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), f"spark-warehouse-{os.getuid()}"),
+            ),
+        )
         # --- semantics -------------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
         # ANSI off: MySQL-style permissive casts match the reference's
