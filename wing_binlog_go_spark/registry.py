@@ -37,11 +37,12 @@ _OPERATOR_MODULES = (
 failed_modules: dict[str, str] = {}
 
 # First 50 = the driver's round-1 verification window.  Layout:
-#   1-12   north-star queries WITH DuckDB oracles (full hash check)
-#   13-19  north-star approximate variants (rows-only driver check)
-#   20-50  relational core (all hash-verified in round 1; re-verified here)
-# Everything else (q13/q18/q25/q26/q34/q40, q41-q77 extras) follows in
-# module order — they keep local oracle coverage and earned round-1 rows.
+#   1-13   north-star queries WITH DuckDB oracles (full hash check)
+#   14-20  north-star approximate variants (rows-only driver check)
+#   21-50  relational core (all hash-verified in round 1; re-verified here)
+# Everything else (q13/q18/q25/q26/q29/q34/q40, q41-q77 extras) follows
+# in module order — they keep local oracle coverage and earned round-1
+# rows.
 _PRIORITY = (
     # North-star, oracle-bearing.
     "q37c_ngram_jaccard",
@@ -56,6 +57,7 @@ _PRIORITY = (
     "q39f_fingerprint_md5",
     "q39h_tfidf",
     "q39i_decontamination",
+    "q39j_pii_scan",
     # North-star, approximate (rows-only check by design).
     "q37_minhash_dedup",
     "q37b_simhash_dedup",
@@ -89,7 +91,6 @@ _PRIORITY = (
     "q24_window_frame",
     "q27_union",
     "q28_intersect",
-    "q29_string_functions",
     "q30_date_functions",
     "q31_math_decimal",
     "q32_conditional",

@@ -210,6 +210,10 @@ def latest_image_per_pk(env: DataFrame, pk: str | list[str] = "id") -> DataFrame
     old_key = _pk_key(F.col("event.old_data"), pk_cols)
     pk_moves = (
         changes.filter(F.col("event_type") == "update")
+        # a foreign feed may omit the before-image entirely; without it
+        # there is no old key to tombstone (and the all-NULL key would
+        # otherwise produce a phantom tombstone row)
+        .filter(F.col("event.old_data").isNotNull())
         .filter(~old_key.eqNullSafe(key))
         .select(
             old_key.alias("_pk"),
