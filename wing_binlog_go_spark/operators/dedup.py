@@ -79,65 +79,6 @@ def minhash_signature(
     return df.select(id_col, mh.alias("mh"))
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, num_hashes: int, bands: int
-) -> DataFrame:
-    """Band the signature; docs sharing any band-hash become a candidate pair.
-
-    ``bands`` should divide ``num_hashes``; if not, the trailing
-    ``num_hashes % bands`` signature positions are simply unused.
-    """
-    rows_per_band = num_hashes // bands
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[
-                    F.element_at("mh", b * rows_per_band + i + 1)
-                    for i in range(rows_per_band)
-                ],
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = sig.select(
-        F.col(id_col).alias("doc"), F.posexplode(band_hashes).alias("band", "bh")
-    )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )
-
-
-def estimate_jaccard(
-    pairs: DataFrame, sig: DataFrame, id_col: str, num_hashes: int
-) -> DataFrame:
-    """Fraction of agreeing minhashes ≈ Jaccard similarity."""
-    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("mh").alias("mh_a"))
-    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("mh").alias("mh_b"))
-    agree = F.size(
-        F.filter(
-            F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda eq: eq
-        )
-    )
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (agree / F.lit(num_hashes)).alias("est_jaccard"),
-        )
-    )
-
-
 def persist_minhash_signatures(
     df: DataFrame,
     path: str,

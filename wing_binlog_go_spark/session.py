@@ -16,6 +16,14 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Per-process warehouse: the local catalog is in-memory, so a REUSED
+# warehouse path from a previous JVM makes saveAsTable fail with
+# LOCATION_ALREADY_EXISTS (the table is new to the catalog but its
+# directory survives). One fresh dir per process; /tmp cleanup reaps it.
+_WAREHOUSE_DIR = os.environ.get("SPARK_GRAFT_WAREHOUSE") or os.path.join(
+    tempfile.gettempdir(), f"spark-warehouse-{os.getpid()}"
+)
+
 
 def get_spark(
     app_name: str = "wing-binlog-go-spark",
@@ -49,13 +57,7 @@ def get_spark(
         # bucketed tables (operators/bucketing.py) go through saveAsTable;
         # keep the local warehouse out of the repo working dir. Static
         # conf — only effective for the session that creates the JVM.
-        .config(
-            "spark.sql.warehouse.dir",
-            os.environ.get(
-                "SPARK_GRAFT_WAREHOUSE",
-                os.path.join(tempfile.gettempdir(), f"spark-warehouse-{os.getuid()}"),
-            ),
-        )
+        .config("spark.sql.warehouse.dir", _WAREHOUSE_DIR)
         # --- semantics -------------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
         # ANSI off: MySQL-style permissive casts match the reference's

@@ -247,6 +247,8 @@ class BinlogBatchReader(DataSourceReader):
         if not self.path:
             raise ValueError("binlog source requires option 'path'")
         self.gtid_exclude = options.get("start_gtid") or None
+        if self.gtid_exclude:
+            GtidSet(self.gtid_exclude)  # validate eagerly, on the driver
 
     def partitions(self) -> list[InputPartition]:
         sizes = _list_complete_sizes(self.path)
