@@ -173,3 +173,23 @@ def test_pii_redaction_planted(spark):
     assert "example.co.uk" not in red[1] and "[PII]" in red[1]
     assert "192.168.1.100" not in red[2] and "555" not in red[2]
     assert red[3] == "no sensitive content in this perfectly ordinary sentence"
+
+
+def test_repetition_features_planted(spark):
+    from wing_binlog_go_spark.functions.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now " * 20 + "limited offer"),            # template spam
+            (2, "a perfectly ordinary varied sentence with many different words"),
+            (3, "solo"),                                       # single token
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.distinct_token_ratio, r.top_bigram_frac)
+        for r in repetition_features(docs).collect()
+    }
+    assert got[1][0] < 0.2 and got[1][1] > 0.4   # repeated bigram dominates
+    assert got[2][0] == 1.0 and got[2][1] < 0.2  # all tokens distinct
+    assert got[3][0] == 1.0                      # degenerate doc doesn't crash

@@ -270,6 +270,88 @@ ORDER BY tfidf DESC, doc_id, tf.term LIMIT 50
 """
 
 # ---------------------------------------------------------------------------
+# repetition features (published quality heuristics: a document whose
+# mass concentrates in one repeated n-gram is boilerplate/spam — the
+# "duplicate n-gram fraction" family of filters used for LM corpora)
+# ---------------------------------------------------------------------------
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, distinct_token_ratio, top_bigram_frac) per document.
+
+    - distinct_token_ratio: |distinct tokens| / |tokens| — low ⇒ loops.
+    - top_bigram_frac: occurrences of the most frequent bigram / all
+      bigram occurrences — high ⇒ template repetition.
+
+    distinct ratio is a pure row expression; the bigram mode needs one
+    explode + two combiner-friendly aggregations keyed by doc (shuffle
+    bounded by corpus token count, same shape as word-count q39)."""
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
+            "distinct_token_ratio"
+        ),
+        toks.alias("_t"),
+    )
+    bigrams = base.select(
+        id_col,
+        "distinct_token_ratio",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("_t") - 1, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("_t", i), F.element_at("_t", i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    per_bigram = bigrams.groupBy(id_col, "distinct_token_ratio", "bg").agg(
+        F.count("*").alias("c")
+    )
+    return per_bigram.groupBy(id_col, "distinct_token_ratio").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")
+    )
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return repetition_features(docs).orderBy("doc_id").limit(100)
+
+
+# single-token docs: one bigram "tok tok"? No — Spark's sequence(1, max(
+# size-1,1)) yields i=1 with element_at(_t, 2) = NULL; concat_ws skips
+# NULLs so the bigram is just the token. The oracle mirrors this shape.
+_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), base AS (
+  SELECT doc_id,
+         ROUND(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 6)
+           AS distinct_token_ratio,
+         t
+  FROM toks
+), bg AS (
+  SELECT doc_id, distinct_token_ratio,
+         unnest(list_transform(range(1, GREATEST(len(t) - 1, 1) + 1),
+                i -> CASE WHEN i + 1 <= len(t)
+                          THEN t[i] || ' ' || t[i + 1]
+                          ELSE t[i] END)) AS bg
+  FROM base
+), per AS (
+  SELECT doc_id, distinct_token_ratio, bg, COUNT(*) AS c
+  FROM bg GROUP BY 1, 2, 3
+)
+SELECT doc_id, distinct_token_ratio,
+       ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_bigram_frac
+FROM per GROUP BY 1, 2
+ORDER BY doc_id LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
 # PII detection / redaction
 # ---------------------------------------------------------------------------
 
@@ -422,6 +504,7 @@ ORDER BY 1, 2
 QUERIES["q39h_tfidf"] = QuerySpec(_q_tfidf, _TFIDF_ORACLE)
 QUERIES["q39i_decontamination"] = QuerySpec(_q_decontamination, _DECONTAMINATION_ORACLE)
 QUERIES["q39j_pii_scan"] = QuerySpec(_q_pii_scan, _pii_oracle())
+QUERIES["q39k_repetition"] = QuerySpec(_q_repetition, _REPETITION_ORACLE)
 QUERIES["q39_word_count"] = QuerySpec(_q_word_count, _WORD_COUNT_ORACLE)
 QUERIES["q39b_token_stats"] = QuerySpec(_q_token_stats, _TOKEN_STATS_ORACLE)
 QUERIES["q39c_bpe_token_count"] = QuerySpec(_q_bpe_token_count, _BPE_ORACLE)

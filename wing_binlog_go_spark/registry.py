@@ -37,12 +37,12 @@ _OPERATOR_MODULES = (
 failed_modules: dict[str, str] = {}
 
 # First 50 = the driver's round-1 verification window.  Layout:
-#   1-13   north-star queries WITH DuckDB oracles (full hash check)
-#   14-20  north-star approximate variants (rows-only driver check)
-#   21-50  relational core (all hash-verified in round 1; re-verified here)
-# Everything else (q13/q18/q25/q26/q29/q34/q40, q41-q77 extras) follows
-# in module order — they keep local oracle coverage and earned round-1
-# rows.
+#   1-14   north-star queries WITH DuckDB oracles (full hash check)
+#   15-21  north-star approximate variants (rows-only driver check)
+#   22-50  relational core (all hash-verified in round 1; re-verified here)
+# Everything else (q13/q18/q25/q26/q27/q29/q34/q40, q41-q77 extras)
+# follows in module order — they keep local oracle coverage and earned
+# round-1 rows.
 _PRIORITY = (
     # North-star, oracle-bearing.
     "q37c_ngram_jaccard",
@@ -58,6 +58,7 @@ _PRIORITY = (
     "q39h_tfidf",
     "q39i_decontamination",
     "q39j_pii_scan",
+    "q39k_repetition",
     # North-star, approximate (rows-only check by design).
     "q37_minhash_dedup",
     "q37b_simhash_dedup",
@@ -89,7 +90,6 @@ _PRIORITY = (
     "q22_window_ranking",
     "q23_window_lag",
     "q24_window_frame",
-    "q27_union",
     "q28_intersect",
     "q30_date_functions",
     "q31_math_decimal",
