@@ -231,7 +231,11 @@ def tf_idf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     object, just relational algebra, so it composes with everything."""
     from pyspark.sql.functions import broadcast
 
-    tok = docs.select(id_col, F.explode(tokens(text_col)).alias("term"))
+    # localCheckpoint: tok feeds BOTH aggregations below; without the
+    # barrier the tokenize+explode scan runs once per consumer
+    tok = docs.select(
+        id_col, F.explode(tokens(text_col)).alias("term")
+    ).localCheckpoint(eager=True)
     tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     n_docs = docs.count()
     df_tbl = (

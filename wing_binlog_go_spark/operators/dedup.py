@@ -302,9 +302,13 @@ def ngram_jaccard_pairs(
     threshold: float = 0.1,
 ) -> DataFrame:
     """Exact Jaccard over k-word shingles for pairs sharing ≥1 shingle."""
+    # localCheckpoint: the shingle explode (a HOF transform) is referenced
+    # by the self-join's two sides AND the sizes aggregate — without the
+    # barrier it's recomputed three times (measured ~9× total on the
+    # oracle corpus).
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("s")
-    )
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
