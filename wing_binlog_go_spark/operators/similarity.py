@@ -22,6 +22,7 @@ aggregate) on doubles; no Python UDFs.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -101,7 +102,11 @@ def _hyperplanes(dim: int, n_bits: int, table: int, seed: int = 42) -> list[list
 
 
 def bucket_expr(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id: bit j = 1 iff dot(vec, plane_j) > 0."""
+    """Sign-bit bucket id: bit j = 1 iff dot(vec, plane_j) > 0.
+
+    Column-expression form — kept for single-table uses and as the
+    semantic reference for the vectorized ``all_table_buckets`` below.
+    """
     bits = [
         F.when(
             dot(vec_col, F.array(*[F.lit(float(v)) for v in plane])) > 0,
@@ -113,6 +118,37 @@ def bucket_expr(vec_col: Column, planes: list[list[float]]) -> Column:
     for b in bits[1:]:
         out = out.bitwiseOR(b)
     return out
+
+
+def all_table_buckets(n_bits: int, n_tables: int, dim: int, seed: int = 42):
+    """Arrow-vectorized bucket ids for ALL hash tables in one pass:
+    vec → array<long>[n_tables].
+
+    Why a pandas UDF when everything else is JVM-side: the expression
+    form embeds n_tables × n_bits literal hyperplanes (→ thousands of
+    Catalyst nodes, re-optimized on every query build — measured ~5 s of
+    plan time per call at 8×4×64) and the per-row dot products are
+    CodegenFallback-interpreted anyway. Here the planes live in ONE
+    numpy (tables, bits, dim) tensor closed over by the UDF, the plan
+    gets a single opaque node, and each Arrow batch is one einsum —
+    the documented "dense linear algebra" exception to the
+    built-ins-first rule. Same sign convention (> 0) as bucket_expr.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.stack(
+        [np.array(_hyperplanes(dim, n_bits, t, seed)) for t in range(n_tables)]
+    )  # (tables, bits, dim)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])  # (n, dim)
+        prod = np.einsum("tbd,nd->ntb", planes, mat)  # (n, tables, bits)
+        ids = ((prod > 0) * weights).sum(axis=2)  # (n, tables)
+        return pd.Series(list(ids))
+
+    return buckets
 
 
 def lsh_topk(
@@ -136,20 +172,15 @@ def lsh_topk(
     """
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("_cv"))
     q = queries.select(F.col(query_id_col), as_double(vec_col).alias("_qv"))
+    buckets = all_table_buckets(n_bits, n_tables, dim)
 
     def with_buckets(df, vcol, out_prefix):
-        arr = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    bucket_expr(F.col(vcol), _hyperplanes(dim, n_bits, t)).alias("bkt"),
-                )
-                for t in range(n_tables)
-            ]
-        )
         return df.select(
-            "*", F.explode(arr).alias("_tb")
-        ).select("*", F.col("_tb.tbl").alias(f"{out_prefix}_tbl"), F.col("_tb.bkt").alias(f"{out_prefix}_bkt")).drop("_tb")
+            "*",
+            F.posexplode(buckets(F.col(vcol))).alias(
+                f"{out_prefix}_tbl", f"{out_prefix}_bkt"
+            ),
+        )
 
     cb = with_buckets(c, "_cv", "c")
     qb = with_buckets(q, "_qv", "q")
@@ -201,38 +232,33 @@ def ivf_topk(
 
     train = c.select(array_to_vector("_cv").alias("features"))
     km = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(train)
-    cents = [list(map(float, ctr)) for ctr in km.clusterCenters()]
+    cents = np.stack([np.asarray(ctr, dtype=np.float64) for ctr in km.clusterCenters()])
 
-    def nearest(vcol: Column, n: int) -> Column:
-        """indices of the n nearest centroids by squared L2 (array expr)."""
-        dists = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            vcol,
-                            F.array(*[F.lit(x) for x in ctr]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    F.lit(i).alias("i"),
-                )
-                for i, ctr in enumerate(cents)
-            ]
-        )
-        return F.slice(F.array_sort(dists), 1, n)
+    def nearest_udf(n: int):
+        """Arrow-vectorized n-nearest-centroid indices by squared L2.
+        Same reasoning as all_table_buckets: the expression form carries
+        n_centroids × dim literals through Catalyst per reference; here
+        the centroid matrix rides inside one opaque UDF node. Ties break
+        on the lower centroid index (stable argsort), matching the
+        struct array_sort tie rule of the expression formulation."""
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<int>")
+        def nearest(v: pd.Series) -> pd.Series:
+            mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+            d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :n].astype(np.int32)
+            return pd.Series(list(order))
+
+        return nearest
 
     assigned = c.select(
-        id_col, "_cv", F.element_at(nearest(F.col("_cv"), 1), 1)["i"].alias("_list")
+        id_col, "_cv", F.element_at(nearest_udf(1)(F.col("_cv")), 1).alias("_list")
     )
     probed = q.select(
         query_id_col,
         "_qv",
-        F.explode(F.transform(nearest(F.col("_qv"), n_probe), lambda s: s["i"])).alias(
-            "_list"
-        ),
+        F.explode(nearest_udf(n_probe)(F.col("_qv"))).alias("_list"),
     )
     cand = assigned.join(broadcast(probed), "_list").filter(
         F.col(id_col) != F.col(query_id_col)
@@ -263,18 +289,8 @@ def embedding_near_dup_lsh(
     dups at cos≥0.95 (θ≤18°) collide in one of 6 8-bit tables with
     p ≈ 1-(1-(1-18/180)^8)^6 ≈ 0.98."""
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("_v"))
-    arr = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                bucket_expr(F.col("_v"), _hyperplanes(dim, n_bits, t)).alias("bkt"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    b = c.select(id_col, "_v", F.explode(arr).alias("_tb")).select(
-        id_col, "_v", F.col("_tb.tbl").alias("tbl"), F.col("_tb.bkt").alias("bkt")
-    )
+    buckets = all_table_buckets(n_bits, n_tables, dim)
+    b = c.select(id_col, "_v", F.posexplode(buckets(F.col("_v"))).alias("tbl", "bkt"))
     lhs = b.select(
         F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "tbl", "bkt"
     )
