@@ -1,0 +1,321 @@
+"""Corpus mixing / sampling / packing for training-data pipelines.
+
+The reference system feeds downstream consumers that assemble training
+corpora (`readme.md:40-43` delegates analytics/ETL to subscribers); this
+module supplies the corpus-assembly operators those consumers need:
+
+- **stratified_sample** — deterministic per-stratum downsampling by a
+  seeded hash threshold (the standard "mixture weights" step when
+  combining sources/languages into one training mix).
+- **sequence_pack** — assign documents to fixed-token-capacity packs
+  (context-window packing), parallel across shards.
+- **shuffle_rank** — a deterministic, seeded global shuffle order
+  (training-data shuffling must be reproducible; ORDER BY rand() is not).
+- **token_budget_head** — take the best documents, in quality order,
+  until a token budget is filled (corpus targeting "N tokens").
+
+Everything is Catalyst built-ins; the two global-order operators reuse
+the range-partitioned two-phase pattern (no single-partition windows),
+so each survives a 1000-executor / 100 TB scale-up.
+
+Hash parity note: sampling/shuffle keys are md5 hex strings — md5 is
+identical in Spark (JVM) and DuckDB, which makes every operator here
+oracle-checkable, unlike rand()/hash() which differ per engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wing_binlog_go_spark.functions.envelope import with_dense_index
+from wing_binlog_go_spark.operators.dedup import tokens
+from wing_binlog_go_spark.plans.relational import QuerySpec
+from wing_binlog_go_spark.tables import read_table
+
+QUERIES: dict[str, QuerySpec] = {}
+
+# Default language mixture for the registered query (weights are the
+# operator's input, not a claim about good mixtures).
+DEFAULT_RATES: dict[str, float] = {
+    "en": 0.5,
+    "fr": 0.25,
+    "de": 0.25,
+    "es": 0.125,
+    "zh": 0.125,
+}
+DEFAULT_RATE = 0.05
+
+
+def _hash_threshold(rate: float) -> str:
+    """Rate → 8-hex-digit threshold: P(substr(md5,1,8) < t) == rate.
+
+    Fixed-width lowercase hex compares lexicographically == numerically,
+    so the same string comparison works in Spark and DuckDB. rate >= 1
+    yields a 9-char string every 8-char hex sorts below (always true).
+    """
+    return format(min(int(rate * 2**32), 2**32), "08x")
+
+
+def sample_key(id_col: str | Column, seed: int) -> Column:
+    """Seeded uniform draw in hex: substr(md5('<seed>:<id>'), 1, 8)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), c.cast("string"))), 1, 8)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_rate: float = DEFAULT_RATE,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically.
+
+    A pure row-local filter (no shuffle, no state): the keep/drop
+    decision is a function of (seed, id) alone, so the sample is
+    reproducible across runs, engines, and cluster layouts, and two
+    overlapping runs agree on every shared row — the property training
+    pipelines need for resumable corpus builds. Filter is a column
+    predicate ⇒ pushes into the scan where the format allows.
+    """
+    threshold: Column = F.lit(_hash_threshold(default_rate))
+    for stratum, rate in rates.items():
+        threshold = (
+            F.when(F.col(stratum_col) == stratum, F.lit(_hash_threshold(rate)))
+            .otherwise(threshold)
+        )
+    return df.filter(sample_key(id_col, seed) < threshold)
+
+
+def sequence_pack(
+    df: DataFrame,
+    capacity: int,
+    shard_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document to a fixed-capacity token pack.
+
+    Greedy start-bin rule: documents are laid out in ``id_col`` order
+    within each shard; a document belongs to the pack where its first
+    token lands (``floor(tokens_before / capacity)``). Packs are built
+    independently per shard — the per-shard window parallelizes across
+    the cluster (real packing pipelines shard exactly this way; a single
+    global window would serialize on one task).
+
+    Returns (id, shard, n_tokens, pack_id).
+    """
+    n_tok = F.size(tokens(text_col)).cast("bigint")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)
+    return df.select(
+        id_col,
+        shard_col,
+        n_tok.alias("n_tokens"),
+        F.floor((cum - n_tok) / F.lit(float(capacity))).cast("bigint").alias("pack_id"),
+    )
+
+
+def shuffle_rank(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 17, out: str = "shuffle_pos"
+) -> DataFrame:
+    """Deterministic seeded global shuffle position (1-based).
+
+    The shuffle key is a seeded md5 draw, so the permutation is a pure
+    function of (seed, ids) — reproducible across runs and engines.
+    Ranking reuses ``with_dense_index`` (range-repartition + in-partition
+    row_number + driver-side offset map): no single-partition global
+    window, so the sort scales like any Spark global sort.
+    """
+    keyed = df.withColumn("_shuf", sample_key(id_col, seed))
+    ranked = with_dense_index(keyed, ["_shuf", id_col], out=out)
+    return ranked.drop("_shuf")
+
+
+def with_running_total(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value_col: Column,
+    out: str = "_running",
+) -> DataFrame:
+    """Global inclusive running SUM(value) in ``order_cols`` order,
+    without a single-partition window.
+
+    Same two-phase shape as ``with_dense_index``: range-repartition on
+    the order (each partition holds a contiguous range — partition ids
+    increase along the sort), cumsum within partitions, then add each
+    partition's prefix offset from a tiny driver-side sum map. The
+    collect is O(#partitions) scalars.
+    """
+    ranged = (
+        df.withColumn("_val", value_col)
+        .repartitionByRange(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # localCheckpoint: the per-partition sums collect and the caller's
+    # action are separate jobs; the barrier keeps them on identical
+    # range boundaries (and runs the shuffle+sort once).
+    summed = ranged.withColumn("_cum", F.sum("_val").over(w)).localCheckpoint(
+        eager=True
+    )
+    part_sums = {
+        r._pid: r.s
+        for r in summed.groupBy("_pid").agg(F.sum("_val").alias("s")).collect()
+    }
+    acc = 0
+    offsets: dict[int, int] = {}
+    for p in sorted(part_sums):
+        offsets[p] = acc
+        acc += part_sums[p] or 0
+    if not offsets:
+        return df.withColumn(out, F.lit(None).cast("long"))
+    mapping = F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
+    return summed.withColumn(
+        out, (F.element_at(mapping, F.col("_pid")) + F.col("_cum")).cast("long")
+    ).drop("_pid", "_val", "_cum")
+
+
+def token_budget_head(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Highest-quality documents until the token budget fills.
+
+    Quality = distinct-token ratio (the repetition filter's signal),
+    descending, id ascending as the total-order tiebreak. A document is
+    kept iff the inclusive running token total in that order stays
+    within budget — the deterministic "give me the best N-token corpus"
+    selector. Returns (id, n_tokens, cum_tokens).
+    """
+    toks = tokens(text_col)
+    scored = df.select(
+        id_col,
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("_q"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    order: list[Column | str] = [F.col("_q").desc(), F.col(id_col).asc()]
+    running = with_running_total(scored, order, F.col("n_tokens"), out="cum_tokens")
+    return running.filter(F.col("cum_tokens") <= budget).select(
+        id_col, "n_tokens", "cum_tokens"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+
+_SAMPLE_SEED = 42
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(d, "lang", DEFAULT_RATES, seed=_SAMPLE_SEED)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+def _stratified_oracle() -> str:
+    case = "CASE "
+    for stratum, rate in DEFAULT_RATES.items():
+        case += f"WHEN lang = '{stratum}' THEN '{_hash_threshold(rate)}' "
+    case += f"ELSE '{_hash_threshold(DEFAULT_RATE)}' END"
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE substring(md5('{_SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8) < {case}
+ORDER BY doc_id LIMIT 300
+"""
+
+
+_PACK_CAPACITY = 2048
+
+
+def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return sequence_pack(d, _PACK_CAPACITY).orderBy("doc_id").limit(300)
+
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  / {_PACK_CAPACITY}.0) AS BIGINT) AS pack_id
+FROM t ORDER BY doc_id LIMIT 300
+"""
+
+
+_SHUFFLE_SEED = 17
+
+
+def _q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        shuffle_rank(d, seed=_SHUFFLE_SEED)
+        .select("doc_id", "shuffle_pos")
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+_SHUFFLE_ORACLE = f"""
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY substring(md5('{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8),
+                  doc_id) AS BIGINT) AS shuffle_pos
+FROM documents ORDER BY doc_id LIMIT 200
+"""
+
+
+_TOKEN_BUDGET = 15000
+
+
+def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return token_budget_head(d, _TOKEN_BUDGET).orderBy("doc_id").limit(300)
+
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         ROUND(len(list_distinct(string_split(lower(text), ' ')))
+               / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 6) AS q,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY q DESC, doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_tokens FROM r
+WHERE cum_tokens <= {_TOKEN_BUDGET}
+ORDER BY doc_id LIMIT 300
+"""
+
+
+QUERIES["q39l_stratified_sample"] = QuerySpec(_q_stratified_sample, _stratified_oracle())
+QUERIES["q39m_sequence_pack"] = QuerySpec(_q_sequence_pack, _PACK_ORACLE)
+QUERIES["q39n_corpus_shuffle"] = QuerySpec(_q_corpus_shuffle, _SHUFFLE_ORACLE)
+QUERIES["q39o_token_budget"] = QuerySpec(_q_token_budget, _TOKEN_BUDGET_ORACLE)

@@ -30,17 +30,18 @@ _OPERATOR_MODULES = (
     "wing_binlog_go_spark.operators.similarity",
     "wing_binlog_go_spark.operators.asof_join",
     "wing_binlog_go_spark.functions.text",
+    "wing_binlog_go_spark.functions.mixing",
 )
 
 #: module → exception message for imports that failed during the last
 #: ``all_queries()`` call.  Tests assert this stays empty.
 failed_modules: dict[str, str] = {}
 
-# First 50 = the driver's round-1 verification window.  Layout:
-#   1-14   north-star queries WITH DuckDB oracles (full hash check)
-#   15-21  north-star approximate variants (rows-only driver check)
-#   22-50  relational core (all hash-verified in round 1; re-verified here)
-# Everything else (q13/q18/q25/q26/q27/q29/q34/q40, q41-q77 extras)
+# First 50 = the driver's verification window.  Layout:
+#   1-18   north-star queries WITH DuckDB oracles (full hash check)
+#   19-25  north-star approximate variants (rows-only driver check)
+#   26-50  relational core (all hash-verified in round 1; re-verified here)
+# Everything else (q04/q08/q10/q13/q18/q25-q29/q34/q40, q41-q77 extras)
 # follows in module order — they keep local oracle coverage and earned
 # round-1 rows.
 _PRIORITY = (
@@ -59,6 +60,10 @@ _PRIORITY = (
     "q39i_decontamination",
     "q39j_pii_scan",
     "q39k_repetition",
+    "q39l_stratified_sample",
+    "q39m_sequence_pack",
+    "q39n_corpus_shuffle",
+    "q39o_token_budget",
     # North-star, approximate (rows-only check by design).
     "q37_minhash_dedup",
     "q37b_simhash_dedup",
@@ -71,13 +76,10 @@ _PRIORITY = (
     "q01_parquet_scan",
     "q02_projection",
     "q03_filter",
-    "q04_in_predicate",
     "q05_null_semantics",
     "q06_inner_join",
     "q07_broadcast_join",
-    "q08_left_outer_join",
     "q09_full_outer_join",
-    "q10_left_semi_join",
     "q11_left_anti_join",
     "q12_range_join",
     "q14_tpch_q3",
@@ -90,7 +92,6 @@ _PRIORITY = (
     "q22_window_ranking",
     "q23_window_lag",
     "q24_window_frame",
-    "q28_intersect",
     "q30_date_functions",
     "q31_math_decimal",
     "q32_conditional",
