@@ -228,3 +228,34 @@ def test_minhash_signature_store_roundtrip(spark, docs_with_dups, tmp_path):
         for r in minhash_dedup_pairs(docs_with_dups, threshold=0.5).collect()
     }
     assert from_store == end_to_end and from_store
+
+
+def test_word_shingles_fast_path_matches_hof_on_pathological_spacing(spark):
+    """The regex fast path must agree with the HOF builder on texts that
+    break the [^ ]+ assumption (empty tokens), which route per-row to
+    the fallback branch."""
+    from wing_binlog_go_spark.operators.dedup import _word_shingles_hof, word_shingles
+
+    texts = [
+        "plain three word shingles here",
+        "double  space between tokens",
+        " leading space",
+        "trailing space ",
+        "a  b  c  d",
+        "two words",
+        "one",
+        "",
+        "tab\tand newline\nare not separators here",
+        "  ",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    for k in (2, 3, 5):
+        got = {
+            r.id: sorted(r.s)
+            for r in df.select("id", word_shingles("text", k).alias("s")).collect()
+        }
+        want = {
+            r.id: sorted(r.s)
+            for r in df.select("id", _word_shingles_hof("text", k).alias("s")).collect()
+        }
+        assert got == want, (k, got, want)

