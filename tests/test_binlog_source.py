@@ -127,3 +127,27 @@ def test_invalid_gtid_set_fails_loudly(spark, tmp_path):
 
     with pytest.raises(ValueError):
         BinlogStreamReader({"path": str(log), "start_gtid": "no-intervals-here"})
+
+
+def test_batch_read_of_empty_changelog_dir_returns_zero_rows(spark, tmp_path):
+    """pyspark substitutes [None] when partitions() returns [] — the
+    reader must treat that as an empty scan, not crash on partition.fname."""
+    from wing_binlog_go_spark.sources.binlog import BinlogDataSource
+
+    empty = tmp_path / "changelog"
+    empty.mkdir()
+    spark.dataSource.register(BinlogDataSource)
+    df = spark.read.format("binlog").option("path", str(empty)).load()
+    assert df.count() == 0
+
+
+def test_complete_size_scans_past_window_sized_torn_line(tmp_path):
+    """A torn trailing line longer than the 1 MiB scan window must clamp
+    to the last complete line, not to 0 (offset regression → replay)."""
+    from wing_binlog_go_spark.sources.binlog import _complete_size
+
+    p = tmp_path / "big.jsonl"
+    complete = b'{"a": 1}\n'
+    torn = b'{"big": "' + b"x" * (3 << 20)  # 3 MiB, no newline
+    p.write_bytes(complete + torn)
+    assert _complete_size(str(p)) == len(complete)

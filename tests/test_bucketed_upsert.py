@@ -161,3 +161,68 @@ def test_crash_before_manifest_leaves_old_state(spark, tmp_path):
     from wing_binlog_go_spark.streaming.pipeline import pk_str
 
     assert final[pk_str("1")] == 1001 and pk_str("99") not in final
+
+
+def test_swap_backup_is_invisible_to_partition_discovery(spark, tmp_path):
+    """A reader listing the table while another bucket's swap is between
+    renames must not discover the backup dir as a partition (the old
+    `bucket=N._old` naming surfaced as partition value 'N._old' and
+    doubled rows)."""
+    import shutil
+
+    from wing_binlog_go_spark.streaming.maintenance import backup_path
+
+    env = _env(spark, tmp_path)
+    bucketed = str(tmp_path / "bucketed")
+    upsert_parquet_bucketed(env, bucketed, pk="id", num_buckets=4)
+    baseline = sorted(r._pk for r in read_bucketed_table(spark, bucketed).collect())
+    # simulate mid-swap: one bucket also present at its backup location
+    some_bucket = next(
+        d for d in os.listdir(bucketed) if d.startswith("bucket=")
+    )
+    src = os.path.join(bucketed, some_bucket)
+    shutil.copytree(src, backup_path(src))
+    assert backup_path(src).split(os.sep)[-1].startswith(".")
+    again = sorted(r._pk for r in read_bucketed_table(spark, bucketed).collect())
+    assert again == baseline  # no duplicate rows from the backup dir
+
+
+def test_commit_lock_blocks_concurrent_recovery(spark, tmp_path):
+    """recover_bucket_commit must serialize against a writer holding the
+    commit lock: a second locker blocks until release (no interleaved
+    double-swap window)."""
+    import threading
+    import time
+
+    from wing_binlog_go_spark.streaming.pipeline import _commit_lock
+
+    env = _env(spark, tmp_path)
+    bucketed = str(tmp_path / "bucketed")
+    upsert_parquet_bucketed(env, bucketed, pk="id", num_buckets=4)
+
+    entered = threading.Event()
+    release = threading.Event()
+    order: list[str] = []
+
+    def holder():
+        with _commit_lock(bucketed):
+            entered.set()
+            release.wait(10)
+            order.append("holder-exit")
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert entered.wait(5)
+
+    def contender():
+        with _commit_lock(bucketed):
+            order.append("contender-enter")
+
+    t2 = threading.Thread(target=contender)
+    t2.start()
+    time.sleep(0.3)  # contender must still be blocked
+    assert order == []
+    release.set()
+    t.join(10)
+    t2.join(10)
+    assert order == ["holder-exit", "contender-enter"]

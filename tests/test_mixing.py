@@ -103,3 +103,24 @@ def test_token_budget_head_is_maximal_prefix(spark, sf_dir):
         acc += r.n_tokens
         prefix.append(r.doc_id)
     assert kept_ids == set(prefix)
+
+
+def test_stratified_sample_rate_one_keeps_everything(spark, sf_dir):
+    """Regression: a rate >= 1.0 stratum must keep every row. The naive
+    9-hex-digit threshold sorts BELOW most 8-digit keys lexicographically
+    ('100000000' < 'ffffffff'), which silently dropped ~94%."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_en = docs.filter(F.col("lang") == "en").count()
+    kept = (
+        stratified_sample(docs, "lang", {"en": 1.0}, seed=3)
+        .filter(F.col("lang") == "en")
+        .count()
+    )
+    assert kept == n_en
+    # rate 0 drops everything in the stratum
+    none = (
+        stratified_sample(docs, "lang", {"en": 0.0}, seed=3)
+        .filter(F.col("lang") == "en")
+        .count()
+    )
+    assert none == 0

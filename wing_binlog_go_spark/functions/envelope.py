@@ -88,48 +88,74 @@ def event_type_col(action=None) -> Column:
     return F.when(action == "ddl", F.lit("alter")).otherwise(action)
 
 
-def with_dense_index(
-    df: DataFrame, order_cols: list[str], out: str = "_dense_index", base: int = 0
+def with_running_total(
+    df: DataFrame,
+    order_cols: list,
+    value_col: Column,
+    out: str = "_running",
+    base: int = 0,
 ) -> DataFrame:
-    """Global dense 1-based index in ``order_cols`` order — WITHOUT a
-    single-partition global sort.
+    """Global inclusive running SUM(value) in ``order_cols`` order —
+    WITHOUT a single-partition global sort.
 
-    The zipWithIndex pattern on DataFrames: range-repartition on the
-    order columns (each partition holds a contiguous key range), sort
-    within partitions, number rows per partition, then add per-partition
-    offsets computed from a tiny driver-side count map. Range boundaries
-    may vary run-to-run, but the index depends only on the total order,
-    which is unique when ``order_cols`` are (binlog coordinates are).
+    The two-phase zipWithIndex pattern generalized to any additive
+    value: range-repartition on the order (each partition holds a
+    contiguous key range; partition ids increase along the sort), cumsum
+    within partitions, then add each partition's prefix offset from a
+    tiny driver-side sum map (O(#partitions) scalars). Range boundaries
+    may vary run-to-run, but the result depends only on the total order,
+    which is unique when ``order_cols`` are.
+
+    ``with_dense_index`` (the event_index builder) is this with value=1.
     """
-    ranged = df.repartitionByRange(*order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = (
+        df.withColumn("_val", value_col)
+        .repartitionByRange(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
     )
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
-    # materialize once: the counts collect below and the caller's action
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # materialize once: the sums collect below and the caller's action
     # are separate jobs — without this the range shuffle+sort runs twice
-    # AND index stability would rest on both jobs choosing identical
+    # AND result stability would rest on both jobs choosing identical
     # range boundaries
-    numbered = ranged.withColumn("_rn", F.row_number().over(w)).localCheckpoint(
+    summed = ranged.withColumn("_cum", F.sum("_val").over(w)).localCheckpoint(
         eager=True
     )
-    counts = {
-        r._pid: r.cnt
-        for r in numbered.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    part_sums = {
+        r._pid: r.s
+        for r in summed.groupBy("_pid").agg(F.sum("_val").alias("s")).collect()
     }
     acc = base
     offsets: dict[int, int] = {}
-    for p in sorted(counts):
+    for p in sorted(part_sums):
         offsets[p] = acc
-        acc += counts[p]
+        acc += part_sums[p] or 0
     if not offsets:
         return df.withColumn(out, F.lit(None).cast("long"))
     mapping = F.create_map(
         *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
     )
-    return numbered.withColumn(
+    return summed.withColumn(
         out,
-        (F.element_at(mapping, F.col("_pid")) + F.col("_rn")).cast("long"),
-    ).drop("_pid", "_rn")
+        (F.element_at(mapping, F.col("_pid")) + F.col("_cum")).cast("long"),
+    ).drop("_pid", "_val", "_cum")
+
+
+def with_dense_index(
+    df: DataFrame, order_cols: list[str], out: str = "_dense_index", base: int = 0
+) -> DataFrame:
+    """Global dense 1-based index in ``order_cols`` order — WITHOUT a
+    single-partition global sort: the running total of 1 per row (see
+    ``with_running_total``). The index depends only on the total order,
+    which is unique when ``order_cols`` are (binlog coordinates are).
+    """
+    return with_running_total(
+        df, list(order_cols), F.lit(1).cast("long"), out=out, base=base
+    )
 
 
 def to_envelopes(changes: DataFrame, index_base: int = 0) -> DataFrame:

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from wing_binlog_go_spark.functions.envelope import with_dense_index
+from wing_binlog_go_spark.functions.envelope import with_dense_index, with_running_total
 from wing_binlog_go_spark.operators.dedup import tokens
 from wing_binlog_go_spark.plans.relational import QuerySpec
 from wing_binlog_go_spark.tables import read_table
@@ -53,9 +53,13 @@ def _hash_threshold(rate: float) -> str:
 
     Fixed-width lowercase hex compares lexicographically == numerically,
     so the same string comparison works in Spark and DuckDB. rate >= 1
-    yields a 9-char string every 8-char hex sorts below (always true).
+    returns "g", which every hex string sorts below ('f' < 'g') — NOT a
+    9-digit number: '100000000' would sort BELOW 'ffffffff' under string
+    comparison and silently keep only the '0'-prefixed ~6% of draws.
     """
-    return format(min(int(rate * 2**32), 2**32), "08x")
+    if rate >= 1.0:
+        return "g"
+    return format(max(int(rate * 2**32), 0), "08x")
 
 
 def sample_key(id_col: str | Column, seed: int) -> Column:
@@ -137,54 +141,6 @@ def shuffle_rank(
     keyed = df.withColumn("_shuf", sample_key(id_col, seed))
     ranked = with_dense_index(keyed, ["_shuf", id_col], out=out)
     return ranked.drop("_shuf")
-
-
-def with_running_total(
-    df: DataFrame,
-    order_cols: list[Column | str],
-    value_col: Column,
-    out: str = "_running",
-) -> DataFrame:
-    """Global inclusive running SUM(value) in ``order_cols`` order,
-    without a single-partition window.
-
-    Same two-phase shape as ``with_dense_index``: range-repartition on
-    the order (each partition holds a contiguous range — partition ids
-    increase along the sort), cumsum within partitions, then add each
-    partition's prefix offset from a tiny driver-side sum map. The
-    collect is O(#partitions) scalars.
-    """
-    ranged = (
-        df.withColumn("_val", value_col)
-        .repartitionByRange(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # localCheckpoint: the per-partition sums collect and the caller's
-    # action are separate jobs; the barrier keeps them on identical
-    # range boundaries (and runs the shuffle+sort once).
-    summed = ranged.withColumn("_cum", F.sum("_val").over(w)).localCheckpoint(
-        eager=True
-    )
-    part_sums = {
-        r._pid: r.s
-        for r in summed.groupBy("_pid").agg(F.sum("_val").alias("s")).collect()
-    }
-    acc = 0
-    offsets: dict[int, int] = {}
-    for p in sorted(part_sums):
-        offsets[p] = acc
-        acc += part_sums[p] or 0
-    if not offsets:
-        return df.withColumn(out, F.lit(None).cast("long"))
-    mapping = F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
-    return summed.withColumn(
-        out, (F.element_at(mapping, F.col("_pid")) + F.col("_cum")).cast("long")
-    ).drop("_pid", "_val", "_cum")
 
 
 def token_budget_head(

@@ -101,25 +101,6 @@ def _hyperplanes(dim: int, n_bits: int, table: int, seed: int = 42) -> list[list
     return rng.randn(n_bits, dim).tolist()
 
 
-def bucket_expr(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id: bit j = 1 iff dot(vec, plane_j) > 0.
-
-    Column-expression form — kept for single-table uses and as the
-    semantic reference for the vectorized ``all_table_buckets`` below.
-    """
-    bits = [
-        F.when(
-            dot(vec_col, F.array(*[F.lit(float(v)) for v in plane])) > 0,
-            F.lit(1 << j).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for j, plane in enumerate(planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
-
-
 def all_table_buckets(n_bits: int, n_tables: int, dim: int, seed: int = 42):
     """Arrow-vectorized bucket ids for ALL hash tables in one pass:
     vec → array<long>[n_tables].
@@ -132,7 +113,7 @@ def all_table_buckets(n_bits: int, n_tables: int, dim: int, seed: int = 42):
     numpy (tables, bits, dim) tensor closed over by the UDF, the plan
     gets a single opaque node, and each Arrow batch is one einsum —
     the documented "dense linear algebra" exception to the
-    built-ins-first rule. Same sign convention (> 0) as bucket_expr.
+    built-ins-first rule. Sign convention: bit j set iff dot > 0.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -233,6 +214,7 @@ def ivf_topk(
     train = c.select(array_to_vector("_cv").alias("features"))
     km = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(train)
     cents = np.stack([np.asarray(ctr, dtype=np.float64) for ctr in km.clusterCenters()])
+    cents_sq = (cents**2).sum(axis=1)
 
     def nearest_udf(n: int):
         """Arrow-vectorized n-nearest-centroid indices by squared L2.
@@ -246,7 +228,12 @@ def ivf_topk(
         @pandas_udf("array<int>")
         def nearest(v: pd.Series) -> pd.Series:
             mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-            d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # ||x-c||² = ||x||² - 2·x·c + ||c||²; ||x||² is constant per
+            # row so it can't change the argsort — one (n × k) GEMM, no
+            # (n × k × dim) broadcast intermediate (with 10k-row Arrow
+            # batches, 1024 centroids, 768 dims that intermediate would
+            # be ~63 GB → executor OOM).
+            d2 = cents_sq[None, :] - 2.0 * (mat @ cents.T)
             order = np.argsort(d2, axis=1, kind="stable")[:, :n].astype(np.int32)
             return pd.Series(list(order))
 

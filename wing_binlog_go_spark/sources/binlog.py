@@ -127,7 +127,12 @@ def _to_tuple(r: dict) -> tuple:
 
 def _complete_size(path: str) -> int:
     """File size clamped back to the last complete line, so a torn
-    trailing record (writer mid-append) is never planned into a batch."""
+    trailing record (writer mid-append) is never planned into a batch.
+
+    Scans backwards in 1 MiB chunks until a newline is found (a single
+    fixed-size window would return 0 for a torn line longer than the
+    window, regressing the offset below already-consumed bytes and
+    replaying the whole file once the line completes)."""
     size = os.path.getsize(path)
     if size == 0:
         return 0
@@ -135,11 +140,16 @@ def _complete_size(path: str) -> int:
         f.seek(size - 1)
         if f.read(1) == b"\n":
             return size
-        back = min(size, 1 << 20)
-        f.seek(size - back)
-        tail = f.read(back)
-        idx = tail.rfind(b"\n")
-        return size - back + idx + 1 if idx >= 0 else 0
+        hi = size
+        while hi > 0:
+            back = min(hi, 1 << 20)
+            f.seek(hi - back)
+            tail = f.read(back)
+            idx = tail.rfind(b"\n")
+            if idx >= 0:
+                return hi - back + idx + 1
+            hi -= back
+    return 0
 
 
 def _list_complete_sizes(path: str) -> dict[str, int]:
@@ -228,7 +238,9 @@ class BinlogStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         return _plan_partitions(start, end, end.get("gtid_exclude"))
 
-    def read(self, partition: BinlogPartition):
+    def read(self, partition: BinlogPartition | None):
+        if partition is None:  # pyspark plans [None] for an empty partition list
+            return
         yield from _read_range(
             self.path,
             partition.fname,
@@ -254,7 +266,9 @@ class BinlogBatchReader(DataSourceReader):
         sizes = _list_complete_sizes(self.path)
         return _plan_partitions({"files": {}}, {"files": sizes}, self.gtid_exclude)
 
-    def read(self, partition: BinlogPartition):
+    def read(self, partition: BinlogPartition | None):
+        if partition is None:  # pyspark plans [None] for an empty partition list
+            return
         yield from _read_range(
             self.path,
             partition.fname,

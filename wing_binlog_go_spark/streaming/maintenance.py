@@ -20,14 +20,25 @@ import shutil
 from pyspark.sql import SparkSession
 
 
+def backup_path(path: str) -> str:
+    """Swap backup location for ``path``: a DOT-PREFIXED sibling.
+
+    The backup must be invisible to Spark's file listing and hive
+    partition discovery — a plain ``bucket=5._old`` sibling inside a
+    partitioned table would be discovered as partition value ``5._old``
+    and read as duplicate rows by any reader that lists mid-swap."""
+    d, b = os.path.split(path.rstrip("/"))
+    return os.path.join(d, "." + b + "._old")
+
+
 def swap_dir(new_dir: str, path: str) -> None:
     """Replace directory ``path`` with ``new_dir`` as crash-safely as a
     local filesystem allows: each rename is atomic; a crash between them
-    is recoverable because the previous table survives at ``.old`` and
+    is recoverable because the previous table survives at the backup and
     ``recover_swap`` (called first) restores it. Delta/Iceberg commit
     logs are the real answer at scale; this is the best plain-FS analog.
     """
-    backup = path + "._old"
+    backup = backup_path(path)
     shutil.rmtree(backup, ignore_errors=True)  # stale backup from a crash
     if os.path.exists(path):
         os.rename(path, backup)
@@ -38,7 +49,7 @@ def swap_dir(new_dir: str, path: str) -> None:
 def recover_swap(path: str) -> None:
     """If a crash left no table at ``path`` but a backup exists, restore
     it before doing anything else."""
-    backup = path + "._old"
+    backup = backup_path(path)
     if not os.path.exists(path) and os.path.exists(backup):
         os.rename(backup, path)
 

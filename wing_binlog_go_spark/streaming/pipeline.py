@@ -27,8 +27,10 @@ filters, not shuffles.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -275,6 +277,31 @@ def _bucket_manifest_path(target_dir: str) -> str:
     return os.path.join(target_dir, "_commit_manifest.json")
 
 
+@contextmanager
+def _commit_lock(target_dir: str):
+    """Exclusive advisory lock serializing the commit-critical section
+    (manifest write → swaps → manifest removal) against concurrent
+    ``recover_bucket_commit`` callers.
+
+    Without it, a reader that sees the manifest DURING a live writer's
+    phase 3 would re-run the same swaps: the writer's own swap then
+    renames the just-committed bucket out to the backup and crashes on
+    the now-missing staging dir. flock is per-host — matching the
+    single-writer deployment (the reference is a singleton binlog reader
+    too); multi-host shared storage needs Delta/Iceberg commit logs,
+    as documented on ``upsert_parquet_bucketed``.
+    """
+    fd = os.open(
+        os.path.join(target_dir, "._commit_lock"), os.O_CREAT | os.O_RDWR, 0o644
+    )
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
 def recover_bucket_commit(target_dir: str) -> bool:
     """Roll an interrupted multi-bucket commit FORWARD.
 
@@ -286,25 +313,36 @@ def recover_bucket_commit(target_dir: str) -> bool:
     No manifest means the crash happened before the point of commit:
     stale staging dirs are discarded and the table is the all-old state.
     Returns True if a commit was rolled forward.
+
+    Takes the commit lock, so a live writer's phase 3 and a reader's
+    recovery never interleave; the manifest is re-checked under the
+    lock (a blocked reader usually finds it already gone).
     """
     import shutil
 
-    from wing_binlog_go_spark.streaming.maintenance import recover_swap, swap_dir
+    from wing_binlog_go_spark.streaming.maintenance import (
+        backup_path,
+        recover_swap,
+        swap_dir,
+    )
 
     manifest = _bucket_manifest_path(target_dir)
-    if not os.path.exists(manifest):
+    if not os.path.exists(manifest):  # cheap pre-check without the lock
         return False
-    with open(manifest) as f:
-        buckets = json.load(f)["buckets"]
-    for b in buckets:
-        bdir = os.path.join(target_dir, f"bucket={b}")
-        staged = os.path.join(target_dir, f".staging_bucket_{b}")
-        if os.path.exists(staged):
-            swap_dir(staged, bdir)  # not yet (or half) swapped: finish it
-        else:
-            recover_swap(bdir)  # crashed mid-rename inside swap_dir
-            shutil.rmtree(bdir + "._old", ignore_errors=True)
-    os.remove(manifest)
+    with _commit_lock(target_dir):
+        if not os.path.exists(manifest):  # writer finished while we waited
+            return False
+        with open(manifest) as f:
+            buckets = json.load(f)["buckets"]
+        for b in buckets:
+            bdir = os.path.join(target_dir, f"bucket={b}")
+            staged = os.path.join(target_dir, f".staging_bucket_{b}")
+            if os.path.exists(staged):
+                swap_dir(staged, bdir)  # not yet (or half) swapped: finish it
+            else:
+                recover_swap(bdir)  # crashed mid-rename inside swap_dir
+                shutil.rmtree(backup_path(bdir), ignore_errors=True)
+        os.remove(manifest)
     return True
 
 
@@ -368,18 +406,21 @@ def upsert_parquet_bucketed(
             tmp = os.path.join(target_dir, f".staging_bucket_{b}")
             shutil.rmtree(tmp, ignore_errors=True)
             result.write.mode("overwrite").parquet(tmp)
-        # phase 2: the point of commit — manifest lands atomically
-        manifest = _bucket_manifest_path(target_dir)
-        with open(manifest + ".tmp", "w") as f:
-            json.dump({"buckets": [int(b) for b in changed]}, f)
-        os.replace(manifest + ".tmp", manifest)
-        # phase 3: swap buckets in; any crash here is rolled forward
-        for b in changed:
-            swap_dir(
-                os.path.join(target_dir, f".staging_bucket_{b}"),
-                os.path.join(target_dir, f"bucket={b}"),
-            )
-        os.remove(manifest)
+        # phases 2+3 hold the commit lock so a concurrent reader's
+        # recover_bucket_commit cannot replay our swaps mid-flight
+        with _commit_lock(target_dir):
+            # phase 2: the point of commit — manifest lands atomically
+            manifest = _bucket_manifest_path(target_dir)
+            with open(manifest + ".tmp", "w") as f:
+                json.dump({"buckets": [int(b) for b in changed]}, f)
+            os.replace(manifest + ".tmp", manifest)
+            # phase 3: swap buckets in; any crash here is rolled forward
+            for b in changed:
+                swap_dir(
+                    os.path.join(target_dir, f".staging_bucket_{b}"),
+                    os.path.join(target_dir, f"bucket={b}"),
+                )
+            os.remove(manifest)
     finally:
         updates.unpersist()
 
