@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wing_binlog_go_spark.operators.dedup import tokens, word_shingles
+from wing_binlog_go_spark.operators.dedup import tokens, word_ngrams_all, word_shingles
 from wing_binlog_go_spark.plans.relational import QuerySpec
 from wing_binlog_go_spark.tables import read_table
 
@@ -293,24 +293,14 @@ def repetition_features(
     explode + two combiner-friendly aggregations keyed by doc (shuffle
     bounded by corpus token count, same shape as word-count q39)."""
     toks = tokens(text_col)
-    base = df.select(
+    bigrams = df.select(
         F.col(id_col),
         F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
             "distinct_token_ratio"
         ),
-        toks.alias("_t"),
-    )
-    bigrams = base.select(
-        id_col,
-        "distinct_token_ratio",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("_t") - 1, F.lit(1))),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("_t", i), F.element_at("_t", i + 1)
-                ),
-            )
-        ).alias("bg"),
+        # word_ngrams_all: regex fast path (codegen) with per-row HOF
+        # fallback — all overlapping bigrams, repeats included
+        F.explode(word_ngrams_all(text_col, 2)).alias("bg"),
     )
     per_bigram = bigrams.groupBy(id_col, "distinct_token_ratio", "bg").agg(
         F.count("*").alias("c")
@@ -325,9 +315,9 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(docs).orderBy("doc_id").limit(100)
 
 
-# single-token docs: one bigram "tok tok"? No — Spark's sequence(1, max(
-# size-1,1)) yields i=1 with element_at(_t, 2) = NULL; concat_ws skips
-# NULLs so the bigram is just the token. The oracle mirrors this shape.
+# single-token docs: one "bigram" that is just the token (word_ngrams_all
+# collapses docs shorter than k to one n-gram of the remaining tokens).
+# The oracle's CASE WHEN i+1 <= len mirrors this shape.
 _REPETITION_ORACLE = """
 WITH toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents

@@ -54,6 +54,31 @@ def _word_shingles_hof(col, k: int = 3) -> F.Column:
     )
 
 
+def word_ngrams_all(col, k: int = 2) -> F.Column:
+    """ALL overlapping k-word n-grams, repeats included (the multiset —
+    unlike ``word_shingles`` which deduplicates); docs shorter than k
+    collapse to one n-gram of the remaining tokens.
+
+    Same regex fast path / HOF fallback split as ``word_shingles``:
+    occurrence counts are what repetition statistics aggregate, and the
+    lookahead yields every overlapping occurrence in one codegen pass.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    low = F.lower(c)
+    toks = tokens(col)
+    pat = r"(?:^|[ ])(?=(" + " ".join([r"[^ ]+"] * k) + r"))"
+    fast = F.regexp_extract_all(low, F.lit(pat), 1)
+    hof = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return (
+        F.when(F.size(toks) < k, F.array(low))
+        .when(low.rlike("(^ )|( $)|(  )"), hof)
+        .otherwise(fast)
+    )
+
+
 def word_shingles(col, k: int = 3) -> F.Column:
     """Distinct k-word shingles; docs shorter than k collapse to one shingle.
 
