@@ -151,3 +151,19 @@ def test_complete_size_scans_past_window_sized_torn_line(tmp_path):
     torn = b'{"big": "' + b"x" * (3 << 20)  # 3 MiB, no newline
     p.write_bytes(complete + torn)
     assert _complete_size(str(p)) == len(complete)
+
+
+def test_read_range_names_removed_or_shrunk_file(tmp_path):
+    """Append-only contract violations must fail loudly BY NAME, not as
+    a generic IOError or a silent short read (ADVICE r2)."""
+    import pytest
+
+    from wing_binlog_go_spark.sources.binlog import _read_range
+
+    with pytest.raises(RuntimeError, match="removed.*append-only"):
+        list(_read_range(str(tmp_path), "gone.jsonl", 0, 100, None))
+
+    p = tmp_path / "short.jsonl"
+    p.write_bytes(b'{"a":1}\n')
+    with pytest.raises(RuntimeError, match="shrank.*append-only"):
+        list(_read_range(str(tmp_path), "short.jsonl", 0, 4096, None))

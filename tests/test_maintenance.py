@@ -28,3 +28,40 @@ def test_compaction_reduces_files_preserves_data(spark, sf_dir, tmp_path):
     after = spark.read.parquet(target)
     assert after.count() == before_cnt
     assert after.groupBy().sum("l_quantity").collect()[0][0] == before_sum
+
+
+def test_recover_swap_handles_legacy_and_current_backup(spark, sf_dir, tmp_path):
+    """A crash under the pre-dot-prefix layout left 'X._old' (visible to
+    partition discovery). recover_swap must restore it when the table is
+    missing, and DELETE it when the table exists (otherwise a partitioned
+    reader sees bucket=N._old as duplicate rows)."""
+    import os
+
+    from wing_binlog_go_spark.streaming.maintenance import (
+        backup_path,
+        recover_swap,
+    )
+
+    # legacy backup, table missing → restore
+    tbl = str(tmp_path / "t1")
+    legacy = tbl + "._old"
+    os.makedirs(legacy)
+    open(os.path.join(legacy, "part-0.parquet"), "w").write("x")
+    recover_swap(tbl)
+    assert os.path.exists(tbl) and not os.path.exists(legacy)
+
+    # legacy backup, table present → stale backup removed
+    tbl2 = str(tmp_path / "t2")
+    os.makedirs(tbl2)
+    os.makedirs(tbl2 + "._old")
+    recover_swap(tbl2)
+    assert os.path.exists(tbl2) and not os.path.exists(tbl2 + "._old")
+
+    # current dot-prefixed backup wins over legacy when both exist
+    tbl3 = str(tmp_path / "t3")
+    cur = backup_path(tbl3)
+    os.makedirs(cur)
+    open(os.path.join(cur, "marker-current"), "w").write("x")
+    os.makedirs(tbl3 + "._old")
+    recover_swap(tbl3)
+    assert os.path.exists(os.path.join(tbl3, "marker-current"))

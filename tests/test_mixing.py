@@ -124,3 +124,48 @@ def test_stratified_sample_rate_one_keeps_everything(spark, sf_dir):
         .count()
     )
     assert none == 0
+
+
+def test_sequence_pack_avoids_low_cardinality_window(spark, sf_dir):
+    """Scale guard: the per-shard running total must NOT window on the
+    raw low-cardinality shard column alone (one task per language at
+    100 TB). The plan's window partition spec must include the range
+    partition id, and the frame must be preceded by a
+    repartitionbyrange-style exchange rather than a hash exchange on
+    the shard column only."""
+    docs = read_table(spark, sf_dir, "documents")
+    plan = sequence_pack(docs, capacity=512)._jdf.queryExecution().toString()
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        part = spec.split("ORDER BY")[0] if "ORDER BY" in spec else spec
+        assert "_pid" in part or "spark_partition_id" in part, spec
+
+
+def test_with_running_total_partitioned_matches_pandas(spark, sf_dir):
+    """Per-shard running totals from the range-partitioned two-phase
+    pattern must equal a driver-side sequential cumsum per shard,
+    including NULL shard keys (own group, not merged)."""
+    import pandas as pd
+    from pyspark.sql import functions as F2
+
+    from wing_binlog_go_spark.functions.envelope import with_running_total
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "b", None, "a", "b", None, "a", "c"],
+            "i": [1, 2, 3, 4, 5, 6, 7, 8],
+            "v": [10, 20, 30, 40, 50, 60, 70, 80],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = with_running_total(
+        df, ["i"], F2.col("v"), out="run", partition_cols=["k"]
+    ).collect()
+    expect = {}
+    acc: dict = {}
+    for k, i, v in sorted(zip(pdf.k, pdf.i, pdf.v), key=lambda t: t[1]):
+        key = None if pd.isna(k) else k
+        acc[key] = acc.get(key, 0) + v
+        expect[i] = acc[key]
+    assert {r.i: r.run for r in out} == expect

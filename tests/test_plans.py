@@ -118,3 +118,40 @@ def test_minhash_band_join_is_equi_join(spark, sf_dir):
     p = plan_of(_Q["q37_minhash_dedup"].spark(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_tfidf_does_not_hint_vocabulary_broadcast(spark, sf_dir):
+    """The document-frequency table IS the vocabulary (billions of terms
+    at web scale): a compile-time broadcast() hint on it OOMs at 100x.
+    The logical plan must carry no broadcast hint — AQE may still pick a
+    broadcast join at runtime from MEASURED size, which is the correct,
+    scale-adaptive behavior and is not what this gate forbids."""
+    from wing_binlog_go_spark.functions.text import tf_idf
+
+    docs = read_table(spark, sf_dir, "documents")
+    analyzed = tf_idf(docs)._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in analyzed.lower()
+
+
+def test_extra_queries_plan_hygiene(spark, sf_dir):
+    # q84 (TPC-H Q10): dims broadcast, filters pushed into both facts
+    p = plan_of(_Q["q84_tpch_q10"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    pushed = [seg.split("\n")[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any("o_orderdate" in s for s in pushed)
+    assert any("l_returnflag" in s for s in pushed)
+    # q85 (point-in-time join): equi-join on the user key, not a cross
+    # product — the range predicates ride along as join conditions
+    p85 = plan_of(_Q["q85_point_in_time_join"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p85 and "BroadcastNestedLoopJoin" not in p85
+    # no Python UDFs anywhere in the new surface
+    for name in (
+        "q78_grouped_dedup",
+        "q79_top_terms_per_lang",
+        "q80_quantile_bins",
+        "q81_doc_length_curation",
+        "q82_cross_lingual_mix",
+        "q83_event_dedup_window",
+    ):
+        pq = plan_of(_Q[name].spark(spark, sf_dir))
+        assert "BatchEvalPython" not in pq and "ArrowEvalPython" not in pq, name

@@ -88,15 +88,23 @@ def event_type_col(action=None) -> Column:
     return F.when(action == "ddl", F.lit("alter")).otherwise(action)
 
 
+# Sentinel for NULL partition-key values in the driver-side offset map.
+# A real value equal to this would collide; \x00 can't appear in the
+# corpus columns this is used with (shard/lang keys).
+_NULL_KEY = "\x00null\x00"
+_KEY_SEP = "\x1f"
+
+
 def with_running_total(
     df: DataFrame,
     order_cols: list,
     value_col: Column,
     out: str = "_running",
     base: int = 0,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Global inclusive running SUM(value) in ``order_cols`` order —
-    WITHOUT a single-partition global sort.
+    """Inclusive running SUM(value) in ``order_cols`` order — WITHOUT a
+    single-partition global sort.
 
     The two-phase zipWithIndex pattern generalized to any additive
     value: range-repartition on the order (each partition holds a
@@ -106,15 +114,27 @@ def with_running_total(
     may vary run-to-run, but the result depends only on the total order,
     which is unique when ``order_cols`` are.
 
+    ``partition_cols`` restarts the total at every distinct key (the
+    per-shard form): the range partitioning is prefixed with the key, so
+    one shard spans a contiguous run of partitions and parallelizes
+    across MANY tasks even when the key has few distinct values — the
+    scale-safe replacement for ``Window.partitionBy(shard)`` over a
+    low-cardinality shard column, which would serialize each shard onto
+    a single task. The driver-side map grows to O(#partitions +
+    #distinct keys) entries, so keys must be low-cardinality (languages,
+    sources, buckets) — for high-cardinality keys use a plain Window,
+    which is already parallel there.
+
     ``with_dense_index`` (the event_index builder) is this with value=1.
     """
+    pcols = list(partition_cols or [])
     ranged = (
         df.withColumn("_val", value_col)
-        .repartitionByRange(*order_cols)
+        .repartitionByRange(*pcols, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
     w = (
-        Window.partitionBy("_pid")
+        Window.partitionBy("_pid", *pcols)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -125,23 +145,47 @@ def with_running_total(
     summed = ranged.withColumn("_cum", F.sum("_val").over(w)).localCheckpoint(
         eager=True
     )
-    part_sums = {
-        r._pid: r.s
-        for r in summed.groupBy("_pid").agg(F.sum("_val").alias("s")).collect()
-    }
-    acc = base
-    offsets: dict[int, int] = {}
-    for p in sorted(part_sums):
-        offsets[p] = acc
-        acc += part_sums[p] or 0
-    if not offsets:
+    sums = summed.groupBy("_pid", *pcols).agg(F.sum("_val").alias("s")).collect()
+    if not sums:
         return df.withColumn(out, F.lit(None).cast("long"))
+    if not pcols:
+        acc = base
+        offsets: dict[int, int] = {}
+        for r in sorted(sums, key=lambda r: r._pid):
+            offsets[r._pid] = acc
+            acc += r.s or 0
+        mapping = F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        )
+        return summed.withColumn(
+            out,
+            (F.element_at(mapping, F.col("_pid")) + F.col("_cum")).cast("long"),
+        ).drop("_pid", "_val", "_cum")
+
+    # Per-key prefix offsets: accumulate along pid order WITHIN each key
+    # (a key's rows are contiguous across pids under the prefixed range
+    # partitioning, but the offset must reset at every key boundary).
+    groups: dict[tuple, list[tuple[int, int]]] = {}
+    for r in sums:
+        key = tuple(_NULL_KEY if r[c] is None else str(r[c]) for c in pcols)
+        groups.setdefault(key, []).append((r._pid, r.s or 0))
+    key_offsets: dict[str, int] = {}
+    for key, parts in groups.items():
+        acc = base
+        for pid, s in sorted(parts):
+            key_offsets[_KEY_SEP.join((*key, str(pid)))] = acc
+            acc += s
+    key_expr = F.concat_ws(
+        _KEY_SEP,
+        *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL_KEY)) for c in pcols],
+        F.col("_pid").cast("string"),
+    )
     mapping = F.create_map(
-        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        *[F.lit(x) for kv in sorted(key_offsets.items()) for x in kv]
     )
     return summed.withColumn(
         out,
-        (F.element_at(mapping, F.col("_pid")) + F.col("_cum")).cast("long"),
+        (F.element_at(mapping, key_expr) + F.col("_cum")).cast("long"),
     ).drop("_pid", "_val", "_cum")
 
 

@@ -63,9 +63,19 @@ def _hash_threshold(rate: float) -> str:
 
 
 def sample_key(id_col: str | Column, seed: int) -> Column:
-    """Seeded uniform draw in hex: substr(md5('<seed>:<id>'), 1, 8)."""
+    """Seeded uniform draw in hex: substr(md5('<seed>:<id>'), 1, 8).
+
+    NULL ids are coalesced to a sentinel BEFORE hashing: concat_ws
+    silently skips NULLs, which would collapse every NULL-id row onto
+    the single draw md5('<seed>:') — kept or dropped as one block
+    instead of independently. One shared draw for all NULL ids is still
+    a single block, so callers that may see NULL ids should supply a
+    unique key; the sentinel just keeps NULLs from also colliding with
+    the legitimate empty-string id.
+    """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), c.cast("string"))), 1, 8)
+    keyed = F.coalesce(c.cast("string"), F.lit("\x00null\x00"))
+    return F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), keyed)), 1, 8)
 
 
 def stratified_sample(
@@ -106,24 +116,39 @@ def sequence_pack(
     Greedy start-bin rule: documents are laid out in ``id_col`` order
     within each shard; a document belongs to the pack where its first
     token lands (``floor(tokens_before / capacity)``). Packs are built
-    independently per shard — the per-shard window parallelizes across
-    the cluster (real packing pipelines shard exactly this way; a single
-    global window would serialize on one task).
+    independently per shard.
+
+    The per-shard running token total uses the shard-prefixed
+    range-partitioned two-phase pattern (``with_running_total`` with
+    ``partition_cols``), NOT ``Window.partitionBy(shard)``: the default
+    shard key is a language column with a handful of distinct values, so
+    a plain window would serialize each language's entire sub-corpus
+    onto ONE task — at 100 TB that's a single-task sort/OOM. With the
+    range form one shard spans many contiguous range partitions and the
+    cumsum parallelizes within the shard.
 
     Returns (id, shard, n_tokens, pack_id).
     """
     n_tok = F.size(tokens(text_col)).cast("bigint")
-    w = (
-        Window.partitionBy(shard_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored = df.select(
+        F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens")
     )
-    cum = F.sum(n_tok).over(w)
-    return df.select(
+    cum = with_running_total(
+        scored,
+        [id_col],
+        F.col("n_tokens"),
+        out="_cum_tokens",
+        partition_cols=[shard_col],
+    )
+    return cum.select(
         id_col,
         shard_col,
-        n_tok.alias("n_tokens"),
-        F.floor((cum - n_tok) / F.lit(float(capacity))).cast("bigint").alias("pack_id"),
+        "n_tokens",
+        F.floor(
+            (F.col("_cum_tokens") - F.col("n_tokens")) / F.lit(float(capacity))
+        )
+        .cast("bigint")
+        .alias("pack_id"),
     )
 
 

@@ -227,10 +227,14 @@ def _q_minhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tf_idf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-(doc, term) TF-IDF: tf × ln(N/df). Two shuffles (term counts,
-    doc frequencies) + a broadcast of the tiny df table; no ML pipeline
-    object, just relational algebra, so it composes with everything."""
-    from pyspark.sql.functions import broadcast
+    doc frequencies) + an equi-join on term; no ML pipeline object, just
+    relational algebra, so it composes with everything.
 
+    The df table is the VOCABULARY — at web scale that's billions of
+    distinct tokens, so it must NOT carry a compile-time broadcast()
+    hint (driver/executor OOM at 100×). The term join stays an
+    unhinted equi-join: AQE broadcasts it at runtime when the measured
+    size is actually small, and sort-merges on term otherwise."""
     # localCheckpoint: tok feeds BOTH aggregations below; without the
     # barrier the tokenize+explode scan runs once per consumer
     tok = docs.select(
@@ -241,7 +245,7 @@ def tf_idf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     df_tbl = (
         tok.distinct().groupBy("term").agg(F.count("*").alias("df"))
     )
-    return tf.join(broadcast(df_tbl), "term").select(
+    return tf.join(df_tbl, "term").select(
         id_col,
         "term",
         F.round(

@@ -421,22 +421,24 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("cluster").alias("n_min"))
         )
-        updated = (
-            labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
-            .select(
-                "doc",
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("n_min"), F.col("cluster"))
-                ).alias("cluster"),
-            )
+        # Fold convergence detection into the label-update job: labels
+        # only ever DECREASE, so "moved" ≡ new < old, computed as a flag
+        # column in the same plan. One heavy job per round (the eager
+        # localCheckpoint executes the join); the sum over the flag then
+        # scans the already-materialized partitions instead of re-running
+        # the join pipeline, which the previous separate count() did.
+        new_cluster = F.least(
+            F.col("cluster"), F.coalesce(F.col("n_min"), F.col("cluster"))
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc")
-            .filter(F.col("u.cluster") != F.col("l.cluster"))
-            .count()
-        )
-        labels = updated.localCheckpoint(eager=True)  # cut lineage per round
+        updated = labels.join(
+            neighbor_min, labels.doc == neighbor_min.src, "left"
+        ).select(
+            "doc",
+            new_cluster.alias("new_cluster"),
+            (new_cluster < F.col("cluster")).cast("long").alias("_moved"),
+        ).localCheckpoint(eager=True)  # cut lineage per round
+        changed = updated.agg(F.sum("_moved")).collect()[0][0] or 0
+        labels = updated.select("doc", F.col("new_cluster").alias("cluster"))
         if changed == 0:
             break
     if changed != 0:

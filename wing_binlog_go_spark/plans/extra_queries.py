@@ -1,0 +1,437 @@
+"""Round-3 query surface extensions (q78-q85).
+
+The reference delegates analytics to downstream consumers
+(`readme.md:40-43`); these queries extend the declared surface with the
+grouped-dedup / corpus-curation / point-in-time-join operators a
+training-data pipeline consumer of the CDC stream needs, plus one more
+TPC-H-grade relational workload. Every query pairs a Catalyst-built-in
+DataFrame plan with a DuckDB oracle (same cross-engine hash rules as
+`plans/relational.py`: decimal-cast sums, identical aliases, total
+ORDER BY).
+
+Scale notes (100 TB design):
+
+- q78/q83 window on HIGH-cardinality keys (content fingerprint /
+  (user,type,bucket)) — per-key groups are tiny, the window
+  parallelizes like any hash shuffle.
+- q79 does top-k over a LOW-cardinality group key (language) with the
+  two-phase local-top-k pattern: per-shuffle-partition top-k first
+  (parallel), then the exact top-k over the tiny candidate union. A
+  single `Window.partitionBy(lang)` would serialize each language's
+  whole vocabulary onto one task.
+- q80 computes exact per-language NTILE with the shard-prefixed
+  range-partitioned running total (`with_running_total`,
+  functions/envelope.py) — no single-task per-language sort — and a
+  closed-form bucket formula identical to SQL NTILE semantics.
+- q81/q82 are pure map-side row expressions + one partial aggregation.
+- q84 broadcasts the dimensions and lets the fact-fact join sort-merge.
+- q85's interval join is an equi-join on the user key with the time
+  range as a post-join predicate — never a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from wing_binlog_go_spark.functions.envelope import with_running_total
+from wing_binlog_go_spark.functions.mixing import _hash_threshold, sample_key
+from wing_binlog_go_spark.operators.dedup import tokens
+from wing_binlog_go_spark.plans.relational import QuerySpec, _dec, _t
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# q78: grouped exact dedup — keep the first doc per (lang, content hash)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q78_grouped_dedup",
+    """SELECT doc_id, lang FROM (
+         SELECT doc_id, lang,
+                ROW_NUMBER() OVER (PARTITION BY lang, md5(text)
+                                   ORDER BY doc_id) AS rn
+         FROM documents) t WHERE rn = 1
+       ORDER BY doc_id LIMIT 200""",
+)
+def q78(spark, sf_dir):
+    # Survivor selection scoped to a group key — the per-language form
+    # of exact dedup (q36 is corpus-global). Partition key includes the
+    # md5 fingerprint, so cardinality ~= row count: tiny per-key groups,
+    # fully parallel at any scale.
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", F.md5("text")).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .orderBy("doc_id")
+        .limit(200)
+        .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q79: top terms per language — two-phase top-k over a low-card group key
+# ---------------------------------------------------------------------------
+
+_TOPK = 5
+
+
+@register(
+    "q79_top_terms_per_lang",
+    f"""WITH toks AS (
+         SELECT lang, unnest(string_split(lower(text), ' ')) AS term
+         FROM documents
+       ), counts AS (
+         SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks
+         WHERE length(term) > 3 GROUP BY lang, term
+       )
+       SELECT lang, term, cnt FROM (
+         SELECT lang, term, cnt,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY cnt DESC, term) AS rn
+         FROM counts) t WHERE rn <= {_TOPK}
+       ORDER BY lang, cnt DESC, term""",
+)
+def q79(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(tokens("text")).alias("term"))
+        .filter(F.length("term") > 3)
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # Two-phase exact top-k: every global top-k row is in its shuffle
+    # partition's local top-k (at most k-1 rows outrank it anywhere, so
+    # at most k-1 in its own partition), so the local pass is a superset
+    # — then the exact window runs on ≤ k×#partitions candidate rows
+    # per language instead of the full vocabulary.
+    order = [F.col("cnt").desc(), F.col("term").asc()]
+    local_w = Window.partitionBy("lang", F.spark_partition_id()).orderBy(*order)
+    candidates = (
+        counts.withColumn("_lrn", F.row_number().over(local_w))
+        .filter(F.col("_lrn") <= _TOPK)
+        .drop("_lrn")
+    )
+    final_w = Window.partitionBy("lang").orderBy(*order)
+    return (
+        candidates.withColumn("rn", F.row_number().over(final_w))
+        .filter(F.col("rn") <= _TOPK)
+        .orderBy("lang", F.col("cnt").desc(), "term")
+        .select("lang", "term", "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q80: exact per-language quartile bins without a per-language sort task
+# ---------------------------------------------------------------------------
+
+_NBINS = 4
+
+
+@register(
+    "q80_quantile_bins",
+    f"""WITH binned AS (
+         SELECT lang, n_chars,
+                NTILE({_NBINS}) OVER (PARTITION BY lang
+                                      ORDER BY n_chars, doc_id) AS bin
+         FROM documents)
+       SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+       FROM binned GROUP BY lang, bin ORDER BY lang, bin""",
+)
+def q80(spark, sf_dir):
+    # NTILE(PARTITION BY lang) would put each language's full sub-corpus
+    # on one task. Instead: per-language rank via the shard-prefixed
+    # range-partitioned running total (parallel within a language), then
+    # the closed-form NTILE bucket (first cnt%n buckets get one extra
+    # row — verified identical to SQL NTILE).
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    ranked = with_running_total(
+        d,
+        ["n_chars", "doc_id"],
+        F.lit(1).cast("long"),
+        out="rn",
+        partition_cols=["lang"],
+    )
+    cnt = d.groupBy("lang").agg(F.count("*").alias("cnt"))
+    n = _NBINS
+    binned = ranked.join(broadcast(cnt), "lang").withColumn(
+        "bin",
+        F.expr(
+            f"""CASE WHEN rn <= (cnt % {n}) * (cnt DIV {n} + 1)
+                 THEN (rn - 1) DIV (cnt DIV {n} + 1)
+                 ELSE (cnt % {n})
+                      + (rn - 1 - (cnt % {n}) * (cnt DIV {n} + 1))
+                        DIV (cnt DIV {n})
+            END + 1"""
+        ).cast("bigint"),
+    )
+    return (
+        binned.groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q81: length/token curation accounting per (lang, source)
+# ---------------------------------------------------------------------------
+
+_LEN_LO, _LEN_HI, _MIN_TOKENS = 150, 450, 30
+
+
+@register(
+    "q81_doc_length_curation",
+    f"""SELECT lang, source,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN n_chars BETWEEN {_LEN_LO} AND {_LEN_HI}
+                            AND len(string_split(lower(text), ' ')) >= {_MIN_TOKENS}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(SUM(CASE WHEN n_chars BETWEEN {_LEN_LO} AND {_LEN_HI}
+                            AND len(string_split(lower(text), ' ')) >= {_MIN_TOKENS}
+                       THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+       FROM documents GROUP BY lang, source ORDER BY lang, source""",
+)
+def q81(spark, sf_dir):
+    # Per-stratum keep/drop accounting for a length+token-count curation
+    # rule — the audit table every corpus-filtering run must emit. Pure
+    # row expressions into a partial aggregation; no pre-shuffle.
+    d = _t(spark, sf_dir, "documents")
+    keep = F.col("n_chars").between(_LEN_LO, _LEN_HI) & (
+        F.size(tokens("text")) >= _MIN_TOKENS
+    )
+    return (
+        d.withColumn("_k", keep.cast("int"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_k").alias("n_kept"),
+            F.sum(F.when(F.col("_k") == 1, F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q82: cross-lingual mixture — seeded per-language downsampling, audited
+# ---------------------------------------------------------------------------
+
+_MIX_SEED = 7
+_MIX_RATES = {"en": 0.3, "zh": 0.9}
+_MIX_DEFAULT = 0.2
+
+
+def _mix_case() -> str:
+    arms = " ".join(
+        f"WHEN lang = '{lang}' THEN '{_hash_threshold(rate)}'"
+        for lang, rate in _MIX_RATES.items()
+    )
+    return f"CASE {arms} ELSE '{_hash_threshold(_MIX_DEFAULT)}' END"
+
+
+@register(
+    "q82_cross_lingual_mix",
+    f"""WITH sampled AS (
+         SELECT * FROM documents
+         WHERE substring(md5('{_MIX_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8)
+               < {_mix_case()}
+       )
+       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       FROM sampled GROUP BY lang ORDER BY lang""",
+)
+def q82(spark, sf_dir):
+    # The "rebalance languages into a training mix" step: deterministic
+    # seeded hash-threshold sampling (same draw function as
+    # mixing.stratified_sample) + the per-language audit aggregate.
+    # Row-local filter ⇒ no shuffle before the final tiny aggregation.
+    d = _t(spark, sf_dir, "documents")
+    threshold = F.lit(_hash_threshold(_MIX_DEFAULT))
+    for lang, rate in _MIX_RATES.items():
+        threshold = F.when(
+            F.col("lang") == lang, F.lit(_hash_threshold(rate))
+        ).otherwise(threshold)
+    return (
+        d.filter(sample_key("doc_id", _MIX_SEED) < threshold)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q83: event stream dedup — first event per (user, type, 10-min bucket)
+# ---------------------------------------------------------------------------
+
+_BUCKET_SECONDS = 600
+
+
+@register(
+    "q83_event_dedup_window",
+    f"""SELECT event_id, user_id, event_type FROM (
+         SELECT event_id, user_id, event_type,
+                ROW_NUMBER() OVER (
+                  PARTITION BY user_id, event_type,
+                               CAST(floor(epoch(ts)/{_BUCKET_SECONDS}) AS BIGINT)
+                  ORDER BY ts, event_id) AS rn
+         FROM events) t WHERE rn = 1
+       ORDER BY event_id LIMIT 200""",
+)
+def q83(spark, sf_dir):
+    # Batch twin of the S4 stateful stream dedupe: collapse repeated
+    # (user, event_type) rows inside a time bucket to the earliest — the
+    # standard event-stream debounce. Window key includes the bucket, so
+    # cardinality scales with the data; groups stay tiny.
+    e = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_timestamp("ts") / _BUCKET_SECONDS).cast("bigint")
+    w = Window.partitionBy("user_id", "event_type", bucket).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .orderBy("event_id")
+        .limit(200)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q84: TPC-H Q10 — returned-item revenue per customer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q84_tpch_q10",
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+              ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)::DOUBLE
+                AS revenue,
+              ROUND(c.c_acctbal, 2) AS acctbal
+       FROM customer c
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN orders o ON o.o_custkey = c.c_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE o.o_orderdate >= TIMESTAMP '1995-10-01'
+         AND o.o_orderdate < TIMESTAMP '1996-01-01'
+         AND l.l_returnflag = 'R'
+       GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+       ORDER BY revenue DESC, c.c_custkey LIMIT 20""",
+)
+def q84(spark, sf_dir):
+    # TPC-H Q10 shape: date + returnflag filters push into both fact
+    # scans; customer/nation broadcast; orders⋈lineitem sort-merges.
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q85: point-in-time feature join — prior-window aggregates per anchor
+# ---------------------------------------------------------------------------
+
+_LOOKBACK_SECONDS = 3600
+
+
+@register(
+    "q85_point_in_time_join",
+    f"""WITH anchors AS (
+         SELECT event_id, user_id, ts FROM events
+         WHERE event_type = 'purchase'
+       )
+       SELECT a.event_id,
+              CAST(COUNT(e.event_id) AS BIGINT) AS n_prior,
+              ROUND(COALESCE(SUM(CAST(e.value AS DECIMAL(18,6))), 0), 4)::DOUBLE
+                AS prior_value
+       FROM anchors a
+       LEFT JOIN events e
+         ON e.user_id = a.user_id
+        AND e.ts >= a.ts - INTERVAL {_LOOKBACK_SECONDS} SECONDS
+        AND e.ts < a.ts
+       GROUP BY a.event_id
+       ORDER BY a.event_id LIMIT 100""",
+)
+def q85(spark, sf_dir):
+    # Feature backfill: for every anchor event, aggregate the same
+    # user's activity in the preceding hour, leakage-free (strictly
+    # before the anchor). The join is an EQUI-join on user_id with the
+    # time range as a join-time filter — Catalyst plans a hash/sort-merge
+    # join on user_id, never a cross product; per-user fan-out is
+    # bounded by the lookback window.
+    e = _t(spark, sf_dir, "events")
+    anchors = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("a_ts")
+    )
+    hist = e.select(
+        F.col("user_id").alias("h_user"),
+        F.col("event_id").alias("h_id"),
+        F.col("ts").alias("h_ts"),
+        F.col("value").alias("h_value"),
+    )
+    joined = anchors.join(
+        hist,
+        (F.col("user_id") == F.col("h_user"))
+        & (
+            F.col("h_ts")
+            >= F.col("a_ts") - F.expr(f"INTERVAL {_LOOKBACK_SECONDS} SECONDS")
+        )
+        & (F.col("h_ts") < F.col("a_ts")),
+        "left",
+    )
+    return (
+        joined.groupBy("event_id")
+        .agg(
+            F.count("h_id").alias("n_prior"),
+            F.round(
+                F.coalesce(F.sum(F.col("h_value").cast("decimal(18,6)")), F.lit(0)),
+                4,
+            )
+            .cast("double")
+            .alias("prior_value"),
+        )
+        .orderBy("event_id")
+        .limit(100)
+    )

@@ -163,11 +163,30 @@ def _list_complete_sizes(path: str) -> dict[str, int]:
 def _read_range(
     dir_path: str, fname: str, start: int, end: int, gtid_exclude: str | None
 ):
-    """Parse the [start, end) byte range of one changelog file."""
+    """Parse the [start, end) byte range of one changelog file.
+
+    The changelog contract is append-only: a planned range must still
+    exist at execution time. A rotated/removed or truncated file is a
+    CONTRACT violation surfaced by name — not a generic IOError or,
+    worse, a silently short read that would drop events."""
     skip = GtidSet(gtid_exclude) if gtid_exclude else None
-    with open(os.path.join(dir_path, fname), "rb") as f:
-        f.seek(start)
-        payload = f.read(end - start)
+    full = os.path.join(dir_path, fname)
+    try:
+        with open(full, "rb") as f:
+            f.seek(start)
+            payload = f.read(end - start)
+    except FileNotFoundError:
+        raise RuntimeError(
+            f"changelog file {full} was removed between offset planning and "
+            "partition read (append-only contract violated: files must not "
+            "be rotated or deleted while a batch is in flight)"
+        ) from None
+    if len(payload) < end - start:
+        raise RuntimeError(
+            f"changelog file {full} shrank: planned byte range "
+            f"[{start}, {end}) but only {start + len(payload)} bytes exist "
+            "(append-only contract violated)"
+        )
     for line in payload.splitlines():
         if not line.strip():
             continue

@@ -46,12 +46,28 @@ def swap_dir(new_dir: str, path: str) -> None:
     shutil.rmtree(backup, ignore_errors=True)
 
 
+def _legacy_backup_path(path: str) -> str:
+    """Pre-dot-prefix backup name (``X._old``, visible to partition
+    discovery) — recognized for one release so a crash that happened
+    under the old layout still recovers instead of leaving a
+    duplicate-row ``bucket=N._old`` partition behind."""
+    return path.rstrip("/") + "._old"
+
+
 def recover_swap(path: str) -> None:
     """If a crash left no table at ``path`` but a backup exists, restore
-    it before doing anything else."""
+    it before doing anything else. Probes the current dot-prefixed
+    backup name first, then the legacy visible name; a legacy backup
+    that is NOT needed for recovery is deleted so partition discovery
+    stops seeing it as a duplicate partition."""
     backup = backup_path(path)
+    legacy = _legacy_backup_path(path)
     if not os.path.exists(path) and os.path.exists(backup):
         os.rename(backup, path)
+    elif not os.path.exists(path) and os.path.exists(legacy):
+        os.rename(legacy, path)
+    elif os.path.exists(legacy):
+        shutil.rmtree(legacy, ignore_errors=True)
 
 
 def dir_size_bytes(path: str) -> int:
