@@ -90,12 +90,30 @@ TICK_OK = pack(CMD_TICK, b"ok")
 SET_PRO_OK = pack(CMD_SET_PRO, b"ok")
 
 
+#: Largest accepted frame payload. The length field is attacker-
+#: controlled on a listening socket: without a cap a single bogus
+#: header (clen up to ~4 GiB) would buffer unboundedly in memory.
+MAX_FRAME_LEN = 16 << 20
+
+
+class FrameError(ValueError):
+    """Unrecoverable wire-protocol violation; callers close the
+    connection (there is no way to resynchronize the stream)."""
+
+
 class FrameParser:
     """Incremental frame splitter (util.go:41-50 / node.go:116-146).
 
     ``feed`` returns complete ``(cmd, payload)`` tuples; partial frames
     stay buffered. An unknown command yields ``(cmd, None)`` and resets
-    the buffer, exactly as the reference discards its recvBuf."""
+    the buffer, exactly as the reference discards its recvBuf.
+
+    The declared length is validated BEFORE use: ``clen < 2`` cannot
+    even hold the 2 command bytes — consuming them anyway would read
+    past the declared frame and desynchronize every later frame — and
+    ``clen > MAX_FRAME_LEN`` is a memory-exhaustion vector. Both raise
+    ``FrameError``; the only safe response is to drop the connection.
+    """
 
     def __init__(self) -> None:
         self._buf = bytearray()
@@ -103,8 +121,12 @@ class FrameParser:
     def feed(self, data: bytes) -> list[tuple[int, bytes | None]]:
         self._buf.extend(data)
         out: list[tuple[int, bytes | None]] = []
-        while len(self._buf) >= 6:
+        while len(self._buf) >= 4:
             clen = int.from_bytes(self._buf[:4], "little")
+            if clen < 2 or clen > MAX_FRAME_LEN:
+                raise FrameError(
+                    f"frame length {clen} outside [2, {MAX_FRAME_LEN}]"
+                )
             if len(self._buf) < clen + 4:
                 break
             cmd = int.from_bytes(self._buf[4:6], "little")
@@ -148,6 +170,11 @@ class _ClientNode:
         self.connect_time = time.time()
         self.online = True
         self._lock = threading.Lock()
+        # Serializes socket writes: the ping ack is sent from the READER
+        # thread while _send_loop may be mid-sendall of a keepalive or
+        # event frame — unserialized, the two writes can interleave
+        # INSIDE a frame and corrupt the client's stream.
+        self._write_lock = threading.Lock()
         self._parser = FrameParser()
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
         self._sender = threading.Thread(target=self._send_loop, daemon=True)
@@ -186,7 +213,10 @@ class _ClientNode:
             self.close()
 
     def _send_loop(self) -> None:
-        self.conn.settimeout(self.server.write_timeout)  # node.go:185
+        try:
+            self.conn.settimeout(self.server.write_timeout)  # node.go:185
+        except OSError:  # closed before the sender thread got scheduled
+            return
         while self.online:
             try:
                 frame = self.send_queue.get(timeout=0.5)
@@ -195,7 +225,8 @@ class _ClientNode:
             if frame is None:
                 return
             try:
-                self.conn.sendall(frame)
+                with self._write_lock:
+                    self.conn.sendall(frame)
             except OSError as exc:
                 logger.debug("subscribe send to %s failed: %s", self.addr, exc)
                 self.close()
@@ -210,7 +241,16 @@ class _ClientNode:
                 break
             if not data:
                 break
-            for cmd, payload in self._parser.feed(data):
+            try:
+                frames = self._parser.feed(data)
+            except FrameError as exc:
+                logger.warning(
+                    "subscribe client %s protocol violation (%s); closing",
+                    self.addr,
+                    exc,
+                )
+                break
+            for cmd, payload in frames:
                 if payload is None:
                     self.async_send(
                         pack(
@@ -237,14 +277,20 @@ class _ClientNode:
             return
         flag, content = payload[0], payload[1:]
         if flag == FLAG_SET_PRO:
+            # register BEFORE acking (node.go:44-53 then :160): once the
+            # client sees the ack its filter must already be in force,
+            # otherwise events racing the ack bypass the topic filter
             topic = content.decode("utf-8", "replace").strip().lower()
-            self.async_send(SET_PRO_OK)
             if topic and topic not in self.topics:
                 self.topics.append(topic)
+            self.async_send(SET_PRO_OK)
         elif flag == FLAG_PING:
-            # liveness probe: ack synchronously, then hang up
+            # liveness probe: ack synchronously (under the write lock so
+            # it can't interleave inside a frame _send_loop is writing),
+            # then hang up
             try:
-                self.conn.sendall(SET_PRO_OK)
+                with self._write_lock:
+                    self.conn.sendall(SET_PRO_OK)
             except OSError:
                 pass
             self.close()
@@ -476,7 +522,12 @@ class ControlTcpServer:
                     return
                 if not data:
                     return
-                for cmd, payload in parser.feed(data):
+                try:
+                    frames = parser.feed(data)
+                except FrameError as exc:
+                    logger.warning("control client protocol violation: %s", exc)
+                    return
+                for cmd, payload in frames:
                     try:
                         self._dispatch(conn, cmd, payload)
                     except OSError:
