@@ -226,3 +226,67 @@ def test_commit_lock_blocks_concurrent_recovery(spark, tmp_path):
     t.join(10)
     t2.join(10)
     assert order == ["holder-exit", "contender-enter"]
+
+
+def test_compaction_preserves_bucket_layout_and_pk_clustering(spark, tmp_path):
+    """Bucket-aware compaction (r2 verdict ask #7): after several
+    fragmenting upsert batches, compaction must merge files WITHIN each
+    bucket=N dir (never collapse the layout pruning depends on), keep
+    the data byte-identical, and leave each output file sorted by _pk
+    so footer min/max stats stay tight."""
+    from wing_binlog_go_spark.streaming.maintenance import (
+        compact_bucketed_table,
+        parquet_file_count,
+    )
+
+    env = _env(spark, tmp_path)
+    target = str(tmp_path / "t")
+    # several single-ish batches fragment the buckets
+    upsert_parquet_bucketed(env, target, pk="id", num_buckets=4)
+    upsert_parquet_bucketed(_batch2(spark), target, pk="id", num_buckets=4)
+    upsert_parquet_bucketed(env.limit(3), target, pk="id", num_buckets=4)
+
+    def bucket_dirs():
+        return sorted(
+            d for d in os.listdir(target) if d.startswith("bucket=")
+        )
+
+    before_dirs = bucket_dirs()
+    before = sorted(
+        (r._pk, r.event_index)
+        for r in read_bucketed_table(spark, target).select("_pk", "event_index").collect()
+    )
+
+    counts = compact_bucketed_table(spark, target, target_file_mb=128)
+
+    # bucket set unchanged; every bucket compacted to the target count
+    assert bucket_dirs() == before_dirs
+    assert sorted(counts) == before_dirs
+    for d, n in counts.items():
+        assert n == 1, (d, n)
+        assert parquet_file_count(os.path.join(target, d)) == 1
+    # data identical through the partitioned reader
+    after = sorted(
+        (r._pk, r.event_index)
+        for r in read_bucketed_table(spark, target).select("_pk", "event_index").collect()
+    )
+    assert after == before
+    # PK-clustered within each compacted file
+    for d in before_dirs:
+        bdir = os.path.join(target, d)
+        for f in os.listdir(bdir):
+            if f.endswith(".parquet"):
+                pks = [
+                    r._pk
+                    for r in spark.read.parquet(os.path.join(bdir, f))
+                    .select("_pk")
+                    .collect()
+                ]
+                assert pks == sorted(pks), (d, f)
+    # a fresh upsert after compaction still prunes and lands correctly
+    upsert_parquet_bucketed(_batch2(spark), target, pk="id", num_buckets=4)
+    again = sorted(
+        (r._pk, r.event_index)
+        for r in read_bucketed_table(spark, target).select("_pk", "event_index").collect()
+    )
+    assert again == after  # idempotent replay of batch2

@@ -259,3 +259,89 @@ def test_word_shingles_fast_path_matches_hof_on_pathological_spacing(spark):
             for r in df.select("id", _word_shingles_hof("text", k).alias("s")).collect()
         }
         assert got == want, (k, got, want)
+
+
+# ---------------------------------------------------------------------------
+# two-scale recall gates (r2 verdict ask #6): the rows-only variants are
+# checked at sf0.001 AND sf0.01 so bucket-width tuning that happens to
+# work at one corpus size can't silently regress the other.
+# ---------------------------------------------------------------------------
+
+_SCALES = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+def _recall_at_k(exact_rows, approx_rows):
+    es, asets = {}, {}
+    for r in exact_rows:
+        es.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx_rows:
+        asets.setdefault(r.query_id, set()).add(r.vec_id)
+    return sum(
+        len(es[q] & asets.get(q, set())) / len(es[q]) for q in es
+    ) / len(es)
+
+
+@pytest.mark.parametrize("scale", _SCALES)
+def test_registered_ann_variants_recall_at_both_scales(spark, scale):
+    """q38b (hyperplane LSH) and q38d (IVF) — exactly the registered
+    configurations the driver runs rows-only — must keep recall@5 ≥ 0.9
+    against q38's exact brute force at both test scales."""
+    from wing_binlog_go_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = qs["q38_ann_brute_force"].spark(spark, scale).collect()
+    for name in ("q38b_ann_lsh", "q38d_ann_ivf"):
+        approx = qs[name].spark(spark, scale).collect()
+        r = _recall_at_k(exact, approx)
+        assert r >= 0.9, f"{name} recall@5 {r:.2f} at {scale}"
+
+
+@pytest.mark.parametrize("scale", _SCALES)
+def test_minhash_pair_recall_vs_exact_jaccard_at_both_scales(spark, scale):
+    """q37's registered config (est threshold 0.2) must recover ≥ 0.95
+    of the pairs the exact 3-gram Jaccard (q37c's method) puts at ≥ 0.3
+    — the threshold-crossing band where banding misses would appear."""
+    docs = read_table(spark, scale, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.3).collect()
+    }
+    assert exact, "corpus must contain threshold-crossing pairs"
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_dedup_pairs(docs, threshold=0.2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.95, f"minhash pair recall {recall:.2f} at {scale}"
+
+
+@pytest.mark.parametrize("scale", _SCALES)
+def test_simhash_chunk_join_is_complete_within_radius(spark, scale):
+    """The pigeonhole chunk equi-join must surface EVERY pair within
+    max_hamming — candidate generation completeness, checked against a
+    numpy brute-force hamming matrix over all signatures. (SimHash at
+    hamming ≤ 3/64 with unigram features targets ~token-identical docs;
+    its *selectivity* is by design — what must never happen is the
+    bucketed join missing a pair the radius includes.)"""
+    import numpy as np
+
+    from wing_binlog_go_spark.operators.dedup import simhash_signature
+
+    docs = read_table(spark, scale, "documents")
+    sig_rows = simhash_signature(docs, "doc_id", "text").collect()
+    ids = np.array([r.doc_id for r in sig_rows], dtype=np.int64)
+    sigs = np.array([r.simhash for r in sig_rows], dtype=np.int64).view(np.uint64)
+    xor = sigs[:, None] ^ sigs[None, :]
+    ham = np.zeros_like(xor, dtype=np.int64)
+    for _ in range(64):  # popcount via shift-and-mask (no np.popcount in env)
+        ham += (xor & 1).astype(np.int64)
+        xor >>= 1
+    ii, jj = np.where((ham <= 3) & (ids[:, None] < ids[None, :]))
+    expected = {(int(ids[i]), int(ids[j])) for i, j in zip(ii, jj)}
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_dedup_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == expected, (
+        f"missing={len(expected - got)} extra={len(got - expected)} at {scale}"
+    )

@@ -423,7 +423,10 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    return lsh_topk(emb, q, k=5).orderBy("query_id", "rnk")
+    # 3 bits × 16 tables measured ≥0.96 recall@5 vs q38 at sf0.001 AND
+    # sf0.01 (the two-scale recall gate in test_dedup_similarity.py);
+    # the earlier 4×8 default sat at ~0.7
+    return lsh_topk(emb, q, k=5, n_bits=3, n_tables=16).orderBy("query_id", "rnk")
 
 
 def _q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,7 +450,12 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    return ivf_topk(emb, q, k=5).orderBy("query_id", "rnk")
+    # 10/16 probes measured 0.96-0.98 recall@5 vs q38 at both test
+    # scales (two-scale gate). A 500-vector corpus is far below IVF's
+    # operating regime — 10/16 lists is the honest tuned point HERE;
+    # at real scale n_centroids grows with the corpus and n_probe/
+    # n_centroids falls, which is where IVF's scan savings come from.
+    return ivf_topk(emb, q, k=5, n_probe=10).orderBy("query_id", "rnk")
 
 
 def _q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -230,10 +230,15 @@ class BinlogStreamReader(DataSourceStreamReader):
         if options.get("mysql_host"):
             # Real replication feed would need a binlog client library
             # (e.g. pymysql-replication), which this environment does not
-            # ship. Fail loudly rather than pretend.
+            # ship. Fail loudly rather than pretend. The supported real-
+            # MySQL path is the sidecar bridge (sources/mysql_bridge.py):
+            # it tails the replication stream into a changelog directory
+            # this source then consumes unchanged.
             raise NotImplementedError(
                 "direct MySQL replication requires a binlog client library; "
-                "front the stream with a changelog directory or Kafka instead"
+                "run sources.mysql_bridge.connect_and_run as a sidecar "
+                "writing a changelog directory (or front with Kafka) and "
+                "point this source at that"
             )
         self.gtid_exclude = options.get("start_gtid") or None
         if self.gtid_exclude:

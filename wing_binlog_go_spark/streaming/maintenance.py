@@ -88,17 +88,65 @@ def parquet_file_count(path: str) -> int:
 
 
 def compact_parquet(
-    spark: SparkSession, path: str, target_file_mb: int = 128
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_cols: list[str] | None = None,
 ) -> int:
     """Rewrite ``path`` into ceil(size / target) files; returns the new
     file count. coalesce (no shuffle) is enough because we only ever
-    merge down."""
+    merge down.
+
+    ``sort_cols`` clusters rows within each output file (a local
+    sortWithinPartitions — no global shuffle): parquet then records
+    tight min/max footer stats on those columns, so point lookups prune
+    row groups after compaction the way the pre-compaction small files
+    did implicitly."""
     path = path.rstrip("/")
     recover_swap(path)
     size = dir_size_bytes(path)
     n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
-    staged = path + "._compact"
+    # dot-prefixed staging sibling: invisible to hive partition
+    # discovery, so compacting one bucket=N dir of a partitioned table
+    # never surfaces a phantom "N._compact" partition mid-rewrite
+    d, b = os.path.split(path)
+    staged = os.path.join(d, "." + b + "._compact")
     shutil.rmtree(staged, ignore_errors=True)
-    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(staged)
+    df = spark.read.parquet(path).coalesce(n_files)
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    df.write.mode("overwrite").parquet(staged)
     swap_dir(staged, path)
     return parquet_file_count(path)
+
+
+def compact_bucketed_table(
+    spark: SparkSession, target_dir: str, target_file_mb: int = 128
+) -> dict[str, int]:
+    """Compact a bucketed upsert table (``upsert_parquet_bucketed``
+    layout) bucket by bucket, preserving the layout the upsert's
+    pruning depends on.
+
+    Compacting the table ROOT would collapse the ``bucket=N`` hive
+    directories into flat files — every later batch would rewrite the
+    whole table. Instead each bucket dir is compacted in place,
+    PK-clustered (``sort_cols=["_pk"]``) so footer min/max stats on the
+    key stay tight in the merged files. Any interrupted multi-bucket
+    commit is rolled forward first; each per-bucket rewrite stays
+    crash-safe through the same staged-swap protocol as the upsert.
+
+    Returns {bucket dir name: new file count}.
+    """
+    from wing_binlog_go_spark.streaming.pipeline import recover_bucket_commit
+
+    recover_bucket_commit(target_dir)
+    out: dict[str, int] = {}
+    for d in sorted(os.listdir(target_dir)):
+        if not d.startswith("bucket="):
+            continue
+        bdir = os.path.join(target_dir, d)
+        if os.path.isdir(bdir):
+            out[d] = compact_parquet(
+                spark, bdir, target_file_mb, sort_cols=["_pk"]
+            )
+    return out
