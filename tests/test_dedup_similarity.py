@@ -283,14 +283,14 @@ def _recall_at_k(exact_rows, approx_rows):
 
 @pytest.mark.parametrize("scale", _SCALES)
 def test_registered_ann_variants_recall_at_both_scales(spark, scale):
-    """q38b (hyperplane LSH) and q38d (IVF) — exactly the registered
-    configurations the driver runs rows-only — must keep recall@5 ≥ 0.9
-    against q38's exact brute force at both test scales."""
+    """q38b (hyperplane LSH), q38d (IVF) and q38f (PQ/ADC) — exactly the
+    registered configurations the driver runs rows-only — must keep
+    recall@5 ≥ 0.9 against q38's exact brute force at both test scales."""
     from wing_binlog_go_spark.registry import all_queries
 
     qs = all_queries()
     exact = qs["q38_ann_brute_force"].spark(spark, scale).collect()
-    for name in ("q38b_ann_lsh", "q38d_ann_ivf"):
+    for name in ("q38b_ann_lsh", "q38d_ann_ivf", "q38f_ann_pq"):
         approx = qs[name].spark(spark, scale).collect()
         r = _recall_at_k(exact, approx)
         assert r >= 0.9, f"{name} recall@5 {r:.2f} at {scale}"

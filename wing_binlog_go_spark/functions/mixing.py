@@ -195,6 +195,64 @@ def token_budget_head(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    total: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """α-temperature mixture sampling: draw ≈``total`` rows with each
+    group's quota ∝ n_g^α (the multilingual-rebalancing rule from
+    published LM data recipes — α<1 upweights low-resource groups
+    relative to their raw counts; α=1 is proportional, α=0 uniform).
+
+    Fully deterministic: each group's quota is
+    ``min(n_g, floor(total · n_g^α / Σ n^α + ε))`` and the rows taken
+    are the group's lowest seeded-md5 draws, so reruns and overlapping
+    corpus builds agree row-for-row (same property as
+    ``stratified_sample``, which takes *rates* as input; this operator
+    derives the rates from measured counts).
+
+    Scale shape: the counts aggregate is map-side partial over a
+    low-cardinality key; the per-group rank is the shard-prefixed
+    range-partitioned running total (``with_running_total`` with
+    ``partition_cols``), NOT ``Window.partitionBy(group)`` — a plain
+    window would serialize each group (a language!) onto one task at
+    100 TB. Quotas are a tiny broadcast join. The ε=1e-9 guards the
+    floor against last-ulp differences in the float Σ n^α between
+    engines/plans; a quota would have to land within 1e-9 of an integer
+    boundary to flip.
+
+    Returns (id, group) for the selected rows.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    z = counts.agg(F.sum(F.pow("_n", F.lit(alpha))).alias("_z"))
+    takes = counts.crossJoin(F.broadcast(z)).select(
+        group_col,
+        F.least(
+            F.col("_n"),
+            F.floor(F.lit(float(total)) * F.pow("_n", F.lit(alpha)) / F.col("_z") + 1e-9),
+        ).alias("_take"),
+    )
+    keyed = df.select(F.col(id_col), F.col(group_col)).withColumn(
+        "_draw", sample_key(id_col, seed)
+    )
+    ranked = with_running_total(
+        keyed,
+        ["_draw", id_col],
+        F.lit(1),
+        out="_rn",
+        partition_cols=[group_col],
+    )
+    return (
+        ranked.join(F.broadcast(takes), group_col)
+        .filter(F.col("_rn") <= F.col("_take"))
+        .select(id_col, group_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registered queries
 # ---------------------------------------------------------------------------
@@ -296,7 +354,39 @@ ORDER BY doc_id LIMIT 300
 """
 
 
+_MIX_TOTAL = 200
+
+
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        temperature_mix(d, "lang", _MIX_TOTAL, alpha=0.5, seed=_SAMPLE_SEED)
+        .orderBy("doc_id")
+    )
+
+
+_TEMPERATURE_MIX_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), tot AS (
+  SELECT SUM(POW(n, 0.5)) AS z FROM counts
+), takes AS (
+  SELECT lang, LEAST(n, CAST(FLOOR({_MIX_TOTAL} * POW(n, 0.5) / z + 1e-9) AS BIGINT)) AS take
+  FROM counts, tot
+), ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY substring(md5('{_SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8),
+                      doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked JOIN takes USING (lang)
+WHERE rn <= take ORDER BY doc_id
+"""
+
+
 QUERIES["q39l_stratified_sample"] = QuerySpec(_q_stratified_sample, _stratified_oracle())
+QUERIES["q39q_temperature_mix"] = QuerySpec(_q_temperature_mix, _TEMPERATURE_MIX_ORACLE)
 QUERIES["q39m_sequence_pack"] = QuerySpec(_q_sequence_pack, _PACK_ORACLE)
 QUERIES["q39n_corpus_shuffle"] = QuerySpec(_q_corpus_shuffle, _SHUFFLE_ORACLE)
 QUERIES["q39o_token_budget"] = QuerySpec(_q_token_budget, _TOKEN_BUDGET_ORACLE)

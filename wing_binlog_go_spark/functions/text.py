@@ -9,6 +9,8 @@ codegen-fused, shuffle-free except the explicit groupBys.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -499,6 +501,119 @@ GROUP BY 1, 2
 ORDER BY 1, 2
 """
 
+def boilerplate_ngrams(
+    docs: DataFrame,
+    k: int = 3,
+    min_doc_frac: float = 0.01,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """High-document-frequency k-grams — the boilerplate/template set.
+
+    A k-gram appearing in ≥ max(min_df, min_doc_frac·|corpus|) distinct
+    documents is, by construction, template text (headers, footers,
+    license banners, navigation chrome) rather than content. Document
+    frequency is computed over DISTINCT k-grams per doc, so a doc
+    repeating its own header doesn't inflate df.
+
+    Scale: the df aggregation shuffles on the k-gram (high cardinality,
+    parallel); the OUTPUT is small by definition — a gram must clear the
+    corpus-fraction bar, so |output| ≤ 1/min_doc_frac × (grams per doc),
+    independent of corpus size — which is what makes the downstream
+    per-doc join a broadcast (`boilerplate_stats`). The one driver-side
+    scalar is |corpus| (same class as IVF's centroid fit).
+
+    Returns (gram, df).
+    """
+    n_docs = docs.count()
+    bar = max(min_df, math.ceil(min_doc_frac * n_docs))
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams_all(text_col, k))).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= F.lit(bar))
+    )
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    k: int = 3,
+    min_doc_frac: float = 0.01,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document boilerplate share: how much of each doc's k-gram
+    stream (multiset — repeats count) falls in the corpus boilerplate
+    set. The standard curation signal for dropping template-heavy pages.
+
+    Plan shape at 100 TB: corpus scanned twice (df pass + stats pass);
+    the boilerplate set is broadcast (small by construction, see
+    ``boilerplate_ngrams``), so the stats pass is map-side join +
+    one groupBy on the document id (high cardinality, parallel).
+
+    Returns (id, n_grams, n_boiler, boiler_ratio).
+    """
+    boiler = boilerplate_ngrams(docs, k, min_doc_frac, min_df, id_col, text_col)
+    occurrences = docs.select(
+        F.col(id_col), F.explode(word_ngrams_all(text_col, k)).alias("gram")
+    )
+    tagged = occurrences.join(
+        F.broadcast(boiler.select("gram", F.lit(1).alias("_b"))), "gram", "left"
+    )
+    return tagged.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.coalesce(F.sum("_b"), F.lit(0)).alias("n_boiler"),
+        F.round(
+            F.coalesce(F.sum("_b"), F.lit(0)) / F.count("*"), 6
+        ).alias("boiler_ratio"),
+    )
+
+
+def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        boilerplate_stats(docs, k=3, min_doc_frac=0.01)
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+_BOILERPLATE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), gram_lists AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 1),
+                                  i -> array_to_string(t[i:i+2], ' '))
+              ELSE [array_to_string(t, ' ')] END AS gs
+  FROM toks
+), dfreq AS (
+  SELECT g, COUNT(*) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(gs)) AS g FROM gram_lists)
+  GROUP BY g
+), boiler AS (
+  SELECT g FROM dfreq
+  WHERE df >= GREATEST(2, CAST(CEIL(0.01 * (SELECT COUNT(*) FROM documents)) AS BIGINT))
+), occ AS (
+  SELECT doc_id, unnest(gs) AS g FROM gram_lists
+)
+SELECT occ.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(boiler.g) AS BIGINT) AS n_boiler,
+       ROUND(COUNT(boiler.g) / COUNT(*), 6) AS boiler_ratio
+FROM occ LEFT JOIN boiler ON occ.g = boiler.g
+GROUP BY occ.doc_id
+ORDER BY occ.doc_id
+LIMIT 200
+"""
+
+
 QUERIES["q39h_tfidf"] = QuerySpec(_q_tfidf, _TFIDF_ORACLE)
 QUERIES["q39i_decontamination"] = QuerySpec(_q_decontamination, _DECONTAMINATION_ORACLE)
 QUERIES["q39j_pii_scan"] = QuerySpec(_q_pii_scan, _pii_oracle())
@@ -510,3 +625,4 @@ QUERIES["q39d_quality_score"] = QuerySpec(_q_quality, _QUALITY_ORACLE)
 QUERIES["q39e_lang_id"] = QuerySpec(_q_lang_id, _lang_oracle())
 QUERIES["q39f_fingerprint_md5"] = QuerySpec(_q_fingerprint, _FINGERPRINT_ORACLE)
 QUERIES["q39g_minhash_sketch"] = QuerySpec(_q_minhash_sketch, None)  # no xxhash64 in DuckDB
+QUERIES["q39p_boilerplate"] = QuerySpec(_q_boilerplate, _BOILERPLATE_ORACLE)

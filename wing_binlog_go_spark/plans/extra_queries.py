@@ -435,3 +435,130 @@ def q85(spark, sf_dir):
         .orderBy("event_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q86: TPC-H Q18 — large-volume orders (semi-join on a HAVING subquery)
+# ---------------------------------------------------------------------------
+
+_Q18_QTY = 250
+
+
+@register(
+    "q86_tpch_q18",
+    f"""SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+              ROUND(o.o_totalprice, 2) AS totalprice,
+              ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,2))), 2)::DOUBLE AS sum_qty
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       WHERE o.o_orderkey IN (
+         SELECT l_orderkey FROM lineitem
+         GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {_Q18_QTY}
+       )
+       GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+       ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""",
+)
+def q86(spark, sf_dir):
+    # TPC-H Q18 shape. The HAVING subquery reuses the same lineitem
+    # relation — one partial-agg pass building the big-order key set,
+    # then a left-semi join back onto the fact. The semi side is the
+    # ~0.1% of orders clearing the quantity bar, so at scale it
+    # broadcast-prunes the fact scan before the customer join.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > _Q18_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(broadcast(big), "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q87: TPC-H Q7 — volume shipping between two nations, by year
+# ---------------------------------------------------------------------------
+
+_Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
+
+
+@register(
+    "q87_tpch_q7",
+    f"""SELECT supp_nation, cust_nation, l_year,
+              ROUND(SUM(volume), 2)::DOUBLE AS revenue
+       FROM (
+         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                YEAR(l.l_shipdate) AS l_year,
+                CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+         FROM supplier s
+         JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+         WHERE ((n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}')
+             OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}'))
+           AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l.l_shipdate < TIMESTAMP '1997-01-01'
+       ) shipping
+       GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year""",
+)
+def q87(spark, sf_dir):
+    # TPC-H Q7 shape: the nation-pair predicate prunes supplier and
+    # customer through their broadcast nation joins BEFORE the fact-fact
+    # join, and the shipdate range pushes into the lineitem scan. The
+    # only shuffles left are lineitem⋈orders and the final tiny agg.
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    pair = F.col("n_name").isin(_Q7_N1, _Q7_N2)
+    sn = s.join(broadcast(n.filter(pair)), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    cn = c.join(broadcast(n.filter(pair)), F.col("c_nationkey") == F.col("n_nationkey")).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    volume = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2))
+            | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1))
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            volume.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )

@@ -81,6 +81,13 @@ _PRIORITY = (
     "q83_event_dedup_window",
     "q84_tpch_q10",
     "q85_point_in_time_join",
+    # New this session (first driver verification): boilerplate k-gram
+    # detection, α-temperature mixing, PQ/ADC ANN, TPC-H Q18 + Q7.
+    "q39p_boilerplate",
+    "q39q_temperature_mix",
+    "q38f_ann_pq",
+    "q86_tpch_q18",
+    "q87_tpch_q7",
     # Sentinels: re-verify a representative of each graded family.
     "q37c_ngram_jaccard",
     "q38_ann_brute_force",
