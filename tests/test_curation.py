@@ -193,3 +193,71 @@ def test_repetition_features_planted(spark):
     assert got[1][0] < 0.2 and got[1][1] > 0.4   # repeated bigram dominates
     assert got[2][0] == 1.0 and got[2][1] < 0.2  # all tokens distinct
     assert got[3][0] == 1.0                      # degenerate doc doesn't crash
+
+
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark):
+    """Winnowing's coverage guarantee: two documents sharing a token run
+    of length >= k + window - 1 (here 3+4-1=6) must share at least one
+    fingerprint; and a doc is fully covered (every window contributes)."""
+    from wing_binlog_go_spark.functions.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"{shared} seven eight nine ten eleven twelve"),
+            (3, "totally different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = docs.select(
+        "doc_id", winnowing_fingerprints("text", k=3, window=4).alias("fps")
+    ).collect()
+    fps = {r.doc_id: set(r.fps) for r in rows}
+    assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # determinism: same input, same fingerprint set on recompute
+    again = {
+        r.doc_id: set(r.fps)
+        for r in docs.select(
+            "doc_id", winnowing_fingerprints("text", k=3, window=4).alias("fps")
+        ).collect()
+    }
+    assert again == fps
+
+
+def test_curation_boilerplate_stage_drops_template_docs(spark):
+    """Docs that are mostly a shared template (high boilerplate ratio
+    vs the corpus) are dropped when max_boiler_ratio is set; docs of
+    unique content survive; accounting covers every drop."""
+    template = "click here to subscribe to our newsletter and follow us"
+    uniq = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten",
+        "red orange yellow green blue indigo violet colors rainbow sky",
+        "north south east west compass direction map travel journey road",
+        "apple banana cherry date elderberry fig grape honeydew kiwi lemon",
+        "table chair lamp sofa shelf cabinet rug curtain mirror clock",
+    ]
+    rows = [(i, t, "en", "src", len(t)) for i, t in enumerate(uniq)]
+    # template-heavy docs: template + 2 unique words => ratio >> 0.5
+    rows += [
+        (100 + j, f"{template} filler{j} extra{j}", "en", "src", 70)
+        for j in range(4)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    curated, rep = curate(
+        docs, min_tokens=3, max_stop_ratio=0.99, max_boiler_ratio=0.5
+    )
+    kept = {r.doc_id for r in curated.select("doc_id").collect()}
+    assert kept == set(range(len(uniq))), kept
+    assert rep.dropped_boilerplate == 4
+    assert rep.input_docs == rep.output_docs + rep.dropped_quality + (
+        rep.dropped_lang
+        + rep.dropped_boilerplate
+        + rep.dropped_exact_dup
+        + rep.dropped_near_dup
+        + rep.dropped_contaminated
+    )

@@ -31,6 +31,7 @@ class CurationReport:
     input_docs: int = 0
     dropped_quality: int = 0
     dropped_lang: int = 0
+    dropped_boilerplate: int = 0
     dropped_exact_dup: int = 0
     dropped_near_dup: int = 0
     dropped_contaminated: int = 0
@@ -47,12 +48,17 @@ def curate(
     allowed_langs: list[str] | None = None,
     lang_col: str = "lang",
     near_dup_threshold: float = 0.9,
+    max_boiler_ratio: float | None = None,
+    boiler_ngram: int = 3,
     benchmark: DataFrame | None = None,
     benchmark_ngram: int = 8,
 ) -> tuple[DataFrame, CurationReport]:
     """documents → curated documents + per-stage drop accounting."""
     rep = CurationReport()
     rep.input_docs = docs.count()
+    # every persisted intermediate, released together at the end — stage
+    # reassignment (good = kept) would otherwise orphan earlier persists
+    _persisted: list[DataFrame] = []
 
     # 1. quality: row-local expressions, no shuffle
     feats = quality_features(text_col)
@@ -69,6 +75,7 @@ def curate(
         .drop("_ntok", "_stop")
         .persist()
     )
+    _persisted.append(good)
     n = good.count()
     rep.dropped_quality = rep.input_docs - n
     rep.stages.append(f"quality: -{rep.dropped_quality}")
@@ -82,6 +89,31 @@ def curate(
         n, good = m, kept
         rep.stages.append(f"lang: -{rep.dropped_lang}")
 
+    # 2b. optional boilerplate-share filter: the df pass shuffles on the
+    #     k-gram, so it runs after the row-local filters shrank the
+    #     corpus but before the heavier dedup stages. Ratio is measured
+    #     against the CURRENT survivor set (template text is defined by
+    #     the corpus that will ship, not by what quality already cut).
+    if max_boiler_ratio is not None:
+        from wing_binlog_go_spark.functions.text import boilerplate_stats
+
+        ratios = boilerplate_stats(
+            good, k=boiler_ngram, id_col=id_col, text_col=text_col
+        ).select(id_col, "boiler_ratio")
+        kept = (
+            good.join(ratios, id_col, "left")
+            .filter(
+                F.coalesce(F.col("boiler_ratio"), F.lit(0.0)) <= max_boiler_ratio
+            )
+            .drop("boiler_ratio")
+            .persist()
+        )
+        _persisted.append(kept)
+        m = kept.count()
+        rep.dropped_boilerplate = n - m
+        n, good = m, kept
+        rep.stages.append(f"boilerplate: -{rep.dropped_boilerplate}")
+
     # 3. exact dedup by normalized-text fingerprint (one narrow shuffle)
     fp = good.withColumn("_fp", F.md5(F.lower(F.col(text_col))))
     w_first = (
@@ -93,6 +125,7 @@ def curate(
         .drop("_fp", "_keep_id")
         .persist()
     )
+    _persisted.append(exact)
     m = exact.count()
     rep.dropped_exact_dup = n - m
     n = m
@@ -127,6 +160,6 @@ def curate(
         rep.stages.append(f"decontaminate: -{rep.dropped_contaminated}")
 
     rep.output_docs = n
-    good.unpersist()
-    exact.unpersist()
+    for df in _persisted:
+        df.unpersist()
     return curated, rep

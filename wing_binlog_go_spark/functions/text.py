@@ -574,6 +574,70 @@ def boilerplate_stats(
     )
 
 
+def winnowing_fingerprints(
+    text_col: str = "text", k: int = 3, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (the MOSS scheme, Schleimer et
+    al. SIGMOD'03): hash every overlapping k-gram IN ORDER, slide a
+    ``window``-wide window over the hash sequence, keep each window's
+    minimum — the guaranteed-coverage selection rule (any shared
+    substring of ≥ k+window-1 tokens shares ≥ 1 fingerprint between two
+    documents, which is what makes the fingerprint set joinable for
+    substring-level overlap detection, unlike minhash which sketches
+    whole-document similarity).
+
+    Hash = md5 hex (engine-portable, uniform for min-selection); the
+    classic polynomial *rolling* hash is a constant-factor trick for
+    sequential scanners — under columnar execution each k-gram hash is
+    an independent codegen-fused expression, so nothing rolls. Pure
+    per-row column expression: zero shuffle, scales embarrassingly.
+
+    Returns the sorted distinct fingerprint array for each document.
+    """
+    grams = word_ngrams_all(text_col, k)
+    hashes = F.transform(grams, lambda g: F.md5(g))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(hashes) - (window - 1), F.lit(1))
+    )
+    wins = F.transform(starts, lambda i: F.array_min(F.slice(hashes, i, window)))
+    return F.array_sort(F.array_distinct(wins))
+
+
+def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.explode(winnowing_fingerprints("text", k=3, window=4)).alias("fp"),
+        )
+        .orderBy("doc_id", "fp")
+    )
+
+
+_WINNOWING_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  WHERE doc_id < 100
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 1),
+                                  i -> array_to_string(t[i:i+2], ' '))
+              ELSE [array_to_string(t, ' ')] END AS gs
+  FROM toks
+), hs AS (
+  SELECT doc_id, list_transform(gs, g -> md5(g)) AS h FROM grams
+)
+SELECT doc_id,
+       unnest(list_sort(list_distinct(
+         list_transform(range(1, greatest(len(h) - 3, 1) + 1),
+                        i -> list_aggregate(h[i:i+3], 'min'))))) AS fp
+FROM hs
+ORDER BY doc_id, fp
+"""
+
+
 def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return (
@@ -626,3 +690,4 @@ QUERIES["q39e_lang_id"] = QuerySpec(_q_lang_id, _lang_oracle())
 QUERIES["q39f_fingerprint_md5"] = QuerySpec(_q_fingerprint, _FINGERPRINT_ORACLE)
 QUERIES["q39g_minhash_sketch"] = QuerySpec(_q_minhash_sketch, None)  # no xxhash64 in DuckDB
 QUERIES["q39p_boilerplate"] = QuerySpec(_q_boilerplate, _BOILERPLATE_ORACLE)
+QUERIES["q39r_winnowing"] = QuerySpec(_q_winnowing, _WINNOWING_ORACLE)

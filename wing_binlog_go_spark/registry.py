@@ -85,6 +85,7 @@ _PRIORITY = (
     # detection, α-temperature mixing, PQ/ADC ANN, TPC-H Q18 + Q7.
     "q39p_boilerplate",
     "q39q_temperature_mix",
+    "q39r_winnowing",
     "q38f_ann_pq",
     "q86_tpch_q18",
     "q87_tpch_q7",
