@@ -49,6 +49,80 @@ def running_event_counts(stream: DataFrame, key_col: str = "full_table") -> Data
     )
 
 
+def running_event_counts_tws(
+    stream: DataFrame,
+    key_col: str = "full_table",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """``running_event_counts`` on the transformWithState API (Spark 4):
+    the successor to applyInPandasWithState — typed state variables
+    (ValueState/ListState/MapState), per-state TTL, timers, and
+    initial-state seeding. Kept alongside the classic form so both S5
+    surfaces are exercised; semantics are identical when ``ttl_ms`` is
+    None.
+
+    ``ttl_ms`` evicts idle keys' state — the knob the classic API lacks
+    entirely: at CDC scale the key space (db.table, or user ids in
+    derived pipelines) grows without bound, and state for keys that
+    stopped arriving would otherwise live in RocksDB forever.
+
+    Requires the RocksDB state-store provider (transformWithState does
+    not support the default HDFS-backed store); the session conf is set
+    here — it only affects queries STARTED afterwards, never running
+    ones or existing checkpoints (a checkpoint pins its provider).
+
+    Environment note: the transformWithState state-server protocol
+    needs ``google.protobuf``, which this sandbox does not ship — the
+    import guard below fails loudly at build time instead of letting
+    the query die mid-stream with a cryptic driver-worker crash. The
+    e2e test (test_stateful.py) is skip-gated on the same import and
+    runs the day the dependency exists.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(its state-server protocol is protobuf-framed); install "
+            "protobuf or use running_event_counts (applyInPandasWithState)"
+        ) from e
+    from pyspark.sql import SparkSession
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    SparkSession.getActiveSession().conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class _Counter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._total = handle.getValueState("total", "total long", ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = 0
+            for pdf in rows:
+                n += len(pdf)
+            prev = self._total.get()
+            total = (prev[0] if prev else 0) + n
+            self._total.update((total,))
+            yield pd.DataFrame(
+                {"key": [key[0]], "events_in_batch": [n], "running_total": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_Counter(),
+        outputStructType="key string, events_in_batch long, running_total long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def sessionize(
     stream: DataFrame,
     key_col: str = "user_id",
