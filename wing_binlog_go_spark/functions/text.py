@@ -638,6 +638,91 @@ ORDER BY doc_id, fp
 """
 
 
+def bigram_lm_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document average negative log-likelihood under an add-one
+    bigram language model trained on the corpus itself — the n-gram
+    stand-in for perplexity-based quality filtering (published pipelines
+    score documents with a reference LM and drop the tail; with no
+    neural runtime in scope, a smoothed bigram model is the same signal
+    computed in pure SQL algebra). High NLL = improbable word sequences:
+    gibberish, boilerplate soup, wrong-language fragments.
+
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V), add-one smoothed over the
+    unigram vocabulary V; score = −mean log P over the doc's bigrams.
+
+    Scale shape: two corpus-derived count tables (unigram, bigram) built
+    with ordinary partial-agg groupBys; the scoring pass joins the
+    exploded bigram stream to both on their natural keys — vocabulary-
+    sized equi-joins, NEVER broadcast (the r2 tf_idf lesson: a web-scale
+    vocabulary broadcast OOMs; AQE picks the strategy from measured
+    sizes). The single driver scalar is |V| (same class as corpus
+    counts elsewhere). Docs with <2 tokens have no bigrams and drop out
+    — by construction, not by silent cap.
+
+    Returns (id, n_bigrams, nll).
+    """
+    toks = tokens(text_col)
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+    )
+    vocab = uni.count()
+    bigrams = docs.filter(F.size(toks) >= 2).select(
+        F.col(id_col), F.explode(word_ngrams_all(text_col, 2)).alias("bg")
+    )
+    bigc = bigrams.groupBy("bg").agg(F.count("*").alias("cbg"))
+    scored = (
+        bigrams.join(bigc, "bg")
+        .withColumn("w", F.split(F.col("bg"), " ").getItem(0))
+        .join(uni, "w")
+        .select(
+            id_col,
+            F.log(
+                (F.col("cbg") + F.lit(1.0)) / (F.col("cw") + F.lit(vocab))
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(-F.avg("_lp"), 4).alias("nll"),
+    )
+
+
+def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs).orderBy("doc_id").limit(200)
+
+
+_BIGRAM_LM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), uni AS (
+  SELECT w, COUNT(*) AS cw FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+), voc AS (SELECT COUNT(*) AS v FROM uni),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> array_to_string(t[i:i+1], ' '))) AS bg
+  FROM toks WHERE len(t) >= 2
+), bigc AS (
+  SELECT bg, COUNT(*) AS cbg FROM big GROUP BY bg
+), scored AS (
+  SELECT b.doc_id,
+         ln((bigc.cbg + 1.0) / (uni.cw + voc.v)) AS lp
+  FROM big b
+  JOIN bigc ON b.bg = bigc.bg
+  JOIN uni ON string_split(b.bg, ' ')[1] = uni.w
+  CROSS JOIN voc
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, ROUND(-AVG(lp), 4) AS nll
+FROM scored GROUP BY doc_id
+ORDER BY doc_id LIMIT 200
+"""
+
+
 def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return (
@@ -691,3 +776,4 @@ QUERIES["q39f_fingerprint_md5"] = QuerySpec(_q_fingerprint, _FINGERPRINT_ORACLE)
 QUERIES["q39g_minhash_sketch"] = QuerySpec(_q_minhash_sketch, None)  # no xxhash64 in DuckDB
 QUERIES["q39p_boilerplate"] = QuerySpec(_q_boilerplate, _BOILERPLATE_ORACLE)
 QUERIES["q39r_winnowing"] = QuerySpec(_q_winnowing, _WINNOWING_ORACLE)
+QUERIES["q39s_bigram_lm"] = QuerySpec(_q_bigram_lm, _BIGRAM_LM_ORACLE)

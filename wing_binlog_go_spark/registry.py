@@ -86,6 +86,7 @@ _PRIORITY = (
     "q39p_boilerplate",
     "q39q_temperature_mix",
     "q39r_winnowing",
+    "q39s_bigram_lm",
     "q38f_ann_pq",
     "q86_tpch_q18",
     "q87_tpch_q7",
