@@ -1,0 +1,139 @@
+"""CDC incremental aggregate materialization: per-group SUM/COUNT kept
+current from insert/update/delete envelopes; group-moving updates
+converge; replay is a no-op; commit is crash-atomic with its mark."""
+
+from __future__ import annotations
+
+import os
+
+from wing_binlog_go_spark.functions.envelope import EVENT_SCHEMA
+from wing_binlog_go_spark.streaming.aggregate import (
+    applied_index,
+    incremental_agg_apply,
+)
+
+
+def _env(spark, rows):
+    """rows: (event_type, event_index, data, old_data, new_data)"""
+    return spark.createDataFrame(
+        [
+            ("db", "t", et, 0, idx, {"data": d, "old_data": o, "new_data": n})
+            for et, idx, d, o, n in rows
+        ],
+        EVENT_SCHEMA,
+    )
+
+
+def _state(spark, state_dir):
+    return {
+        r.grp: (round(r.agg_sum, 6), r.agg_count)
+        for r in spark.read.parquet(state_dir).collect()
+    }
+
+
+def test_incremental_agg_deltas_and_group_move(spark, tmp_path):
+    state = str(tmp_path / "agg")
+    b1 = _env(
+        spark,
+        [
+            ("insert", 1, {"g": "a", "v": "10"}, None, None),
+            ("insert", 2, {"g": "a", "v": "5"}, None, None),
+            ("insert", 3, {"g": "b", "v": "7"}, None, None),
+        ],
+    )
+    incremental_agg_apply(spark, b1, state, "g", "v")
+    assert _state(spark, state) == {"a": (15.0, 2), "b": (7.0, 1)}
+
+    b2 = _env(
+        spark,
+        [
+            # in-group value update
+            ("update", 4, None, {"g": "a", "v": "10"}, {"g": "a", "v": "12"}),
+            # group-moving update: leaves b, joins a
+            ("update", 5, None, {"g": "b", "v": "7"}, {"g": "a", "v": "7"}),
+            ("delete", 6, {"g": "a", "v": "5"}, None, None),
+        ],
+    )
+    incremental_agg_apply(spark, b2, state, "g", "v")
+    # a: 15 -10 +12 -5 +7 = 19, count 2+1-1 = 2; b fully deleted -> gone
+    assert _state(spark, state) == {"a": (19.0, 2)}
+    assert applied_index(state) == 6
+
+
+def test_incremental_agg_replay_is_noop(spark, tmp_path):
+    state = str(tmp_path / "agg")
+    b = _env(
+        spark,
+        [
+            ("insert", 1, {"g": "x", "v": "3"}, None, None),
+            ("update", 2, None, {"g": "x", "v": "3"}, {"g": "x", "v": "4"}),
+        ],
+    )
+    incremental_agg_apply(spark, b, state, "g", "v")
+    first = _state(spark, state)
+    # at-least-once redelivery: the exact same batch applies again
+    incremental_agg_apply(spark, b, state, "g", "v")
+    assert _state(spark, state) == first == {"x": (4.0, 1)}
+    # partial overlap: one replayed row + one new row
+    b2 = _env(
+        spark,
+        [
+            ("update", 2, None, {"g": "x", "v": "3"}, {"g": "x", "v": "4"}),
+            ("insert", 3, {"g": "x", "v": "10"}, None, None),
+        ],
+    )
+    incremental_agg_apply(spark, b2, state, "g", "v")
+    assert _state(spark, state) == {"x": (14.0, 2)}
+
+
+def test_incremental_agg_matches_batch_recompute(spark, tmp_path):
+    """Stream of 60 mixed events applied in 3 batches equals a batch
+    GROUP BY over the surviving rows."""
+    import random
+
+    rng = random.Random(42)
+    live: dict[int, tuple[str, int]] = {}
+    events = []
+    idx = 0
+    for pk in range(30):
+        idx += 1
+        g, v = rng.choice("pqr"), rng.randint(1, 100)
+        live[pk] = (g, v)
+        events.append(("insert", idx, {"g": g, "v": str(v)}, None, None))
+    for pk in range(0, 30, 3):
+        idx += 1
+        og, ov = live[pk]
+        if pk % 2:
+            del live[pk]
+            events.append(("delete", idx, {"g": og, "v": str(ov)}, None, None))
+        else:
+            ng, nv = rng.choice("pqr"), rng.randint(1, 100)
+            live[pk] = (ng, nv)
+            events.append(
+                ("update", idx, None, {"g": og, "v": str(ov)}, {"g": ng, "v": str(nv)})
+            )
+    state = str(tmp_path / "agg")
+    for lo in range(0, len(events), 20):
+        incremental_agg_apply(
+            spark, _env(spark, events[lo : lo + 20]), state, "g", "v"
+        )
+    expect: dict[str, list] = {}
+    for g, v in live.values():
+        cur = expect.setdefault(g, [0.0, 0])
+        cur[0] += v
+        cur[1] += 1
+    assert _state(spark, state) == {g: (s, c) for g, (s, c) in expect.items()}
+
+
+def test_incremental_agg_crash_before_swap_recovers(spark, tmp_path):
+    """A staged-but-unswapped batch leaves the old state + mark intact;
+    re-applying converges (the mark moved with the swap, not before)."""
+    state = str(tmp_path / "agg")
+    b1 = _env(spark, [("insert", 1, {"g": "a", "v": "1"}, None, None)])
+    incremental_agg_apply(spark, b1, state, "g", "v")
+    # simulate a crash that left a stale staging dir behind
+    os.makedirs(state + "._staging", exist_ok=True)
+    b2 = _env(spark, [("insert", 2, {"g": "a", "v": "2"}, None, None)])
+    incremental_agg_apply(spark, b2, state, "g", "v")
+    assert _state(spark, state) == {"a": (3.0, 2)}
+    assert applied_index(state) == 2

@@ -155,3 +155,29 @@ def test_extra_queries_plan_hygiene(spark, sf_dir):
     ):
         pq = plan_of(_Q[name].spark(spark, sf_dir))
         assert "BatchEvalPython" not in pq and "ArrowEvalPython" not in pq, name
+
+
+def test_session_query_plan_hygiene(spark, sf_dir):
+    # q86 (TPC-H Q18): the big-order key set broadcasts into a left-semi
+    # prune of the fact scan; no cross products anywhere
+    p86 = plan_of(_Q["q86_tpch_q18"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in p86 and "LeftSemi" in p86
+    assert "CartesianProduct" not in p86
+    # q87 (TPC-H Q7): shipdate range pushes into the lineitem scan and
+    # the nation-pair predicate prunes before the fact-fact join
+    p87 = plan_of(_Q["q87_tpch_q7"].spark(spark, sf_dir))
+    pushed = [seg.split("\n")[0] for seg in p87.split("PushedFilters:")[1:]]
+    assert any("l_shipdate" in s for s in pushed)
+    assert any("n_name" in s for s in pushed)
+    assert "BroadcastHashJoin" in p87
+    # new text/mixing queries stay free of Python UDFs (q38f excepted:
+    # its encode/ADC-table steps are the documented dense-algebra
+    # pandas-UDF exception, asserted in the operator's own test file)
+    for name in (
+        "q39p_boilerplate",
+        "q39q_temperature_mix",
+        "q39r_winnowing",
+        "q39s_bigram_lm",
+    ):
+        pq = plan_of(_Q[name].spark(spark, sf_dir))
+        assert "BatchEvalPython" not in pq and "ArrowEvalPython" not in pq, name

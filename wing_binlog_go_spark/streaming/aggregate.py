@@ -1,0 +1,164 @@
+"""Incremental aggregate materialization over the CDC envelope stream.
+
+The reference's stated purpose is feeding "Realtime analytics"
+consumers (`readme.md:40-43`) — every such consumer ends up maintaining
+per-key aggregates from the change stream. This module is that consumer
+as an engine operator: (group → SUM(value), COUNT(*)) kept current from
+insert/update/delete envelopes WITHOUT recomputing the base table.
+
+Delta semantics per envelope (`src/library/binlog/handler.go:113-184`
+event shapes):
+
+- insert: +value, +1 on the row's group;
+- delete: −value, −1 on the row's group;
+- update: −old on the OLD group and +new on the NEW group — two deltas,
+  so updates that move a row between groups converge (the aggregate
+  analog of the PK-move tombstone in the upsert materializer).
+
+Effectively-once under at-least-once replay: deltas are NOT naturally
+idempotent, so the state records the max ``event_index`` applied and
+each batch first drops rows at or below it. ``event_index`` is
+deterministic under replay (derived from binlog coordinates — O10), so
+a replayed batch re-derives exactly the indexes already applied and
+contributes nothing. State commits through the same staged-swap
+protocol as compaction (`maintenance.swap_dir`): readers never observe
+a half-applied batch, and a crash between renames recovers.
+
+Scale shape: each batch touches O(|batch| + |distinct groups|) rows —
+the delta aggregation is a partial-agg groupBy on the group key and the
+merge is a full-outer join against the state table keyed the same way.
+At 100 TB of base data the state table is |groups|-sized, not
+|rows|-sized; for billion-group keys swap the plain parquet state for
+the bucketed upsert layout so the merge prunes to changed buckets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wing_binlog_go_spark.streaming.maintenance import recover_swap, swap_dir
+
+_META = "_agg_meta.json"
+
+
+def envelope_deltas(
+    env: DataFrame, group_key: str, value_field: str
+) -> DataFrame:
+    """Envelope rows → (group, d_sum, d_count) deltas (pre-aggregated
+    per group within the batch; map-side partial then one shuffle on the
+    group key)."""
+    data = F.col("event.data")
+    old = F.col("event.old_data")
+    new = F.col("event.new_data")
+
+    def _delta(img, sign: int):
+        # NULL/missing group keys coalesce to a sentinel: the state merge
+        # is a full-outer join on grp, and SQL NULLs never join-match, so
+        # un-coalesced NULL groups would append a fresh NULL row per
+        # batch instead of accumulating into one.
+        return [
+            F.coalesce(
+                F.element_at(img, group_key), F.lit("\x00null\x00")
+            ).alias("grp"),
+            (F.lit(sign) * F.element_at(img, value_field).cast("double")).alias(
+                "d_sum"
+            ),
+            F.lit(sign).cast("bigint").alias("d_count"),
+        ]
+
+    ins = env.filter(F.col("event_type") == "insert").select(*_delta(data, 1))
+    dele = env.filter(F.col("event_type") == "delete").select(*_delta(data, -1))
+    upd_minus = env.filter(F.col("event_type") == "update").select(*_delta(old, -1))
+    upd_plus = env.filter(F.col("event_type") == "update").select(*_delta(new, 1))
+    return (
+        ins.unionByName(dele)
+        .unionByName(upd_minus)
+        .unionByName(upd_plus)
+        .groupBy("grp")
+        .agg(F.sum("d_sum").alias("d_sum"), F.sum("d_count").alias("d_count"))
+    )
+
+
+def _meta_path(state_dir: str) -> str:
+    # INSIDE the state dir (underscore-prefixed files are invisible to
+    # Spark's file listing, like _SUCCESS): the high-water mark commits
+    # in the SAME atomic swap as the data. Meta beside the dir would
+    # open a crash window between swap and mark-write where replayed
+    # batches double-apply.
+    return os.path.join(state_dir.rstrip("/"), _META)
+
+
+def applied_index(state_dir: str) -> int:
+    try:
+        with open(_meta_path(state_dir)) as f:
+            return int(json.load(f)["max_event_index"])
+    except (OSError, ValueError, KeyError):
+        return -1
+
+
+def incremental_agg_apply(
+    spark: SparkSession,
+    env_batch: DataFrame,
+    state_dir: str,
+    group_key: str,
+    value_field: str,
+) -> None:
+    """Apply one envelope micro-batch to the aggregate state table.
+
+    Replay-safe: rows with ``event_index`` ≤ the recorded high-water
+    mark are dropped before deltas are computed, so re-delivered
+    batches (at-least-once sources, crash replays) are no-ops.
+    Groups whose count reaches 0 are removed (a fully-deleted group
+    disappears, as it would in a batch recompute).
+    """
+    recover_swap(state_dir)
+    high = applied_index(state_dir)
+    fresh = env_batch.filter(F.col("event_index") > high)
+    mx = fresh.agg(F.max("event_index")).collect()[0][0]
+    if mx is None:
+        return
+    deltas = envelope_deltas(fresh, group_key, value_field)
+
+    if os.path.exists(state_dir):
+        state = spark.read.parquet(state_dir)
+    else:
+        state = spark.createDataFrame(
+            [], "grp string, agg_sum double, agg_count bigint"
+        )
+    merged = (
+        state.join(deltas, "grp", "full_outer")
+        .select(
+            "grp",
+            (
+                F.coalesce(F.col("agg_sum"), F.lit(0.0))
+                + F.coalesce(F.col("d_sum"), F.lit(0.0))
+            ).alias("agg_sum"),
+            (
+                F.coalesce(F.col("agg_count"), F.lit(0))
+                + F.coalesce(F.col("d_count"), F.lit(0))
+            ).alias("agg_count"),
+        )
+        .filter(F.col("agg_count") > 0)
+    )
+    staged = state_dir.rstrip("/") + "._staging"
+    merged.write.mode("overwrite").parquet(staged)
+    with open(os.path.join(staged, _META), "w") as f:
+        json.dump({"max_event_index": int(mx)}, f)
+    swap_dir(staged, state_dir)
+
+
+def incremental_agg_writer(
+    state_dir: str, group_key: str, value_field: str
+):
+    """foreachBatch hook: envelope stream → maintained aggregate table."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_agg_apply(
+            batch_df.sparkSession, batch_df, state_dir, group_key, value_field
+        )
+
+    return write
