@@ -562,3 +562,215 @@ def q87(spark, sf_dir):
         .agg(F.round(F.sum("volume"), 2).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# q88: TPC-H Q13 — customer order-count distribution (outer join histogram)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q88_tpch_q13",
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+       FROM (
+         SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+         FROM customer c
+         LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                           AND o.o_orderpriority <> '1-URGENT'
+         GROUP BY c.c_custkey
+       ) t
+       GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC""",
+)
+def q88(spark, sf_dir):
+    # TPC-H Q13 shape: the filter lives in the JOIN CONDITION, not a
+    # WHERE (customers whose only orders are urgent must still count as
+    # zero-order customers). Two aggregations: per-customer count (high
+    # cardinality, parallel) then the tiny histogram.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q89: TPC-H Q16 — supplier-count per part attribute (distinct agg + NOT IN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q89_tpch_q16",
+    """SELECT p.p_brand, p.p_type, p.p_size,
+              CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+       FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+       WHERE p.p_brand <> 'BRAND_1'
+         AND p.p_size IN (5, 11, 17, 23, 29, 35, 41, 47)
+         AND l.l_suppkey NOT IN (
+           SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+         )
+       GROUP BY p.p_brand, p.p_type, p.p_size
+       ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+       LIMIT 100""",
+)
+def q89(spark, sf_dir):
+    # TPC-H Q16 shape (lineitem stands in for partsupp — the testdata
+    # ships no partsupp table): IN-list + inequality push into the part
+    # scan, the excluded-supplier set is a broadcast anti-join, and the
+    # distinct count shuffles once on the (brand, type, size) group key.
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "BRAND_1")
+        & F.col("p_size").isin(5, 11, 17, 23, 29, 35, 41, 47)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q90: TPC-H Q17 — small-quantity-order revenue (correlated avg per part)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q90_tpch_q17",
+    """SELECT ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 7.0, 2)
+                AS avg_yearly
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE p.p_brand = 'BRAND_2'
+         AND l.l_quantity < (
+           SELECT 0.2 * AVG(CAST(l2.l_quantity AS DECIMAL(18,4)))
+           FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+         )""",
+)
+def q90(spark, sf_dir):
+    # TPC-H Q17 shape: the correlated scalar subquery decorrelates to a
+    # per-part average computed ONCE (partial agg on l_partkey), joined
+    # back to the filtered fact — never a per-row subquery execution.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "BRAND_2")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.lit(0.2) * F.avg(_dec("l_quantity", 4))).alias("_bar")
+    )
+    return (
+        li.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_bar"))
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice")) / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q91: TPC-H Q19 — disjunctive multi-attribute predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q91_tpch_q19",
+    """SELECT ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)::DOUBLE
+                AS revenue
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE (p.p_brand = 'BRAND_1' AND p.p_size BETWEEN 1 AND 15
+              AND l.l_quantity BETWEEN 1 AND 11)
+          OR (p.p_brand = 'BRAND_2' AND p.p_size BETWEEN 10 AND 25
+              AND l.l_quantity BETWEEN 10 AND 20)
+          OR (p.p_brand = 'BRAND_3' AND p.p_size BETWEEN 20 AND 35
+              AND l.l_quantity BETWEEN 20 AND 30)""",
+)
+def q91(spark, sf_dir):
+    # TPC-H Q19 shape: OR-of-ANDs across both join sides. The part-only
+    # disjunct (brand ∈ {1,2,3}) is implied by the full predicate and
+    # prunes the broadcast side before the join; the mixed terms stay as
+    # the post-join filter. Catalyst derives the implied single-side
+    # filters via constraint propagation.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "BRAND_1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "BRAND_2")
+            & F.col("p_size").between(10, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "BRAND_3")
+            & F.col("p_size").between(20, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+    return (
+        li.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q92: TPC-H Q22 shape — rich idle customers (scalar subquery + anti join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q92_tpch_q22",
+    """WITH bar AS (
+         SELECT AVG(CAST(c_acctbal AS DECIMAL(18,4))) AS avg_bal
+         FROM customer WHERE c_acctbal > 0
+       )
+       SELECT c.c_mktsegment,
+              CAST(COUNT(*) AS BIGINT) AS numcust,
+              ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2)::DOUBLE AS totacctbal
+       FROM customer c, bar
+       WHERE c.c_acctbal > bar.avg_bal
+         AND NOT EXISTS (
+           SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+         )
+       GROUP BY c.c_mktsegment
+       ORDER BY c.c_mktsegment""",
+)
+def q92(spark, sf_dir):
+    # TPC-H Q22 shape (mktsegment stands in for the phone country code —
+    # no phone column in the testdata): scalar-subquery threshold, then
+    # an anti join against orders, then a tiny aggregate. The threshold
+    # is one scalar crossJoin-broadcast; the anti join shuffles on the
+    # customer key unless AQE broadcasts the smaller side.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    bar = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(_dec("c_acctbal", 4)).alias("_avg_bal")
+    )
+    return (
+        c.crossJoin(broadcast(bar))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -90,6 +90,11 @@ _PRIORITY = (
     "q38f_ann_pq",
     "q86_tpch_q18",
     "q87_tpch_q7",
+    "q88_tpch_q13",
+    "q89_tpch_q16",
+    "q90_tpch_q17",
+    "q91_tpch_q19",
+    "q92_tpch_q22",
     # Sentinels: re-verify a representative of each graded family.
     "q37c_ngram_jaccard",
     "q38_ann_brute_force",
