@@ -76,3 +76,54 @@ def test_run_guarded_start_stop_cycle(tmp_path):
     # lease released -> another node can take over immediately
     b = FileLeaderElector(_lease(tmp_path), node_id="B", ttl_seconds=2)
     assert b.try_acquire() is True
+
+
+def test_ha_failover_continues_pipeline_from_shared_checkpoint(spark, tmp_path):
+    """O20+O21 end-to-end: leader A runs the CDC pipeline and dies; the
+    standby wins the stale lease (with a higher fencing epoch) and
+    resumes from the SAME shared checkpoint — event_index continues with
+    no gap and no reuse, which is the pos-replication guarantee."""
+    import json as _json
+
+    from wing_binlog_go_spark.sources.changelog import fixture_records
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+    from wing_binlog_go_spark.streaming.sinks import collecting_writer
+
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    shared = str(tmp_path / "shared-ckpt")
+    lease = str(tmp_path / "shared-ckpt.lease")
+    recs = fixture_records()
+    f1 = [r for r in recs if r["binlog_file"] == "mysql-bin.000003"]
+    f2 = [r for r in recs if r["binlog_file"] == "mysql-bin.000004"]
+    with open(log_dir / "a.jsonl", "w") as f:
+        for r in f1:
+            f.write(_json.dumps(r) + "\n")
+
+    # node A: leader, processes the first file
+    a = FileLeaderElector(lease, node_id="A", ttl_seconds=5)
+    assert a.try_acquire()
+    got_a: list = []
+    q = run_pipeline(spark, str(log_dir), [Route("m", collecting_writer(got_a))], shared)
+    q.awaitTermination(60)
+    idx_a = [_json.loads(p)["event_index"] for _, p in got_a]
+    assert idx_a == list(range(1, len(f1) + 1))
+
+    # A dies without releasing; its lease goes stale
+    old = time.time() - 60
+    os.utime(lease, (old, old))
+
+    # node B: wins the election with a bumped epoch, resumes the SAME
+    # checkpoint as new data arrives
+    b = FileLeaderElector(lease, node_id="B", ttl_seconds=5)
+    assert b.try_acquire() is True and b.epoch == 2
+    with open(log_dir / "b.jsonl", "w") as f:
+        for r in f2:
+            f.write(_json.dumps(r) + "\n")
+    got_b: list = []
+    q2 = run_pipeline(spark, str(log_dir), [Route("m", collecting_writer(got_b))], shared)
+    q2.awaitTermination(60)
+    idx_b = [_json.loads(p)["event_index"] for _, p in got_b]
+    assert idx_b == list(range(len(f1) + 1, len(f1) + len(f2) + 1))
+    # zombie A cannot reacquire while B's lease is fresh
+    assert a.try_acquire() is False
