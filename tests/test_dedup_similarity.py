@@ -345,3 +345,32 @@ def test_simhash_chunk_join_is_complete_within_radius(spark, scale):
     assert got == expected, (
         f"missing={len(expected - got)} extra={len(got - expected)} at {scale}"
     )
+
+
+def test_pq_index_store_roundtrip(spark, sf_small, tmp_path):
+    """Amortized PQ path: a persisted index (codes + codebooks) yields
+    the SAME top-k as the end-to-end train+encode run."""
+    from wing_binlog_go_spark.operators.similarity import (
+        load_pq_index,
+        persist_pq_index,
+        pq_topk,
+    )
+
+    emb = read_table(spark, sf_small, "embeddings")
+    q = (
+        emb.orderBy("vec_id")
+        .limit(10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    store = str(tmp_path / "pq")
+    persist_pq_index(emb, store, m=16, n_codes=16)
+    idx = load_pq_index(spark, store)
+    from_store = [
+        tuple(r) for r in pq_topk(None, q, k=5, refine=60, index=idx)
+        .orderBy("query_id", "rnk").collect()
+    ]
+    end_to_end = [
+        tuple(r) for r in pq_topk(emb, q, k=5, m=16, refine=60)
+        .orderBy("query_id", "rnk").collect()
+    ]
+    assert from_store == end_to_end and from_store

@@ -326,8 +326,101 @@ def _pq_codebooks(
     return books
 
 
-def pq_topk(
+def pq_train(
     corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    train_cap: int = 10000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Train the per-subspace codebooks on a bounded driver-side sample
+    of L2-normalized corpus vectors. Returns (m, n_codes, dim//m)."""
+    c = corpus.select(as_double(vec_col).alias("_cv"))
+    train = np.stack(
+        [np.asarray(r["_cv"], dtype=np.float64) for r in c.limit(train_cap).collect()]
+    )
+    train = train / np.linalg.norm(train, axis=1, keepdims=True)
+    return _pq_codebooks(train, m, n_codes, seed)
+
+
+def _pq_encoder(books: np.ndarray):
+    """Arrow-vectorized corpus encoder for a trained codebook tensor."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, n_codes, sub = books.shape
+    books_sq = (books**2).sum(axis=2)
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        parts = mat.reshape(len(mat), m, sub)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            d2 = books_sq[j][None, :] - 2.0 * (parts[:, j, :] @ books[j].T)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, _cv, _cn, _codes): compressed codes + the full vector and
+    its norm for the refine fetch — the disk layout of a real PQ system
+    (codes are the in-memory scan structure; full vectors are only read
+    for refine survivors)."""
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("_cv"))
+    encode = _pq_encoder(books)
+    return c.withColumn("_codes", encode(F.col("_cv"))).withColumn(
+        "_cn", norm(F.col("_cv"))
+    )
+
+
+def persist_pq_index(
+    corpus: DataFrame,
+    store_dir: str,
+    m: int = 16,
+    n_codes: int = 16,
+    train_cap: int = 10000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Amortized path (same reasoning as the MinHash signature store):
+    train + encode ONCE, reuse for every query batch until the corpus
+    changes. Codes parquet + codebook JSON land under ``store_dir``."""
+    import json as _json
+    import os as _os
+
+    books = pq_train(corpus, m, n_codes, train_cap, id_col, vec_col, seed)
+    pq_encode(corpus, books, id_col, vec_col).write.mode("overwrite").parquet(
+        _os.path.join(store_dir, "codes")
+    )
+    with open(_os.path.join(store_dir, "codebooks.json"), "w") as f:
+        _json.dump({"m": m, "n_codes": n_codes, "books": books.tolist()}, f)
+
+
+def load_pq_index(spark: SparkSession, store_dir: str):
+    """→ (coded_corpus, books) for ``pq_topk(index=...)``."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(store_dir, "codebooks.json")) as f:
+        meta = _json.load(f)
+    books = np.asarray(meta["books"], dtype=np.float64)
+    coded = spark.read.parquet(_os.path.join(store_dir, "codes"))
+    return coded, books
+
+
+def pq_topk(
+    corpus: DataFrame | None,
     queries: DataFrame,
     k: int = 5,
     m: int = 8,
@@ -339,6 +432,7 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    index: tuple | None = None,
 ) -> DataFrame:
     """Product-quantization ANN: ADC (asymmetric distance) scan over
     compressed codes, exact cosine re-rank of the top ``refine``.
@@ -363,31 +457,15 @@ def pq_topk(
     """
     from pyspark.sql.functions import pandas_udf
 
-    c = corpus.select(F.col(id_col), as_double(vec_col).alias("_cv"))
-    q = queries.select(F.col(query_id_col), as_double(vec_col).alias("_qv"))
-
-    train = np.stack(
-        [
-            np.asarray(r["_cv"], dtype=np.float64)
-            for r in c.limit(train_cap).collect()
-        ]
-    )
-    train = train / np.linalg.norm(train, axis=1, keepdims=True)
-    books = _pq_codebooks(train, m, n_codes, seed)  # (m, n_codes, sub)
-    sub = dim // m
+    if index is not None:
+        coded, books = index
+        m, n_codes = books.shape[0], books.shape[1]
+    else:
+        books = pq_train(corpus, m, n_codes, train_cap, id_col, vec_col, seed)
+        coded = pq_encode(corpus, books, id_col, vec_col)
+    sub = books.shape[2]
     books_sq = (books**2).sum(axis=2)  # (m, n_codes)
-
-    @pandas_udf("array<int>")
-    def encode(v: pd.Series) -> pd.Series:
-        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        parts = mat.reshape(len(mat), m, sub)  # (n, m, sub)
-        # ‖x_j−c‖² argmin == (‖c‖² − 2 x_j·c) argmin; one GEMM per subspace
-        codes = np.empty((len(mat), m), dtype=np.int32)
-        for j in range(m):
-            d2 = books_sq[j][None, :] - 2.0 * (parts[:, j, :] @ books[j].T)
-            codes[:, j] = d2.argmin(axis=1)
-        return pd.Series(list(codes))
+    q = queries.select(F.col(query_id_col), as_double(vec_col).alias("_qv"))
 
     @pandas_udf("array<double>")
     def adc_table(v: pd.Series) -> pd.Series:
@@ -403,9 +481,6 @@ def pq_topk(
             )
         return pd.Series(list(tables.reshape(len(mat), m * n_codes)))
 
-    coded = c.withColumn("_codes", encode(F.col("_cv"))).withColumn(
-        "_cn", norm(F.col("_cv"))
-    )
     qt = q.withColumn("_tbl", adc_table(F.col("_qv"))).withColumn(
         "_qn", norm(F.col("_qv"))
     )
