@@ -774,3 +774,253 @@ def q92(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q93: TPC-H Q4 — order priority checking (EXISTS semi-join + date arith)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q93_tpch_q4",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+       FROM orders
+       WHERE EXISTS (
+         SELECT 1 FROM lineitem
+         WHERE l_orderkey = o_orderkey
+           AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+       )
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority""",
+)
+def q93(spark, sf_dir):
+    # TPC-H Q4 shape ("late" = shipped >90 days after the order date —
+    # the testdata carries no commit/receipt dates): correlated EXISTS
+    # becomes a left-semi join whose date condition rides in the join
+    # predicate, then a tiny priority aggregate.
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q94: TPC-H Q6 — forecast revenue change (pure scan-side filters)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q94_tpch_q6",
+    """SELECT ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))), 2)::DOUBLE AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.03 AND 0.07
+         AND l_quantity < 24""",
+)
+def q94(spark, sf_dir):
+    # TPC-H Q6: every predicate pushes into the parquet scan; the plan
+    # is scan → partial agg → one-row exchange. The canonical "is
+    # pushdown actually working" workload.
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95: TPC-H Q14 — promotion revenue share (conditional agg over a join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q95_tpch_q14",
+    """SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    ELSE 0 END)
+              / SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 4)::DOUBLE
+                AS promo_revenue
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l.l_shipdate < TIMESTAMP '1996-02-01'""",
+)
+def q95(spark, sf_dir):
+    # TPC-H Q14: month filter pushes into the fact scan, part broadcast,
+    # numerator/denominator in ONE aggregation pass (conditional agg).
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    vol = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0)))
+                / F.sum(vol),
+                4,
+            )
+            .cast("double")
+            .alias("promo_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q96: TPC-H Q15 — top supplier (aggregate + scalar-max self-reference)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q96_tpch_q15",
+    """WITH rev AS (
+         SELECT l_suppkey,
+                SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY l_suppkey
+       )
+       SELECT s.s_suppkey, s.s_name, ROUND(rev.total_rev, 2)::DOUBLE AS total_rev
+       FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+       WHERE rev.total_rev = (SELECT MAX(total_rev) FROM rev)
+       ORDER BY s.s_suppkey""",
+)
+def q96(spark, sf_dir):
+    # TPC-H Q15: the revenue view is computed ONCE and referenced twice
+    # (rows + scalar max) — decimal arithmetic makes the equality exact,
+    # so ties surface identically in both engines.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias("total_rev")
+    )
+    top = rev.agg(F.max("total_rev").alias("_top"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(broadcast(top))
+        .filter(F.col("total_rev") == F.col("_top"))
+        .join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_rev", 2).cast("double").alias("total_rev"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q97: TPC-H Q21 — suppliers who alone shipped late (semi + double anti)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q97_tpch_q21",
+    """WITH late AS (
+         SELECT l.l_orderkey, l.l_suppkey
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+       )
+       , pairs AS (
+         SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+         FROM lineitem l1
+         JOIN orders o ON o.o_orderkey = l1.l_orderkey
+         WHERE o.o_orderstatus = 'F'
+       )
+       SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+       FROM pairs p
+       JOIN supplier s ON s.s_suppkey = p.l_suppkey
+       WHERE EXISTS (SELECT 1 FROM late
+                     WHERE late.l_orderkey = p.l_orderkey
+                       AND late.l_suppkey = p.l_suppkey)
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = p.l_orderkey
+                       AND l2.l_suppkey <> p.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM late
+                         WHERE late.l_orderkey = p.l_orderkey
+                           AND late.l_suppkey <> p.l_suppkey)
+       GROUP BY s.s_name
+       ORDER BY numwait DESC, s.s_name
+       LIMIT 50""",
+)
+def q97(spark, sf_dir):
+    # TPC-H Q21 shape ("late" = shipped >60 days after order date): the
+    # hardest subquery combo in the suite — a semi join (this supplier
+    # WAS late on the order), another semi (the order had OTHER
+    # suppliers), and an anti (no OTHER supplier was late). Each
+    # decorrelates to a join on (orderkey, suppkey-inequality); dedup
+    # before the joins keeps the fan-out bounded.
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    base = (
+        li.select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .drop("o_orderkey")
+    )
+    l_late = late.select(
+        F.col("l_orderkey").alias("lo"), F.col("l_suppkey").alias("ls")
+    )
+    mine_late = base.join(
+        l_late,
+        (F.col("l_orderkey") == F.col("lo")) & (F.col("l_suppkey") == F.col("ls")),
+        "left_semi",
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("oo"), F.col("l_suppkey").alias("os")
+    ).distinct()
+    has_others = mine_late.join(
+        others,
+        (F.col("l_orderkey") == F.col("oo")) & (F.col("l_suppkey") != F.col("os")),
+        "left_semi",
+    )
+    no_other_late = has_others.join(
+        l_late,
+        (F.col("l_orderkey") == F.col("lo")) & (F.col("l_suppkey") != F.col("ls")),
+        "left_anti",
+    )
+    return (
+        no_other_late.join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(50)
+    )

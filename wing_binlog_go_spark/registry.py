@@ -95,6 +95,11 @@ _PRIORITY = (
     "q90_tpch_q17",
     "q91_tpch_q19",
     "q92_tpch_q22",
+    "q93_tpch_q4",
+    "q94_tpch_q6",
+    "q95_tpch_q14",
+    "q96_tpch_q15",
+    "q97_tpch_q21",
     # Sentinels: re-verify a representative of each graded family.
     "q37c_ngram_jaccard",
     "q38_ann_brute_force",
