@@ -1024,3 +1024,303 @@ def q97(spark, sf_dir):
         .orderBy(F.desc("numwait"), "s_name")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# q98: TPC-H Q8 — national market share (5-way join + conditional agg)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q98_tpch_q8",
+    """SELECT o_year,
+              ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
+                    / SUM(volume), 6)::DOUBLE AS mkt_share
+       FROM (
+         SELECT YEAR(o.o_orderdate) AS o_year,
+                CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+                n2.n_name AS supp_nation
+         FROM lineitem l
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+         JOIN region r ON r.r_regionkey = n1.n_regionkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+         WHERE r.r_name = 'ASIA'
+           AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o.o_orderdate < TIMESTAMP '1997-01-01'
+       ) shares
+       GROUP BY o_year
+       ORDER BY o_year""",
+)
+def q98(spark, sf_dir):
+    # TPC-H Q8: seven relations; every dimension chain (customer→nation
+    # →region, supplier→nation) broadcasts, and the single fact-fact
+    # join (lineitem⋈orders) carries the date filter pushed into the
+    # orders scan. Market share = conditional / total in one agg pass.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_nation = c.join(
+        broadcast(
+            n.join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        ),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_nation = s.join(
+        broadcast(n.select(F.col("n_nationkey").alias("_nk2"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("_nk2"),
+    ).select("s_suppkey", "supp_nation")
+    vol = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust_nation), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "supp_nation")
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(F.lit(0))
+                )
+                / F.sum("volume"),
+                6,
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99: TPC-H Q9 — product-line profit by nation and year
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q99_tpch_q9",
+    """SELECT nation, o_year, ROUND(SUM(amount), 2)::DOUBLE AS sum_profit
+       FROM (
+         SELECT n.n_name AS nation, YEAR(o.o_orderdate) AS o_year,
+                CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                - CAST(p.p_retailprice AS DECIMAL(18,2)) * 0.1
+                  * CAST(l.l_quantity AS DECIMAL(18,2)) AS amount
+         FROM lineitem l
+         JOIN part p ON p.p_partkey = l.l_partkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE p.p_type = 'ECONOMY'
+       ) profit
+       GROUP BY nation, o_year
+       ORDER BY nation, o_year DESC""",
+)
+def q99(spark, sf_dir):
+    # TPC-H Q9 shape (supply cost proxied at 10% of retail price per
+    # unit — the testdata ships no partsupp): the part filter prunes the
+    # broadcast side FIRST, so the fact scan join output is ~1/6 of
+    # lineitem before the orders join.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    sn = s.join(
+        broadcast(n.select(F.col("n_nationkey").alias("_nk"), F.col("n_name").alias("nation"))),
+        F.col("s_nationkey") == F.col("_nk"),
+    ).select("s_suppkey", "nation")
+    amount = _dec("l_extendedprice") * (1 - _dec("l_discount")) - _dec(
+        "p_retailprice"
+    ) * F.lit(0.1).cast("decimal(18,2)") * _dec("l_quantity")
+    return (
+        li.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast(sn), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("nation", F.year("o_orderdate").alias("o_year"), amount.alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q100: TPC-H Q11 — important stock (group + global-fraction threshold)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q100_tpch_q11",
+    """WITH value_by_part AS (
+         SELECT l.l_partkey,
+                SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l.l_quantity AS DECIMAL(18,2))) AS val
+         FROM lineitem l
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         WHERE n.n_name = 'NATION_3'
+         GROUP BY l.l_partkey
+       )
+       SELECT l_partkey, ROUND(val, 2)::DOUBLE AS val
+       FROM value_by_part
+       WHERE val > (SELECT SUM(val) * 0.001 FROM value_by_part)
+       ORDER BY val DESC, l_partkey
+       LIMIT 100""",
+)
+def q100(spark, sf_dir):
+    # TPC-H Q11 shape (lineitem value per part standing in for partsupp
+    # stock value): the per-part aggregate is referenced twice — rows
+    # and the global-fraction scalar — computed once, scalar broadcast.
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    sn = s.join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey"
+    )
+    by_part = (
+        li.join(broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice") * _dec("l_quantity")).alias("val"))
+    )
+    bar = by_part.agg((F.sum("val") * F.lit(0.001)).alias("_bar"))
+    return (
+        by_part.crossJoin(broadcast(bar))
+        .filter(F.col("val") > F.col("_bar"))
+        .select("l_partkey", F.round("val", 2).cast("double").alias("val"))
+        .orderBy(F.desc("val"), "l_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q101: TPC-H Q20 — excess-shipment suppliers (nested semi-join chain)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q101_tpch_q20",
+    """SELECT s.s_name, CAST(s.s_suppkey AS BIGINT) AS s_suppkey
+       FROM supplier s
+       WHERE s.s_suppkey IN (
+         SELECT l.l_suppkey FROM lineitem l
+         WHERE l.l_partkey IN (
+           SELECT p_partkey FROM part WHERE p_name LIKE '%a%'
+         )
+         AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l.l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY l.l_suppkey, l.l_partkey
+         HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 50
+       )
+       ORDER BY s.s_name, s_suppkey""",
+)
+def q101(spark, sf_dir):
+    # TPC-H Q20 shape (shipped quantity stands in for stock): part-name
+    # filter → per-(supplier, part) quantity HAVING → supplier semi
+    # join. Each level is an equi-join on keys the previous level
+    # produced; nothing fans out.
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%")).select(
+        "p_partkey"
+    )
+    heavy = (
+        li.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.col("s_suppkey").cast("bigint").alias("s_suppkey"))
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q102: TPC-H Q2 — min-cost supplier per part (correlated min + multi-join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q102_tpch_q2",
+    """WITH cost AS (
+         SELECT l.l_partkey, l.l_suppkey,
+                SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS val
+         FROM lineitem l
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         JOIN region r ON r.r_regionkey = n.n_regionkey
+         WHERE r.r_name = 'ASIA'
+         GROUP BY l.l_partkey, l.l_suppkey
+       )
+       SELECT s.s_name, n.n_name, p.p_partkey, ROUND(c.val, 2)::DOUBLE AS val
+       FROM part p
+       JOIN cost c ON c.l_partkey = p.p_partkey
+       JOIN supplier s ON s.s_suppkey = c.l_suppkey
+       JOIN nation n ON n.n_nationkey = s.s_nationkey
+       WHERE p.p_size = 15
+         AND c.val = (SELECT MIN(val) FROM cost c2
+                      WHERE c2.l_partkey = p.p_partkey)
+       ORDER BY p.p_partkey, s.s_name
+       LIMIT 100""",
+)
+def q102(spark, sf_dir):
+    # TPC-H Q2 shape (per-(part, supplier) sale value from lineitem
+    # stands in for partsupp supply cost; exact decimal SUM makes the
+    # correlated-min equality engine-stable): the correlated subquery
+    # decorrelates to a per-part min joined back — computed once, not
+    # per row. Region/nation chains broadcast.
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    asia_supp = (
+        s.join(
+            broadcast(n.join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    cost = (
+        li.join(
+            broadcast(asia_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("val"))
+    )
+    min_cost = cost.groupBy(F.col("l_partkey").alias("_mpk")).agg(
+        F.min("val").alias("_minval")
+    )
+    return (
+        cost.join(broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            min_cost,
+            (F.col("l_partkey") == F.col("_mpk")) & (F.col("val") == F.col("_minval")),
+        )
+        .join(broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round("val", 2).cast("double").alias("val"),
+        )
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
+    )
