@@ -137,3 +137,40 @@ def test_incremental_agg_crash_before_swap_recovers(spark, tmp_path):
     incremental_agg_apply(spark, b2, state, "g", "v")
     assert _state(spark, state) == {"a": (3.0, 2)}
     assert applied_index(state) == 2
+
+
+def test_incremental_agg_route_through_pipeline(spark, tmp_path):
+    """The writer as a pipeline route: envelope stream → maintained
+    aggregate keyed on a column that UPDATEs move between groups
+    (c_vchar changes rewrite the group), via the real changelog →
+    envelope → foreachBatch path."""
+    from wing_binlog_go_spark.sources.changelog import write_fixture_changelog
+    from wing_binlog_go_spark.streaming.aggregate import incremental_agg_writer
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+
+    log_dir = tmp_path / "log"
+    write_fixture_changelog(str(log_dir), split_files=False)
+    state = str(tmp_path / "agg")
+    q = run_pipeline(
+        spark,
+        str(log_dir),
+        [Route("agg", incremental_agg_writer(state, "c_vchar", "c_int"))],
+        str(tmp_path / "ckpt"),
+        include=[r"fixtures\.cdc_typed_all"],
+    )
+    q.awaitTermination(60)
+    got = {
+        r.grp: (r.agg_sum, r.agg_count)
+        for r in spark.read.parquet(state).collect()
+    }
+    # updates moved row1->row1v2 and row2->row2v2 (old groups cancel to
+    # zero and vanish); the unmatched delete's group never goes live
+    assert got == {
+        "row1v2": (11.0, 1),
+        "row2v2": (21.0, 1),
+        "row3": (30.0, 1),
+        "committed": (0.0, 1),
+        "post-ddl": (7.0, 1),
+        "split-a": (1.0, 1),
+        "split-b": (2.0, 1),
+    }
