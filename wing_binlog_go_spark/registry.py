@@ -100,21 +100,24 @@ _PRIORITY = (
     "q95_tpch_q14",
     "q96_tpch_q15",
     "q97_tpch_q21",
+    # Family sentinels stay inside the window (guard-enforced): q37 and
+    # q15b have no other in-window representative.
+    "q37c_ngram_jaccard",
+    "q15b_asof_merge",
     "q98_tpch_q8",
     "q99_tpch_q9",
     "q100_tpch_q11",
     "q101_tpch_q20",
     "q102_tpch_q2",
-    # q100-q102 land past the 50-slot window this round (it is fully
-    # spent on first-time verifications) — they hold local oracle rows
-    # every pytest run and lead the r04 window.
+    # q99-q102 land past the 50-slot window this round (it is fully
+    # spent on first-time verifications + the two family sentinels) —
+    # they hold local oracle rows every pytest run and lead the r04
+    # window.
     # Sentinels: re-verify a representative of each graded family.
-    "q37c_ngram_jaccard",
     "q38_ann_brute_force",
     "q39i_decontamination",
     "q39h_tfidf",
     "q39m_sequence_pack",
-    "q15b_asof_merge",
     "q01_parquet_scan",
     "q14_tpch_q3",
     "q16_tpch_q1",
