@@ -128,3 +128,18 @@ def test_registry_priority_window_and_no_failed_modules():
         assert any(k.startswith(family) for k in window), family
     # priority list stays consistent with what's actually registered
     assert set(registry._PRIORITY) <= set(qs)
+
+
+def test_duplicate_query_name_fails_loudly(monkeypatch):
+    """A module re-registering an existing query name must be recorded
+    as a failed module (it would otherwise silently shadow the other
+    implementation), and the original registration must survive."""
+    from wing_binlog_go_spark import registry
+    from wing_binlog_go_spark.operators import dedup
+
+    impostor = next(iter(dedup.QUERIES.values()))
+    monkeypatch.setitem(dedup.QUERIES, "q01_parquet_scan", impostor)
+    qs = registry.all_queries()
+    assert any("operators.dedup" in m for m in registry.failed_modules)
+    assert any("q01_parquet_scan" in v for v in registry.failed_modules.values())
+    assert "q01_parquet_scan" in qs  # the relational original survives

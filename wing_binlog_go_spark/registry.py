@@ -144,7 +144,16 @@ def all_queries() -> dict[str, QuerySpec]:
     for mod_name in _OPERATOR_MODULES:
         try:
             mod = __import__(mod_name, fromlist=["QUERIES"])
-            registered.update(getattr(mod, "QUERIES", {}))
+            extra = getattr(mod, "QUERIES", {})
+            # A name collision would silently REPLACE another module's
+            # query — the driver would verify one implementation while
+            # the judge reads the other. Fail loudly instead.
+            dupes = set(registered) & set(extra)
+            if dupes:
+                raise ValueError(
+                    f"duplicate query name(s) {sorted(dupes)} registered by {mod_name}"
+                )
+            registered.update(extra)
         except Exception as exc:  # noqa: BLE001 - recorded, not swallowed
             failed_modules[mod_name] = f"{type(exc).__name__}: {exc}"
             logger.error("query module %s failed to import: %s", mod_name, exc)
