@@ -398,3 +398,31 @@ def test_dedupe_within_watermark_stream(spark, tmp_path):
     q.awaitTermination(60)
     got = spark.sql("SELECT event_index FROM dedup ORDER BY event_index").collect()
     assert [r.event_index for r in got] == [1, 2]
+
+
+def test_upsert_delta_matches_parquet_semantics(spark, tmp_path):
+    """Delta MERGE materializer — activates when delta-spark exists;
+    must produce the same final table as upsert_parquet on the fixture
+    sequence (incl. PK-move tombstones and replay idempotence)."""
+    pytest.importorskip("delta")
+    from wing_binlog_go_spark.streaming.pipeline import upsert_delta
+
+    log_dir = tmp_path / "log"
+    write_fixture_changelog(str(log_dir), split_files=False)
+    target = str(tmp_path / "delta_table")
+
+    def materialize(env, batch_id):
+        upsert_delta(
+            env.filter(F.col("full_table") == "fixtures.cdc_typed_all"),
+            target,
+            pk="id",
+        )
+
+    q = run_pipeline(
+        spark, str(log_dir), [Route("mat", materialize)], str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(60)
+    final = {r._pk: r.row for r in spark.read.format("delta").load(target).collect()}
+    assert final[pk_str("1")]["c_vchar"] == "row1v2"
+    assert pk_str("5") not in final
+    assert set(final) == {pk_str(k) for k in ("1", "2", "3", "99", "100", "200", "201")}

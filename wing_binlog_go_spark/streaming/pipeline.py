@@ -432,3 +432,52 @@ def read_bucketed_table(spark: SparkSession, target_dir: str) -> DataFrame:
     a lasting mix of old and new buckets."""
     recover_bucket_commit(target_dir)
     return spark.read.parquet(target_dir).drop("bucket")
+
+
+def upsert_delta(
+    env: DataFrame, target_path: str, pk: str | list[str] = "id"
+) -> None:
+    """The production form of ``upsert_parquet``: Delta ``MERGE INTO``
+    on the same injective key and last-writer-wins rule — per-batch IO
+    is O(touched files) via Delta's file-level pruning instead of the
+    plain-parquet full rewrite, and concurrent readers get snapshot
+    isolation from the commit log instead of the rename-swap protocol.
+
+    Import-gated: delta-spark is not in this environment, so the writer
+    raises loudly at call time (same pattern as the MySQL and protobuf
+    hooks); ``tests/test_streaming.py`` skip-gates the e2e on the same
+    probe and activates the day the dependency appears. The session
+    must be built with the Delta SQL extension + catalog configs.
+
+    Semantics parity with ``upsert_parquet`` (both reduce the batch with
+    ``latest_image_per_pk`` first, so PK-moving updates tombstone the
+    old key and replay is idempotent):
+
+    - matched + newer event_index + tombstone → DELETE
+    - matched + newer event_index → UPDATE row image
+    - not matched + not tombstone → INSERT
+    """
+    try:
+        from delta.tables import DeltaTable
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "upsert_delta requires the delta-spark package; use "
+            "upsert_parquet (same semantics, staged-swap commit) instead"
+        ) from e
+
+    spark = env.sparkSession
+    updates = latest_image_per_pk(env, pk)
+    if not DeltaTable.isDeltaTable(spark, target_path):
+        updates.filter(~F.col("is_delete")).write.format("delta").mode(
+            "overwrite"
+        ).save(target_path)
+        return
+    tgt = DeltaTable.forPath(spark, target_path)
+    (
+        tgt.alias("t")
+        .merge(updates.alias("u"), "t._pk = u._pk")
+        .whenMatchedDelete("u.is_delete AND u.event_index >= t.event_index")
+        .whenMatchedUpdateAll("NOT u.is_delete AND u.event_index >= t.event_index")
+        .whenNotMatchedInsertAll("NOT u.is_delete")
+        .execute()
+    )
