@@ -104,6 +104,7 @@ def run_pipeline(
     exclude: list[str] | None = None,
     available_now: bool = True,
     source: str = "files",
+    txn_atomic: bool = False,
 ):
     """Start the CDC pipeline; returns the StreamingQuery.
 
@@ -114,6 +115,14 @@ def run_pipeline(
     ``source`` selects the ingest path over the same CHANGE_SCHEMA:
     "files" = JSON file stream (default), "binlog" = the custom Python
     DataSource with (file, pos, row) offsets (sources.binlog).
+
+    ``txn_atomic`` inserts the transaction gate (streaming/txn.py):
+    every batch the routes see is transaction-closed — no consumer ever
+    observes half a transaction (exceeds the reference, which pushes
+    per-event). The gate sits BEFORE the include/exclude filters: the
+    commit marker rides on whatever table the transaction touched last,
+    and filtering first could strand a multi-table transaction whose
+    committing row belongs to an excluded table.
     """
     state = IndexState(os.path.join(checkpoint_dir, "event_index.json"))
     if source == "binlog":
@@ -127,6 +136,10 @@ def run_pipeline(
         changes = stream_changelog(spark, changelog_dir)
     else:
         raise ValueError(f"unknown source {source!r}; expected 'files' or 'binlog'")
+    if txn_atomic:
+        from wing_binlog_go_spark.streaming.txn import txn_gate
+
+        changes = txn_gate(changes)
     if include or exclude:
         pre = F.concat_ws(".", "database", "table")
         changes = changes.filter(match_filters(pre, include or []))
