@@ -261,3 +261,30 @@ def test_curation_boilerplate_stage_drops_template_docs(spark):
         + rep.dropped_near_dup
         + rep.dropped_contaminated
     )
+
+
+def test_heavy_hitters_exactness_on_skewed_synthetic(spark):
+    """Misra-Gries candidates must contain every true heavy hitter, and
+    the recount phase must return EXACTLY the items a full GROUP BY +
+    HAVING would — on a skewed distribution spread across partitions
+    (the case where a per-partition count filter would miss globally
+    heavy but locally thin items)."""
+    from collections import Counter
+
+    from wing_binlog_go_spark.functions.text import heavy_hitters
+
+    # 5 heavy items (freq 120..200), 2000 singletons spread thin
+    rows = []
+    for h in range(5):
+        rows += [f"hot{h}"] * (120 + 20 * h)
+    rows += [f"cold{i}" for i in range(2000)]
+    import random
+
+    random.Random(7).shuffle(rows)
+    df = spark.createDataFrame([(w,) for w in rows], "w string").repartition(16)
+    k = 25  # threshold = n/k = ~112
+    got = {r.item: r.freq for r in heavy_hitters(df, "w", k=k).collect()}
+    counts = Counter(rows)
+    n = len(rows)
+    expect = {w: c for w, c in counts.items() if c > n / k}
+    assert got == expect and got, got

@@ -723,6 +723,88 @@ ORDER BY doc_id LIMIT 200
 """
 
 
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 1000,
+    id_hint: int = 4,
+) -> DataFrame:
+    """EXACT frequent items (frequency > n/k) via Misra-Gries candidate
+    pruning + exact recount — bounded memory at any corpus size.
+
+    Why not a plain GROUP BY: at 10^11 tokens the full count table IS
+    the shuffle. Misra-Gries guarantees every item with global
+    freq > n/k survives a (k·overshoot)-counter summary of each
+    partition (averaging argument: a globally-heavy item is locally
+    heavy in at least one partition), so phase 1 produces a tiny
+    candidate set with NO token shuffle; phase 2 recounts ONLY the
+    candidates exactly (broadcast semi-join, then a candidate-sized
+    aggregation). Result = exactly the items a full GROUP BY + HAVING
+    would return, with both phases bounded by |candidates| ≈ k.
+
+    The per-partition sketch is an Arrow-batched pandas pass (a
+    documented exception like the dense-algebra UDFs: MG's
+    decrement-all step is inherently imperative). ``id_hint`` sizes the
+    summary at k·id_hint counters to absorb batch-boundary error.
+
+    Returns (item, freq) for items with freq > total/k.
+    """
+    import pandas as pd
+
+    cap = k * id_hint
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for item in pdf[col]:
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < cap:
+                    counters[item] = 1
+                else:
+                    dead = [i for i in counters if counters[i] == 1]
+                    for i in counters:
+                        counters[i] -= 1
+                    for i in dead:
+                        del counters[i]
+        if counters:
+            yield pd.DataFrame({"item": list(counters.keys())})
+
+    src = df.select(F.col(col))
+    candidates = (
+        src.mapInPandas(mg, "item string").select("item").distinct()
+    )
+    total = src.count()
+    bar = total / k
+    return (
+        src.join(
+            F.broadcast(candidates), src[col] == F.col("item"), "left_semi"
+        )
+        .groupBy(col)
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") > bar)
+        .select(F.col(col).alias("item"), "freq")
+    )
+
+
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("w"))
+    return heavy_hitters(toks, "w", k=100).orderBy(F.desc("freq"), "item")
+
+
+_HEAVY_HITTERS_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+), n AS (SELECT COUNT(*) AS total FROM toks)
+SELECT w AS item, CAST(COUNT(*) AS BIGINT) AS freq
+FROM toks, n
+GROUP BY w, n.total
+HAVING COUNT(*) > n.total / 100.0
+ORDER BY freq DESC, item
+"""
+
+
 def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return (
@@ -777,3 +859,4 @@ QUERIES["q39g_minhash_sketch"] = QuerySpec(_q_minhash_sketch, None)  # no xxhash
 QUERIES["q39p_boilerplate"] = QuerySpec(_q_boilerplate, _BOILERPLATE_ORACLE)
 QUERIES["q39r_winnowing"] = QuerySpec(_q_winnowing, _WINNOWING_ORACLE)
 QUERIES["q39s_bigram_lm"] = QuerySpec(_q_bigram_lm, _BIGRAM_LM_ORACLE)
+QUERIES["q39t_heavy_hitters"] = QuerySpec(_q_heavy_hitters, _HEAVY_HITTERS_ORACLE)

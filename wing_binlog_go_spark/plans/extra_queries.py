@@ -1172,7 +1172,7 @@ def q99(spark, sf_dir):
        )
        SELECT l_partkey, ROUND(val, 2)::DOUBLE AS val
        FROM value_by_part
-       WHERE val > (SELECT SUM(val) * 0.001 FROM value_by_part)
+       WHERE val > (SELECT SUM(val) * 0.0003 FROM value_by_part)
        ORDER BY val DESC, l_partkey
        LIMIT 100""",
 )
@@ -1191,7 +1191,10 @@ def q100(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.sum(_dec("l_extendedprice") * _dec("l_quantity")).alias("val"))
     )
-    bar = by_part.agg((F.sum("val") * F.lit(0.001)).alias("_bar"))
+    # 0.0003 keeps the threshold non-degenerate at BOTH test scales
+    # (0.001 selects zero parts at sf0.1 — the value spread tightens as
+    # the corpus grows)
+    bar = by_part.agg((F.sum("val") * F.lit(0.0003)).alias("_bar"))
     return (
         by_part.crossJoin(broadcast(bar))
         .filter(F.col("val") > F.col("_bar"))

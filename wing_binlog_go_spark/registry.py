@@ -109,6 +109,7 @@ _PRIORITY = (
     "q100_tpch_q11",
     "q101_tpch_q20",
     "q102_tpch_q2",
+    "q39t_heavy_hitters",
     # q99-q102 land past the 50-slot window this round (it is fully
     # spent on first-time verifications + the two family sentinels) —
     # they hold local oracle rows every pytest run and lead the r04
