@@ -1186,8 +1186,13 @@ def q100(spark, sf_dir):
     sn = s.join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")).select(
         "s_suppkey"
     )
+    # `sn` is DERIVED (supplier filtered to one nation), not a fixed-size
+    # dim: supplier grows with SF, so a compile-time broadcast hint here
+    # would be an OOM assertion at 100×. No hint — AQE broadcasts it at
+    # runtime when the measured size allows, else shuffles. Only the
+    # 25-row `nation` keeps its hint.
     by_part = (
-        li.join(broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_dec("l_extendedprice") * _dec("l_quantity")).alias("val"))
     )
@@ -1238,8 +1243,13 @@ def q101(spark, sf_dir):
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%")).select(
         "p_partkey"
     )
+    # Neither join side below gets a compile-time broadcast hint: `p` is
+    # a '%a%'-filtered slice of part (≈half the table — grows with SF)
+    # and `heavy` is a derived aggregate with unknowable size. A hint is
+    # a compile-time OOM assertion at 100×; AQE converts either join to
+    # broadcast at runtime iff the measured size fits the budget.
     heavy = (
-        li.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(_dec("l_quantity")).alias("_q"))
         .filter(F.col("_q") > 50)
@@ -1247,7 +1257,7 @@ def q101(spark, sf_dir):
         .distinct()
     )
     return (
-        s.join(broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        s.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", F.col("s_suppkey").cast("bigint").alias("s_suppkey"))
         .orderBy("s_name", "s_suppkey")
     )
@@ -1299,9 +1309,14 @@ def q102(spark, sf_dir):
         )
         .select("s_suppkey", "s_name", "n_name")
     )
+    # `asia_supp` and the filtered `p` are DERIVED sides whose size grows
+    # with SF (supplier/part are SF-proportional, unlike nation/region) —
+    # no compile-time broadcast hints on them; AQE broadcasts at runtime
+    # when measured sizes fit. Hints stay only on the 25/5-row
+    # nation⋈region chain above.
     cost = (
         li.join(
-            broadcast(asia_supp.select("s_suppkey")),
+            asia_supp.select("s_suppkey"),
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_semi",
         )
@@ -1312,12 +1327,12 @@ def q102(spark, sf_dir):
         F.min("val").alias("_minval")
     )
     return (
-        cost.join(broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        cost.join(p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
         .join(
             min_cost,
             (F.col("l_partkey") == F.col("_mpk")) & (F.col("val") == F.col("_minval")),
         )
-        .join(broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(asia_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_name",
             "n_name",
@@ -1326,4 +1341,92 @@ def q102(spark, sf_dir):
         )
         .orderBy("p_partkey", "s_name")
         .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q103: TPC-H Q12 — shipmode priority counts (derived l_shipmode)
+# ---------------------------------------------------------------------------
+
+# The testdata lineitem has no l_shipmode / l_commitdate / l_receiptdate
+# (FIXTURES.md), so the Q12 shape derives all three deterministically
+# from (l_orderkey, l_linenumber, l_shipdate) with the SAME integer/date
+# arithmetic in Spark and DuckDB — engine-parity by construction, which
+# keeps the query fully oracle-checkable. Multipliers 3/5, 11, 13 are
+# coprime with the moduli so the derived columns aren't degenerate
+# functions of l_linenumber alone.
+_SHIPMODES = ("REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB")
+
+
+@register(
+    "q103_tpch_q12",
+    """WITH li AS (
+         SELECT l_orderkey,
+                CASE CAST((l_orderkey * 3 + l_linenumber * 5) % 7 AS INTEGER)
+                  WHEN 0 THEN 'REG AIR' WHEN 1 THEN 'AIR' WHEN 2 THEN 'RAIL'
+                  WHEN 3 THEN 'SHIP' WHEN 4 THEN 'TRUCK' WHEN 5 THEN 'MAIL'
+                  ELSE 'FOB' END AS l_shipmode,
+                CAST(l_shipdate AS DATE) AS ship_d,
+                CAST(l_shipdate AS DATE)
+                  + CAST((l_orderkey * 13 + l_linenumber) % 60 - 30 AS INTEGER)
+                  AS commit_d,
+                CAST(l_shipdate AS DATE)
+                  + CAST((l_orderkey * 11 + l_linenumber) % 30 + 1 AS INTEGER)
+                  AS receipt_d
+         FROM lineitem)
+       SELECT li.l_shipmode,
+              CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
+       WHERE li.l_shipmode IN ('MAIL', 'SHIP')
+         AND li.commit_d < li.receipt_d
+         AND li.ship_d < li.commit_d
+         AND li.receipt_d >= DATE '1996-01-01'
+         AND li.receipt_d < DATE '1997-01-01'
+       GROUP BY li.l_shipmode ORDER BY li.l_shipmode""",
+)
+def q103(spark, sf_dir):
+    # TPC-H Q12 (spec 2.15): late-shipment priority counts by ship mode.
+    # All derived-column predicates are map-side row expressions on the
+    # lineitem scan (whole-stage codegen, no UDF); they cut the fact to a
+    # small slice BEFORE the orders join, which AQE then broadcasts at
+    # test scale and sort-merges at 100 TB — either way the join key is
+    # the order key, no fan-out. Two-row result after a partial+final
+    # conditional aggregate.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    mode_idx = ((F.col("l_orderkey") * 3 + F.col("l_linenumber") * 5) % 7).cast("int")
+    ship_d = F.col("l_shipdate").cast("date")
+    commit_d = F.date_add(
+        ship_d, ((F.col("l_orderkey") * 13 + F.col("l_linenumber")) % 60 - 30).cast("int")
+    )
+    receipt_d = F.date_add(
+        ship_d, ((F.col("l_orderkey") * 11 + F.col("l_linenumber")) % 30 + 1).cast("int")
+    )
+    shaped = li.select(
+        "l_orderkey",
+        F.element_at(F.array(*[F.lit(m) for m in _SHIPMODES]), mode_idx + 1).alias(
+            "l_shipmode"
+        ),
+        ship_d.alias("ship_d"),
+        commit_d.alias("commit_d"),
+        receipt_d.alias("receipt_d"),
+    ).filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("commit_d") < F.col("receipt_d"))
+        & (F.col("ship_d") < F.col("commit_d"))
+        & (F.col("receipt_d") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("receipt_d") < F.lit("1997-01-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        shaped.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
     )
