@@ -114,6 +114,15 @@ def incremental_agg_apply(
     batches (at-least-once sources, crash replays) are no-ops.
     Groups whose count reaches 0 are removed (a fully-deleted group
     disappears, as it would in a batch recompute).
+
+    Storage constraint (same one ``leader.py`` states): ``state_dir``
+    must be a POSIX-local or NFS-mounted path reachable by the DRIVER —
+    the high-water-mark meta is written with plain ``open()`` into the
+    Spark-written staging dir, and the staged-swap commit relies on
+    POSIX rename atomicity. On object-store checkpoint storage (s3://,
+    abfs://) use a Delta/Iceberg table for the state instead; the HA
+    story (O20/O21) assumes drivers share THIS posix path exactly as
+    they share the lease file.
     """
     recover_swap(state_dir)
     high = applied_index(state_dir)

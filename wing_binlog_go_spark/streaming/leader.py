@@ -12,16 +12,32 @@ Consul dependency.
 
 Mechanics — a TTL lease file:
 
-- acquire: atomic ``link(tmp, lease)`` (fails iff the lease exists);
-  a lease whose mtime is older than the TTL is stale and may be
-  stolen (unlink + link, then READ BACK to confirm the win — two
-  concurrent stealers both link, exactly one's payload survives).
-- renew: the holder rewrites payload + mtime every ``ttl/3``; missing
-  two renewals forfeits.
+- acquire: atomic ``link(tmp, lease)`` (fails iff the lease exists).
+- steal: a lease whose mtime is older than the TTL is stale. Stealing
+  is made MUTUALLY EXCLUSIVE by ``rename``-ing the lease to a
+  per-node tombstone first — rename is atomic, so exactly one
+  contender removes the old lease and the losers fall back to the
+  link race. The winner re-checks the tombstone's mtime (rename
+  preserves it): if the lease was renewed between the staleness check
+  and the rename, it links the tombstone straight back and withdraws.
+  This closes the round-3 TOCTOU where a second stealer's unlink
+  could delete the first stealer's FRESH lease and both confirmed the
+  same epoch.
+- confirm: after linking, the winner verifies the lease payload is
+  (owner == self, epoch == claimed) AND the file's inode is the very
+  inode it linked — the fencing identity is (owner, epoch, own
+  write), never epoch alone.
+- renew: the holder rewrites payload + mtime every ``ttl/3``. Renew
+  FORFEITS (returns False) if the lease is missing, owned by someone
+  else, carries a different epoch than this holder acquired, or has
+  already gone stale — a stale lease may be mid-steal, so rewriting
+  it could clobber the new leader (the round-3 renew TOCTOU).
 - fencing: every acquisition increments a monotonic epoch persisted in
-  the lease payload. Downstream writers that record the epoch can
-  reject a zombie leader's writes (the classic fencing-token pattern);
-  the bucketed-upsert manifest is the natural place to stamp it.
+  the lease payload (the steal path re-reads it from the tombstone
+  AFTER winning the rename, so the increment is over the true latest
+  value). Downstream writers that record (owner, epoch) can reject a
+  zombie leader's writes (the classic fencing-token pattern); the
+  bucketed-upsert manifest is the natural place to stamp it.
 
 Honest limits (same class as the reference's Consul TTL sessions):
 stolen-lease races narrow to the read-back window but clock skew
@@ -83,6 +99,10 @@ class FileLeaderElector:
         tmp = self._write_tmp(epoch)
         try:
             os.link(tmp, self.lease_path)  # atomic: fails iff lease exists
+            # Record the inode of OUR write: link shares the tmp's inode,
+            # so _confirm can verify the surviving file is the very one
+            # we created, not a same-(owner, epoch) lookalike.
+            self._last_ino = os.stat(tmp).st_ino
             return True
         except FileExistsError:
             return False
@@ -95,32 +115,76 @@ class FileLeaderElector:
         """One acquisition attempt; returns leadership. Non-blocking."""
         cur = self._read()
         age = self._age()
-        next_epoch = (cur.get("epoch", 0) if cur else 0) + 1
         if age is None:
-            # no lease on disk — contend for it
-            if not self._try_link(next_epoch):
+            # no lease on disk — contend for it via the atomic link
+            next_epoch = (cur.get("epoch", 0) if cur else 0) + 1
+            if self._try_link(next_epoch):
                 return self._confirm(next_epoch)
-        elif age > self.ttl:
-            # stale: steal. Both stealers may pass the staleness check;
-            # unlink is idempotent-ish (ignore missing) and exactly one
-            # link succeeds; the read-back settles any interleaving.
-            try:
-                os.unlink(self.lease_path)
-            except FileNotFoundError:
-                pass
-            if not self._try_link(next_epoch):
-                return self._confirm(next_epoch)
-        else:
-            # fresh lease: leader iff it is already ours
-            if cur and cur.get("owner") == self.node_id:
+            return False  # lost the race; follower this round
+        if age <= self.ttl:
+            # fresh lease: leader iff it is already ours (same owner AND,
+            # if we think we hold it, the same epoch we acquired)
+            if (
+                cur
+                and cur.get("owner") == self.node_id
+                and (self.epoch is None or cur.get("epoch") == self.epoch)
+            ):
                 self.epoch = cur.get("epoch")
                 return True
             return False
-        return self._confirm(next_epoch)
+        # Stale: steal, exclusively. rename is atomic — exactly one
+        # contender moves the old lease aside; everyone else sees
+        # FileNotFoundError and retries next poll (by then the winner's
+        # fresh lease blocks them).
+        tomb = f"{self.lease_path}.tomb.{os.getpid()}.{id(self)}"
+        try:
+            os.rename(self.lease_path, tomb)
+        except OSError:
+            return False
+        try:
+            try:
+                t_age = time.time() - os.stat(tomb).st_mtime
+                with open(tomb) as f:
+                    prev = json.load(f)
+            except (OSError, ValueError):
+                prev, t_age = None, None
+            if t_age is not None and t_age <= self.ttl:
+                # The lease was renewed between our staleness check and
+                # the rename — we grabbed a LIVE leader's lease. Put it
+                # back (link restores the original inode+mtime); if a
+                # contender linked a new lease in the gap, the displaced
+                # holder's next renew() detects the loss via the epoch
+                # check and steps down.
+                try:
+                    os.link(tomb, self.lease_path)
+                except FileExistsError:
+                    pass
+                return False
+            # Epoch increments over the TRUE latest value (read from the
+            # tombstone we exclusively own), not a pre-rename snapshot —
+            # two sequential stealers can never mint the same epoch.
+            next_epoch = (prev.get("epoch", 0) if prev else 0) + 1
+        finally:
+            try:
+                os.unlink(tomb)
+            except FileNotFoundError:
+                pass
+        if self._try_link(next_epoch):
+            return self._confirm(next_epoch)
+        return False
 
     def _confirm(self, epoch: int) -> bool:
         cur = self._read()
-        if cur and cur.get("owner") == self.node_id and cur.get("epoch") == epoch:
+        try:
+            ino = os.stat(self.lease_path).st_ino
+        except OSError:
+            return False
+        if (
+            cur
+            and cur.get("owner") == self.node_id
+            and cur.get("epoch") == epoch
+            and ino == getattr(self, "_last_ino", None)
+        ):
             self.epoch = epoch
             return True
         return False
@@ -129,19 +193,38 @@ class FileLeaderElector:
         """Refresh the lease; returns False (leadership lost) if the
         lease is no longer ours — the caller must stop its pipeline."""
         cur = self._read()
-        if not cur or cur.get("owner") != self.node_id:
+        age = self._age()
+        if (
+            not cur
+            or cur.get("owner") != self.node_id
+            or (self.epoch is not None and cur.get("epoch") != self.epoch)
+            or age is None
+            or age > self.ttl
+        ):
+            # Missing, stolen (owner/epoch moved on), or already stale.
+            # A stale lease may be mid-steal by another node; rewriting
+            # it could clobber the new leader — forfeit instead and let
+            # the caller stop the pipeline.
             self.epoch = None
             return False
         # rewrite-in-place via rename keeps the update atomic for readers
         tmp = self._write_tmp(cur.get("epoch", 0))
+        ino = os.stat(tmp).st_ino
         os.replace(tmp, self.lease_path)
+        self._last_ino = ino
         self.epoch = cur.get("epoch")
         return True
 
     def release(self) -> None:
-        """Give up leadership (only removes a lease we still own)."""
+        """Give up leadership (only removes a lease we still own, at the
+        epoch we acquired — a zombie's release must not clobber the new
+        leader's lease)."""
         cur = self._read()
-        if cur and cur.get("owner") == self.node_id:
+        if (
+            cur
+            and cur.get("owner") == self.node_id
+            and (self.epoch is None or cur.get("epoch") == self.epoch)
+        ):
             try:
                 os.unlink(self.lease_path)
             except FileNotFoundError:

@@ -68,7 +68,11 @@ def txn_gate(changes: DataFrame) -> DataFrame:
                 if rec.get("ts_header") is not None:
                     rec["ts_header"] = str(rec["ts_header"])
                 rows.append(rec)
-                if rec.get("xid_commit") or rec.get("action") == "ddl":
+                # `is True`, not truthiness: a null boolean materializes
+                # as float NaN in pandas records, and NaN is truthy — a
+                # bare `rec.get("xid_commit")` would release the
+                # transaction on a null marker.
+                if rec.get("xid_commit") is True or rec.get("action") == "ddl":
                     commit_seen = True
         if commit_seen:
             state.remove()
