@@ -1,8 +1,9 @@
-"""Multimodal plumbing: schema contract, Arrow batch shape, stubbed
-decode path, frame-sample explosion."""
+"""Multimodal plumbing: schema contract, Arrow batch shape, REAL
+BMP/WAV decode + perceptual hash, frame-sample explosion."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from wing_binlog_go_spark.multimodal import (
@@ -11,8 +12,44 @@ from wing_binlog_go_spark.multimodal import (
     fake_decode_image,
     frame_sample_plan,
     image_features,
+    real_decode_audio,
+    real_decode_image,
     size_bucketed,
 )
+from wing_binlog_go_spark.multimodal.codecs import (
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+    grayscale,
+    phash64,
+)
+
+
+def _gradient_img(w=64, h=48, seed=0):
+    """Deterministic smooth test image (gradients + a blob)."""
+    y, x = np.mgrid[0:h, 0:w]
+    r = (x * 255 // max(w - 1, 1)).astype(np.uint8)
+    g = (y * 255 // max(h - 1, 1)).astype(np.uint8)
+    b = ((x + y + seed * 37) % 256).astype(np.uint8)
+    return np.stack([r, g, b], axis=2)
+
+
+def _lowfreq_img(w=64, h=48, seed=0):
+    """Random low-frequency image — the statistics phash is designed
+    for. (A pure linear gradient concentrates energy in so few DCT
+    coefficients that the median threshold sits in a sea of near-zero
+    ACs and noise flips bits freely; natural images don't look like
+    that, and neither should the robustness fixture.)"""
+    rng = np.random.RandomState(seed)
+    small = rng.randint(0, 256, (6, 8, 3)).astype(np.float64)
+    img = np.repeat(np.repeat(small, h // 6, axis=0), w // 8, axis=1)
+    for _ in range(2):  # box blur → smooth, band-limited content
+        img = (
+            np.roll(img, 1, 0) + np.roll(img, -1, 0)
+            + np.roll(img, 1, 1) + np.roll(img, -1, 1) + img
+        ) / 5
+    return np.clip(img, 0, 255).astype(np.uint8)
 
 
 @pytest.fixture()
@@ -26,9 +63,104 @@ def media(spark):
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def test_real_decoder_is_stubbed():
+def test_compressed_formats_still_raise():
+    # JPEG/PNG/MP3 need PIL/ffmpeg (absent); the dispatch must fail
+    # loudly, not decode garbage
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+    from wing_binlog_go_spark.multimodal import decode_audio
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04" + b"\x00" * 20)
+
+
+def test_bmp_roundtrip_exact_pixels():
+    # width 3 forces row padding (stride 12 vs 9); round-trip must be
+    # byte-exact through the pad/flip/BGR conversions
+    img = _gradient_img(w=3, h=5)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    img2 = _gradient_img(w=64, h=48)
+    assert np.array_equal(decode_bmp(encode_bmp(img2)), img2)
+
+
+def test_bmp_rejects_garbage_and_truncation():
+    with pytest.raises(ValueError):
+        decode_bmp(b"not a bmp at all" * 10)
+    whole = encode_bmp(_gradient_img(w=8, h=8))
+    with pytest.raises(ValueError):
+        decode_bmp(whole[: len(whole) // 2])
+
+
+def test_real_decode_image_features_on_bmp_bytes():
+    img = _gradient_img()
+    feats = real_decode_image(encode_bmp(img))
+    assert feats["n_bytes"] == len(encode_bmp(img))
+    assert abs(feats["mean_byte"] - grayscale(img).mean()) < 1e-9
+    assert isinstance(feats["phash"], int)
+    assert real_decode_image(None) == {"n_bytes": None, "mean_byte": None, "phash": None}
+
+
+def _hamming(a, b):
+    return bin((a & 0xFFFFFFFFFFFFFFFF) ^ (b & 0xFFFFFFFFFFFFFFFF)).count("1")
+
+
+def test_phash_robust_to_noise_and_separates_images():
+    """The point of a PERCEPTUAL hash: re-encode noise barely moves it,
+    different content moves it far. ±3 uniform pixel noise (JPEG-ish
+    perturbation) must stay within a small hamming radius; an unrelated
+    image must land far away."""
+    base = _lowfreq_img(seed=1)
+    rng = np.random.RandomState(7)
+    noisy = np.clip(
+        base.astype(np.int16) + rng.randint(-3, 4, base.shape), 0, 255
+    ).astype(np.uint8)
+    other = _lowfreq_img(seed=2)
+
+    h_base = phash64(grayscale(base))
+    h_noisy = phash64(grayscale(noisy))
+    h_other = phash64(grayscale(other))
+    assert _hamming(h_base, h_noisy) <= 6
+    assert _hamming(h_base, h_other) > 16
+
+
+def test_phash_invariant_to_integer_upscale():
+    # the fractional-box resize makes k× nearest-upscale EXACTLY
+    # hash-preserving (proportionally identical source boxes)
+    base = _lowfreq_img()
+    for k in (2, 3):
+        up = np.repeat(np.repeat(base, k, axis=0), k, axis=1)
+        assert _hamming(phash64(grayscale(base)), phash64(grayscale(up))) == 0
+
+
+def test_wav_roundtrip_and_features():
+    t = np.arange(16000) / 16000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)  # 440 Hz, 1 s
+    rate, mono = decode_wav(encode_wav(sine, rate=16000))
+    assert rate == 16000 and len(mono) == 16000
+    assert np.abs(mono - sine).max() < 1e-3  # 16-bit quantization only
+
+    feats = real_decode_audio(encode_wav(sine, rate=16000))
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2); 440 Hz crosses zero ~880×/s
+    assert abs(feats["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(feats["zero_crossings"] - 880) <= 2
+    assert real_decode_audio(None)["rms"] is None
+
+
+def test_wav_stereo_mixdown_and_bad_input():
+    import struct as _struct
+
+    # hand-build a stereo WAV: L = +0.5, R = -0.5 → mono mix ≈ 0
+    pcm = np.array([16384, -16384] * 100, dtype="<i2").tobytes()
+    hdr = _struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE",
+        b"fmt ", 16, 1, 2, 8000, 8000 * 4, 4, 16,
+        b"data", len(pcm),
+    )
+    rate, mono = decode_wav(hdr + pcm)
+    assert rate == 8000 and np.abs(mono).max() < 1e-9
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data chunks
 
 
 def test_fake_decode_is_deterministic():
@@ -161,3 +293,60 @@ def test_phash_planted_near_dup_recall_at_loose_threshold(spark):
     # distinct random base hashes must not pair with each other
     cross = {(a, b) for a, b in pairs if a < 1000 and b < 1000}
     assert not cross
+
+
+def test_phash_near_dup_on_real_bmp_bytes(spark):
+    """End-to-end on ACTUAL pixels: three originals, each with a
+    noise-perturbed re-encode (the canonical near-dup), plus unrelated
+    noise images. The full Spark path — binary payload column →
+    mapInPandas real decode → DCT phash → pigeonhole chunk join — must
+    recall every planted pair and no cross pair."""
+    from wing_binlog_go_spark.multimodal import phash_near_dup_pairs
+
+    rng = np.random.RandomState(3)
+    rows = []
+    expected = set()
+    for i in range(3):
+        base = _lowfreq_img(seed=i * 11 + 1)
+        noisy = np.clip(
+            base.astype(np.int16) + rng.randint(-3, 4, base.shape), 0, 255
+        ).astype(np.uint8)
+        rows.append((i, encode_bmp(base), ("image/bmp", 64, 48, None)))
+        rows.append((i + 100, encode_bmp(noisy), ("image/bmp", 64, 48, None)))
+        expected.add((i, i + 100))
+    for j in range(3):  # unrelated content, far in phash space
+        rand = _lowfreq_img(seed=j + 50)
+        rows.append((j + 200, encode_bmp(rand), ("image/bmp", 64, 48, None)))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {
+        (r.media_a, r.media_b): r.hamming
+        for r in phash_near_dup_pairs(
+            df, max_hamming=8, batch_decoder=real_decode_image
+        ).collect()
+    }
+    assert expected <= set(pairs), f"missed planted dups: {expected - set(pairs)}"
+    for ham in pairs.values():
+        assert ham <= 8
+    # no original pairs with another original or with the random images
+    bad = {(a, b) for a, b in pairs} - expected
+    assert not bad, f"false pairs: {bad}"
+
+
+def test_audio_features_on_real_wav_bytes(spark):
+    """audio_features over the real WAV decoder: silence vs a tone."""
+    from wing_binlog_go_spark.multimodal import audio_features
+
+    t = np.arange(8000) / 8000.0
+    tone = encode_wav(0.5 * np.sin(2 * np.pi * 440 * t), rate=8000)
+    silence = encode_wav(np.zeros(8000), rate=8000)
+    df = spark.createDataFrame(
+        [(1, tone, ("audio/wav", None, None, 1000)),
+         (2, silence, ("audio/wav", None, None, 1000)),
+         (3, None, ("audio/wav", None, None, None))],
+        MEDIA_SCHEMA,
+    )
+    feats = {r.media_id: r for r in audio_features(df, batch_decoder=real_decode_audio).collect()}
+    assert abs(feats[1].rms - 0.5 / np.sqrt(2)) < 1e-3
+    assert feats[1].zero_crossings > 800
+    assert feats[2].rms == 0.0 and feats[2].zero_crossings == 0
+    assert feats[3].rms is None

@@ -13,12 +13,15 @@ plumbing matters more than any single codec:
 - partition by size: ``repartition`` on a size-bucket column keeps blob
   skew from starving tasks.
 
-The actual codecs (PIL/ffmpeg/soundfile) are NOT in this environment, so
-decode bodies are stubs: ``decode_image``/``decode_audio`` raise
-NotImplementedError at the point a codec would run, and
-``fake_decode_image`` is the deterministic stand-in the tests and the
-schema contract run against. The Spark-side shape — schemas, batch
-iteration, UDF signatures — is real and tested.
+Codecs: BMP (24/32-bit uncompressed) and WAV (8/16-bit PCM) decode for
+REAL via the pure-Python ``codecs`` module — ``decode_image`` /
+``decode_audio`` dispatch on the payload's magic bytes and return actual
+pixel/sample arrays, with a classic DCT perceptual hash over real
+pixels. Compressed formats (JPEG/PNG/FLAC/MP4) need PIL/ffmpeg, which
+are NOT installed in this environment: those branches raise
+NotImplementedError at the dispatch point, and ``fake_decode_image``
+remains the deterministic stand-in for format-agnostic plumbing tests.
+A real deployment drops PIL/ffmpeg in behind the same seam.
 """
 
 from __future__ import annotations
@@ -59,11 +62,37 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real decode would go through PIL/libjpeg — not available here."""
+    """Decode an image payload → H×W×3 uint8 RGB ndarray.
+
+    Dispatches on magic bytes: BMP decodes natively (pure Python +
+    numpy, ``codecs.decode_bmp``); compressed formats would go through
+    PIL/libjpeg, which is not available here."""
+    if payload[:2] == b"BM":
+        from wing_binlog_go_spark.multimodal import codecs
+
+        return codecs.decode_bmp(payload)
     raise NotImplementedError(
-        "image codecs are not installed in this environment; "
-        "use fake_decode_image for the deterministic test path"
+        "only uncompressed BMP has a built-in decoder; JPEG/PNG/... need "
+        "PIL, which is not installed in this environment"
     )
+
+
+def real_decode_image(payload: bytes | None) -> dict:
+    """Feature extractor over REAL pixels (drop-in for the
+    ``batch_decoder`` seam of :func:`image_features`): decodes the
+    payload, then derives n_bytes, mean luma, and the DCT perceptual
+    hash (``codecs.phash64``). NULL payloads yield null features, same
+    contract as the fake."""
+    if payload is None:
+        return {"n_bytes": None, "mean_byte": None, "phash": None}
+    from wing_binlog_go_spark.multimodal import codecs
+
+    gray = codecs.grayscale(decode_image(payload))
+    return {
+        "n_bytes": len(payload),
+        "mean_byte": float(gray.mean()),
+        "phash": codecs.phash64(gray),
+    }
 
 
 def fake_decode_image(payload: bytes | None) -> dict:
@@ -113,11 +142,33 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def decode_audio(payload: bytes) -> "object":
-    """Real decode would go through soundfile/ffmpeg — not available."""
+    """Decode an audio payload → (sample_rate, mono float64 samples).
+
+    RIFF/WAVE PCM decodes natively (``codecs.decode_wav``); compressed
+    formats would go through soundfile/ffmpeg, not available here."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from wing_binlog_go_spark.multimodal import codecs
+
+        return codecs.decode_wav(payload)
     raise NotImplementedError(
-        "audio codecs are not installed in this environment; "
-        "use fake_decode_audio for the deterministic test path"
+        "only PCM WAV has a built-in decoder; MP3/FLAC/... need "
+        "ffmpeg/soundfile, which are not installed in this environment"
     )
+
+
+def real_decode_audio(payload: bytes | None) -> dict:
+    """Feature extractor over REAL samples (drop-in for the
+    ``batch_decoder`` seam of :func:`audio_features`): RMS level and
+    zero-crossing count over the decoded mono signal."""
+    if payload is None:
+        return {"n_bytes": None, "rms": None, "zero_crossings": None}
+    import numpy as np
+
+    _rate, mono = decode_audio(payload)
+    n = len(mono)
+    rms = float(np.sqrt(np.mean(mono * mono))) if n else 0.0
+    zc = int(np.count_nonzero(np.signbit(mono[:-1]) != np.signbit(mono[1:]))) if n > 1 else 0
+    return {"n_bytes": len(payload), "rms": rms, "zero_crossings": zc}
 
 
 def fake_decode_audio(payload: bytes | None) -> dict:

@@ -1,0 +1,212 @@
+"""Pure-Python media codecs for the multimodal column pipeline.
+
+The reference ships no media handling at all; the driver north star
+("multimodal columns" as a first-class training-data operator) needs at
+least one REAL decode path so the phash/feature plumbing is exercised on
+actual pixels and samples, not only on deterministic fakes. PIL/ffmpeg/
+soundfile are not installed in this environment, so these decoders cover
+the two formats parseable with nothing but ``struct`` + numpy:
+
+- BMP, uncompressed BI_RGB, 24- or 32-bit, bottom-up or top-down — the
+  standard interchange form every image tool can emit;
+- WAV, RIFF PCM, 8/16-bit, any channel count (mixed down to mono).
+
+Everything here runs INSIDE Arrow-batched ``mapInPandas`` workers (see
+``multimodal.image_features``): per-row Python cost is amortized over
+Arrow batch transfer, and the numpy work (row destriding, DCT) is
+vectorized. Compressed formats (JPEG/PNG/FLAC/MP4) still raise
+NotImplementedError at the dispatch in ``multimodal.decode_image`` /
+``decode_audio`` — a real deployment drops in PIL/ffmpeg behind the same
+seam.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24/32-bit BI_RGB BMP → H×W×3 uint8 (RGB).
+
+    Handles the standard quirks: 4-byte row padding, bottom-up row order
+    (positive height) vs top-down (negative height), BGR channel order,
+    and pixel-array offset taken from the file header (palettes or gap
+    bytes between header and pixels are skipped, not assumed absent).
+    """
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise ValueError(f"only BI_RGB (uncompressed) supported, got {compression}")
+    if bpp not in (24, 32):
+        raise ValueError(f"only 24/32-bit BMP supported, got {bpp}")
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    top_down = height < 0
+    height = abs(height)
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3  # rows pad to 4-byte boundaries
+    need = pixel_off + stride * height
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: need {need} bytes, have {len(payload)}")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * height, offset=pixel_off)
+    rows = raw.reshape(height, stride)[:, : width * bytes_pp]
+    px = rows.reshape(height, width, bytes_pp)
+    if not top_down:
+        px = px[::-1]  # bottom-up storage → natural top-down order
+    # BGR(A) → RGB
+    return np.ascontiguousarray(px[:, :, 2::-1])
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode H×W×3 uint8 RGB → 24-bit bottom-up BI_RGB BMP bytes.
+
+    Round-trip partner of :func:`decode_bmp`; used by tests to plant
+    real pixel data and by pipelines that need to materialize decoded
+    frames back into the binary payload column.
+    """
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("expected H×W×3 uint8 RGB")
+    height, width = img.shape[:2]
+    stride = (width * 3 + 3) & ~3
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, : width * 3] = img[::-1, :, ::-1].reshape(height, width * 3)  # RGB→BGR, flip
+    pixels = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI" + "IiiHHIIiiII",
+        b"BM", 54 + len(pixels), 0, 0, 54,
+        40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0,
+    )
+    return header + pixels
+
+
+def grayscale(img: np.ndarray) -> np.ndarray:
+    """H×W×3 RGB → H×W float64 luma (ITU-R BT.601 weights)."""
+    return img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587 + img[:, :, 2] * 0.114
+
+
+def _area_resize(gray: np.ndarray, size: int) -> np.ndarray:
+    """Exact fractional-box area-average resample to size×size.
+
+    Each output cell is the mean of the (possibly fractional) source
+    rectangle it covers, computed from an integral image sampled with
+    bilinear interpolation — which is EXACT for a piecewise-constant
+    pixel grid. Integer splits (np.array_split-style) are not
+    scale-invariant at non-divisible sizes: 48 rows → 32 groups makes
+    blocks of 2,2,…,1,1 while 96 rows → uniform 3s, warping the
+    sampling grid and breaking phash stability under 2× upscale. The
+    fractional box covers proportionally identical regions at every
+    scale, and averaging keeps per-pixel noise robustness."""
+    gray = np.asarray(gray, dtype=np.float64)
+    h, w = gray.shape
+    integral = np.zeros((h + 1, w + 1))
+    integral[1:, 1:] = np.cumsum(np.cumsum(gray, axis=0), axis=1)
+    ys = np.linspace(0.0, h, size + 1)
+    xs = np.linspace(0.0, w, size + 1)
+    y0 = np.minimum(ys.astype(int), h - 1) if h > 0 else ys.astype(int)
+    x0 = np.minimum(xs.astype(int), w - 1) if w > 0 else xs.astype(int)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[None, :]
+    a = integral[np.ix_(y0, x0)]
+    b = integral[np.ix_(y0, x0 + 1)]
+    c = integral[np.ix_(y0 + 1, x0)]
+    d = integral[np.ix_(y0 + 1, x0 + 1)]
+    corner = a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx + c * fy * (1 - fx) + d * fy * fx
+    sums = corner[1:, 1:] - corner[:-1, 1:] - corner[1:, :-1] + corner[:-1, :-1]
+    return sums / ((h / size) * (w / size))
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the transform JPEG/pHash build on)."""
+    k = np.arange(n).reshape(-1, 1)
+    x = np.arange(n).reshape(1, -1)
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def phash64(gray: np.ndarray) -> int:
+    """Classic 64-bit perceptual hash: area-resize to 32×32, 2-D DCT,
+    keep the 8×8 low-frequency block, threshold at the median of the 63
+    AC coefficients. Robust to resize/re-encode/small noise; signed
+    two's-complement so it fits Spark's LongType exactly like the fake
+    decoder's hash."""
+    small = _area_resize(np.asarray(gray, dtype=np.float64), 32)
+    d = _DCT32 @ small @ _DCT32.T
+    block = d[:8, :8].flatten()
+    med = np.median(block[1:])  # exclude DC from the threshold
+    bits = block > med
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a RIFF/WAVE PCM payload → (sample_rate, mono float64 in
+    [-1, 1]). 8-bit (unsigned) and 16-bit (signed LE) PCM; multi-channel
+    mixes down by mean. Chunks are walked, not assumed at fixed offsets
+    (LIST/fact chunks before data are common)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_format != 1:
+        raise ValueError(f"only PCM (format 1) supported, got {audio_format}")
+    if channels < 1:
+        raise ValueError("zero channels")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2).astype(np.float64) / 32768.0
+    elif bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"only 8/16-bit PCM supported, got {bits}")
+    frames = len(samples) // channels
+    mono = samples[: frames * channels].reshape(frames, channels).mean(axis=1)
+    return rate, mono
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Encode mono float64 [-1, 1] → 16-bit PCM WAV bytes (round-trip
+    partner of :func:`decode_wav`, used to plant real audio in tests)."""
+    pcm = (np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0) * 32767.0).astype("<i2")
+    data = pcm.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
