@@ -1,0 +1,152 @@
+"""Streaming throughput micro-bench — the engine-side analog of the
+reference's only performance metric, the demo client's events/sec log
+line (`src/library/client/tcp.go:436-443`; the reference never records
+it, so there is no wire number to beat — this harness creates the
+recorded baseline the rounds compare against).
+
+Pushes N synthetic changelog events (CHANGE_SCHEMA JSONL, split across
+files so availableNow produces multiple micro-batches) through the full
+CDC pipeline — envelope shaping, monotonic event_index, route fan-out —
+into a parquet sink, with the PipelineMetrics listener recording
+per-batch durations. Prints ONE JSON line:
+
+  {"metric": "cdc_stream_events_per_sec", "value": N, "unit": "events/sec",
+   "events": ..., "wall_sec": ..., "batch_ms_p50": ..., "batch_ms_p95": ...}
+
+and persists it to BENCH_STREAM.json (first run creates the baseline;
+later runs add "vs_baseline", same contract as bench.py).
+
+``value`` is end-to-end (includes stream start-up, which amortizes with
+N); ``steady_events_per_sec`` is the median per-batch rate — the number
+to compare against the reference's client-side counter, which also
+measured mid-stream.
+
+Env knobs: SPARK_GRAFT_STREAM_EVENTS (default 400_000),
+SPARK_GRAFT_STREAM_FILES (default 40 → 4 micro-batches at
+maxFilesPerTrigger=10), SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from wing_binlog_go_spark.session import get_spark
+from wing_binlog_go_spark.streaming.metrics import PipelineMetrics, summarize
+from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+
+SERVER_UUID = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+
+
+def synth_events(n: int, n_files: int, out_dir: str) -> None:
+    """Deterministic synthetic change stream: 60% insert / 30% update /
+    10% delete across 8 tables, one transaction per 10 events. Written
+    as ``n_files`` JSONL files so maxFilesPerTrigger yields several
+    micro-batches (per-batch p50/p95 need more than one sample)."""
+    os.makedirs(out_dir, exist_ok=True)
+    per = (n + n_files - 1) // n_files
+    ev = 0
+    for fi in range(n_files):
+        with open(os.path.join(out_dir, f"part-{fi:04d}.jsonl"), "w") as f:
+            for _ in range(min(per, n - ev)):
+                ev += 1
+                kind = "insert" if ev % 10 < 6 else ("update" if ev % 10 < 9 else "delete")
+                row = {"id": str(ev), "v": f"val-{ev}", "n": str(ev % 997)}
+                rec = {
+                    "binlog_file": f"mysql-bin.{fi:06d}",
+                    "binlog_pos": 4 + ev * 50,
+                    "xid_commit": ev % 10 == 0,
+                    "database": "bench",
+                    "table": f"t{ev % 8}",
+                    "action": kind,
+                    "row_no": 0,
+                    "before": row if kind in ("update", "delete") else None,
+                    "after": {**row, "v": f"val-{ev}b"} if kind == "update"
+                             else (row if kind == "insert" else None),
+                    "ddl_query": None,
+                    "ts_header": "2018-04-19T05:21:27.000Z",
+                    "gtid": f"{SERVER_UUID}:{1 + ev // 10}",
+                }
+                f.write(json.dumps(rec) + "\n")
+
+
+def _pct(sorted_vals: list[float], q: float) -> float:
+    if not sorted_vals:
+        return 0.0
+    i = min(len(sorted_vals) - 1, int(round(q * (len(sorted_vals) - 1))))
+    return sorted_vals[i]
+
+
+def main() -> None:
+    n_events = int(os.environ.get("SPARK_GRAFT_STREAM_EVENTS", "400000"))
+    n_files = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "40"))
+    work = tempfile.mkdtemp(prefix="bench-stream-")
+    log_dir = os.path.join(work, "changelog")
+    sink_dir = os.path.join(work, "sink")
+    ckpt = os.path.join(work, "ckpt")
+    metrics_path = os.path.join(work, "metrics.jsonl")
+    synth_events(n_events, n_files, log_dir)
+
+    spark = get_spark("wing-binlog-go-spark-bench-stream")
+    spark.streams.addListener(PipelineMetrics(metrics_path))
+
+    def parquet_writer(env, batch_id):
+        env.write.mode("append").parquet(sink_dir)
+
+    # Timed section = the pipeline run only (synthesis/session excluded):
+    # this is the number the reference's client-side counter measures.
+    t0 = time.perf_counter()
+    q = run_pipeline(spark, log_dir, [Route("sink", parquet_writer)], ckpt)
+    q.awaitTermination(600)
+    wall = time.perf_counter() - t0
+
+    out_rows = spark.read.parquet(sink_dir).count()
+    if out_rows != n_events:
+        raise SystemExit(f"sink rows {out_rows} != input events {n_events}")
+
+    batches = [
+        rec
+        for rec in map(json.loads, open(metrics_path))
+        if rec.get("kind") == "batch" and rec.get("input_rows", 0) > 0
+    ]
+    batch_ms = sorted(b["batch_duration_ms"] for b in batches)
+    rates = sorted(
+        b["input_rows"] / (b["batch_duration_ms"] / 1000.0)
+        for b in batches
+        if b["batch_duration_ms"] > 0
+    )
+    result = {
+        "metric": "cdc_stream_events_per_sec",
+        "value": round(n_events / wall, 1),
+        "unit": "events/sec",
+        "steady_events_per_sec": round(_pct(rates, 0.50), 1),
+        "events": n_events,
+        "files": n_files,
+        "wall_sec": round(wall, 3),
+        "batches": len(batch_ms),
+        "batch_ms_p50": _pct(batch_ms, 0.50),
+        "batch_ms_p95": _pct(batch_ms, 0.95),
+    }
+    bench_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_STREAM.json"
+    )
+    if not os.path.exists(bench_path):
+        with open(bench_path, "w") as f:
+            json.dump(result, f, indent=1)
+    else:
+        with open(bench_path) as f:
+            baseline = json.load(f)
+        if baseline.get("events") == result["events"] and baseline.get("value"):
+            result["vs_baseline"] = round(result["value"] / baseline["value"], 3)
+    print(json.dumps(result))
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -147,16 +147,23 @@ def run_pipeline(
             changes = changes.filter(~match_filters(pre, exclude))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        n = batch_df.count()
-        if n == 0:
-            return
-        base = state.base_for(batch_id, n)
-        env = to_envelopes(batch_df, index_base=base)
-        env.persist()
+        # persist BEFORE the count: the count and the envelope pass
+        # otherwise each re-read (and re-parse) the batch from source —
+        # a 2× input-scan tax on every micro-batch
+        batch_df.persist()
         try:
-            route_batch(env, routes, batch_id)
+            n = batch_df.count()
+            if n == 0:
+                return
+            base = state.base_for(batch_id, n)
+            env = to_envelopes(batch_df, index_base=base)
+            env.persist()
+            try:
+                route_batch(env, routes, batch_id)
+            finally:
+                env.unpersist()
         finally:
-            env.unpersist()
+            batch_df.unpersist()
 
     writer = (
         changes.writeStream.foreachBatch(process)
