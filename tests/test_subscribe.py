@@ -335,3 +335,76 @@ def test_control_tcp_stop_reload_members_tick_and_unknown():
             assert cmd == CMD_ERROR and b"does not support" in payload
     finally:
         srv.close()
+
+
+def test_chaos_stalled_set_pro_subscriber_under_event_flood():
+    """Chaos composition (r3 verdict #7): a subscriber completes the
+    SET_PRO handshake and then stalls (never reads again) while 20k
+    events flow. Eviction (bounded queue + full_timeout) must shed the
+    dead connection WITHOUT costing the live subscriber anything: the
+    live client receives every event in order, stays the only member,
+    and the server still answers its CMD_TICK echo within the
+    keepalive period."""
+    import threading
+
+    server = SubscribeServer(
+        keepalive_sec=0.5, max_send_queue=500, full_timeout=0.2, write_timeout=0.5
+    )
+    n_events = 20_000
+    try:
+        host, port = server.address
+        # stalled subscriber: real handshake, then silence
+        stalled = SubscribeClient(host, port)
+        stalled.subscribe(r"db\.t")
+        stalled.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+
+        live = SubscribeClient(host, port)
+        live.subscribe(r"db\.t")
+        got: list[bytes] = []
+        err: list[BaseException] = []
+
+        def drain():
+            try:
+                got.extend(live.events(n_events, timeout=60))
+            except BaseException as e:  # surfaced in the main thread
+                err.append(e)
+
+        t = threading.Thread(target=drain, daemon=True)
+        t.start()
+        assert len(server.members()) == 2
+
+        # ~2 KiB payloads: 20k × 2 KiB ≈ 40 MB — far past what kernel
+        # socket buffers can absorb for the stalled side, so its bounded
+        # queue genuinely fills and eviction MUST fire
+        t0 = time.monotonic()
+        for i in range(n_events):
+            server.send_all("db.t", b"%d|" % i + b"x" * 2048)
+        publish_sec = time.monotonic() - t0
+        t.join(60)
+        assert not err, err
+        # every event delivered to the live client, in publish order
+        assert len(got) == n_events
+        assert [int(p.split(b"|")[0]) for p in got[:100]] == list(range(100))
+        assert int(got[-1].split(b"|")[0]) == n_events - 1
+
+        # the stalled connection was evicted; the live one remains
+        deadline = time.monotonic() + 10
+        while len(server.members()) > 1 and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert len(server.members()) == 1
+
+        # responsiveness: TICK echo round-trips within the keepalive
+        # period even right after the flood
+        live.tick()
+        t1 = time.monotonic()
+        cmd, payload = live.recv_frame(timeout=server.keepalive_sec + 1)
+        rtt = time.monotonic() - t1
+        assert cmd == CMD_TICK and payload == b"ok"
+        assert rtt < server.keepalive_sec + 1
+        # eviction kept the publisher loop bounded: the flood cost at
+        # most ~queue x full_timeout extra, not a per-event stall
+        assert publish_sec < 30
+        live.close()
+        stalled.close()
+    finally:
+        server.close()
