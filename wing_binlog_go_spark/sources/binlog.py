@@ -99,6 +99,46 @@ class GtidSet:
             return False
         return any(lo <= n <= hi for lo, hi in self.intervals.get(uuid.lower(), ()))
 
+    def normalized(self) -> "GtidSet":
+        """Canonical form: per-uuid intervals sorted, overlapping or
+        ADJACENT runs coalesced (MySQL prints 1-5:6-9 as 1-9), empty
+        (lo > hi) intervals dropped. Containment is unchanged."""
+        out = GtidSet(None)
+        for uuid, ivls in self.intervals.items():
+            merged: list[tuple[int, int]] = []
+            for lo, hi in sorted(ivls):
+                if hi < lo:
+                    continue  # "5-3" denotes nothing
+                if merged and lo <= merged[-1][1] + 1:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+                else:
+                    merged.append((lo, hi))
+            if merged:
+                out.intervals[uuid] = merged
+        return out
+
+    def merge(self, other: "GtidSet") -> "GtidSet":
+        """Union of two executed-sets, normalized — what a resuming
+        reader does when combining its checkpointed set with a caller's
+        ``start_gtid`` skip set (MySQL's gtid_executed union semantics)."""
+        m = GtidSet(None)
+        for src in (self, other):
+            for uuid, ivls in src.intervals.items():
+                m.intervals.setdefault(uuid, []).extend(ivls)
+        return m.normalized()
+
+    def to_text(self) -> str:
+        """Canonical public notation; ``GtidSet(s.to_text())`` round-trips
+        (uuids sorted for a deterministic string)."""
+        parts = []
+        for uuid in sorted(self.intervals):
+            ivls = ":".join(
+                f"{lo}-{hi}" if hi > lo else str(lo)
+                for lo, hi in self.intervals[uuid]
+            )
+            parts.append(f"{uuid}:{ivls}")
+        return ",".join(parts)
+
 
 # ---------------------------------------------------------------------------
 # Record parsing (runs on executors)
