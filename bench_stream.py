@@ -83,6 +83,42 @@ def _pct(sorted_vals: list[float], q: float) -> float:
     return sorted_vals[i]
 
 
+def gateway_events_per_sec(n: int = 200_000, payload_len: int = 200) -> float:
+    """Client-side receive rate through the TCP gateway — the EXACT
+    metric the reference's demo client computes (client/tcp.go:436-443:
+    received events / elapsed, logged every 5 s). Publisher thread
+    floods ``send_all``; the clock runs on the subscriber from first
+    event to last."""
+    import threading
+
+    from wing_binlog_go_spark.streaming.subscribe import (
+        SubscribeClient,
+        SubscribeServer,
+    )
+
+    server = SubscribeServer(keepalive_sec=5.0)
+    try:
+        client = SubscribeClient(*server.address)
+        client.subscribe(r"bench\.t")
+        payload = b"x" * payload_len
+
+        def publish():
+            for _ in range(n):
+                server.send_all("bench.t", payload)
+
+        t = threading.Thread(target=publish, daemon=True)
+        t.start()
+        first = client.events(1, timeout=30)
+        t0 = time.perf_counter()
+        client.events(n - len(first), timeout=300)
+        elapsed = time.perf_counter() - t0
+        t.join(30)
+        client.close()
+        return round((n - 1) / elapsed, 1)
+    finally:
+        server.close()
+
+
 def main() -> None:
     n_events = int(os.environ.get("SPARK_GRAFT_STREAM_EVENTS", "400000"))
     n_files = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "40"))
@@ -132,6 +168,8 @@ def main() -> None:
         "batches": len(batch_ms),
         "batch_ms_p50": _pct(batch_ms, 0.50),
         "batch_ms_p95": _pct(batch_ms, 0.95),
+        # reference-parity metric: TCP subscriber receive rate
+        "gateway_events_per_sec": gateway_events_per_sec(),
     }
     bench_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_STREAM.json"

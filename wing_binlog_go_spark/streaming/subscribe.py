@@ -224,9 +224,29 @@ class _ClientNode:
                 continue
             if frame is None:
                 return
+            # Coalesce whatever else is already queued into one write
+            # (up to ~256 KiB): under fan-out load the per-frame
+            # syscall, not the copy, is the throughput ceiling — one
+            # sendall for k frames is ~k× fewer syscalls. Frames are
+            # length-prefixed, so concatenation preserves the protocol.
+            chunks = [frame]
+            size = len(frame)
+            while size < (1 << 18):
+                try:
+                    nxt = self.send_queue.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:  # close sentinel: flush, then exit
+                    try:
+                        self.send_queue.put_nowait(None)
+                    except queue.Full:
+                        pass  # close() already cleared self.online
+                    break
+                chunks.append(nxt)
+                size += len(nxt)
             try:
                 with self._write_lock:
-                    self.conn.sendall(frame)
+                    self.conn.sendall(b"".join(chunks))
             except OSError as exc:
                 logger.debug("subscribe send to %s failed: %s", self.addr, exc)
                 self.close()
