@@ -184,7 +184,7 @@ def test_session_query_plan_hygiene(spark, sf_dir):
     # the heaviest multi-join TPC-H shapes: no cross products, no Python
     # (q39t excepted elsewhere: its Misra-Gries pass is the documented
     # bounded-memory sketch exception)
-    for name in ("q97_tpch_q21", "q99_tpch_q9", "q102_tpch_q2"):
+    for name in ("q97_tpch_q21", "q99_tpch_q9", "q102_tpch_q2", "q103_tpch_q12"):
         pq = plan_of(_Q[name].spark(spark, sf_dir))
         assert "CartesianProduct" not in pq, name
         assert "BatchEvalPython" not in pq and "ArrowEvalPython" not in pq, name
