@@ -275,3 +275,19 @@ def test_torn_commit_failover_neither_skips_nor_duplicates_index(spark, tmp_path
     q3.awaitTermination(60)
     idx_c = [_json.loads(p)["event_index"] for _, p in got_c]
     assert idx_c == list(range(len(f1) + 1, len(f1) + len(f2) + 1))
+
+
+def test_epoch_never_regresses_for_an_observer_during_steal_gap(tmp_path):
+    """A contender that reads the lease path during another stealer's
+    rename→link gap sees 'no lease'. If it ever observed a prior epoch
+    it must mint ABOVE it, not restart at 1 — fencing tokens compare
+    across leaders."""
+    lease = _lease(tmp_path)
+    a = FileLeaderElector(lease, node_id="A", ttl_seconds=5)
+    b = FileLeaderElector(lease, node_id="B", ttl_seconds=5)
+    assert a.try_acquire() and a.epoch == 1
+    assert b.try_acquire() is False  # B observed epoch 1
+    # simulate the mid-steal gap: the lease path is momentarily empty
+    os.unlink(lease)
+    assert b.try_acquire() is True
+    assert b.epoch == 2  # floored by the observed epoch, not reset to 1

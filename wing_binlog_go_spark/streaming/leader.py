@@ -72,15 +72,26 @@ class FileLeaderElector:
         self.node_id = node_id or f"{socket.gethostname()}:{os.getpid()}"
         self.ttl = float(ttl_seconds)
         self.epoch: int | None = None
+        # Highest epoch this node has ever OBSERVED (its own or read
+        # from any lease). Minting uses max(observed-now, seen) + 1, so
+        # a contender that happens to read the path during another
+        # stealer's rename→link gap (lease momentarily absent) cannot
+        # regress the fencing token to 1. A brand-new process in that
+        # exact gap still can — the residual window the module
+        # docstring's honest-limits paragraph covers.
+        self._seen_epoch = 0
 
     # -- internals --------------------------------------------------------
 
     def _read(self) -> dict | None:
         try:
             with open(self.lease_path) as f:
-                return json.load(f)
+                cur = json.load(f)
         except (OSError, ValueError):
             return None
+        if isinstance(cur, dict):
+            self._seen_epoch = max(self._seen_epoch, cur.get("epoch", 0))
+        return cur
 
     def _age(self) -> float | None:
         try:
@@ -116,8 +127,10 @@ class FileLeaderElector:
         cur = self._read()
         age = self._age()
         if age is None:
-            # no lease on disk — contend for it via the atomic link
-            next_epoch = (cur.get("epoch", 0) if cur else 0) + 1
+            # no lease on disk — contend for it via the atomic link;
+            # _seen_epoch floors the mint against the momentarily-empty
+            # path of a concurrent steal
+            next_epoch = max(cur.get("epoch", 0) if cur else 0, self._seen_epoch) + 1
             if self._try_link(next_epoch):
                 return self._confirm(next_epoch)
             return False  # lost the race; follower this round
@@ -163,7 +176,9 @@ class FileLeaderElector:
             # Epoch increments over the TRUE latest value (read from the
             # tombstone we exclusively own), not a pre-rename snapshot —
             # two sequential stealers can never mint the same epoch.
-            next_epoch = (prev.get("epoch", 0) if prev else 0) + 1
+            prev_epoch = prev.get("epoch", 0) if prev else 0
+            self._seen_epoch = max(self._seen_epoch, prev_epoch)
+            next_epoch = max(prev_epoch, self._seen_epoch) + 1
         finally:
             try:
                 os.unlink(tomb)
