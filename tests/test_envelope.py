@@ -82,6 +82,33 @@ def test_index_base_offsets(changes):
     assert idx[0] == 101
 
 
+def test_to_envelopes_counted_callable_base(changes, spark):
+    # single-pass contract (streaming.pipeline): the count comes out of
+    # the dense-index job itself, and a callable base receives it BEFORE
+    # the final index column is built — no separate count() job.
+    from wing_binlog_go_spark.functions.envelope import to_envelopes_counted
+
+    expected = len(fixture_records())
+    seen: list[int] = []
+
+    def base_fn(total: int) -> int:
+        seen.append(total)
+        return 1000
+
+    env, n = to_envelopes_counted(changes, index_base=base_fn)
+    assert n == expected
+    assert seen == [expected]  # called exactly once, with the batch count
+    idx = [e.event_index for e in env.orderBy("event_index").collect()]
+    assert idx == list(range(1001, 1001 + expected))
+
+    # empty input: the callable is never invoked, n is 0
+    empty, n0 = to_envelopes_counted(
+        changes.filter(F.lit(False)), index_base=seen.append
+    )
+    assert n0 == 0 and len(seen) == 1
+    assert empty.count() == 0
+
+
 def test_time_is_unix_seconds(envelopes):
     # 2018-04-19 05:21:27 UTC = 1524115287 (examples/subscribe.php payload)
     assert envelopes[0].time == 1524115287

@@ -103,6 +103,22 @@ def with_running_total(
     base: int = 0,
     partition_cols: list[str] | None = None,
 ) -> DataFrame:
+    """See ``_with_running_total``; this keeps the historical signature
+    (DataFrame in, DataFrame out) for the many batch-query callers."""
+    result, _total = _with_running_total(
+        df, order_cols, value_col, out=out, base=base, partition_cols=partition_cols
+    )
+    return result
+
+
+def _with_running_total(
+    df: DataFrame,
+    order_cols: list,
+    value_col: Column,
+    out: str = "_running",
+    base: "int | Callable[[int], int]" = 0,
+    partition_cols: list[str] | None = None,
+) -> "tuple[DataFrame, int]":
     """Inclusive running SUM(value) in ``order_cols`` order — WITHOUT a
     single-partition global sort.
 
@@ -126,8 +142,24 @@ def with_running_total(
     which is already parallel there.
 
     ``with_dense_index`` (the event_index builder) is this with value=1.
+
+    Returns ``(result, total)`` where ``total`` is the grand total of
+    ``value_col`` over the whole frame — a free by-product of the
+    per-partition sums collect, so callers that also need a COUNT/SUM
+    (the CDC pipeline needs the batch row count to reserve its
+    event_index range) get it without a second job over the input.
+
+    ``base`` may be a callable ``total -> base``: it is invoked once,
+    after the partition sums are collected (so the input has already
+    been materialized exactly once), letting the caller derive the base
+    FROM the total — the single-pass form of "count, then index from a
+    checkpoint-reserved offset". A callable base requires
+    ``partition_cols`` to be empty (per-key totals would need per-key
+    bases, which no caller wants).
     """
     pcols = list(partition_cols or [])
+    if callable(base) and pcols:
+        raise ValueError("callable base is only supported without partition_cols")
     ranged = (
         df.withColumn("_val", value_col)
         .repartitionByRange(*pcols, *order_cols)
@@ -147,9 +179,10 @@ def with_running_total(
     )
     sums = summed.groupBy("_pid", *pcols).agg(F.sum("_val").alias("s")).collect()
     if not sums:
-        return df.withColumn(out, F.lit(None).cast("long"))
+        return df.withColumn(out, F.lit(None).cast("long")), 0
+    total = sum(r.s or 0 for r in sums)
     if not pcols:
-        acc = base
+        acc = base(total) if callable(base) else base
         offsets: dict[int, int] = {}
         for r in sorted(sums, key=lambda r: r._pid):
             offsets[r._pid] = acc
@@ -157,10 +190,13 @@ def with_running_total(
         mapping = F.create_map(
             *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
         )
-        return summed.withColumn(
-            out,
-            (F.element_at(mapping, F.col("_pid")) + F.col("_cum")).cast("long"),
-        ).drop("_pid", "_val", "_cum")
+        return (
+            summed.withColumn(
+                out,
+                (F.element_at(mapping, F.col("_pid")) + F.col("_cum")).cast("long"),
+            ).drop("_pid", "_val", "_cum"),
+            total,
+        )
 
     # Per-key prefix offsets: accumulate along pid order WITHIN each key
     # (a key's rows are contiguous across pids under the prefixed range
@@ -183,10 +219,13 @@ def with_running_total(
     mapping = F.create_map(
         *[F.lit(x) for kv in sorted(key_offsets.items()) for x in kv]
     )
-    return summed.withColumn(
-        out,
-        (F.element_at(mapping, key_expr) + F.col("_cum")).cast("long"),
-    ).drop("_pid", "_val", "_cum")
+    return (
+        summed.withColumn(
+            out,
+            (F.element_at(mapping, key_expr) + F.col("_cum")).cast("long"),
+        ).drop("_pid", "_val", "_cum"),
+        total,
+    )
 
 
 def with_dense_index(
@@ -197,12 +236,32 @@ def with_dense_index(
     ``with_running_total``). The index depends only on the total order,
     which is unique when ``order_cols`` are (binlog coordinates are).
     """
-    return with_running_total(
+    result, _total = _with_dense_index_counted(df, order_cols, out=out, base=base)
+    return result
+
+
+def _with_dense_index_counted(
+    df: DataFrame,
+    order_cols: list[str],
+    out: str = "_dense_index",
+    base: "int | Callable[[int], int]" = 0,
+) -> "tuple[DataFrame, int]":
+    """``with_dense_index`` + the row count for free (see
+    ``_with_running_total``); callable ``base`` receives the count."""
+    return _with_running_total(
         df, list(order_cols), F.lit(1).cast("long"), out=out, base=base
     )
 
 
 def to_envelopes(changes: DataFrame, index_base: int = 0) -> DataFrame:
+    """``to_envelopes_counted`` without the count (see below)."""
+    env, _n = to_envelopes_counted(changes, index_base=index_base)
+    return env
+
+
+def to_envelopes_counted(
+    changes: DataFrame, index_base: "int | Callable[[int], int]" = 0
+) -> "tuple[DataFrame, int]":
     """Shape raw change records into the reference envelope.
 
     ``event_index`` = index_base + dense position in (binlog_file,
@@ -214,7 +273,9 @@ def to_envelopes(changes: DataFrame, index_base: int = 0) -> DataFrame:
     unique per row event.
     """
     coords = ["binlog_file", "binlog_pos", "row_no"]
-    indexed = with_dense_index(changes, coords, "_ei", base=index_base)
+    indexed, n_rows = _with_dense_index_counted(
+        changes, coords, out="_ei", base=index_base
+    )
     is_upd = F.col("action") == "update"
     is_del = F.col("action") == "delete"
     is_ddl = F.col("action") == "ddl"
@@ -224,7 +285,7 @@ def to_envelopes(changes: DataFrame, index_base: int = 0) -> DataFrame:
         .when(is_del, F.col("before"))
         .otherwise(F.col("after"))
     )
-    return indexed.select(
+    env = indexed.select(
         F.col("database"),
         F.col("table"),
         event_type_col().alias("event_type"),
@@ -241,6 +302,7 @@ def to_envelopes(changes: DataFrame, index_base: int = 0) -> DataFrame:
         F.col("binlog_pos"),
         F.col("xid_commit"),
     )
+    return env, n_rows
 
 
 def envelope_json(env: DataFrame = None) -> Column:

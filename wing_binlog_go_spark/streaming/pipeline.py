@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from wing_binlog_go_spark.functions.envelope import (
     match_filters,
-    to_envelopes,
+    to_envelopes_counted,
 )
 from wing_binlog_go_spark.sources.changelog import stream_changelog
 
@@ -147,21 +147,27 @@ def run_pipeline(
             changes = changes.filter(~match_filters(pre, exclude))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        # persist BEFORE the count: the count and the envelope pass
-        # otherwise each re-read (and re-parse) the batch from source —
-        # a 2× input-scan tax on every micro-batch
+        # Single-pass shaping: the envelope's dense-index build already
+        # materializes the batch once (range shuffle + localCheckpoint)
+        # and collects per-partition counts, so the batch row count —
+        # needed to reserve this batch's event_index range — falls out
+        # of that same job via the callable base. No separate count()
+        # job, no second parse of the source.
+        #
+        # persist() still matters: repartitionByRange runs a sampling
+        # job over the input to pick range boundaries before the
+        # shuffle job; the cache fills during sampling so the JSON
+        # parse happens once, not twice.
         batch_df.persist()
         try:
-            n = batch_df.count()
+            env, n = to_envelopes_counted(
+                batch_df, index_base=lambda total: state.base_for(batch_id, total)
+            )
             if n == 0:
                 return
-            base = state.base_for(batch_id, n)
-            env = to_envelopes(batch_df, index_base=base)
-            env.persist()
-            try:
-                route_batch(env, routes, batch_id)
-            finally:
-                env.unpersist()
+            # env reads from the dense-index localCheckpoint — each
+            # route's pass is a cheap projection, no persist needed.
+            route_batch(env, routes, batch_id)
         finally:
             batch_df.unpersist()
 
