@@ -63,11 +63,11 @@ def media(spark):
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def test_compressed_formats_still_raise():
-    # JPEG/PNG/MP3 need PIL/ffmpeg (absent); the dispatch must fail
+def test_unsupported_formats_still_raise():
+    # JPEG/MP3 need PIL/ffmpeg (absent); the dispatch must fail
     # loudly, not decode garbage
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 20)  # JPEG SOI
     from wing_binlog_go_spark.multimodal import decode_audio
 
     with pytest.raises(NotImplementedError):
@@ -130,6 +130,174 @@ def test_phash_invariant_to_integer_upscale():
     for k in (2, 3):
         up = np.repeat(np.repeat(base, k, axis=0), k, axis=1)
         assert _hamming(phash64(grayscale(base)), phash64(grayscale(up))) == 0
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct as _struct
+    import zlib as _zlib
+
+    return (
+        _struct.pack(">I", len(data))
+        + ctype
+        + data
+        + _struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_build(width, height, color, body_rows: bytes, palette=None) -> bytes:
+    """Hand-assemble a PNG from already-filtered scanline bytes."""
+    import struct as _struct
+    import zlib as _zlib
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += _png_chunk(b"IHDR", _struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0))
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette)
+    out += _png_chunk(b"IDAT", _zlib.compress(body_rows))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def _png_filter_rows(img_flat: np.ndarray, bpp: int, ftypes: list[int]) -> bytes:
+    """Reference (independent) implementation of the PNG row filters,
+    used to build fixtures that exercise every unfilter branch."""
+    h, stride = img_flat.shape
+    out = bytearray()
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row = img_flat[y].astype(np.int32)
+        ft = ftypes[y % len(ftypes)]
+        out.append(ft)
+        for x in range(stride):
+            a = int(row[x - bpp]) if x >= bpp else 0
+            b = int(prior[x])
+            c = int(prior[x - bpp]) if x >= bpp else 0
+            if ft == 0:
+                v = row[x]
+            elif ft == 1:
+                v = row[x] - a
+            elif ft == 2:
+                v = row[x] - b
+            elif ft == 3:
+                v = row[x] - ((a + b) >> 1)
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = row[x] - pred
+            out.append(v & 0xFF)
+        prior = row
+    return bytes(out)
+
+
+def test_png_roundtrip_exact_pixels():
+    from wing_binlog_go_spark.multimodal.codecs import decode_png, encode_png
+
+    img = _gradient_img(w=13, h=7)  # odd width: no stride alignment help
+    assert np.array_equal(decode_png(encode_png(img)), img)
+    # Sub-filtered encode exercises the cumsum unfilter lane
+    assert np.array_equal(decode_png(encode_png(img, sub_filter=True)), img)
+
+
+def test_png_all_filter_types_decode():
+    """Fixtures filtered with every type (None/Sub/Up/Average/Paeth in
+    rotation, and each alone) must reconstruct exactly — verified against
+    an independent reference filter implementation."""
+    from wing_binlog_go_spark.multimodal.codecs import decode_png
+
+    img = np.random.RandomState(5).randint(0, 256, (10, 16, 3)).astype(np.uint8)
+    flat = img.reshape(10, 48)
+    for ftypes in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        body = _png_filter_rows(flat, 3, ftypes)
+        png = _png_build(16, 10, 2, body)
+        assert np.array_equal(decode_png(png), img), f"filters {ftypes}"
+
+
+def test_png_color_types():
+    from wing_binlog_go_spark.multimodal.codecs import decode_png
+
+    # grayscale (color 0): replicated into RGB
+    gray = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    body = _png_filter_rows(gray.reshape(4, 6), 1, [0])
+    out = decode_png(_png_build(6, 4, 0, body))
+    assert np.array_equal(out[:, :, 0], gray) and np.array_equal(out[:, :, 2], gray)
+
+    # palette (color 3)
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    out = decode_png(_png_build(3, 2, 3, _png_filter_rows(idx, 1, [0]), palette=palette))
+    assert tuple(out[0, 0]) == (255, 0, 0) and tuple(out[1, 0]) == (0, 0, 255)
+
+    # RGBA (color 6): alpha dropped
+    rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+    rgba[:, :, 0] = 200
+    rgba[:, :, 3] = 7
+    out = decode_png(_png_build(2, 2, 6, _png_filter_rows(rgba.reshape(2, 8), 4, [0])))
+    assert out.shape == (2, 2, 3) and out[0, 0, 0] == 200 and out[0, 0, 1] == 0
+
+    # gray+alpha (color 4)
+    ga = np.array([[10, 255, 200, 0]], dtype=np.uint8)  # two pixels
+    out = decode_png(_png_build(2, 1, 4, _png_filter_rows(ga, 2, [0])))
+    assert tuple(out[0, 0]) == (10, 10, 10) and tuple(out[0, 1]) == (200, 200, 200)
+
+
+def test_png_rejects_corruption():
+    import struct as _struct
+
+    from wing_binlog_go_spark.multimodal.codecs import decode_png, encode_png
+
+    good = encode_png(_gradient_img(w=8, h=8))
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+    with pytest.raises(ValueError):
+        decode_png(good[:40])  # truncated mid-chunk
+    # flip a pixel byte inside IDAT → CRC must catch it
+    bad = bytearray(good)
+    idat = good.index(b"IDAT")
+    bad[idat + 10] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    # interlaced flag set → explicit unsupported error
+    ihdr_body = _struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 1)
+    interlaced = (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_body)
+        + good[good.index(b"IDAT") - 4:]
+    )
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(interlaced)
+
+
+def test_png_bmp_cross_format_same_phash():
+    """Re-encoding the same pixels as BMP and PNG must produce the SAME
+    perceptual hash — the cross-format near-dup case (one image posted
+    as .png and .bmp) collapses to hamming 0."""
+    from wing_binlog_go_spark.multimodal.codecs import encode_png
+
+    img = _lowfreq_img(seed=9)
+    h_bmp = phash64(grayscale(decode_image(encode_bmp(img))))
+    h_png = phash64(grayscale(decode_image(encode_png(img))))
+    assert h_bmp == h_png
+
+
+def test_phash_near_dup_across_bmp_and_png(spark):
+    """Spark end-to-end: the same image stored once as BMP and once as
+    PNG (plus unrelated images) — the pigeonhole join must pair the two
+    encodings at hamming 0."""
+    from wing_binlog_go_spark.multimodal import phash_near_dup_pairs
+    from wing_binlog_go_spark.multimodal.codecs import encode_png
+
+    img = _lowfreq_img(seed=21)
+    rows = [
+        (1, encode_bmp(img), ("image/bmp", 64, 48, None)),
+        (2, encode_png(img, sub_filter=True), ("image/png", 64, 48, None)),
+        (3, encode_bmp(_lowfreq_img(seed=22)), ("image/bmp", 64, 48, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {
+        (r.media_a, r.media_b): r.hamming
+        for r in phash_near_dup_pairs(df, max_hamming=4, batch_decoder=real_decode_image).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert not {(a, b) for a, b in pairs if 3 in (a, b)}
 
 
 def test_wav_roundtrip_and_features():

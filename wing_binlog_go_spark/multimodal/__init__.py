@@ -13,15 +13,16 @@ plumbing matters more than any single codec:
 - partition by size: ``repartition`` on a size-bucket column keeps blob
   skew from starving tasks.
 
-Codecs: BMP (24/32-bit uncompressed) and WAV (8/16-bit PCM) decode for
-REAL via the pure-Python ``codecs`` module — ``decode_image`` /
-``decode_audio`` dispatch on the payload's magic bytes and return actual
-pixel/sample arrays, with a classic DCT perceptual hash over real
-pixels. Compressed formats (JPEG/PNG/FLAC/MP4) need PIL/ffmpeg, which
-are NOT installed in this environment: those branches raise
-NotImplementedError at the dispatch point, and ``fake_decode_image``
-remains the deterministic stand-in for format-agnostic plumbing tests.
-A real deployment drops PIL/ffmpeg in behind the same seam.
+Codecs: BMP (24/32-bit uncompressed), PNG (8-bit non-interlaced, all
+five color types — DEFLATE via stdlib zlib) and WAV (8/16-bit PCM)
+decode for REAL via the pure-Python ``codecs`` module —
+``decode_image`` / ``decode_audio`` dispatch on the payload's magic
+bytes and return actual pixel/sample arrays, with a classic DCT
+perceptual hash over real pixels. Formats needing codec libraries this
+environment lacks (JPEG/FLAC/MP4) raise NotImplementedError at the
+dispatch point, and ``fake_decode_image`` remains the deterministic
+stand-in for format-agnostic plumbing tests. A real deployment drops
+PIL/ffmpeg in behind the same seam.
 """
 
 from __future__ import annotations
@@ -64,16 +65,18 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 def decode_image(payload: bytes) -> "object":
     """Decode an image payload → H×W×3 uint8 RGB ndarray.
 
-    Dispatches on magic bytes: BMP decodes natively (pure Python +
-    numpy, ``codecs.decode_bmp``); compressed formats would go through
-    PIL/libjpeg, which is not available here."""
-    if payload[:2] == b"BM":
-        from wing_binlog_go_spark.multimodal import codecs
+    Dispatches on magic bytes: BMP and PNG decode natively (pure Python
+    + numpy + stdlib zlib, ``codecs.decode_bmp``/``decode_png``); JPEG
+    would go through PIL/libjpeg, which is not available here."""
+    from wing_binlog_go_spark.multimodal import codecs
 
+    if payload[:2] == b"BM":
         return codecs.decode_bmp(payload)
+    if payload[:8] == codecs._PNG_MAGIC:
+        return codecs.decode_png(payload)
     raise NotImplementedError(
-        "only uncompressed BMP has a built-in decoder; JPEG/PNG/... need "
-        "PIL, which is not installed in this environment"
+        "only BMP and 8-bit non-interlaced PNG have built-in decoders; "
+        "JPEG/... need PIL, which is not installed in this environment"
     )
 
 

@@ -9,20 +9,24 @@ the two formats parseable with nothing but ``struct`` + numpy:
 
 - BMP, uncompressed BI_RGB, 24- or 32-bit, bottom-up or top-down — the
   standard interchange form every image tool can emit;
+- PNG, 8-bit non-interlaced, all five color types (gray, RGB, palette,
+  gray+alpha, RGBA) — zlib is stdlib, so the DEFLATE stream and the five
+  scanline filters decode without any external imaging library;
 - WAV, RIFF PCM, 8/16-bit, any channel count (mixed down to mono).
 
 Everything here runs INSIDE Arrow-batched ``mapInPandas`` workers (see
 ``multimodal.image_features``): per-row Python cost is amortized over
 Arrow batch transfer, and the numpy work (row destriding, DCT) is
-vectorized. Compressed formats (JPEG/PNG/FLAC/MP4) still raise
-NotImplementedError at the dispatch in ``multimodal.decode_image`` /
-``decode_audio`` — a real deployment drops in PIL/ffmpeg behind the same
-seam.
+vectorized. Formats needing codec libraries this environment lacks
+(JPEG/FLAC/MP4) still raise NotImplementedError at the dispatch in
+``multimodal.decode_image`` / ``decode_audio`` — a real deployment drops
+in PIL/ffmpeg behind the same seam.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -156,6 +160,167 @@ def phash64(gray: np.ndarray) -> int:
     for b in bits:
         h = (h << 1) | int(b)
     return h - (1 << 64) if h >= (1 << 63) else h
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (before palette expansion)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters → height×stride recon bytes.
+
+    Each scanline is prefixed by one filter-type byte; reconstruction is
+    sequential top-to-bottom (Up/Average/Paeth read the prior row) and,
+    for Sub/Average/Paeth, left-to-right within the row. None/Up rows
+    are vectorized whole-row; Sub is a per-byte-lane cumulative sum
+    (mod-256 cumsum in uint8 is exactly the Sub recurrence); Average and
+    Paeth keep the per-pixel loop the spec's data dependence forces —
+    acceptable because payloads decode inside Arrow-batched workers and
+    most encoders emit None/Sub/Up for the bulk of rows.
+    """
+    rows = raw.reshape(height, stride + 1)
+    recon = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype, line = int(rows[y, 0]), rows[y, 1:].copy()
+        if ftype == 0:  # None
+            out = line
+        elif ftype == 1:  # Sub: out[x] = line[x] + out[x-bpp]
+            out = line
+            for lane in range(bpp):
+                np.cumsum(out[lane::bpp], dtype=np.uint8, out=out[lane::bpp])
+        elif ftype == 2:  # Up
+            out = line + prior
+        elif ftype == 3:  # Average
+            out = line
+            for x in range(stride):
+                left = int(out[x - bpp]) if x >= bpp else 0
+                out[x] = (int(line[x]) + ((left + int(prior[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            out = line
+            for x in range(stride):
+                a = int(out[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                c = int(prior[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype} on row {y}")
+        recon[y] = out
+        prior = recon[y]
+    return recon
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG → H×W×3 uint8 (RGB).
+
+    Pure Python + stdlib zlib: chunk walk (IHDR/PLTE/IDAT/IEND with CRC
+    checks), DEFLATE inflate, scanline unfilter, palette expansion, and
+    alpha drop (features/phash operate on color; compositing policy
+    belongs to callers). Interlaced (Adam7) and 16-bit images raise —
+    they are rare in training corpora and a real deployment uses PIL.
+    """
+    if len(payload) < 8 or payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG file")
+    pos, ihdr, palette, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        crc = struct.unpack_from(">I", payload, pos + 8 + length)[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported, got depth {depth}")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {color}")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported without PIL")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    bpp = _PNG_CHANNELS[color]
+    stride = width * bpp
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != height * (stride + 1):
+        raise ValueError(
+            f"PNG pixel data size mismatch: {raw.size} != {height * (stride + 1)}"
+        )
+    recon = _png_unfilter(raw, height, stride, bpp)
+    px = recon.reshape(height, width, bpp)
+    if color == 3:  # palette → RGB lookup
+        if palette is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        if int(px.max()) >= len(palette):
+            raise ValueError("palette index out of range")
+        return np.ascontiguousarray(palette[px[:, :, 0]])
+    if color == 0:  # gray → replicate
+        return np.ascontiguousarray(np.repeat(px, 3, axis=2))
+    if color == 4:  # gray+alpha → replicate luma, drop alpha
+        return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))
+    return np.ascontiguousarray(px[:, :, :3])  # RGB / RGBA (alpha dropped)
+
+
+def encode_png(img: np.ndarray, *, sub_filter: bool = False) -> bytes:
+    """Encode H×W×3 uint8 RGB → non-interlaced 8-bit RGB PNG bytes.
+
+    Round-trip partner of :func:`decode_png`. ``sub_filter=True`` emits
+    filter-type-1 scanlines instead of 0 so tests exercise the unfilter
+    path on encoder-realistic data, not just the trivial filter.
+    """
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("expected H×W×3 uint8 RGB")
+    height, width = img.shape[:2]
+    if sub_filter:
+        flat = img.reshape(height, width * 3).astype(np.int16)
+        delta = flat.copy()
+        delta[:, 3:] = (flat[:, 3:] - flat[:, :-3]) & 0xFF
+        body = np.concatenate(
+            [np.full((height, 1), 1, dtype=np.uint8), delta.astype(np.uint8)], axis=1
+        )
+    else:
+        body = np.concatenate(
+            [np.zeros((height, 1), dtype=np.uint8), img.reshape(height, width * 3)],
+            axis=1,
+        )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(body.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 # ---------------------------------------------------------------------------
