@@ -374,3 +374,51 @@ def test_pq_index_store_roundtrip(spark, sf_small, tmp_path):
         .orderBy("query_id", "rnk").collect()
     ]
     assert from_store == end_to_end and from_store
+
+
+def test_semantic_dedup_drops_planted_near_identical_vectors(spark, sf_small):
+    """SemDeDup-style pruning: planted exact copies and tiny-epsilon
+    perturbations of existing vectors must be dropped (the copy with the
+    larger id goes); semantically distinct vectors all survive."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from wing_binlog_go_spark.operators.similarity import semantic_dedup
+
+    emb = read_table(spark, sf_small, "embeddings")
+    base = emb.orderBy("vec_id").limit(20).collect()
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    rng = np.random.RandomState(11)
+    planted = []
+    for j, r in enumerate(base):
+        v = np.asarray(r.embedding, dtype=np.float64)
+        if j % 2 == 0:  # exact copy
+            w = v
+        else:  # cos > 0.999 perturbation
+            w = v + rng.normal(0, 1e-3, v.shape) * np.linalg.norm(v) / np.sqrt(len(v))
+        planted.append((int(max_id) + 1 + j, [float(x) for x in w], int(r.label)))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    corpus = emb.unionByName(spark.createDataFrame(planted, schema))
+    survivors = {r.vec_id for r in semantic_dedup(corpus, threshold=0.99, n_clusters=8).collect()}
+    # every planted copy (larger id than its original) must be gone
+    gone = {pid for pid, _, _ in planted}
+    assert not (gone & survivors), f"planted copies survived: {gone & survivors}"
+    # the originals themselves survive
+    assert {r.vec_id for r in base} <= survivors
+
+
+def test_semantic_dedup_no_near_dups_keeps_everything(spark, sf_small):
+    """On the raw corpus (no planted dups) at an extreme threshold no
+    pair qualifies, so semantic_dedup must be the identity."""
+    from wing_binlog_go_spark.operators.similarity import semantic_dedup
+
+    emb = read_table(spark, sf_small, "embeddings")
+    survivors = semantic_dedup(emb, threshold=0.999999, n_clusters=4)
+    assert survivors.count() == emb.count()
+    assert "_cluster" in survivors.columns

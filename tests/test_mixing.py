@@ -169,3 +169,26 @@ def test_with_running_total_partitioned_matches_pandas(spark, sf_dir):
         acc[key] = acc.get(key, 0) + v
         expect[i] = acc[key]
     assert {r.i: r.run for r in out} == expect
+
+
+def test_source_cap_caps_every_source_and_is_nested(spark, sf_dir):
+    """Per-source frequency cap: no source exceeds the cap, sources at
+    or under the cap pass through untouched, and a looser cap keeps a
+    superset of a tighter one (same seed ⇒ same draw order — the
+    resumable-build property shared with stratified_sample)."""
+    from wing_binlog_go_spark.functions.mixing import source_cap
+
+    docs = read_table(spark, sf_dir, "documents")
+    before = {r.source: r.c for r in docs.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    capped = source_cap(docs, 10, seed=7)
+    after = {r.source: r.c for r in capped.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    for src, n in before.items():
+        assert after.get(src, 0) == min(n, 10), src
+    # full row width survives the semi-join
+    assert set(capped.columns) == set(docs.columns)
+    tight = {r.doc_id for r in source_cap(docs, 5, seed=7).select("doc_id").collect()}
+    loose = {r.doc_id for r in capped.select("doc_id").collect()}
+    assert tight <= loose
+    # deterministic across runs
+    again = {r.doc_id for r in source_cap(docs, 10, seed=7).select("doc_id").collect()}
+    assert loose == again

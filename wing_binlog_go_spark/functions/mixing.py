@@ -253,6 +253,45 @@ def temperature_mix(
     )
 
 
+def source_cap(
+    df: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-source frequency cap: keep at most ``cap`` documents from any
+    one source/domain — the domain-balancing rule web-corpus recipes
+    apply so a handful of giant domains can't dominate the training mix
+    (the per-domain cap step in published web-curation pipelines, e.g.
+    RefinedWeb/Dolma-style dedup-then-cap).
+
+    Deterministic: the kept rows are the ``cap`` lowest seeded-md5
+    draws per source, so re-runs, audits, and overlapping corpus builds
+    agree row-for-row (same draw as ``stratified_sample``).
+
+    Scale shape: ranking uses the shard-prefixed range-partitioned
+    running total (``with_running_total`` with ``partition_cols``), NOT
+    ``Window.partitionBy(source)`` — a plain window would serialize a
+    mega-domain (the exact rows this operator exists to bound) onto one
+    task. The rank is computed on an (id, source) projection and
+    semi-joined back, so full-width rows move through one hash join,
+    not the sort.
+    """
+    keyed = df.select(F.col(id_col), F.col(group_col)).withColumn(
+        "_draw", sample_key(id_col, seed)
+    )
+    ranked = with_running_total(
+        keyed,
+        ["_draw", id_col],
+        F.lit(1),
+        out="_rn",
+        partition_cols=[group_col],
+    )
+    kept = ranked.filter(F.col("_rn") <= cap).select(id_col)
+    return df.join(kept, id_col, "left_semi")
+
+
 # ---------------------------------------------------------------------------
 # registered queries
 # ---------------------------------------------------------------------------
@@ -385,7 +424,32 @@ WHERE rn <= take ORDER BY doc_id
 """
 
 
+_CAP = 10
+
+
+def _q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        source_cap(d, _CAP, seed=_SAMPLE_SEED)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_SOURCE_CAP_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY substring(md5('{_SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8),
+                      doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, lang FROM ranked WHERE rn <= {_CAP} ORDER BY doc_id
+"""
+
+
 QUERIES["q39l_stratified_sample"] = QuerySpec(_q_stratified_sample, _stratified_oracle())
+QUERIES["q39v_source_cap"] = QuerySpec(_q_source_cap, _SOURCE_CAP_ORACLE)
 QUERIES["q39q_temperature_mix"] = QuerySpec(_q_temperature_mix, _TEMPERATURE_MIX_ORACLE)
 QUERIES["q39m_sequence_pack"] = QuerySpec(_q_sequence_pack, _PACK_ORACLE)
 QUERIES["q39n_corpus_shuffle"] = QuerySpec(_q_corpus_shuffle, _SHUFFLE_ORACLE)

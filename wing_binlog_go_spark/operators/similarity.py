@@ -597,25 +597,18 @@ def embedding_near_dup_pairs(
     )
 
 
-def diversity_sample(
+def assign_clusters(
     corpus: DataFrame,
-    per_cluster: int = 100,
     n_clusters: int = 16,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cluster diversity downsampling: cap each semantic
-    cluster at ``per_cluster`` docs, so over-represented modes (boiler-
-    plate, templates) can't dominate a training mix.
+    """Nearest-KMeans-centroid assignment as a map-side column.
 
-    Mechanics: k-means centroids (fixed seed, driver-side, broadcast as
-    literals) → map-side nearest-centroid assignment (no shuffle) → one
-    window per cluster keeping the ``per_cluster`` smallest
-    xxhash64(seed, id) values — a deterministic pseudo-random sample, so
-    replays/audits reproduce the exact mix. Output adds the `_cluster`
-    column for mix accounting. The only shuffle is the per-cluster
-    window, keyed by cluster (bounded cardinality, AQE-skew-safe).
+    K-means centroids (fixed seed, Spark ML over the corpus) are pulled
+    to the driver and broadcast as literals, so assignment is a pure
+    column expression — no shuffle, no UDF. Adds ``_cluster`` (int).
+    Shared by :func:`diversity_sample` and :func:`semantic_dedup`.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -642,9 +635,32 @@ def diversity_sample(
             for i, ctr in enumerate(cents)
         ]
     )
-    assigned = c.withColumn(
+    return c.withColumn(
         "_cluster", F.element_at(F.array_sort(dists), 1)["i"]
     ).drop("_dv")
+
+
+def diversity_sample(
+    corpus: DataFrame,
+    per_cluster: int = 100,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cluster diversity downsampling: cap each semantic
+    cluster at ``per_cluster`` docs, so over-represented modes (boiler-
+    plate, templates) can't dominate a training mix.
+
+    Mechanics: nearest-centroid assignment (map side, no shuffle —
+    :func:`assign_clusters`) → one window per cluster keeping the
+    ``per_cluster`` smallest xxhash64(seed, id) values — a deterministic
+    pseudo-random sample, so replays/audits reproduce the exact mix.
+    Output adds the `_cluster` column for mix accounting. The only
+    shuffle is the per-cluster window, keyed by cluster (bounded
+    cardinality, AQE-skew-safe).
+    """
+    assigned = assign_clusters(corpus, n_clusters, vec_col, seed)
     w = Window.partitionBy("_cluster").orderBy(
         F.xxhash64(F.lit(seed), F.col(id_col)), F.col(id_col)
     )
@@ -653,6 +669,72 @@ def diversity_sample(
         .filter(F.col("_rn") <= per_cluster)
         .drop("_rn")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.97,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic deduplication: drop documents whose embeddings are
+    near-identical to a kept document — the SemDeDup scheme (Abbas et
+    al. 2023, arXiv:2303.09540): cluster the embedding space with
+    k-means, compare pairs only WITHIN a cluster, and keep one
+    representative per near-duplicate group.
+
+    Scale shape: the pairwise comparison is an equi-join on the cluster
+    id — never a corpus×corpus cross product. With C clusters the
+    candidate set is Σ|cluster|²/2 ≈ N²/(2C); C grows with the corpus
+    (SemDeDup used 11k clusters for LAION-440M) so per-cluster lists
+    stay bounded, and each cluster's pairs co-locate under one shuffle
+    key. Identical vectors always share a cluster (assignment is a
+    deterministic function of the vector), so exact duplicates can
+    never be split across clusters and survive both.
+
+    Survivor rule: a row is dropped iff some SMALLER-id row in the same
+    cluster is within the threshold — deterministic, order-free, one
+    left-anti join. (The paper keeps the member farthest from the
+    centroid; min-id keeps results stable under re-runs and replays,
+    which matters more in an incremental corpus build.)
+
+    Returns survivors with their ``_cluster`` for mix accounting.
+    """
+    assigned = assign_clusters(corpus, n_clusters, vec_col, seed)
+    # localCheckpoint: the self-join below would otherwise re-run KMeans
+    # assignment (array_sort over n_clusters structs) once per side
+    sides = (
+        assigned.select(
+            F.col(id_col), "_cluster", as_double(vec_col).alias("_v")
+        )
+        .withColumn("_n", norm(F.col("_v")))
+        .localCheckpoint(eager=True)
+    )
+    lhs = sides.select(
+        F.col(id_col).alias("_id_keep"),
+        "_cluster",
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    rhs = sides.select(
+        F.col(id_col).alias("_id_drop"),
+        "_cluster",
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    dropped = (
+        lhs.join(rhs, "_cluster")
+        .filter(F.col("_id_keep") < F.col("_id_drop"))
+        .filter(
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("_id_drop").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -758,9 +840,19 @@ def _q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        semantic_dedup(emb, threshold=0.97, n_clusters=8)
+        .select("vec_id", "_cluster")
+        .orderBy("vec_id")
+    )
+
+
 QUERIES["q38_ann_brute_force"] = QuerySpec(_q_ann_brute, _ANN_ORACLE)
 QUERIES["q38b_ann_lsh"] = QuerySpec(_q_ann_lsh, None)  # recall property-test
 QUERIES["q38c_embedding_near_dup"] = QuerySpec(_q_near_dup, _NEAR_DUP_ORACLE)
 QUERIES["q38d_ann_ivf"] = QuerySpec(_q_ann_ivf, None)  # recall property-test
 QUERIES["q38e_diversity_sample"] = QuerySpec(_q_diversity_sample, None)  # KMeans — no SQL oracle
+QUERIES["q38g_semantic_dedup"] = QuerySpec(_q_semantic_dedup, None)  # KMeans — no SQL oracle; planted-dup test
 QUERIES["q38f_ann_pq"] = QuerySpec(_q_ann_pq, None)  # recall property-test (codebooks — no SQL oracle)

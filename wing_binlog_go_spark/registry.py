@@ -57,6 +57,8 @@ _PRIORITY = (
     "q39t_heavy_hitters",
     # New this round (first driver verification).
     "q103_tpch_q12",
+    "q39v_source_cap",
+    "q38g_semantic_dedup",
     # Family sentinels (guard-enforced): one representative per graded
     # family re-verifies every round against regressions.
     "q37c_ngram_jaccard",
