@@ -518,3 +518,129 @@ def test_audio_features_on_real_wav_bytes(spark):
     assert feats[1].zero_crossings > 800
     assert feats[2].rms == 0.0 and feats[2].zero_crossings == 0
     assert feats[3].rms is None
+
+
+# ---------------------------------------------------------------------------
+# GIF / video
+# ---------------------------------------------------------------------------
+
+
+def _palette_frames(n_frames=4, w=24, h=16):
+    """Animated fixture: a colored box marches across a dark canvas —
+    few distinct colors (encoder palette cap), visually distinct frames."""
+    frames = []
+    for i in range(n_frames):
+        f = np.full((h, w, 3), 16, dtype=np.uint8)
+        x = (i * 5) % (w - 6)
+        f[4:12, x : x + 6] = [200, 40 * i % 256, 90]
+        frames.append(f)
+    return frames
+
+
+def test_lzw_roundtrip():
+    from wing_binlog_go_spark.multimodal.codecs import _lzw_decode, _lzw_encode
+
+    rng = np.random.RandomState(2)
+    for size in (2, 4, 8):
+        n_sym = 1 << size
+        # repetitive data grows the dictionary; long enough to force
+        # several width bumps (and a reset at min_code_size=2)
+        data = list(rng.randint(0, n_sym, 5000)) + [0] * 500 + list(range(n_sym)) * 20
+        assert _lzw_decode(_lzw_encode(data, size), size) == data
+
+
+def test_gif_roundtrip_frames_exact():
+    from wing_binlog_go_spark.multimodal.codecs import decode_gif, encode_gif
+
+    frames = _palette_frames()
+    decoded = decode_gif(encode_gif(frames, delay_ms=50))
+    assert len(decoded) == len(frames)
+    for (delay, got), want in zip(decoded, frames):
+        assert delay == 50
+        assert np.array_equal(got, want)
+
+
+def test_gif_single_frame_and_bad_input():
+    from wing_binlog_go_spark.multimodal.codecs import decode_gif, encode_gif
+
+    one = decode_gif(encode_gif(_palette_frames(1)))
+    assert len(one) == 1
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 4)  # truncated descriptor
+    with pytest.raises(ValueError):
+        decode_gif(b"JPEG nonsense")
+    whole = encode_gif(_palette_frames(2))
+    with pytest.raises(ValueError):
+        decode_gif(whole[: len(whole) - 10])  # missing trailer/frame data
+
+
+def test_gif_transparency_composites_over_previous_frame():
+    """Hand-build a 2-frame GIF where frame 2 is a small rect with a
+    transparent index: the decoded second frame must show frame 1's
+    pixels through the transparent holes (delta-frame compositing)."""
+    import struct as _struct
+
+    from wing_binlog_go_spark.multimodal.codecs import _lzw_encode, decode_gif
+
+    # palette: 0=black 1=red 2=green 3=unused
+    pal = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", 4, 4, 0x80 | 0x01, 0, 0)  # 4-entry GCT
+    out += pal
+    # frame 1: all red, full canvas
+    out += b"\x2c" + _struct.pack("<HHHHB", 0, 0, 4, 4, 0)
+    lzw = _lzw_encode([1] * 16, 2)
+    out += bytes([2, len(lzw)]) + lzw + b"\x00"
+    # frame 2: 2x2 rect at (1,1): green with one transparent pixel (idx 3)
+    out += b"\x21\xf9\x04" + _struct.pack("<BHB", 0x05, 10, 3) + b"\x00"  # transp idx 3, disposal 1
+    out += b"\x2c" + _struct.pack("<HHHHB", 1, 1, 2, 2, 0)
+    lzw = _lzw_encode([2, 3, 2, 2], 2)
+    out += bytes([2, len(lzw)]) + lzw + b"\x00"
+    out.append(0x3B)
+
+    frames = decode_gif(bytes(out))
+    assert len(frames) == 2
+    f2 = frames[1][1]
+    assert tuple(f2[1, 1]) == (0, 255, 0)   # green painted
+    assert tuple(f2[1, 2]) == (255, 0, 0)   # transparent → red shows through
+    assert tuple(f2[0, 0]) == (255, 0, 0)   # outside rect untouched
+    assert frames[1][0] == 100              # delay 10 cs → 100 ms
+
+
+def test_decode_video_dispatch_and_timestamps():
+    from wing_binlog_go_spark.multimodal import decode_video
+    from wing_binlog_go_spark.multimodal.codecs import encode_gif
+
+    frames = decode_video(encode_gif(_palette_frames(3), delay_ms=40))
+    assert [ts for ts, _ in frames] == [0, 40, 80]
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x00\x00\x00 ftypisom" + b"\x00" * 16)  # MP4
+
+
+def test_video_frame_features_samples_real_frames(spark):
+    """Spark end-to-end on real GIF bytes: 4 frames at 100 ms sampled
+    every 200 ms → ticks 0/200 pick frames 0 and 2; their phashes must
+    equal the directly-computed hashes of those frames. NULL and
+    non-video payloads contribute no rows."""
+    from wing_binlog_go_spark.multimodal import video_frame_features
+    from wing_binlog_go_spark.multimodal.codecs import (
+        encode_gif,
+        grayscale,
+        phash64,
+    )
+
+    frames = _palette_frames(4)
+    gif = encode_gif(frames, delay_ms=100)
+    rows = [
+        (1, gif, ("image/gif", 24, 16, 400)),
+        (2, None, ("video/mp4", None, None, None)),
+        (3, b"\x00\x00\x00 ftypisom", ("video/mp4", 1, 1, 99)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        (r.media_id, r.frame_ts_ms): r.phash
+        for r in video_frame_features(df, every_ms=200).collect()
+    }
+    assert set(got) == {(1, 0), (1, 200)}
+    assert got[(1, 0)] == phash64(grayscale(frames[0]))
+    assert got[(1, 200)] == phash64(grayscale(frames[2]))

@@ -13,16 +13,17 @@ plumbing matters more than any single codec:
 - partition by size: ``repartition`` on a size-bucket column keeps blob
   skew from starving tasks.
 
-Codecs: BMP (24/32-bit uncompressed), PNG (8-bit non-interlaced, all
-five color types — DEFLATE via stdlib zlib) and WAV (8/16-bit PCM)
-decode for REAL via the pure-Python ``codecs`` module —
-``decode_image`` / ``decode_audio`` dispatch on the payload's magic
-bytes and return actual pixel/sample arrays, with a classic DCT
-perceptual hash over real pixels. Formats needing codec libraries this
-environment lacks (JPEG/FLAC/MP4) raise NotImplementedError at the
-dispatch point, and ``fake_decode_image`` remains the deterministic
-stand-in for format-agnostic plumbing tests. A real deployment drops
-PIL/ffmpeg in behind the same seam.
+Codecs: all three modalities decode for REAL via the pure-Python
+``codecs`` module — images (BMP 24/32-bit uncompressed; PNG 8-bit
+non-interlaced, all five color types, DEFLATE via stdlib zlib), audio
+(WAV 8/16-bit PCM) and video (animated GIF: LZW + frame compositing).
+``decode_image`` / ``decode_audio`` / ``decode_video`` dispatch on the
+payload's magic bytes and return actual pixel/sample/frame arrays, with
+a classic DCT perceptual hash over real pixels. Formats needing codec
+libraries this environment lacks (JPEG/FLAC/MP4) raise
+NotImplementedError at the dispatch point, and ``fake_decode_image``
+remains the deterministic stand-in for format-agnostic plumbing tests.
+A real deployment drops PIL/ffmpeg in behind the same seam.
 """
 
 from __future__ import annotations
@@ -203,6 +204,83 @@ def audio_features(df: DataFrame, batch_decoder=fake_decode_audio) -> DataFrame:
             )
 
     return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def decode_video(payload: bytes) -> "list[tuple[int, object]]":
+    """Decode a video payload → list of (ts_ms, H×W×3 RGB frame).
+
+    Animated GIF decodes natively (``codecs.decode_gif``: LZW + frame
+    compositing; frame timestamps are the cumulative presentation
+    delays). Container formats (MP4/WebM) need ffmpeg, not available
+    here — same dispatch seam as images/audio."""
+    if payload[:4] == b"GIF8":
+        from wing_binlog_go_spark.multimodal import codecs
+
+        ts = 0
+        out = []
+        for delay_ms, frame in codecs.decode_gif(payload):
+            out.append((ts, frame))
+            ts += max(delay_ms, 1)
+        return out
+    raise NotImplementedError(
+        "only animated GIF has a built-in video decoder; MP4/WebM/... "
+        "need ffmpeg, which is not installed in this environment"
+    )
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_ts_ms", T.IntegerType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def video_frame_features(
+    df: DataFrame, every_ms: int = 1000, frame_decoder=decode_video
+) -> DataFrame:
+    """REAL frame sampling: decode each payload's frames, keep the
+    last-presented frame at each ``every_ms`` tick, and emit one row per
+    sampled frame with its perceptual hash — the decode-backed
+    counterpart of :func:`frame_sample_plan` (which emits the row
+    explosion without touching bytes).
+
+    Runs in ``mapInPandas`` like the image/audio paths: one Arrow batch
+    of payloads per call, per-frame numpy work (compositing + DCT)
+    vectorized inside. NULL or undecodable-format payloads yield no
+    rows rather than killing the task (failed fetches are normal in a
+    media corpus); genuinely corrupt bytes of a supported format still
+    raise, as elsewhere in the codec layer."""
+    from wing_binlog_go_spark.multimodal import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ts_out, hashes = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    frames = frame_decoder(bytes(payload))
+                except NotImplementedError:
+                    continue
+                # last frame presented at or before each sample tick
+                end_ts = frames[-1][0]
+                tick, fi = 0, 0
+                while tick <= end_ts:
+                    while fi + 1 < len(frames) and frames[fi + 1][0] <= tick:
+                        fi += 1
+                    ids.append(mid)
+                    ts_out.append(tick)
+                    hashes.append(
+                        codecs.phash64(codecs.grayscale(frames[fi][1]))
+                    )
+                    tick += every_ms
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_ts_ms": ts_out, "phash": hashes}
+            )
+
+    return df.mapInPandas(run, VIDEO_FRAME_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -324,6 +324,238 @@ def encode_png(img: np.ndarray, *, sub_filter: bool = False) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# GIF (animated — the video modality's native-decode format)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW → list of palette indices.
+
+    Variable-width codes (min+1 .. 12 bits, LSB-first bit packing),
+    clear code resets the dictionary, EOI terminates. The dictionary is
+    a list of byte-sequences; growth stops at 4096 per the GIF spec.
+    """
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def fresh():
+        return [[i] for i in range(clear)] + [None, None]
+
+    table = fresh()
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = fresh()
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < len(table) and table[code] is not None:
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + [prev[0]]  # the KwKwK case
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out.extend(entry)
+            if prev is not None and len(table) < 4096:
+                table.append(prev + [entry[0]])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder (round-trip partner of :func:`_lzw_decode`)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+    width = min_code_size + 1
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    seq: tuple = ()
+    for idx in indices:
+        cand = seq + (idx,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq])
+        table[cand] = next_code
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code > 4095:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        seq = (idx,)
+    if seq:
+        emit(table[seq])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> list[tuple[int, np.ndarray]]:
+    """Decode a (possibly animated) GIF → list of (delay_ms, H×W×3 RGB).
+
+    Full-canvas compositing: each image descriptor's rect is drawn over
+    the running canvas (respecting the transparent index), so every
+    returned frame is the complete displayed picture, not the stored
+    delta. Disposal methods: 1 (keep) and 2 (restore background) — the
+    forms encoders actually emit for training-corpus GIFs; 3 (restore
+    previous) raises. Interlaced frames raise (rare outside ancient web
+    art; a real deployment uses PIL behind the same dispatch seam).
+    """
+    if len(payload) < 13 or payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF file")
+    width, height = struct.unpack_from("<HH", payload, 6)
+    packed, bg_index = payload[10], payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    canvas = np.zeros((height, width, 3), dtype=np.uint8)
+    if gct is not None and bg_index < len(gct):
+        canvas[:] = gct[bg_index]
+    frames: list[tuple[int, np.ndarray]] = []
+    delay_ms, transparent, disposal = 0, None, 0
+
+    def subblocks(p: int) -> tuple[bytes, int]:
+        chunks = []
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated GIF sub-blocks")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return b"".join(chunks), p
+            chunks.append(payload[p : p + n])
+            p += n
+
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            body, pos = subblocks(pos)
+            if label == 0xF9 and len(body) >= 4:  # graphic control
+                flags = body[0]
+                disposal = (flags >> 2) & 0x07
+                delay_ms = struct.unpack_from("<H", body, 1)[0] * 10
+                transparent = body[3] if flags & 1 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+        left, top, w, h = struct.unpack_from("<HHHH", payload, pos)
+        fpacked = payload[pos + 8]
+        pos += 9
+        if fpacked & 0x40:
+            raise ValueError("interlaced GIF not supported without PIL")
+        table = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+            pos += n * 3
+        if table is None:
+            raise ValueError("GIF frame without any color table")
+        if disposal == 3:
+            raise ValueError("GIF disposal 'restore previous' not supported")
+        min_code = payload[pos]
+        pos += 1
+        data, pos = subblocks(pos)
+        idx = np.array(_lzw_decode(data, min_code), dtype=np.int32)
+        if idx.size != w * h:
+            raise ValueError(f"GIF frame pixel count {idx.size} != {w * h}")
+        if int(idx.max(initial=0)) >= len(table):
+            raise ValueError("GIF palette index out of range")
+        rect = idx.reshape(h, w)
+        patch = table[rect]
+        target = canvas[top : top + h, left : left + w]
+        if transparent is not None:
+            mask = rect != transparent
+            target[mask] = patch[mask]
+        else:
+            target[:] = patch
+        frames.append((delay_ms, canvas.copy()))
+        if disposal == 2:  # restore background after presenting
+            bg = table[bg_index] if bg_index < len(table) else 0
+            canvas[top : top + h, left : left + w] = bg
+        delay_ms, transparent, disposal = 0, None, 0
+    if not frames:
+        raise ValueError("GIF with no image frames")
+    return frames
+
+
+def encode_gif(frames: list[np.ndarray], delay_ms: int = 100) -> bytes:
+    """Encode H×W×3 uint8 RGB frames → animated GIF89a bytes.
+
+    Builds one global palette from the distinct colors across all
+    frames (≤256 required — test fixtures construct palettized content;
+    this is a fixture/round-trip encoder, not a quantizing one).
+    """
+    if not frames:
+        raise ValueError("no frames")
+    arr = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = arr[0].shape[:2]
+    if any(f.shape != (h, w, 3) for f in arr):
+        raise ValueError("all frames must be H×W×3 and same size")
+    colors = np.unique(np.concatenate([f.reshape(-1, 3) for f in arr], axis=0), axis=0)
+    if len(colors) > 256:
+        raise ValueError(f"{len(colors)} distinct colors; encoder caps at 256")
+    # palette size = power of two ≥ max(2, n_colors)
+    bits = max(1, (len(colors) - 1).bit_length())
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    min_code = max(2, bits)
+    for f in arr:
+        out += b"\x21\xf9\x04" + struct.pack("<BHB", 0x04, delay_ms // 10, 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        idx = [lut[tuple(px)] for px in f.reshape(-1, 3)]
+        lzw = _lzw_encode(idx, min_code)
+        out.append(min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # WAV
 # ---------------------------------------------------------------------------
 
