@@ -288,3 +288,75 @@ def test_heavy_hitters_exactness_on_skewed_synthetic(spark):
     n = len(rows)
     expect = {w: c for w, c in counts.items() if c > n / k}
     assert got == expect and got, got
+
+
+def _span_removal_model(texts: dict[int, str], k: int) -> dict[int, tuple[int, int, str]]:
+    """Independent sequential reference for duplicate_span_removal:
+    rank every k-token span occurrence by (doc_id, start), mark the
+    covered positions of every rank≥2 occurrence of a repeated span,
+    rebuild from surviving tokens."""
+    toks = {d: t.lower().split(" ") for d, t in texts.items()}
+    occs: dict[str, list[tuple[int, int]]] = {}
+    for d in sorted(toks):
+        t = toks[d]
+        for p in range(len(t) - k + 1):
+            occs.setdefault(" ".join(t[p : p + k]), []).append((d, p))
+    removed: dict[int, set[int]] = {d: set() for d in toks}
+    for gram, lst in occs.items():
+        for d, p in sorted(lst)[1:]:
+            removed[d].update(range(p, p + k))
+    out = {}
+    for d, t in toks.items():
+        kept = [w for i, w in enumerate(t) if i not in removed[d]]
+        out[d] = (len(t), len(t) - len(kept), " ".join(kept))
+    return out
+
+
+def test_duplicate_span_removal_matches_model(spark):
+    """Hand corpus with planted repeats: a license banner shared by two
+    docs, an in-doc repeated phrase, and a doc shorter than k. The Spark
+    result must equal the sequential reference model row-for-row."""
+    from wing_binlog_go_spark.functions.text import duplicate_span_removal
+
+    texts = {
+        1: "all rights reserved worldwide the quick brown fox jumps over lazy dogs",
+        2: "intro text here all rights reserved worldwide and more unique content",
+        3: "spam spam spam spam spam spam eggs",
+        4: "too short",
+        5: "completely unrelated sentence with fresh vocabulary throughout today",
+    }
+    df = spark.createDataFrame([(d, t) for d, t in texts.items()], ["doc_id", "text"])
+    for k in (3, 5):
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+            for r in duplicate_span_removal(df, k=k).collect()
+        }
+        assert got == _span_removal_model(texts, k), f"k={k}"
+
+
+def test_duplicate_span_removal_matches_model_on_corpus(spark, sf_small):
+    """Same equivalence on the real sf0.001 documents table (500 docs):
+    the distributed plan and the sequential model agree exactly."""
+    from wing_binlog_go_spark.functions.text import duplicate_span_removal
+    from wing_binlog_go_spark.tables import read_table
+
+    docs = read_table(spark, sf_small, "documents").filter(F.col("doc_id") < 150)
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in duplicate_span_removal(docs, k=4).collect()
+    }
+    assert got == _span_removal_model(texts, 4)
+
+
+def test_duplicate_span_removal_fully_deleted_doc(spark):
+    """A doc that is one big repeat of another doc's content must come
+    back as clean_text '' with n_removed == n_tokens, not vanish."""
+    from wing_binlog_go_spark.functions.text import duplicate_span_removal
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in duplicate_span_removal(df, k=3).collect()}
+    assert rows[1].n_removed == 0 and rows[1].clean_text == "a b c d e f"
+    assert rows[2].n_removed == 6 and rows[2].clean_text == ""

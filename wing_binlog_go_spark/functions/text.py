@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wing_binlog_go_spark.operators.dedup import tokens, word_ngrams_all, word_shingles
@@ -723,6 +723,131 @@ ORDER BY doc_id LIMIT 200
 """
 
 
+def duplicate_span_removal(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-level dedup: REWRITE documents by deleting every
+    repeated k-token span except its first occurrence — the span-removal
+    family of published dedup pipelines (C4 drops repeated three-sentence
+    spans; Lee et al. 2021 "Deduplicating Training Data Makes Language
+    Models Better" deletes repeated 50-token substrings via a suffix
+    array). Token-granular spans replace the suffix array: a suffix
+    array is a sequential single-machine structure, while the k-gram
+    occurrence relation shuffles on the gram key and scales like any
+    aggregation.
+
+    Deterministic semantics (identical in the DuckDB oracle):
+    tokens are 1-indexed per doc; every k-token span occurrence is
+    (doc, p, gram); occurrences of each gram are ranked by (doc_id, p);
+    every occurrence ranked ≥ 2 marks its k covered token positions for
+    removal; surviving tokens are rejoined with single spaces. Output:
+    (id, n_tokens, n_removed, clean_text) — one row per input doc, a
+    fully-deleted doc yields clean_text ''.
+
+    Scale shape: posexplode → window over the gram (high-cardinality
+    key, parallel) → position anti-join → per-doc rebuild groupBy.
+    Every shuffle is keyed on gram or doc id; nothing is broadcast or
+    driver-side. Rebuilding collects one doc's surviving tokens into an
+    array — bounded by document length, the same per-row bound every
+    text op here lives with.
+    """
+    base = docs.select(F.col(id_col), tokens(text_col).alias("_t"))
+    tok_rows = base.select(
+        id_col, F.posexplode("_t").alias("_pos0", "tok")
+    ).select(id_col, (F.col("_pos0") + 1).alias("pos"), "tok")
+    span_arr = F.when(
+        F.size("_t") < k, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice("_t", i, k)),
+        )
+    )
+    spans = base.select(id_col, F.posexplode(span_arr).alias("_p0", "gram")).select(
+        id_col, (F.col("_p0") + 1).alias("p"), "gram"
+    )
+    w = Window.partitionBy("gram").orderBy(id_col, "p")
+    rm = (
+        spans.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") >= 2)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("p"), F.col("p") + (k - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok_rows.join(rm, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select(id_col, F.size("_t").cast("bigint").alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        duplicate_span_removal(docs.filter(F.col("doc_id") < 200), k=3)
+        .orderBy("doc_id")
+    )
+
+
+_SPAN_DEDUP_ORACLE = """
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t
+  FROM documents WHERE doc_id < 200
+), toks AS (
+  SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, unnest(t) AS tok FROM base
+), spans AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS p,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                               i -> array_to_string(t[i:i+2], ' '))) AS gram
+  FROM base
+), occ AS (
+  SELECT doc_id, p,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn
+  FROM spans
+), rm AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id, unnest(range(p, p + 3)) AS pos FROM occ WHERE rn >= 2
+  )
+), kept AS (
+  SELECT tk.doc_id, tk.pos, tk.tok FROM toks tk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rm WHERE rm.doc_id = tk.doc_id AND rm.pos = tk.pos
+  )
+), rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(len(b.t) AS BIGINT) AS n_tokens,
+       CAST(len(b.t) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+ORDER BY b.doc_id
+"""
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,
@@ -860,3 +985,4 @@ QUERIES["q39p_boilerplate"] = QuerySpec(_q_boilerplate, _BOILERPLATE_ORACLE)
 QUERIES["q39r_winnowing"] = QuerySpec(_q_winnowing, _WINNOWING_ORACLE)
 QUERIES["q39s_bigram_lm"] = QuerySpec(_q_bigram_lm, _BIGRAM_LM_ORACLE)
 QUERIES["q39t_heavy_hitters"] = QuerySpec(_q_heavy_hitters, _HEAVY_HITTERS_ORACLE)
+QUERIES["q39w_span_dedup"] = QuerySpec(_q_span_dedup, _SPAN_DEDUP_ORACLE)

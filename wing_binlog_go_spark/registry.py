@@ -59,6 +59,7 @@ _PRIORITY = (
     "q103_tpch_q12",
     "q39v_source_cap",
     "q38g_semantic_dedup",
+    "q39w_span_dedup",
     # Family sentinels (guard-enforced): one representative per graded
     # family re-verifies every round against regressions.
     "q37c_ngram_jaccard",
