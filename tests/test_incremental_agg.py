@@ -174,3 +174,228 @@ def test_incremental_agg_route_through_pipeline(spark, tmp_path):
         "split-a": (1.0, 1),
         "split-b": (2.0, 1),
     }
+
+
+def _minmax_state(spark, state_dir):
+    return {
+        r.grp: (r.agg_min, r.agg_max, r.agg_count)
+        for r in spark.read.parquet(state_dir).collect()
+    }
+
+
+def _replica_from(rows):
+    """Recompute source over an explicit live-row list [(grp, val)]."""
+
+    def read(spark):
+        if not rows:
+            return spark.createDataFrame([], "grp string, val double")
+        return spark.createDataFrame(
+            [(g, float(v)) for g, v in rows], "grp string, val double"
+        )
+
+    return read
+
+
+def test_minmax_inserts_fold_in_without_recompute(spark, tmp_path):
+    from wing_binlog_go_spark.streaming.aggregate import incremental_minmax_apply
+
+    state = str(tmp_path / "mm")
+    b1 = _env(
+        spark,
+        [
+            ("insert", 1, {"g": "a", "v": "10"}, None, None),
+            ("insert", 2, {"g": "a", "v": "5"}, None, None),
+            ("insert", 3, {"g": "b", "v": "7"}, None, None),
+        ],
+    )
+    # replica deliberately WRONG: a pure-insert batch must never touch it
+    incremental_minmax_apply(
+        spark, b1, state, "g", "v", _replica_from([("a", 999)])
+    )
+    assert _minmax_state(spark, state) == {"a": (5.0, 10.0, 2), "b": (7.0, 7.0, 1)}
+
+
+def test_minmax_delete_of_extreme_recomputes_from_replica(spark, tmp_path):
+    from wing_binlog_go_spark.streaming.aggregate import incremental_minmax_apply
+
+    state = str(tmp_path / "mm")
+    b1 = _env(
+        spark,
+        [
+            ("insert", 1, {"g": "a", "v": "10"}, None, None),
+            ("insert", 2, {"g": "a", "v": "5"}, None, None),
+            ("insert", 3, {"g": "a", "v": "8"}, None, None),
+        ],
+    )
+    incremental_minmax_apply(spark, b1, state, "g", "v", _replica_from([]))
+    # delete the min → group invalidated → rebuilt from the replica,
+    # which post-batch holds {10, 8}
+    b2 = _env(spark, [("delete", 4, {"g": "a", "v": "5"}, None, None)])
+    incremental_minmax_apply(
+        spark, b2, state, "g", "v", _replica_from([("a", 10), ("a", 8)])
+    )
+    assert _minmax_state(spark, state) == {"a": (8.0, 10.0, 2)}
+    # interior delete folds in WITHOUT consulting the (wrong) replica
+    b3 = _env(spark, [("delete", 5, {"g": "a", "v": "9"}, None, None)])
+    incremental_minmax_apply(
+        spark, b3, state, "g", "v", _replica_from([("a", 777)])
+    )
+    assert _minmax_state(spark, state) == {"a": (8.0, 10.0, 1)}
+
+
+def test_minmax_group_move_and_full_delete(spark, tmp_path):
+    from wing_binlog_go_spark.streaming.aggregate import incremental_minmax_apply
+
+    state = str(tmp_path / "mm")
+    b1 = _env(
+        spark,
+        [
+            ("insert", 1, {"g": "a", "v": "3"}, None, None),
+            ("insert", 2, {"g": "b", "v": "6"}, None, None),
+        ],
+    )
+    incremental_minmax_apply(spark, b1, state, "g", "v", _replica_from([]))
+    # the move removes b's only (extreme) value → b recomputes to empty
+    # and vanishes; a gains 6 via the algebraic path
+    b2 = _env(
+        spark,
+        [("update", 3, None, {"g": "b", "v": "6"}, {"g": "a", "v": "6"})],
+    )
+    incremental_minmax_apply(
+        spark, b2, state, "g", "v", _replica_from([("a", 3), ("a", 6)])
+    )
+    assert _minmax_state(spark, state) == {"a": (3.0, 6.0, 2)}
+
+
+def test_minmax_replay_is_noop(spark, tmp_path):
+    from wing_binlog_go_spark.streaming.aggregate import incremental_minmax_apply
+
+    state = str(tmp_path / "mm")
+    b = _env(
+        spark,
+        [
+            ("insert", 1, {"g": "x", "v": "3"}, None, None),
+            ("delete", 2, {"g": "x", "v": "3"}, None, None),
+            ("insert", 3, {"g": "x", "v": "4"}, None, None),
+        ],
+    )
+    rep = _replica_from([("x", 4)])
+    incremental_minmax_apply(spark, b, state, "g", "v", rep)
+    first = _minmax_state(spark, state)
+    incremental_minmax_apply(spark, b, state, "g", "v", rep)
+    assert _minmax_state(spark, state) == first == {"x": (4.0, 4.0, 1)}
+
+
+def test_minmax_matches_batch_recompute_randomized(spark, tmp_path):
+    """Random insert/update/delete stream applied in batches, with the
+    replica kept live alongside — final state equals a full GROUP BY
+    min/max/count over surviving rows."""
+    import random
+
+    from wing_binlog_go_spark.streaming.aggregate import incremental_minmax_apply
+
+    rng = random.Random(7)
+    live: dict[int, tuple[str, int]] = {}
+    events = []
+    idx = 0
+    for pk in range(40):
+        idx += 1
+        g, v = rng.choice("pqr"), rng.randint(1, 100)
+        live[pk] = (g, v)
+        events.append(("insert", idx, {"g": g, "v": str(v)}, None, None))
+    for pk in range(0, 40, 2):
+        idx += 1
+        og, ov = live[pk]
+        if pk % 3:
+            del live[pk]
+            events.append(("delete", idx, {"g": og, "v": str(ov)}, None, None))
+        else:
+            ng, nv = rng.choice("pqr"), rng.randint(1, 100)
+            live[pk] = (ng, nv)
+            events.append(
+                ("update", idx, None, {"g": og, "v": str(ov)}, {"g": ng, "v": str(nv)})
+            )
+    state = str(tmp_path / "mm")
+    # apply in 4 batches; replica snapshot = live rows AFTER each batch
+    snapshot: dict[int, tuple[str, int]] = {}
+    batches = [events[lo : lo + 20] for lo in range(0, len(events), 20)]
+    for chunk in batches:
+        for et, _i, d, o, n in chunk:
+            if et == "insert":
+                key = max(snapshot, default=-1) + 1
+                snapshot[key] = (d["g"], int(d["v"]))
+            elif et == "delete":
+                k = next(k for k, gv in snapshot.items() if gv == (d["g"], int(d["v"])))
+                del snapshot[k]
+            else:
+                k = next(k for k, gv in snapshot.items() if gv == (o["g"], int(o["v"])))
+                snapshot[k] = (n["g"], int(n["v"]))
+        incremental_minmax_apply(
+            spark,
+            _env(spark, chunk),
+            state,
+            "g",
+            "v",
+            _replica_from(list(snapshot.values())),
+        )
+    expect: dict[str, tuple] = {}
+    for g, v in live.values():
+        lo, hi, c = expect.get(g, (float("inf"), float("-inf"), 0))
+        expect[g] = (min(lo, v), max(hi, v), c + 1)
+    assert _minmax_state(spark, state) == {
+        g: (float(lo), float(hi), c) for g, (lo, hi, c) in expect.items()
+    }
+
+
+def test_minmax_route_composed_with_upsert_replica(spark, tmp_path):
+    """End-to-end composition through the real pipeline: the upsert
+    route materializes the replica FIRST, the minmax route recomputes
+    from it (routes run in list order inside one foreachBatch)."""
+    from wing_binlog_go_spark.sources.changelog import write_fixture_changelog
+    from wing_binlog_go_spark.streaming.aggregate import (
+        incremental_minmax_writer,
+        replica_minmax_source,
+    )
+    from wing_binlog_go_spark.streaming.pipeline import (
+        Route,
+        run_pipeline,
+        upsert_parquet,
+    )
+
+    log_dir = tmp_path / "log"
+    write_fixture_changelog(str(log_dir), split_files=False)
+    replica_dir = str(tmp_path / "replica")
+    state = str(tmp_path / "mm")
+
+    def upsert_writer(env, batch_id):
+        upsert_parquet(env, replica_dir, pk="id")
+
+    q = run_pipeline(
+        spark,
+        str(log_dir),
+        [
+            Route("replica", upsert_writer),
+            Route(
+                "minmax",
+                incremental_minmax_writer(
+                    state, "c_vchar", "c_int",
+                    replica_minmax_source(replica_dir, "c_vchar", "c_int"),
+                ),
+            ),
+        ],
+        str(tmp_path / "ckpt"),
+        include=[r"fixtures\.cdc_typed_all"],
+    )
+    q.awaitTermination(60)
+    got = _minmax_state(spark, state)
+    # same surviving rows as the SUM/COUNT pipeline test; every group is
+    # a single row so min == max == its value
+    assert got == {
+        "row1v2": (11.0, 11.0, 1),
+        "row2v2": (21.0, 21.0, 1),
+        "row3": (30.0, 30.0, 1),
+        "committed": (0.0, 0.0, 1),
+        "post-ddl": (7.0, 7.0, 1),
+        "split-a": (1.0, 1.0, 1),
+        "split-b": (2.0, 2.0, 1),
+    }

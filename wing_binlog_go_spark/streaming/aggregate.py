@@ -171,3 +171,170 @@ def incremental_agg_writer(
         )
 
     return write
+
+
+# ---------------------------------------------------------------------------
+# MIN/MAX maintenance (semi-differential)
+# ---------------------------------------------------------------------------
+
+_NULL_GRP = "\x00null\x00"
+
+
+def replica_minmax_source(target_dir: str, group_key: str, value_field: str):
+    """Recompute source over the upsert-materialized replica
+    (``pipeline.upsert_parquet`` output): callable → (grp, val) rows of
+    the CURRENT live table, with the same NULL-group sentinel the delta
+    path uses."""
+
+    def read(spark: SparkSession) -> DataFrame:
+        if not os.path.exists(target_dir):
+            return spark.createDataFrame([], "grp string, val double")
+        t = spark.read.parquet(target_dir).filter(~F.col("is_delete"))
+        return t.select(
+            F.coalesce(
+                F.element_at(F.col("row"), group_key), F.lit(_NULL_GRP)
+            ).alias("grp"),
+            F.element_at(F.col("row"), value_field).cast("double").alias("val"),
+        )
+
+    return read
+
+
+def incremental_minmax_apply(
+    spark: SparkSession,
+    env_batch: DataFrame,
+    state_dir: str,
+    group_key: str,
+    value_field: str,
+    replica,
+) -> None:
+    """Maintain per-group MIN/MAX/COUNT from the change stream.
+
+    MIN/MAX are not differential under deletes: removing a non-extreme
+    value folds in algebraically, but removing the CURRENT extreme
+    invalidates it — the new extreme is whatever remains, which the
+    deltas alone can't name. The classic view-maintenance split applies:
+
+    - inserts / update-new images: ``new_min = least(old_min, batch_min)``
+      (pure column algebra, no recompute — the common case);
+    - deletes / update-old images whose value ties or beats the stored
+      extreme (or hits a group with no state yet): the group joins the
+      recompute set, and its row is rebuilt by a grouped MIN/MAX over
+      ``replica`` — a per-group query against the upsert-materialized
+      replica, semi-join-pruned to exactly the invalidated groups. Cost
+      per batch is O(|batch| + |invalidated groups' rows|), never a full
+      recompute of every group.
+
+    ``replica`` is a callable ``spark -> DataFrame(grp, val)`` over the
+    CURRENT live table (``replica_minmax_source`` adapts the upsert
+    materializer's output). ORDERING CONTRACT: the replica must already
+    include this batch — in ``run_pipeline`` terms, put the upsert Route
+    BEFORE the minmax Route (routes run in list order within the shared
+    foreachBatch).
+
+    Same replay guard (event_index high-water mark) and staged-swap
+    commit as ``incremental_agg_apply``; recompute is idempotent by
+    construction, so crash-replays converge. Same POSIX-path storage
+    constraint as documented there.
+    """
+    recover_swap(state_dir)
+    high = applied_index(state_dir)
+    fresh = env_batch.filter(F.col("event_index") > high)
+    mx = fresh.agg(F.max("event_index")).collect()[0][0]
+    if mx is None:
+        return
+    data, old, new = (
+        F.col("event.data"),
+        F.col("event.old_data"),
+        F.col("event.new_data"),
+    )
+
+    def img_vals(df: DataFrame, img) -> DataFrame:
+        return df.select(
+            F.coalesce(F.element_at(img, group_key), F.lit(_NULL_GRP)).alias(
+                "grp"
+            ),
+            F.element_at(img, value_field).cast("double").alias("val"),
+        )
+
+    added = img_vals(
+        fresh.filter(F.col("event_type") == "insert"), data
+    ).unionByName(img_vals(fresh.filter(F.col("event_type") == "update"), new))
+    removed = img_vals(
+        fresh.filter(F.col("event_type") == "delete"), data
+    ).unionByName(img_vals(fresh.filter(F.col("event_type") == "update"), old))
+    a = added.groupBy("grp").agg(
+        F.min("val").alias("a_min"),
+        F.max("val").alias("a_max"),
+        F.count("*").alias("a_cnt"),
+    )
+    r = removed.groupBy("grp").agg(
+        F.min("val").alias("r_min"),
+        F.max("val").alias("r_max"),
+        F.count("*").alias("r_cnt"),
+    )
+    batch = a.join(r, "grp", "full_outer")
+
+    if os.path.exists(state_dir):
+        state = spark.read.parquet(state_dir)
+    else:
+        state = spark.createDataFrame(
+            [], "grp string, agg_min double, agg_max double, agg_count bigint"
+        )
+    m = state.join(batch, "grp", "full_outer")
+    new_count = (
+        F.coalesce(F.col("agg_count"), F.lit(0))
+        + F.coalesce(F.col("a_cnt"), F.lit(0))
+        - F.coalesce(F.col("r_cnt"), F.lit(0))
+    )
+    invalid = F.col("r_cnt").isNotNull() & (
+        F.col("agg_count").isNull()
+        | F.coalesce(F.col("r_min") <= F.col("agg_min"), F.lit(False))
+        | F.coalesce(F.col("r_max") >= F.col("agg_max"), F.lit(False))
+    )
+    valid = (
+        m.filter(~invalid)
+        .filter(new_count > 0)
+        .select(
+            "grp",
+            F.least("agg_min", "a_min").alias("agg_min"),
+            F.greatest("agg_max", "a_max").alias("agg_max"),
+            new_count.alias("agg_count"),
+        )
+    )
+    needs = m.filter(invalid).select("grp")
+    recomputed = (
+        replica(spark)
+        .join(needs, "grp", "left_semi")
+        .groupBy("grp")
+        .agg(
+            F.min("val").alias("agg_min"),
+            F.max("val").alias("agg_max"),
+            F.count("*").alias("agg_count"),
+        )
+    )
+    merged = valid.unionByName(recomputed)
+    staged = state_dir.rstrip("/") + "._staging"
+    merged.write.mode("overwrite").parquet(staged)
+    with open(os.path.join(staged, _META), "w") as f:
+        json.dump({"max_event_index": int(mx)}, f)
+    swap_dir(staged, state_dir)
+
+
+def incremental_minmax_writer(
+    state_dir: str, group_key: str, value_field: str, replica
+):
+    """foreachBatch hook for the MIN/MAX maintained table. Place AFTER
+    the upsert route feeding ``replica`` (see ordering contract)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_minmax_apply(
+            batch_df.sparkSession,
+            batch_df,
+            state_dir,
+            group_key,
+            value_field,
+            replica,
+        )
+
+    return write
