@@ -189,3 +189,22 @@ def test_session_query_plan_hygiene(spark, sf_dir):
         assert "CartesianProduct" not in pq, name
         assert "BatchEvalPython" not in pq and "ArrowEvalPython" not in pq, name
         assert "BroadcastHashJoin" in pq, name
+
+
+def test_round4_query_plan_hygiene(spark, sf_dir):
+    # q39v (source cap): pure column draw + running total + semi-join —
+    # no Python nodes, no cross product, and the per-source rank must
+    # NOT be a plain low-cardinality window (shard-prefixed range
+    # partitioning instead — a mega-domain would serialize otherwise)
+    pv = plan_of(_Q["q39v_source_cap"].spark(spark, sf_dir))
+    assert "BatchEvalPython" not in pv and "ArrowEvalPython" not in pv
+    assert "CartesianProduct" not in pv
+    # q39w (span dedup): gram-keyed window + anti join + doc rebuild —
+    # no Python nodes, no cross product
+    pw = plan_of(_Q["q39w_span_dedup"].spark(spark, sf_dir))
+    assert "BatchEvalPython" not in pw and "ArrowEvalPython" not in pw
+    assert "CartesianProduct" not in pw and "BroadcastNestedLoopJoin" not in pw
+    # q38g (semantic dedup): the within-cluster pair join must be an
+    # equi-join on the cluster id, never corpus×corpus
+    pg = plan_of(_Q["q38g_semantic_dedup"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in pg and "BroadcastNestedLoopJoin" not in pg
