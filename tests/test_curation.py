@@ -360,3 +360,29 @@ def test_duplicate_span_removal_fully_deleted_doc(spark):
     rows = {r.doc_id: r for r in duplicate_span_removal(df, k=3).collect()}
     assert rows[1].n_removed == 0 and rows[1].clean_text == "a b c d e f"
     assert rows[2].n_removed == 6 and rows[2].clean_text == ""
+
+
+def test_curation_span_dedup_stage_rewrites_shared_banner(spark):
+    """curate(span_dedup_k=...): docs sharing a license banner keep it
+    only in the first survivor; accounting reports removed tokens and
+    no documents are dropped by the rewrite stage itself."""
+    from wing_binlog_go_spark.functions.curation import curate
+
+    banner = "copyright notice all rights reserved by the original author"
+    rows = [
+        (1, f"{banner} first document body about completely real things", "en"),
+        (2, f"second document body with different prose here {banner}", "en"),
+        (3, "an unrelated third document with no shared material at all", "en"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out, rep = curate(
+        docs, min_tokens=2, near_dup_threshold=0.99, span_dedup_k=4
+    )
+    texts = {r.doc_id: r.text for r in out.collect()}
+    assert set(texts) == {1, 2, 3}
+    assert banner in texts[1]              # canonical occurrence kept
+    assert banner not in texts[2]          # later occurrence deleted
+    assert "different prose" in texts[2]   # the rest of doc 2 survives
+    assert texts[3] == rows[2][1]          # untouched doc is intact
+    assert rep.removed_span_tokens >= len(banner.split())
+    assert any(s.startswith("span-dedup") for s in rep.stages)

@@ -35,6 +35,7 @@ class CurationReport:
     dropped_exact_dup: int = 0
     dropped_near_dup: int = 0
     dropped_contaminated: int = 0
+    removed_span_tokens: int = 0
     output_docs: int = 0
     stages: list[str] = field(default_factory=list)
 
@@ -52,6 +53,7 @@ def curate(
     boiler_ngram: int = 3,
     benchmark: DataFrame | None = None,
     benchmark_ngram: int = 8,
+    span_dedup_k: int | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """documents → curated documents + per-stage drop accounting."""
     rep = CurationReport()
@@ -140,6 +142,28 @@ def curate(
     rep.dropped_near_dup = n - m
     n = m
     rep.stages.append(f"near-dup: -{rep.dropped_near_dup}")
+
+    # 4b. optional span-level rewrite: after doc-level dedup removed
+    #     whole duplicates, delete the repeated k-token spans that
+    #     remain ACROSS surviving docs (shared banners, quoted blocks).
+    #     This stage rewrites text (lowercased rebuild — the span
+    #     relation is case-folded like every dedup op here) rather than
+    #     dropping docs, so it accounts in tokens, not documents.
+    if span_dedup_k is not None:
+        from wing_binlog_go_spark.functions.text import duplicate_span_removal
+
+        rewritten = duplicate_span_removal(
+            curated, k=span_dedup_k, id_col=id_col, text_col=text_col
+        ).persist()
+        _persisted.append(rewritten)
+        rep.removed_span_tokens = int(
+            rewritten.agg(F.sum("n_removed")).first()[0] or 0
+        )
+        curated = curated.drop(text_col).join(
+            rewritten.select(id_col, F.col("clean_text").alias(text_col)),
+            id_col,
+        )
+        rep.stages.append(f"span-dedup: -{rep.removed_span_tokens} tokens")
 
     # 5. benchmark decontamination last: it must see the docs that will
     #    actually ship (dropping dups first avoids re-checking them), and
