@@ -644,3 +644,80 @@ def test_video_frame_features_samples_real_frames(spark):
     assert set(got) == {(1, 0), (1, 200)}
     assert got[(1, 0)] == phash64(grayscale(frames[0]))
     assert got[(1, 200)] == phash64(grayscale(frames[2]))
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def _rich_audio(seed, n=16000, rate=16000):
+    """Band-limited multi-tone fixture with amplitude envelopes — the
+    spectrally-rich content the spectrogram hash is designed for (a
+    pure sine's spectrogram is one line; like the image phash, the
+    robustness fixture should look like real content)."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(n) / rate
+    x = np.zeros(n)
+    for _ in range(6):
+        f = rng.uniform(200, 3000)
+        a = rng.uniform(0.05, 0.2)
+        env = np.clip(
+            np.sin(2 * np.pi * rng.uniform(0.3, 2) * t + rng.uniform(0, 6)), 0, None
+        )
+        x += a * env * np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+    return x
+
+
+def test_audio_phash_robust_and_separating():
+    from wing_binlog_go_spark.multimodal.codecs import audio_phash64
+
+    for seed in range(3):
+        base = _rich_audio(seed)
+        noisy = base + np.random.RandomState(99 + seed).normal(0, 0.01, len(base))
+        other = _rich_audio(seed + 50)
+        hb = audio_phash64(base)
+        assert _hamming(hb, audio_phash64(noisy)) <= 6
+        assert _hamming(hb, audio_phash64(other)) > 16
+
+
+def test_audio_fingerprint_survives_wav_reencode():
+    from wing_binlog_go_spark.multimodal import real_audio_fingerprint
+    from wing_binlog_go_spark.multimodal.codecs import audio_phash64
+
+    base = _rich_audio(0)
+    direct = audio_phash64(base)
+    through_codec = real_audio_fingerprint(encode_wav(base))
+    assert _hamming(direct, through_codec) <= 2
+    assert real_audio_fingerprint(None) is None
+
+
+def test_audio_phash_handles_degenerate_input():
+    from wing_binlog_go_spark.multimodal.codecs import audio_phash64
+
+    # shorter than one FFT frame, and pure silence: defined, stable ints
+    assert isinstance(audio_phash64(np.zeros(10)), int)
+    assert audio_phash64(np.zeros(4000)) == audio_phash64(np.zeros(4000))
+
+
+def test_audio_near_dup_pairs_on_real_wav_bytes(spark):
+    """Spark end-to-end: three clips each stored clean and re-encoded
+    with noise — the chunk join must pair every (clean, noisy) pair and
+    no cross-content pair."""
+    from wing_binlog_go_spark.multimodal import audio_near_dup_pairs
+
+    rows, expected = [], set()
+    for i in range(3):
+        base = _rich_audio(i * 7 + 1)
+        noisy = base + np.random.RandomState(i).normal(0, 0.01, len(base))
+        rows.append((i, encode_wav(base), ("audio/wav", None, None, 1000)))
+        rows.append((i + 100, encode_wav(noisy), ("audio/wav", None, None, 1000)))
+        expected.add((i, i + 100))
+    rows.append((500, None, ("audio/wav", None, None, None)))  # NULL payload
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {
+        (r.media_a, r.media_b): r.hamming
+        for r in audio_near_dup_pairs(df, max_hamming=8).collect()
+    }
+    assert expected <= set(pairs), f"missed planted pairs: {expected - set(pairs)}"
+    assert not (set(pairs) - expected), f"false pairs: {set(pairs) - expected}"

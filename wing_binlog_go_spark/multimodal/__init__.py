@@ -188,6 +188,65 @@ def fake_decode_audio(payload: bytes | None) -> dict:
     return {"n_bytes": n, "rms": rms, "zero_crossings": zc}
 
 
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("fp", T.LongType()),
+    ]
+)
+
+
+def real_audio_fingerprint(payload: bytes | None) -> "int | None":
+    """Payload → 64-bit perceptual audio fingerprint
+    (``codecs.audio_phash64`` over the decoded mono signal); NULL
+    payloads yield None — same contract as the image feature seam."""
+    if payload is None:
+        return None
+    from wing_binlog_go_spark.multimodal import codecs
+
+    _rate, mono = decode_audio(payload)
+    return codecs.audio_phash64(mono)
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    n_chunks: int | None = None,
+    fingerprint=real_audio_fingerprint,
+) -> DataFrame:
+    """Near-duplicate audio by perceptual-fingerprint distance — the
+    same pigeonhole chunk equi-join the image phash and text SimHash
+    paths use (operators.dedup.hamming_chunk_pairs), so every modality's
+    near-dup shares one scale shape: fingerprints build in an
+    Arrow-batched map pass, candidates come from an equi-join on
+    (chunk index, chunk value), and the exact bit_count filter makes
+    recall within the radius deterministic."""
+    from wing_binlog_go_spark.operators.dedup import hamming_chunk_pairs
+
+    if n_chunks is None:
+        n_chunks = max_hamming + 1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = [fingerprint(p) for p in pdf["payload"]]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "fp": fps})
+
+    feats = (
+        df.mapInPandas(run, AUDIO_FP_SCHEMA)
+        .filter(F.col("fp").isNotNull())
+        .localCheckpoint(eager=True)  # decode once, not once per join side
+    )
+    return hamming_chunk_pairs(
+        feats,
+        "media_id",
+        "fp",
+        max_hamming,
+        n_chunks=n_chunks,
+        out_a="media_a",
+        out_b="media_b",
+    )
+
+
 def audio_features(df: DataFrame, batch_decoder=fake_decode_audio) -> DataFrame:
     """payload → audio feature rows via mapInPandas."""
 

@@ -595,6 +595,42 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, mono
 
 
+def spectrogram(
+    samples: np.ndarray, n_fft: int = 256, hop: int = 128
+) -> np.ndarray:
+    """Log-magnitude STFT spectrogram → (frames × bins) float64.
+
+    Hann-windowed rfft frames; clips shorter than one frame are
+    zero-padded to a single frame. The output is an "image" of the
+    sound — which is exactly how the fingerprint below treats it.
+    """
+    x = np.asarray(samples, dtype=np.float64)
+    if len(x) < n_fft:
+        x = np.pad(x, (0, n_fft - len(x)))
+    n_frames = 1 + (len(x) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = x[idx] * np.hanning(n_fft)[None, :]
+    mag = np.abs(np.fft.rfft(frames, axis=1))
+    return np.log1p(mag)
+
+
+def audio_phash64(samples: np.ndarray, n_fft: int = 256, hop: int = 128) -> int:
+    """64-bit perceptual audio fingerprint: the DCT hash of the
+    log-spectrogram image.
+
+    The published robust-audio-hashing schemes (Haitsma-Kalker's sign of
+    band-energy differences; chromaprint) all reduce to thresholded
+    low-frequency structure of the time-frequency plane — which is
+    precisely what :func:`phash64` computes over an image. Reusing it
+    makes audio near-dup share the image pipeline end-to-end: the same
+    area-resize (so clips of different lengths/rates land on the same
+    32×32 grid), the same DCT, and the same pigeonhole chunk join
+    downstream. Robust to re-encode noise and small gain changes
+    (log magnitudes); distinct content lands far in hamming space.
+    """
+    return phash64(spectrogram(samples, n_fft, hop))
+
+
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     """Encode mono float64 [-1, 1] → 16-bit PCM WAV bytes (round-trip
     partner of :func:`decode_wav`, used to plant real audio in tests)."""
