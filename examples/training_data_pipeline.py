@@ -1,0 +1,109 @@
+"""End-to-end training-data curation demo over the testdata corpus:
+
+  documents → curate (quality → lang → exact-dup → near-dup →
+  span-rewrite) → per-source caps → temperature mix → seeded shuffle →
+  sequence packing,
+  plus the embedding side (semantic dedup → diversity sample) and a
+  multimodal near-dup pass over synthesized real media bytes.
+
+    python examples/training_data_pipeline.py [sf_dir]
+
+Defaults to /root/testdata/sf0.001 so it runs in seconds. Every stage
+prints its accounting — the silent-cap rule applies to demos too.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from wing_binlog_go_spark.functions.curation import curate
+from wing_binlog_go_spark.functions.mixing import (
+    sequence_pack,
+    shuffle_rank,
+    source_cap,
+    temperature_mix,
+)
+from wing_binlog_go_spark.multimodal import (
+    MEDIA_SCHEMA,
+    audio_near_dup_pairs,
+    phash_near_dup_pairs,
+    real_decode_image,
+)
+from wing_binlog_go_spark.multimodal.codecs import encode_bmp, encode_png, encode_wav
+from wing_binlog_go_spark.operators.similarity import diversity_sample, semantic_dedup
+from wing_binlog_go_spark.session import get_spark
+from wing_binlog_go_spark.tables import read_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("training-data-demo", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # --- text: curation → caps → mix → shuffle → pack -----------------
+    docs = read_table(spark, sf_dir, "documents")
+    curated, rep = curate(
+        docs,
+        allowed_langs=["en", "fr", "de", "es", "zh"],
+        near_dup_threshold=0.9,
+        span_dedup_k=8,
+    )
+    print(f"curation: {rep.input_docs} -> {rep.output_docs} docs | " + "; ".join(rep.stages))
+
+    capped = source_cap(curated, cap=20)
+    print(f"source caps: {curated.count()} -> {capped.count()} docs (<=20/source)")
+
+    mixed_ids = temperature_mix(capped, "lang", total=200, alpha=0.5)
+    mixed = capped.join(mixed_ids.select("doc_id"), "doc_id", "left_semi")
+    print("temperature mix:", mixed.count(), "docs;",
+          {r.lang: r.c for r in mixed.groupBy("lang").agg(F.count("*").alias("c")).collect()})
+
+    packed = sequence_pack(shuffle_rank(mixed), capacity=2048)
+    n_packs = packed.agg(F.countDistinct("pack_id")).first()[0]
+    print(f"packed into {n_packs} sequences of <=2048 tokens")
+
+    # --- embeddings: semantic dedup → diversity sample ----------------
+    emb = read_table(spark, sf_dir, "embeddings")
+    sem = semantic_dedup(emb, threshold=0.97, n_clusters=8)
+    div = diversity_sample(sem, per_cluster=25, n_clusters=8)
+    print(f"embeddings: {emb.count()} -> {sem.count()} after semantic dedup "
+          f"-> {div.count()} after diversity caps")
+
+    # --- multimodal: real bytes, near-dup in every modality -----------
+    rng = np.random.RandomState(5)
+    img = np.clip(rng.randint(0, 256, (48, 64, 3)), 0, 255).astype(np.uint8)
+    noisy = np.clip(img.astype(int) + rng.randint(-2, 3, img.shape), 0, 255).astype(np.uint8)
+    # spectrally rich clip (a pure sine's spectrogram is one line —
+    # the degenerate case perceptual hashes are NOT built for)
+    t = np.arange(8000) / 8000.0
+    tone = sum(
+        a * np.sin(2 * np.pi * f * t)
+        for f, a in [(440, 0.2), (880, 0.1), (1320, 0.07), (2100, 0.05)]
+    ) * np.clip(np.sin(2 * np.pi * 1.5 * t), 0, None)
+    media = spark.createDataFrame(
+        [
+            (1, encode_bmp(img), ("image/bmp", 64, 48, None)),
+            (2, encode_png(noisy), ("image/png", 64, 48, None)),
+            (3, encode_wav(tone), ("audio/wav", None, None, 1000)),
+            (4, encode_wav(tone + rng.normal(0, 0.005, len(tone))), ("audio/wav", None, None, 1000)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    img_pairs = phash_near_dup_pairs(
+        media.filter(F.col("meta.mime").startswith("image/")),
+        max_hamming=8, batch_decoder=real_decode_image,
+    ).collect()
+    aud_pairs = audio_near_dup_pairs(
+        media.filter(F.col("meta.mime").startswith("audio/")), max_hamming=8
+    ).collect()
+    print(f"media near-dups: image pairs {[(r.media_a, r.media_b) for r in img_pairs]}, "
+          f"audio pairs {[(r.media_a, r.media_b) for r in aud_pairs]}")
+
+
+if __name__ == "__main__":
+    main()
