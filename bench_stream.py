@@ -138,7 +138,15 @@ def main() -> None:
     # Timed section = the pipeline run only (synthesis/session excluded):
     # this is the number the reference's client-side counter measures.
     t0 = time.perf_counter()
-    q = run_pipeline(spark, log_dir, [Route("sink", parquet_writer)], ckpt)
+    q = run_pipeline(
+        spark,
+        log_dir,
+        [Route("sink", parquet_writer)],
+        ckpt,
+        max_files_per_trigger=int(
+            os.environ.get("SPARK_GRAFT_STREAM_MAXFILES", "10")
+        ),
+    )
     q.awaitTermination(600)
     wall = time.perf_counter() - t0
 

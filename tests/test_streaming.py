@@ -426,3 +426,44 @@ def test_upsert_delta_matches_parquet_semantics(spark, tmp_path):
     assert final[pk_str("1")]["c_vchar"] == "row1v2"
     assert pk_str("5") not in final
     assert set(final) == {pk_str(k) for k in ("1", "2", "3", "99", "100", "200", "201")}
+
+
+def test_pipeline_max_files_per_trigger_controls_batching(spark, tmp_path):
+    """The backpressure knob (O18) is honored: 4 changelog files at
+    max_files_per_trigger=2 produce 2 non-empty micro-batches; at the
+    default they collapse into 1."""
+    import json as _json
+
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    for fi in range(4):
+        with open(log_dir / f"f{fi}.jsonl", "w") as f:
+            rec = {
+                "binlog_file": f"mysql-bin.{fi:06d}", "binlog_pos": 4,
+                "xid_commit": True, "database": "d", "table": "t",
+                "action": "insert", "row_no": 0, "before": None,
+                "after": {"id": str(fi)}, "ddl_query": None,
+                "ts_header": "2018-04-19T05:21:27.000Z", "gtid": None,
+            }
+            f.write(_json.dumps(rec) + "\n")
+
+    seen: list[int] = []
+
+    def recorder(env, batch_id):
+        seen.append(env.count())
+
+    q = run_pipeline(
+        spark, str(log_dir), [Route("rec", recorder)],
+        str(tmp_path / "ckpt2"), max_files_per_trigger=2,
+    )
+    q.awaitTermination(60)
+    assert sorted(seen) == [2, 2]
+
+    seen.clear()
+    q = run_pipeline(
+        spark, str(log_dir), [Route("rec", recorder)], str(tmp_path / "ckpt10"),
+    )
+    q.awaitTermination(60)
+    assert seen == [4]
