@@ -506,7 +506,10 @@ def decode_gif(payload: bytes) -> list[tuple[int, np.ndarray]]:
             target[:] = patch
         frames.append((delay_ms, canvas.copy()))
         if disposal == 2:  # restore background after presenting
-            bg = table[bg_index] if bg_index < len(table) else 0
+            # background color index is defined against the GLOBAL
+            # color table (logical screen descriptor), not the frame's
+            # local table
+            bg = gct[bg_index] if gct is not None and bg_index < len(gct) else 0
             canvas[top : top + h, left : left + w] = bg
         delay_ms, transparent, disposal = 0, None, 0
     if not frames:
