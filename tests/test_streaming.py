@@ -467,3 +467,76 @@ def test_pipeline_max_files_per_trigger_controls_batching(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert seen == [4]
+
+
+def test_pipeline_dead_letter_captures_malformed_records(spark, tmp_path):
+    """Malformed lines (unparseable JSON → all-NULL PERMISSIVE rows,
+    unknown actions, missing coordinates) land in the dead-letter table
+    tagged with their batch; valid rows flow through with continuous
+    event_index; nothing is silently dropped."""
+    import json as _json
+
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    good = {
+        "binlog_file": "mysql-bin.000001", "binlog_pos": 4,
+        "xid_commit": True, "database": "d", "table": "t",
+        "action": "insert", "row_no": 0, "before": None,
+        "after": {"id": "1"}, "ddl_query": None,
+        "ts_header": "2018-04-19T05:21:27.000Z", "gtid": None,
+    }
+    with open(log_dir / "f.jsonl", "w") as f:
+        f.write(_json.dumps(good) + "\n")
+        f.write("this is not json at all\n")  # → all-NULL row
+        f.write(_json.dumps({**good, "binlog_pos": 8, "after": {"id": "2"}}) + "\n")
+        f.write(_json.dumps({**good, "binlog_pos": 12, "action": "truncate"}) + "\n")
+        f.write(_json.dumps({**good, "binlog_pos": None}) + "\n")
+
+    captured = []
+
+    def recorder(env, batch_id):
+        captured.extend(env.select("event_index", "event_type").collect())
+
+    dlq = str(tmp_path / "dlq")
+    q = run_pipeline(
+        spark, str(log_dir), [Route("rec", recorder)],
+        str(tmp_path / "ckpt"), dead_letter_dir=dlq,
+    )
+    q.awaitTermination(60)
+    # two valid inserts, consecutive indexes (1-based within the batch)
+    assert sorted(r.event_index for r in captured) == [1, 2]
+    assert all(r.event_type == "insert" for r in captured)
+    dead = spark.read.parquet(dlq)
+    assert dead.count() == 3
+    actions = sorted((r.action or "") for r in dead.collect())
+    # corrupt line → all-NULL row; unknown action; null-pos insert
+    assert actions == ["", "insert", "truncate"]
+    assert "batch_id" in dead.columns  # partition column from the dir layout
+
+
+def test_pipeline_without_dead_letter_keeps_old_behavior(spark, tmp_path):
+    import json as _json
+
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    rec = {
+        "binlog_file": "mysql-bin.000001", "binlog_pos": 4,
+        "xid_commit": True, "database": "d", "table": "t",
+        "action": "insert", "row_no": 0, "before": None,
+        "after": {"id": "1"}, "ddl_query": None,
+        "ts_header": "2018-04-19T05:21:27.000Z", "gtid": None,
+    }
+    with open(log_dir / "f.jsonl", "w") as f:
+        f.write(_json.dumps(rec) + "\n")
+    seen = []
+
+    def recorder(env, batch_id):
+        seen.append(env.count())
+
+    q = run_pipeline(spark, str(log_dir), [Route("rec", recorder)], str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+    assert seen == [1]

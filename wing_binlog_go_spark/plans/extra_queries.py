@@ -1430,3 +1430,52 @@ def q103(spark, sf_dir):
         )
         .orderBy("l_shipmode")
     )
+
+
+# ---------------------------------------------------------------------------
+# q104: LATERAL correlated join — per-row derived relation
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT c_custkey, t.cnt, t.total
+FROM customer c, LATERAL (
+  SELECT COUNT(*) AS cnt,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+  FROM orders WHERE o_custkey = c.c_custkey
+) t
+WHERE c_custkey <= 200 ORDER BY c_custkey
+"""
+
+
+@register("q104_lateral_join", _LATERAL_SQL)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LATERAL correlated subquery (SQL:2016 / Spark 3.4+): the derived
+    # relation re-evaluates per outer row; Catalyst decorrelates it to
+    # an aggregate + outer join, so the plan is a join, not a loop —
+    # identical SQL runs on the DuckDB side.
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q105: mode / exact median — ordered-statistic aggregates
+# ---------------------------------------------------------------------------
+
+_MODE_MEDIAN_SQL = """
+SELECT mode(CASE WHEN l_quantity > 20 THEN 'heavy' ELSE 'light' END) AS mode_band,
+       ROUND(median(CAST(l_quantity AS DOUBLE)), 2) AS med_qty,
+       ROUND(median(CAST(l_extendedprice AS DOUBLE)), 2) AS med_price,
+       COUNT(*) AS n
+FROM lineitem
+"""
+
+
+@register("q105_mode_median", _MODE_MEDIAN_SQL)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mode() over a two-band CASE whose frequencies differ by design
+    # (quantity is ~uniform on 1..50, so >20 covers 60% of rows at any
+    # scale factor — the modal band can never tie); median() is the
+    # exact interpolating form in both engines.
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_MODE_MEDIAN_SQL)

@@ -60,6 +60,8 @@ _PRIORITY = (
     "q39v_source_cap",
     "q38g_semantic_dedup",
     "q39w_span_dedup",
+    "q104_lateral_join",
+    "q105_mode_median",
     # Family sentinels (guard-enforced): one representative per graded
     # family re-verifies every round against regressions.
     "q37c_ngram_jaccard",

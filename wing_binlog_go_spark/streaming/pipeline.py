@@ -106,6 +106,7 @@ def run_pipeline(
     source: str = "files",
     txn_atomic: bool = False,
     max_files_per_trigger: int = 10,
+    dead_letter_dir: str | None = None,
 ):
     """Start the CDC pipeline; returns the StreamingQuery.
 
@@ -124,6 +125,16 @@ def run_pipeline(
     ~1.4 s of data-proportional work — larger batches amortize the
     fixed part, at the cost of per-event latency; tune to the
     latency/throughput point the deployment needs.
+
+    ``dead_letter_dir`` captures malformed change records instead of
+    letting them corrupt envelopes: rows missing their binlog
+    coordinates or carrying an unknown action (including the all-NULL
+    rows Spark's PERMISSIVE JSON mode produces for unparseable lines)
+    are appended there as parquet tagged with the batch id, and only
+    valid rows continue into shaping. The reference logs-and-drops bad
+    input (handler.go error paths); a dead-letter table is the
+    no-silent-caps version — every excluded record is queryable.
+    Default None preserves pass-through behavior.
 
     ``txn_atomic`` inserts the transaction gate (streaming/txn.py):
     every batch the routes see is transaction-closed — no consumer ever
@@ -155,6 +166,12 @@ def run_pipeline(
         if exclude:
             changes = changes.filter(~match_filters(pre, exclude))
 
+    _valid = (
+        F.col("binlog_file").isNotNull()
+        & F.col("binlog_pos").isNotNull()
+        & F.col("action").isin("insert", "update", "delete", "ddl")
+    )
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # Single-pass shaping: the envelope's dense-index build already
         # materializes the batch once (range shuffle + localCheckpoint)
@@ -168,9 +185,21 @@ def run_pipeline(
         # shuffle job; the cache fills during sampling so the JSON
         # parse happens once, not twice.
         batch_df.persist()
+        shaped = batch_df
         try:
+            if dead_letter_dir is not None:
+                bad = batch_df.filter(~F.coalesce(_valid, F.lit(False)))
+                if not bad.isEmpty():
+                    # per-batch partition dir, overwritten in place: a
+                    # replayed batch rewrites the same records instead
+                    # of appending duplicates (idempotent like every
+                    # other sink here)
+                    bad.write.mode("overwrite").parquet(
+                        os.path.join(dead_letter_dir, f"batch_id={batch_id}")
+                    )
+                shaped = batch_df.filter(F.coalesce(_valid, F.lit(False)))
             env, n = to_envelopes_counted(
-                batch_df, index_base=lambda total: state.base_for(batch_id, total)
+                shaped, index_base=lambda total: state.base_for(batch_id, total)
             )
             if n == 0:
                 return
