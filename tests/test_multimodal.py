@@ -64,10 +64,10 @@ def media(spark):
 
 
 def test_unsupported_formats_still_raise():
-    # JPEG/MP3 need PIL/ffmpeg (absent); the dispatch must fail
+    # TIFF/MP3 need PIL/ffmpeg (absent); the dispatch must fail
     # loudly, not decode garbage
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 20)  # JPEG SOI
+        decode_image(b"II*\x00" + b"\x00" * 20)  # TIFF little-endian
     from wing_binlog_go_spark.multimodal import decode_audio
 
     with pytest.raises(NotImplementedError):
@@ -721,3 +721,107 @@ def test_audio_near_dup_pairs_on_real_wav_bytes(spark):
     }
     assert expected <= set(pairs), f"missed planted pairs: {expected - set(pairs)}"
     assert not (set(pairs) - expected), f"false pairs: {set(pairs) - expected}"
+
+
+# ---------------------------------------------------------------------------
+# JPEG
+# ---------------------------------------------------------------------------
+
+_JPEG_FIXTURE_GLOB = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/**/*.jpg"
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 10 * np.log10(255 * 255 / mse) if mse else 99.0
+
+
+def test_jpeg_roundtrip_psnr():
+    from wing_binlog_go_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    img = _lowfreq_img(w=64, h=48, seed=3)
+    dec = decode_jpeg(encode_jpeg(img, quality=90))
+    assert dec.shape == img.shape
+    assert _psnr(img, dec) > 30  # lossy, but faithful at q90 4:4:4
+    dec420 = decode_jpeg(encode_jpeg(img, quality=90, subsample=True))
+    assert _psnr(img, dec420) > 22  # chroma half-res: looser bound
+
+
+def test_jpeg_odd_dimensions_and_partial_mcus():
+    from wing_binlog_go_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    img = _lowfreq_img(w=64, h=48, seed=4)[:45, :53]
+    for sub in (False, True):
+        dec = decode_jpeg(encode_jpeg(img, quality=90, subsample=sub))
+        assert dec.shape == img.shape
+        assert _psnr(img, dec) > (30 if not sub else 22)
+
+
+def test_jpeg_decodes_real_photos():
+    """Every baseline camera JPEG shipped with Spark's MLlib test data
+    must decode to its SOF dimensions with natural-image statistics
+    (a garbled huffman/IDCT produces noise — near-zero neighbor
+    correlation — so this catches real decode errors, not just
+    crashes). Progressive files must raise the explicit unsupported
+    error."""
+    import glob
+    import struct as _struct
+
+    from wing_binlog_go_spark.multimodal.codecs import decode_jpeg
+
+    files = sorted(glob.glob(_JPEG_FIXTURE_GLOB, recursive=True))
+    if not files:
+        pytest.skip("no JPEG fixtures on this machine")
+    decoded = 0
+    for p in files:
+        data = open(p, "rb").read()
+        # independent SOF parse for expected dims + mode
+        i, sof = 2, None
+        while i < len(data) - 4:
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            m = data[i + 1]
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                i += 2
+                continue
+            ln = _struct.unpack(">H", data[i + 2 : i + 4])[0]
+            if m in (0xC0, 0xC2):
+                h, w = _struct.unpack(">HH", data[i + 5 : i + 9])
+                sof = (m, h, w)
+                break
+            i += 2 + ln
+        assert sof is not None
+        mode, h, w = sof
+        if mode == 0xC2:
+            with pytest.raises(ValueError, match="baseline"):
+                decode_jpeg(data)
+            continue
+        im = decode_jpeg(data)
+        assert im.shape == (h, w, 3), p
+        corr = np.corrcoef(im[:, :-1].reshape(-1), im[:, 1:].reshape(-1))[0, 1]
+        assert corr > 0.5, f"{p}: neighbor correlation {corr} — garbled decode?"
+        assert im.std() > 10, p
+        decoded += 1
+    assert decoded >= 3  # the fixture set ships several baseline photos
+
+
+def test_jpeg_rejects_garbage():
+    from wing_binlog_go_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    whole = encode_jpeg(_lowfreq_img(seed=6))
+    with pytest.raises(ValueError):
+        decode_jpeg(whole[:50])  # headers only, no scan
+
+
+def test_jpeg_phash_consistent_with_lossless_formats():
+    """The SAME image stored lossless (BMP) and lossy (JPEG q90) must
+    land within a small phash radius — the cross-format near-dup case
+    that motivates decoding JPEG at all."""
+    from wing_binlog_go_spark.multimodal.codecs import encode_jpeg
+
+    img = _lowfreq_img(seed=12)
+    h_bmp = phash64(grayscale(decode_image(encode_bmp(img))))
+    h_jpg = phash64(grayscale(decode_image(encode_jpeg(img, quality=90))))
+    assert _hamming(h_bmp, h_jpg) <= 6

@@ -66,18 +66,23 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 def decode_image(payload: bytes) -> "object":
     """Decode an image payload → H×W×3 uint8 RGB ndarray.
 
-    Dispatches on magic bytes: BMP and PNG decode natively (pure Python
-    + numpy + stdlib zlib, ``codecs.decode_bmp``/``decode_png``); JPEG
-    would go through PIL/libjpeg, which is not available here."""
+    Dispatches on magic bytes: BMP, PNG and baseline JPEG decode
+    natively (pure Python + numpy + stdlib zlib,
+    ``codecs.decode_bmp``/``decode_png``/``decode_jpeg``); formats
+    beyond those (WebP/TIFF/progressive JPEG) would go through PIL,
+    which is not available here."""
     from wing_binlog_go_spark.multimodal import codecs
 
     if payload[:2] == b"BM":
         return codecs.decode_bmp(payload)
     if payload[:8] == codecs._PNG_MAGIC:
         return codecs.decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return codecs.decode_jpeg(payload)
     raise NotImplementedError(
-        "only BMP and 8-bit non-interlaced PNG have built-in decoders; "
-        "JPEG/... need PIL, which is not installed in this environment"
+        "only BMP, 8-bit non-interlaced PNG, and baseline JPEG have "
+        "built-in decoders; WebP/TIFF/... need PIL, which is not "
+        "installed in this environment"
     )
 
 

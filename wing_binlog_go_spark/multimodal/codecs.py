@@ -12,15 +12,20 @@ the two formats parseable with nothing but ``struct`` + numpy:
 - PNG, 8-bit non-interlaced, all five color types (gray, RGB, palette,
   gray+alpha, RGBA) — zlib is stdlib, so the DEFLATE stream and the five
   scanline filters decode without any external imaging library;
+- JPEG, baseline DCT (SOF0), any h×v chroma sampling, restart markers —
+  canonical huffman + 8×8 IDCT are a few hundred lines of numpy;
+  verified against real camera JPEGs shipped with Spark's MLlib test
+  data, not only this module's own encoder;
+- GIF, 87a/89a incl. animation (the video modality);
 - WAV, RIFF PCM, 8/16-bit, any channel count (mixed down to mono).
 
 Everything here runs INSIDE Arrow-batched ``mapInPandas`` workers (see
 ``multimodal.image_features``): per-row Python cost is amortized over
 Arrow batch transfer, and the numpy work (row destriding, DCT) is
 vectorized. Formats needing codec libraries this environment lacks
-(JPEG/FLAC/MP4) still raise NotImplementedError at the dispatch in
-``multimodal.decode_image`` / ``decode_audio`` — a real deployment drops
-in PIL/ffmpeg behind the same seam.
+(WebP/TIFF/progressive JPEG/FLAC/MP4) still raise NotImplementedError
+at the dispatch in ``multimodal.decode_image`` / ``decode_audio`` — a
+real deployment drops in PIL/ffmpeg behind the same seam.
 """
 
 from __future__ import annotations
@@ -321,6 +326,421 @@ def encode_png(img: np.ndarray, *, sub_filter: bool = False) -> bytes:
         + chunk(b"IDAT", zlib.compress(body.tobytes(), 6))
         + chunk(b"IEND", b"")
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline DCT — the dominant training-corpus image format)
+# ---------------------------------------------------------------------------
+
+_DCT8 = _dct_matrix(8)
+
+# JPEG zigzag scan order: zigzag index -> (row, col) linear index
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU-T T.81 Table K.1/K.2 quantization tables (quality-50 reference)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+
+def _huff_decode_table(bits: list[int], vals: bytes) -> dict:
+    """DHT (counts per code length 1..16, symbols) → {(length, code): sym}
+    via the canonical-code construction of ITU-T T.81 Annex C."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over an unstuffed entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.d, self.pos, self.bit = data, 0, 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.d):
+            raise ValueError("truncated JPEG entropy data")
+        b = (self.d[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit, self.pos = 0, self.pos + 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.read_bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map t raw bits to the signed coefficient value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0) JFIF JPEG → H×W×3 uint8 RGB.
+
+    Pure Python + numpy: marker walk (DQT/DHT/SOF0/DRI/SOS), canonical
+    huffman decode, dequantize + un-zigzag, 8×8 IDCT via the orthonormal
+    DCT-III matrix, MCU assembly with arbitrary h×v sampling factors
+    (4:2:0/4:2:2/4:4:4), restart-marker support, chroma upsample, and
+    JFIF YCbCr→RGB. Progressive (SOF2), arithmetic, and 12-bit images
+    raise — a real deployment swaps PIL in at the same dispatch seam.
+    """
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) → table
+    sof = None
+    restart = 0
+    i = 2
+    while i < len(payload) - 1:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        ln = struct.unpack_from(">H", payload, i + 2)[0]
+        body = payload[i + 4 : i + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(body):
+                prec, tid = body[p] >> 4, body[p] & 15
+                p += 1
+                if prec == 0:
+                    qt[tid] = np.frombuffer(body, np.uint8, 64, p).astype(np.int32)
+                    p += 64
+                else:
+                    qt[tid] = np.frombuffer(body, ">u2", 64, p).astype(np.int32)
+                    p += 128
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 15
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                huff[(tc, th)] = _huff_decode_table(bits, body[p + 17 : p + 17 + n])
+                p += 17 + n
+        elif marker in (0xC1, 0xC0):  # baseline / extended sequential
+            prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if prec != 8:
+                raise ValueError(f"only 8-bit JPEG supported, got {prec}")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 15, tq))
+            sof = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline (SOF0) JPEG supported without PIL")
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = {}
+            for c in range(ns):
+                cs, tables = body[1 + 2 * c], body[2 + 2 * c]
+                scan[cs] = (tables >> 4, tables & 15)
+            data_start = i + 2 + ln
+            return _jpeg_scan(payload, data_start, sof, scan, qt, huff, restart)
+        i += 2 + ln
+    raise ValueError("JPEG with no scan data")
+
+
+def _jpeg_scan(payload, start, sof, scan, qt, huff, restart) -> np.ndarray:
+    h, w, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # unstuff the entropy stream, splitting at restart markers
+    segments, cur = [], bytearray()
+    i = start
+    while i < len(payload):
+        b = payload[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        m = payload[i + 1] if i + 1 < len(payload) else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or next marker
+            break
+    segments.append(bytes(cur))
+
+    planes = {}
+    for cid, ch, cv, tq in comps:
+        planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.float64)
+    pred = {cid: 0 for cid, *_ in comps}
+    seg_idx = 0
+    reader = _JpegBits(segments[0])
+    per_seg = restart if restart else mcus_x * mcus_y
+    for mcu in range(mcus_x * mcus_y):
+        if restart and mcu and mcu % per_seg == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing JPEG restart segment")
+            reader = _JpegBits(segments[seg_idx])
+            pred = {cid: 0 for cid, *_ in comps}
+        my, mx = divmod(mcu, mcus_x)
+        for cid, ch, cv, tq in comps:
+            dc_t = huff.get((0, scan[cid][0]))
+            ac_t = huff.get((1, scan[cid][1]))
+            if dc_t is None or ac_t is None:
+                raise ValueError("JPEG scan references missing huffman table")
+            q = qt[tq]
+            for by in range(cv):
+                for bx in range(ch):
+                    zz = np.zeros(64, dtype=np.int32)
+                    t = reader.read_symbol(dc_t)
+                    diff = _extend(reader.read_bits(t), t) if t else 0
+                    pred[cid] += diff
+                    zz[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = reader.read_symbol(ac_t)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        zz[k] = _extend(reader.read_bits(s), s)
+                        k += 1
+                    block = np.zeros(64, dtype=np.float64)
+                    block[_ZIGZAG] = zz * q
+                    px = _DCT8.T @ block.reshape(8, 8) @ _DCT8  # IDCT
+                    y0 = (my * cv + by) * 8
+                    x0 = (mx * ch + bx) * 8
+                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px + 128.0
+    # upsample each component to full resolution and crop
+    out = []
+    for cid, ch, cv, _tq in comps:
+        p = np.repeat(np.repeat(planes[cid], vmax // cv, axis=0), hmax // ch, axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:  # grayscale
+        g = np.clip(out[0], 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(np.repeat(g[:, :, None], 3, axis=2))
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+def _huff_encode_table(symbols: list[int]) -> tuple[list[int], list[int], dict]:
+    """Fixed-length canonical huffman table over ``symbols``: every
+    symbol gets length L = ceil(log2(n+1)) (the +1 keeps the all-ones
+    code unused, as T.81 requires). Spec-valid and trivially in sync
+    between DHT segment and encoder — compression-optimal tables are a
+    quality knob this fixture encoder doesn't need."""
+    n = len(symbols)
+    L = max(2, n.bit_length())
+    bits = [0] * 16
+    enc = {}
+    if n <= 255:
+        bits[L - 1] = n
+        for code, sym in enumerate(symbols):
+            enc[sym] = (L, code)
+    else:
+        # DHT counts are single bytes: overflow symbols take length L+1
+        # (canonical continuation: codes restart at first_count << 1)
+        first = 255
+        bits[L - 1] = first
+        bits[L] = n - first
+        for code, sym in enumerate(symbols[:first]):
+            enc[sym] = (L, code)
+        base = first << 1
+        for off, sym in enumerate(symbols[first:]):
+            enc[sym] = (L + 1, base + off)
+    return bits, symbols, enc
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self):
+        while self.n:
+            self.write(1, 1)  # pad with 1s per convention
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85, subsample: bool = False) -> bytes:
+    """Encode H×W×3 uint8 RGB → baseline JFIF JPEG bytes.
+
+    Round-trip partner of :func:`decode_jpeg` (lossy: tests bound PSNR,
+    not equality). ``subsample=True`` writes 4:2:0 chroma (2×2 mean),
+    exercising the decoder's MCU sampling geometry on synthetic data in
+    addition to the real-photo fixtures.
+    """
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("expected H×W×3 uint8 RGB")
+    h, w = img.shape[:2]
+    scale = (5000 / quality if quality < 50 else 200 - 2 * quality) / 100.0
+    qts = []
+    for base in (_QT_LUMA, _QT_CHROMA):
+        q = np.clip(np.round(base * scale), 1, 255).astype(np.int32)
+        qts.append(q)
+    rgb = img.astype(np.float64)
+    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    cb = -0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2] + 128
+    cr = 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2] + 128
+
+    if subsample:
+        hmax = vmax = 2
+        samps = [(2, 2), (1, 1), (1, 1)]
+
+        def down(p):
+            hh, ww = p.shape
+            pad = np.pad(p, ((0, hh % 2), (0, ww % 2)), mode="edge")
+            return (pad[0::2, 0::2] + pad[1::2, 0::2] + pad[0::2, 1::2] + pad[1::2, 1::2]) / 4.0
+
+        chans = [y, down(cb), down(cr)]
+    else:
+        hmax = vmax = 1
+        samps = [(1, 1), (1, 1), (1, 1)]
+        chans = [y, cb, cr]
+
+    dc_syms = list(range(12))
+    ac_syms = list(range(256))
+    dc_bits, dc_vals, dc_enc = _huff_encode_table(dc_syms)
+    ac_bits, ac_vals, ac_enc = _huff_encode_table(ac_syms)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in enumerate(qts):
+        zz = np.empty(64, dtype=np.uint8)
+        zz[np.arange(64)] = q.reshape(-1)[_ZIGZAG]
+        out += seg(0xDB, bytes([tid]) + zz.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for c, (sh, sv) in enumerate(samps):
+        sof += bytes([c + 1, (sh << 4) | sv, 0 if c == 0 else 1])
+    out += seg(0xC0, sof)
+    for tc, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
+        out += seg(0xC4, bytes([tc << 4]) + bytes(bits) + bytes(vals))
+    sos = bytes([3]) + b"".join(bytes([c + 1, 0x00]) for c in range(3)) + b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+
+    writer = _JpegBitWriter()
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    pred = [0, 0, 0]
+
+    def encode_block(plane, y0, x0, qtab, ci):
+        hh, ww = plane.shape
+        blk = np.zeros((8, 8))
+        ys, xs = min(8, hh - y0), min(8, ww - x0)
+        if ys <= 0 or xs <= 0:
+            patch = np.full((8, 8), plane[min(y0, hh - 1), min(x0, ww - 1)])
+        else:
+            patch = plane[y0 : y0 + 8, x0 : x0 + 8]
+            patch = np.pad(patch, ((0, 8 - ys), (0, 8 - xs)), mode="edge")
+        blk = patch - 128.0
+        coef = _DCT8 @ blk @ _DCT8.T
+        zz = np.round(coef.reshape(-1)[_ZIGZAG] / qtab.reshape(-1)[_ZIGZAG]).astype(int)
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        t = abs(diff).bit_length()
+        ln, code = dc_enc[t]
+        writer.write(code, ln)
+        if t:
+            writer.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_enc[0xF0]
+                writer.write(code, ln)
+                run -= 16
+            s = abs(v).bit_length()
+            ln, code = ac_enc[(run << 4) | s]
+            writer.write(code, ln)
+            writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            ln, code = ac_enc[0x00]
+            writer.write(code, ln)
+
+    for mcu in range(mcus_x * mcus_y):
+        my, mx = divmod(mcu, mcus_x)
+        for ci, ((sh, sv), plane) in enumerate(zip(samps, chans)):
+            for by in range(sv):
+                for bx in range(sh):
+                    encode_block(
+                        plane,
+                        (my * sv + by) * 8,
+                        (mx * sh + bx) * 8,
+                        qts[0 if ci == 0 else 1],
+                        ci,
+                    )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
