@@ -757,12 +757,11 @@ def test_jpeg_odd_dimensions_and_partial_mcus():
 
 
 def test_jpeg_decodes_real_photos():
-    """Every baseline camera JPEG shipped with Spark's MLlib test data
-    must decode to its SOF dimensions with natural-image statistics
-    (a garbled huffman/IDCT produces noise — near-zero neighbor
-    correlation — so this catches real decode errors, not just
-    crashes). Progressive files must raise the explicit unsupported
-    error."""
+    """Every camera JPEG shipped with Spark's MLlib test data — both
+    baseline (SOF0) and progressive (SOF2) — must decode to its SOF
+    dimensions with natural-image statistics (a garbled huffman/IDCT/
+    refinement pass produces noise — near-zero neighbor correlation —
+    so this catches real decode errors, not just crashes)."""
     import glob
     import struct as _struct
 
@@ -771,7 +770,7 @@ def test_jpeg_decodes_real_photos():
     files = sorted(glob.glob(_JPEG_FIXTURE_GLOB, recursive=True))
     if not files:
         pytest.skip("no JPEG fixtures on this machine")
-    decoded = 0
+    modes = set()
     for p in files:
         data = open(p, "rb").read()
         # independent SOF parse for expected dims + mode
@@ -792,17 +791,32 @@ def test_jpeg_decodes_real_photos():
             i += 2 + ln
         assert sof is not None
         mode, h, w = sof
-        if mode == 0xC2:
-            with pytest.raises(ValueError, match="baseline"):
-                decode_jpeg(data)
-            continue
+        modes.add(mode)
         im = decode_jpeg(data)
         assert im.shape == (h, w, 3), p
         corr = np.corrcoef(im[:, :-1].reshape(-1), im[:, 1:].reshape(-1))[0, 1]
         assert corr > 0.5, f"{p}: neighbor correlation {corr} — garbled decode?"
         assert im.std() > 10, p
-        decoded += 1
-    assert decoded >= 3  # the fixture set ships several baseline photos
+    assert 0xC0 in modes  # the set exercises baseline...
+    assert 0xC2 in modes  # ...and progressive decode paths
+
+
+def test_jpeg_progressive_known_content():
+    """Ground-truth-ish progressive fixture: full-white-stripe.jpg is,
+    per its name and provenance (a mostly-white test card), an almost
+    entirely white image — the decoded mean must sit near 255. A broken
+    refinement pass would shred this into mid-gray noise."""
+    import os
+
+    from wing_binlog_go_spark.multimodal.codecs import decode_jpeg
+
+    p = "/usr/share/doc/nodejs/full-white-stripe.jpg"
+    if not os.path.exists(p):
+        pytest.skip("nodejs doc fixture absent")
+    im = decode_jpeg(open(p, "rb").read())
+    assert im.shape == (312, 493, 3)
+    assert im.mean() > 240
+    assert (im > 240).mean() > 0.85  # the vast majority of pixels white
 
 
 def test_jpeg_rejects_garbage():

@@ -66,11 +66,11 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 def decode_image(payload: bytes) -> "object":
     """Decode an image payload → H×W×3 uint8 RGB ndarray.
 
-    Dispatches on magic bytes: BMP, PNG and baseline JPEG decode
-    natively (pure Python + numpy + stdlib zlib,
+    Dispatches on magic bytes: BMP, PNG and JPEG (baseline +
+    progressive) decode natively (pure Python + numpy + stdlib zlib,
     ``codecs.decode_bmp``/``decode_png``/``decode_jpeg``); formats
-    beyond those (WebP/TIFF/progressive JPEG) would go through PIL,
-    which is not available here."""
+    beyond those (WebP/TIFF) would go through PIL, which is not
+    available here."""
     from wing_binlog_go_spark.multimodal import codecs
 
     if payload[:2] == b"BM":

@@ -12,10 +12,12 @@ the two formats parseable with nothing but ``struct`` + numpy:
 - PNG, 8-bit non-interlaced, all five color types (gray, RGB, palette,
   gray+alpha, RGBA) — zlib is stdlib, so the DEFLATE stream and the five
   scanline filters decode without any external imaging library;
-- JPEG, baseline DCT (SOF0), any h×v chroma sampling, restart markers —
-  canonical huffman + 8×8 IDCT are a few hundred lines of numpy;
-  verified against real camera JPEGs shipped with Spark's MLlib test
-  data, not only this module's own encoder;
+- JPEG, baseline (SOF0/1) AND progressive (SOF2: DC/AC first +
+  refinement passes with EOB runs), any h×v chroma sampling, restart
+  markers — canonical huffman + 8×8 IDCT in a few hundred lines of
+  numpy; verified against real camera JPEGs shipped with Spark's MLlib
+  test data (and a known-content white test card), not only this
+  module's own encoder;
 - GIF, 87a/89a incl. animation (the video modality);
 - WAV, RIFF PCM, 8/16-bit, any channel count (mixed down to mono).
 
@@ -23,9 +25,9 @@ Everything here runs INSIDE Arrow-batched ``mapInPandas`` workers (see
 ``multimodal.image_features``): per-row Python cost is amortized over
 Arrow batch transfer, and the numpy work (row destriding, DCT) is
 vectorized. Formats needing codec libraries this environment lacks
-(WebP/TIFF/progressive JPEG/FLAC/MP4) still raise NotImplementedError
-at the dispatch in ``multimodal.decode_image`` / ``decode_audio`` — a
-real deployment drops in PIL/ffmpeg behind the same seam.
+(WebP/TIFF/FLAC/MP4) still raise NotImplementedError at the dispatch in
+``multimodal.decode_image`` / ``decode_audio`` — a real deployment
+drops in PIL/ffmpeg behind the same seam.
 """
 
 from __future__ import annotations
@@ -407,22 +409,53 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0) JFIF JPEG → H×W×3 uint8 RGB.
+def _jpeg_entropy_segments(payload: bytes, start: int):
+    """Unstuff the entropy-coded bytes from ``start``, splitting at
+    restart markers; returns (segments, index-of-terminating-marker)."""
+    segments, cur = [], bytearray()
+    i = start
+    while i < len(payload):
+        b = payload[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        m = payload[i + 1] if i + 1 < len(payload) else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or next marker
+            break
+    segments.append(bytes(cur))
+    return segments, i
 
-    Pure Python + numpy: marker walk (DQT/DHT/SOF0/DRI/SOS), canonical
-    huffman decode, dequantize + un-zigzag, 8×8 IDCT via the orthonormal
-    DCT-III matrix, MCU assembly with arbitrary h×v sampling factors
-    (4:2:0/4:2:2/4:4:4), restart-marker support, chroma upsample, and
-    JFIF YCbCr→RGB. Progressive (SOF2), arithmetic, and 12-bit images
-    raise — a real deployment swaps PIL in at the same dispatch seam.
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JFIF JPEG →
+    H×W×3 uint8 RGB.
+
+    Pure Python + numpy: marker walk (DQT/DHT/SOF/DRI/SOS), canonical
+    huffman decode, a shared zigzag coefficient store filled by one
+    (baseline) or many (progressive: DC/AC first + refinement passes
+    with EOBRUN) scans, then dequantize, 8×8 IDCT via the orthonormal
+    DCT matrix, MCU assembly for any h×v sampling (4:2:0/4:2:2/4:4:4),
+    restart markers, chroma upsample, and JFIF YCbCr→RGB. Hierarchical,
+    arithmetic-coded, lossless, and 12-bit variants raise — a real
+    deployment swaps PIL in at the same dispatch seam.
     """
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) → table
     sof = None
+    progressive = False
     restart = 0
+    coefs: dict[int, np.ndarray] = {}
+    saw_scan = False
     i = 2
     while i < len(payload) - 1:
         if payload[i] != 0xFF:
@@ -455,113 +488,263 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 n = sum(bits)
                 huff[(tc, th)] = _huff_decode_table(bits, body[p + 17 : p + 17 + n])
                 p += 17 + n
-        elif marker in (0xC1, 0xC0):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise ValueError(f"only 8-bit JPEG supported, got {prec}")
+            progressive = marker == 0xC2
             comps = []
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 15, tq))
             sof = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline (SOF0) JPEG supported without PIL")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for cid, ch, cv, _tq in comps:
+                coefs[cid] = np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline (SOF0/1) and progressive (SOF2) JPEG "
+                "supported without PIL"
+            )
         elif marker == 0xDD:  # DRI
             restart = struct.unpack_from(">H", body, 0)[0]
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
-            scan = {}
+            scan_comps, scan_tables = [], {}
             for c in range(ns):
                 cs, tables = body[1 + 2 * c], body[2 + 2 * c]
-                scan[cs] = (tables >> 4, tables & 15)
-            data_start = i + 2 + ln
-            return _jpeg_scan(payload, data_start, sof, scan, qt, huff, restart)
+                scan_comps.append(cs)
+                scan_tables[cs] = (tables >> 4, tables & 15)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            segments, i = _jpeg_entropy_segments(payload, i + 2 + ln)
+            if progressive:
+                _jpeg_progressive_scan(
+                    coefs, segments, sof, scan_comps, scan_tables, huff,
+                    restart, ss, se, ah, al,
+                )
+            else:
+                _jpeg_sequential_scan(
+                    coefs, segments, sof, scan_comps, scan_tables, huff, restart
+                )
+            saw_scan = True
+            continue
         i += 2 + ln
-    raise ValueError("JPEG with no scan data")
+    if not saw_scan:
+        raise ValueError("JPEG with no scan data")
+    return _jpeg_finish(coefs, qt, sof)
 
 
-def _jpeg_scan(payload, start, sof, scan, qt, huff, restart) -> np.ndarray:
+def _scan_geometry(sof, scan_comps):
+    """MCU/block geometry for a scan: interleaved scans step MCUs over
+    all scan components; single-component scans step that component's
+    TRUE block grid in raster order (T.81 A.2.2 — no MCU padding)."""
     h, w, comps = sof
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
+    byid = {c[0]: c for c in comps}
+    if len(scan_comps) > 1:
+        units = mcus_x * mcus_y
+        return units, mcus_x, byid, None
+    cid = scan_comps[0]
+    _, ch, cv, _tq = byid[cid]
+    cw = -(-w * ch // hmax)  # component sample dims (T.81 A.1.1)
+    chh = -(-h * cv // vmax)
+    bw, bh = -(-cw // 8), -(-chh // 8)
+    return bw * bh, bw, byid, (bw, bh)
 
-    # unstuff the entropy stream, splitting at restart markers
-    segments, cur = [], bytearray()
-    i = start
-    while i < len(payload):
-        b = payload[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
-            continue
-        m = payload[i + 1] if i + 1 < len(payload) else 0xD9
-        if m == 0x00:
-            cur.append(0xFF)
-            i += 2
-        elif 0xD0 <= m <= 0xD7:
-            segments.append(bytes(cur))
-            cur = bytearray()
-            i += 2
-        else:  # EOI or next marker
-            break
-    segments.append(bytes(cur))
 
-    planes = {}
-    for cid, ch, cv, tq in comps:
-        planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.float64)
-    pred = {cid: 0 for cid, *_ in comps}
+def _jpeg_sequential_scan(
+    coefs, segments, sof, scan_comps, scan_tables, huff, restart
+) -> None:
+    """Full-band huffman scan (baseline or multi-scan sequential) into
+    the zigzag coefficient store."""
+    units, row_w, byid, single = _scan_geometry(sof, scan_comps)
+    pred = {cid: 0 for cid in scan_comps}
     seg_idx = 0
     reader = _JpegBits(segments[0])
-    per_seg = restart if restart else mcus_x * mcus_y
-    for mcu in range(mcus_x * mcus_y):
-        if restart and mcu and mcu % per_seg == 0:
+    per_seg = restart if restart else units
+    for unit in range(units):
+        if restart and unit and unit % per_seg == 0:
             seg_idx += 1
             if seg_idx >= len(segments):
                 raise ValueError("missing JPEG restart segment")
             reader = _JpegBits(segments[seg_idx])
-            pred = {cid: 0 for cid, *_ in comps}
-        my, mx = divmod(mcu, mcus_x)
-        for cid, ch, cv, tq in comps:
-            dc_t = huff.get((0, scan[cid][0]))
-            ac_t = huff.get((1, scan[cid][1]))
+            pred = {cid: 0 for cid in scan_comps}
+        uy, ux = divmod(unit, row_w)
+        for cid in scan_comps:
+            _, ch, cv, _tq = byid[cid]
+            dc_t = huff.get((0, scan_tables[cid][0]))
+            ac_t = huff.get((1, scan_tables[cid][1]))
             if dc_t is None or ac_t is None:
                 raise ValueError("JPEG scan references missing huffman table")
-            q = qt[tq]
-            for by in range(cv):
-                for bx in range(ch):
-                    zz = np.zeros(64, dtype=np.int32)
+            blocks = [(0, 0)] if single else [
+                (by, bx) for by in range(cv) for bx in range(ch)
+            ]
+            for by, bx in blocks:
+                if single:
+                    row, col = uy, ux
+                else:
+                    row, col = uy * cv + by, ux * ch + bx
+                zz = coefs[cid][row, col]
+                t = reader.read_symbol(dc_t)
+                diff = _extend(reader.read_bits(t), t) if t else 0
+                pred[cid] += diff
+                zz[0] = pred[cid]
+                k = 1
+                while k < 64:
+                    rs = reader.read_symbol(ac_t)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:  # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC index overflow")
+                    zz[k] = _extend(reader.read_bits(s), s)
+                    k += 1
+
+
+def _jpeg_progressive_scan(
+    coefs, segments, sof, scan_comps, scan_tables, huff, restart, ss, se, ah, al
+) -> None:
+    """One progressive scan (T.81 G.1.2): DC first/refinement (may be
+    interleaved), AC first/refinement (always single-component), with
+    EOB-run tracking and restart resets."""
+    units, row_w, byid, single = _scan_geometry(sof, scan_comps)
+    is_dc = ss == 0
+    if not is_dc and len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    pred = {cid: 0 for cid in scan_comps}
+    eobrun = 0
+    seg_idx = 0
+    reader = _JpegBits(segments[0])
+    per_seg = restart if restart else units
+    p1 = 1 << al
+    m1 = -1 << al
+    for unit in range(units):
+        if restart and unit and unit % per_seg == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing JPEG restart segment")
+            reader = _JpegBits(segments[seg_idx])
+            pred = {cid: 0 for cid in scan_comps}
+            eobrun = 0
+        uy, ux = divmod(unit, row_w)
+        for cid in scan_comps:
+            _, ch, cv, _tq = byid[cid]
+            blocks = [(0, 0)] if single else [
+                (by, bx) for by in range(cv) for bx in range(ch)
+            ]
+            for by, bx in blocks:
+                if single:
+                    row, col = uy, ux
+                else:
+                    row, col = uy * cv + by, ux * ch + bx
+                zz = coefs[cid][row, col]
+                if is_dc and ah == 0:  # DC first
+                    dc_t = huff.get((0, scan_tables[cid][0]))
+                    if dc_t is None:
+                        raise ValueError("missing DC huffman table")
                     t = reader.read_symbol(dc_t)
                     diff = _extend(reader.read_bits(t), t) if t else 0
                     pred[cid] += diff
-                    zz[0] = pred[cid]
-                    k = 1
-                    while k < 64:
+                    zz[0] = pred[cid] << al
+                elif is_dc:  # DC refinement: one bit per block
+                    if reader.read_bit():
+                        zz[0] |= p1
+                elif ah == 0:  # AC first
+                    ac_t = huff.get((1, scan_tables[cid][1]))
+                    if ac_t is None:
+                        raise ValueError("missing AC huffman table")
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
                         rs = reader.read_symbol(ac_t)
                         r, s = rs >> 4, rs & 15
                         if s == 0:
-                            if r == 15:  # ZRL: 16 zeros
-                                k += 16
-                                continue
-                            break  # EOB
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break
+                            k += 16  # ZRL
+                            continue
                         k += r
-                        if k > 63:
+                        if k > se:
                             raise ValueError("JPEG AC index overflow")
-                        zz[k] = _extend(reader.read_bits(s), s)
+                        zz[k] = _extend(reader.read_bits(s), s) << al
                         k += 1
-                    block = np.zeros(64, dtype=np.float64)
-                    block[_ZIGZAG] = zz * q
-                    px = _DCT8.T @ block.reshape(8, 8) @ _DCT8  # IDCT
-                    y0 = (my * cv + by) * 8
-                    x0 = (mx * ch + bx) * 8
-                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px + 128.0
-    # upsample each component to full resolution and crop
+                else:  # AC refinement (T.81 G.1.2.3)
+                    ac_t = huff.get((1, scan_tables[cid][1]))
+                    if ac_t is None:
+                        raise ValueError("missing AC huffman table")
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = reader.read_symbol(ac_t)
+                            r, s = rs >> 4, rs & 15
+                            newval = 0
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = (1 << r)
+                                    if r:
+                                        eobrun += reader.read_bits(r)
+                                    break
+                            else:
+                                newval = p1 if reader.read_bit() else m1
+                            while k <= se:
+                                if zz[k]:
+                                    if reader.read_bit() and not (zz[k] & p1):
+                                        zz[k] += p1 if zz[k] >= 0 else m1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval and k <= se:
+                                zz[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if zz[k]:
+                                if reader.read_bit() and not (zz[k] & p1):
+                                    zz[k] += p1 if zz[k] >= 0 else m1
+                            k += 1
+                        eobrun -= 1
+
+
+def _jpeg_finish(coefs, qt, sof) -> np.ndarray:
+    """Zigzag coefficient store → dequantize → IDCT → assemble → RGB."""
+    h, w, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     out = []
-    for cid, ch, cv, _tq in comps:
-        p = np.repeat(np.repeat(planes[cid], vmax // cv, axis=0), hmax // ch, axis=1)
+    for cid, ch, cv, tq in comps:
+        grid = coefs[cid]
+        bv, bh = grid.shape[:2]
+        q = qt[tq].astype(np.float64)
+        # dequantize every block at once, scatter zigzag → natural order
+        deq = grid.astype(np.float64) * q[None, None, :]
+        nat = np.zeros_like(deq)
+        nat[:, :, _ZIGZAG] = deq
+        blocks = nat.reshape(bv, bh, 8, 8)
+        # batched IDCT: contract both 8-dims with the DCT matrix
+        px = np.einsum("ij,abjk,kl->abil", _DCT8.T, blocks, _DCT8) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(bv * 8, bh * 8)
+        p = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
         out.append(p[:h, :w])
     if len(out) == 1:  # grayscale
         g = np.clip(out[0], 0, 255).astype(np.uint8)
