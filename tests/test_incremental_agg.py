@@ -399,3 +399,51 @@ def test_minmax_route_composed_with_upsert_replica(spark, tmp_path):
         "split-a": (1.0, 1.0, 1),
         "split-b": (2.0, 2.0, 1),
     }
+
+
+def test_incremental_avg_var_match_batch_recompute(spark, tmp_path):
+    """The maintained (sum, sumsq, count) moments yield AVG/VAR equal
+    to a batch recompute over surviving rows, through deletes and
+    group-moving updates."""
+    import statistics
+
+    from wing_binlog_go_spark.streaming.aggregate import (
+        agg_view,
+        incremental_agg_apply,
+    )
+
+    state = str(tmp_path / "agg")
+    events = [
+        ("insert", 1, {"g": "a", "v": "10"}, None, None),
+        ("insert", 2, {"g": "a", "v": "14"}, None, None),
+        ("insert", 3, {"g": "a", "v": "3"}, None, None),
+        ("insert", 4, {"g": "b", "v": "7"}, None, None),
+        ("insert", 5, {"g": "b", "v": "9"}, None, None),
+        # remove a's 14, move b's 7 into a as 6
+        ("delete", 6, {"g": "a", "v": "14"}, None, None),
+        ("update", 7, None, {"g": "b", "v": "7"}, {"g": "a", "v": "6"}),
+    ]
+    for lo in range(0, len(events), 3):
+        incremental_agg_apply(
+            spark, _env(spark, events[lo : lo + 3]), state, "g", "v"
+        )
+    live = {"a": [10.0, 3.0, 6.0], "b": [9.0]}
+    got = {r.grp: r for r in agg_view(spark.read.parquet(state)).collect()}
+    for g, vals in live.items():
+        assert got[g].agg_count == len(vals)
+        assert abs(got[g].agg_avg - statistics.mean(vals)) < 1e-9, g
+        assert abs(got[g].agg_var - statistics.pvariance(vals)) < 1e-9, g
+
+
+def test_incremental_agg_rejects_legacy_state_without_sumsq(spark, tmp_path):
+    """State written without the sumsq column must fail loudly, not
+    silently produce wrong variances."""
+    import pytest as _pytest
+
+    state = str(tmp_path / "agg")
+    spark.createDataFrame(
+        [("a", 1.0, 1)], "grp string, agg_sum double, agg_count bigint"
+    ).write.parquet(state)
+    b = _env(spark, [("insert", 1, {"g": "a", "v": "1"}, None, None)])
+    with _pytest.raises(ValueError, match="agg_sumsq"):
+        incremental_agg_apply(spark, b, state, "g", "v")

@@ -839,3 +839,22 @@ def test_jpeg_phash_consistent_with_lossless_formats():
     h_bmp = phash64(grayscale(decode_image(encode_bmp(img))))
     h_jpg = phash64(grayscale(decode_image(encode_jpeg(img, quality=90))))
     assert _hamming(h_bmp, h_jpg) <= 6
+
+
+def test_jpeg_corruption_never_hangs_or_crashes_interpreter():
+    """Random single-byte corruptions of a valid JPEG must terminate in
+    bounded time with either a clean ValueError or a (possibly garbled)
+    image — never an unbounded loop or non-ValueError crash."""
+    from wing_binlog_go_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    base = bytearray(encode_jpeg(_lowfreq_img(seed=8), quality=85))
+    rng = np.random.RandomState(0)
+    for _ in range(25):
+        bad = bytearray(base)
+        pos = rng.randint(2, len(bad))
+        bad[pos] ^= 1 << rng.randint(0, 8)
+        try:
+            im = decode_jpeg(bytes(bad))
+            assert im.ndim == 3 and im.shape[2] == 3
+        except ValueError:
+            pass  # clean rejection is fine

@@ -48,9 +48,11 @@ _META = "_agg_meta.json"
 def envelope_deltas(
     env: DataFrame, group_key: str, value_field: str
 ) -> DataFrame:
-    """Envelope rows → (group, d_sum, d_count) deltas (pre-aggregated
-    per group within the batch; map-side partial then one shuffle on the
-    group key)."""
+    """Envelope rows → (group, d_sum, d_sumsq, d_count) deltas
+    (pre-aggregated per group within the batch; map-side partial then
+    one shuffle on the group key). The sum-of-squares delta carries
+    AVG/variance maintenance: both are algebraic in (sum, sumsq, count)
+    and, unlike MIN/MAX, subtract cleanly under deletes."""
     data = F.col("event.data")
     old = F.col("event.old_data")
     new = F.col("event.new_data")
@@ -67,6 +69,10 @@ def envelope_deltas(
             (F.lit(sign) * F.element_at(img, value_field).cast("double")).alias(
                 "d_sum"
             ),
+            (
+                F.lit(sign)
+                * F.pow(F.element_at(img, value_field).cast("double"), 2)
+            ).alias("d_sumsq"),
             F.lit(sign).cast("bigint").alias("d_count"),
         ]
 
@@ -79,7 +85,11 @@ def envelope_deltas(
         .unionByName(upd_minus)
         .unionByName(upd_plus)
         .groupBy("grp")
-        .agg(F.sum("d_sum").alias("d_sum"), F.sum("d_count").alias("d_count"))
+        .agg(
+            F.sum("d_sum").alias("d_sum"),
+            F.sum("d_sumsq").alias("d_sumsq"),
+            F.sum("d_count").alias("d_count"),
+        )
     )
 
 
@@ -136,7 +146,12 @@ def incremental_agg_apply(
         state = spark.read.parquet(state_dir)
     else:
         state = spark.createDataFrame(
-            [], "grp string, agg_sum double, agg_count bigint"
+            [], "grp string, agg_sum double, agg_sumsq double, agg_count bigint"
+        )
+    if "agg_sumsq" not in state.columns:  # pre-sumsq state: fail loudly
+        raise ValueError(
+            "state table lacks agg_sumsq (written by an older engine); "
+            "rebuild the aggregate state from the replica"
         )
     merged = (
         state.join(deltas, "grp", "full_outer")
@@ -146,6 +161,10 @@ def incremental_agg_apply(
                 F.coalesce(F.col("agg_sum"), F.lit(0.0))
                 + F.coalesce(F.col("d_sum"), F.lit(0.0))
             ).alias("agg_sum"),
+            (
+                F.coalesce(F.col("agg_sumsq"), F.lit(0.0))
+                + F.coalesce(F.col("d_sumsq"), F.lit(0.0))
+            ).alias("agg_sumsq"),
             (
                 F.coalesce(F.col("agg_count"), F.lit(0))
                 + F.coalesce(F.col("d_count"), F.lit(0))
@@ -171,6 +190,30 @@ def incremental_agg_writer(
         )
 
     return write
+
+
+def agg_view(state: DataFrame) -> DataFrame:
+    """Derived AVG / population-variance / stddev view over the
+    maintained (sum, sumsq, count) state — the algebraic moments form,
+    which is what makes the aggregates maintainable under deletes.
+
+    Caveat stated, not hidden: E[x²]−E[x]² cancels catastrophically
+    when stddev ≪ |mean| (both terms huge, difference tiny). The
+    maintained form is for bounded-magnitude metrics (counters, rates,
+    prices); variance is floored at 0 so roundoff can't surface a
+    negative value."""
+    mean = F.col("agg_sum") / F.col("agg_count")
+    var = F.greatest(
+        F.col("agg_sumsq") / F.col("agg_count") - mean * mean, F.lit(0.0)
+    )
+    return state.select(
+        "grp",
+        "agg_sum",
+        "agg_count",
+        mean.alias("agg_avg"),
+        var.alias("agg_var"),
+        F.sqrt(var).alias("agg_stddev"),
+    )
 
 
 # ---------------------------------------------------------------------------
