@@ -858,3 +858,11 @@ def test_jpeg_corruption_never_hangs_or_crashes_interpreter():
             assert im.ndim == 3 and im.shape[2] == 3
         except ValueError:
             pass  # clean rejection is fine
+
+
+def test_decode_image_handles_gif_still():
+    from wing_binlog_go_spark.multimodal.codecs import encode_gif
+
+    frames = _palette_frames(2)
+    still = decode_image(encode_gif(frames))
+    assert np.array_equal(still, frames[0])

@@ -79,8 +79,10 @@ def decode_image(payload: bytes) -> "object":
         return codecs.decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return codecs.decode_jpeg(payload)
+    if payload[:4] == b"GIF8":  # still image = first composited frame
+        return codecs.decode_gif(payload)[0][1]
     raise NotImplementedError(
-        "only BMP, 8-bit non-interlaced PNG, and baseline JPEG have "
+        "only BMP, PNG, JPEG (baseline+progressive) and GIF have "
         "built-in decoders; WebP/TIFF/... need PIL, which is not "
         "installed in this environment"
     )
