@@ -866,3 +866,86 @@ def test_decode_image_handles_gif_still():
     frames = _palette_frames(2)
     still = decode_image(encode_gif(frames))
     assert np.array_equal(still, frames[0])
+
+
+# ---------------------------------------------------------------------------
+# FLAC
+# ---------------------------------------------------------------------------
+
+
+def _rich_signal(n=8000, rate=8000, seed=3):
+    t = np.arange(n) / rate
+    rng = np.random.RandomState(seed)
+    x = sum(a * np.sin(2 * np.pi * f * t) for f, a in [(440, 0.2), (890, 0.1), (1700, 0.05)])
+    return x + rng.normal(0, 0.01, n)
+
+
+def _q16(x):
+    return np.clip(np.asarray(x) * 32767, -32768, 32767).astype(np.int64)
+
+
+def test_flac_mono_roundtrip_is_lossless():
+    from wing_binlog_go_spark.multimodal.codecs import decode_flac, encode_flac
+
+    sig = _rich_signal()
+    for po in (0, 2):  # single and partitioned rice residuals
+        enc = encode_flac(sig, rate=8000, partition_order=po)
+        rate, mono = decode_flac(enc)
+        assert rate == 8000 and len(mono) == len(sig)
+        # FLAC is LOSSLESS over the quantized signal — exact, not PSNR
+        assert np.array_equal(np.round(mono * 32768).astype(np.int64), _q16(sig))
+    # and it actually compresses vs raw 16-bit
+    assert len(encode_flac(sig, rate=8000)) < 2 * len(sig)
+
+
+def test_flac_constant_blocks_collapse():
+    from wing_binlog_go_spark.multimodal.codecs import decode_flac, encode_flac
+
+    enc = encode_flac(np.zeros(3000), rate=16000, block_size=1024)
+    rate, mono = decode_flac(enc)
+    assert rate == 16000 and len(mono) == 3000 and np.abs(mono).max() == 0.0
+    assert len(enc) < 200  # CONSTANT subframes: ~header-sized stream
+
+
+def test_flac_stereo_independent_and_left_side_agree():
+    from wing_binlog_go_spark.multimodal.codecs import decode_flac, encode_flac
+
+    sig = _rich_signal()
+    t = np.arange(len(sig)) / 8000.0
+    stereo = np.stack([sig, sig * 0.5 + 0.01 * np.sin(2 * np.pi * 100 * t)])
+    want = (_q16(stereo[0]) + _q16(stereo[1])) / 2.0 / 32768.0
+    for mode in (None, "left-side"):
+        _rate, mono = decode_flac(encode_flac(stereo, rate=8000, stereo_mode=mode))
+        assert np.allclose(mono, want, atol=1e-12), mode
+
+
+def test_flac_crc_catches_corruption():
+    from wing_binlog_go_spark.multimodal.codecs import decode_flac, encode_flac
+
+    good = bytearray(encode_flac(_rich_signal(2000), rate=8000))
+    with pytest.raises(ValueError):
+        decode_flac(b"fLaC" + b"\x00" * 10)  # truncated metadata
+    bad = bytearray(good)
+    bad[-20] ^= 0xFF  # flip a byte inside the last frame
+    with pytest.raises(ValueError, match="CRC"):
+        decode_flac(bytes(bad))
+
+
+def test_flac_through_audio_dispatch_and_features(spark):
+    """decode_audio dispatches FLAC; audio_features over real FLAC
+    bytes equal the same clip's WAV features (both lossless carriers
+    of the identical 16-bit signal)."""
+    from wing_binlog_go_spark.multimodal import audio_features, decode_audio
+    from wing_binlog_go_spark.multimodal.codecs import encode_flac
+
+    sig = _rich_signal(4000)
+    rate, mono = decode_audio(encode_flac(sig, rate=8000))
+    assert rate == 8000 and len(mono) == 4000
+    rows = [
+        (1, encode_flac(sig, rate=8000), ("audio/flac", None, None, 500)),
+        (2, encode_wav(sig, rate=8000), ("audio/wav", None, None, 500)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in audio_features(df, batch_decoder=real_decode_audio).collect()}
+    assert abs(feats[1].rms - feats[2].rms) < 1e-4
+    assert abs(feats[1].zero_crossings - feats[2].zero_crossings) <= 2

@@ -155,15 +155,19 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 def decode_audio(payload: bytes) -> "object":
     """Decode an audio payload → (sample_rate, mono float64 samples).
 
-    RIFF/WAVE PCM decodes natively (``codecs.decode_wav``); compressed
-    formats would go through soundfile/ffmpeg, not available here."""
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        from wing_binlog_go_spark.multimodal import codecs
+    RIFF/WAVE PCM and FLAC decode natively (``codecs.decode_wav`` /
+    ``codecs.decode_flac``); lossy formats would go through
+    soundfile/ffmpeg, not available here."""
+    from wing_binlog_go_spark.multimodal import codecs
 
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return codecs.decode_wav(payload)
+    if payload[:4] == b"fLaC":
+        return codecs.decode_flac(payload)
     raise NotImplementedError(
-        "only PCM WAV has a built-in decoder; MP3/FLAC/... need "
-        "ffmpeg/soundfile, which are not installed in this environment"
+        "only PCM WAV and FLAC have built-in decoders; MP3/Vorbis/... "
+        "need ffmpeg/soundfile, which are not installed in this "
+        "environment"
     )
 
 

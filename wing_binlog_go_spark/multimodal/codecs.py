@@ -19,7 +19,10 @@ the two formats parseable with nothing but ``struct`` + numpy:
   test data (and a known-content white test card), not only this
   module's own encoder;
 - GIF, 87a/89a incl. animation (the video modality);
-- WAV, RIFF PCM, 8/16-bit, any channel count (mixed down to mono).
+- WAV, RIFF PCM, 8/16-bit, any channel count (mixed down to mono);
+- FLAC (RFC 9639): CONSTANT/VERBATIM/FIXED/LPC subframes, partitioned
+  Rice residuals, all four stereo decorrelation modes, CRC-8/16
+  checked — lossless compressed audio without soundfile.
 
 Everything here runs INSIDE Arrow-batched ``mapInPandas`` workers (see
 ``multimodal.image_features``): per-row Python cost is amortized over
@@ -1158,6 +1161,397 @@ def encode_gif(frames: list[np.ndarray], delay_ms: int = 100) -> bytes:
             out += chunk
         out.append(0)
     out.append(0x3B)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# FLAC (lossless compressed audio — RFC 9639)
+# ---------------------------------------------------------------------------
+
+_FLAC_BLOCKSIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                    13: 8192, 14: 16384, 15: 32768}
+_FLAC_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+               6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000}
+_FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+# fixed-predictor coefficients by order (RFC 9639 §9.2.5)
+_FLAC_FIXED = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _read_unary(r: _JpegBits) -> int:
+    n = 0
+    while r.read_bit() == 0:
+        n += 1
+    return n
+
+
+def _read_signed(r: _JpegBits, n: int) -> int:
+    v = r.read_bits(n)
+    return v - (1 << n) if v >> (n - 1) else v
+
+
+def _read_coded_number(r: _JpegBits) -> int:
+    """The UTF-8-style frame/sample number (§9.1.5)."""
+    first = r.read_bits(8)
+    if first < 0x80:
+        return first
+    ones = 0
+    while (first << ones) & 0x80:
+        ones += 1
+    val = first & (0x7F >> ones)
+    for _ in range(ones - 1):
+        cont = r.read_bits(8)
+        if cont >> 6 != 0b10:
+            raise ValueError("bad FLAC coded number continuation")
+        val = (val << 6) | (cont & 0x3F)
+    return val
+
+
+def _flac_residual(r: _JpegBits, blocksize: int, order: int) -> list[int]:
+    method = r.read_bits(2)
+    if method > 1:
+        raise ValueError(f"reserved FLAC residual method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    po = r.read_bits(4)
+    if blocksize % (1 << po):
+        raise ValueError("FLAC partition order does not divide block size")
+    out: list[int] = []
+    for p in range(1 << po):
+        n = (blocksize >> po) - (order if p == 0 else 0)
+        param = r.read_bits(pbits)
+        if param == escape:
+            raw = r.read_bits(5)
+            out.extend(_read_signed(r, raw) if raw else 0 for _ in range(n))
+        else:
+            for _ in range(n):
+                q = _read_unary(r)
+                v = (q << param) | r.read_bits(param) if param else q
+                out.append((v >> 1) ^ -(v & 1))  # zigzag → signed
+    return out
+
+
+def _flac_subframe(r: _JpegBits, blocksize: int, bps: int) -> list[int]:
+    if r.read_bit():
+        raise ValueError("FLAC subframe padding bit set")
+    stype = r.read_bits(6)
+    wasted = 0
+    if r.read_bit():
+        wasted = _read_unary(r) + 1
+        bps -= wasted
+    if stype == 0:  # CONSTANT
+        out = [_read_signed(r, bps)] * blocksize
+    elif stype == 1:  # VERBATIM
+        out = [_read_signed(r, bps) for _ in range(blocksize)]
+    elif 8 <= stype <= 12:  # FIXED order 0..4
+        order = stype & 0x07
+        warm = [_read_signed(r, bps) for _ in range(order)]
+        res = _flac_residual(r, blocksize, order)
+        coefs = _FLAC_FIXED[order]
+        out = list(warm)
+        for i in range(order, blocksize):
+            pred = sum(c * out[i - 1 - j] for j, c in enumerate(coefs))
+            out.append(res[i - order] + pred)
+    elif stype >= 32:  # LPC order 1..32
+        order = (stype & 0x1F) + 1
+        warm = [_read_signed(r, bps) for _ in range(order)]
+        prec = r.read_bits(4) + 1
+        if prec == 16:
+            raise ValueError("invalid FLAC qlp precision")
+        shift = _read_signed(r, 5)
+        if shift < 0:
+            raise ValueError("negative FLAC qlp shift")
+        qlp = [_read_signed(r, prec) for _ in range(order)]
+        res = _flac_residual(r, blocksize, order)
+        out = list(warm)
+        for i in range(order, blocksize):
+            acc = sum(c * out[i - 1 - j] for j, c in enumerate(qlp))
+            out.append(res[i - order] + (acc >> shift))
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a FLAC stream → (sample_rate, mono float64 in [-1, 1]).
+
+    Pure Python per RFC 9639: STREAMINFO + skipped metadata blocks,
+    then per frame: CRC-8-checked header, subframes (CONSTANT /
+    VERBATIM / FIXED 0-4 / LPC 1-32, wasted bits), partitioned Rice
+    residuals (both 4- and 5-bit parameter forms with raw escapes),
+    all four channel assignments (independent, left-side, right-side,
+    mid-side), and the frame CRC-16. Multi-channel mixes down by mean,
+    like :func:`decode_wav`. No external fixtures exist in this
+    environment, so conformance evidence is the spec-structured
+    round-trip suite (fixed + verbatim + constant subframes, stereo
+    decorrelation, multiple partition orders) — a real deployment can
+    point the same tests at reference-encoder files.
+    """
+    if len(payload) < 42 or payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated FLAC metadata")
+        hdr = payload[pos]
+        last, btype = hdr >> 7, hdr & 0x7F
+        ln = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + ln]
+        if btype == 0:
+            if ln < 34:
+                raise ValueError("short FLAC STREAMINFO")
+            sr = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+            nch = ((body[12] >> 1) & 0x07) + 1
+            bps = (((body[12] & 1) << 4) | (body[13] >> 4)) + 1
+            total = ((body[13] & 0x0F) << 32) | int.from_bytes(body[14:18], "big")
+            streaminfo = (sr, nch, bps, total)
+        pos += 4 + ln
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("FLAC without STREAMINFO")
+    sr0, nch0, bps0, total = streaminfo
+
+    channels_out: list[list[int]] = [[] for _ in range(nch0)]
+    while pos < len(payload):
+        frame_start = pos
+        r = _JpegBits(payload[pos:])
+        sync = r.read_bits(14)
+        if sync != 0b11111111111110:
+            raise ValueError("bad FLAC frame sync")
+        r.read_bit()  # reserved
+        r.read_bit()  # blocking strategy
+        bs_code = r.read_bits(4)
+        sr_code = r.read_bits(4)
+        ch_code = r.read_bits(4)
+        ss_code = r.read_bits(3)
+        r.read_bit()  # reserved
+        _read_coded_number(r)
+        if bs_code == 0:
+            raise ValueError("reserved FLAC block size code")
+        elif bs_code == 6:
+            blocksize = r.read_bits(8) + 1
+        elif bs_code == 7:
+            blocksize = r.read_bits(16) + 1
+        else:
+            blocksize = _FLAC_BLOCKSIZES[bs_code]
+        if sr_code == 12:
+            r.read_bits(8)
+        elif sr_code in (13, 14):
+            r.read_bits(16)
+        elif sr_code == 15:
+            raise ValueError("invalid FLAC sample rate code")
+        bps = bps0 if ss_code == 0 else _FLAC_BPS.get(ss_code)
+        if bps is None:
+            raise ValueError("reserved FLAC sample size code")
+        header_len = r.pos + (1 if r.bit else 0)
+        crc8 = r.read_bits(8)
+        if _crc8(payload[frame_start : frame_start + header_len]) != crc8:
+            raise ValueError("FLAC frame header CRC mismatch")
+
+        if ch_code < 8:
+            nch = ch_code + 1
+            subs = [_flac_subframe(r, blocksize, bps) for _ in range(nch)]
+        elif ch_code in (8, 9, 10):
+            nch = 2
+            # the side channel carries one extra bit
+            if ch_code == 8:  # left/side
+                left = _flac_subframe(r, blocksize, bps)
+                side = _flac_subframe(r, blocksize, bps + 1)
+                subs = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right/side
+                side = _flac_subframe(r, blocksize, bps + 1)
+                right = _flac_subframe(r, blocksize, bps)
+                subs = [[rv + s for rv, s in zip(right, side)], right]
+            else:  # mid/side
+                mid = _flac_subframe(r, blocksize, bps)
+                side = _flac_subframe(r, blocksize, bps + 1)
+                subs = [[], []]
+                for m, s in zip(mid, side):
+                    m2 = (m << 1) | (s & 1)
+                    subs[0].append((m2 + s) >> 1)
+                    subs[1].append((m2 - s) >> 1)
+        else:
+            raise ValueError(f"reserved FLAC channel assignment {ch_code}")
+        if nch != nch0:
+            raise ValueError("FLAC frame channel count differs from STREAMINFO")
+        # align to byte, verify frame CRC-16
+        if r.bit:
+            r.pos, r.bit = r.pos + 1, 0
+        crc16 = int.from_bytes(payload[frame_start + r.pos : frame_start + r.pos + 2], "big")
+        if _crc16(payload[frame_start : frame_start + r.pos]) != crc16:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = frame_start + r.pos + 2
+        for c in range(nch0):
+            channels_out[c].extend(subs[c])
+
+    n = len(channels_out[0])
+    if total and n != total:
+        raise ValueError(f"FLAC sample count {n} != STREAMINFO total {total}")
+    arr = np.array(channels_out, dtype=np.float64) / float(1 << (bps0 - 1))
+    return sr0, arr.mean(axis=0)
+
+
+class _FlacBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int):
+        value &= (1 << length) - 1 if length else 0
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc, self.n = 0, 0
+
+    def write_unary(self, q: int):
+        for _ in range(q):
+            self.write(0, 1)
+        self.write(1, 1)
+
+    def align(self):
+        while self.n:
+            self.write(0, 1)
+
+
+def encode_flac(
+    samples: np.ndarray | list,
+    rate: int = 16000,
+    stereo_mode: str | None = None,
+    block_size: int = 1024,
+    partition_order: int = 0,
+) -> bytes:
+    """Encode 16-bit audio → FLAC bytes (round-trip partner of
+    :func:`decode_flac`; a fixture encoder, not a ratio-chasing one).
+
+    ``samples``: mono float64 [-1,1] or (2, n) array for stereo.
+    Subframe choice per block/channel: CONSTANT when flat, else FIXED
+    order 2 with single-rice-parameter partitions (``partition_order``
+    exercises the partitioned form), falling back to VERBATIM when the
+    residual would not fit. ``stereo_mode`` None/'independent' or
+    'left-side' (exercises the decorrelated path + side bit depth).
+    """
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        chans = [np.clip(arr * 32767, -32768, 32767).astype(np.int64)]
+    else:
+        chans = [np.clip(c * 32767, -32768, 32767).astype(np.int64) for c in arr]
+    nch = len(chans)
+    n = len(chans[0])
+    bps = 16
+
+    out = bytearray(b"fLaC")
+    si = bytearray(34)
+    si[0:2] = struct.pack(">H", block_size)
+    si[2:4] = struct.pack(">H", block_size)
+    si[10] = (rate >> 12) & 0xFF
+    si[11] = (rate >> 4) & 0xFF
+    si[12] = ((rate & 0x0F) << 4) | ((nch - 1) << 1) | ((bps - 1) >> 4)
+    si[13] = (((bps - 1) & 0x0F) << 4) | ((n >> 32) & 0x0F)
+    si[14:18] = struct.pack(">I", n & 0xFFFFFFFF)
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + si  # last metadata block
+
+    def write_subframe(w: _FlacBitWriter, data: list[int], sbps: int, bs: int):
+        if all(v == data[0] for v in data):
+            w.write(0, 1)
+            w.write(0, 6)  # CONSTANT
+            w.write(0, 1)
+            w.write(data[0], sbps)
+            return
+        order = 2 if bs > 2 else 0
+        res = [
+            data[i] - (2 * data[i - 1] - data[i - 2]) if order else data[i]
+            for i in range(order, bs)
+        ]
+        po = partition_order if bs % (1 << partition_order) == 0 else 0
+        # refuse rice params that would balloon: fall back to VERBATIM
+        zz = [(v << 1) if v >= 0 else ((-v) << 1) - 1 for v in res]
+        param = max(1, int((sum(zz) / len(zz)) if zz else 1).bit_length() - 1)
+        if param > 14:
+            w.write(0, 1)
+            w.write(1, 6)  # VERBATIM
+            w.write(0, 1)
+            for v in data:
+                w.write(v, sbps)
+            return
+        w.write(0, 1)
+        w.write(8 | order, 6)  # FIXED
+        w.write(0, 1)
+        for v in data[:order]:
+            w.write(v, sbps)
+        w.write(0, 2)  # rice, 4-bit params
+        w.write(po, 4)
+        idx = 0
+        for p in range(1 << po):
+            cnt = (bs >> po) - (order if p == 0 else 0)
+            w.write(param, 4)
+            for v in zz[idx : idx + cnt]:
+                w.write_unary(v >> param)
+                if param:
+                    w.write(v & ((1 << param) - 1), param)
+            idx += cnt
+
+    frame_no = 0
+    for start in range(0, n, block_size):
+        bs = min(block_size, n - start)
+        w = _FlacBitWriter()
+        w.write(0b11111111111110, 14)
+        w.write(0, 1)  # reserved
+        w.write(0, 1)  # fixed blocking
+        w.write(7, 4)  # 16-bit blocksize-1 follows
+        w.write(13, 4)  # 16-bit sample rate in Hz follows
+        if nch == 2 and stereo_mode == "left-side":
+            w.write(8, 4)
+        else:
+            w.write(nch - 1, 4)
+        w.write(4, 3)  # 16 bps
+        w.write(0, 1)  # reserved
+        # coded frame number (UTF-8 style; fixture stays < 128 frames)
+        if frame_no >= 128:
+            raise ValueError("fixture encoder caps at 128 frames")
+        w.write(frame_no, 8)
+        frame_no += 1
+        w.write(bs - 1, 16)
+        w.write(rate, 16)
+        w.align()
+        hdr = bytes(w.out)
+        w.write(_crc8(hdr), 8)
+
+        blocks = [list(map(int, c[start : start + bs])) for c in chans]
+        if nch == 2 and stereo_mode == "left-side":
+            side = [l - r2 for l, r2 in zip(blocks[0], blocks[1])]
+            write_subframe(w, blocks[0], bps, bs)
+            write_subframe(w, side, bps + 1, bs)
+        else:
+            for c in range(nch):
+                write_subframe(w, blocks[c], bps, bs)
+        w.align()
+        frame = bytes(w.out)
+        out += frame + struct.pack(">H", _crc16(frame))
     return bytes(out)
 
 
