@@ -949,3 +949,46 @@ def test_flac_through_audio_dispatch_and_features(spark):
     feats = {r.media_id: r for r in audio_features(df, batch_decoder=real_decode_audio).collect()}
     assert abs(feats[1].rms - feats[2].rms) < 1e-4
     assert abs(feats[1].zero_crossings - feats[2].zero_crossings) <= 2
+
+
+def test_video_near_dup_pairs_on_real_gif_bytes(spark):
+    """Video-level dedup over real animated GIFs: a noisy re-encode of
+    the same animation matches at every sampled tick; unrelated
+    animations never pair."""
+    from wing_binlog_go_spark.multimodal import video_near_dup_pairs
+    from wing_binlog_go_spark.multimodal.codecs import encode_gif
+
+    def quant(f):  # 64-step lattice: ≤64 possible colors total
+        return (f // 64 * 64).astype(np.uint8)
+
+    def animation(seed, n_frames=4):
+        return [quant(_lowfreq_img(seed=seed * 13 + i)) for i in range(n_frames)]
+
+    def perturb(frames, seed):
+        # re-encode noise constrained to the same lattice: a few percent
+        # of pixels hop one quantization step
+        rng = np.random.RandomState(seed)
+        out = []
+        for f in frames:
+            hop = (rng.random(f.shape) < 0.03).astype(np.int16) * 64
+            out.append(quant(np.clip(f.astype(np.int16) + hop, 0, 255)))
+        return out
+
+    base = animation(1)
+    rows = [
+        (1, encode_gif(base, delay_ms=200), ("image/gif", 64, 48, 800)),
+        (2, encode_gif(perturb(base, 9), delay_ms=200), ("image/gif", 64, 48, 800)),
+        (3, encode_gif(animation(7), delay_ms=200), ("image/gif", 64, 48, 800)),
+        (4, None, ("video/mp4", None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {
+        (r.media_a, r.media_b): (r.shared_frames, r.min_hamming)
+        for r in video_near_dup_pairs(
+            df, every_ms=200, max_hamming=7, min_shared_frames=3
+        ).collect()
+    }
+    assert (1, 2) in pairs, pairs
+    shared, min_ham = pairs[(1, 2)]
+    assert shared >= 3
+    assert not {(a, b) for a, b in pairs if 3 in (a, b)}, pairs

@@ -353,6 +353,70 @@ def video_frame_features(
     return df.mapInPandas(run, VIDEO_FRAME_SCHEMA)
 
 
+def video_near_dup_pairs(
+    df: DataFrame,
+    every_ms: int = 1000,
+    max_hamming: int = 6,
+    min_shared_frames: int = 2,
+    frame_decoder=decode_video,
+) -> DataFrame:
+    """Near-duplicate VIDEOS: pairs whose sampled frames match at
+    ``min_shared_frames`` or more distinct ticks within the perceptual-
+    hash radius — shot-level matching over the per-frame hashes of
+    :func:`video_frame_features` (a re-encoded/re-scaled copy shares
+    most frame hashes; unrelated footage shares none).
+
+    Scale shape: same pigeonhole chunk equi-join as every other
+    modality, keyed per FRAME; the frame-pair stream then aggregates on
+    the (video_a, video_b) pair counting distinct matched source ticks.
+    No cross product at either level. Returns
+    (media_a, media_b, shared_frames, min_hamming).
+    """
+    n_chunks = max_hamming + 1
+    feats = video_frame_features(
+        df, every_ms=every_ms, frame_decoder=frame_decoder
+    ).localCheckpoint(eager=True)
+    bits = 64 // n_chunks
+    mask = (1 << bits) - 1
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("phash"), bits * c).bitwiseAND(F.lit(mask))
+            for c in range(n_chunks)
+        ]
+    )
+    b = feats.select(
+        F.col("media_id").alias("_mid"),
+        F.col("frame_ts_ms").alias("_ts"),
+        F.col("phash").alias("_h"),
+        F.posexplode(chunks).alias("chunk_no", "chunk"),
+    )
+    lhs, rhs = b.alias("a"), b.alias("b")
+    frame_pairs = (
+        lhs.join(
+            rhs,
+            (F.col("a.chunk_no") == F.col("b.chunk_no"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a._mid") < F.col("b._mid")),  # cross-video only
+        )
+        .select(
+            F.col("a._mid").alias("media_a"),
+            F.col("b._mid").alias("media_b"),
+            F.col("a._ts").alias("ts_a"),
+            F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return (
+        frame_pairs.groupBy("media_a", "media_b")
+        .agg(
+            F.countDistinct("ts_a").alias("shared_frames"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .filter(F.col("shared_frames") >= min_shared_frames)
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled timestamp.
 
