@@ -422,3 +422,23 @@ def test_semantic_dedup_no_near_dups_keeps_everything(spark, sf_small):
     survivors = semantic_dedup(emb, threshold=0.999999, n_clusters=4)
     assert survivors.count() == emb.count()
     assert "_cluster" in survivors.columns
+
+
+def test_assign_clusters_empty_corpus_fails_loudly(spark):
+    from pyspark.sql import types as T
+
+    from wing_binlog_go_spark.operators.similarity import semantic_dedup
+
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        semantic_dedup(empty, n_clusters=4)

@@ -992,3 +992,11 @@ def test_video_near_dup_pairs_on_real_gif_bytes(spark):
     shared, min_ham = pairs[(1, 2)]
     assert shared >= 3
     assert not {(a, b) for a, b in pairs if 3 in (a, b)}, pairs
+
+
+def test_video_frame_features_rejects_nonpositive_step(spark):
+    from wing_binlog_go_spark.multimodal import video_frame_features
+
+    df = spark.createDataFrame([(1, b"GIF8", ("image/gif", 1, 1, 10))], MEDIA_SCHEMA)
+    with pytest.raises(ValueError, match="every_ms"):
+        video_frame_features(df, every_ms=0)

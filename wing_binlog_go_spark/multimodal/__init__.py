@@ -322,6 +322,10 @@ def video_frame_features(
     rows rather than killing the task (failed fetches are normal in a
     media corpus); genuinely corrupt bytes of a supported format still
     raise, as elsewhere in the codec layer."""
+    if every_ms <= 0:
+        # the sampling loop advances by every_ms: a non-positive step
+        # would spin an executor forever — fail at plan time instead
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
     from wing_binlog_go_spark.multimodal import codecs
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -615,6 +615,10 @@ def assign_clusters(
 
     c = corpus.withColumn("_dv", as_double(vec_col))
     train = c.select(array_to_vector("_dv").alias("features"))
+    if train.isEmpty():
+        # KMeans.fit on zero rows dies with an opaque MLlib error; say
+        # what actually happened
+        raise ValueError("assign_clusters: corpus is empty, nothing to cluster")
     km = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
     cents = [list(map(float, ctr)) for ctr in km.clusterCenters()]
 
