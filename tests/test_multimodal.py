@@ -64,10 +64,10 @@ def media(spark):
 
 
 def test_unsupported_formats_still_raise():
-    # TIFF/MP3 need PIL/ffmpeg (absent); the dispatch must fail
+    # WebP/MP3 need PIL/ffmpeg (absent); the dispatch must fail
     # loudly, not decode garbage
     with pytest.raises(NotImplementedError):
-        decode_image(b"II*\x00" + b"\x00" * 20)  # TIFF little-endian
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 12)
     from wing_binlog_go_spark.multimodal import decode_audio
 
     with pytest.raises(NotImplementedError):
@@ -1000,3 +1000,79 @@ def test_video_frame_features_rejects_nonpositive_step(spark):
     df = spark.createDataFrame([(1, b"GIF8", ("image/gif", 1, 1, 10))], MEDIA_SCHEMA)
     with pytest.raises(ValueError, match="every_ms"):
         video_frame_features(df, every_ms=0)
+
+
+# ---------------------------------------------------------------------------
+# TIFF
+# ---------------------------------------------------------------------------
+
+
+def test_tiff_roundtrip_uncompressed_and_packbits():
+    from wing_binlog_go_spark.multimodal.codecs import decode_tiff, encode_tiff
+
+    img = _lowfreq_img(w=30, h=20, seed=14)
+    assert np.array_equal(decode_tiff(encode_tiff(img)), img)
+    # PackBits strips: flat regions compress, round trip stays exact
+    flat = img.copy()
+    flat[5:15, :] = 77
+    enc = encode_tiff(flat, packbits=True)
+    assert np.array_equal(decode_tiff(enc), flat)
+    assert len(enc) < len(encode_tiff(flat))  # RLE actually compressed
+
+
+def test_tiff_big_endian_and_grayscale():
+    import struct as _struct
+
+    from wing_binlog_go_spark.multimodal.codecs import decode_tiff
+
+    # hand-build a 2x2 big-endian grayscale TIFF, white-is-zero
+    px = bytes([0, 64, 128, 255])
+    out = bytearray(b"MM\x00\x2a") + _struct.pack(">I", 8)
+    entries = [
+        (256, 4, 1, 2), (257, 4, 1, 2), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 0),  # white-is-zero
+        (273, 4, 1, 0),  # patched below
+        (277, 3, 1, 1), (279, 4, 1, len(px)),
+    ]
+    data_off = 8 + 2 + len(entries) * 12 + 4
+    out += _struct.pack(">H", len(entries))
+    for tag, t, c, v in entries:
+        v = data_off if tag == 273 else v
+        if t == 3:  # inline SHORT is LEFT-justified in big-endian files
+            out += _struct.pack(">HHIHH", tag, t, c, v, 0)
+        else:
+            out += _struct.pack(">HHII", tag, t, c, v)
+    out += _struct.pack(">I", 0)
+    out += px
+    im = decode_tiff(bytes(out))
+    assert im.shape == (2, 2, 3)
+    assert im[0, 0, 0] == 255 and im[1, 1, 0] == 0  # inverted grayscale
+
+
+def test_tiff_rejects_lzw_and_garbage():
+    from wing_binlog_go_spark.multimodal.codecs import decode_tiff, encode_tiff
+
+    with pytest.raises(ValueError):
+        decode_tiff(b"not tiff")
+    lzw = bytearray(encode_tiff(_lowfreq_img(w=8, h=8)))
+    import struct as _struct
+
+    # flip the compression tag (259) to LZW (5): scan the IFD entries
+    n = _struct.unpack_from("<H", lzw, 8)[0]
+    for e in range(n):
+        off = 10 + e * 12
+        if _struct.unpack_from("<H", lzw, off)[0] == 259:
+            _struct.pack_into("<I", lzw, off + 8, 5)
+    with pytest.raises(ValueError, match="PIL"):
+        decode_tiff(bytes(lzw))
+
+
+def test_tiff_through_image_dispatch():
+    from wing_binlog_go_spark.multimodal.codecs import encode_tiff
+
+    img = _lowfreq_img(seed=15)
+    assert np.array_equal(decode_image(encode_tiff(img)), img)
+    # phash agrees with the BMP encoding of the same pixels
+    h_t = phash64(grayscale(decode_image(encode_tiff(img))))
+    h_b = phash64(grayscale(decode_image(encode_bmp(img))))
+    assert h_t == h_b

@@ -81,10 +81,12 @@ def decode_image(payload: bytes) -> "object":
         return codecs.decode_jpeg(payload)
     if payload[:4] == b"GIF8":  # still image = first composited frame
         return codecs.decode_gif(payload)[0][1]
+    if payload[:2] in (b"II", b"MM"):
+        return codecs.decode_tiff(payload)
     raise NotImplementedError(
-        "only BMP, PNG, JPEG (baseline+progressive) and GIF have "
-        "built-in decoders; WebP/TIFF/... need PIL, which is not "
-        "installed in this environment"
+        "only BMP, PNG, JPEG (baseline+progressive), GIF and TIFF have "
+        "built-in decoders; WebP/... need PIL, which is not installed "
+        "in this environment"
     )
 
 

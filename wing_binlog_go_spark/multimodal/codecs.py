@@ -19,6 +19,9 @@ the two formats parseable with nothing but ``struct`` + numpy:
   test data (and a known-content white test card), not only this
   module's own encoder;
 - GIF, 87a/89a incl. animation (the video modality);
+- TIFF, baseline 6.0 stripped layout (uncompressed + PackBits, both
+  byte orders, gray/RGB(A) incl. white-is-zero) — the scanned-document
+  staple;
 - WAV, RIFF PCM, 8/16-bit, any channel count (mixed down to mono);
 - FLAC (RFC 9639): CONSTANT/VERBATIM/FIXED/LPC subframes, partitioned
   Rice residuals, all four stereo decorrelation modes, CRC-8/16
@@ -1169,6 +1172,176 @@ def encode_gif(frames: list[np.ndarray], delay_ms: int = 100) -> bytes:
             out += chunk
         out.append(0)
     out.append(0x3B)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline 6.0: uncompressed + PackBits)
+# ---------------------------------------------------------------------------
+
+
+def _packbits(data: bytes) -> bytes:
+    """Decode Apple PackBits RLE (TIFF compression 32773)."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1 bytes
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= len(data):
+                raise ValueError("truncated PackBits stream")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Decode a baseline TIFF (uncompressed or PackBits, 8-bit
+    grayscale/RGB(A), either byte order, stripped layout) → H×W×3 RGB.
+
+    Covers what scanners and exporters emit as "TIFF" in document
+    corpora; LZW/JPEG-in-TIFF/tiled variants raise and fall to the PIL
+    seam like every other codec here.
+    """
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF file")
+    bo = "<" if payload[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(bo + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    n_entries = struct.unpack_from(bo + "H", payload, ifd_off)[0]
+    tags: dict[int, list[int]] = {}
+    type_size = {1: 1, 3: 2, 4: 4}
+    for e in range(n_entries):
+        off = ifd_off + 2 + e * 12
+        tag, ttype, count = struct.unpack_from(bo + "HHI", payload, off)
+        if ttype not in type_size:
+            continue  # rationals etc. — not needed for layout tags
+        sz = type_size[ttype] * count
+        src = off + 8 if sz <= 4 else struct.unpack_from(bo + "I", payload, off + 8)[0]
+        fmt = {1: "B", 3: "H", 4: "I"}[ttype]
+        tags[tag] = list(struct.unpack_from(bo + str(count) + fmt, payload, src))
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        strip_offs = tags[273]
+        strip_counts = tags[279]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}") from e
+    bits = tags.get(258, [8])
+    spp = tags.get(277, [len(bits)])[0]
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    if any(b != 8 for b in bits):
+        raise ValueError("only 8-bit TIFF supported")
+    if comp == 1:
+        raw = b"".join(
+            payload[o : o + c] for o, c in zip(strip_offs, strip_counts)
+        )
+    elif comp == 32773:
+        raw = b"".join(
+            _packbits(payload[o : o + c])
+            for o, c in zip(strip_offs, strip_counts)
+        )
+    else:
+        raise ValueError(
+            f"TIFF compression {comp} (LZW/JPEG/...) needs PIL"
+        )
+    need = h * w * spp
+    if len(raw) < need:
+        raise ValueError("truncated TIFF pixel data")
+    px = np.frombuffer(raw, np.uint8, need).reshape(h, w, spp)
+    if photo == 0:  # white-is-zero grayscale
+        px = 255 - px
+    if spp == 1:
+        return np.ascontiguousarray(np.repeat(px, 3, axis=2))
+    return np.ascontiguousarray(px[:, :, :3])  # RGB / RGBA (alpha dropped)
+
+
+def encode_tiff(img: np.ndarray, packbits: bool = False) -> bytes:
+    """Encode H×W×3 uint8 RGB → little-endian stripped TIFF
+    (round-trip partner of :func:`decode_tiff`)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("expected H×W×3 uint8 RGB")
+    h, w = img.shape[:2]
+    raw = img.tobytes()
+    if packbits:
+        body = bytearray()
+        # one PackBits strip per row (the common writer convention)
+        strips = []
+        for y in range(h):
+            row = img[y].tobytes()
+            enc = bytearray()
+            i = 0
+            while i < len(row):
+                run = 1
+                while i + run < len(row) and run < 128 and row[i + run] == row[i]:
+                    run += 1
+                if run >= 2:
+                    enc += bytes([257 - run, row[i]])
+                    i += run
+                else:
+                    lit = i
+                    while (
+                        i < len(row)
+                        and i - lit < 128
+                        and not (
+                            i + 2 < len(row) and row[i] == row[i + 1] == row[i + 2]
+                        )
+                    ):
+                        i += 1
+                    enc += bytes([i - lit - 1]) + row[lit:i]
+            strips.append(bytes(enc))
+        strip_data = b"".join(strips)
+        strip_counts = [len(s) for s in strips]
+        rows_per_strip = 1
+    else:
+        strip_data = raw
+        strip_counts = [len(raw)]
+        rows_per_strip = h
+
+    n_strips = len(strip_counts)
+    header = 8
+    ifd_entries = 8
+    ifd_size = 2 + ifd_entries * 12 + 4
+    arrays_off = header + ifd_size
+    # strip offsets/counts arrays (LONG each) when more than one strip
+    extra = (8 * n_strips) if n_strips > 1 else 0
+    data_off = arrays_off + extra
+    offs = []
+    acc = data_off
+    for c in strip_counts:
+        offs.append(acc)
+        acc += c
+
+    out = bytearray(b"II*\x00") + struct.pack("<I", header)
+
+    def entry(tag, ttype, count, value):
+        return struct.pack("<HHII", tag, ttype, count, value)
+
+    e = bytearray(struct.pack("<H", ifd_entries))
+    e += entry(256, 4, 1, w)
+    e += entry(257, 4, 1, h)
+    e += entry(258, 3, 1, 8)  # bits per sample (applies to each)
+    e += entry(259, 3, 1, 32773 if packbits else 1)
+    e += entry(262, 3, 1, 2)  # RGB
+    e += entry(273, 4, n_strips, offs[0] if n_strips == 1 else arrays_off)
+    e += entry(277, 3, 1, 3)  # samples per pixel
+    e += entry(
+        279, 4, n_strips,
+        strip_counts[0] if n_strips == 1 else arrays_off + 4 * n_strips,
+    )
+    e += struct.pack("<I", 0)  # next IFD
+    out += e
+    if n_strips > 1:
+        out += struct.pack(f"<{n_strips}I", *offs)
+        out += struct.pack(f"<{n_strips}I", *strip_counts)
+    out += strip_data
     return bytes(out)
 
 
