@@ -34,7 +34,12 @@ from wing_binlog_go_spark.multimodal import (
     phash_near_dup_pairs,
     real_decode_image,
 )
-from wing_binlog_go_spark.multimodal.codecs import encode_bmp, encode_png, encode_wav
+from wing_binlog_go_spark.multimodal.codecs import (
+    encode_bmp,
+    encode_flac,
+    encode_png,
+    encode_wav,
+)
 from wing_binlog_go_spark.operators.similarity import diversity_sample, semantic_dedup
 from wing_binlog_go_spark.session import get_spark
 from wing_binlog_go_spark.tables import read_table
@@ -90,7 +95,9 @@ def main() -> None:
             (1, encode_bmp(img), ("image/bmp", 64, 48, None)),
             (2, encode_png(noisy), ("image/png", 64, 48, None)),
             (3, encode_wav(tone), ("audio/wav", None, None, 1000)),
-            (4, encode_wav(tone + rng.normal(0, 0.005, len(tone))), ("audio/wav", None, None, 1000)),
+            # same clip, different lossless container: FLAC pairs with 3
+            (4, encode_flac(tone + rng.normal(0, 0.005, len(tone)), rate=8000),
+             ("audio/flac", None, None, 1000)),
         ],
         MEDIA_SCHEMA,
     )

@@ -208,3 +208,14 @@ def test_round4_query_plan_hygiene(spark, sf_dir):
     # equi-join on the cluster id, never corpus×corpus
     pg = plan_of(_Q["q38g_semantic_dedup"].spark(spark, sf_dir))
     assert "CartesianProduct" not in pg and "BroadcastNestedLoopJoin" not in pg
+
+
+def test_lateral_and_ordered_stat_plan_hygiene(spark, sf_dir):
+    # q104: Catalyst must decorrelate the LATERAL subquery to a real
+    # join — no per-row re-execution, no cross product
+    p = plan_of(_Q["q104_lateral_join"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p
+    # q105: single-pass aggregate, no Python nodes
+    p5 = plan_of(_Q["q105_mode_median"].spark(spark, sf_dir))
+    assert "BatchEvalPython" not in p5 and "ArrowEvalPython" not in p5
