@@ -442,3 +442,55 @@ def test_assign_clusters_empty_corpus_fails_loudly(spark):
 
     with _pytest.raises(ValueError, match="empty"):
         semantic_dedup(empty, n_clusters=4)
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    """The daily-increment workflow: batch 2's copy of a batch-1 doc is
+    dropped via the signature store WITHOUT re-reading batch 1's text;
+    batch-internal copies collapse to the min id; replays are no-ops."""
+    from wing_binlog_go_spark.operators.dedup import incremental_dedup_apply
+
+    store = str(tmp_path / "sigs")
+    b1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog while the "
+                "patient grey owl watches from a very tall oak tree near "
+                "the quiet river bend at dawn each morning in spring"),
+            (2, "completely different prose about distributed query engines "
+                "and the storage layouts that make large scans fast when "
+                "columns prune and predicates push into the file footers"),
+        ],
+        ["doc_id", "text"],
+    )
+    s1, st1 = incremental_dedup_apply(spark, b1, store, threshold=0.7)
+    assert {r.doc_id for r in s1.collect()} == {1, 2}
+    assert st1 == {"batch": 2, "replayed": 0, "dup_vs_history": 0,
+                   "dup_in_batch": 0, "appended": 2}
+
+    b2 = spark.createDataFrame(
+        [
+            # near-copy of doc 1 (one word changed) → dup vs history
+            (10, "the quick brown fox jumps over the lazy cat while the "
+                 "patient grey owl watches from a very tall oak tree near "
+                 "the quiet river bend at dawn each morning in spring"),
+            # fresh content, duplicated within the batch → keep 11 only
+            (11, "novel sentences about incremental corpus construction today"),
+            (12, "novel sentences about incremental corpus construction today"),
+        ],
+        ["doc_id", "text"],
+    )
+    s2, st2 = incremental_dedup_apply(spark, b2, store, threshold=0.7)
+    assert {r.doc_id for r in s2.collect()} == {11}
+    assert st2["dup_vs_history"] == 1 and st2["dup_in_batch"] == 1
+    assert st2["appended"] == 1
+
+    # replay of batch 2: every id already in store or dropped before;
+    # store must not grow and nothing new survives... ids 10/12 were
+    # DROPPED (not stored), so they re-dedupe the same way
+    s2r, st2r = incremental_dedup_apply(spark, b2, store, threshold=0.7)
+    assert {r.doc_id for r in s2r.collect()} == set()
+    assert st2r["replayed"] == 1            # id 11 is in the store now
+    assert st2r["appended"] == 0
+    from wing_binlog_go_spark.operators.dedup import load_minhash_signatures
+
+    assert load_minhash_signatures(spark, store).count() == 3  # ids 1, 2, 11

@@ -159,6 +159,126 @@ def load_minhash_signatures(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def incremental_dedup_apply(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> "tuple[DataFrame, dict]":
+    """Dedupe an ingest increment against the ENTIRE corpus history
+    without rescanning it — the daily-crawl workflow: each new batch's
+    signatures band-join the persisted signature store (history is read
+    as signatures only, ~1000× smaller than its text), batch-internal
+    near-dups collapse to the min-id survivor, and survivors' signatures
+    append to the store for the next increment.
+
+    Replay-safe by id: incoming rows whose id already exists in the
+    store are no-ops (not dups, not re-appended), so an at-least-once
+    feed converges. The survivor rule drops any fresh doc that (a)
+    near-matches history or (b) near-matches a smaller-id doc in the
+    same batch — the same deterministic min-id rule as semantic_dedup
+    (conservative on chains, stable under re-runs).
+
+    Returns ``(survivor_docs, stats)`` where stats counts
+    {batch, replayed, dup_vs_history, dup_in_batch, appended}.
+
+    Scale shape: signature build is a per-row fold over the INCREMENT
+    only; the history probe is a band equi-join (never corpus×corpus);
+    the store append is one parquet write of |survivors| rows. Nothing
+    reads history text, ever.
+    """
+    import os
+
+    new_sigs = minhash_signature(
+        new_docs, id_col, text_col, num_hashes, shingle_k
+    ).localCheckpoint(eager=True)
+    n_batch = new_sigs.count()
+    stats = {"batch": n_batch, "replayed": 0, "dup_vs_history": 0,
+             "dup_in_batch": 0, "appended": 0}
+
+    hist = None
+    if os.path.exists(store_dir):
+        hist = spark.read.parquet(store_dir)
+        fresh = new_sigs.join(
+            hist.select(id_col), id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+        stats["replayed"] = n_batch - fresh.count()
+    else:
+        fresh = new_sigs
+
+    dropped = None
+    if hist is not None:
+        nb = _band_buckets(fresh, id_col, num_hashes, bands).alias("a")
+        hb = _band_buckets(hist, id_col, num_hashes, bands).alias("b")
+        agree = F.size(
+            F.filter(
+                F.zip_with(F.col("a.mh"), F.col("b.mh"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        dup_hist = (
+            nb.join(
+                hb,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh")),
+            )
+            .select(F.col("a.doc").alias(id_col),
+                    (agree / F.lit(num_hashes)).alias("_est"))
+            .groupBy(id_col)
+            .agg(F.max("_est").alias("_est"))
+            .filter(F.col("_est") >= threshold)
+            .select(id_col)
+        )
+        dropped = dup_hist
+        stats["dup_vs_history"] = dup_hist.count()
+    # batch-internal near-dups: larger id of each qualifying pair goes
+    pairs = minhash_dedup_pairs(
+        None, id_col=id_col, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, signatures=fresh,
+    )
+    dup_batch = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    stats["dup_in_batch"] = dup_batch.count()
+    dropped = dup_batch if dropped is None else dropped.unionByName(dup_batch).distinct()
+
+    survivors_sigs = fresh.join(dropped, id_col, "left_anti")
+    survivors = new_docs.join(survivors_sigs.select(id_col), id_col, "left_semi")
+    stats["appended"] = survivors_sigs.count()
+    if stats["appended"]:
+        survivors_sigs.write.mode("append").parquet(store_dir)
+    return survivors, stats
+
+
+def _band_buckets(
+    signatures: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, mh) → one row per LSH band: (doc, mh, band, bh). The band
+    hash folds the band's minhash slice through xxhash64 so the join
+    key is a scalar, not an array."""
+    rows_per_band = num_hashes // bands
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.element_at("mh", b * rows_per_band + i + 1)
+                    for i in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col).alias("doc"),
+        F.col("mh"),
+        F.posexplode(band_hashes).alias("band", "bh"),
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame | None,
     id_col: str = "doc_id",
@@ -195,24 +315,7 @@ def minhash_dedup_pairs(
         signatures = minhash_signature(
             df, id_col, text_col, num_hashes, shingle_k
         ).localCheckpoint(eager=True)
-    rows_per_band = num_hashes // bands
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[
-                    F.element_at("mh", b * rows_per_band + i + 1)
-                    for i in range(rows_per_band)
-                ],
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = signatures.select(
-        F.col(id_col).alias("doc"),
-        F.col("mh"),
-        F.posexplode(band_hashes).alias("band", "bh"),
-    )
+    buckets = _band_buckets(signatures, id_col, num_hashes, bands)
     a, b = buckets.alias("a"), buckets.alias("b")
     agree = F.size(
         F.filter(F.zip_with(F.col("a.mh"), F.col("b.mh"), lambda x, y: x == y),
