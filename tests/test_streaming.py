@@ -540,3 +540,63 @@ def test_pipeline_without_dead_letter_keeps_old_behavior(spark, tmp_path):
     q = run_pipeline(spark, str(log_dir), [Route("rec", recorder)], str(tmp_path / "ckpt"))
     q.awaitTermination(60)
     assert seen == [1]
+
+
+def test_dedup_corpus_route_end_to_end(spark, tmp_path):
+    """CDC inserts of documents flow through the pipeline into the
+    incremental-dedup store: a cross-batch near-copy and a same-batch
+    exact copy are dropped, distinct docs survive, and replaying the
+    whole changelog under a fresh checkpoint leaves the corpus
+    unchanged."""
+    import json as _json
+
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+    from wing_binlog_go_spark.streaming.sinks import (
+        dedup_corpus_writer,
+        read_dedup_corpus,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the patient "
+            "grey owl watches from a very tall oak tree near the river")
+    texts = {
+        1: base,
+        2: "entirely unrelated prose about columnar execution and shuffles "
+           "with partition pruning and adaptive planning at large scale",
+        3: base.replace("dog", "cat"),   # near-copy of 1, later batch
+        4: "entirely unrelated prose about columnar execution and shuffles "
+           "with partition pruning and adaptive planning at large scale",  # = 2
+    }
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    for fi, ids in enumerate([(1, 2), (3, 4)]):  # two files → two batches
+        with open(log_dir / f"f{fi}.jsonl", "w") as f:
+            for ev, did in enumerate(ids):
+                rec = {
+                    "binlog_file": f"mysql-bin.{fi:06d}",
+                    "binlog_pos": 4 + ev * 50, "xid_commit": True,
+                    "database": "crawl", "table": "documents",
+                    "action": "insert", "row_no": 0, "before": None,
+                    "after": {"id": str(did), "text": texts[did]},
+                    "ddl_query": None,
+                    "ts_header": "2018-04-19T05:21:27.000Z", "gtid": None,
+                }
+                f.write(_json.dumps(rec) + "\n")
+
+    store = str(tmp_path / "corpus")
+    route = Route("corpus", dedup_corpus_writer(store, "crawl.documents", threshold=0.7))
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+    corpus = {r.doc_id: r.text for r in read_dedup_corpus(spark, store).collect()}
+    assert set(corpus) == {1, 2}
+    assert corpus[1] == base
+
+    # full replay under a fresh checkpoint: ids already committed → no-op
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+    assert read_dedup_corpus(spark, store).count() == 2

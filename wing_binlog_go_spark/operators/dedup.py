@@ -169,6 +169,7 @@ def incremental_dedup_apply(
     bands: int = 8,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    payload_cols: "list[str] | None" = None,
 ) -> "tuple[DataFrame, dict]":
     """Dedupe an ingest increment against the ENTIRE corpus history
     without rescanning it — the daily-crawl workflow: each new batch's
@@ -186,6 +187,13 @@ def incremental_dedup_apply(
 
     Returns ``(survivor_docs, stats)`` where stats counts
     {batch, replayed, dup_vs_history, dup_in_batch, appended}.
+
+    ``payload_cols`` stores those columns of the survivors alongside
+    their signatures, making the store itself the deduped corpus (read
+    it back minus ``mh``) — ONE append is then the only commit point,
+    so a crash between "store updated" and "corpus sink updated" cannot
+    exist: presence of an id in the store is the per-row commit, and a
+    replay re-processes exactly the rows whose append did not land.
 
     Scale shape: signature build is a per-row fold over the INCREMENT
     only; the history probe is a band equi-join (never corpus×corpus);
@@ -249,7 +257,12 @@ def incremental_dedup_apply(
     survivors = new_docs.join(survivors_sigs.select(id_col), id_col, "left_semi")
     stats["appended"] = survivors_sigs.count()
     if stats["appended"]:
-        survivors_sigs.write.mode("append").parquet(store_dir)
+        to_store = survivors_sigs
+        if payload_cols:
+            to_store = survivors_sigs.join(
+                new_docs.select(id_col, *payload_cols), id_col
+            )
+        to_store.write.mode("append").parquet(store_dir)
     return survivors, stats
 
 

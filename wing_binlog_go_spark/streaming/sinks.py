@@ -254,3 +254,55 @@ def jsonl_route_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
                 f.write(row.p + "\n")
 
     return write
+
+
+def dedup_corpus_writer(
+    store_dir: str,
+    table: str,
+    id_field: str = "id",
+    text_field: str = "text",
+    threshold: float = 0.8,
+):
+    """Route writer composing the CDC stream with incremental corpus
+    dedup (`operators.dedup.incremental_dedup_apply`): INSERT envelopes
+    of ``table`` become ingest increments, each deduped against the
+    signature store built from every prior batch — the curated-corpus
+    materializer for a crawl/scrape feed flowing through the pipeline.
+
+    The store carries (id, text, mh): presence of an id in the store IS
+    the per-row commit, so at-least-once batch replays re-process only
+    rows whose append never landed and the corpus converges without a
+    second sink (read it back with ``read_dedup_corpus``).
+    """
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.operators.dedup import incremental_dedup_apply
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        docs = (
+            env.filter(
+                (F.col("event_type") == "insert")
+                & (F.concat_ws(".", "database", "table") == table)
+            )
+            .select(
+                F.element_at("event.data", id_field).cast("long").alias("doc_id"),
+                F.element_at("event.data", text_field).alias("text"),
+            )
+            .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        )
+        if docs.isEmpty():
+            return
+        incremental_dedup_apply(
+            env.sparkSession,
+            docs,
+            store_dir,
+            threshold=threshold,
+            payload_cols=["text"],
+        )
+
+    return write
+
+
+def read_dedup_corpus(spark, store_dir: str) -> DataFrame:
+    """The deduped corpus maintained by ``dedup_corpus_writer``."""
+    return spark.read.parquet(store_dir).drop("mh")
