@@ -830,6 +830,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsample: bool = False) -> 
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("expected H×W×3 uint8 RGB")
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
     h, w = img.shape[:2]
     scale = (5000 / quality if quality < 50 else 200 - 2 * quality) / 100.0
     qts = []

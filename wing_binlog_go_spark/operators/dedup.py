@@ -190,7 +190,9 @@ def incremental_dedup_apply(
 
     ``payload_cols`` stores those columns of the survivors alongside
     their signatures, making the store itself the deduped corpus (read
-    it back minus ``mh``) — ONE append is then the only commit point,
+    it back minus ``mh``); use the SAME payload_cols for a store's
+    whole lifetime (parquet appends must agree on schema) — ONE append
+    is then the only commit point,
     so a crash between "store updated" and "corpus sink updated" cannot
     exist: presence of an id in the store is the per-row commit, and a
     replay re-processes exactly the rows whose append did not land.
