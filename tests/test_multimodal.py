@@ -256,14 +256,24 @@ def test_png_rejects_corruption():
     bad[idat + 10] ^= 0xFF
     with pytest.raises(ValueError):
         decode_png(bytes(bad))
-    # interlaced flag set → explicit unsupported error
+    # interlace flag set on a non-interlaced body → data-size mismatch
     ihdr_body = _struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 1)
-    interlaced = (
+    mislabeled = (
         b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_body)
         + good[good.index(b"IDAT") - 4:]
     )
-    with pytest.raises(ValueError, match="interlace"):
-        decode_png(interlaced)
+    with pytest.raises(ValueError):
+        decode_png(mislabeled)
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7 passes de-interlace exactly, including odd dimensions
+    where late passes are narrow and pass 2 can be empty."""
+    from wing_binlog_go_spark.multimodal.codecs import decode_png, encode_png
+
+    for w, h in ((13, 7), (8, 8), (3, 2), (1, 1), (17, 9)):
+        img = _gradient_img(w=w, h=h, seed=w * h)
+        assert np.array_equal(decode_png(encode_png(img, interlace=True)), img), (w, h)
 
 
 def test_png_bmp_cross_format_same_phash():
@@ -1054,17 +1064,17 @@ def test_tiff_rejects_lzw_and_garbage():
 
     with pytest.raises(ValueError):
         decode_tiff(b"not tiff")
-    lzw = bytearray(encode_tiff(_lowfreq_img(w=8, h=8)))
+    dz = bytearray(encode_tiff(_lowfreq_img(w=8, h=8)))
     import struct as _struct
 
-    # flip the compression tag (259) to LZW (5): scan the IFD entries
-    n = _struct.unpack_from("<H", lzw, 8)[0]
+    # flip the compression tag (259) to deflate (8): scan the IFD entries
+    n = _struct.unpack_from("<H", dz, 8)[0]
     for e in range(n):
         off = 10 + e * 12
-        if _struct.unpack_from("<H", lzw, off)[0] == 259:
-            _struct.pack_into("<I", lzw, off + 8, 5)
+        if _struct.unpack_from("<H", dz, off)[0] == 259:
+            _struct.pack_into("<I", dz, off + 8, 8)
     with pytest.raises(ValueError, match="PIL"):
-        decode_tiff(bytes(lzw))
+        decode_tiff(bytes(dz))
 
 
 def test_tiff_through_image_dispatch():
@@ -1076,3 +1086,26 @@ def test_tiff_through_image_dispatch():
     h_t = phash64(grayscale(decode_image(encode_tiff(img))))
     h_b = phash64(grayscale(decode_image(encode_bmp(img))))
     assert h_t == h_b
+
+
+def test_tiff_lzw_roundtrip_and_raw_streams():
+    from wing_binlog_go_spark.multimodal.codecs import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(5)
+    # repetitive data pushes through every width change and a dict reset
+    for n in (10, 278, 5000, 60000):
+        data = bytes(rng.randint(0, 40, n).astype(np.uint8))
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data)) == data, n
+    rand = bytes(rng.randint(0, 256, 30000).astype(np.uint8))
+    assert _tiff_lzw_decode(_tiff_lzw_encode(rand)) == rand
+
+    # banded image: real byte-sequence repeats for the dictionary
+    img = np.repeat(_lowfreq_img(w=40, h=6, seed=16), 4, axis=0)
+    enc = encode_tiff(img, lzw=True)
+    assert np.array_equal(decode_tiff(enc), img)
+    assert len(enc) < img.size  # actually compressed

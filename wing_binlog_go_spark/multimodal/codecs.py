@@ -190,6 +190,11 @@ def phash64(gray: np.ndarray) -> int:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # color type → samples per pixel (before palette expansion)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
 
 def _png_unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
@@ -277,19 +282,38 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"bad PNG color type {color}")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported without PIL")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if width <= 0 or height <= 0:
         raise ValueError(f"bad dimensions {width}x{height}")
     bpp = _PNG_CHANNELS[color]
     stride = width * bpp
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if raw.size != height * (stride + 1):
-        raise ValueError(
-            f"PNG pixel data size mismatch: {raw.size} != {height * (stride + 1)}"
-        )
-    recon = _png_unfilter(raw, height, stride, bpp)
-    px = recon.reshape(height, width, bpp)
+    if interlace == 1:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # back onto the full grid by each pass's (offset, step)
+        px = np.zeros((height, width, bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * bpp
+            need = ph * (pstride + 1)
+            if pos + need > raw.size:
+                raise ValueError("truncated PNG interlaced data")
+            sub = _png_unfilter(raw[pos : pos + need], ph, pstride, bpp)
+            pos += need
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        if pos != raw.size:
+            raise ValueError("PNG interlaced data size mismatch")
+    else:
+        if raw.size != height * (stride + 1):
+            raise ValueError(
+                f"PNG pixel data size mismatch: {raw.size} != {height * (stride + 1)}"
+            )
+        px = _png_unfilter(raw, height, stride, bpp).reshape(height, width, bpp)
     if color == 3:  # palette → RGB lookup
         if palette is None:
             raise ValueError("palette PNG without PLTE chunk")
@@ -303,18 +327,35 @@ def decode_png(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(px[:, :, :3])  # RGB / RGBA (alpha dropped)
 
 
-def encode_png(img: np.ndarray, *, sub_filter: bool = False) -> bytes:
-    """Encode H×W×3 uint8 RGB → non-interlaced 8-bit RGB PNG bytes.
+def encode_png(
+    img: np.ndarray, *, sub_filter: bool = False, interlace: bool = False
+) -> bytes:
+    """Encode H×W×3 uint8 RGB → 8-bit RGB PNG bytes.
 
     Round-trip partner of :func:`decode_png`. ``sub_filter=True`` emits
     filter-type-1 scanlines instead of 0 so tests exercise the unfilter
-    path on encoder-realistic data, not just the trivial filter.
+    path on encoder-realistic data; ``interlace=True`` writes the seven
+    Adam7 passes (filter 0) so the de-interlacing path round-trips.
     """
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("expected H×W×3 uint8 RGB")
     height, width = img.shape[:2]
-    if sub_filter:
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph <= 0 or pw <= 0:
+                continue
+            parts.append(
+                np.concatenate(
+                    [np.zeros((ph, 1), dtype=np.uint8), sub.reshape(ph, pw * 3)],
+                    axis=1,
+                ).reshape(-1)
+            )
+        body = np.concatenate(parts)
+    elif sub_filter:
         flat = img.reshape(height, width * 3).astype(np.int16)
         delta = flat.copy()
         delta[:, 3:] = (flat[:, 3:] - flat[:, :-3]) & 0xFF
@@ -335,7 +376,7 @@ def encode_png(img: np.ndarray, *, sub_filter: bool = False) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1 if interlace else 0)
     return (
         _PNG_MAGIC
         + chunk(b"IHDR", ihdr)
@@ -1201,13 +1242,106 @@ def _packbits(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (compression 5): MSB-first code packing,
+    Clear=256 / EOI=257, 9→12-bit codes with the spec's EARLY width
+    change (switch one code before the table fills the width)."""
+    CLEAR, EOI = 256, 257
+
+    def fresh():
+        return [bytes([i]) for i in range(256)] + [b"", b""]
+
+    out = bytearray()
+    table = fresh()
+    width, prev = 9, None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                table = fresh()
+                width, prev = 9, None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                if code >= 256:
+                    raise ValueError("bad first TIFF-LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"bad TIFF-LZW code {code}")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            # EARLY change, adjusted for the decoder's one-entry lag:
+            # the writer switches right after assigning slot 2^w - 2,
+            # and the reader only learns that entry's content from the
+            # NEXT code — so the reader must widen while its own table
+            # still has one fewer entry than the writer's.
+            if len(table) == (1 << width) - 2 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Round-trip partner of :func:`_tiff_lzw_decode` (same early-change
+    discipline on the write side)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+    width = 9
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    seq = b""
+    for b in data:
+        cand = seq + bytes([b])
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq])
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code > 4093:
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        seq = bytes([b])
+    if seq:
+        emit(table[seq])
+    emit(EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def decode_tiff(payload: bytes) -> np.ndarray:
-    """Decode a baseline TIFF (uncompressed or PackBits, 8-bit
+    """Decode a baseline TIFF (uncompressed, PackBits, or LZW; 8-bit
     grayscale/RGB(A), either byte order, stripped layout) → H×W×3 RGB.
 
     Covers what scanners and exporters emit as "TIFF" in document
-    corpora; LZW/JPEG-in-TIFF/tiled variants raise and fall to the PIL
-    seam like every other codec here.
+    corpora; JPEG-in-TIFF/tiled/deflate variants raise and fall to the
+    PIL seam like every other codec here.
     """
     if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF file")
@@ -1244,6 +1378,15 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raw = b"".join(
             payload[o : o + c] for o, c in zip(strip_offs, strip_counts)
         )
+    elif comp == 5:
+        raw = b"".join(
+            _tiff_lzw_decode(payload[o : o + c])
+            for o, c in zip(strip_offs, strip_counts)
+        )
+        if tags.get(317, [1])[0] == 2:  # horizontal differencing predictor
+            arr = np.frombuffer(raw, np.uint8).copy().reshape(-1, w, spp)
+            np.cumsum(arr, axis=1, dtype=np.uint8, out=arr)
+            raw = arr.tobytes()
     elif comp == 32773:
         raw = b"".join(
             _packbits(payload[o : o + c])
@@ -1251,7 +1394,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         )
     else:
         raise ValueError(
-            f"TIFF compression {comp} (LZW/JPEG/...) needs PIL"
+            f"TIFF compression {comp} (JPEG/deflate/...) needs PIL"
         )
     need = h * w * spp
     if len(raw) < need:
@@ -1264,15 +1407,23 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(px[:, :, :3])  # RGB / RGBA (alpha dropped)
 
 
-def encode_tiff(img: np.ndarray, packbits: bool = False) -> bytes:
+def encode_tiff(img: np.ndarray, packbits: bool = False, lzw: bool = False) -> bytes:
     """Encode H×W×3 uint8 RGB → little-endian stripped TIFF
-    (round-trip partner of :func:`decode_tiff`)."""
+    (round-trip partner of :func:`decode_tiff`); ``lzw`` writes one
+    LZW-compressed strip (compression 5), ``packbits`` one RLE strip
+    per row (32773), default uncompressed."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("expected H×W×3 uint8 RGB")
+    if packbits and lzw:
+        raise ValueError("choose one compression")
     h, w = img.shape[:2]
     raw = img.tobytes()
-    if packbits:
+    if lzw:
+        strip_data = _tiff_lzw_encode(raw)
+        strip_counts = [len(strip_data)]
+        rows_per_strip = h
+    elif packbits:
         body = bytearray()
         # one PackBits strip per row (the common writer convention)
         strips = []
@@ -1330,7 +1481,7 @@ def encode_tiff(img: np.ndarray, packbits: bool = False) -> bytes:
     e += entry(256, 4, 1, w)
     e += entry(257, 4, 1, h)
     e += entry(258, 3, 1, 8)  # bits per sample (applies to each)
-    e += entry(259, 3, 1, 32773 if packbits else 1)
+    e += entry(259, 3, 1, 5 if lzw else (32773 if packbits else 1))
     e += entry(262, 3, 1, 2)  # RGB
     e += entry(273, 4, n_strips, offs[0] if n_strips == 1 else arrays_off)
     e += entry(277, 3, 1, 3)  # samples per pixel
