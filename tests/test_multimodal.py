@@ -617,6 +617,64 @@ def test_gif_transparency_composites_over_previous_frame():
     assert frames[1][0] == 100              # delay 10 cs → 100 ms
 
 
+def test_gif_disposal2_with_transparency_restores_to_transparent():
+    """Disposal 2 + active transparent index: conformant renderers
+    restore the rect to TRANSPARENT (black on an RGB canvas), not the
+    background color — a red background must NOT reappear under the
+    disposed rect in the following frame."""
+    import struct as _struct
+
+    from wing_binlog_go_spark.multimodal.codecs import _lzw_encode, decode_gif
+
+    # palette: 0=black 1=red 2=green 3=transparent slot; bg_index=1 (red)
+    pal = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", 4, 4, 0x80 | 0x01, 1, 0)  # bg = red
+    out += pal
+    # frame 1: 2x2 green rect at (1,1), transparent idx 3, DISPOSAL 2
+    out += b"\x21\xf9\x04" + _struct.pack("<BHB", (2 << 2) | 1, 10, 3) + b"\x00"
+    out += b"\x2c" + _struct.pack("<HHHHB", 1, 1, 2, 2, 0)
+    lzw = _lzw_encode([2, 2, 2, 2], 2)
+    out += bytes([2, len(lzw)]) + lzw + b"\x00"
+    # frame 2: 1x1 green pixel at (0,0) with NO transparency control
+    out += b"\x2c" + _struct.pack("<HHHHB", 0, 0, 1, 1, 0)
+    lzw = _lzw_encode([2], 2)
+    out += bytes([2, len(lzw)]) + lzw + b"\x00"
+    out.append(0x3B)
+
+    frames = decode_gif(bytes(out))
+    assert len(frames) == 2
+    f2 = frames[1][1]
+    # the disposed rect restored to transparent-as-black, NOT bg red
+    assert tuple(f2[1, 1]) == (0, 0, 0)
+    assert tuple(f2[2, 2]) == (0, 0, 0)
+    assert tuple(f2[0, 0]) == (0, 255, 0)  # frame-2 content painted
+
+
+def test_encode_tiff_bits_per_sample_count_matches_spp():
+    """TIFF 6.0: BitsPerSample (258) count must equal SamplesPerPixel;
+    strict readers reject count=1 for RGB. Parse the encoder's IFD."""
+    import struct as _struct
+
+    from wing_binlog_go_spark.multimodal.codecs import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (5, 4, 3), dtype=np.uint8)
+    for kwargs in ({}, {"packbits": True}, {"lzw": True}):
+        data = encode_tiff(img, **kwargs)
+        ifd_off = _struct.unpack_from("<I", data, 4)[0]
+        n = _struct.unpack_from("<H", data, ifd_off)[0]
+        tags = {}
+        for e in range(n):
+            off = ifd_off + 2 + e * 12
+            tag, ttype, count, val = _struct.unpack_from("<HHII", data, off)
+            tags[tag] = (ttype, count, val)
+        ttype, count, val = tags[258]
+        assert (ttype, count) == (3, 3)
+        assert _struct.unpack_from("<3H", data, val) == (8, 8, 8)
+        assert np.array_equal(decode_tiff(data), img)
+
+
 def test_decode_video_dispatch_and_timestamps():
     from wing_binlog_go_spark.multimodal import decode_video
     from wing_binlog_go_spark.multimodal.codecs import encode_gif

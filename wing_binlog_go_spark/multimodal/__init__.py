@@ -14,16 +14,18 @@ plumbing matters more than any single codec:
   skew from starving tasks.
 
 Codecs: all three modalities decode for REAL via the pure-Python
-``codecs`` module — images (BMP 24/32-bit uncompressed; PNG 8-bit
-non-interlaced, all five color types, DEFLATE via stdlib zlib), audio
-(WAV 8/16-bit PCM) and video (animated GIF: LZW + frame compositing).
-``decode_image`` / ``decode_audio`` / ``decode_video`` dispatch on the
-payload's magic bytes and return actual pixel/sample/frame arrays, with
-a classic DCT perceptual hash over real pixels. Formats needing codec
-libraries this environment lacks (JPEG/FLAC/MP4) raise
-NotImplementedError at the dispatch point, and ``fake_decode_image``
-remains the deterministic stand-in for format-agnostic plumbing tests.
-A real deployment drops PIL/ffmpeg in behind the same seam.
+``codecs`` module — images (BMP 24/32-bit; PNG 8-bit, all five color
+types, Adam7 interlace included, DEFLATE via stdlib zlib; JPEG baseline
+AND progressive; GIF stills; TIFF uncompressed/PackBits/LZW), audio
+(WAV 8/16-bit PCM; FLAC per RFC 9639) and video (animated GIF: LZW +
+frame compositing). ``decode_image`` / ``decode_audio`` /
+``decode_video`` dispatch on the payload's magic bytes and return
+actual pixel/sample/frame arrays, with a classic DCT perceptual hash
+over real pixels. Formats still needing codec libraries this
+environment lacks (WebP-lossy/MP3/MP4) raise NotImplementedError at
+the dispatch point, and ``fake_decode_image`` remains the
+deterministic stand-in for format-agnostic plumbing tests. A real
+deployment drops PIL/ffmpeg in behind the same seam.
 """
 
 from __future__ import annotations

@@ -245,13 +245,14 @@ def _png_unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.nda
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG → H×W×3 uint8 (RGB).
+    """Decode an 8-bit PNG (progressive Adam7 included) → H×W×3 RGB.
 
     Pure Python + stdlib zlib: chunk walk (IHDR/PLTE/IDAT/IEND with CRC
-    checks), DEFLATE inflate, scanline unfilter, palette expansion, and
-    alpha drop (features/phash operate on color; compositing policy
-    belongs to callers). Interlaced (Adam7) and 16-bit images raise —
-    they are rare in training corpora and a real deployment uses PIL.
+    checks), DEFLATE inflate, scanline unfilter (per Adam7 pass when
+    interlaced), palette expansion, and alpha drop (features/phash
+    operate on color; compositing policy belongs to callers). Only
+    16-bit depth raises — rare in training corpora; a real deployment
+    uses PIL behind the same dispatch seam.
     """
     if len(payload) < 8 or payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG file")
@@ -428,10 +429,15 @@ def _huff_decode_table(bits: list[int], vals: bytes) -> dict:
 
 
 class _JpegBits:
-    """MSB-first bit reader over an unstuffed entropy segment."""
+    """MSB-first bit reader over an unstuffed entropy segment.
 
-    def __init__(self, data: bytes):
-        self.d, self.pos, self.bit = data, 0, 0
+    ``start`` reads in place from an offset into a larger buffer —
+    FLAC decodes many frames from one payload and slicing the
+    remaining stream per frame would copy O(n²) bytes overall.
+    """
+
+    def __init__(self, data: bytes, start: int = 0):
+        self.d, self.pos, self.bit = data, start, 0
 
     def read_bit(self) -> int:
         if self.pos >= len(self.d):
@@ -1084,7 +1090,9 @@ def decode_gif(payload: bytes) -> list[tuple[int, np.ndarray]]:
     Full-canvas compositing: each image descriptor's rect is drawn over
     the running canvas (respecting the transparent index), so every
     returned frame is the complete displayed picture, not the stored
-    delta. Disposal methods: 1 (keep) and 2 (restore background) — the
+    delta. Disposal methods: 1 (keep) and 2 (restore background; with
+    an active transparent index the rect restores to transparent —
+    black on this RGB canvas, matching RGBA renderers flattened) — the
     forms encoders actually emit for training-corpus GIFs; 3 (restore
     previous) raises. Interlaced frames raise (rare outside ancient web
     art; a real deployment uses PIL behind the same dispatch seam).
@@ -1166,11 +1174,19 @@ def decode_gif(payload: bytes) -> list[tuple[int, np.ndarray]]:
             target[:] = patch
         frames.append((delay_ms, canvas.copy()))
         if disposal == 2:  # restore background after presenting
-            # background color index is defined against the GLOBAL
-            # color table (logical screen descriptor), not the frame's
-            # local table
-            bg = gct[bg_index] if gct is not None and bg_index < len(gct) else 0
-            canvas[top : top + h, left : left + w] = bg
+            if transparent is not None:
+                # spec-conformant renderers restore the rect to
+                # TRANSPARENT when a transparent index is active (the
+                # "background" is the page showing through); an RGB
+                # canvas flattens transparent to black — the same
+                # result as PIL's RGBA compositing flattened to RGB
+                canvas[top : top + h, left : left + w] = 0
+            else:
+                # background color index is defined against the GLOBAL
+                # color table (logical screen descriptor), not the
+                # frame's local table
+                bg = gct[bg_index] if gct is not None and bg_index < len(gct) else 0
+                canvas[top : top + h, left : left + w] = bg
         delay_ms, transparent, disposal = 0, None, 0
     if not frames:
         raise ValueError("GIF with no image frames")
@@ -1462,7 +1478,12 @@ def encode_tiff(img: np.ndarray, packbits: bool = False, lzw: bool = False) -> b
     header = 8
     ifd_entries = 8
     ifd_size = 2 + ifd_entries * 12 + 4
-    arrays_off = header + ifd_size
+    # BitsPerSample (258) must have count == SamplesPerPixel (TIFF 6.0);
+    # 3 SHORTs don't fit the 4-byte value field, so they live in an
+    # out-of-line array right after the IFD (6 bytes keeps the following
+    # arrays word-aligned).
+    bps_off = header + ifd_size
+    arrays_off = bps_off + 6
     # strip offsets/counts arrays (LONG each) when more than one strip
     extra = (8 * n_strips) if n_strips > 1 else 0
     data_off = arrays_off + extra
@@ -1480,7 +1501,7 @@ def encode_tiff(img: np.ndarray, packbits: bool = False, lzw: bool = False) -> b
     e = bytearray(struct.pack("<H", ifd_entries))
     e += entry(256, 4, 1, w)
     e += entry(257, 4, 1, h)
-    e += entry(258, 3, 1, 8)  # bits per sample (applies to each)
+    e += entry(258, 3, 3, bps_off)  # bits per sample: (8,8,8) out-of-line
     e += entry(259, 3, 1, 5 if lzw else (32773 if packbits else 1))
     e += entry(262, 3, 1, 2)  # RGB
     e += entry(273, 4, n_strips, offs[0] if n_strips == 1 else arrays_off)
@@ -1491,6 +1512,7 @@ def encode_tiff(img: np.ndarray, packbits: bool = False, lzw: bool = False) -> b
     )
     e += struct.pack("<I", 0)  # next IFD
     out += e
+    out += struct.pack("<3H", 8, 8, 8)  # BitsPerSample array (tag 258)
     if n_strips > 1:
         out += struct.pack(f"<{n_strips}I", *offs)
         out += struct.pack(f"<{n_strips}I", *strip_counts)
@@ -1670,7 +1692,7 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
     channels_out: list[list[int]] = [[] for _ in range(nch0)]
     while pos < len(payload):
         frame_start = pos
-        r = _JpegBits(payload[pos:])
+        r = _JpegBits(payload, pos)  # in place: r.pos is ABSOLUTE
         sync = r.read_bits(14)
         if sync != 0b11111111111110:
             raise ValueError("bad FLAC frame sync")
@@ -1699,7 +1721,7 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
         bps = bps0 if ss_code == 0 else _FLAC_BPS.get(ss_code)
         if bps is None:
             raise ValueError("reserved FLAC sample size code")
-        header_len = r.pos + (1 if r.bit else 0)
+        header_len = (r.pos - frame_start) + (1 if r.bit else 0)
         crc8 = r.read_bits(8)
         if _crc8(payload[frame_start : frame_start + header_len]) != crc8:
             raise ValueError("FLAC frame header CRC mismatch")
@@ -1733,10 +1755,10 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
         # align to byte, verify frame CRC-16
         if r.bit:
             r.pos, r.bit = r.pos + 1, 0
-        crc16 = int.from_bytes(payload[frame_start + r.pos : frame_start + r.pos + 2], "big")
-        if _crc16(payload[frame_start : frame_start + r.pos]) != crc16:
+        crc16 = int.from_bytes(payload[r.pos : r.pos + 2], "big")
+        if _crc16(payload[frame_start : r.pos]) != crc16:
             raise ValueError("FLAC frame CRC-16 mismatch")
-        pos = frame_start + r.pos + 2
+        pos = r.pos + 2
         for c in range(nch0):
             channels_out[c].extend(subs[c])
 
