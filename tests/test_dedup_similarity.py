@@ -175,15 +175,15 @@ def test_ivf_ann_recall_vs_brute_force(spark, sf_small):
 
 def test_lsh_near_dup_recall_vs_exact(spark, sf_small):
     from wing_binlog_go_spark.operators.similarity import (
+        embedding_near_dup_bruteforce,
         embedding_near_dup_lsh,
-        embedding_near_dup_pairs,
     )
 
     emb = read_table(spark, sf_small, "embeddings")
     # lower threshold so the corpus yields pairs to compare
     exact = {
         (r.id_a, r.id_b)
-        for r in embedding_near_dup_pairs(emb, threshold=0.8).collect()
+        for r in embedding_near_dup_bruteforce(emb, threshold=0.8).collect()
     }
     approx = {
         (r.id_a, r.id_b)
@@ -192,6 +192,50 @@ def test_lsh_near_dup_recall_vs_exact(spark, sf_small):
     assert approx <= exact  # LSH can miss, never invent
     if exact:
         assert len(approx) / len(exact) >= 0.5
+
+
+@pytest.mark.parametrize("scale", ["sf0.001", "sf0.01"])
+def test_bucketed_near_dup_pairs_equal_bruteforce(spark, scale):
+    """The default (LSH-bucketed) embedding_near_dup_pairs must return
+    EXACTLY the brute-force pair set at the oracle threshold — this is
+    what keeps q38c oracle-green now that the query key carries the
+    bucketed plan. The fixture corpora are near-orthogonal (max cosine
+    ~0.51, so q38c itself is empty-vs-empty); plant 20 near-copies
+    (cos ≥ 0.999) so the equality claim is exercised on real pairs.
+    """
+    import numpy as np
+
+    from wing_binlog_go_spark.operators.similarity import (
+        embedding_near_dup_bruteforce,
+        embedding_near_dup_pairs,
+    )
+
+    emb = read_table(spark, f"/root/testdata/{scale}", "embeddings")
+    base = emb.select("vec_id", "embedding").limit(20).collect()
+    rng = np.random.RandomState(13)
+    planted = [
+        (
+            100000 + r.vec_id,
+            [
+                float(x) + float(e)
+                for x, e in zip(r.embedding, rng.randn(len(r.embedding)) * 1e-3)
+            ],
+        )
+        for r in base
+    ]
+    full = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(planted, ["vec_id", "embedding"])
+    )
+    exact = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in embedding_near_dup_bruteforce(full, threshold=0.95).collect()
+    }
+    got = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in embedding_near_dup_pairs(full, threshold=0.95).collect()
+    }
+    assert len(exact) >= 20  # every planted copy pairs with its source
+    assert got == exact
 
 
 def test_approx_count_distinct_tolerance(spark, sf_dir):

@@ -210,6 +210,15 @@ def test_round4_query_plan_hygiene(spark, sf_dir):
     assert "CartesianProduct" not in pg and "BroadcastNestedLoopJoin" not in pg
 
 
+def test_embedding_near_dup_is_bucketed(spark, sf_dir):
+    """q38c (round 5): the oracle key itself now routes through LSH
+    bucket candidates + exact verify — its plan must carry an equi-join
+    on (table, bucket) and NEVER a corpus×corpus cross product."""
+    p = plan_of(_Q["q38c_embedding_near_dup"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
 def test_lateral_and_ordered_stat_plan_hygiene(spark, sf_dir):
     # q104: Catalyst must decorrelate the LATERAL subquery to a real
     # join — no per-row re-execution, no cross product

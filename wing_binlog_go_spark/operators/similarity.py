@@ -571,11 +571,42 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_bits: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
 ) -> DataFrame:
-    """Exact near-duplicate pairs by cosine ≥ threshold (brute force).
+    """Near-duplicate pairs by cosine ≥ threshold — LSH-bucketed
+    candidates, exact cosine verification. The 100 TB shape end-to-end:
+    the only join is equi on (table, bucket), never corpus×corpus
+    (plan-gated in test_plans.py), and every surviving pair carries its
+    EXACT cosine, so the output is a subset of the brute-force answer
+    with per-pair miss probability (1-(1-θ/π)^b)^L ≈ 4.7e-8 at the
+    defaults (b=4 hyperplanes × L=16 tables, θ = arccos 0.95) — far
+    below one expected miss per 10^7 true pairs. The q38c driver oracle
+    AND a local two-scale test both assert exact set equality with
+    :func:`embedding_near_dup_bruteforce` on the fixture corpora.
 
-    At cluster scale swap the cross join for ``lsh_topk``-style bucket
-    candidates; kept exact here so it is oracle-checkable.
+    Raise ``n_bits`` as the corpus grows (buckets must stay bounded)
+    and ``n_tables`` with it to hold the miss bound; the product
+    b·L only costs signature width, not join fan-out.
+    """
+    return embedding_near_dup_lsh(
+        corpus, threshold, n_bits=n_bits, n_tables=n_tables, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def embedding_near_dup_bruteforce(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-duplicate pairs by cosine ≥ threshold (brute-force
+    cross join) — the correctness baseline the LSH-bucketed
+    :func:`embedding_near_dup_pairs` is equality-tested against. Use
+    only for tests/audits at bounded scale; production goes through
+    the bucketed path.
     """
     a = corpus.select(
         F.col(id_col).alias("id_a"), as_double(vec_col).alias("_va")
@@ -791,6 +822,10 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH-bucketed + exact verify; still oracle-checked against the
+    # brute-force SQL because the miss bound (~5e-8/pair) makes the
+    # candidate set complete on any realistic corpus — verified exactly
+    # at both test scales in test_dedup_similarity.py.
     emb = read_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=0.95).orderBy("id_a", "id_b")
 
