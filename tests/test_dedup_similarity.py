@@ -538,3 +538,82 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     from wing_binlog_go_spark.operators.dedup import load_minhash_signatures
 
     assert load_minhash_signatures(spark, store).count() == 3  # ids 1, 2, 11
+
+
+def test_incremental_dedup_stats_off_runs_two_actions(spark, tmp_path, monkeypatch):
+    """collect_stats=False (the streaming micro-batch path) must submit
+    exactly TWO driver actions — the appended count (the commit
+    decision) and the store append — and still converge to the same
+    survivors/store as the stats path. Actions are counted directly
+    (AQE fans one action into many Spark jobs, so job ids are not the
+    unit of scheduler overhead we care about)."""
+    import pyspark.sql.readwriter as _RW
+
+    # Spark 4: the concrete DataFrame (whose count/collect actually run)
+    # is pyspark.sql.classic.dataframe.DataFrame, not the abstract base
+    try:
+        import pyspark.sql.classic.dataframe as _D
+    except ImportError:  # pragma: no cover - older pyspark
+        import pyspark.sql.dataframe as _D
+
+    from wing_binlog_go_spark.operators.dedup import (
+        incremental_dedup_apply,
+        load_minhash_signatures,
+    )
+
+    calls = {"count": 0, "collect": 0, "write": 0}
+    orig_count, orig_collect = _D.DataFrame.count, _D.DataFrame.collect
+    orig_parquet = _RW.DataFrameWriter.parquet
+
+    def counted_count(self):
+        calls["count"] += 1
+        return orig_count(self)
+
+    def counted_collect(self):
+        calls["collect"] += 1
+        return orig_collect(self)
+
+    def counted_parquet(self, *a, **kw):
+        calls["write"] += 1
+        return orig_parquet(self, *a, **kw)
+
+    monkeypatch.setattr(_D.DataFrame, "count", counted_count)
+    monkeypatch.setattr(_D.DataFrame, "collect", counted_collect)
+    monkeypatch.setattr(_RW.DataFrameWriter, "parquet", counted_parquet)
+
+    store = str(tmp_path / "sigs")
+    b1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog while the "
+                "patient grey owl watches from a very tall oak tree near "
+                "the quiet river bend at dawn each morning in spring"),
+            (2, "novel sentences about incremental corpus construction today"),
+            (3, "novel sentences about incremental corpus construction today"),
+        ],
+        ["doc_id", "text"],
+    )
+    s1, st1 = incremental_dedup_apply(
+        spark, b1, store, threshold=0.7, collect_stats=False
+    )
+    assert calls == {"count": 1, "collect": 0, "write": 1}, calls
+    assert st1["appended"] == 2
+    assert st1["batch"] is None and st1["dup_in_batch"] is None
+    assert {r.doc_id for r in s1.collect()} == {1, 2}
+    assert load_minhash_signatures(spark, store).count() == 2
+
+    # second batch against existing history: near-copy of doc 1 is
+    # dropped via the store, nothing appends → 1 count + 0 writes
+    calls.update({"count": 0, "collect": 0, "write": 0})
+    b2 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy cat while the "
+              "patient grey owl watches from a very tall oak tree near "
+              "the quiet river bend at dawn each morning in spring")],
+        ["doc_id", "text"],
+    )
+    s2, st2 = incremental_dedup_apply(
+        spark, b2, store, threshold=0.7, collect_stats=False
+    )
+    assert calls == {"count": 1, "collect": 0, "write": 0}, calls
+    assert st2["appended"] == 0
+    assert {r.doc_id for r in s2.collect()} == set()
+    assert load_minhash_signatures(spark, store).count() == 2

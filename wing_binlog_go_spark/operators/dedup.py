@@ -170,6 +170,7 @@ def incremental_dedup_apply(
     shingle_k: int = 3,
     threshold: float = 0.8,
     payload_cols: "list[str] | None" = None,
+    collect_stats: bool = True,
 ) -> "tuple[DataFrame, dict]":
     """Dedupe an ingest increment against the ENTIRE corpus history
     without rescanning it — the daily-crawl workflow: each new batch's
@@ -187,6 +188,14 @@ def incremental_dedup_apply(
 
     Returns ``(survivor_docs, stats)`` where stats counts
     {batch, replayed, dup_vs_history, dup_in_batch, appended}.
+
+    ``collect_stats=False`` is the streaming-cadence path: every stat
+    except ``appended`` (which doubles as the append-or-not commit
+    decision) is skipped and reported as None, the checkpoints turn
+    lazy, and the whole call runs exactly TWO Spark jobs — the appended
+    count and the store append — instead of five-plus count jobs of
+    scheduler overhead per micro-batch (asserted by a job-counting
+    test).
 
     ``payload_cols`` stores those columns of the survivors alongside
     their signatures, making the store itself the deduped corpus (read
@@ -206,18 +215,23 @@ def incremental_dedup_apply(
 
     new_sigs = minhash_signature(
         new_docs, id_col, text_col, num_hashes, shingle_k
-    ).localCheckpoint(eager=True)
-    n_batch = new_sigs.count()
-    stats = {"batch": n_batch, "replayed": 0, "dup_vs_history": 0,
-             "dup_in_batch": 0, "appended": 0}
+    ).localCheckpoint(eager=collect_stats)
+    if collect_stats:
+        n_batch = new_sigs.count()
+        stats = {"batch": n_batch, "replayed": 0, "dup_vs_history": 0,
+                 "dup_in_batch": 0, "appended": 0}
+    else:
+        stats = {"batch": None, "replayed": None, "dup_vs_history": None,
+                 "dup_in_batch": None, "appended": 0}
 
     hist = None
     if os.path.exists(store_dir):
         hist = spark.read.parquet(store_dir)
         fresh = new_sigs.join(
             hist.select(id_col), id_col, "left_anti"
-        ).localCheckpoint(eager=True)
-        stats["replayed"] = n_batch - fresh.count()
+        ).localCheckpoint(eager=collect_stats)
+        if collect_stats:
+            stats["replayed"] = n_batch - fresh.count()
     else:
         fresh = new_sigs
 
@@ -245,14 +259,16 @@ def incremental_dedup_apply(
             .select(id_col)
         )
         dropped = dup_hist
-        stats["dup_vs_history"] = dup_hist.count()
+        if collect_stats:
+            stats["dup_vs_history"] = dup_hist.count()
     # batch-internal near-dups: larger id of each qualifying pair goes
     pairs = minhash_dedup_pairs(
         None, id_col=id_col, num_hashes=num_hashes, bands=bands,
         threshold=threshold, signatures=fresh,
     )
     dup_batch = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-    stats["dup_in_batch"] = dup_batch.count()
+    if collect_stats:
+        stats["dup_in_batch"] = dup_batch.count()
     dropped = dup_batch if dropped is None else dropped.unionByName(dup_batch).distinct()
 
     survivors_sigs = fresh.join(dropped, id_col, "left_anti")

@@ -298,6 +298,10 @@ def dedup_corpus_writer(
             store_dir,
             threshold=threshold,
             payload_cols=["text"],
+            # minutes-cadence stream: stat counts are five extra driver
+            # jobs per micro-batch; the append count (the commit
+            # decision) is the only action this path needs
+            collect_stats=False,
         )
 
     return write
