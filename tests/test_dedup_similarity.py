@@ -468,6 +468,152 @@ def test_semantic_dedup_no_near_dups_keeps_everything(spark, sf_small):
     assert "_cluster" in survivors.columns
 
 
+def test_incremental_semantic_dedup_across_batches(spark, sf_small, tmp_path):
+    """Streaming SemDeDup: batch 2's near-identical copy of a batch-1
+    embedding is dropped via the persisted centroid+vector store
+    WITHOUT rescanning batch 1; same-batch near-copies collapse to the
+    min id; replays are no-ops and the store does not grow."""
+    import json as _json
+
+    import numpy as np
+
+    from wing_binlog_go_spark.operators.similarity import (
+        incremental_semantic_dedup_apply,
+    )
+
+    store = str(tmp_path / "semstore")
+    emb = read_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    b1 = emb.orderBy("vec_id").limit(50)
+    s1, st1 = incremental_semantic_dedup_apply(
+        spark, b1, store, threshold=0.97, n_clusters=4
+    )
+    assert st1 == {"batch": 50, "replayed": 0, "dup_vs_history": 0,
+                   "dup_in_batch": 0, "appended": 50}
+    assert s1.count() == 50
+    # centroids frozen on disk after batch 1
+    with open(f"{store}/centroids.json") as f:
+        cents1 = _json.load(f)["centroids"]
+    assert len(cents1) == 4
+
+    # batch 2: a perturbed near-copy AND a scaled near-copy of batch-1
+    # vectors (both dups vs history — cosine is scale-invariant), plus
+    # one genuinely fresh vector
+    rows = b1.orderBy("vec_id").limit(2).collect()
+    rng = np.random.RandomState(3)
+    v0 = np.asarray(rows[0].embedding, dtype=np.float64)
+    near_hist = v0 + rng.normal(0, 1e-4, v0.shape)
+    fresh_vec = rng.normal(0, 1.0, v0.shape)  # near-orthogonal to all
+    v1 = np.asarray(rows[1].embedding, dtype=np.float64)
+    pair_a = v1 * 2.0 + rng.normal(0, 1e-5, v1.shape)  # scaled: cos ~1 to v1
+    b2 = spark.createDataFrame(
+        [
+            (9001, [float(x) for x in near_hist]),   # dup vs history
+            (9002, [float(x) for x in fresh_vec]),   # survives
+            (9003, [float(x) for x in pair_a]),      # dup vs history (v1)
+        ],
+        ["vec_id", "embedding"],
+    )
+    s2, st2 = incremental_semantic_dedup_apply(
+        spark, b2, store, threshold=0.97, n_clusters=4
+    )
+    assert {r.vec_id for r in s2.collect()} == {9002}
+    assert st2["dup_vs_history"] == 2 and st2["appended"] == 1
+    # centroids unchanged — batch 2 did NOT retrain the quantizer
+    with open(f"{store}/centroids.json") as f:
+        assert _json.load(f)["centroids"] == cents1
+
+    # replay of batch 2: 9002 replays by id, 9001/9003 re-dedupe → no-op
+    s2r, st2r = incremental_semantic_dedup_apply(
+        spark, b2, store, threshold=0.97, n_clusters=4
+    )
+    assert s2r.count() == 0
+    assert st2r["replayed"] == 1 and st2r["appended"] == 0
+    stored = spark.read.parquet(f"{store}/vectors")
+    assert stored.count() == 51
+    assert "_cluster" in stored.columns
+
+
+def test_incremental_semantic_dedup_same_batch_pair_min_id(spark, tmp_path):
+    """Two near-identical vectors arriving in ONE batch collapse to the
+    smaller id even with no history."""
+    import numpy as np
+
+    from wing_binlog_go_spark.operators.similarity import (
+        incremental_semantic_dedup_apply,
+    )
+
+    rng = np.random.RandomState(5)
+    a = rng.normal(0, 1, 16)
+    b = a + rng.normal(0, 1e-5, 16)
+    c = rng.normal(0, 1, 16)
+    batch = spark.createDataFrame(
+        [(1, [float(x) for x in a]), (2, [float(x) for x in b]),
+         (3, [float(x) for x in c])],
+        ["vec_id", "embedding"],
+    )
+    store = str(tmp_path / "s")
+    s, st = incremental_semantic_dedup_apply(
+        spark, batch, store, threshold=0.97, n_clusters=2
+    )
+    assert {r.vec_id for r in s.collect()} == {1, 3}
+    assert st["dup_in_batch"] == 1 and st["appended"] == 2
+
+
+def test_incremental_semantic_dedup_stats_off_two_actions(
+    spark, tmp_path, monkeypatch
+):
+    """collect_stats=False: same 2-driver-action budget as the MinHash
+    incremental path (appended count + store append)."""
+    import numpy as np
+    import pyspark.sql.readwriter as _RW
+
+    try:
+        import pyspark.sql.classic.dataframe as _D
+    except ImportError:  # pragma: no cover - older pyspark
+        import pyspark.sql.dataframe as _D
+
+    from wing_binlog_go_spark.operators.similarity import (
+        incremental_semantic_dedup_apply,
+    )
+
+    store = str(tmp_path / "s")
+    rng = np.random.RandomState(9)
+    batch = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(6)],
+        ["vec_id", "embedding"],
+    )
+    # train + freeze centroids first (first batch pays the one-time
+    # KMeans job; the steady-state budget is what we assert)
+    incremental_semantic_dedup_apply(
+        spark, batch, store, threshold=0.97, n_clusters=2
+    )
+
+    calls = {"count": 0, "collect": 0, "write": 0}
+    orig_count, orig_collect = _D.DataFrame.count, _D.DataFrame.collect
+    orig_parquet = _RW.DataFrameWriter.parquet
+    monkeypatch.setattr(
+        _D.DataFrame, "count",
+        lambda self: (calls.__setitem__("count", calls["count"] + 1), orig_count(self))[1],
+    )
+    monkeypatch.setattr(
+        _D.DataFrame, "collect",
+        lambda self: (calls.__setitem__("collect", calls["collect"] + 1), orig_collect(self))[1],
+    )
+    monkeypatch.setattr(
+        _RW.DataFrameWriter, "parquet",
+        lambda self, *a, **kw: (calls.__setitem__("write", calls["write"] + 1), orig_parquet(self, *a, **kw))[1],
+    )
+    b2 = spark.createDataFrame(
+        [(100, [float(x) for x in rng.normal(0, 1, 16)])],
+        ["vec_id", "embedding"],
+    )
+    s, st = incremental_semantic_dedup_apply(
+        spark, b2, store, threshold=0.97, n_clusters=2, collect_stats=False
+    )
+    assert calls == {"count": 1, "collect": 0, "write": 1}, calls
+    assert st["appended"] == 1 and st["batch"] is None
+
+
 def test_assign_clusters_empty_corpus_fails_loudly(spark):
     from pyspark.sql import types as T
 

@@ -96,31 +96,36 @@ def test_percentile_approx_tolerance(spark, sf_dir):
 
 def test_registry_priority_window_and_no_failed_modules():
     """The driver verifies queries in registration order with a capped
-    window (50/round). Rounds 1-3 covered 123/129 registered queries;
-    round 4 leads with the final six that missed the r03 cap (closing
-    coverage at 129/129), then queries new this round, then one
-    sentinel per graded family, then the OLDEST driver rows (the
-    round-1 relational core, in module order) so evidence keeps
-    refreshing. No operator module may silently fail to import
-    (no-silent-caps)."""
+    window (50/round). Coverage closed at round 4 (every registered
+    query holds a driver CORRECTNESS row); round 5 keeps the evidence
+    fresh: the window leads with the query NEW this round and the one
+    whose implementation changed (q38c → LSH-bucketed), then the 38
+    queries whose latest driver row is round 1 or 2 (the stalest
+    ledger entries), then one sentinel per graded family. No operator
+    module may silently fail to import (no-silent-caps)."""
     from wing_binlog_go_spark import registry
 
     qs = registry.all_queries()
     assert registry.failed_modules == {}
     window = list(qs)[:50]
-    # (a) the final six queries with no CORRECTNESS row in r01-r03 lead
-    never_verified = [
-        "q98_tpch_q8", "q99_tpch_q9", "q100_tpch_q11",
-        "q101_tpch_q20", "q102_tpch_q2", "q39t_heavy_hitters",
+    # (a) new + changed-implementation queries lead
+    assert window[:2] == [
+        "q38h_incremental_semantic_dedup", "q38c_embedding_near_dup",
     ]
-    assert window[:6] == never_verified
-    # (b) queries new this round get their first driver verification
-    assert "q103_tpch_q12" in window
+    # (b) the stalest evidence (latest row r1/r2) is all in-window
+    for stale in (
+        "q28_intersect", "q43_pivot", "q52_tpch_q5", "q54_correlated_subquery",
+        "q30_date_functions", "q37b_simhash_dedup", "q39e_lang_id",
+        "q39o_token_budget",
+    ):
+        assert stale in window, stale
     # (c) at least one sentinel from every north-star family stays in
-    for family in ("q36", "q37", "q38", "q39", "q15b", "q16"):
+    for family in ("q36", "q37", "q38", "q39", "q15b", "q16", "q14"):
         assert any(k.startswith(family) for k in window), family
-    # (d) the rest of the window refills with the oldest (r1) rows
-    assert "q01_parquet_scan" in window
+    # (d) the priority block fills the window exactly — nothing with a
+    # fresh r3/r4 row sneaks in ahead of stale evidence
+    assert len(registry._PRIORITY) == 50
+    assert window == list(registry._PRIORITY)
     # priority list stays consistent with what's actually registered
     assert set(registry._PRIORITY) <= set(qs)
 

@@ -600,3 +600,64 @@ def test_dedup_corpus_route_end_to_end(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert read_dedup_corpus(spark, store).count() == 2
+
+
+def test_semantic_dedup_corpus_route_end_to_end(spark, tmp_path):
+    """Streaming SEMANTIC dedup as a pipeline route: CDC inserts carry
+    embeddings (JSON arrays on the wire); a batch-2 near-identical copy
+    of a batch-1 embedding is dropped against the persisted
+    centroid+vector store, distinct embeddings survive, and a full
+    changelog replay under a fresh checkpoint leaves the corpus
+    unchanged."""
+    import json as _json
+
+    import numpy as np
+
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+    from wing_binlog_go_spark.streaming.sinks import (
+        read_semantic_corpus,
+        semantic_dedup_corpus_writer,
+    )
+
+    rng = np.random.RandomState(21)
+    vecs = {i: rng.normal(0, 1, 16) for i in (1, 2, 3)}
+    vecs[4] = vecs[1] + rng.normal(0, 1e-5, 16)  # near-copy of 1, batch 2
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    for fi, ids in enumerate([(1, 2), (3, 4)]):  # two files → two batches
+        with open(log_dir / f"f{fi}.jsonl", "w") as f:
+            for ev, vid in enumerate(ids):
+                rec = {
+                    "binlog_file": f"mysql-bin.{fi:06d}",
+                    "binlog_pos": 4 + ev * 50, "xid_commit": True,
+                    "database": "ml", "table": "embeddings",
+                    "action": "insert", "row_no": 0, "before": None,
+                    "after": {"id": str(vid),
+                              "embedding": _json.dumps([float(x) for x in vecs[vid]])},
+                    "ddl_query": None,
+                    "ts_header": "2018-04-19T05:21:27.000Z", "gtid": None,
+                }
+                f.write(_json.dumps(rec) + "\n")
+
+    store = str(tmp_path / "semcorpus")
+    route = Route(
+        "semcorpus",
+        semantic_dedup_corpus_writer(
+            store, "ml.embeddings", threshold=0.97, n_clusters=2
+        ),
+    )
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+    corpus = {r.vec_id for r in read_semantic_corpus(spark, store).collect()}
+    assert corpus == {1, 2, 3}  # 4 dropped as near-dup of 1
+
+    # full replay under a fresh checkpoint: ids already committed → no-op
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+    assert read_semantic_corpus(spark, store).count() == 3

@@ -628,31 +628,36 @@ def embedding_near_dup_bruteforce(
     )
 
 
-def assign_clusters(
+def train_centroids(
     corpus: DataFrame,
     n_clusters: int = 16,
     vec_col: str = "embedding",
     seed: int = 42,
-) -> DataFrame:
-    """Nearest-KMeans-centroid assignment as a map-side column.
-
-    K-means centroids (fixed seed, Spark ML over the corpus) are pulled
-    to the driver and broadcast as literals, so assignment is a pure
-    column expression — no shuffle, no UDF. Adds ``_cluster`` (int).
-    Shared by :func:`diversity_sample` and :func:`semantic_dedup`.
-    """
+) -> list[list[float]]:
+    """K-means centroids (fixed seed, Spark ML) as plain driver-side
+    lists — the shared quantizer for :func:`assign_clusters` and the
+    persisted-store incremental path."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    c = corpus.withColumn("_dv", as_double(vec_col))
-    train = c.select(array_to_vector("_dv").alias("features"))
+    train = corpus.select(array_to_vector(as_double(vec_col)).alias("features"))
     if train.isEmpty():
         # KMeans.fit on zero rows dies with an opaque MLlib error; say
         # what actually happened
-        raise ValueError("assign_clusters: corpus is empty, nothing to cluster")
+        raise ValueError("train_centroids: corpus is empty, nothing to cluster")
     km = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
-    cents = [list(map(float, ctr)) for ctr in km.clusterCenters()]
+    return [list(map(float, ctr)) for ctr in km.clusterCenters()]
 
+
+def assign_to_centroids(
+    df: DataFrame, cents: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid assignment as a map-side column expression: the
+    centroids enter the plan as literals, so there is no shuffle and no
+    UDF. Adds ``_cluster`` (int). Assignment is a deterministic function
+    of the vector, so identical vectors always land in the same cluster
+    regardless of which batch they arrive in."""
+    c = df.withColumn("_dv", as_double(vec_col))
     dists = F.array(
         *[
             F.struct(
@@ -673,6 +678,24 @@ def assign_clusters(
     return c.withColumn(
         "_cluster", F.element_at(F.array_sort(dists), 1)["i"]
     ).drop("_dv")
+
+
+def assign_clusters(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Nearest-KMeans-centroid assignment as a map-side column.
+
+    Centroids (fixed seed, Spark ML over the corpus) are pulled to the
+    driver and broadcast as literals, so assignment is a pure column
+    expression — no shuffle, no UDF. Adds ``_cluster`` (int). Shared by
+    :func:`diversity_sample` and :func:`semantic_dedup`.
+    """
+    return assign_to_centroids(
+        corpus, train_centroids(corpus, n_clusters, vec_col, seed), vec_col
+    )
 
 
 def diversity_sample(
@@ -770,6 +793,158 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(dropped, id_col, "left_anti")
+
+
+def incremental_semantic_dedup_apply(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    store_dir: str,
+    threshold: float = 0.97,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    payload_cols: "list[str] | None" = None,
+    seed: int = 42,
+    collect_stats: bool = True,
+) -> "tuple[DataFrame, dict]":
+    """Streaming SemDeDup: dedupe an embedding ingest increment against
+    the ENTIRE corpus history via a persisted centroid + vector store —
+    the embedding-modality sibling of
+    ``operators.dedup.incremental_dedup_apply`` (same store-is-commit
+    contract, same min-id survivor rule, same 2-driver-action budget
+    with ``collect_stats=False``).
+
+    Store layout under ``store_dir``:
+
+    - ``centroids.json`` — k-means centroids trained ONCE on the first
+      batch and frozen (atomic tmp+rename write). Every later batch
+      assigns to these FIXED centroids map-side, so cluster ids mean
+      the same thing across the stream's lifetime; identical vectors
+      always share a cluster no matter which batch carried them.
+    - ``vectors/`` parquet — (id, _v, _n, _cluster, *payload_cols) of
+      every survivor: history is probed by cluster equi-join (never
+      corpus×history cross product), reading only rows in the
+      increment's own clusters once partition-pruned by ``_cluster``.
+
+    Replay-safe by id: incoming rows whose id already exists in the
+    store are no-ops; presence of an id in the store IS the per-row
+    commit, so an at-least-once feed converges and a crash between
+    append and downstream sink re-processes exactly the unlanded rows.
+
+    Drop rule: a fresh doc is dropped iff (a) any history row in its
+    cluster is within ``threshold`` cosine, or (b) a smaller-id doc in
+    the same batch and cluster is within ``threshold``.
+
+    Scale shape: centroid training is one bounded first-batch job;
+    assignment is a literal-expression map stage; both dedup joins are
+    equi on ``_cluster`` (bounded-cardinality shuffle key, AQE-skew
+    safe); the append writes |survivors| rows partitioned by cluster.
+    """
+    import json as _json
+    import os as _os
+
+    cents_path = _os.path.join(store_dir, "centroids.json")
+    vec_dir = _os.path.join(store_dir, "vectors")
+    if _os.path.exists(cents_path):
+        with open(cents_path) as f:
+            cents = _json.load(f)["centroids"]
+    else:
+        cents = train_centroids(new_docs, n_clusters, vec_col, seed)
+        _os.makedirs(store_dir, exist_ok=True)
+        tmp = cents_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"n_clusters": n_clusters, "seed": seed,
+                        "centroids": cents}, f)
+        _os.replace(tmp, cents_path)  # atomic: readers see all or nothing
+
+    new_sigs = (
+        assign_to_centroids(
+            new_docs.select(id_col, vec_col, *(payload_cols or [])),
+            cents,
+            vec_col,
+        )
+        .select(
+            id_col,
+            as_double(vec_col).alias("_v"),
+            "_cluster",
+            *(payload_cols or []),
+        )
+        .withColumn("_n", norm(F.col("_v")))
+        .localCheckpoint(eager=collect_stats)
+    )
+    if collect_stats:
+        n_batch = new_sigs.count()
+        stats = {"batch": n_batch, "replayed": 0, "dup_vs_history": 0,
+                 "dup_in_batch": 0, "appended": 0}
+    else:
+        stats = {"batch": None, "replayed": None, "dup_vs_history": None,
+                 "dup_in_batch": None, "appended": 0}
+
+    hist = None
+    if _os.path.exists(vec_dir):
+        hist = spark.read.parquet(vec_dir)
+        fresh = new_sigs.join(
+            hist.select(id_col), id_col, "left_anti"
+        ).localCheckpoint(eager=collect_stats)
+        if collect_stats:
+            stats["replayed"] = n_batch - fresh.count()
+    else:
+        fresh = new_sigs
+
+    dropped = None
+    if hist is not None:
+        dup_hist = (
+            fresh.alias("a")
+            .join(
+                hist.select(
+                    F.col("_cluster"),
+                    F.col("_v").alias("_vh"),
+                    F.col("_n").alias("_nh"),
+                ).alias("b"),
+                "_cluster",
+            )
+            .filter(
+                dot(F.col("a._v"), F.col("_vh")) / (F.col("a._n") * F.col("_nh"))
+                >= F.lit(threshold)
+            )
+            .select(F.col(f"a.{id_col}").alias(id_col))
+            .distinct()
+        )
+        dropped = dup_hist
+        if collect_stats:
+            stats["dup_vs_history"] = dup_hist.count()
+
+    lhs = fresh.select(
+        F.col(id_col).alias("_id_keep"), "_cluster",
+        F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+    )
+    rhs = fresh.select(
+        F.col(id_col).alias("_id_drop"), "_cluster",
+        F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+    )
+    dup_batch = (
+        lhs.join(rhs, "_cluster")
+        .filter(F.col("_id_keep") < F.col("_id_drop"))
+        .filter(
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("_id_drop").alias(id_col))
+        .distinct()
+    )
+    if collect_stats:
+        stats["dup_in_batch"] = dup_batch.count()
+    dropped = (
+        dup_batch if dropped is None
+        else dropped.unionByName(dup_batch).distinct()
+    )
+
+    survivors_sigs = fresh.join(dropped, id_col, "left_anti")
+    survivors = new_docs.join(survivors_sigs.select(id_col), id_col, "left_semi")
+    stats["appended"] = survivors_sigs.count()
+    if stats["appended"]:
+        survivors_sigs.write.mode("append").partitionBy("_cluster").parquet(vec_dir)
+    return survivors, stats
 
 
 # ---------------------------------------------------------------------------
@@ -888,10 +1063,52 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming semantic dedup exercised as two ingest increments into
+    a fresh store: batch 1 = the low-id half of the corpus (also trains
+    the frozen centroids), batch 2 = the high-id half PLUS exact copies
+    of ten batch-1 vectors under new ids. The copies near-match history
+    (cosine 1.0) and must be dropped; every genuine vector survives
+    (the fixture corpus is near-orthogonal, max cosine ~0.51).
+    Deterministic: fixed k-means seed, no RNG, fresh store per run.
+    Rows-only driver check by design (k-means has no SQL oracle); the
+    planted cross-batch/replay semantics carry their own e2e test."""
+    import shutil
+    import tempfile
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mid = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+    b1 = emb.filter(F.col("vec_id") < mid)
+    copies = (
+        b1.orderBy("vec_id")
+        .limit(10)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    b2 = emb.filter(F.col("vec_id") >= mid).unionByName(copies)
+    store = tempfile.mkdtemp(prefix="semdedup_store_")
+    try:
+        s1, _ = incremental_semantic_dedup_apply(
+            spark, b1, store, threshold=0.97, n_clusters=8
+        )
+        n1 = s1.select("vec_id").localCheckpoint(eager=True)
+        s2, _ = incremental_semantic_dedup_apply(
+            spark, b2, store, threshold=0.97, n_clusters=8
+        )
+        n2 = s2.select("vec_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return (
+        n1.withColumn("batch", F.lit(1))
+        .unionByName(n2.withColumn("batch", F.lit(2)))
+        .orderBy("vec_id")
+    )
+
+
 QUERIES["q38_ann_brute_force"] = QuerySpec(_q_ann_brute, _ANN_ORACLE)
 QUERIES["q38b_ann_lsh"] = QuerySpec(_q_ann_lsh, None)  # recall property-test
 QUERIES["q38c_embedding_near_dup"] = QuerySpec(_q_near_dup, _NEAR_DUP_ORACLE)
 QUERIES["q38d_ann_ivf"] = QuerySpec(_q_ann_ivf, None)  # recall property-test
 QUERIES["q38e_diversity_sample"] = QuerySpec(_q_diversity_sample, None)  # KMeans — no SQL oracle
 QUERIES["q38g_semantic_dedup"] = QuerySpec(_q_semantic_dedup, None)  # KMeans — no SQL oracle; planted-dup test
+QUERIES["q38h_incremental_semantic_dedup"] = QuerySpec(_q_incremental_semantic_dedup, None)  # KMeans + store — no SQL oracle; cross-batch e2e test
 QUERIES["q38f_ann_pq"] = QuerySpec(_q_ann_pq, None)  # recall property-test (codebooks — no SQL oracle)

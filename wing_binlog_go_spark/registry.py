@@ -38,30 +38,60 @@ _OPERATOR_MODULES = (
 #: ``all_queries()`` call.  Tests assert this stays empty.
 failed_modules: dict[str, str] = {}
 
-# First 50 = the driver's verification window.  Round-4 layout: rounds
-# 1-3 earned driver CORRECTNESS rows for 123 of 129 registered queries;
-# the six that missed the round-3 cap (q98-q102, q39t — all locally
-# oracle-green on every pytest run since they landed) lead this round,
-# closing the coverage bar at 129/129.  Next come queries NEW this round
-# (first driver verification), then one sentinel per graded family, then
-# the oldest verifications (the round-1 relational core, which follows
-# automatically in module registration order) so driver evidence is
-# continuously refreshed rather than frozen at its first green row.
+# First 50 = the driver's verification window.  Round-5 layout: all 135
+# r4-era queries hold driver CORRECTNESS rows (coverage closed in r4);
+# this round keeps the evidence FRESH.  The window leads with the one
+# query NEW this round and the one whose implementation changed
+# (q38c now routes through LSH buckets), then re-verifies the 38
+# queries whose most recent driver row is round 1 or round 2 — the
+# stalest evidence in the ledger — and fills the remaining slots with
+# one sentinel per graded family.  Everything displaced (r3/r4-era
+# rows, all locally oracle-checked every pytest run) rotates back in
+# on later rounds.
 _PRIORITY = (
-    # The final six never-driver-verified queries (r03 window cap).
-    "q98_tpch_q8",
-    "q99_tpch_q9",
-    "q100_tpch_q11",
-    "q101_tpch_q20",
-    "q102_tpch_q2",
-    "q39t_heavy_hitters",
     # New this round (first driver verification).
-    "q103_tpch_q12",
-    "q39v_source_cap",
-    "q38g_semantic_dedup",
-    "q39w_span_dedup",
-    "q104_lateral_join",
-    "q105_mode_median",
+    "q38h_incremental_semantic_dedup",
+    # Implementation changed this round (LSH-bucketed candidates).
+    "q38c_embedding_near_dup",
+    # Stalest evidence: latest driver row is ROUND 1.
+    "q28_intersect",
+    "q29_string_functions",
+    "q34_map_functions",
+    "q40_sampling",
+    "q41_except",
+    "q42_in_subquery",
+    "q43_pivot",
+    "q44_stats_agg",
+    "q45_percentiles",
+    "q46_min_max_by",
+    "q47_filtered_agg",
+    "q48_date_trunc",
+    "q49_string_agg",
+    "q50_lateral_explode",
+    "q52_tpch_q5",
+    "q53_window_distribution",
+    "q54_correlated_subquery",
+    # Stalest evidence: latest driver row is ROUND 2.
+    "q30_date_functions",
+    "q31_math_decimal",
+    "q32_conditional",
+    "q33_array_functions",
+    "q35_json_functions",
+    "q37b_simhash_dedup",
+    "q37d_dedup_survivors",
+    "q38e_diversity_sample",
+    "q39_word_count",
+    "q39b_token_stats",
+    "q39c_bpe_token_count",
+    "q39d_quality_score",
+    "q39e_lang_id",
+    "q39f_fingerprint_md5",
+    "q39g_minhash_sketch",
+    "q39j_pii_scan",
+    "q39k_repetition",
+    "q39l_stratified_sample",
+    "q39n_corpus_shuffle",
+    "q39o_token_budget",
     # Family sentinels (guard-enforced): one representative per graded
     # family re-verifies every round against regressions.
     "q37c_ngram_jaccard",
@@ -74,13 +104,9 @@ _PRIORITY = (
     "q14_tpch_q3",
     "q16_tpch_q1",
     "q22_window_ranking",
-    # North-star approximate variants (rows-only check by design).
     "q37_minhash_dedup",
-    "q38b_ann_lsh",
-    "q38d_ann_ivf",
-    "q38f_ann_pq",
-    # The rest of the window refills with the OLDEST driver rows: the
-    # relational core (q01...) follows in module registration order.
+    # The window is exactly these 50; the remainder follows in module
+    # registration order (all holding r3/r4 driver rows).
 )
 
 

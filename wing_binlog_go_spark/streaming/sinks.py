@@ -310,3 +310,72 @@ def dedup_corpus_writer(
 def read_dedup_corpus(spark, store_dir: str) -> DataFrame:
     """The deduped corpus maintained by ``dedup_corpus_writer``."""
     return spark.read.parquet(store_dir).drop("mh")
+
+
+def semantic_dedup_corpus_writer(
+    store_dir: str,
+    table: str,
+    id_field: str = "id",
+    vec_field: str = "embedding",
+    threshold: float = 0.97,
+    n_clusters: int = 16,
+):
+    """Route writer composing the CDC stream with STREAMING SEMANTIC
+    DEDUP (`operators.similarity.incremental_semantic_dedup_apply`):
+    INSERT envelopes of ``table`` carrying an embedding (JSON array in
+    the wire data) become ingest increments, each deduped by embedding
+    near-identity against the persisted centroid + vector store — the
+    embedding-modality sibling of ``dedup_corpus_writer``.
+
+    Centroids are trained once on the first batch and frozen; history
+    is probed by cluster equi-join; presence of an id in the store IS
+    the per-row commit, so at-least-once replays converge. Read the
+    curated corpus back with ``read_semantic_corpus``.
+    """
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.operators.similarity import (
+        incremental_semantic_dedup_apply,
+    )
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        docs = (
+            env.filter(
+                (F.col("event_type") == "insert")
+                & (F.concat_ws(".", "database", "table") == table)
+            )
+            .select(
+                F.element_at("event.data", id_field).cast("long").alias("vec_id"),
+                F.from_json(
+                    F.element_at("event.data", vec_field), "array<double>"
+                ).alias("embedding"),
+            )
+            .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        )
+        if docs.isEmpty():
+            return
+        incremental_semantic_dedup_apply(
+            env.sparkSession,
+            docs,
+            store_dir,
+            threshold=threshold,
+            n_clusters=n_clusters,
+            collect_stats=False,  # same 2-action budget as dedup_corpus_writer
+        )
+
+    return write
+
+
+def read_semantic_corpus(spark, store_dir: str) -> DataFrame:
+    """The deduped embedding corpus maintained by
+    ``semantic_dedup_corpus_writer``: (vec_id, embedding, cluster)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(os.path.join(store_dir, "vectors"))
+        .select(
+            "vec_id",
+            F.col("_v").alias("embedding"),
+            F.col("_cluster").alias("cluster"),
+        )
+    )
