@@ -11,10 +11,19 @@ into a parquet sink, with the PipelineMetrics listener recording
 per-batch durations. Prints ONE JSON line:
 
   {"metric": "cdc_stream_events_per_sec", "value": N, "unit": "events/sec",
-   "events": ..., "wall_sec": ..., "batch_ms_p50": ..., "batch_ms_p95": ...}
+   "events": ..., "wall_sec": ..., "cold_first_batch_ms": ...,
+   "warm_batch_ms_p50": ..., "warm_batch_ms_p95": ..., ...}
 
 and persists it to BENCH_STREAM.json (first run creates the baseline;
-later runs add "vs_baseline", same contract as bench.py).
+later runs add "vs_baseline", same contract as bench.py) plus a
+per-round BENCH_STREAM_r{NN}.json (next free number) so streaming perf
+is trendable round-over-round like the query bench.
+
+Cold/warm split: the FIRST batch pays one-time plan compilation +
+stream start-up and used to dominate p95 (r4: p95 3.9× p50, all
+start-up). It is reported separately as ``cold_first_batch_ms``;
+``warm_*`` percentiles and ``steady_events_per_sec`` cover batches
+2..N only — the steady state a regression would actually move.
 
 ``value`` is end-to-end (includes stream start-up, which amortizes with
 N); ``steady_events_per_sec`` is the median per-batch rate — the number
@@ -158,30 +167,37 @@ def main() -> None:
         rec
         for rec in map(json.loads, open(metrics_path))
         if rec.get("kind") == "batch" and rec.get("input_rows", 0) > 0
-    ]
-    batch_ms = sorted(b["batch_duration_ms"] for b in batches)
-    rates = sorted(
+    ]  # metrics.jsonl is append-ordered → batches[0] is the cold one
+    cold_ms = batches[0]["batch_duration_ms"] if batches else 0.0
+    warm = batches[1:]
+    warm_ms = sorted(b["batch_duration_ms"] for b in warm)
+    warm_rates = sorted(
         b["input_rows"] / (b["batch_duration_ms"] / 1000.0)
-        for b in batches
+        for b in warm
         if b["batch_duration_ms"] > 0
     )
+    all_ms = sorted(b["batch_duration_ms"] for b in batches)
     result = {
         "metric": "cdc_stream_events_per_sec",
         "value": round(n_events / wall, 1),
         "unit": "events/sec",
-        "steady_events_per_sec": round(_pct(rates, 0.50), 1),
+        "steady_events_per_sec": round(_pct(warm_rates, 0.50), 1),
         "events": n_events,
         "files": n_files,
         "wall_sec": round(wall, 3),
-        "batches": len(batch_ms),
-        "batch_ms_p50": _pct(batch_ms, 0.50),
-        "batch_ms_p95": _pct(batch_ms, 0.95),
+        "batches": len(all_ms),
+        # cold/warm split: first batch = plan compilation + start-up
+        "cold_first_batch_ms": cold_ms,
+        "warm_batch_ms_p50": _pct(warm_ms, 0.50),
+        "warm_batch_ms_p95": _pct(warm_ms, 0.95),
+        # whole-run percentiles kept for continuity with r1-r4 artifacts
+        "batch_ms_p50": _pct(all_ms, 0.50),
+        "batch_ms_p95": _pct(all_ms, 0.95),
         # reference-parity metric: TCP subscriber receive rate
         "gateway_events_per_sec": gateway_events_per_sec(),
     }
-    bench_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_STREAM.json"
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    bench_path = os.path.join(here, "BENCH_STREAM.json")
     if not os.path.exists(bench_path):
         with open(bench_path, "w") as f:
             json.dump(result, f, indent=1)
@@ -190,6 +206,12 @@ def main() -> None:
             baseline = json.load(f)
         if baseline.get("events") == result["events"] and baseline.get("value"):
             result["vs_baseline"] = round(result["value"] / baseline["value"], 3)
+    # per-round artifact (next free number), the streaming BENCH_r{N}
+    n_round = 1
+    while os.path.exists(os.path.join(here, f"BENCH_STREAM_r{n_round:02d}.json")):
+        n_round += 1
+    with open(os.path.join(here, f"BENCH_STREAM_r{n_round:02d}.json"), "w") as f:
+        json.dump(result, f, indent=1)
     print(json.dumps(result))
     shutil.rmtree(work, ignore_errors=True)
 

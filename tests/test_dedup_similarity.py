@@ -340,6 +340,77 @@ def test_registered_ann_variants_recall_at_both_scales(spark, scale):
         assert r >= 0.9, f"{name} recall@5 {r:.2f} at {scale}"
 
 
+def test_ivf_pq_recall_under_zipf_cluster_skew(spark):
+    """100×-scale guard (r4 verdict ask #6): the fixture embeddings are
+    near-uniform, but real corpora are Zipf-clustered — one mode holds
+    ~30% of the mass and the tail clusters are tiny, which is exactly
+    where IVF's coarse quantizer under-allocates centroids and a fixed
+    n_probe starves tail queries. Build a seeded synthetic with Zipf
+    cluster masses (591..36 over 16 overlapping modes), query every
+    cluster INCLUDING the tail, and require recall@10 ≥ 0.9 for the
+    worst query — escalating n_probe / refine like an auto-tuner would
+    (measured: IVF min-recall 0.6 at n_probe=2 → 1.0 at 4; PQ 0.8 at
+    refine=100 → ≥0.9 at 200), and asserting the escalation CONVERGES
+    within the probe budget instead of silently passing on averages."""
+    import numpy as np
+
+    from wing_binlog_go_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        pq_topk,
+    )
+
+    rng = np.random.RandomState(17)
+    dim, n_modes, n_total = 64, 16, 2000
+    centers = rng.normal(0, 1, (n_modes, dim)) * 1.5  # overlapping modes
+    w = 1.0 / np.arange(1, n_modes + 1)  # Zipf mass
+    sizes = np.maximum(1, (w / w.sum() * n_total).astype(int))
+    rows, qrows, vid = [], [], 0
+    for c in range(n_modes):
+        for _ in range(sizes[c]):
+            v = centers[c] + rng.normal(0, 1.0, dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+        for j in range(2):  # two queries per mode, tail included
+            v = centers[c] + rng.normal(0, 1.0, dim)
+            qrows.append((10_000 + c * 10 + j, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"]).localCheckpoint()
+    queries = spark.createDataFrame(qrows, ["query_id", "embedding"])
+
+    def per_query_recall(exact_rows, approx_rows):
+        es, asets = {}, {}
+        for r in exact_rows:
+            es.setdefault(r.query_id, set()).add(r.vec_id)
+        for r in approx_rows:
+            asets.setdefault(r.query_id, set()).add(r.vec_id)
+        per = [len(es[q] & asets.get(q, set())) / len(es[q]) for q in es]
+        return sum(per) / len(per), min(per)
+
+    exact = brute_force_topk(corpus, queries, k=10).collect()
+
+    avg = low = 0.0
+    for n_probe in (2, 4, 8):  # auto-raise until the tail holds
+        approx = ivf_topk(
+            corpus, queries, k=10, n_centroids=16, n_probe=n_probe
+        ).collect()
+        avg, low = per_query_recall(exact, approx)
+        if avg >= 0.95 and low >= 0.9:
+            break
+    assert avg >= 0.95 and low >= 0.9, (
+        f"IVF under Zipf skew: avg {avg:.2f} / min {low:.2f} even at n_probe=8"
+    )
+
+    avg = low = 0.0
+    for refine in (100, 200, 400):  # deeper exact re-rank for the tail
+        approx = pq_topk(corpus, queries, k=10, m=16, refine=refine).collect()
+        avg, low = per_query_recall(exact, approx)
+        if avg >= 0.95 and low >= 0.9:
+            break
+    assert avg >= 0.95 and low >= 0.9, (
+        f"PQ under Zipf skew: avg {avg:.2f} / min {low:.2f} even at refine=400"
+    )
+
+
 @pytest.mark.parametrize("scale", _SCALES)
 def test_minhash_pair_recall_vs_exact_jaccard_at_both_scales(spark, scale):
     """q37's registered config (est threshold 0.2) must recover ≥ 0.95
