@@ -1167,3 +1167,147 @@ def test_tiff_lzw_roundtrip_and_raw_streams():
     enc = encode_tiff(img, lzw=True)
     assert np.array_equal(decode_tiff(enc), img)
     assert len(enc) < img.size  # actually compressed
+
+
+# ---------------------------------------------------------------------------
+# WebP lossless (VP8L)
+# ---------------------------------------------------------------------------
+
+
+def test_webp_roundtrip_plain_and_shapes():
+    from wing_binlog_go_spark.multimodal.codecs import decode_webp, encode_webp
+
+    rng = np.random.RandomState(31)
+    for shape in ((1, 1), (1, 17), (17, 1), (2, 3), (13, 9), (33, 2), (48, 64)):
+        img = rng.randint(0, 256, (*shape, 3), dtype=np.uint8)
+        assert np.array_equal(decode_webp(encode_webp(img)), img), shape
+
+
+def test_webp_every_predictor_mode_roundtrips():
+    """All 14 spatial predictors (incl. Select and the two clamped
+    add/subtract forms) must invert exactly, borders included."""
+    from wing_binlog_go_spark.multimodal.codecs import decode_webp, encode_webp
+
+    rng = np.random.RandomState(32)
+    img = rng.randint(0, 256, (11, 7, 3), dtype=np.uint8)
+    grad = _gradient_img(w=19, h=9)
+    for mode in range(14):
+        for im in (img, grad):
+            got = decode_webp(encode_webp(im, predictor=mode))
+            assert np.array_equal(got, im), f"predictor {mode}"
+
+
+def test_webp_transform_compositions_roundtrip():
+    from wing_binlog_go_spark.multimodal.codecs import decode_webp, encode_webp
+
+    rng = np.random.RandomState(33)
+    img = rng.randint(0, 256, (13, 9, 3), dtype=np.uint8)
+    for kw in (
+        {"subtract_green": True},
+        {"color_transform": (12, 250, 7)},
+        {"subtract_green": True, "predictor": 11},
+        {"subtract_green": True, "color_transform": (3, 4, 5), "predictor": 12},
+        {"cache_bits": 4},
+        {"meta_groups": True},
+        {"meta_groups": True, "subtract_green": True, "predictor": 7,
+         "cache_bits": 5, "rle": True},
+    ):
+        got = decode_webp(encode_webp(img, **kw))
+        assert np.array_equal(got, img), kw
+
+
+def test_webp_palette_all_bundle_widths():
+    """Color indexing at every packing width: 8 px/byte (≤2 colors),
+    4 px (≤4), 2 px (≤16) and unbundled (>16), on odd widths where the
+    last packed byte is partial."""
+    from wing_binlog_go_spark.multimodal.codecs import decode_webp, encode_webp
+
+    rng = np.random.RandomState(34)
+    for ncol in (2, 3, 4, 9, 16, 17, 200):
+        pal = rng.randint(0, 256, (ncol, 3), dtype=np.uint8)
+        img = pal[rng.randint(0, ncol, (11, 7))]
+        got = decode_webp(encode_webp(img, palette=True))
+        assert np.array_equal(got, img), ncol
+
+
+def test_webp_rle_and_cache_actually_compress():
+    from wing_binlog_go_spark.multimodal.codecs import decode_webp, encode_webp
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    img[:16] = (10, 20, 30)
+    img[16:] = (200, 100, 50)
+    plain = encode_webp(img)
+    rle = encode_webp(img, rle=True)
+    assert np.array_equal(decode_webp(rle), img)
+    assert len(rle) < len(plain) / 4  # constant runs collapse to copies
+
+    rng = np.random.RandomState(35)
+    pal = rng.randint(0, 256, (8, 3), dtype=np.uint8)
+    repetitive = pal[rng.randint(0, 8, (24, 24))]
+    cached = encode_webp(repetitive, cache_bits=6)
+    assert np.array_equal(decode_webp(cached), repetitive)
+    assert len(cached) < len(encode_webp(repetitive))
+
+
+def test_webp_rejects_bad_containers_and_lossy():
+    import struct as _struct
+
+    from wing_binlog_go_spark.multimodal.codecs import decode_webp, encode_webp
+
+    with pytest.raises(ValueError):
+        decode_webp(b"RIFF\x00\x00\x00\x00WAVE")  # wrong form type
+    with pytest.raises(ValueError):
+        decode_webp(b"not a webp at all")
+    good = encode_webp(_gradient_img(w=8, h=8))
+    with pytest.raises(ValueError):
+        decode_webp(good[:20])  # truncated chunk
+    # lossy VP8 chunk → PIL seam, loudly
+    lossy = (
+        b"RIFF" + _struct.pack("<I", 16) + b"WEBP"
+        + b"VP8 " + _struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_webp(lossy)
+
+
+def test_webp_corruption_never_hangs_or_crashes_interpreter():
+    """Random single-bit corruptions of a valid VP8L stream must
+    terminate with a clean ValueError or a (garbled) image — never an
+    unbounded loop or another exception type."""
+    from wing_binlog_go_spark.multimodal.codecs import decode_webp, encode_webp
+
+    base = bytearray(encode_webp(_gradient_img(w=16, h=12), subtract_green=True))
+    rng = np.random.RandomState(36)
+    for _ in range(40):
+        bad = bytearray(base)
+        pos = rng.randint(12, len(bad))
+        bad[pos] ^= 1 << rng.randint(0, 8)
+        try:
+            im = decode_webp(bytes(bad))
+            assert im.ndim == 3 and im.shape[2] == 3
+        except (ValueError, NotImplementedError):
+            pass  # clean rejection is fine
+
+
+def test_webp_real_lossy_file_raises_toward_pil_seam():
+    """The stdlib test corpus ships a real lossy WebP (VP8X + ALPH +
+    VP8 chunks); the decoder must walk the extended container and raise
+    the documented NotImplementedError, not crash."""
+    import glob
+    import os
+
+    candidates = glob.glob(
+        "/root/.pyenv/versions/*/lib/python*/test/**/python.webp", recursive=True
+    )
+    if not candidates:
+        pytest.skip("no real webp in environment")
+    payload = open(candidates[0], "rb").read()
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_image(payload)
+
+
+def test_decode_image_dispatches_webp():
+    from wing_binlog_go_spark.multimodal.codecs import encode_webp
+
+    img = _gradient_img(w=10, h=6)
+    assert np.array_equal(decode_image(encode_webp(img)), img)

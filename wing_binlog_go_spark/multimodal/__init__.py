@@ -16,16 +16,17 @@ plumbing matters more than any single codec:
 Codecs: all three modalities decode for REAL via the pure-Python
 ``codecs`` module — images (BMP 24/32-bit; PNG 8-bit, all five color
 types, Adam7 interlace included, DEFLATE via stdlib zlib; JPEG baseline
-AND progressive; GIF stills; TIFF uncompressed/PackBits/LZW), audio
-(WAV 8/16-bit PCM; FLAC per RFC 9639) and video (animated GIF: LZW +
-frame compositing). ``decode_image`` / ``decode_audio`` /
-``decode_video`` dispatch on the payload's magic bytes and return
-actual pixel/sample/frame arrays, with a classic DCT perceptual hash
-over real pixels. Formats still needing codec libraries this
-environment lacks (WebP-lossy/MP3/MP4) raise NotImplementedError at
-the dispatch point, and ``fake_decode_image`` remains the
-deterministic stand-in for format-agnostic plumbing tests. A real
-deployment drops PIL/ffmpeg in behind the same seam.
+AND progressive; GIF stills; TIFF uncompressed/PackBits/LZW; lossless
+WebP/VP8L with all four transforms, color cache, LZ77 and meta prefix
+codes), audio (WAV 8/16-bit PCM; FLAC per RFC 9639) and video
+(animated GIF: LZW + frame compositing). ``decode_image`` /
+``decode_audio`` / ``decode_video`` dispatch on the payload's magic
+bytes and return actual pixel/sample/frame arrays, with a classic DCT
+perceptual hash over real pixels. Formats still needing codec
+libraries this environment lacks (WebP-lossy/MP3/MP4) raise
+NotImplementedError at the dispatch point, and ``fake_decode_image``
+remains the deterministic stand-in for format-agnostic plumbing tests.
+A real deployment drops PIL/ffmpeg in behind the same seam.
 """
 
 from __future__ import annotations
@@ -68,11 +69,10 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 def decode_image(payload: bytes) -> "object":
     """Decode an image payload → H×W×3 uint8 RGB ndarray.
 
-    Dispatches on magic bytes: BMP, PNG and JPEG (baseline +
-    progressive) decode natively (pure Python + numpy + stdlib zlib,
-    ``codecs.decode_bmp``/``decode_png``/``decode_jpeg``); formats
-    beyond those (WebP/TIFF) would go through PIL, which is not
-    available here."""
+    Dispatches on magic bytes: BMP, PNG (incl. Adam7), JPEG (baseline +
+    progressive), GIF stills, TIFF and lossless WebP (VP8L) decode
+    natively (pure Python + numpy + stdlib zlib); lossy WebP (VP8)
+    would go through PIL/ffmpeg, which are not available here."""
     from wing_binlog_go_spark.multimodal import codecs
 
     if payload[:2] == b"BM":
@@ -85,10 +85,12 @@ def decode_image(payload: bytes) -> "object":
         return codecs.decode_gif(payload)[0][1]
     if payload[:2] in (b"II", b"MM"):
         return codecs.decode_tiff(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return codecs.decode_webp(payload)  # VP8L; lossy raises inside
     raise NotImplementedError(
-        "only BMP, PNG, JPEG (baseline+progressive), GIF and TIFF have "
-        "built-in decoders; WebP/... need PIL, which is not installed "
-        "in this environment"
+        "only BMP, PNG, JPEG (baseline+progressive), GIF, TIFF and "
+        "lossless WebP have built-in decoders; other formats need PIL, "
+        "which is not installed in this environment"
     )
 
 

@@ -1999,3 +1999,920 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
         b"data", len(data),
     )
     return hdr + data
+
+
+# ---------------------------------------------------------------------------
+# WebP lossless (VP8L) — WebP Lossless Bitstream Specification / RFC 9649
+# ---------------------------------------------------------------------------
+#
+# Pure-Python decoder for the full VP8L feature set (all four transforms,
+# meta prefix codes, color cache, LZ77 backward references) plus a fixture
+# encoder that writes literal/RLE/cache-coded streams with optional
+# subtract-green, predictor and palette transforms — enough to round-trip
+# arbitrary RGB content and exercise every inverse-transform path in the
+# decoder. Lossy WebP (VP8 chunks) needs a full VP8 video decoder and goes
+# to the PIL/ffmpeg seam like the other out-of-scope formats.
+
+
+class _LsbBits:
+    """LSB-first bit reader (DEFLATE-style packing, as VP8L uses)."""
+
+    def __init__(self, data: bytes, start: int = 0):
+        self.d, self.pos, self.bit = data, start, 0
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            if self.pos >= len(self.d):
+                raise ValueError("truncated VP8L bitstream")
+            v |= ((self.d[self.pos] >> self.bit) & 1) << i
+            self.bit += 1
+            if self.bit == 8:
+                self.bit, self.pos = 0, self.pos + 1
+        return v
+
+
+class _LsbBitWriter:
+    """LSB-first bit writer (mirror of :class:`_LsbBits`)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write_bits(self, value: int, n: int):
+        for i in range(n):
+            self.acc |= ((value >> i) & 1) << self.n
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc, self.n = 0, 0
+
+    def bytes(self) -> bytes:
+        if self.n:
+            return bytes(self.out + bytearray([self.acc]))
+        return bytes(self.out)
+
+
+# Order in which code-length-code lengths are transmitted (spec §5.2.2).
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+# Distance-map codes 1..120 → 2D offsets: all (x, y) with y in 0..7,
+# x in -7..8 (y=0 restricted to x≥1), sorted by euclidean distance with
+# ties broken larger-y-first, then smaller |x|, positive x before
+# negative — this reproduces the literal table in spec §4.2.2.
+_VP8L_DIST_MAP = sorted(
+    [(x, y) for y in range(8) for x in range(-7, 9) if y > 0 or x > 0],
+    key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], abs(p[0]), 0 if p[0] > 0 else 1),
+)
+assert len(_VP8L_DIST_MAP) == 120
+
+
+def _vp8l_canonical_table(lengths: dict) -> tuple:
+    """Code lengths → decoder: ('trivial', sym) for single-symbol codes
+    (0 bits consumed), else ('table', {(len, code): sym}) with DEFLATE
+    canonical assignment (codes walked MSB-first)."""
+    used = sorted((s for s, l in lengths.items() if l > 0))
+    if not used:
+        raise ValueError("VP8L prefix code with no symbols")
+    if len(used) == 1:
+        return ("trivial", used[0])
+    max_len = max(lengths[s] for s in used)
+    bl_count = [0] * (max_len + 1)
+    for s in used:
+        bl_count[lengths[s]] += 1
+    code = 0
+    next_code = [0] * (max_len + 1)
+    for ln in range(1, max_len + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    table = {}
+    for s in used:  # symbol order = canonical order
+        ln = lengths[s]
+        table[(ln, next_code[ln])] = s
+        next_code[ln] += 1
+        if next_code[ln] > (1 << ln):
+            raise ValueError("oversubscribed VP8L prefix code")
+    return ("table", table)
+
+
+def _vp8l_read_sym(r: _LsbBits, code: tuple) -> int:
+    if code[0] == "trivial":
+        return code[1]
+    table = code[1]
+    c = ln = 0
+    while ln < 15:
+        c = (c << 1) | r.read_bits(1)
+        ln += 1
+        s = table.get((ln, c))
+        if s is not None:
+            return s
+    raise ValueError("invalid VP8L prefix code")
+
+
+def _vp8l_read_code_lengths(r: _LsbBits, cl_code: tuple, num_symbols: int) -> dict:
+    """Spec §5.2.2 ReadHuffmanCodeLengths: code lengths for an alphabet,
+    themselves prefix-coded with 16/17/18 repeat forms and an optional
+    max_symbol read cap."""
+    if r.read_bits(1):  # use a length cap
+        length_nbits = 2 + 2 * r.read_bits(3)
+        max_symbol = 2 + r.read_bits(length_nbits)
+    else:
+        max_symbol = num_symbols
+    lengths = {}
+    symbol, prev_len = 0, 8
+    while symbol < num_symbols:
+        if max_symbol == 0:
+            break  # remaining lengths are zero
+        max_symbol -= 1
+        cl = _vp8l_read_sym(r, cl_code)
+        if cl < 16:
+            lengths[symbol] = cl
+            symbol += 1
+            if cl:
+                prev_len = cl
+        elif cl == 16:
+            rep, val = 3 + r.read_bits(2), prev_len
+            for _ in range(rep):
+                if symbol >= num_symbols:
+                    raise ValueError("VP8L code-length repeat overflow")
+                lengths[symbol] = val
+                symbol += 1
+        elif cl == 17:
+            symbol += 3 + r.read_bits(3)
+        else:  # 18
+            symbol += 11 + r.read_bits(7)
+        if symbol > num_symbols:
+            raise ValueError("VP8L code-length repeat overflow")
+    return {s: l for s, l in lengths.items() if l}
+
+
+def _vp8l_read_code(r: _LsbBits, alphabet_size: int) -> tuple:
+    """Spec §5.2.1/§5.2.2: one prefix code, simple or normal form."""
+    if r.read_bits(1):  # simple
+        num_symbols = r.read_bits(1) + 1
+        if r.read_bits(1):  # first symbol is 8 bits
+            first = r.read_bits(8)
+        else:
+            first = r.read_bits(1)
+        if num_symbols == 1:
+            return ("trivial", first)
+        second = r.read_bits(8)
+        if first == second:
+            raise ValueError("VP8L simple code with duplicate symbols")
+        # simple 2-symbol codes honor TRANSMISSION order (code 0 = first
+        # transmitted symbol), not canonical symbol order
+        return ("table", {(1, 0): first, (1, 1): second})
+    num_cl = 4 + r.read_bits(4)
+    cl_lengths = {}
+    for i in range(num_cl):
+        ln = r.read_bits(3)
+        if ln:
+            cl_lengths[_VP8L_CL_ORDER[i]] = ln
+    cl_code = _vp8l_canonical_table(cl_lengths)
+    lengths = _vp8l_read_code_lengths(r, cl_code, alphabet_size)
+    return _vp8l_canonical_table(lengths)
+
+
+def _vp8l_prefix_val(r: _LsbBits, code: int) -> int:
+    """LZ77 length/distance prefix decoding (spec §4.2.2)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + r.read_bits(extra) + 1
+
+
+def _vp8l_distance(dval: int, width: int) -> int:
+    if dval > 120:
+        return dval - 120
+    x, y = _VP8L_DIST_MAP[dval - 1]
+    return max(1, y * width + x)
+
+
+def _vp8l_read_image(r: _LsbBits, w: int, h: int, allow_meta: bool) -> np.ndarray:
+    """One entropy-coded VP8L image → flat uint32 ARGB array (h*w).
+
+    Handles the color cache, LZ77 backward references, and (for the
+    main spatially-coded image only) the meta prefix-code image."""
+    cache_bits = r.read_bits(4) if r.read_bits(1) else 0
+    if cache_bits > 11:
+        raise ValueError("VP8L color cache too large")
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+
+    group_idx = None
+    hbits = 0
+    n_groups = 1
+    if allow_meta and r.read_bits(1):
+        hbits = r.read_bits(3) + 2
+        hw = (w + (1 << hbits) - 1) >> hbits
+        hh = (h + (1 << hbits) - 1) >> hbits
+        himg = _vp8l_read_image(r, hw, hh, False)
+        group_idx = (((himg >> 16) & 0xFF) << 8) | ((himg >> 8) & 0xFF)
+        n_groups = int(group_idx.max()) + 1
+
+    green_alpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    codes = [
+        (
+            _vp8l_read_code(r, green_alpha),
+            _vp8l_read_code(r, 256),
+            _vp8l_read_code(r, 256),
+            _vp8l_read_code(r, 256),
+            _vp8l_read_code(r, 40),
+        )
+        for _ in range(n_groups)
+    ]
+
+    out = np.zeros(w * h, dtype=np.uint32)
+    pos = 0
+    n = w * h
+    mask = (1 << cache_bits) - 1 if cache_bits else 0
+    hw = (w + (1 << hbits) - 1) >> hbits if group_idx is not None else 0
+    while pos < n:
+        if group_idx is not None:
+            g = int(group_idx[((pos // w) >> hbits) * hw + ((pos % w) >> hbits)])
+            if g >= n_groups:
+                raise ValueError("VP8L meta group out of range")
+        else:
+            g = 0
+        gcode, rcode, bcode, acode, dcode = codes[g]
+        s = _vp8l_read_sym(r, gcode)
+        if s < 256:
+            red = _vp8l_read_sym(r, rcode)
+            blue = _vp8l_read_sym(r, bcode)
+            alpha = _vp8l_read_sym(r, acode)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            pos += 1
+            if cache_bits:
+                cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+        elif s < 280:
+            length = _vp8l_prefix_val(r, s - 256)
+            dval = _vp8l_prefix_val(r, _vp8l_read_sym(r, dcode))
+            dist = _vp8l_distance(dval, w)
+            if dist > pos or pos + length > n:
+                raise ValueError("VP8L backward reference out of range")
+            for _ in range(length):
+                px = int(out[pos - dist])
+                out[pos] = px
+                pos += 1
+                if cache_bits:
+                    cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+        else:
+            idx = s - 280
+            if not cache_bits or idx > mask:
+                raise ValueError("VP8L cache reference without cache")
+            out[pos] = cache[idx]
+            pos += 1
+    return out
+
+
+def _s8(v: np.ndarray) -> np.ndarray:
+    """uint8 channel → signed int8 semantics (two's complement), int32."""
+    return ((v & 0xFF) ^ 0x80).astype(np.int64) - 0x80
+
+
+def _vp8l_inv_subtract_green(img: np.ndarray) -> np.ndarray:
+    g = (img >> 8) & 0xFF
+    red = ((img >> 16) + g) & 0xFF
+    blue = (img + g) & 0xFF
+    return (img & 0xFF00FF00) | (red << 16) | blue
+
+
+def _vp8l_inv_color_transform(img2d: np.ndarray, bits: int, timg: np.ndarray) -> np.ndarray:
+    h, w = img2d.shape
+    tw = (w + (1 << bits) - 1) >> bits
+    t2d = timg.reshape(-1, tw)
+    # expand the per-block transform elements to per-pixel maps
+    rows = np.arange(h) >> bits
+    cols = np.arange(w) >> bits
+    cte = t2d[np.ix_(rows, cols)]
+    g2r = _s8(cte)          # stored in the blue channel
+    g2b = _s8(cte >> 8)     # stored in the green channel
+    r2b = _s8(cte >> 16)    # stored in the red channel
+    green = _s8(img2d >> 8)
+    red = (img2d >> 16) & 0xFF
+    blue = img2d & 0xFF
+    new_red = (red + ((g2r * green) >> 5)) & 0xFF
+    new_blue = (blue + ((g2b * green) >> 5) + ((r2b * _s8(new_red)) >> 5)) & 0xFF
+    return (img2d & 0xFF00FF00) | (new_red.astype(np.uint32) << 16) | new_blue.astype(np.uint32)
+
+
+def _avg2(a: int, b: int) -> int:
+    return (
+        ((((a >> 24) & 0xFF) + ((b >> 24) & 0xFF)) >> 1) << 24
+        | ((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) >> 1) << 16
+        | ((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) >> 1) << 8
+        | ((((a) & 0xFF) + ((b) & 0xFF)) >> 1)
+    )
+
+
+def _vp8l_predict(mode: int, L: int, T: int, TL: int, TR: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:  # Select
+        diff = 0
+        for sh in (24, 16, 8, 0):
+            lc, tc, tlc = (L >> sh) & 0xFF, (T >> sh) & 0xFF, (TL >> sh) & 0xFF
+            diff += abs(lc - tlc) - abs(tc - tlc)
+        return T if diff <= 0 else L
+    if mode == 12:  # ClampAddSubtractFull
+        px = 0
+        for sh in (24, 16, 8, 0):
+            c = ((L >> sh) & 0xFF) + ((T >> sh) & 0xFF) - ((TL >> sh) & 0xFF)
+            px |= min(255, max(0, c)) << sh
+        return px
+    if mode == 13:  # ClampAddSubtractHalf
+        ave = _avg2(L, T)
+        px = 0
+        for sh in (24, 16, 8, 0):
+            a = (ave >> sh) & 0xFF
+            b = (TL >> sh) & 0xFF
+            d = a - b
+            half = d // 2 if d >= 0 else -((-d) // 2)  # C trunc-toward-zero
+            px |= min(255, max(0, a + half)) << sh
+        return px
+    raise ValueError(f"bad VP8L predictor mode {mode}")
+
+
+def _vp8l_inv_predictor(img2d: np.ndarray, bits: int, timg: np.ndarray) -> np.ndarray:
+    h, w = img2d.shape
+    tw = (w + (1 << bits) - 1) >> bits
+    modes = ((timg.reshape(-1, tw) >> 8) & 0xFF).astype(np.int64)
+    flat = img2d.reshape(-1).astype(np.uint32).tolist()  # python ints: fast loop
+    n = w * h
+    for pos in range(n):
+        y, x = divmod(pos, w)
+        if pos == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = flat[pos - 1]  # first row: Left
+        elif x == 0:
+            pred = flat[pos - w]  # first column: Top
+        else:
+            # flat aliasing: TR of the last column = first pixel of the
+            # SAME row (already decoded), exactly as libwebp addresses it
+            pred = _vp8l_predict(
+                int(modes[y >> bits, x >> bits]),
+                flat[pos - 1], flat[pos - w], flat[pos - w - 1], flat[pos - w + 1],
+            )
+        cur = flat[pos]
+        flat[pos] = (
+            ((((cur >> 24) + (pred >> 24)) & 0xFF) << 24)
+            | ((((cur >> 16) + (pred >> 16)) & 0xFF) << 16)
+            | ((((cur >> 8) + (pred >> 8)) & 0xFF) << 8)
+            | (((cur + pred) & 0xFF))
+        )
+    return np.array(flat, dtype=np.uint32).reshape(h, w)
+
+
+def _vp8l_inv_color_index(img2d: np.ndarray, width_bits: int,
+                          palette: np.ndarray, full_w: int) -> np.ndarray:
+    h = img2d.shape[0]
+    psize = len(palette)
+    if width_bits:
+        bpp = 8 >> width_bits          # bits per index
+        ppp = 1 << width_bits          # packed pixels per green byte
+        xs = np.arange(full_w)
+        packed = img2d[:, xs >> width_bits]
+        green = (packed >> 8) & 0xFF
+        idx = (green >> ((xs & (ppp - 1)) * bpp)) & ((1 << bpp) - 1)
+    else:
+        idx = (img2d >> 8) & 0xFF
+    out = np.zeros((h, idx.shape[1]), dtype=np.uint32)
+    valid = idx < psize  # out-of-range palette index → transparent black
+    out[valid] = palette[idx[valid].astype(np.int64)]
+    return out
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """Decode a lossless WebP (VP8L) → H×W×3 uint8 RGB.
+
+    RIFF walk accepts both plain ('VP8L' at top level) and extended
+    ('VP8X' header) containers. Full VP8L inverse pipeline: color
+    indexing (incl. sub-byte bundling), subtract-green, color transform
+    and all 14 spatial predictors, with color-cache and LZ77-coded
+    entropy images and meta prefix-code groups. Lossy 'VP8 ' payloads
+    need a VP8 video decoder and raise toward the PIL/ffmpeg seam.
+    """
+    if len(payload) < 16 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP file")
+    pos, vp8l = 12, None
+    saw_lossy = False
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WebP chunk")
+        if fourcc == b"VP8L":
+            vp8l = body
+            break
+        if fourcc == b"VP8 ":
+            saw_lossy = True
+        pos += 8 + size + (size & 1)
+    if vp8l is None:
+        if saw_lossy:
+            raise NotImplementedError(
+                "lossy WebP (VP8) needs a video codec; use PIL/ffmpeg "
+                "behind the dispatch seam"
+            )
+        raise ValueError("WebP container without VP8L chunk")
+
+    if not vp8l or vp8l[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    r = _LsbBits(vp8l, 1)
+    w = r.read_bits(14) + 1
+    h = r.read_bits(14) + 1
+    r.read_bits(1)  # alpha hint
+    if r.read_bits(3) != 0:
+        raise ValueError("unsupported VP8L version")
+
+    transforms = []
+    seen = set()
+    cur_w = w
+    while r.read_bits(1):
+        t = r.read_bits(2)
+        if t in seen:
+            raise ValueError("duplicate VP8L transform")
+        seen.add(t)
+        if t in (0, 1):  # predictor / color transform
+            bits = r.read_bits(3) + 2
+            tw = (cur_w + (1 << bits) - 1) >> bits
+            th = (h + (1 << bits) - 1) >> bits
+            timg = _vp8l_read_image(r, tw, th, False)
+            transforms.append((t, bits, timg, cur_w))
+        elif t == 2:  # subtract green
+            transforms.append((2, None, None, cur_w))
+        else:  # color indexing
+            psize = r.read_bits(8) + 1
+            raw = _vp8l_read_image(r, psize, 1, False)
+            # palette entries are delta-coded per channel
+            pal = np.zeros(psize, dtype=np.uint32)
+            prev = 0
+            for i in range(psize):
+                cur = int(raw[i])
+                px = 0
+                for sh in (24, 16, 8, 0):
+                    px |= ((((cur >> sh) + (prev >> sh)) & 0xFF) << sh)
+                pal[i] = px
+                prev = px
+            width_bits = 3 if psize <= 2 else 2 if psize <= 4 else 1 if psize <= 16 else 0
+            transforms.append((3, width_bits, pal, cur_w))
+            if width_bits:
+                cur_w = (cur_w + (1 << width_bits) - 1) >> width_bits
+
+    img = _vp8l_read_image(r, cur_w, h, True).reshape(h, cur_w)
+    for t, arg, data, t_w in reversed(transforms):
+        if t == 0:
+            img = _vp8l_inv_predictor(img, arg, data)
+        elif t == 1:
+            img = _vp8l_inv_color_transform(img, arg, data)
+        elif t == 2:
+            img = _vp8l_inv_subtract_green(img)
+        else:
+            img = _vp8l_inv_color_index(img, arg, data, t_w)
+
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    out[..., 0] = (img >> 16) & 0xFF
+    out[..., 1] = (img >> 8) & 0xFF
+    out[..., 2] = img & 0xFF
+    return out
+
+
+def _vp8l_huff_lengths(freqs, max_len: int = 15) -> dict:
+    """Length-limited Huffman code lengths by package-merge (optimal,
+    deterministic). ``freqs`` is an indexable of per-symbol counts;
+    returns {symbol: length} for used symbols only."""
+    syms = [s for s, f in enumerate(freqs) if f > 0]
+    n = len(syms)
+    if n == 0:
+        return {}
+    if n == 1:
+        return {syms[0]: 1}
+    if n > (1 << max_len):
+        raise ValueError("alphabet larger than prefix-code capacity")
+    orig = sorted((int(freqs[s]), (s,)) for s in syms)
+    lst = list(orig)
+    for _ in range(max_len - 1):
+        pkgs = [
+            (lst[i][0] + lst[i + 1][0], lst[i][1] + lst[i + 1][1])
+            for i in range(0, len(lst) - 1, 2)
+        ]
+        lst = sorted(orig + pkgs)
+    lengths = {s: 0 for s in syms}
+    for _, ss in lst[: 2 * n - 2]:
+        for s in ss:
+            lengths[s] += 1
+    return lengths
+
+
+def _vp8l_canonical_codes(lengths: dict) -> dict:
+    """{symbol: length} → {symbol: (length, code)} with the same DEFLATE
+    canonical assignment the decoder's table builder uses. A trivial
+    single-symbol code maps to (0, 0): zero bits on the wire."""
+    used = sorted(s for s, l in lengths.items() if l > 0)
+    if not used:
+        return {}
+    if len(used) == 1:
+        return {used[0]: (0, 0)}
+    max_len = max(lengths[s] for s in used)
+    bl_count = [0] * (max_len + 1)
+    for s in used:
+        bl_count[lengths[s]] += 1
+    code = 0
+    next_code = [0] * (max_len + 1)
+    for ln in range(1, max_len + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    out = {}
+    for s in used:
+        ln = lengths[s]
+        out[s] = (ln, next_code[ln])
+        next_code[ln] += 1
+    return out
+
+
+def _vp8l_write_sym(bw: _LsbBitWriter, codes: dict, sym: int) -> None:
+    ln, code = codes[sym]
+    for i in range(ln - 1, -1, -1):  # prefix codes go MSB-first
+        bw.write_bits((code >> i) & 1, 1)
+
+
+def _vp8l_write_code(bw: _LsbBitWriter, freqs, alphabet: int) -> dict:
+    """Write one prefix code (simple form when it fits, else the normal
+    code-length-coded form) and return the symbol→(len,code) writer map."""
+    lengths = _vp8l_huff_lengths(freqs)
+    used = sorted(lengths)
+    if not used:  # code never consulted: cheapest legal placeholder
+        bw.write_bits(1, 1)  # simple
+        bw.write_bits(0, 1)  # one symbol
+        bw.write_bits(0, 1)  # 1-bit symbol
+        bw.write_bits(0, 1)  # symbol 0
+        return {0: (0, 0)}
+    if len(used) <= 2 and used[-1] <= 255:
+        bw.write_bits(1, 1)  # simple
+        bw.write_bits(len(used) - 1, 1)
+        first = used[0]
+        if first <= 1:
+            bw.write_bits(0, 1)
+            bw.write_bits(first, 1)
+        else:
+            bw.write_bits(1, 1)
+            bw.write_bits(first, 8)
+        if len(used) == 1:
+            return {first: (0, 0)}
+        bw.write_bits(used[1], 8)
+        return {first: (1, 0), used[1]: (1, 1)}  # transmission order
+    # normal form
+    bw.write_bits(0, 1)
+    max_symbol = max(used[-1] + 1, 2)
+    arr = [lengths.get(s, 0) for s in range(max_symbol)]
+    cl_freq = [0] * 19
+    for ln in arr:
+        cl_freq[ln] += 1
+    cl_lengths = _vp8l_huff_lengths(cl_freq, max_len=7)
+    bw.write_bits(19 - 4, 4)  # transmit all 19 code-length-code lengths
+    for sym in _VP8L_CL_ORDER:
+        bw.write_bits(cl_lengths.get(sym, 0), 3)
+    cl_codes = _vp8l_canonical_codes(cl_lengths)
+    if max_symbol >= alphabet:
+        bw.write_bits(0, 1)  # no cap: emit every alphabet entry
+        arr = arr + [0] * (alphabet - len(arr))
+        # trailing zeros still need the 0 symbol in the cl code
+        if 0 not in cl_codes and alphabet > max_symbol:
+            raise ValueError("internal: zero-length symbol missing")
+    else:
+        bw.write_bits(1, 1)
+        val = max_symbol - 2
+        nbits = 2
+        while val >= (1 << nbits):
+            nbits += 2
+        bw.write_bits((nbits - 2) // 2, 3)
+        bw.write_bits(val, nbits)
+    for ln in arr:
+        _vp8l_write_sym(bw, cl_codes, ln)
+    return _vp8l_canonical_codes(lengths)
+
+
+def _vp8l_prefix_encode(value: int) -> tuple:
+    """value ≥ 1 → (prefix_code, n_extra_bits, extra_value)."""
+    if value <= 4:
+        return value - 1, 0, 0
+    extra = value.bit_length() - 2
+    rem = value - 1 - (1 << (extra + 1))
+    code = 2 + 2 * extra + (1 if rem >= (1 << extra) else 0)
+    offset = (2 + (code & 1)) << extra
+    return code, extra, value - offset - 1
+
+
+def _vp8l_write_image(
+    bw: _LsbBitWriter,
+    flat: list,
+    w: int,
+    h: int,
+    spatial: bool,
+    cache_bits: int = 0,
+    rle: bool = False,
+    meta_groups: bool = False,
+) -> None:
+    """Write one entropy-coded image: tokenize (literal / cache-ref /
+    distance-1 RLE copy), build per-group histograms, emit the 5 prefix
+    codes per group and then the token stream. ``spatial`` images carry
+    the meta-prefix-code bit (optionally a real 2-group meta image)."""
+    n = len(flat)
+    # color cache declaration
+    if cache_bits:
+        bw.write_bits(1, 1)
+        bw.write_bits(cache_bits, 4)
+        cache = [0] * (1 << cache_bits)
+    else:
+        bw.write_bits(0, 1)
+        cache = None
+
+    hbits = 0
+    group_of = None
+    n_groups = 1
+    if spatial:
+        if meta_groups:
+            hbits = 2  # 4×4 pixel blocks
+            hw = (w + 3) >> 2
+            hh = (h + 3) >> 2
+            # checkerboard group assignment: group = (bx + by) & 1
+            himg = [
+                (0xFF << 24) | ((((bx + by) & 1)) << 8)
+                for by in range(hh)
+                for bx in range(hw)
+            ]
+            bw.write_bits(1, 1)
+            bw.write_bits(hbits - 2, 3)
+            _vp8l_write_image(bw, himg, hw, hh, spatial=False)
+            n_groups = 2
+
+            def group_of(pos):
+                y, x = divmod(pos, w)
+                return ((x >> 2) + (y >> 2)) & 1
+        else:
+            bw.write_bits(0, 1)
+
+    green_alpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    hists = [
+        [[0] * green_alpha, [0] * 256, [0] * 256, [0] * 256, [0] * 40]
+        for _ in range(n_groups)
+    ]
+    tokens = []
+    pos = 0
+    while pos < n:
+        g = group_of(pos) if group_of else 0
+        hg = hists[g]
+        if rle and pos > 0:
+            run = 0
+            while pos + run < n and flat[pos + run] == flat[pos - 1] and run < 4000:
+                run += 1
+            if run >= 3:
+                lcode, lbits, lval = _vp8l_prefix_encode(run)
+                dcode, dbits, dval = _vp8l_prefix_encode(1 + 120)  # distance 1
+                tokens.append(("copy", g, lcode, lbits, lval, dcode, dbits, dval))
+                hg[0][256 + lcode] += 1
+                hg[4][dcode] += 1
+                if cache is not None:
+                    px = flat[pos - 1]
+                    cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+                pos += run
+                continue
+        px = flat[pos]
+        if cache is not None:
+            idx = ((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)
+            if cache[idx] == px:
+                tokens.append(("cache", g, idx))
+                hg[0][280 + idx] += 1
+                pos += 1
+                continue
+            cache[idx] = px
+        tokens.append(("lit", g, px))
+        hg[0][(px >> 8) & 0xFF] += 1
+        hg[1][(px >> 16) & 0xFF] += 1
+        hg[2][px & 0xFF] += 1
+        hg[3][(px >> 24) & 0xFF] += 1
+        pos += 1
+
+    codes = [
+        [
+            _vp8l_write_code(bw, hists[g][0], green_alpha),
+            _vp8l_write_code(bw, hists[g][1], 256),
+            _vp8l_write_code(bw, hists[g][2], 256),
+            _vp8l_write_code(bw, hists[g][3], 256),
+            _vp8l_write_code(bw, hists[g][4], 40),
+        ]
+        for g in range(n_groups)
+    ]
+    for tok in tokens:
+        kind, g = tok[0], tok[1]
+        cg = codes[g]
+        if kind == "lit":
+            px = tok[2]
+            _vp8l_write_sym(bw, cg[0], (px >> 8) & 0xFF)
+            _vp8l_write_sym(bw, cg[1], (px >> 16) & 0xFF)
+            _vp8l_write_sym(bw, cg[2], px & 0xFF)
+            _vp8l_write_sym(bw, cg[3], (px >> 24) & 0xFF)
+        elif kind == "cache":
+            _vp8l_write_sym(bw, cg[0], 280 + tok[2])
+        else:
+            _, _, lcode, lbits, lval, dcode, dbits, dval = tok
+            _vp8l_write_sym(bw, cg[0], 256 + lcode)
+            bw.write_bits(lval, lbits)
+            _vp8l_write_sym(bw, cg[4], dcode)
+            bw.write_bits(dval, dbits)
+
+
+def _sub_px(a: int, b: int) -> int:
+    """Per-channel (a - b) mod 256 on packed ARGB."""
+    return (
+        ((((a >> 24) - (b >> 24)) & 0xFF) << 24)
+        | ((((a >> 16) - (b >> 16)) & 0xFF) << 16)
+        | ((((a >> 8) - (b >> 8)) & 0xFF) << 8)
+        | (((a - b) & 0xFF))
+    )
+
+
+def _vp8l_forward_predictor(flat: list, w: int, h: int, mode: int) -> list:
+    """Residuals for a constant predictor ``mode`` with the spec's
+    border overrides (top-left=opaque black, first row=L, first
+    column=T), predicting from ORIGINAL neighbor values exactly as the
+    decoder reconstructs them."""
+    out = [0] * len(flat)
+    for pos in range(len(flat)):
+        y, x = divmod(pos, w)
+        if pos == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = flat[pos - 1]
+        elif x == 0:
+            pred = flat[pos - w]
+        else:
+            pred = _vp8l_predict(
+                mode, flat[pos - 1], flat[pos - w], flat[pos - w - 1],
+                flat[pos - w + 1],
+            )
+        out[pos] = _sub_px(flat[pos], pred)
+    return out
+
+
+def encode_webp(
+    img: np.ndarray,
+    subtract_green: bool = False,
+    predictor: "int | None" = None,
+    color_transform: "tuple | None" = None,
+    palette: bool = False,
+    cache_bits: int = 0,
+    rle: bool = False,
+    meta_groups: bool = False,
+) -> bytes:
+    """Encode H×W×3 uint8 RGB → lossless WebP (VP8L) bytes.
+
+    Fixture/round-trip encoder (not a rate-optimizing one): literal
+    prefix-coded pixels by default, with every decoder feature
+    exercisable — ``subtract_green``, a constant-mode ``predictor``
+    (0-13), a constant ``color_transform`` (g2r, g2b, r2b), ``palette``
+    color indexing (sub-byte bundling for ≤16 colors), a color cache
+    (``cache_bits``), distance-1 LZ77 runs (``rle``) and a 2-group meta
+    prefix-code image (``meta_groups``). ``palette`` is mutually
+    exclusive with the pixel-space transforms.
+    """
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("expected H×W×3 uint8 RGB")
+    h, w = img.shape[:2]
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError("VP8L dimensions must be 1..16384")
+    if palette and (subtract_green or predictor is not None or color_transform):
+        raise ValueError("palette excludes the pixel-space transforms")
+
+    a = img.astype(np.uint32)
+    flat = [
+        int(0xFF000000 | (r_ << 16) | (g_ << 8) | b_)
+        for r_, g_, b_ in zip(
+            a[..., 0].reshape(-1), a[..., 1].reshape(-1), a[..., 2].reshape(-1)
+        )
+    ]
+
+    bw = _LsbBitWriter()
+    bw.write_bits(w - 1, 14)
+    bw.write_bits(h - 1, 14)
+    bw.write_bits(0, 1)  # alpha hint
+    bw.write_bits(0, 3)  # version
+    cur_w = w
+
+    if palette:
+        colors = sorted(set(flat))
+        if len(colors) > 256:
+            raise ValueError(f"{len(colors)} distinct colors; palette caps at 256")
+        lut = {c: i for i, c in enumerate(colors)}
+        bw.write_bits(1, 1)
+        bw.write_bits(3, 2)  # color indexing
+        bw.write_bits(len(colors) - 1, 8)
+        deltas, prev = [], 0
+        for c in colors:
+            deltas.append(_sub_px(c, prev) if prev else _sub_px(c, 0))
+            prev = c
+        _vp8l_write_image(bw, deltas, len(colors), 1, spatial=False)
+        psize = len(colors)
+        width_bits = 3 if psize <= 2 else 2 if psize <= 4 else 1 if psize <= 16 else 0
+        idx = np.array([lut[c] for c in flat], dtype=np.uint32).reshape(h, w)
+        if width_bits:
+            bpp = 8 >> width_bits
+            ppp = 1 << width_bits
+            pw = (w + ppp - 1) >> width_bits
+            packed = np.zeros((h, pw), dtype=np.uint32)
+            for j in range(ppp):
+                cols = np.arange(j, w, ppp)
+                packed[:, : len(cols)] |= idx[:, cols] << (j * bpp)
+            flat = [int(0xFF000000 | (g_ << 8)) for g_ in packed.reshape(-1)]
+            cur_w = pw
+        else:
+            flat = [int(0xFF000000 | (g_ << 8)) for g_ in idx.reshape(-1)]
+    else:
+        # transforms are declared in FORWARD application order; the
+        # decoder applies the inverses in reverse declaration order
+        if subtract_green:
+            bw.write_bits(1, 1)
+            bw.write_bits(2, 2)
+            flat = [
+                (px & 0xFF00FF00)
+                | ((((px >> 16) - (px >> 8)) & 0xFF) << 16)
+                | ((px - (px >> 8)) & 0xFF)
+                for px in flat
+            ]
+        if color_transform is not None:
+            g2r, g2b, r2b = (v & 0xFF for v in color_transform)
+            bw.write_bits(1, 1)
+            bw.write_bits(1, 2)
+            bits = max(2, (max(w, h) - 1).bit_length())
+            bits = min(bits, 9)
+            tw = (w + (1 << bits) - 1) >> bits
+            th = (h + (1 << bits) - 1) >> bits
+            bw.write_bits(bits - 2, 3)
+            cte = (0xFF << 24) | (r2b << 16) | (g2b << 8) | g2r
+            _vp8l_write_image(bw, [cte] * (tw * th), tw, th, spatial=False)
+
+            def s8(v):
+                return ((v & 0xFF) ^ 0x80) - 0x80
+
+            nf = []
+            for px in flat:
+                green = s8(px >> 8)
+                red = s8(px >> 16)
+                nr = (((px >> 16) & 0xFF) - ((s8(g2r) * green) >> 5)) & 0xFF
+                nb = (
+                    (px & 0xFF)
+                    - ((s8(g2b) * green) >> 5)
+                    - ((s8(r2b) * red) >> 5)
+                ) & 0xFF
+                nf.append((px & 0xFF00FF00) | (nr << 16) | nb)
+            flat = nf
+        if predictor is not None:
+            if not 0 <= predictor <= 13:
+                raise ValueError("predictor mode must be 0..13")
+            bw.write_bits(1, 1)
+            bw.write_bits(0, 2)
+            bits = max(2, (max(w, h) - 1).bit_length())
+            bits = min(bits, 9)
+            tw = (w + (1 << bits) - 1) >> bits
+            th = (h + (1 << bits) - 1) >> bits
+            bw.write_bits(bits - 2, 3)
+            _vp8l_write_image(
+                bw, [(0xFF << 24) | (predictor << 8)] * (tw * th), tw, th,
+                spatial=False,
+            )
+            flat = _vp8l_forward_predictor(flat, w, h, predictor)
+    bw.write_bits(0, 1)  # end of transforms
+
+    _vp8l_write_image(
+        bw, flat, cur_w, h, spatial=True, cache_bits=cache_bits, rle=rle,
+        meta_groups=meta_groups,
+    )
+    payload = b"\x2f" + bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
