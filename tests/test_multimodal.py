@@ -1311,3 +1311,75 @@ def test_decode_image_dispatches_webp():
 
     img = _gradient_img(w=10, h=6)
     assert np.array_equal(decode_image(encode_webp(img)), img)
+
+
+def test_webp_anim_roundtrip_and_video_dispatch():
+    """Animated lossless WebP: full-canvas frames round-trip exactly
+    through ANMF compositing, decode_video yields cumulative
+    timestamps, and decode_image returns the first composited frame
+    (GIF-still parity)."""
+    from wing_binlog_go_spark.multimodal import decode_video
+    from wing_binlog_go_spark.multimodal.codecs import (
+        decode_webp_anim,
+        encode_webp_anim,
+    )
+
+    rng = np.random.RandomState(42)
+    frames = [rng.randint(0, 256, (10, 14, 3), dtype=np.uint8) for _ in range(3)]
+    data = encode_webp_anim(frames, duration_ms=40)
+    got = decode_webp_anim(data)
+    assert [d for d, _ in got] == [40, 40, 40]
+    assert all(np.array_equal(f, g) for f, (_, g) in zip(frames, got))
+    vid = decode_video(data)
+    assert [ts for ts, _ in vid] == [0, 40, 80]
+    assert np.array_equal(decode_image(data), frames[0])
+
+
+def test_webp_anim_subrect_composites_over_previous_frame():
+    """A sub-rect ANMF frame with overwrite blending must paint only
+    its rect; the rest of the canvas keeps the previous frame."""
+    from wing_binlog_go_spark.multimodal.codecs import (
+        decode_webp_anim,
+        encode_webp_anim,
+    )
+
+    rng = np.random.RandomState(43)
+    base = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+    patch = rng.randint(0, 256, (4, 4, 3), dtype=np.uint8)
+    out = decode_webp_anim(
+        encode_webp_anim([(base, (0, 0)), (patch, (2, 4))], canvas=(8, 8))
+    )
+    assert len(out) == 2
+    f2 = out[1][1]
+    assert np.array_equal(f2[4:8, 2:6], patch)       # rect painted
+    assert np.array_equal(f2[:4], base[:4])          # rest untouched
+    assert np.array_equal(out[0][1], base)
+
+    # odd offsets cannot be represented (2-px units) — loud error
+    with pytest.raises(ValueError, match="2-px"):
+        encode_webp_anim([(base, (0, 0)), (patch, (1, 4))], canvas=(8, 8))
+
+
+def test_video_frame_features_on_webp_anim(spark):
+    """Spark end-to-end on real animated-WebP bytes: mirrors the GIF
+    video-feature test — sampled frames' phashes must equal the
+    directly computed hashes."""
+    from wing_binlog_go_spark.multimodal import video_frame_features
+    from wing_binlog_go_spark.multimodal.codecs import (
+        encode_webp_anim,
+        grayscale,
+        phash64,
+    )
+
+    rng = np.random.RandomState(44)
+    frames = [rng.randint(0, 256, (16, 24, 3), dtype=np.uint8) for _ in range(4)]
+    data = encode_webp_anim(frames, duration_ms=100)
+    rows = [(1, data, ("image/webp", 24, 16, 400))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        (r.media_id, r.frame_ts_ms): r.phash
+        for r in video_frame_features(df, every_ms=200).collect()
+    }
+    assert set(got) == {(1, 0), (1, 200)}
+    assert got[(1, 0)] == phash64(grayscale(frames[0]))
+    assert got[(1, 200)] == phash64(grayscale(frames[2]))

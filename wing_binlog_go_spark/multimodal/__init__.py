@@ -86,6 +86,9 @@ def decode_image(payload: bytes) -> "object":
     if payload[:2] in (b"II", b"MM"):
         return codecs.decode_tiff(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        if any(f == b"ANMF" for f, _ in codecs._webp_chunks(payload)):
+            # still image = first composited animation frame (GIF parity)
+            return codecs.decode_webp_anim(payload)[0][1]
         return codecs.decode_webp(payload)  # VP8L; lossy raises inside
     raise NotImplementedError(
         "only BMP, PNG, JPEG (baseline+progressive), GIF, TIFF and "
@@ -285,23 +288,29 @@ def audio_features(df: DataFrame, batch_decoder=fake_decode_audio) -> DataFrame:
 def decode_video(payload: bytes) -> "list[tuple[int, object]]":
     """Decode a video payload → list of (ts_ms, H×W×3 RGB frame).
 
-    Animated GIF decodes natively (``codecs.decode_gif``: LZW + frame
-    compositing; frame timestamps are the cumulative presentation
-    delays). Container formats (MP4/WebM) need ffmpeg, not available
-    here — same dispatch seam as images/audio."""
-    if payload[:4] == b"GIF8":
-        from wing_binlog_go_spark.multimodal import codecs
+    Animated GIF and animated lossless WebP (ANMF chapters carrying
+    VP8L frames) decode natively with full-canvas compositing; frame
+    timestamps are the cumulative presentation delays. Container
+    formats (MP4/WebM) and lossy-WebP animations need ffmpeg, not
+    available here — same dispatch seam as images/audio."""
+    from wing_binlog_go_spark.multimodal import codecs
 
-        ts = 0
-        out = []
-        for delay_ms, frame in codecs.decode_gif(payload):
-            out.append((ts, frame))
-            ts += max(delay_ms, 1)
-        return out
-    raise NotImplementedError(
-        "only animated GIF has a built-in video decoder; MP4/WebM/... "
-        "need ffmpeg, which is not installed in this environment"
-    )
+    if payload[:4] == b"GIF8":
+        frames = codecs.decode_gif(payload)
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        frames = codecs.decode_webp_anim(payload)
+    else:
+        raise NotImplementedError(
+            "only animated GIF and animated lossless WebP have built-in "
+            "video decoders; MP4/WebM/... need ffmpeg, which is not "
+            "installed in this environment"
+        )
+    ts = 0
+    out = []
+    for delay_ms, frame in frames:
+        out.append((ts, frame))
+        ts += max(delay_ms, 1)
+    return out
 
 
 VIDEO_FRAME_SCHEMA = T.StructType(

@@ -2405,6 +2405,21 @@ def _vp8l_inv_color_index(img2d: np.ndarray, width_bits: int,
     return out
 
 
+def _webp_chunks(payload: bytes):
+    """Validated RIFF walk → yields (fourcc, body)."""
+    if len(payload) < 16 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP file")
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WebP chunk")
+        yield fourcc, body
+        pos += 8 + size + (size & 1)
+
+
 def decode_webp(payload: bytes) -> np.ndarray:
     """Decode a lossless WebP (VP8L) → H×W×3 uint8 RGB.
 
@@ -2415,22 +2430,14 @@ def decode_webp(payload: bytes) -> np.ndarray:
     entropy images and meta prefix-code groups. Lossy 'VP8 ' payloads
     need a VP8 video decoder and raise toward the PIL/ffmpeg seam.
     """
-    if len(payload) < 16 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
-        raise ValueError("not a WebP file")
-    pos, vp8l = 12, None
+    vp8l = None
     saw_lossy = False
-    while pos + 8 <= len(payload):
-        fourcc = payload[pos : pos + 4]
-        size = struct.unpack_from("<I", payload, pos + 4)[0]
-        body = payload[pos + 8 : pos + 8 + size]
-        if len(body) < size:
-            raise ValueError("truncated WebP chunk")
+    for fourcc, body in _webp_chunks(payload):
         if fourcc == b"VP8L":
             vp8l = body
             break
         if fourcc == b"VP8 ":
             saw_lossy = True
-        pos += 8 + size + (size & 1)
     if vp8l is None:
         if saw_lossy:
             raise NotImplementedError(
@@ -2438,7 +2445,17 @@ def decode_webp(payload: bytes) -> np.ndarray:
                 "behind the dispatch seam"
             )
         raise ValueError("WebP container without VP8L chunk")
+    img = _decode_vp8l_argb(vp8l)
+    out = np.empty((*img.shape, 3), dtype=np.uint8)
+    out[..., 0] = (img >> 16) & 0xFF
+    out[..., 1] = (img >> 8) & 0xFF
+    out[..., 2] = img & 0xFF
+    return out
 
+
+def _decode_vp8l_argb(vp8l: bytes) -> np.ndarray:
+    """One VP8L bitstream → H×W uint32 ARGB (alpha kept — animation
+    frame blending needs it; :func:`decode_webp` drops it)."""
     if not vp8l or vp8l[0] != 0x2F:
         raise ValueError("bad VP8L signature")
     r = _LsbBits(vp8l, 1)
@@ -2492,12 +2509,7 @@ def decode_webp(payload: bytes) -> np.ndarray:
             img = _vp8l_inv_subtract_green(img)
         else:
             img = _vp8l_inv_color_index(img, arg, data, t_w)
-
-    out = np.empty((h, w, 3), dtype=np.uint8)
-    out[..., 0] = (img >> 16) & 0xFF
-    out[..., 1] = (img >> 8) & 0xFF
-    out[..., 2] = img & 0xFF
-    return out
+    return img
 
 
 def _vp8l_huff_lengths(freqs, max_len: int = 15) -> dict:
@@ -2799,6 +2811,28 @@ def encode_webp(
     prefix-code image (``meta_groups``). ``palette`` is mutually
     exclusive with the pixel-space transforms.
     """
+    payload = _encode_vp8l_payload(
+        img, subtract_green, predictor, color_transform, palette,
+        cache_bits, rle, meta_groups,
+    )
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _encode_vp8l_payload(
+    img: np.ndarray,
+    subtract_green: bool = False,
+    predictor: "int | None" = None,
+    color_transform: "tuple | None" = None,
+    palette: bool = False,
+    cache_bits: int = 0,
+    rle: bool = False,
+    meta_groups: bool = False,
+) -> bytes:
+    """The raw VP8L stream (signature byte + bitstream) for one image —
+    shared by :func:`encode_webp` and the animated-WebP frame writer."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("expected H×W×3 uint8 RGB")
@@ -2911,8 +2945,162 @@ def encode_webp(
         bw, flat, cur_w, h, spatial=True, cache_bits=cache_bits, rle=rle,
         meta_groups=meta_groups,
     )
-    payload = b"\x2f" + bw.bytes()
-    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
-    if len(payload) & 1:
-        chunk += b"\x00"
-    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    return b"\x2f" + bw.bytes()
+
+
+def decode_webp_anim(payload: bytes) -> list[tuple[int, np.ndarray]]:
+    """Decode an animated WebP (VP8X + ANIM + ANMF chapters with VP8L
+    frame payloads) → list of (duration_ms, H×W×3 RGB) composited
+    full-canvas frames — the same contract as :func:`decode_gif`.
+
+    Compositing per the WebP container spec: each ANMF places its
+    frame rect (x/y stored in 2-px units) on the canvas; blending
+    method 0 alpha-blends the frame over the canvas, 1 overwrites;
+    disposal method 1 restores the rect to the ANIM background color
+    after the frame is presented. Lossy (VP8) frames raise toward the
+    PIL/ffmpeg seam."""
+    canvas_w = canvas_h = None
+    bg = 0
+    frames: list[tuple[int, np.ndarray]] = []
+    canvas = None
+    saw_anim = False
+    for fourcc, body in _webp_chunks(payload):
+        if fourcc == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("short VP8X chunk")
+            canvas_w = 1 + (body[4] | (body[5] << 8) | (body[6] << 16))
+            canvas_h = 1 + (body[7] | (body[8] << 8) | (body[9] << 16))
+        elif fourcc == b"ANIM":
+            if len(body) < 6:
+                raise ValueError("short ANIM chunk")
+            bg = struct.unpack_from("<I", body, 0)[0]  # BGRA byte order
+            saw_anim = True
+        elif fourcc == b"ANMF":
+            if not saw_anim or canvas_w is None:
+                raise ValueError("ANMF before VP8X/ANIM")
+            if len(body) < 16:
+                raise ValueError("short ANMF chunk")
+            fx = 2 * (body[0] | (body[1] << 8) | (body[2] << 16))
+            fy = 2 * (body[3] | (body[4] << 8) | (body[5] << 16))
+            fw = 1 + (body[6] | (body[7] << 8) | (body[8] << 16))
+            fh = 1 + (body[9] | (body[10] << 8) | (body[11] << 16))
+            dur = body[12] | (body[13] << 8) | (body[14] << 16)
+            flags = body[15]
+            blend = (flags >> 1) & 1   # 0 = alpha blend, 1 = overwrite
+            dispose = flags & 1        # 1 = restore to background
+            sub = None
+            for sfour, sbody in _webp_chunks(
+                b"RIFF" + struct.pack("<I", len(body) - 16 + 4) + b"WEBP"
+                + body[16:]
+            ):
+                if sfour == b"VP8L":
+                    sub = sbody
+                    break
+                if sfour == b"VP8 ":
+                    raise NotImplementedError(
+                        "lossy WebP animation frames need a video codec; "
+                        "use PIL/ffmpeg behind the dispatch seam"
+                    )
+            if sub is None:
+                raise ValueError("ANMF without VP8L frame data")
+            frame = _decode_vp8l_argb(sub)
+            if frame.shape != (fh, fw):
+                raise ValueError("ANMF frame dimensions mismatch")
+            if fx + fw > canvas_w or fy + fh > canvas_h:
+                raise ValueError("ANMF frame outside canvas")
+            if canvas is None:
+                # background color is BGRA bytes → ARGB word
+                b_, g_, r_, a_ = (bg & 0xFF), (bg >> 8) & 0xFF, (bg >> 16) & 0xFF, (bg >> 24) & 0xFF
+                bg_argb = (a_ << 24) | (r_ << 16) | (g_ << 8) | b_
+                canvas = np.full((canvas_h, canvas_w), bg_argb, dtype=np.uint32)
+            target = canvas[fy : fy + fh, fx : fx + fw]
+            if blend:
+                target[:] = frame
+            else:
+                fa = ((frame >> 24) & 0xFF).astype(np.int64)
+                ca = ((target >> 24) & 0xFF).astype(np.int64)
+                oa = fa + ca * (255 - fa) // 255
+                out = np.zeros_like(target)
+                safe = np.maximum(oa, 1)
+                for sh in (16, 8, 0):
+                    fc = ((frame >> sh) & 0xFF).astype(np.int64)
+                    cc = ((target >> sh) & 0xFF).astype(np.int64)
+                    oc = (fc * fa + cc * ca * (255 - fa) // 255) // safe
+                    out |= np.minimum(oc, 255).astype(np.uint32) << sh
+                out |= oa.astype(np.uint32) << 24
+                target[:] = np.where(oa == 0, 0, out)
+            rgb = np.empty((canvas_h, canvas_w, 3), dtype=np.uint8)
+            rgb[..., 0] = (canvas >> 16) & 0xFF
+            rgb[..., 1] = (canvas >> 8) & 0xFF
+            rgb[..., 2] = canvas & 0xFF
+            frames.append((dur, rgb))
+            if dispose:
+                target[:] = bg_argb
+    if not frames:
+        raise ValueError("animated WebP with no ANMF frames")
+    return frames
+
+
+def encode_webp_anim(
+    frames: "list[tuple[np.ndarray, tuple[int, int]]] | list[np.ndarray]",
+    duration_ms: int = 100,
+    canvas: "tuple[int, int] | None" = None,
+    bg: int = 0xFF000000,
+) -> bytes:
+    """Encode RGB frames → animated lossless WebP.
+
+    ``frames`` is either a list of H×W×3 arrays (full-canvas frames) or
+    (array, (x, y)) pairs placing sub-rect frames at even offsets on a
+    ``canvas`` of (w, h). Frames are written as VP8L payloads with
+    blending method 1 (overwrite) and disposal 0 (keep), so compositing
+    is deterministic byte-exact for round-trip tests."""
+    if not frames:
+        raise ValueError("no frames")
+    norm = []
+    for f in frames:
+        if isinstance(f, tuple):
+            img, (x, y) = f
+        else:
+            img, x, y = f, 0, 0
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets are stored in 2-px units; use even x/y")
+        norm.append((np.asarray(img, dtype=np.uint8), x, y))
+    if canvas is None:
+        cw = max(x + im.shape[1] for im, x, y in norm)
+        ch = max(y + im.shape[0] for im, x, y in norm)
+    else:
+        cw, ch = canvas
+    for im, x, y in norm:
+        if x + im.shape[1] > cw or y + im.shape[0] > ch:
+            raise ValueError("frame outside canvas")
+
+    def u24(v):
+        return bytes([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF])
+
+    chunks = bytearray()
+    # VP8X: animation flag (bit 1 of byte 0 per spec: 0x02 = ANIM)
+    vp8x = bytes([0x02, 0, 0, 0]) + u24(cw - 1) + u24(ch - 1)
+    chunks += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    # ANIM: background color (BGRA bytes) + infinite loop
+    b_ = bg & 0xFF
+    g_ = (bg >> 8) & 0xFF
+    r_ = (bg >> 16) & 0xFF
+    a_ = (bg >> 24) & 0xFF
+    # ARGB input stored as the spec's [B, G, R, A] byte order + loop=0
+    anim = bytes([b_, g_, r_, a_]) + struct.pack("<H", 0)
+    chunks += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for im, x, y in norm:
+        sub = _encode_vp8l_payload(im)
+        frame_chunk = b"VP8L" + struct.pack("<I", len(sub)) + sub
+        if len(sub) & 1:
+            frame_chunk += b"\x00"
+        body = (
+            u24(x // 2) + u24(y // 2)
+            + u24(im.shape[1] - 1) + u24(im.shape[0] - 1)
+            + u24(duration_ms) + bytes([0b10])  # blend=1 (overwrite), dispose=0
+            + frame_chunk
+        )
+        chunks += b"ANMF" + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + bytes(chunks)
