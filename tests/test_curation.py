@@ -386,3 +386,49 @@ def test_curation_span_dedup_stage_rewrites_shared_banner(spark):
     assert texts[3] == rows[2][1]          # untouched doc is intact
     assert rep.removed_span_tokens >= len(banner.split())
     assert any(s.startswith("span-dedup") for s in rep.stages)
+
+
+def test_curation_semantic_stage_drops_paraphrase_twins(spark, sf_small):
+    """The optional SemDeDup stage: two docs with DIFFERENT text but
+    near-identical embeddings (a paraphrase pair the lexical stages
+    cannot catch) collapse to the min id; docs without an embedding
+    pass through untouched; accounting still balances."""
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy sleeping dog today", "en", "s", 59),
+            (2, "a swift russet fox leaps above the idle hound this morning", "en", "s", 58),
+            (3, "columnar storage engines prune unread pages during scans", "en", "s", 56),
+            (4, "no embedding for this one but plenty of words to keep it", "en", "s", 56),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rng = np.random.RandomState(6)
+    v1 = rng.normal(0, 1, 16)
+    v2 = v1 + rng.normal(0, 1e-4, 16)  # paraphrase twin: cos ~ 1
+    v3 = rng.normal(0, 1, 16)
+    emb = spark.createDataFrame(
+        [
+            (1, [float(x) for x in v1]),
+            (2, [float(x) for x in v2]),
+            (3, [float(x) for x in v3]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    curated, rep = curate(
+        docs,
+        min_tokens=3,
+        near_dup_threshold=0.9,
+        embeddings=emb,
+        semantic_threshold=0.97,
+        semantic_clusters=2,
+    )
+    kept = {r.doc_id for r in curated.select("doc_id").collect()}
+    assert kept == {1, 3, 4}          # 2 dropped as semantic twin of 1
+    assert rep.dropped_semantic == 1
+    assert any(s.startswith("semantic-dup") for s in rep.stages)
+    assert rep.input_docs == (
+        rep.output_docs + rep.dropped_quality + rep.dropped_lang
+        + rep.dropped_exact_dup + rep.dropped_near_dup + rep.dropped_semantic
+    )

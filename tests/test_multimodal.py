@@ -1383,3 +1383,59 @@ def test_video_frame_features_on_webp_anim(spark):
     assert set(got) == {(1, 0), (1, 200)}
     assert got[(1, 0)] == phash64(grayscale(frames[0]))
     assert got[(1, 200)] == phash64(grayscale(frames[2]))
+
+
+def test_video_near_dup_matches_across_gif_and_webp_containers(spark):
+    """The SAME animation shipped as a GIF and as an animated lossless
+    WebP must pair (frame phashes are container-independent); an
+    unrelated WebP animation must not."""
+    from wing_binlog_go_spark.multimodal import video_near_dup_pairs
+    from wing_binlog_go_spark.multimodal.codecs import encode_gif, encode_webp_anim
+
+    def quant(f):
+        return (f // 64 * 64).astype(np.uint8)
+
+    def animation(seed, n_frames=4):
+        return [quant(_lowfreq_img(seed=seed * 13 + i)) for i in range(n_frames)]
+
+    base = animation(1)
+    rows = [
+        (1, encode_gif(base, delay_ms=200), ("image/gif", 64, 48, 800)),
+        (2, encode_webp_anim(base, duration_ms=200), ("image/webp", 64, 48, 800)),
+        (3, encode_webp_anim(animation(7), duration_ms=200), ("image/webp", 64, 48, 800)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {
+        (r.media_a, r.media_b): r.shared_frames
+        for r in video_near_dup_pairs(df, every_ms=200, max_hamming=6).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2  # same content, two containers
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_webp_roundtrip_property():
+    """Hypothesis sweep: arbitrary small images at arbitrary encoder
+    settings round-trip exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from wing_binlog_go_spark.multimodal.codecs import decode_webp, encode_webp
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 10),
+        h=st.integers(1, 10),
+        seed=st.integers(0, 10_000),
+        sg=st.booleans(),
+        pred=st.one_of(st.none(), st.integers(0, 13)),
+        cache=st.sampled_from([0, 3]),
+        rle=st.booleans(),
+    )
+    def check(w, h, seed, sg, pred, cache, rle):
+        img = np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+        data = encode_webp(
+            img, subtract_green=sg, predictor=pred, cache_bits=cache, rle=rle
+        )
+        assert np.array_equal(decode_webp(data), img)
+
+    check()

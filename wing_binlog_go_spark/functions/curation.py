@@ -34,6 +34,7 @@ class CurationReport:
     dropped_boilerplate: int = 0
     dropped_exact_dup: int = 0
     dropped_near_dup: int = 0
+    dropped_semantic: int = 0
     dropped_contaminated: int = 0
     removed_span_tokens: int = 0
     output_docs: int = 0
@@ -54,6 +55,11 @@ def curate(
     benchmark: DataFrame | None = None,
     benchmark_ngram: int = 8,
     span_dedup_k: int | None = None,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.97,
+    semantic_clusters: int = 16,
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
 ) -> tuple[DataFrame, CurationReport]:
     """documents → curated documents + per-stage drop accounting."""
     rep = CurationReport()
@@ -142,6 +148,31 @@ def curate(
     rep.dropped_near_dup = n - m
     n = m
     rep.stages.append(f"near-dup: -{rep.dropped_near_dup}")
+
+    # 4a. optional SEMANTIC dedup (SemDeDup): drop surviving docs whose
+    #     embeddings are near-identical to a kept doc — catches
+    #     paraphrases and template rewrites the lexical stages can't.
+    #     Runs after lexical dedup (fewer vectors to cluster) and only
+    #     over docs that HAVE an embedding; the rest pass through.
+    if embeddings is not None:
+        from wing_binlog_go_spark.operators.similarity import semantic_dedup
+
+        emb_here = embeddings.select(
+            F.col(emb_id_col).alias(id_col), F.col(emb_vec_col).alias("_sem_v")
+        ).join(curated.select(id_col), id_col, "left_semi")
+        kept = semantic_dedup(
+            emb_here,
+            threshold=semantic_threshold,
+            n_clusters=semantic_clusters,
+            id_col=id_col,
+            vec_col="_sem_v",
+        ).select(id_col)
+        dropped_ids = emb_here.select(id_col).join(kept, id_col, "left_anti")
+        curated = curated.join(dropped_ids, id_col, "left_anti")
+        m = curated.count()
+        rep.dropped_semantic = n - m
+        n = m
+        rep.stages.append(f"semantic-dup: -{rep.dropped_semantic}")
 
     # 4b. optional span-level rewrite: after doc-level dedup removed
     #     whole duplicates, delete the repeated k-token spans that
