@@ -109,8 +109,10 @@ def test_registry_priority_window_and_no_failed_modules():
     assert registry.failed_modules == {}
     window = list(qs)[:50]
     # (a) new + changed-implementation queries lead
-    assert window[:2] == [
-        "q38h_incremental_semantic_dedup", "q38c_embedding_near_dup",
+    assert window[:5] == [
+        "q38h_incremental_semantic_dedup", "q106_grouping_sets",
+        "q107_time_weighted_avg", "q108_gap_fill_locf",
+        "q38c_embedding_near_dup",
     ]
     # (b) the stalest evidence (latest row r1/r2) is all in-window
     for stale in (

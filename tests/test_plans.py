@@ -210,6 +210,28 @@ def test_round4_query_plan_hygiene(spark, sf_dir):
     assert "CartesianProduct" not in pg and "BroadcastNestedLoopJoin" not in pg
 
 
+def test_timeseries_query_plan_hygiene(spark, sf_dir):
+    # q106: GROUPING SETS must compile to ONE scan + Expand + hash agg
+    # with a partial phase — not one scan per granularity
+    p6 = plan_of(_Q["q106_grouping_sets"].spark(spark, sf_dir))
+    # one scan NODE (formatted plans mention each node twice: tree+detail)
+    assert p6.count("Location: InMemoryFileIndex") == 1
+    assert "Expand" in p6
+    assert "partial" in p6.lower()
+    assert "BatchEvalPython" not in p6 and "ArrowEvalPython" not in p6
+    # q107: one window + one agg, no Python nodes, no cross product
+    p7 = plan_of(_Q["q107_time_weighted_avg"].spark(spark, sf_dir))
+    assert "Window" in p7
+    assert "CartesianProduct" not in p7
+    assert "BatchEvalPython" not in p7 and "ArrowEvalPython" not in p7
+    # q108: the users×spine grid is the ONLY intentional cross join
+    # (both sides bounded dims); the hourly join is an equi-join and
+    # the LOCF window keys on the entity id
+    p8 = plan_of(_Q["q108_gap_fill_locf"].spark(spark, sf_dir))
+    assert "Window" in p8
+    assert "BatchEvalPython" not in p8 and "ArrowEvalPython" not in p8
+
+
 def test_embedding_near_dup_is_bucketed(spark, sf_dir):
     """q38c (round 5): the oracle key itself now routes through LSH
     bucket candidates + exact verify — its plan must carry an equi-join

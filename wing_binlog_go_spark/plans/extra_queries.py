@@ -1479,3 +1479,144 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact interpolating form in both engines.
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_MODE_MEDIAN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q106: GROUPING SETS — multi-granularity aggregation in one pass
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+       CAST(grouping(l_linestatus) AS INT) AS g_status,
+       ROUND(SUM(CAST(l_quantity AS DOUBLE)), 2) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@register("q106_grouping_sets", _GROUPING_SETS_SQL)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arbitrary GROUPING SETS (the general form behind q19's rollup and
+    # q76's cube): three granularities in ONE scan — Spark expands the
+    # sets with a single Expand node feeding one partial+final hash
+    # agg, so the fact table is read once however many granularities
+    # ship. grouping() markers disambiguate NULL data from NULL
+    # "grouped-out" columns; NULLS FIRST pins the engines' differing
+    # sort defaults. Identical SQL runs on both engines.
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q107: time-weighted average — irregular-series analytics
+# ---------------------------------------------------------------------------
+
+_TWA_SQL = """
+WITH seq AS (
+  SELECT user_id, value, epoch_us(ts) AS ts_us,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_us
+  FROM events
+)
+SELECT user_id,
+       ROUND(SUM(value * (nxt_us - ts_us)) / SUM(nxt_us - ts_us), 6) AS twa,
+       COUNT(*) AS n_intervals
+FROM seq WHERE nxt_us IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("q107_time_weighted_avg", _TWA_SQL)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The hypertable-style time_weight('LOCF') aggregate over an
+    # irregular event series: each reading is weighted by how long it
+    # held (microsecond-exact via unix_micros ↔ DuckDB epoch_us — the
+    # second-truncating unix_timestamp would diverge on sub-second
+    # gaps). One window (keyed by user_id, real cardinality) + one
+    # hash agg; weights cancel units in the ratio.
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = e.select(
+        "user_id", "value",
+        us.alias("ts_us"),
+        F.lead(us).over(w).alias("nxt_us"),
+    )
+    return (
+        seq.filter(F.col("nxt_us").isNotNull())
+        .withColumn("dur", F.col("nxt_us") - F.col("ts_us"))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * F.col("dur")) / F.sum("dur"), 6).alias("twa"),
+            F.count("*").alias("n_intervals"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q108: gap-fill + LOCF — spine join with last-observation carry-forward
+# ---------------------------------------------------------------------------
+
+_LOCF_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         ROUND(max_by(value, ts), 2) AS v
+  FROM events WHERE user_id < 20 GROUP BY user_id, date_trunc('hour', ts)
+), spine AS (
+  SELECT g AS h FROM generate_series(
+    TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-30 23:00:00',
+    INTERVAL '1 hour') AS t(g)
+), grid AS (
+  SELECT u.user_id, s.h
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 20) u CROSS JOIN spine s
+)
+SELECT g.user_id, g.h,
+       last_value(hr.v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+FROM grid g LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
+ORDER BY g.user_id, g.h
+"""
+
+
+@register("q108_gap_fill_locf", _LOCF_SQL)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hypertable gap-fill: downsample to hourly (max_by over the
+    # tie-free (user, ts) key — uniqueness asserted by the fixture), a
+    # fixed calendar spine (same constant-range pattern as q75; the
+    # fixture's event window is 2024-01), the users×hours grid as the
+    # ONLY intentional cross join (both sides bounded dimensions:
+    # |users∩filter| × 720 rows), then LOCF via last(ignorenulls) over
+    # an unbounded-preceding frame keyed by user — the shuffle key is
+    # the entity id, never the calendar.
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("user_id") < 20)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.round(F.max_by("value", "ts"), 2).alias("v"))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+                F.lit("2024-01-30 23:00:00").cast("timestamp_ntz"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("h")
+    )
+    users = e.filter(F.col("user_id") < 20).select("user_id").distinct()
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        users.join(spine)
+        .join(hourly, ["user_id", "h"], "left")
+        .withColumn("v_filled", F.last("v", ignorenulls=True).over(w))
+        .select("user_id", "h", "v_filled")
+        .orderBy("user_id", "h")
+    )

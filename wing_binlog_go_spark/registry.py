@@ -51,6 +51,9 @@ failed_modules: dict[str, str] = {}
 _PRIORITY = (
     # New this round (first driver verification).
     "q38h_incremental_semantic_dedup",
+    "q106_grouping_sets",
+    "q107_time_weighted_avg",
+    "q108_gap_fill_locf",
     # Implementation changed this round (LSH-bucketed candidates).
     "q38c_embedding_near_dup",
     # Stalest evidence: latest driver row is ROUND 1.
@@ -93,18 +96,18 @@ _PRIORITY = (
     "q39n_corpus_shuffle",
     "q39o_token_budget",
     # Family sentinels (guard-enforced): one representative per graded
-    # family re-verifies every round against regressions.
+    # family re-verifies every round against regressions.  (q22/q37/
+    # q39m sentinels rotated out this round to make room for the three
+    # new keys — their families stay covered in-window by q37b/c/d and
+    # the q39 stale block, and all three hold fresh r4 rows.)
     "q37c_ngram_jaccard",
     "q15b_asof_merge",
     "q38_ann_brute_force",
     "q36_exact_dedup",
     "q39h_tfidf",
-    "q39m_sequence_pack",
     "q39i_decontamination",
     "q14_tpch_q3",
     "q16_tpch_q1",
-    "q22_window_ranking",
-    "q37_minhash_dedup",
     # The window is exactly these 50; the remainder follows in module
     # registration order (all holding r3/r4 driver rows).
 )
