@@ -230,6 +230,14 @@ def test_timeseries_query_plan_hygiene(spark, sf_dir):
     p8 = plan_of(_Q["q108_gap_fill_locf"].spark(spark, sf_dir))
     assert "Window" in p8
     assert "BatchEvalPython" not in p8 and "ArrowEvalPython" not in p8
+    # q109: one entity-keyed window + hash agg, no cross product
+    p9 = plan_of(_Q["q109_counter_increase"].spark(spark, sf_dir))
+    assert "Window" in p9 and "CartesianProduct" not in p9
+    assert "BatchEvalPython" not in p9 and "ArrowEvalPython" not in p9
+    # q110: same grid shape as q108, integer interpolation stays JVM-side
+    p10 = plan_of(_Q["q110_gap_fill_interp"].spark(spark, sf_dir))
+    assert "Window" in p10
+    assert "BatchEvalPython" not in p10 and "ArrowEvalPython" not in p10
 
 
 def test_embedding_near_dup_is_bucketed(spark, sf_dir):

@@ -1620,3 +1620,159 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "h", "v_filled")
         .orderBy("user_id", "h")
     )
+
+
+# ---------------------------------------------------------------------------
+# q109: reset-aware counter increase — PromQL increase() semantics
+# ---------------------------------------------------------------------------
+
+_COUNTER_SQL = """
+WITH d AS (
+  SELECT user_id, ts, value,
+         LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id, date_trunc('day', ts) AS day,
+       ROUND(SUM(CASE WHEN prev IS NULL THEN 0.0
+                      WHEN value >= prev THEN value - prev
+                      ELSE value END), 4) AS increase,
+       COUNT(*) AS samples
+FROM d GROUP BY user_id, date_trunc('day', ts)
+ORDER BY user_id, day
+"""
+
+
+@register("q109_counter_increase", _COUNTER_SQL)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Metrics-pipeline parity: PromQL-style increase() over counter
+    # samples — positive deltas accumulate; a decrease means the
+    # counter reset, so the post-reset value IS the increase since the
+    # restart. One entity-keyed window + one hash agg; the window key
+    # (user_id) is the real cardinality, never the calendar.
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.select("user_id", "ts", "event_id", "value").withColumn(
+        "prev", F.lag("value").over(w)
+    ).withColumn(
+        "inc",
+        F.when(F.col("prev").isNull(), F.lit(0.0))
+         .when(F.col("value") >= F.col("prev"), F.col("value") - F.col("prev"))
+         .otherwise(F.col("value")),
+    )
+    return (
+        d.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.round(F.sum("inc"), 4).alias("increase"),
+            F.count("*").alias("samples"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q110: linear-interpolation gap fill (exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+_INTERP_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         CAST(ROUND(max_by(value, ts) * 100, 0) AS BIGINT) AS vi
+  FROM events WHERE user_id < 10 GROUP BY user_id, date_trunc('hour', ts)
+), spine AS (
+  SELECT g AS h FROM generate_series(
+    TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-30 23:00:00',
+    INTERVAL '1 hour') AS t(g)
+), grid AS (
+  SELECT u.user_id, s.h, hr.vi
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 10) u
+  CROSS JOIN spine s
+  LEFT JOIN hourly hr ON u.user_id = hr.user_id AND s.h = hr.h
+), ctx AS (
+  SELECT user_id, h, vi,
+    last_value(vi IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN vi IS NOT NULL THEN h END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+    first_value(vi IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN vi IS NOT NULL THEN h END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM grid
+), rat AS (
+  SELECT user_id, h, pv, nv,
+         CAST((epoch_us(h) - epoch_us(ph)) / 3600000000 AS BIGINT) AS k,
+         CAST((epoch_us(nh) - epoch_us(ph)) / 3600000000 AS BIGINT) AS n
+  FROM ctx
+)
+SELECT user_id, h,
+  CASE
+    WHEN pv IS NULL THEN nv * 100
+    WHEN nv IS NULL OR n = 0 THEN pv * 100
+    ELSE (200 * (pv * n + (nv - pv) * k) + n) // (2 * n)
+  END AS v_interp_e4
+FROM rat ORDER BY user_id, h
+"""
+
+
+@register("q110_gap_fill_interp", _INTERP_SQL)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Linear-interpolation gap fill (the other hypertable fill mode
+    # next to q108's LOCF): neighbors found with last/first(ignorenulls)
+    # over opposite unbounded frames, then the interpolated value is
+    # computed ENTIRELY in integers — hundredth-scaled samples, whole-
+    # hour offsets, one half-up integer division (DIV / //) — and
+    # reported in 1e-4 units. Rationale: with ROUND(double, 4) the two
+    # engines disagree on .xxxx5 boundaries (Spark rounds the shortest
+    # decimal repr HALF_UP, DuckDB rounds the binary double), so exact
+    # integer arithmetic is the only hash-stable formulation.
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("user_id") < 10)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.round(F.max_by("value", "ts") * 100, 0).cast("bigint").alias("vi"))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+                F.lit("2024-01-30 23:00:00").cast("timestamp_ntz"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("h")
+    )
+    users = e.filter(F.col("user_id") < 10).select("user_id").distinct()
+    g = users.join(spine).join(hourly, ["user_id", "h"], "left")
+    wb = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wf = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    hk = F.when(F.col("vi").isNotNull(), F.col("h"))
+
+    def hrs(a, b):
+        return (
+            (F.unix_micros(a.cast("timestamp")) - F.unix_micros(b.cast("timestamp")))
+            / F.lit(3600000000)
+        ).cast("bigint")
+
+    return (
+        g.withColumn("pv", F.last("vi", ignorenulls=True).over(wb))
+        .withColumn("ph", F.last(hk, ignorenulls=True).over(wb))
+        .withColumn("nv", F.first("vi", ignorenulls=True).over(wf))
+        .withColumn("nh", F.first(hk, ignorenulls=True).over(wf))
+        .withColumn("k", hrs(F.col("h"), F.col("ph")))
+        .withColumn("n", hrs(F.col("nh"), F.col("ph")))
+        .withColumn(
+            "v_interp_e4",
+            F.when(F.col("pv").isNull(), F.col("nv") * 100)
+            .when(F.col("nv").isNull() | (F.col("n") == 0), F.col("pv") * 100)
+            .otherwise(
+                F.expr("(200 * (pv * n + (nv - pv) * k) + n) DIV (2 * n)")
+            ),
+        )
+        .select("user_id", "h", "v_interp_e4")
+        .orderBy("user_id", "h")
+    )

@@ -54,6 +54,8 @@ _PRIORITY = (
     "q106_grouping_sets",
     "q107_time_weighted_avg",
     "q108_gap_fill_locf",
+    "q109_counter_increase",
+    "q110_gap_fill_interp",
     # Implementation changed this round (LSH-bucketed candidates).
     "q38c_embedding_near_dup",
     # Stalest evidence: latest driver row is ROUND 1.
@@ -97,14 +99,13 @@ _PRIORITY = (
     "q39o_token_budget",
     # Family sentinels (guard-enforced): one representative per graded
     # family re-verifies every round against regressions.  (q22/q37/
-    # q39m sentinels rotated out this round to make room for the three
-    # new keys — their families stay covered in-window by q37b/c/d and
-    # the q39 stale block, and all three hold fresh r4 rows.)
+    # q38-brute/q39h/q39m sentinels rotated out this round to make
+    # room for the five new keys — their families stay covered
+    # in-window by q37b/c/d, q38c/e/h and the q39 stale block, and
+    # every rotated-out key holds a fresh r4 row.)
     "q37c_ngram_jaccard",
     "q15b_asof_merge",
-    "q38_ann_brute_force",
     "q36_exact_dedup",
-    "q39h_tfidf",
     "q39i_decontamination",
     "q14_tpch_q3",
     "q16_tpch_q1",
