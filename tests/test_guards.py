@@ -146,3 +146,20 @@ def test_duplicate_query_name_fails_loudly(monkeypatch):
     assert any("operators.dedup" in m for m in registry.failed_modules)
     assert any("q01_parquet_scan" in v for v in registry.failed_modules.values())
     assert "q01_parquet_scan" in qs  # the relational original survives
+
+
+def test_events_fixture_user_ts_unique(spark):
+    """q108/q110 downsample with max_by(value, ts), which is only
+    deterministic because (user_id, ts) is unique in the events
+    fixture at every scale — if a regenerated fixture ever violates
+    this, fail HERE with a clear message, not as an oracle hash
+    mismatch."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = read_table(spark, sf, "events")
+        total = e.count()
+        distinct = e.select("user_id", "ts").distinct().count()
+        assert total == distinct, (
+            f"{sf}: (user_id, ts) collides ({total} rows, {distinct} "
+            "distinct) — q108/q110's max_by(value, ts) key needs a "
+            "tie-breaker"
+        )
