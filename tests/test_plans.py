@@ -240,6 +240,16 @@ def test_timeseries_query_plan_hygiene(spark, sf_dir):
     assert "BatchEvalPython" not in p10 and "ArrowEvalPython" not in p10
 
 
+def test_q53_distribution_has_no_global_window(spark, sf_dir):
+    """q53 (r5 rework): ntile/percent_rank/cume_dist are derived from
+    the range-partitioned two-phase running count — the plan must
+    contain NO Window node at all (a partition-less Window moves the
+    whole table to one task, the exact anti-pattern q80 eliminated)."""
+    p = plan_of(_Q["q53_window_distribution"].spark(spark, sf_dir))
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_embedding_near_dup_is_bucketed(spark, sf_dir):
     """q38c (round 5): the oracle key itself now routes through LSH
     bucket candidates + exact verify — its plan must carry an equi-join

@@ -925,14 +925,37 @@ def q52(spark, sf_dir):
        ORDER BY o_orderkey LIMIT 100""",
 )
 def q53(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    # r5 rework: Window.orderBy() with no partition moves the WHOLE
+    # table to one task — the exact anti-pattern q80 already solved.
+    # The order key (o_totalprice, o_orderkey) is tie-free, so rank ==
+    # row_number == the range-partitioned two-phase running COUNT, and
+    # ntile/percent_rank/cume_dist are pure expressions of (rn, n):
+    #   percent_rank = (rn-1)/(n-1); cume_dist = rn/n (no ties);
+    #   ntile(4): the first n%4 buckets hold floor(n/4)+1 rows.
+    # Identical doubles to the window formulation → same oracle hash.
+    from wing_binlog_go_spark.functions.envelope import with_running_total
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    rn = with_running_total(
+        o, ["o_totalprice", "o_orderkey"], F.lit(1), out="_rn"
+    )
+    d = rn.crossJoin(broadcast(o.agg(F.count("*").alias("_n"))))
+    q = F.floor(F.col("_n") / 4)
+    r = F.col("_n") % 4
+    big = (q + 1) * r  # rows covered by the size-(q+1) buckets
+    quartile = (
+        F.when(F.col("_rn") <= big, F.floor((F.col("_rn") - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((F.col("_rn") - big - 1) / q) + 1)
+    )
+    pr = F.when(F.col("_n") > 1, (F.col("_rn") - 1) / (F.col("_n") - 1)).otherwise(
+        F.lit(0.0)
+    )
     return (
-        o.select(
+        d.select(
             "o_orderkey",
-            F.ntile(4).over(w).cast("bigint").alias("quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pr"),
-            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            quartile.cast("bigint").alias("quartile"),
+            F.round(pr, 6).alias("pr"),
+            F.round(F.col("_rn") / F.col("_n"), 6).alias("cd"),
         )
         .orderBy("o_orderkey")
         .limit(100)
