@@ -51,12 +51,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # --- text: curation → caps → mix → shuffle → pack -----------------
+    # the embeddings table rides along so the SemDeDup stage can drop
+    # paraphrase twins the lexical stages can't see (doc_id == vec_id
+    # in the fixture corpus)
     docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
     curated, rep = curate(
         docs,
         allowed_langs=["en", "fr", "de", "es", "zh"],
         near_dup_threshold=0.9,
         span_dedup_k=8,
+        embeddings=emb.select(F.col("vec_id").alias("vec_id"), "embedding"),
+        semantic_threshold=0.97,
+        semantic_clusters=8,
     )
     print(f"curation: {rep.input_docs} -> {rep.output_docs} docs | " + "; ".join(rep.stages))
 

@@ -1439,3 +1439,23 @@ def test_webp_roundtrip_property():
         assert np.array_equal(decode_webp(data), img)
 
     check()
+
+
+def test_q111_multimodal_near_dup_exact_triangle(spark):
+    """The registered multimodal query (rows-only at the driver) has a
+    fully determined answer locally: each doc's three container
+    encodings (BMP/PNG/WebP) of the SAME pixels decode identically, so
+    every doc contributes exactly its format triangle — 3 pairs — and
+    nothing pairs across docs."""
+    from wing_binlog_go_spark.registry import all_queries
+
+    q = all_queries()["q111_multimodal_near_dup"]
+    rows = [(r.media_a, r.media_b) for r in
+            q.spark(spark, "/root/testdata/sf0.001").collect()]
+    doc_ids = range(8)
+    expected = sorted(
+        (d * 10 + a, d * 10 + b)
+        for d in doc_ids
+        for a, b in ((0, 1), (0, 2), (1, 2))
+    )
+    assert rows == expected

@@ -32,6 +32,7 @@ _OPERATOR_MODULES = (
     "wing_binlog_go_spark.functions.text",
     "wing_binlog_go_spark.functions.mixing",
     "wing_binlog_go_spark.plans.extra_queries",
+    "wing_binlog_go_spark.multimodal.queries",
 )
 
 #: module → exception message for imports that failed during the last
@@ -56,6 +57,7 @@ _PRIORITY = (
     "q108_gap_fill_locf",
     "q109_counter_increase",
     "q110_gap_fill_interp",
+    "q111_multimodal_near_dup",
     # Implementation changed this round (LSH-bucketed candidates).
     "q38c_embedding_near_dup",
     # Stalest evidence: latest driver row is ROUND 1.
@@ -106,7 +108,6 @@ _PRIORITY = (
     "q37c_ngram_jaccard",
     "q15b_asof_merge",
     "q36_exact_dedup",
-    "q39i_decontamination",
     "q14_tpch_q3",
     "q16_tpch_q1",
     # The window is exactly these 50; the remainder follows in module
