@@ -2017,18 +2017,47 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 class _LsbBits:
     """LSB-first bit reader (DEFLATE-style packing, as VP8L uses)."""
 
+    _REV = [int(f"{b:08b}"[::-1], 2) for b in range(256)]
+
     def __init__(self, data: bytes, start: int = 0):
-        self.d, self.pos, self.bit = data, start, 0
+        self.d = data
+        self.pos = start  # next byte to pull into the buffer
+        self.buf = 0      # buffered bits, stream order packed MSB-first
+        self.nbuf = 0     # bits currently buffered
+        self.avail = (len(data) - start) * 8  # real bits left (buf + unread)
+
+    def _fill(self, n: int) -> None:
+        # pad with zero bits past EOF; `avail` is what gates truncation
+        d, pos = self.d, self.pos
+        rev = self._REV
+        while self.nbuf < n:
+            byte = rev[d[pos]] if pos < len(d) else 0
+            pos += 1
+            self.buf = (self.buf << 8) | byte
+            self.nbuf += 8
+        self.pos = pos
+
+    def peek_bits(self, n: int) -> int:
+        """Next n bits in stream order, packed MSB-first (prefix-code
+        order) — zero-padded past EOF."""
+        if self.nbuf < n:
+            self._fill(n)
+        return (self.buf >> (self.nbuf - n)) & ((1 << n) - 1)
+
+    def consume(self, n: int) -> None:
+        if n > self.avail:
+            raise ValueError("truncated VP8L bitstream")
+        self.avail -= n
+        self.nbuf -= n
+        self.buf &= (1 << self.nbuf) - 1
 
     def read_bits(self, n: int) -> int:
+        """n bits as an LSB-first field (spec ReadBits)."""
+        msb = self.peek_bits(n)
+        self.consume(n)
         v = 0
-        for i in range(n):
-            if self.pos >= len(self.d):
-                raise ValueError("truncated VP8L bitstream")
-            v |= ((self.d[self.pos] >> self.bit) & 1) << i
-            self.bit += 1
-            if self.bit == 8:
-                self.bit, self.pos = 0, self.pos + 1
+        for j in range(n):  # bit j of the field = j-th stream bit
+            v |= ((msb >> (n - 1 - j)) & 1) << j
         return v
 
 
@@ -2068,10 +2097,25 @@ _VP8L_DIST_MAP = sorted(
 assert len(_VP8L_DIST_MAP) == 120
 
 
+def _vp8l_lut(pairs: list) -> tuple:
+    """[(symbol, length, code)] → ('lut', flat_table, max_len): one
+    peek of ``max_len`` bits resolves any symbol in a single list
+    index (the libwebp root-table idea, sized to the full code depth —
+    max 2^15 entries, built once per prefix code)."""
+    max_len = max(ln for _, ln, _ in pairs)
+    lut: list = [None] * (1 << max_len)
+    for sym, ln, code in pairs:
+        start = code << (max_len - ln)
+        entry = (sym, ln)
+        for i in range(start, start + (1 << (max_len - ln))):
+            lut[i] = entry
+    return ("lut", lut, max_len)
+
+
 def _vp8l_canonical_table(lengths: dict) -> tuple:
     """Code lengths → decoder: ('trivial', sym) for single-symbol codes
-    (0 bits consumed), else ('table', {(len, code): sym}) with DEFLATE
-    canonical assignment (codes walked MSB-first)."""
+    (0 bits consumed), else a flat peek table with DEFLATE canonical
+    assignment (codes walked MSB-first)."""
     used = sorted((s for s, l in lengths.items() if l > 0))
     if not used:
         raise ValueError("VP8L prefix code with no symbols")
@@ -2086,28 +2130,24 @@ def _vp8l_canonical_table(lengths: dict) -> tuple:
     for ln in range(1, max_len + 1):
         code = (code + bl_count[ln - 1]) << 1
         next_code[ln] = code
-    table = {}
+    pairs = []
     for s in used:  # symbol order = canonical order
         ln = lengths[s]
-        table[(ln, next_code[ln])] = s
+        pairs.append((s, ln, next_code[ln]))
         next_code[ln] += 1
         if next_code[ln] > (1 << ln):
             raise ValueError("oversubscribed VP8L prefix code")
-    return ("table", table)
+    return _vp8l_lut(pairs)
 
 
 def _vp8l_read_sym(r: _LsbBits, code: tuple) -> int:
     if code[0] == "trivial":
         return code[1]
-    table = code[1]
-    c = ln = 0
-    while ln < 15:
-        c = (c << 1) | r.read_bits(1)
-        ln += 1
-        s = table.get((ln, c))
-        if s is not None:
-            return s
-    raise ValueError("invalid VP8L prefix code")
+    entry = code[1][r.peek_bits(code[2])]
+    if entry is None:
+        raise ValueError("invalid VP8L prefix code")
+    r.consume(entry[1])
+    return entry[0]
 
 
 def _vp8l_read_code_lengths(r: _LsbBits, cl_code: tuple, num_symbols: int) -> dict:
@@ -2162,7 +2202,7 @@ def _vp8l_read_code(r: _LsbBits, alphabet_size: int) -> tuple:
             raise ValueError("VP8L simple code with duplicate symbols")
         # simple 2-symbol codes honor TRANSMISSION order (code 0 = first
         # transmitted symbol), not canonical symbol order
-        return ("table", {(1, 0): first, (1, 1): second})
+        return _vp8l_lut([(first, 1, 0), (second, 1, 1)])
     num_cl = 4 + r.read_bits(4)
     cl_lengths = {}
     for i in range(num_cl):
