@@ -1570,29 +1570,58 @@ _FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 _FLAC_FIXED = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
 
 
+def _crc_table(poly: int, width: int) -> list[int]:
+    mask = (1 << width) - 1
+    top = 1 << (width - 1)
+    table = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _crc_table(0x07, 8)
+_CRC16_TABLE = _crc_table(0x8005, 16)
+
+
 def _crc8(data: bytes) -> int:
     crc = 0
+    t = _CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = t[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
+    t = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFFFF) ^ t[(crc >> 8) ^ b]
     return crc
 
 
 def _read_unary(r: _JpegBits) -> int:
+    """Count zero bits up to the terminating 1 — per-BYTE, not per-bit
+    (rice quotients are the hottest FLAC read)."""
+    d, pos, bit = r.d, r.pos, r.bit
+    nd = len(d)
     n = 0
-    while r.read_bit() == 0:
-        n += 1
-    return n
+    while True:
+        if pos >= nd:
+            raise ValueError("truncated JPEG entropy data")
+        chunk = d[pos] & ((1 << (8 - bit)) - 1)  # bits left in this byte
+        if chunk:
+            lead = (8 - bit) - chunk.bit_length()  # zeros before the 1
+            n += lead
+            bit += lead + 1  # consume the 1 as well
+            if bit == 8:
+                bit, pos = 0, pos + 1
+            r.pos, r.bit = pos, bit
+            return n
+        n += 8 - bit
+        bit, pos = 0, pos + 1
 
 
 def _read_signed(r: _JpegBits, n: int) -> int:
