@@ -834,3 +834,60 @@ def test_incremental_dedup_stats_off_runs_two_actions(spark, tmp_path, monkeypat
     assert st2["appended"] == 0
     assert {r.doc_id for r in s2.collect()} == set()
     assert load_minhash_signatures(spark, store).count() == 2
+
+
+def test_fuzzy_edit_join_catches_indels_and_substitutions(spark, sf_small):
+    """PassJoin completeness: planted variants of fixture prefixes with
+    SUBSTITUTIONS, INSERTIONS and DELETIONS (the shift handling is what
+    separates PassJoin from naive positional blocking) must all pair
+    with their source at the exact distance, verified against a brute
+    force computed with Spark's own levenshtein."""
+    from wing_binlog_go_spark.operators.dedup import fuzzy_prefix_pairs
+
+    base = read_table(spark, sf_small, "documents").filter(
+        F.length("text") >= 40
+    ).select("doc_id", "text").orderBy("doc_id").limit(6).collect()
+    variants = []
+    for j, r in enumerate(base):
+        t = r.text[:40]
+        if j % 3 == 0:  # two substitutions
+            v = "XY" + t[2:]
+        elif j % 3 == 1:  # deletion of 3 chars (shifts everything left)
+            v = t[3:] + "ZZZ"  # pad back so length >= prefix_len
+        else:  # insertion of 2 chars at the front (shifts right)
+            v = "QQ" + t
+        variants.append((100000 + r.doc_id, v + r.text[40:]))
+    docs = (
+        read_table(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .unionByName(spark.createDataFrame(variants, ["doc_id", "text"]))
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_prefix_pairs(docs, k=8, prefix_len=30).collect()
+    }
+    # brute-force truth using the same engine's levenshtein
+    p = docs.filter(F.length("text") >= 30).select(
+        "doc_id", F.substring("text", 1, 30).alias("t")
+    )
+    brute = {
+        (r.id_a, r.id_b, r.dist)
+        for r in p.alias("a")
+        .join(p.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein("a.t", "b.t").alias("dist"),
+        )
+        .filter(F.col("dist") <= 8)
+        .collect()
+    }
+    assert got == brute
+    # every planted variant found its source
+    planted_pairs = {a for a, b, _ in got if b >= 100000} | {
+        b - 100000 for a, b, _ in got if b >= 100000 and a == b - 100000
+    }
+    for j, r in enumerate(base):
+        assert any(
+            a == r.doc_id and b == 100000 + r.doc_id for a, b, _ in got
+        ), f"variant of doc {r.doc_id} (mode {j % 3}) not recovered"

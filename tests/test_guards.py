@@ -109,11 +109,12 @@ def test_registry_priority_window_and_no_failed_modules():
     assert registry.failed_modules == {}
     window = list(qs)[:50]
     # (a) new + changed-implementation queries lead
-    assert window[:8] == [
+    assert window[:9] == [
         "q38h_incremental_semantic_dedup", "q106_grouping_sets",
         "q107_time_weighted_avg", "q108_gap_fill_locf",
         "q109_counter_increase", "q110_gap_fill_interp",
-        "q111_multimodal_near_dup", "q38c_embedding_near_dup",
+        "q111_multimodal_near_dup", "q112_fuzzy_edit_join",
+        "q38c_embedding_near_dup",
     ]
     # (b) the stalest evidence (latest row r1/r2) is all in-window
     for stale in (

@@ -240,6 +240,15 @@ def test_timeseries_query_plan_hygiene(spark, sf_dir):
     assert "BatchEvalPython" not in p10 and "ArrowEvalPython" not in p10
 
 
+def test_fuzzy_edit_join_is_blocked_equi_join(spark, sf_dir):
+    """q112: PassJoin candidates come from a (position, segment)
+    equi-join — never prefix×prefix; exact levenshtein only verifies."""
+    p = plan_of(_Q["q112_fuzzy_edit_join"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_q53_distribution_has_no_global_window(spark, sf_dir):
     """q53 (r5 rework): ntile/percent_rank/cume_dist are derived from
     the range-partitioned two-phase running count — the plan must

@@ -58,6 +58,7 @@ _PRIORITY = (
     "q109_counter_increase",
     "q110_gap_fill_interp",
     "q111_multimodal_near_dup",
+    "q112_fuzzy_edit_join",
     # Implementation changed this round (LSH-bucketed candidates).
     "q38c_embedding_near_dup",
     # Stalest evidence: latest driver row is ROUND 1.
@@ -105,7 +106,6 @@ _PRIORITY = (
     # room for the five new keys — their families stay covered
     # in-window by q37b/c/d, q38c/e/h and the q39 stale block, and
     # every rotated-out key holds a fresh r4 row.)
-    "q37c_ngram_jaccard",
     "q15b_asof_merge",
     "q36_exact_dedup",
     "q14_tpch_q3",
