@@ -407,6 +407,60 @@ def persist_pq_index(
         _json.dump({"m": m, "n_codes": n_codes, "books": books.tolist()}, f)
 
 
+def incremental_pq_index_apply(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    store_dir: str,
+    m: int = 16,
+    n_codes: int = 16,
+    train_cap: int = 10000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> dict:
+    """Maintain the persisted PQ index incrementally — the vector-DB
+    ingestion path: each embedding increment is encoded with the
+    FROZEN codebooks and appended to the codes table, so recurring ANN
+    query batches (`pq_topk(index=load_pq_index(...))`) always see the
+    whole corpus without any retrain or re-encode of history.
+
+    Same store-is-commit contract as the dedup stores: the first batch
+    trains codebooks (bounded driver-side sample) and creates the
+    store; later batches assign against the frozen books map-side
+    (one Arrow pass over the INCREMENT only); rows whose id already
+    exists are replay no-ops, so an at-least-once feed converges.
+    ADC distances stay comparable across batches precisely BECAUSE the
+    books are frozen — retraining per batch would silently re-scale
+    the distance space under existing codes (the same reason
+    ``incremental_semantic_dedup_apply`` freezes its centroids). When
+    drift accumulates, rebuild with ``persist_pq_index`` as an offline
+    compaction, like any vector-DB reindex.
+
+    Returns {"batch": n, "replayed": r, "appended": a}.
+    """
+    import os as _os
+
+    codes_dir = _os.path.join(store_dir, "codes")
+    if _os.path.exists(_os.path.join(store_dir, "codebooks.json")):
+        _, books = load_pq_index(spark, store_dir)
+        fresh = new_vectors.join(
+            spark.read.parquet(codes_dir).select(id_col), id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+        n_batch = new_vectors.count()
+        n_fresh = fresh.count()
+        if n_fresh:
+            pq_encode(fresh, books, id_col, vec_col).write.mode("append").parquet(
+                codes_dir
+            )
+        return {"batch": n_batch, "replayed": n_batch - n_fresh,
+                "appended": n_fresh}
+    n_batch = new_vectors.count()
+    persist_pq_index(
+        new_vectors, store_dir, m, n_codes, train_cap, id_col, vec_col, seed
+    )
+    return {"batch": n_batch, "replayed": 0, "appended": n_batch}
+
+
 def load_pq_index(spark: SparkSession, store_dir: str):
     """→ (coded_corpus, books) for ``pq_topk(index=...)``."""
     import json as _json
