@@ -661,3 +661,72 @@ def test_semantic_dedup_corpus_route_end_to_end(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert read_semantic_corpus(spark, store).count() == 3
+
+
+def test_pq_index_route_end_to_end(spark, tmp_path):
+    """CDC inserts carrying embeddings maintain a queryable PQ ANN
+    index: batch 1 trains + creates the store, batch 2 appends under
+    the frozen codebooks, a full changelog replay is a no-op, and a
+    query through the index returns its own exact vector first."""
+    import json as _json
+
+    import numpy as np
+
+    from wing_binlog_go_spark.operators.similarity import (
+        load_pq_index,
+        pq_topk,
+    )
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+    from wing_binlog_go_spark.streaming.sinks import pq_index_writer
+
+    rng = np.random.RandomState(33)
+    vecs = {i: rng.normal(0, 1, 32) for i in range(1, 9)}
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    for fi, ids in enumerate([(1, 2, 3, 4), (5, 6, 7, 8)]):
+        with open(log_dir / f"f{fi}.jsonl", "w") as f:
+            for ev, vid in enumerate(ids):
+                rec = {
+                    "binlog_file": f"mysql-bin.{fi:06d}",
+                    "binlog_pos": 4 + ev * 50, "xid_commit": True,
+                    "database": "ml", "table": "vectors",
+                    "action": "insert", "row_no": 0, "before": None,
+                    "after": {"id": str(vid),
+                              "embedding": _json.dumps([float(x) for x in vecs[vid]])},
+                    "ddl_query": None,
+                    "ts_header": "2018-04-19T05:21:27.000Z", "gtid": None,
+                }
+                f.write(_json.dumps(rec) + "\n")
+
+    store = str(tmp_path / "pqstore")
+    route = Route(
+        "pqindex",
+        pq_index_writer(store, "ml.vectors", m=8, n_codes=8),
+    )
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+    idx = load_pq_index(spark, store)
+    assert idx[0].count() == 8
+
+    # replay under a fresh checkpoint: ids already coded → no growth
+    with open(f"{store}/codebooks.json") as f:
+        books1 = _json.load(f)["books"]
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+    idx2 = load_pq_index(spark, store)
+    assert idx2[0].count() == 8
+    with open(f"{store}/codebooks.json") as f:
+        assert _json.load(f)["books"] == books1  # never retrained
+
+    # querying with a stored vector: its own id must rank first
+    queries = spark.createDataFrame(
+        [(101, [float(x) for x in vecs[6]])], ["query_id", "embedding"]
+    )
+    top = pq_topk(None, queries, k=1, refine=8, index=idx2).collect()
+    assert top[0].vec_id == 6 and top[0].rnk == 1

@@ -366,6 +366,51 @@ def semantic_dedup_corpus_writer(
     return write
 
 
+def pq_index_writer(
+    store_dir: str,
+    table: str,
+    id_field: str = "id",
+    vec_field: str = "embedding",
+    m: int = 16,
+    n_codes: int = 16,
+):
+    """Route writer maintaining a PQ ANN index from the CDC stream
+    (`operators.similarity.incremental_pq_index_apply`): INSERT
+    envelopes of ``table`` carrying embeddings become index increments
+    — the first batch trains + creates the store, later batches encode
+    against the frozen codebooks and append, replays are id-no-ops.
+    Query it any time with ``pq_topk(index=load_pq_index(...))`` — the
+    vector-database ingestion path fed straight from the binlog.
+    """
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.operators.similarity import (
+        incremental_pq_index_apply,
+    )
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        vecs = (
+            env.filter(
+                (F.col("event_type") == "insert")
+                & (F.concat_ws(".", "database", "table") == table)
+            )
+            .select(
+                F.element_at("event.data", id_field).cast("long").alias("vec_id"),
+                F.from_json(
+                    F.element_at("event.data", vec_field), "array<double>"
+                ).alias("embedding"),
+            )
+            .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        )
+        if vecs.isEmpty():
+            return
+        incremental_pq_index_apply(
+            env.sparkSession, vecs, store_dir, m=m, n_codes=n_codes
+        )
+
+    return write
+
+
 def read_semantic_corpus(spark, store_dir: str) -> DataFrame:
     """The deduped embedding corpus maintained by
     ``semantic_dedup_corpus_writer``: (vec_id, embedding, cluster)."""
