@@ -447,3 +447,64 @@ def test_incremental_agg_rejects_legacy_state_without_sumsq(spark, tmp_path):
     b = _env(spark, [("insert", 1, {"g": "a", "v": "1"}, None, None)])
     with _pytest.raises(ValueError, match="agg_sumsq"):
         incremental_agg_apply(spark, b, state, "g", "v")
+
+
+def test_incremental_distinct_hll_maintenance(spark, tmp_path):
+    """Approximate COUNT(DISTINCT) maintenance: per-group HLL sketches
+    union across batches (exact at these cardinalities), replays are
+    no-ops, repeated values don't inflate the estimate, and any
+    non-insert envelope raises loudly (sketches cannot retract)."""
+    import pytest as _pytest
+
+    from wing_binlog_go_spark.streaming.aggregate import (
+        distinct_view,
+        incremental_distinct_apply,
+    )
+
+    state = str(tmp_path / "ndv")
+    b1 = _env(
+        spark,
+        [
+            ("insert", 1, {"g": "a", "v": "u1"}, None, None),
+            ("insert", 2, {"g": "a", "v": "u2"}, None, None),
+            ("insert", 3, {"g": "a", "v": "u1"}, None, None),  # repeat
+            ("insert", 4, {"g": "b", "v": "u1"}, None, None),
+        ],
+    )
+    incremental_distinct_apply(spark, b1, state, "g", "v")
+    ndv = {
+        r.grp: r.approx_ndv
+        for r in distinct_view(spark.read.parquet(state)).collect()
+    }
+    assert ndv == {"a": 2, "b": 1}
+
+    # batch 2: new value for a, repeat-across-batch for b
+    b2 = _env(
+        spark,
+        [
+            ("insert", 5, {"g": "a", "v": "u3"}, None, None),
+            ("insert", 6, {"g": "b", "v": "u1"}, None, None),
+        ],
+    )
+    incremental_distinct_apply(spark, b2, state, "g", "v")
+    ndv = {
+        r.grp: r.approx_ndv
+        for r in distinct_view(spark.read.parquet(state)).collect()
+    }
+    assert ndv == {"a": 3, "b": 1}
+
+    # replay of batch 2 (event_index <= high-water mark): no-op
+    incremental_distinct_apply(spark, b2, state, "g", "v")
+    ndv2 = {
+        r.grp: r.approx_ndv
+        for r in distinct_view(spark.read.parquet(state)).collect()
+    }
+    assert ndv2 == ndv
+
+    # deletes/updates cannot be retracted from a sketch → loud failure
+    b3 = _env(
+        spark,
+        [("delete", 7, {"g": "a", "v": "u3"}, None, None)],
+    )
+    with _pytest.raises(ValueError, match="insert-only"):
+        incremental_distinct_apply(spark, b3, state, "g", "v")

@@ -381,3 +381,98 @@ def incremental_minmax_writer(
         )
 
     return write
+
+
+# ---------------------------------------------------------------------------
+# approximate COUNT(DISTINCT …) maintenance — HLL sketches, insert-only
+# ---------------------------------------------------------------------------
+
+
+def incremental_distinct_apply(
+    spark: SparkSession,
+    env_batch: DataFrame,
+    state_dir: str,
+    group_key: str,
+    value_field: str,
+    lgk: int = 12,
+) -> None:
+    """Maintain approximate ``COUNT(DISTINCT value)`` per group from the
+    change stream via Apache DataSketches HLL (Spark's
+    ``hll_sketch_agg`` / ``hll_union``): state = (grp, sketch bytes);
+    each batch builds one sketch per group from its INSERT images and
+    unions it into the state — a few KB per group regardless of
+    cardinality, mergeable across batches, executors and stores.
+
+    INSERT-ONLY by the math: HLL registers are monotone maxima, so a
+    delete/update cannot be retracted. A batch carrying update/delete
+    envelopes raises loudly rather than silently over-counting —
+    delete-safe distinct maintenance needs the exact distinct SET
+    (a (grp, value) table), which at that point is just a second
+    upsert replica. This maintainer exists for the append-only shape
+    (event/log/crawl tables), where it answers NDV questions at 100 TB
+    without ever rescanning history.
+
+    Same replay high-water mark + staged-swap commit contract as
+    :func:`incremental_agg_apply`.
+    """
+    recover_swap(state_dir)
+    high = applied_index(state_dir)
+    fresh = env_batch.filter(F.col("event_index") > high)
+    mx = fresh.agg(F.max("event_index")).collect()[0][0]
+    if mx is None:
+        return
+    non_insert = fresh.filter(F.col("event_type") != "insert").limit(1).count()
+    if non_insert:
+        raise ValueError(
+            "incremental_distinct_apply is insert-only: HLL sketches "
+            "cannot retract deletes/updates — rebuild from the replica "
+            "or maintain an exact (group, value) distinct table instead"
+        )
+    data = F.col("event.data")
+    deltas = (
+        fresh.select(
+            F.coalesce(
+                F.element_at(data, group_key), F.lit("\x00null\x00")
+            ).alias("grp"),
+            F.element_at(data, value_field).alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("grp")
+        .agg(F.hll_sketch_agg("v", F.lit(lgk)).alias("d_sketch"))
+    )
+    if os.path.exists(state_dir):
+        state = spark.read.parquet(state_dir)
+    else:
+        state = spark.createDataFrame([], "grp string, sketch binary")
+    merged = state.join(deltas, "grp", "full_outer").select(
+        "grp",
+        F.when(
+            F.col("sketch").isNotNull() & F.col("d_sketch").isNotNull(),
+            F.hll_union("sketch", "d_sketch"),
+        )
+        .otherwise(F.coalesce("d_sketch", "sketch"))
+        .alias("sketch"),
+    )
+    staged = state_dir.rstrip("/") + "._staging"
+    merged.write.mode("overwrite").parquet(staged)
+    with open(os.path.join(staged, _META), "w") as f:
+        json.dump({"max_event_index": int(mx)}, f)
+    swap_dir(staged, state_dir)
+
+
+def incremental_distinct_writer(state_dir: str, group_key: str, value_field: str):
+    """foreachBatch hook: envelope stream → maintained NDV sketches."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_distinct_apply(
+            batch_df.sparkSession, batch_df, state_dir, group_key, value_field
+        )
+
+    return write
+
+
+def distinct_view(state: DataFrame) -> DataFrame:
+    """(grp, approx_ndv) over the maintained sketch state."""
+    return state.select(
+        "grp", F.hll_sketch_estimate("sketch").alias("approx_ndv")
+    )
