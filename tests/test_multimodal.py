@@ -1459,3 +1459,66 @@ def test_q111_multimodal_near_dup_exact_triangle(spark):
         for a, b in ((0, 1), (0, 2), (1, 2))
     )
     assert rows == expected
+
+
+def test_png_16bit_depth_decodes_high_byte():
+    """16-bit PNGs (gray, RGB and RGBA, plain and Sub-filtered) decode
+    to the high byte of each big-endian sample — filtering is
+    byte-oriented per the spec, so the unfilter path is shared with
+    doubled bpp."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from wing_binlog_go_spark.multimodal.codecs import decode_png
+
+    rng = np.random.RandomState(51)
+
+    def build(color, ch, w, h, ftype=0):
+        hi = rng.randint(0, 256, (h, w, ch), dtype=np.uint8)
+        lo = rng.randint(0, 256, (h, w, ch), dtype=np.uint8)
+        samples = (hi.astype(np.uint16) << 8) | lo
+        rows = bytearray()
+        raw = samples.astype(">u2").tobytes()
+        stride = w * ch * 2
+        prev = bytes(stride)
+        for y in range(h):
+            row = raw[y * stride : (y + 1) * stride]
+            rows.append(ftype)
+            if ftype == 0:
+                rows += row
+            else:  # Sub filter, bpp = ch*2 bytes
+                bpp = ch * 2
+                out = bytearray()
+                for x in range(stride):
+                    left = row[x - bpp] if x >= bpp else 0
+                    out.append((row[x] - left) & 0xFF)
+                rows += out
+        png = b"\x89PNG\r\n\x1a\n"
+        png += _png_chunk(
+            b"IHDR", _struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, 0)
+        )
+        png += _png_chunk(b"IDAT", _zlib.compress(bytes(rows)))
+        png += _png_chunk(b"IEND", b"")
+        return png, hi
+
+    for color, ch in ((0, 1), (2, 3), (6, 4)):
+        for ftype in (0, 1):
+            data, hi = build(color, ch, 7, 5, ftype)
+            got = decode_png(data)
+            if ch == 1:
+                want = np.repeat(hi, 3, axis=2)
+            else:
+                want = hi[:, :, :3]
+            assert np.array_equal(got, want), (color, ftype)
+
+    # 16-bit palette is illegal; sub-byte depths still raise
+    bad = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+        b"IHDR", _struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0)
+    ) + _png_chunk(b"IDAT", _zlib.compress(b"\x00" * 36)) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="16-bit palette"):
+        decode_png(bad)
+    bad4 = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+        b"IHDR", _struct.pack(">IIBBBBB", 4, 4, 4, 3, 0, 0, 0)
+    ) + _png_chunk(b"IDAT", _zlib.compress(b"\x00" * 12)) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="8/16-bit"):
+        decode_png(bad4)

@@ -245,14 +245,17 @@ def _png_unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.nda
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode an 8-bit PNG (progressive Adam7 included) → H×W×3 RGB.
+    """Decode an 8- or 16-bit PNG (progressive Adam7 included) → H×W×3
+    RGB (16-bit samples keep their high byte — the standard 8-bit
+    rendering).
 
     Pure Python + stdlib zlib: chunk walk (IHDR/PLTE/IDAT/IEND with CRC
     checks), DEFLATE inflate, scanline unfilter (per Adam7 pass when
-    interlaced), palette expansion, and alpha drop (features/phash
-    operate on color; compositing policy belongs to callers). Only
-    16-bit depth raises — rare in training corpora; a real deployment
-    uses PIL behind the same dispatch seam.
+    interlaced; filtering is byte-oriented, so 16-bit rows reuse the
+    same unfilter with doubled bpp exactly as the spec defines),
+    palette expansion, and alpha drop (features/phash operate on
+    color; compositing policy belongs to callers). Sub-byte depths
+    (1/2/4-bit palette) raise toward the PIL seam.
     """
     if len(payload) < 8 or payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG file")
@@ -277,17 +280,20 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
     width, height, depth, color, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"only 8-bit PNG supported, got depth {depth}")
+    if depth not in (8, 16):
+        raise ValueError(f"only 8/16-bit PNG supported, got depth {depth}")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {color}")
+    if depth == 16 and color == 3:
+        raise ValueError("16-bit palette PNG is not legal")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
     if width <= 0 or height <= 0:
         raise ValueError(f"bad dimensions {width}x{height}")
-    bpp = _PNG_CHANNELS[color]
+    ch = _PNG_CHANNELS[color]
+    bpp = ch * (depth // 8)  # filtering is byte-oriented (spec §6.2)
     stride = width * bpp
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     if interlace == 1:
@@ -315,6 +321,9 @@ def decode_png(payload: bytes) -> np.ndarray:
                 f"PNG pixel data size mismatch: {raw.size} != {height * (stride + 1)}"
             )
         px = _png_unfilter(raw, height, stride, bpp).reshape(height, width, bpp)
+    if depth == 16:
+        # big-endian samples: the high byte IS the 8-bit rendering
+        px = px.reshape(height, width, ch, 2)[..., 0]
     if color == 3:  # palette → RGB lookup
         if palette is None:
             raise ValueError("palette PNG without PLTE chunk")

@@ -1141,12 +1141,14 @@ def _q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     b2 = emb.filter(F.col("vec_id") >= mid).unionByName(copies)
     store = tempfile.mkdtemp(prefix="semdedup_store_")
     try:
+        # stats off: the driver checks rows, not stats — saves ~6 count
+        # jobs per run of this key
         s1, _ = incremental_semantic_dedup_apply(
-            spark, b1, store, threshold=0.97, n_clusters=8
+            spark, b1, store, threshold=0.97, n_clusters=8, collect_stats=False
         )
         n1 = s1.select("vec_id").localCheckpoint(eager=True)
         s2, _ = incremental_semantic_dedup_apply(
-            spark, b2, store, threshold=0.97, n_clusters=8
+            spark, b2, store, threshold=0.97, n_clusters=8, collect_stats=False
         )
         n2 = s2.select("vec_id").localCheckpoint(eager=True)
     finally:
