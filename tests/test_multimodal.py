@@ -1125,13 +1125,20 @@ def test_tiff_rejects_lzw_and_garbage():
     dz = bytearray(encode_tiff(_lowfreq_img(w=8, h=8)))
     import struct as _struct
 
-    # flip the compression tag (259) to deflate (8): scan the IFD entries
+    # flip the compression tag (259) to JPEG-in-TIFF (7): unsupported
     n = _struct.unpack_from("<H", dz, 8)[0]
     for e in range(n):
         off = 10 + e * 12
         if _struct.unpack_from("<H", dz, off)[0] == 259:
-            _struct.pack_into("<I", dz, off + 8, 8)
+            _struct.pack_into("<I", dz, off + 8, 7)
     with pytest.raises(ValueError, match="PIL"):
+        decode_tiff(bytes(dz))
+    # flip to deflate (8) over non-deflate bytes: clean rejection
+    for e in range(n):
+        off = 10 + e * 12
+        if _struct.unpack_from("<H", dz, off)[0] == 259:
+            _struct.pack_into("<I", dz, off + 8, 8)
+    with pytest.raises(ValueError, match="deflate"):
         decode_tiff(bytes(dz))
 
 
@@ -1522,3 +1529,107 @@ def test_png_16bit_depth_decodes_high_byte():
     ) + _png_chunk(b"IDAT", _zlib.compress(b"\x00" * 12)) + _png_chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="8/16-bit"):
         decode_png(bad4)
+
+
+def test_gif_interlaced_roundtrip_and_disposal3():
+    """The two formerly-raising GIF forms: interlaced frames round-trip
+    through the four-pass de-interlace (odd heights included), and
+    disposal 3 restores the PRE-FRAME canvas content — not background,
+    not the frame — under the following frame."""
+    import struct as _struct
+
+    from wing_binlog_go_spark.multimodal.codecs import (
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+
+    for h in (16, 13, 9, 1):
+        frames = [f[:h] for f in _palette_frames(2)]
+        got = decode_gif(encode_gif(frames, interlace=True))
+        assert all(np.array_equal(a, b[1]) for a, b in zip(frames, got)), h
+
+    # disposal 3: frame 2 paints a rect over frame 1 with disposal 3;
+    # frame 3 paints one pixel — under it, frame 1's content is BACK
+    pal = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])  # black/red/green
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", 4, 4, 0x80 | 0x01, 0, 0)
+    out += pal
+    # frame 1: all red
+    out += b"\x2c" + _struct.pack("<HHHHB", 0, 0, 4, 4, 0)
+    lzw = _lzw_encode([1] * 16, 2)
+    out += bytes([2, len(lzw)]) + lzw + b"\x00"
+    # frame 2: 2x2 green rect at (1,1), DISPOSAL 3 (restore previous)
+    out += b"\x21\xf9\x04" + _struct.pack("<BHB", 3 << 2, 10, 0) + b"\x00"
+    out += b"\x2c" + _struct.pack("<HHHHB", 1, 1, 2, 2, 0)
+    lzw = _lzw_encode([2, 2, 2, 2], 2)
+    out += bytes([2, len(lzw)]) + lzw + b"\x00"
+    # frame 3: single green pixel at (0,0)
+    out += b"\x2c" + _struct.pack("<HHHHB", 0, 0, 1, 1, 0)
+    lzw = _lzw_encode([2], 2)
+    out += bytes([2, len(lzw)]) + lzw + b"\x00"
+    out.append(0x3B)
+    frames = decode_gif(bytes(out))
+    assert len(frames) == 3
+    assert tuple(frames[1][1][1, 1]) == (0, 255, 0)  # rect visible in frame 2
+    f3 = frames[2][1]
+    assert tuple(f3[1, 1]) == (255, 0, 0)  # restored to frame-1 red
+    assert tuple(f3[0, 0]) == (0, 255, 0)  # frame-3 pixel painted
+
+
+def test_tiff_deflate_roundtrip():
+    import struct as _struct
+
+    from wing_binlog_go_spark.multimodal.codecs import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(52)
+    img = rng.randint(0, 256, (9, 7, 3), dtype=np.uint8)
+    data = encode_tiff(img, deflate=True)
+    assert np.array_equal(decode_tiff(data), img)
+    # compression tag says deflate (8)
+    ifd_off = _struct.unpack_from("<I", data, 4)[0]
+    n = _struct.unpack_from("<H", data, ifd_off)[0]
+    tags = {}
+    for e in range(n):
+        off = ifd_off + 2 + e * 12
+        tag, _t, _c, val = _struct.unpack_from("<HHII", data, off)
+        tags[tag] = val
+    assert tags[259] == 8
+    # banded content actually compresses
+    banded = np.repeat(_lowfreq_img(w=40, h=6, seed=17), 4, axis=0)
+    enc = encode_tiff(banded, deflate=True)
+    assert np.array_equal(decode_tiff(enc), banded)
+    assert len(enc) < banded.size
+
+
+def test_wav_float_and_24bit_decode():
+    import struct as _struct
+
+    from wing_binlog_go_spark.multimodal.codecs import decode_wav
+
+    t = np.arange(800) / 8000.0
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float64)
+
+    def wav(fmt_code, bits, payload):
+        hdr = _struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + len(payload), b"WAVE",
+            b"fmt ", 16, fmt_code, 1, 8000, 8000 * bits // 8, bits // 8, bits,
+            b"data", len(payload),
+        )
+        return hdr + payload
+
+    r32, m32 = decode_wav(wav(3, 32, sig.astype("<f4").tobytes()))
+    assert r32 == 8000 and np.abs(m32 - sig).max() < 1e-6
+    r64, m64 = decode_wav(wav(3, 64, sig.astype("<f8").tobytes()))
+    assert np.abs(m64 - sig).max() == 0.0
+    # 24-bit signed integer PCM
+    v = np.round(sig * 8388607).astype(np.int64)
+    raw = bytearray()
+    for x in v:
+        raw += int(x & 0xFFFFFF).to_bytes(3, "little")
+    r24, m24 = decode_wav(wav(1, 24, bytes(raw)))
+    assert np.abs(m24 - sig).max() < 1e-6
+    # ADPCM still raises toward the seam
+    with pytest.raises(ValueError, match="ADPCM"):
+        decode_wav(wav(2, 4, b"\x00" * 64))

@@ -1135,12 +1135,11 @@ def decode_gif(payload: bytes) -> list[tuple[int, np.ndarray]]:
     Full-canvas compositing: each image descriptor's rect is drawn over
     the running canvas (respecting the transparent index), so every
     returned frame is the complete displayed picture, not the stored
-    delta. Disposal methods: 1 (keep) and 2 (restore background; with
-    an active transparent index the rect restores to transparent —
-    black on this RGB canvas, matching RGBA renderers flattened) — the
-    forms encoders actually emit for training-corpus GIFs; 3 (restore
-    previous) raises. Interlaced frames raise (rare outside ancient web
-    art; a real deployment uses PIL behind the same dispatch seam).
+    delta. All three disposal methods: 1 (keep), 2 (restore
+    background; with an active transparent index the rect restores to
+    transparent — black on this RGB canvas, matching RGBA renderers
+    flattened) and 3 (restore previous, via a saved pre-frame rect).
+    Interlaced frames de-interlace through the four GIF89a passes.
     """
     if len(payload) < 13 or payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF file")
@@ -1190,8 +1189,6 @@ def decode_gif(payload: bytes) -> list[tuple[int, np.ndarray]]:
         left, top, w, h = struct.unpack_from("<HHHH", payload, pos)
         fpacked = payload[pos + 8]
         pos += 9
-        if fpacked & 0x40:
-            raise ValueError("interlaced GIF not supported without PIL")
         table = gct
         if fpacked & 0x80:
             n = 2 << (fpacked & 0x07)
@@ -1199,8 +1196,6 @@ def decode_gif(payload: bytes) -> list[tuple[int, np.ndarray]]:
             pos += n * 3
         if table is None:
             raise ValueError("GIF frame without any color table")
-        if disposal == 3:
-            raise ValueError("GIF disposal 'restore previous' not supported")
         min_code = payload[pos]
         pos += 1
         data, pos = subblocks(pos)
@@ -1210,7 +1205,19 @@ def decode_gif(payload: bytes) -> list[tuple[int, np.ndarray]]:
         if int(idx.max(initial=0)) >= len(table):
             raise ValueError("GIF palette index out of range")
         rect = idx.reshape(h, w)
+        if fpacked & 0x40:
+            # interlaced: stored rows are the four GIF89a passes
+            # (every 8th from 0, every 8th from 4, every 4th from 2,
+            # every 2nd from 1) — scatter them back into place
+            order = [y for y in range(0, h, 8)] + [y for y in range(4, h, 8)] \
+                + [y for y in range(2, h, 4)] + [y for y in range(1, h, 2)]
+            deinter = np.empty_like(rect)
+            deinter[np.array(order, dtype=np.int64)] = rect
+            rect = deinter
         patch = table[rect]
+        if disposal == 3:
+            # restore-previous: keep the pre-frame canvas to put back
+            saved = canvas[top : top + h, left : left + w].copy()
         target = canvas[top : top + h, left : left + w]
         if transparent is not None:
             mask = rect != transparent
@@ -1218,7 +1225,9 @@ def decode_gif(payload: bytes) -> list[tuple[int, np.ndarray]]:
         else:
             target[:] = patch
         frames.append((delay_ms, canvas.copy()))
-        if disposal == 2:  # restore background after presenting
+        if disposal == 3:  # restore previous after presenting
+            canvas[top : top + h, left : left + w] = saved
+        elif disposal == 2:  # restore background after presenting
             if transparent is not None:
                 # spec-conformant renderers restore the rect to
                 # TRANSPARENT when a transparent index is active (the
@@ -1238,12 +1247,17 @@ def decode_gif(payload: bytes) -> list[tuple[int, np.ndarray]]:
     return frames
 
 
-def encode_gif(frames: list[np.ndarray], delay_ms: int = 100) -> bytes:
+def encode_gif(
+    frames: list[np.ndarray], delay_ms: int = 100, interlace: bool = False
+) -> bytes:
     """Encode H×W×3 uint8 RGB frames → animated GIF89a bytes.
 
     Builds one global palette from the distinct colors across all
     frames (≤256 required — test fixtures construct palettized content;
     this is a fixture/round-trip encoder, not a quantizing one).
+    ``interlace=True`` stores each frame's rows in the four GIF89a
+    pass order with the interlace flag set, so the decoder's
+    de-interlacing path round-trips.
     """
     if not frames:
         raise ValueError("no frames")
@@ -1266,7 +1280,13 @@ def encode_gif(frames: list[np.ndarray], delay_ms: int = 100) -> bytes:
     min_code = max(2, bits)
     for f in arr:
         out += b"\x21\xf9\x04" + struct.pack("<BHB", 0x04, delay_ms // 10, 0) + b"\x00"
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+        )
+        if interlace:
+            order = [y for y in range(0, h, 8)] + [y for y in range(4, h, 8)] \
+                + [y for y in range(2, h, 4)] + [y for y in range(1, h, 2)]
+            f = f[np.array(order, dtype=np.int64)]
         idx = [lut[tuple(px)] for px in f.reshape(-1, 3)]
         lzw = _lzw_encode(idx, min_code)
         out.append(min_code)
@@ -1397,11 +1417,12 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
 
 
 def decode_tiff(payload: bytes) -> np.ndarray:
-    """Decode a baseline TIFF (uncompressed, PackBits, or LZW; 8-bit
-    grayscale/RGB(A), either byte order, stripped layout) → H×W×3 RGB.
+    """Decode a baseline TIFF (uncompressed, PackBits, LZW or deflate;
+    8-bit grayscale/RGB(A), either byte order, stripped layout) →
+    H×W×3 RGB.
 
     Covers what scanners and exporters emit as "TIFF" in document
-    corpora; JPEG-in-TIFF/tiled/deflate variants raise and fall to the
+    corpora; JPEG-in-TIFF/CCITT/tiled variants raise and fall to the
     PIL seam like every other codec here.
     """
     if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
@@ -1439,11 +1460,14 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raw = b"".join(
             payload[o : o + c] for o, c in zip(strip_offs, strip_counts)
         )
-    elif comp == 5:
-        raw = b"".join(
-            _tiff_lzw_decode(payload[o : o + c])
-            for o, c in zip(strip_offs, strip_counts)
-        )
+    elif comp in (5, 8, 32946):  # LZW / deflate / legacy deflate
+        expand = _tiff_lzw_decode if comp == 5 else zlib.decompress
+        try:
+            raw = b"".join(
+                expand(payload[o : o + c]) for o, c in zip(strip_offs, strip_counts)
+            )
+        except zlib.error as exc:  # corrupt stream: clean rejection
+            raise ValueError(f"bad TIFF deflate stream: {exc}") from exc
         if tags.get(317, [1])[0] == 2:  # horizontal differencing predictor
             arr = np.frombuffer(raw, np.uint8).copy().reshape(-1, w, spp)
             np.cumsum(arr, axis=1, dtype=np.uint8, out=arr)
@@ -1454,9 +1478,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             for o, c in zip(strip_offs, strip_counts)
         )
     else:
-        raise ValueError(
-            f"TIFF compression {comp} (JPEG/deflate/...) needs PIL"
-        )
+        raise ValueError(f"TIFF compression {comp} (JPEG/CCITT/...) needs PIL")
     need = h * w * spp
     if len(raw) < need:
         raise ValueError("truncated TIFF pixel data")
@@ -1468,20 +1490,26 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(px[:, :, :3])  # RGB / RGBA (alpha dropped)
 
 
-def encode_tiff(img: np.ndarray, packbits: bool = False, lzw: bool = False) -> bytes:
+def encode_tiff(
+    img: np.ndarray,
+    packbits: bool = False,
+    lzw: bool = False,
+    deflate: bool = False,
+) -> bytes:
     """Encode H×W×3 uint8 RGB → little-endian stripped TIFF
     (round-trip partner of :func:`decode_tiff`); ``lzw`` writes one
-    LZW-compressed strip (compression 5), ``packbits`` one RLE strip
-    per row (32773), default uncompressed."""
+    LZW-compressed strip (compression 5), ``deflate`` one zlib strip
+    (compression 8), ``packbits`` one RLE strip per row (32773),
+    default uncompressed."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("expected H×W×3 uint8 RGB")
-    if packbits and lzw:
+    if sum((packbits, lzw, deflate)) > 1:
         raise ValueError("choose one compression")
     h, w = img.shape[:2]
     raw = img.tobytes()
-    if lzw:
-        strip_data = _tiff_lzw_encode(raw)
+    if lzw or deflate:
+        strip_data = _tiff_lzw_encode(raw) if lzw else zlib.compress(raw)
         strip_counts = [len(strip_data)]
         rows_per_strip = h
     elif packbits:
@@ -1547,7 +1575,10 @@ def encode_tiff(img: np.ndarray, packbits: bool = False, lzw: bool = False) -> b
     e += entry(256, 4, 1, w)
     e += entry(257, 4, 1, h)
     e += entry(258, 3, 3, bps_off)  # bits per sample: (8,8,8) out-of-line
-    e += entry(259, 3, 1, 5 if lzw else (32773 if packbits else 1))
+    e += entry(
+        259, 3, 1,
+        5 if lzw else (8 if deflate else (32773 if packbits else 1)),
+    )
     e += entry(262, 3, 1, 2)  # RGB
     e += entry(273, 4, n_strips, offs[0] if n_strips == 1 else arrays_off)
     e += entry(277, 3, 1, 3)  # samples per pixel
@@ -1991,10 +2022,12 @@ def encode_flac(
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """Decode a RIFF/WAVE PCM payload → (sample_rate, mono float64 in
-    [-1, 1]). 8-bit (unsigned) and 16-bit (signed LE) PCM; multi-channel
-    mixes down by mean. Chunks are walked, not assumed at fixed offsets
-    (LIST/fact chunks before data are common)."""
+    """Decode a RIFF/WAVE payload → (sample_rate, mono float64 in
+    [-1, 1]). 8-bit (unsigned) / 16-bit (signed LE) / 24-bit (signed
+    LE) integer PCM and 32/64-bit IEEE float (format 3, what DAWs and
+    scientific tooling export); multi-channel mixes down by mean.
+    Chunks are walked, not assumed at fixed offsets (LIST/fact chunks
+    before data are common)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, fmt, data = 12, None, None
@@ -2010,16 +2043,32 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, rate = struct.unpack_from("<HHI", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
-    if audio_format != 1:
-        raise ValueError(f"only PCM (format 1) supported, got {audio_format}")
+    if audio_format not in (1, 3):
+        raise ValueError(
+            f"only integer PCM (1) and IEEE float (3) supported, got "
+            f"{audio_format} (ADPCM/µ-law need an audio library)"
+        )
     if channels < 1:
         raise ValueError("zero channels")
-    if bits == 16:
+    if audio_format == 3:
+        if bits == 32:
+            samples = np.frombuffer(data, dtype="<f4", count=len(data) // 4).astype(np.float64)
+        elif bits == 64:
+            samples = np.frombuffer(data, dtype="<f8", count=len(data) // 8).astype(np.float64)
+        else:
+            raise ValueError(f"IEEE-float WAV must be 32/64-bit, got {bits}")
+    elif bits == 16:
         samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2).astype(np.float64) / 32768.0
     elif bits == 8:
         samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif bits == 24:
+        n = len(data) // 3
+        b = np.frombuffer(data, dtype=np.uint8, count=n * 3).reshape(n, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = (v ^ 0x800000) - 0x800000  # sign-extend 24-bit
+        samples = v.astype(np.float64) / 8388608.0
     else:
-        raise ValueError(f"only 8/16-bit PCM supported, got {bits}")
+        raise ValueError(f"only 8/16/24-bit PCM supported, got {bits}")
     frames = len(samples) // channels
     mono = samples[: frames * channels].reshape(frames, channels).mean(axis=1)
     return rate, mono
