@@ -9,20 +9,27 @@ the two formats parseable with nothing but ``struct`` + numpy:
 
 - BMP, uncompressed BI_RGB, 24- or 32-bit, bottom-up or top-down — the
   standard interchange form every image tool can emit;
-- PNG, 8-bit non-interlaced, all five color types (gray, RGB, palette,
-  gray+alpha, RGBA) — zlib is stdlib, so the DEFLATE stream and the five
-  scanline filters decode without any external imaging library;
+- PNG, 8- and 16-bit, plain and Adam7-interlaced, all five color types
+  (gray, RGB, palette, gray+alpha, RGBA) — zlib is stdlib, so the
+  DEFLATE stream and the five scanline filters decode without any
+  external imaging library;
 - JPEG, baseline (SOF0/1) AND progressive (SOF2: DC/AC first +
   refinement passes with EOB runs), any h×v chroma sampling, restart
   markers — canonical huffman + 8×8 IDCT in a few hundred lines of
   numpy; verified against real camera JPEGs shipped with Spark's MLlib
   test data (and a known-content white test card), not only this
   module's own encoder;
-- GIF, 87a/89a incl. animation (the video modality);
-- TIFF, baseline 6.0 stripped layout (uncompressed + PackBits, both
-  byte orders, gray/RGB(A) incl. white-is-zero) — the scanned-document
+- GIF, 87a/89a incl. animation (the video modality), interlaced frames
+  and all three disposal methods;
+- WebP lossless (VP8L), all four transforms, color cache, LZ77 and
+  meta prefix codes, plus animated WebP (ANMF chapters) with
+  blending/disposal compositing;
+- TIFF, baseline 6.0 stripped layout (uncompressed, PackBits, LZW with
+  the horizontal-differencing predictor, and deflate; both byte
+  orders, gray/RGB(A) incl. white-is-zero) — the scanned-document
   staple;
-- WAV, RIFF PCM, 8/16-bit, any channel count (mixed down to mono);
+- WAV, RIFF integer PCM 8/16/24-bit and IEEE float 32/64-bit, any
+  channel count (mixed down to mono);
 - FLAC (RFC 9639): CONSTANT/VERBATIM/FIXED/LPC subframes, partitioned
   Rice residuals, all four stereo decorrelation modes, CRC-8/16
   checked — lossless compressed audio without soundfile.
@@ -31,17 +38,19 @@ Everything here runs INSIDE Arrow-batched ``mapInPandas`` workers (see
 ``multimodal.image_features``): per-row Python cost is amortized over
 Arrow batch transfer, and the numpy work (row destriding, DCT) is
 vectorized. Formats needing codec libraries this environment lacks
-(WebP/TIFF/MP3/MP4) still raise NotImplementedError at the dispatch in
-``multimodal.decode_image`` / ``decode_audio`` — a real deployment
+(lossy WebP/MP3/MP4) still raise NotImplementedError at the dispatch
+in ``multimodal.decode_image`` / ``decode_audio`` — a real deployment
 drops in PIL/ffmpeg behind the same seam.
 
-Measured single-core decode rates (this container): PNG sub-ms per
-image (fully numpy-vectorized unfilter fast paths), JPEG ~70-95 ms per
-300×300 photo (~0.4 MiB/s — the pure-Python huffman bit loop), FLAC
-~11× realtime (the rice loop). The entropy-coding loops are the stated
-pure-Python tradeoff: corpus throughput comes from partition/executor
-parallelism, and swapping PIL/ffmpeg in at the dispatch seam is the
-per-core speedup path, not a plumbing change.
+Measured single-core decode rates (this container, after the r5
+flat-peek-table rework of every entropy decoder): PNG sub-ms per image
+(fully numpy-vectorized unfilter fast paths), JPEG ~0.21 s profiled /
+~1 Mpx/s wall for a 300×300 photo (2.5× over the bit-loop form), FLAC
+~11.7× realtime (table CRCs + per-byte unary), VP8L ~0.44 Mpx/s on
+incompressible content (5.6×). The remaining per-symbol loops are the
+stated pure-Python tradeoff: corpus throughput comes from partition/
+executor parallelism, and swapping PIL/ffmpeg in at the dispatch seam
+is the per-core speedup path, not a plumbing change.
 """
 
 from __future__ import annotations
