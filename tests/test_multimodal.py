@@ -1138,7 +1138,7 @@ def test_tiff_rejects_lzw_and_garbage():
         off = 10 + e * 12
         if _struct.unpack_from("<H", dz, off)[0] == 259:
             _struct.pack_into("<I", dz, off + 8, 8)
-    with pytest.raises(ValueError, match="deflate"):
+    with pytest.raises(ValueError, match="(?i)deflate"):
         decode_tiff(bytes(dz))
 
 
@@ -1633,3 +1633,42 @@ def test_wav_float_and_24bit_decode():
     # ADPCM still raises toward the seam
     with pytest.raises(ValueError, match="ADPCM"):
         decode_wav(wav(2, 4, b"\x00" * 64))
+
+
+def test_decompression_bombs_reject_fast():
+    """Hostile crawl bytes: a tiny PNG/TIFF whose DEFLATE stream claims
+    small dimensions but expands to ~100 MB must reject with a clean
+    ValueError BEFORE materializing the output (executor-OOM is the
+    wrong failure mode), and quickly."""
+    import struct as _struct
+    import time as _time
+    import zlib as _zlib
+
+    from wing_binlog_go_spark.multimodal.codecs import decode_png, decode_tiff
+
+    bomb = _zlib.compress(b"\x00" * (100 * 1024 * 1024), 9)  # ~100 KB in
+    # PNG: 4x4 RGB header, bomb IDAT
+    png = b"\x89PNG\r\n\x1a\n"
+    png += _png_chunk(b"IHDR", _struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+    png += _png_chunk(b"IDAT", bomb)
+    png += _png_chunk(b"IEND", b"")
+    t0 = _time.perf_counter()
+    with pytest.raises(ValueError, match="bomb|bound"):
+        decode_png(png)
+    assert _time.perf_counter() - t0 < 2.0
+
+    # TIFF: 4x4 RGB, compression 8, bomb strip
+    def entry(tag, ttype, count, value):
+        return _struct.pack("<HHII", tag, ttype, count, value)
+
+    ifd = _struct.pack("<H", 7)
+    ifd += entry(256, 4, 1, 4) + entry(257, 4, 1, 4)
+    ifd += entry(258, 3, 1, 8) + entry(259, 3, 1, 8) + entry(262, 3, 1, 2)
+    data_off = 8 + 2 + 7 * 12 + 4
+    ifd += entry(273, 4, 1, data_off) + entry(279, 4, 1, len(bomb))
+    ifd += _struct.pack("<I", 0)
+    tif = b"II*\x00" + _struct.pack("<I", 8) + ifd + bomb
+    t0 = _time.perf_counter()
+    with pytest.raises(ValueError, match="bomb|bound"):
+        decode_tiff(tif)
+    assert _time.perf_counter() - t0 < 2.0

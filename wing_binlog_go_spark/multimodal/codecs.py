@@ -60,6 +60,32 @@ import zlib
 
 import numpy as np
 
+
+def _bounded_inflate(data: bytes, max_out: int) -> bytes:
+    """zlib inflate capped at ``max_out`` bytes: a decoder that knows
+    its output size from the header must never let a hostile stream
+    expand past it (decompression bomb → executor OOM is the wrong
+    failure mode for crawl bytes)."""
+    d = zlib.decompressobj()
+    try:
+        out = d.decompress(data, max_out)
+        # bomb check BEFORE flush(): flush ignores the cap and would
+        # realize the oversized buffer we are trying to avoid
+        if not d.eof and (d.unconsumed_tail or len(out) == max_out):
+            raise ValueError(
+                f"compressed stream expands past the {max_out}-byte bound "
+                "declared by the header (decompression bomb?)"
+            )
+        out += d.flush()
+    except zlib.error as exc:
+        raise ValueError(f"bad DEFLATE stream: {exc}") from exc
+    if len(out) > max_out:
+        raise ValueError(
+            f"compressed stream expands past the {max_out}-byte bound "
+            "declared by the header (decompression bomb?)"
+        )
+    return out
+
 # ---------------------------------------------------------------------------
 # BMP
 # ---------------------------------------------------------------------------
@@ -304,7 +330,21 @@ def decode_png(payload: bytes) -> np.ndarray:
     ch = _PNG_CHANNELS[color]
     bpp = ch * (depth // 8)  # filtering is byte-oriented (spec §6.2)
     stride = width * bpp
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    # decompression-bomb cap: the exact output size is known from IHDR
+    # (interlaced images pay one filter byte per PASS-row), so a
+    # hostile IDAT cannot expand past it — crawl corpora contain
+    # hostile bytes, and an executor OOM is the wrong failure mode
+    if interlace == 1:
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                expected += ph * (pw * bpp + 1)
+    else:
+        expected = height * (stride + 1)
+    raw = _bounded_inflate(b"".join(idat), expected)
+    raw = np.frombuffer(raw, dtype=np.uint8)
     if interlace == 1:
         # Adam7: seven independently-filtered sub-images, scattered
         # back onto the full grid by each pass's (offset, step)
@@ -1470,7 +1510,12 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             payload[o : o + c] for o, c in zip(strip_offs, strip_counts)
         )
     elif comp in (5, 8, 32946):  # LZW / deflate / legacy deflate
-        expand = _tiff_lzw_decode if comp == 5 else zlib.decompress
+        # each strip's output can never legally exceed the whole image
+        cap = h * w * spp + 64
+        expand = (
+            _tiff_lzw_decode if comp == 5
+            else (lambda b: _bounded_inflate(b, cap))
+        )
         try:
             raw = b"".join(
                 expand(payload[o : o + c]) for o, c in zip(strip_offs, strip_counts)
