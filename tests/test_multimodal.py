@@ -1672,3 +1672,44 @@ def test_decompression_bombs_reject_fast():
     with pytest.raises(ValueError, match="bomb|bound"):
         decode_tiff(tif)
     assert _time.perf_counter() - t0 < 2.0
+
+
+def test_bmp_8bit_paletted_and_rle8():
+    """8-bit paletted BMPs decode in both plain and RLE8 forms: random
+    palettized content round-trips through the RLE8 encoder (runs +
+    word-padded literal escapes + line/bitmap terminators), and a
+    plain 8-bit BMP built by hand decodes through the palette."""
+    import struct as _struct
+
+    from wing_binlog_go_spark.multimodal.codecs import (
+        decode_bmp,
+        encode_bmp_rle8,
+    )
+
+    rng = np.random.RandomState(53)
+    for shape, ncol in (((13, 9), 16), ((7, 31), 3), ((1, 5), 2), ((20, 20), 200)):
+        pal = rng.randint(0, 256, (ncol, 3), dtype=np.uint8)
+        img = pal[rng.randint(0, ncol, shape)]
+        got = decode_bmp(encode_bmp_rle8(img))
+        assert np.array_equal(got, img), (shape, ncol)
+
+    # plain (uncompressed) 8-bit paletted BMP, odd width → row padding
+    pal = rng.randint(0, 256, (4, 3), dtype=np.uint8)
+    idx = rng.randint(0, 4, (5, 3)).astype(np.uint8)
+    stride = (3 + 3) & ~3
+    rows = bytearray()
+    for y in range(4, -1, -1):  # bottom-up
+        rows += idx[y].tobytes() + b"\x00" * (stride - 3)
+    palbytes = b"".join(bytes([int(c[2]), int(c[1]), int(c[0]), 0]) for c in pal)
+    off = 14 + 40 + len(palbytes)
+    hdr = _struct.pack("<2sIHHI", b"BM", off + len(rows), 0, 0, off)
+    hdr += _struct.pack("<IiiHHIIiiII", 40, 3, 5, 1, 8, 0, len(rows), 0, 0, 4, 0)
+    got = decode_bmp(hdr + palbytes + bytes(rows))
+    assert np.array_equal(got, pal[idx])
+
+    # out-of-range palette index rejects
+    bad = bytearray(encode_bmp_rle8(pal[idx]))
+    # palette says 4 colors; point an encoded run at index 250
+    pos = bad.index(b"\x00\x01", 14 + 40 + 16) - 2  # before end-of-bitmap
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad[: 14 + 40 + 16]) + b"\x01\xfa\x00\x00\x00\x01")

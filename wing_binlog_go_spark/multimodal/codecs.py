@@ -92,12 +92,15 @@ def _bounded_inflate(data: bytes, max_out: int) -> bytes:
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """Decode an uncompressed 24/32-bit BI_RGB BMP → H×W×3 uint8 (RGB).
+    """Decode a 24/32-bit BI_RGB or 8-bit paletted (plain / RLE8) BMP
+    → H×W×3 uint8 (RGB).
 
     Handles the standard quirks: 4-byte row padding, bottom-up row order
     (positive height) vs top-down (negative height), BGR channel order,
     and pixel-array offset taken from the file header (palettes or gap
     bytes between header and pixels are skipped, not assumed absent).
+    RLE8 (compression 1) implements the full escape set: end-of-line,
+    end-of-bitmap, delta moves, and word-padded literal runs.
     """
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP file")
@@ -108,12 +111,18 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     width, height = struct.unpack_from("<ii", payload, 18)
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if compression != 0:
-        raise ValueError(f"only BI_RGB (uncompressed) supported, got {compression}")
-    if bpp not in (24, 32):
-        raise ValueError(f"only 24/32-bit BMP supported, got {bpp}")
     if width <= 0 or height == 0:
         raise ValueError(f"bad dimensions {width}x{height}")
+    if compression == 1 or (compression == 0 and bpp == 8):
+        return _decode_bmp_8bit(
+            payload, pixel_off, header_size, width, height, bpp, compression
+        )
+    if compression != 0:
+        raise ValueError(
+            f"only BI_RGB/BI_RLE8 supported, got compression {compression}"
+        )
+    if bpp not in (24, 32):
+        raise ValueError(f"only 8/24/32-bit BMP supported, got {bpp}")
     top_down = height < 0
     height = abs(height)
     bytes_pp = bpp // 8
@@ -128,6 +137,70 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         px = px[::-1]  # bottom-up storage → natural top-down order
     # BGR(A) → RGB
     return np.ascontiguousarray(px[:, :, 2::-1])
+
+
+def _decode_bmp_8bit(
+    payload: bytes, pixel_off: int, header_size: int,
+    width: int, height: int, bpp: int, compression: int,
+) -> np.ndarray:
+    """8-bit paletted BMP, plain (compression 0) or RLE8 (1)."""
+    if bpp != 8:
+        raise ValueError(f"RLE8 BMP must be 8-bit, got {bpp}")
+    top_down = height < 0
+    height = abs(height)
+    n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+    pal_off = 14 + header_size
+    if pal_off + n_colors * 4 > len(payload):
+        raise ValueError("truncated BMP palette")
+    pal = np.frombuffer(payload, np.uint8, n_colors * 4, pal_off).reshape(-1, 4)
+    palette = pal[:, 2::-1]  # BGRX → RGB
+    idx = np.zeros((height, width), dtype=np.uint8)
+    if compression == 0:
+        stride = (width + 3) & ~3
+        need = pixel_off + stride * height
+        if len(payload) < need:
+            raise ValueError("truncated BMP pixel data")
+        raw = np.frombuffer(payload, np.uint8, stride * height, pixel_off)
+        idx = raw.reshape(height, stride)[:, :width].copy()
+    else:  # RLE8: stored bottom-up regardless of sign convention
+        x = y = 0
+        p = pixel_off
+        n = len(payload)
+        while p + 1 < n:
+            cnt, val = payload[p], payload[p + 1]
+            p += 2
+            if cnt:  # encoded run
+                if y >= height:
+                    raise ValueError("RLE8 run outside bitmap")
+                end = min(x + cnt, width)
+                idx[y, x:end] = val
+                x = end
+            elif val == 0:  # end of line
+                x, y = 0, y + 1
+            elif val == 1:  # end of bitmap
+                break
+            elif val == 2:  # delta
+                if p + 1 >= n:
+                    raise ValueError("truncated RLE8 delta")
+                x += payload[p]
+                y += payload[p + 1]
+                p += 2
+            else:  # literal run of `val` indices, word-padded
+                if p + val > n or y >= height:
+                    raise ValueError("truncated RLE8 literal run")
+                end = min(x + val, width)
+                lit = np.frombuffer(payload, np.uint8, val, p)
+                idx[y, x:end] = lit[: end - x]
+                x = end
+                p += val + (val & 1)
+        idx = idx[::-1]  # RLE8 bitmaps are bottom-up
+        top_down = True  # already flipped
+    if int(idx.max(initial=0)) >= len(palette):
+        raise ValueError("BMP palette index out of range")
+    out = palette[idx]
+    if not top_down:
+        out = out[::-1]
+    return np.ascontiguousarray(out)
 
 
 def encode_bmp(img: np.ndarray) -> bytes:
@@ -3321,3 +3394,61 @@ def encode_webp_anim(
         if len(body) & 1:
             chunks += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + bytes(chunks)
+
+
+def encode_bmp_rle8(img: np.ndarray) -> bytes:
+    """Encode H×W×3 uint8 RGB (≤256 distinct colors) → RLE8 BMP bytes —
+    round-trip partner for the RLE8 decode path, emitting encoded runs,
+    word-padded literal runs for non-repeating stretches, end-of-line
+    and end-of-bitmap escapes."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("expected H×W×3 uint8 RGB")
+    h, w = img.shape[:2]
+    colors = np.unique(img.reshape(-1, 3), axis=0)
+    if len(colors) > 256:
+        raise ValueError(f"{len(colors)} distinct colors; RLE8 caps at 256")
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+    idx = np.array(
+        [lut[tuple(px)] for px in img.reshape(-1, 3)], dtype=np.uint8
+    ).reshape(h, w)
+    data = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = idx[y]
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and run < 255 and row[x + run] == row[x]:
+                run += 1
+            if run >= 2 or w - x == 1:
+                data += bytes([run, int(row[x])])
+                x += run
+            else:
+                lit = x + 1
+                while (
+                    lit < w and lit - x < 255
+                    and not (lit + 1 < w and row[lit] == row[lit + 1])
+                ):
+                    lit += 1
+                n_lit = lit - x
+                if n_lit < 3:  # literal escape needs ≥3; fall back to runs
+                    data += bytes([1, int(row[x])])
+                    x += 1
+                else:
+                    data += bytes([0, n_lit]) + idx[y, x:lit].tobytes()
+                    if n_lit & 1:
+                        data.append(0)  # word padding
+                    x = lit
+        data += b"\x00\x00"  # end of line
+    data += b"\x00\x01"  # end of bitmap
+    n_col = len(colors)
+    pal = bytearray()
+    for c in colors:
+        pal += bytes([int(c[2]), int(c[1]), int(c[0]), 0])  # BGRX
+    pixel_off = 14 + 40 + len(pal)
+    hdr = struct.pack(
+        "<2sIHHI", b"BM", pixel_off + len(data), 0, 0, pixel_off
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(data), 2835, 2835, n_col, 0
+    )
+    return bytes(hdr) + bytes(pal) + bytes(data)
