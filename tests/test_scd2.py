@@ -1,0 +1,166 @@
+"""SCD Type-2 dimension-history materializer.
+
+The reference's headline use case is feeding downstream consumers that
+materialize state from the change stream (readme.md:40-43);
+``scd2_upsert_parquet`` is the history-keeping sibling of the
+last-writer-wins replica: every change event opens a version row with
+[valid_from_index, valid_to_index) bounds derived from the
+replay-stable event_index, so the table answers point-in-time queries.
+"""
+
+from __future__ import annotations
+
+from wing_binlog_go_spark.functions.schema_registry import (
+    ColumnSpec,
+    SchemaRegistry,
+    TableSpec,
+)
+from wing_binlog_go_spark.sources.changelog import write_fixture_changelog
+from wing_binlog_go_spark.streaming.pipeline import (
+    Route,
+    pk_str,
+    run_pipeline,
+    scd2_upsert_parquet,
+)
+from wing_binlog_go_spark.streaming.sinks import (
+    read_scd2_history,
+    scd2_history_writer,
+)
+
+ENV_SCHEMA = (
+    "event_type string, event_index long, "
+    "event struct<data:map<string,string>, old_data:map<string,string>, "
+    "new_data:map<string,string>>"
+)
+
+
+def _env(spark, rows):
+    return spark.createDataFrame(rows, ENV_SCHEMA)
+
+
+def _history(spark, target):
+    out = {}
+    for r in spark.read.parquet(target).collect():
+        out.setdefault(r._pk, []).append(r)
+    for versions in out.values():
+        versions.sort(key=lambda r: r.valid_from_index)
+    return out
+
+
+def test_versions_open_and_close(spark, tmp_path):
+    env = _env(
+        spark,
+        [
+            ("insert", 1, ({"id": "1", "v": "a"}, None, None)),
+            ("update", 2, (None, {"id": "1", "v": "a"}, {"id": "1", "v": "b"})),
+            ("update", 3, (None, {"id": "1", "v": "b"}, {"id": "1", "v": "c"})),
+        ],
+    )
+    target = str(tmp_path / "t")
+    scd2_upsert_parquet(env, target, pk="id")
+    h = _history(spark, target)[pk_str("1")]
+    assert [r.row["v"] for r in h] == ["a", "b", "c"]
+    assert [r.valid_from_index for r in h] == [1, 2, 3]
+    assert [r.valid_to_index for r in h] == [2, 3, None]
+    assert [r.version_n for r in h] == [1, 2, 3]
+    assert [r.is_current for r in h] == [False, False, True]
+
+
+def test_delete_closes_without_current(spark, tmp_path):
+    env = _env(
+        spark,
+        [
+            ("insert", 1, ({"id": "1", "v": "a"}, None, None)),
+            ("delete", 2, ({"id": "1", "v": "a"}, None, None)),
+        ],
+    )
+    target = str(tmp_path / "t")
+    scd2_upsert_parquet(env, target, pk="id")
+    h = _history(spark, target)[pk_str("1")]
+    assert [r.is_delete for r in h] == [False, True]
+    # the tombstone tail is a recorded version but never "current"
+    assert [r.is_current for r in h] == [False, False]
+    assert h[0].valid_to_index == 2 and h[1].valid_to_index is None
+
+
+def test_pk_move_tombstones_old_and_opens_new(spark, tmp_path):
+    env = _env(
+        spark,
+        [
+            ("insert", 1, ({"id": "1", "v": "a"}, None, None)),
+            ("update", 2, (None, {"id": "1", "v": "a"}, {"id": "2", "v": "b"})),
+        ],
+    )
+    target = str(tmp_path / "t")
+    scd2_upsert_parquet(env, target, pk="id")
+    h = _history(spark, target)
+    old = h[pk_str("1")]
+    assert [r.is_delete for r in old] == [False, True]
+    assert old[1].valid_from_index == 2  # closed AT the move event
+    new = h[pk_str("2")]
+    assert len(new) == 1 and new[0].is_current and new[0].row["v"] == "b"
+
+
+def test_replay_and_cross_batch_idempotent(spark, tmp_path):
+    b1 = _env(
+        spark,
+        [
+            ("insert", 1, ({"id": "1", "v": "a"}, None, None)),
+            ("update", 2, (None, {"id": "1", "v": "a"}, {"id": "1", "v": "b"})),
+        ],
+    )
+    b2 = _env(
+        spark,
+        [("update", 3, (None, {"id": "1", "v": "b"}, {"id": "1", "v": "c"}))],
+    )
+    target = str(tmp_path / "t")
+    scd2_upsert_parquet(b1, target, pk="id")
+    scd2_upsert_parquet(b1, target, pk="id")  # at-least-once replay
+    scd2_upsert_parquet(b2, target, pk="id")
+    scd2_upsert_parquet(b2, target, pk="id")
+    h = _history(spark, target)[pk_str("1")]
+    assert [r.row["v"] for r in h] == ["a", "b", "c"]
+    assert [r.is_current for r in h] == [False, False, True]
+    # replays created no extra versions
+    assert len(h) == 3
+
+
+def test_scd2_history_route_end_to_end(spark, tmp_path):
+    reg = SchemaRegistry()
+    reg.register(
+        TableSpec(
+            "fixtures",
+            "cdc_typed_all",
+            [
+                ColumnSpec("id", "bigint(20)", is_pk=True),
+                ColumnSpec("c_vchar", "varchar(255)"),
+                ColumnSpec("c_int", "int(11)"),
+                ColumnSpec("c_new", "varchar(16)"),
+            ],
+        )
+    )
+    log = tmp_path / "log"
+    write_fixture_changelog(str(log), split_files=False)
+    base = str(tmp_path / "scd2")
+    q = run_pipeline(
+        spark,
+        str(log),
+        [Route("scd2", scd2_history_writer(reg, ["fixtures.cdc_typed_all"], base))],
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(90)
+    hist = read_scd2_history(spark, reg, "fixtures.cdc_typed_all", base)
+    rows = {}
+    for r in hist.collect():
+        rows.setdefault(r.id, []).append(r)
+    for versions in rows.values():
+        versions.sort(key=lambda r: r.version_n)
+    # id 1: insert then update → two versions, update wins the tail
+    assert [r.c_vchar for r in rows[1]] == ["row1", "row1v2"]
+    assert [bool(r.is_current) for r in rows[1]] == [False, True]
+    assert rows[1][0].valid_to_index == rows[1][1].valid_from_index
+    # id 5: bare delete → single non-current tombstone version
+    assert [bool(r.is_delete) for r in rows[5]] == [True]
+    assert [bool(r.is_current) for r in rows[5]] == [False]
+    # id 3: untouched insert stays the single current version
+    assert [bool(r.is_current) for r in rows[3]] == [True]

@@ -1776,3 +1776,58 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "h", "v_interp_e4")
         .orderBy("user_id", "h")
     )
+
+
+# ---------------------------------------------------------------------------
+# q113: SCD Type-2 history — change-compressed versions with validity spans
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, value,
+         LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), changes AS (
+  SELECT user_id, ts, event_id, value FROM ordered
+  WHERE prev IS NULL OR value <> prev
+)
+SELECT user_id,
+       ROW_NUMBER() OVER w AS version_n,
+       value,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       CAST(LEAD(ts) OVER w IS NULL AS INT) AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version_n LIMIT 500
+"""
+
+
+@register("q113_scd2_history", _SCD2_SQL)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The batch form of the SCD Type-2 materializer
+    # (streaming/pipeline.py::scd2_upsert_parquet): treat the event
+    # stream as attribute changes per entity, compress consecutive
+    # identical values (a CDC feed can re-deliver unchanged images),
+    # open a version at each change and close it at the next — the
+    # "what did this row look like at time T" dimension-history shape.
+    # Both windows key on user_id (real cardinality, short per-key
+    # history — parallelizes like any hash shuffle; never a global
+    # sort). value passes through untouched so the cross-engine hash
+    # needs no decimal canonicalization.
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "ts", "event_id", "value")
+        .withColumn("prev", F.lag("value").over(w))
+        .filter(F.col("prev").isNull() | (F.col("value") != F.col("prev")))
+    )
+    return (
+        changes.withColumn("version_n", F.row_number().over(w))
+        .withColumn("valid_from", F.col("ts"))
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+        .select("user_id", "version_n", "value", "valid_from", "valid_to", "is_current")
+        .orderBy("user_id", "version_n")
+        .limit(500)
+    )

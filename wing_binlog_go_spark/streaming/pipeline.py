@@ -36,6 +36,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from wing_binlog_go_spark.functions.envelope import (
     match_filters,
@@ -249,15 +250,18 @@ def pk_str(*values) -> str:
     )
 
 
-def latest_image_per_pk(env: DataFrame, pk: str | list[str] = "id") -> DataFrame:
-    """Newest row image (or tombstone) per primary key in the batch.
+def change_rows_per_pk(env: DataFrame, pk: str | list[str] = "id") -> DataFrame:
+    """Every change event keyed by primary key: one row per
+    insert/update/delete envelope → (_pk, row, is_delete, event_index).
 
     ``pk`` may be a single column or a composite key list (injective
     encoding via ``_pk_key``). A MySQL UPDATE may change the PK itself
     (canal delivers it as one before/after row pair, rows.go:17-27); for
     those events an extra tombstone is emitted under the OLD key at the
-    same event_index, so last-writer-wins removes the stale image — the
-    replica never keeps two rows for one logical row.
+    same event_index, so the old logical row always sees a terminating
+    event. This is the shared uncollapsed form: ``latest_image_per_pk``
+    collapses it last-writer-wins for the replica;
+    ``scd2_upsert_parquet`` keeps every version for the history table.
     """
     pk_cols = [pk] if isinstance(pk, str) else list(pk)
     img = (
@@ -288,9 +292,15 @@ def latest_image_per_pk(env: DataFrame, pk: str | list[str] = "id") -> DataFrame
             F.col("event_index"),
         )
     )
-    rows = rows.unionByName(pk_moves)
+    return rows.unionByName(pk_moves)
+
+
+def latest_image_per_pk(env: DataFrame, pk: str | list[str] = "id") -> DataFrame:
+    """Newest row image (or tombstone) per primary key in the batch —
+    ``change_rows_per_pk`` collapsed last-writer-wins by event_index."""
     return (
-        rows.groupBy("_pk")
+        change_rows_per_pk(env, pk)
+        .groupBy("_pk")
         .agg(F.max_by(F.struct("row", "is_delete", "event_index"), "event_index").alias("w"))
         .select("_pk", "w.row", "w.is_delete", "w.event_index")
     )
@@ -329,6 +339,76 @@ def upsert_parquet(
     result = merged.filter(~F.col("is_delete"))
     # stage the full new table (also avoids the plan clobbering its own
     # parquet input mid-scan), then swap directories atomically
+    tmp = target_dir + "._staging"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    result.write.mode("overwrite").parquet(tmp)
+    swap_dir(tmp, target_dir)
+
+
+def scd2_upsert_parquet(
+    env: DataFrame, target_dir: str, pk: str | list[str] = "id"
+) -> None:
+    """Apply a batch of envelopes to an SCD Type-2 dimension-history
+    table: instead of last-writer-wins (``upsert_parquet``), EVERY
+    change event opens a version row and closes its predecessor —
+    the "slowly changing dimension" consumer of the CDC stream
+    (the reference leaves this to downstream consumers,
+    readme.md:40-43; ours materializes it).
+
+    Stored schema: (_pk, row, is_delete, valid_from_index,
+    valid_to_index, is_current) where the version ordinate is the
+    deterministic dense ``event_index`` (replay-stable by the O10
+    contract, so re-applied batches re-derive byte-identical
+    versions). valid_to_index / is_current are recomputed from the
+    merged open-form rows on every write: a version's end is simply
+    the NEXT version's start under the same key, which makes the merge
+    a union + (_pk, valid_from_index) dedupe — idempotent under
+    at-least-once replay by construction. Delete events store a
+    tombstone version (is_delete, row = the removed image) so the
+    history records WHEN the key vanished; a tombstone tail is never
+    is_current.
+
+    Scale: the per-key window is keyed on _pk (real cardinality — each
+    key's history is short, never a calendar or a global sort) and the
+    commit is the same staged-write + atomic-rename swap as
+    ``upsert_parquet``. At 100 TB the same bucketed-manifest treatment
+    as ``upsert_parquet_bucketed`` applies (only buckets with affected
+    keys rewrite); closed versions of untouched keys are immutable so
+    a production layout would additionally tier them into append-only
+    closed-history partitions.
+    """
+    from wing_binlog_go_spark.streaming.maintenance import recover_swap, swap_dir
+
+    spark = env.sparkSession
+    recover_swap(target_dir)
+    fresh = change_rows_per_pk(env, pk).withColumnRenamed(
+        "event_index", "valid_from_index"
+    )
+    if os.path.exists(target_dir):
+        current = spark.read.parquet(target_dir).select(
+            "_pk", "row", "is_delete", "valid_from_index"
+        )
+        merged = current.unionByName(fresh)
+    else:
+        merged = fresh
+    # replay dedupe: a re-delivered event re-derives the identical
+    # (_pk, valid_from_index) version, so max_by is a pure tie-keep
+    open_form = (
+        merged.groupBy("_pk", "valid_from_index")
+        .agg(F.max_by(F.struct("row", "is_delete"), "valid_from_index").alias("w"))
+        .select("_pk", "valid_from_index", "w.row", "w.is_delete")
+    )
+    w = Window.partitionBy("_pk").orderBy("valid_from_index")
+    result = (
+        open_form.withColumn("valid_to_index", F.lead("valid_from_index").over(w))
+        .withColumn(
+            "is_current",
+            F.col("valid_to_index").isNull() & ~F.col("is_delete"),
+        )
+        .withColumn("version_n", F.row_number().over(w))
+    )
     tmp = target_dir + "._staging"
     import shutil
 

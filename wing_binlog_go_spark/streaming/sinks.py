@@ -239,6 +239,58 @@ def read_typed_replica(spark, registry, full_name: str, base_dir: str) -> DataFr
     )
 
 
+def scd2_history_writer(
+    registry, table_full_names: list[str], base_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """Dimension-history route: the SCD Type-2 sibling of
+    ``typed_replica_writer`` — instead of keeping only the newest image
+    per key, every change event becomes a version row with
+    [valid_from_index, valid_to_index) bounds, so the replica answers
+    "what did this row look like when event N happened" (the
+    time-travel consumer the reference delegates downstream,
+    readme.md:40-43). Same envelope-map storage form; decode with
+    ``read_scd2_history`` for typed columns."""
+    import os
+
+    from wing_binlog_go_spark.streaming.pipeline import scd2_upsert_parquet
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        for full in table_full_names:
+            spec = registry.get(full)
+            if spec is None or not spec.pk_columns:
+                continue
+            subset = env.filter(env.full_table == full)
+            target = os.path.join(base_dir, full.replace(".", "__"))
+            scd2_upsert_parquet(subset, target, pk=spec.pk_columns)
+
+    return write
+
+
+def read_scd2_history(spark, registry, full_name: str, base_dir: str) -> DataFrame:
+    """Typed view over an SCD2 history table written by
+    ``scd2_history_writer``: one row per version with
+    (version_n, valid_from_index, valid_to_index, is_current,
+    is_delete) alongside the decoded columns."""
+    import os
+
+    from wing_binlog_go_spark.functions.schema_registry import decode_column
+
+    spec = registry.get(full_name)
+    target = os.path.join(base_dir, full_name.replace(".", "__"))
+    raw = spark.read.parquet(target)
+    return raw.select(
+        *[
+            decode_column(F.element_at("row", c.name), c.raw_type).alias(c.name)
+            for c in spec.columns
+        ],
+        "version_n",
+        "valid_from_index",
+        "valid_to_index",
+        "is_current",
+        "is_delete",
+    )
+
+
 def jsonl_route_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
     """One JSONL file per batch — handy for golden-file tests."""
 
