@@ -327,14 +327,15 @@ def _recall_at_k(exact_rows, approx_rows):
 
 @pytest.mark.parametrize("scale", _SCALES)
 def test_registered_ann_variants_recall_at_both_scales(spark, scale):
-    """q38b (hyperplane LSH), q38d (IVF) and q38f (PQ/ADC) — exactly the
-    registered configurations the driver runs rows-only — must keep
-    recall@5 ≥ 0.9 against q38's exact brute force at both test scales."""
+    """q38b (hyperplane LSH), q38d (IVF), q38f (PQ/ADC) and q38i
+    (IVF-PQ) — exactly the registered configurations the driver runs
+    rows-only — must keep recall@5 ≥ 0.9 against q38's exact brute
+    force at both test scales."""
     from wing_binlog_go_spark.registry import all_queries
 
     qs = all_queries()
     exact = qs["q38_ann_brute_force"].spark(spark, scale).collect()
-    for name in ("q38b_ann_lsh", "q38d_ann_ivf", "q38f_ann_pq"):
+    for name in ("q38b_ann_lsh", "q38d_ann_ivf", "q38f_ann_pq", "q38i_ann_ivfpq"):
         approx = qs[name].spark(spark, scale).collect()
         r = _recall_at_k(exact, approx)
         assert r >= 0.9, f"{name} recall@5 {r:.2f} at {scale}"
@@ -408,6 +409,25 @@ def test_ivf_pq_recall_under_zipf_cluster_skew(spark):
             break
     assert avg >= 0.95 and low >= 0.9, (
         f"PQ under Zipf skew: avg {avg:.2f} / min {low:.2f} even at refine=400"
+    )
+
+    from wing_binlog_go_spark.operators.similarity import ivfpq_topk
+
+    avg = low = 0.0
+    # the composed regime has both levers; escalate them together the
+    # way an auto-tuner would (probes widen the lists seen, refine
+    # deepens the exact re-rank within them)
+    for n_probe, refine in ((4, 100), (8, 200), (12, 400)):
+        approx = ivfpq_topk(
+            corpus, queries, k=10, n_centroids=16, n_probe=n_probe,
+            m=16, refine=refine,
+        ).collect()
+        avg, low = per_query_recall(exact, approx)
+        if avg >= 0.95 and low >= 0.9:
+            break
+    assert avg >= 0.95 and low >= 0.9, (
+        f"IVF-PQ under Zipf skew: avg {avg:.2f} / min {low:.2f} "
+        "even at n_probe=12/refine=400"
     )
 
 

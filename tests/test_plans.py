@@ -298,6 +298,25 @@ def test_embedding_near_dup_is_bucketed(spark, sf_dir):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
 
 
+def test_ivfpq_candidates_are_list_equi_join(spark, sf_dir):
+    """q38i (IVF-PQ): candidates come from an equi-join on the coarse
+    list id with the probed query side broadcast — the corpus codes
+    table is never crossed with the queries, and the ADC fold is the
+    JVM zip_with/aggregate expression (the only Python nodes are the
+    two Arrow quantizer passes: corpus encode + query probe)."""
+    import re
+
+    p = plan_of(_Q["q38i_ann_ivfpq"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+    # exactly two Arrow passes, no row-at-a-time Python anywhere; a
+    # third pass appears when Catalyst's IsNotNull(join key) splits
+    # the encoder stage and re-evaluates it over the whole corpus
+    # (guarded against by the coalesce in ivfpq_topk)
+    assert "BatchEvalPython" not in p
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 2
+
+
 def test_lateral_and_ordered_stat_plan_hygiene(spark, sf_dir):
     # q104: Catalyst must decorrelate the LATERAL subquery to a real
     # join — no per-row re-execution, no cross product
