@@ -1,0 +1,158 @@
+"""Distributed BPE merge training (q39x) and learned-merge
+tokenization (q39y), equality-checked against a sequential reference
+implementation of the public algorithm (Sennrich et al. 2016,
+arXiv:1508.07909)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from wing_binlog_go_spark.functions.text import (
+    bpe_segment,
+    bpe_tokenize_counts,
+    bpe_train,
+    word_freqs,
+)
+
+
+# --- sequential reference (driver-side, pure Python) ---------------------
+
+
+def _ref_word_freqs(texts):
+    c = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if w:
+                c[w] += 1
+    return c
+
+
+def _ref_bpe_train(texts, n_merges, min_count=2):
+    vocab = {
+        tuple(list(w) + ["</w>"]): f for w, f in _ref_word_freqs(texts).items()
+    }
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        # identical tie-break to the Spark trainer: count desc, pair asc
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append((a, b, cnt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+_CORPUS = [
+    "low low low low low",
+    "lower lower widest widest widest",
+    "newest newest newest newest newest newest",
+    "the cat sat on the mat the cat",
+    "low lower lowest newest new",
+]
+
+
+def _docs(spark, texts=_CORPUS):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_trainer_matches_sequential_reference(spark):
+    got = bpe_train(_docs(spark), n_merges=15)
+    want = _ref_bpe_train(_CORPUS, 15)
+    assert got == want
+    assert len(got) > 5  # the corpus genuinely supports many merges
+
+
+def test_trainer_stops_early_when_pairs_exhaust(spark):
+    texts = ["ab ab", "cd"]  # few mergeable pairs above min_count
+    got = bpe_train(_docs(spark, texts), n_merges=50)
+    want = _ref_bpe_train(texts, 50)
+    assert got == want
+    assert len(got) < 50  # stopped, not padded
+
+
+def test_trainer_is_deterministic(spark):
+    a = bpe_train(_docs(spark), n_merges=8)
+    b = bpe_train(_docs(spark), n_merges=8)
+    assert a == b
+
+
+def test_segmenter_roundtrips_and_compresses(spark):
+    merges = bpe_train(_docs(spark), n_merges=10)
+    words = (
+        _docs(spark)
+        .selectExpr("explode(split(lower(text), ' ')) AS w")
+        .filter("w != ''")
+        .distinct()
+    )
+    seg = bpe_segment(merges)
+    rows = words.select("w", seg("w").alias("toks")).collect()
+    for r in rows:
+        # lossless: concatenating tokens reproduces word + marker
+        assert "".join(r.toks) == r.w + "</w>"
+        # never longer than the unmerged form
+        assert len(r.toks) <= len(r.w) + 1
+
+
+def test_tokenize_counts_match_reference(spark):
+    merges = bpe_train(_docs(spark), n_merges=10)
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_tokenize_counts(_docs(spark), merges).collect()
+    }
+    ops = [(a, b) for a, b, _ in merges]
+
+    def ref_count(text):
+        n = 0
+        for w in text.lower().split(" "):
+            if not w:
+                continue
+            s = list(w) + ["</w>"]
+            for a, b in ops:
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            n += len(s)
+        return n
+
+    assert got == {i: ref_count(t) for i, t in enumerate(_CORPUS)}
+
+
+def test_word_freqs_single_shuffle_matches_counter(spark):
+    got = {r.w: r.freq for r in word_freqs(_docs(spark)).collect()}
+    assert got == dict(_ref_word_freqs(_CORPUS))
+
+
+def test_registered_queries_run_on_fixture(spark, sf_small):
+    from wing_binlog_go_spark.registry import all_queries
+
+    qs = all_queries()
+    merges = qs["q39x_bpe_train"].spark(spark, sf_small).collect()
+    assert len(merges) > 0
+    assert [r.merge_rank for r in merges] == list(range(1, len(merges) + 1))
+    counts = qs["q39y_bpe_tokenize"].spark(spark, sf_small).collect()
+    assert len(counts) > 0 and all(r.n_bpe_tokens > 0 for r in counts)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -224,6 +225,184 @@ def _q_minhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
         .limit(50)
+    )
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, freq): the corpus-size pass of BPE training — ONE shuffle
+    over the full corpus; every training iteration afterwards works on
+    this table only (distinct words, ~10^6-10^7 rows even at 100 TB of
+    text — the classic reason BPE trainers aggregate words first)."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _merge_pair_udf(a: str, b: str):
+    """Arrow-batched greedy left-to-right merge of one learned pair —
+    inherently sequential within a word (overlaps: 'aaa' under (a,a)
+    must become (aa, a)), so this is a legitimate Pandas-UDF step; it
+    runs over the WORD table, not the corpus."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def merge(col: pd.Series) -> pd.Series:
+        def apply(s):
+            out, i, n = [], 0, len(s)
+            while i < n:
+                if i + 1 < n and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            return out
+
+        return col.map(lambda s: apply(list(s)))
+
+    return merge
+
+
+def _word_symbols(w: Column) -> Column:
+    """Initial BPE symbolization: characters + '</w>' end-of-word
+    marker (Sennrich et al. 2016, arXiv:1508.07909 — public spec)."""
+    return F.concat(F.split(w, ""), F.array(F.lit("</w>")))
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    min_count: int = 2,
+    checkpoint_every: int = 6,
+) -> list[tuple[str, str, int]]:
+    """Learn byte-pair-encoding merges from a corpus, distributed.
+
+    Structure (what survives 100 TB): the corpus is touched ONCE
+    (``word_freqs``); each of the ``n_merges`` iterations then runs on
+    the word-frequency table — pair counts via a JVM slice/zip_with
+    explode + partial-aggregating groupBy, the global argmax via a
+    1-row sorted limit (count desc, pair asc — the deterministic
+    tie-break), and the merge application as one Arrow pass. Lineage
+    is cut with an eager localCheckpoint every ``checkpoint_every``
+    iterations (the dedup_clusters pattern). Training stops early —
+    loudly, via the returned length — when the best pair drops below
+    ``min_count``.
+
+    Returns [(left, right, pair_count)] in merge order.
+    """
+    vocab = (
+        word_freqs(docs, text_col)
+        .select(_word_symbols(F.col("w")).alias("syms"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for i in range(n_merges):
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(syms, 1, size(syms)-1)"),
+                    F.expr("slice(syms, 2, size(syms)-1)"),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_count:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((a, b, cnt))
+        vocab = vocab.select(
+            _merge_pair_udf(a, b)(F.col("syms")).alias("syms"), "freq"
+        )
+        if (i + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_segment(merges: list[tuple[str, str, int]]):
+    """Tokenizer closure for learned merges: applies them in learned
+    order (the standard BPE apply — later merges operate on earlier
+    merges' output). Returns an Arrow-batched UDF word → tokens."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ops = [(a, b) for a, b, _ in merges]
+
+    @pandas_udf("array<string>")
+    def segment(col: pd.Series) -> pd.Series:
+        def apply(w):
+            s = list(w) + ["</w>"]
+            for a, b in ops:
+                out, i, n = [], 0, len(s)
+                while i < n:
+                    if i + 1 < n and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            return s
+
+        return col.map(apply)
+
+    return segment
+
+
+def bpe_tokenize_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_bpe_tokens) under the learned merges: per-document token
+    counts after greedy application — the sizing pass a training-data
+    pipeline runs before packing sequences. Words segment via one
+    Arrow pass over the DISTINCT words in the batch, then join back —
+    the corpus-side work is an equi-join, not a per-row Python call."""
+    words = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w")
+    ).filter(F.col("w") != "")
+    distinct_words = words.select("w").distinct()
+    seg = bpe_segment(merges)
+    lut = distinct_words.select(
+        "w", F.size(seg(F.col("w"))).cast("bigint").alias("n_toks")
+    )
+    return (
+        words.join(lut, "w")
+        .groupBy(id_col)
+        .agg(F.sum("n_toks").alias("n_bpe_tokens"))
+    )
+
+
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=20)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "merge_rank int, left string, right string, pair_count bigint",
+    )
+
+
+def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=20)
+    return (
+        bpe_tokenize_counts(d, merges)
+        .orderBy("doc_id")
+        .limit(200)
     )
 
 
@@ -986,3 +1165,7 @@ QUERIES["q39r_winnowing"] = QuerySpec(_q_winnowing, _WINNOWING_ORACLE)
 QUERIES["q39s_bigram_lm"] = QuerySpec(_q_bigram_lm, _BIGRAM_LM_ORACLE)
 QUERIES["q39t_heavy_hitters"] = QuerySpec(_q_heavy_hitters, _HEAVY_HITTERS_ORACLE)
 QUERIES["q39w_span_dedup"] = QuerySpec(_q_span_dedup, _SPAN_DEDUP_ORACLE)
+# iterative global-argmax training / learned-merge tokenization — no SQL
+# oracle; equality-tested against a sequential reference implementation
+QUERIES["q39x_bpe_train"] = QuerySpec(_q_bpe_train, None)
+QUERIES["q39y_bpe_tokenize"] = QuerySpec(_q_bpe_tokenize, None)
