@@ -999,6 +999,38 @@ def test_flac_crc_catches_corruption():
         decode_flac(bytes(bad))
 
 
+def test_flac_short_final_frame_partition_order_clamp():
+    """Regression: a final frame with <= (order << po) samples must clamp
+    the rice partition order to 0 (RFC 9639 §9.2.7: the first partition
+    holds (block_size >> po) - predictor_order samples, which must be
+    positive).  Before the fix a 4-sample tail at po=2 desynced the
+    bitstream — worst case a SILENT wrong decode ([0,0,0,1.0] came back
+    as [0,0,-1519,-3033])."""
+    from wing_binlog_go_spark.multimodal.codecs import decode_flac, encode_flac
+
+    for n in range(1, 10):
+        for po in (0, 1, 2):
+            for block in (64, 256):
+                sig = np.zeros(n)
+                sig[-1] = 1.0
+                rate, mono = decode_flac(
+                    encode_flac(sig, rate=16000, block_size=block, partition_order=po)
+                )
+                assert rate == 16000 and len(mono) == n, (n, po, block)
+                assert np.array_equal(
+                    np.round(mono * 32768).astype(np.int64), _q16(sig)
+                ), (n, po, block)
+    # the exact counterexample shape from the property suite: a full
+    # 64-sample frame followed by a 4-sample tail, po=2
+    sig = np.concatenate(
+        [np.random.RandomState(0).uniform(-1, 1, 64), [0.0, 0.0, 0.0, 1.0]]
+    )
+    _rate, mono = decode_flac(
+        encode_flac(sig, rate=16000, block_size=64, partition_order=2)
+    )
+    assert np.array_equal(np.round(mono * 32768).astype(np.int64), _q16(sig))
+
+
 def test_flac_through_audio_dispatch_and_features(spark):
     """decode_audio dispatches FLAC; audio_features over real FLAC
     bytes equal the same clip's WAV features (both lossless carriers

@@ -2075,7 +2075,17 @@ def encode_flac(
             data[i] - (2 * data[i - 1] - data[i - 2]) if order else data[i]
             for i in range(order, bs)
         ]
-        po = partition_order if bs % (1 << partition_order) == 0 else 0
+        # FLAC (RFC 9639 §9.2.7): the first rice partition holds
+        # (block_size >> po) - predictor_order samples, which must be
+        # positive — a short final frame (bs <= order << po) would give a
+        # non-positive first-partition count and desync the bitstream, so
+        # clamp po to 0 alongside the divisibility requirement.
+        po = (
+            partition_order
+            if bs % (1 << partition_order) == 0
+            and (bs >> partition_order) > order
+            else 0
+        )
         # refuse rice params that would balloon: fall back to VERBATIM
         zz = [(v << 1) if v >= 0 else ((-v) << 1) - 1 for v in res]
         param = max(1, int((sum(zz) / len(zz)) if zz else 1).bit_length() - 1)
