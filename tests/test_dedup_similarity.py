@@ -966,3 +966,45 @@ def test_incremental_pq_index_appends_with_frozen_codebooks(spark, sf_small, tmp
         asets.setdefault(r.query_id, set()).add(r.vec_id)
     rec = sum(len(es[i] & asets.get(i, set())) / len(es[i]) for i in es) / len(es)
     assert rec >= 0.9, f"recall@5 through incremental index: {rec:.2f}"
+
+
+def test_zero_norm_embedding_does_not_poison_ann_indexes(spark):
+    """An all-zero embedding must encode to valid (non-NaN) list
+    assignments and codes in every quantized regime (ADVICE r5): the
+    norm clamp keeps it a zero vector instead of NaN rows that would
+    corrupt argmin-based assignments for the whole Arrow batch."""
+    import numpy as np
+
+    from wing_binlog_go_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(16).tolist()) for i in range(200)]
+    rows.append((200, [0.0] * 16))  # the poison pill
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    books = pq_train(corpus, m=4, n_codes=8)
+    assert np.isfinite(books).all()
+    coded = pq_encode(corpus, books).collect()
+    assert len(coded) == 201
+    for r in coded:
+        assert all(0 <= c < 8 for c in r._codes), r
+
+    q = spark.createDataFrame(
+        [(0, rows[0][1]), (1, [0.0] * 16)],
+        "query_id long, embedding array<double>",
+    )
+    for df in (
+        pq_topk(corpus, q, k=3, m=4, n_codes=8, refine=20),
+        ivfpq_topk(corpus, q, k=3, n_centroids=4, m=4, n_codes=8, refine=20),
+    ):
+        got = df.collect()
+        # both queries produce k well-formed candidate rows
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append(r)
+        assert set(by_q) == {0, 1} and all(len(v) == 3 for v in by_q.values())

@@ -55,6 +55,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _l2n(mat: np.ndarray) -> np.ndarray:
+    """Row-wise L2 normalize with a zero-norm clamp: an all-zero
+    embedding stays the zero vector (it lands in a valid coarse list /
+    code like any other point) instead of poisoning list assignments
+    and codes with NaNs (ADVICE r5)."""
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -341,7 +349,7 @@ def pq_train(
     train = np.stack(
         [np.asarray(r["_cv"], dtype=np.float64) for r in c.limit(train_cap).collect()]
     )
-    train = train / np.linalg.norm(train, axis=1, keepdims=True)
+    train = _l2n(train)
     return _pq_codebooks(train, m, n_codes, seed)
 
 
@@ -355,7 +363,7 @@ def _pq_encoder(books: np.ndarray):
     @pandas_udf("array<int>")
     def encode(v: pd.Series) -> pd.Series:
         mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = _l2n(mat)
         parts = mat.reshape(len(mat), m, sub)
         codes = np.empty((len(mat), m), dtype=np.int32)
         for j in range(m):
@@ -524,7 +532,7 @@ def pq_topk(
     @pandas_udf("array<double>")
     def adc_table(v: pd.Series) -> pd.Series:
         mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = _l2n(mat)
         parts = mat.reshape(len(mat), m, sub)
         tables = np.empty((len(mat), m, n_codes))
         for j in range(m):
@@ -592,7 +600,7 @@ def ivfpq_train(
     train = np.stack(
         [np.asarray(r["_cv"], dtype=np.float64) for r in c.limit(train_cap).collect()]
     )
-    train = train / np.linalg.norm(train, axis=1, keepdims=True)
+    train = _l2n(train)
     coarse = _pq_codebooks(train, 1, n_centroids, seed)[0]
     d2 = ((train**2).sum(axis=1, keepdims=True)
           - 2.0 * (train @ coarse.T)
@@ -614,7 +622,7 @@ def _ivfpq_encoder(coarse: np.ndarray, books: np.ndarray):
     @pandas_udf("struct<list:int, codes:array<int>>")
     def encode(v: pd.Series) -> pd.DataFrame:
         mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = _l2n(mat)
         d2 = coarse_sq[None, :] - 2.0 * (mat @ coarse.T)
         lists = d2.argmin(axis=1)
         parts = (mat - coarse[lists]).reshape(len(mat), m, sub)
@@ -644,7 +652,7 @@ def _ivfpq_prober(coarse: np.ndarray, books: np.ndarray, n_probe: int):
     @pandas_udf("array<struct<list:int, tbl:array<double>>>")
     def probe(v: pd.Series) -> pd.Series:
         mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = _l2n(mat)
         d2 = coarse_sq[None, :] - 2.0 * (mat @ coarse.T)
         order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
         out = []

@@ -386,7 +386,13 @@ def scd2_upsert_parquet(
     fresh = change_rows_per_pk(env, pk).withColumnRenamed(
         "event_index", "valid_from_index"
     )
-    if os.path.exists(target_dir):
+    exists = os.path.exists(target_dir)
+    # An empty batch subset (a multi-table route where this table saw no
+    # events) must not re-read and rewrite the whole accumulated history
+    # — that cost grows unboundedly with history size for zero benefit.
+    if exists and fresh.isEmpty():
+        return
+    if exists:
         current = spark.read.parquet(target_dir).select(
             "_pk", "row", "is_delete", "valid_from_index"
         )
@@ -394,11 +400,29 @@ def scd2_upsert_parquet(
     else:
         merged = fresh
     # replay dedupe: a re-delivered event re-derives the identical
-    # (_pk, valid_from_index) version, so max_by is a pure tie-keep
+    # (_pk, valid_from_index) version, so the tie-break is a pure
+    # tie-keep.  Break ties on the CONTENT (sorted map entries +
+    # is_delete, a total order) rather than the constant
+    # valid_from_index, so if a feed ever violates the O10 contract and
+    # delivers two DIFFERENT images at one (pk, event_index), the stored
+    # version is still deterministic across replays instead of an
+    # arbitrary partition-order pick.
     open_form = (
-        merged.groupBy("_pk", "valid_from_index")
-        .agg(F.max_by(F.struct("row", "is_delete"), "valid_from_index").alias("w"))
-        .select("_pk", "valid_from_index", "w.row", "w.is_delete")
+        merged.withColumn(
+            "_w",
+            F.struct(
+                F.array_sort(F.map_entries("row")).alias("entries"),
+                F.col("is_delete").alias("is_delete"),
+            ),
+        )
+        .groupBy("_pk", "valid_from_index")
+        .agg(F.max("_w").alias("w"))
+        .select(
+            "_pk",
+            "valid_from_index",
+            F.map_from_entries("w.entries").alias("row"),
+            F.col("w.is_delete").alias("is_delete"),
+        )
     )
     w = Window.partitionBy("_pk").orderBy("valid_from_index")
     result = (
