@@ -1008,3 +1008,54 @@ def test_zero_norm_embedding_does_not_poison_ann_indexes(spark):
         for r in got:
             by_q.setdefault(r.query_id, []).append(r)
         assert set(by_q) == {0, 1} and all(len(v) == 3 for v in by_q.values())
+
+
+def test_fuzzy_varlen_join_matches_bruteforce_across_lengths(spark):
+    """Variable-length PassJoin completeness (q114): random short
+    strings with edits of ALL types — including net length changes up
+    to k, the case the fixed-length form excludes — must yield exactly
+    the brute-force pair set at k=3.  The probe bounds
+    (|d| + |Δ-d| <= k and |Δ-d| <= k-i) were additionally validated
+    exhaustively off-Spark; this is the end-to-end check on the
+    DataFrame implementation."""
+    import random
+
+    from wing_binlog_go_spark.operators.dedup import fuzzy_edit_join
+
+    rng = random.Random(42)
+    alpha = "abcd"
+    rows = []
+    for i in range(40):
+        rows.append((i, "".join(rng.choice(alpha) for _ in range(rng.randint(6, 18)))))
+    # planted variants with net length drift -3..+3
+    for j in range(20):
+        src_id, t = rows[j]
+        ops = rng.randint(1, 3)
+        v = t
+        for _ in range(ops):
+            pos = rng.randrange(len(v))
+            kind = rng.choice("sid")
+            if kind == "s":
+                v = v[:pos] + rng.choice(alpha) + v[pos + 1:]
+            elif kind == "i":
+                v = v[:pos] + rng.choice(alpha) + v[pos:]
+            elif len(v) > 4:
+                v = v[:pos] + v[pos + 1:]
+        rows.append((1000 + src_id, v))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.id_a, r.id_b, r.dist) for r in fuzzy_edit_join(docs, k=3).collect()}
+    p = docs.filter(F.length("text") > 3)
+    brute = {
+        (r.id_a, r.id_b, r.dist)
+        for r in p.alias("a")
+        .join(p.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein("a.text", "b.text").alias("dist"),
+        )
+        .filter(F.col("dist") <= 3)
+        .collect()
+    }
+    assert brute, "fixture must contain within-k pairs"
+    assert got == brute

@@ -326,3 +326,23 @@ def test_lateral_and_ordered_stat_plan_hygiene(spark, sf_dir):
     # q105: single-pass aggregate, no Python nodes
     p5 = plan_of(_Q["q105_mode_median"].spark(spark, sf_dir))
     assert "BatchEvalPython" not in p5 and "ArrowEvalPython" not in p5
+
+
+def test_fuzzy_varlen_join_is_blocked_equi_join(spark, sf_dir):
+    """q114: variable-length PassJoin candidates come from a
+    (length, position, segment) equi-join — never corpus×corpus; the
+    exact levenshtein only verifies."""
+    p = plan_of(_Q["q114_fuzzy_varlen_join"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pit_scd2_join_is_equi_on_entity_key(spark, sf_dir):
+    """q115: the point-in-time probe into SCD2 validity windows must be
+    an equi-join on user_id with the interval test as a join filter —
+    never a cross product, and no global (partition-less) Window."""
+    p = plan_of(_Q["q115_pit_scd2_join"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

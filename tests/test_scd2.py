@@ -213,3 +213,32 @@ def test_contract_violation_tiebreak_is_deterministic(spark, tmp_path):
         assert len(h) == 1
         picks.add(h[0].row["v"])
     assert picks == {"b"}  # max over content, independent of input order
+
+
+def test_point_in_time_lookup_against_materialized_history(spark, tmp_path):
+    """Composition check (q115's pattern against the REAL materializer):
+    probing read-back validity windows [valid_from_index, valid_to_index)
+    answers "what did the row look like when event N happened" for every
+    N — one version hit per in-range probe, none before the first."""
+    env = _env(
+        spark,
+        [
+            ("insert", 10, ({"id": "1", "v": "a"}, None, None)),
+            ("update", 20, (None, {"id": "1", "v": "a"}, {"id": "1", "v": "b"})),
+            ("update", 30, (None, {"id": "1", "v": "b"}, {"id": "1", "v": "c"})),
+        ],
+    )
+    target = str(tmp_path / "t")
+    scd2_upsert_parquet(env, target, pk="id")
+    hist = spark.read.parquet(target)
+    probes = spark.createDataFrame([(5,), (10,), (25,), (99,)], "at long")
+    got = (
+        probes.join(
+            hist,
+            (hist.valid_from_index <= probes.at)
+            & ((hist.valid_to_index > probes.at) | hist.valid_to_index.isNull()),
+        )
+        .select("at", hist.row["v"].alias("v"))
+        .collect()
+    )
+    assert {(r.at, r.v) for r in got} == {(10, "a"), (25, "b"), (99, "c")}

@@ -773,3 +773,147 @@ ORDER BY id_a, id_b
 """
 
 QUERIES["q112_fuzzy_edit_join"] = QuerySpec(_q_fuzzy_edit_join, _FUZZY_ORACLE)
+
+
+def fuzzy_edit_join(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs of FULL strings within edit distance ``k`` — the
+    variable-length PassJoin form (Li/Deng/Feng, SIGMOD'11 §4): unlike
+    ``fuzzy_prefix_pairs`` (fixed-length prefixes only), strings of any
+    length participate and a length-``L`` string meets candidates of
+    length [L-k, L+k].
+
+    Blocking scheme: every string is indexed by its k+1 even segments
+    keyed (own_length, segment_no, segment).  A probe string r of
+    length lr generates, for each candidate indexed length
+    l ∈ [lr-k, lr] (the longer side always probes, so each pair is
+    produced exactly once up to the equal-length symmetric case), the
+    substrings that segment i of a preserved alignment could occupy.
+    With Δ = lr - l the start shift d is bounded by the
+    multi-match-aware selection (picking the FIRST preserved segment):
+
+    - ``|d| + |Δ - d| <= k`` — shifts before plus length drift after
+      cannot exceed the edit budget, so d ∈ [⌈(Δ-k)/2⌉, ⌊(Δ+k)/2⌋];
+    - ``|Δ - d| <= k - i`` — segments 0..i-1 each absorb ≥ 1 edit,
+      leaving ≤ k - i for the tail drift.
+
+    (Bounds exhaustively validated against brute-force edit distance
+    in ``tests/test_dedup_similarity.py``.)  Candidates are the
+    (l, i, seg) equi-join — never corpus×corpus — and the exact
+    ``levenshtein`` on the full strings verifies.  Scale shape: probe
+    fan-out is O(k²) keys per string independent of corpus size; the
+    join shuffles on short segment keys, and segment entropy governs
+    bucket sizes exactly as in the fixed-length form.  Strings of
+    length <= k are excluded (degenerate zero-length segments; every
+    such pair is within k of each other anyway — handle tiny strings
+    with a dedicated length-bucket pass if they matter).
+    """
+    nseg = k + 1
+    p = docs.filter(F.length(text_col) > k).select(
+        F.col(id_col), F.col(text_col).alias("_t"), F.length(text_col).alias("_l")
+    )
+    i_col = F.col("i")
+    # index side: (own length, segment no, segment) for the k+1 even
+    # segments of each string — boundaries are per-row expressions
+    st = F.floor(i_col * F.col("_l") / nseg).cast("int")
+    en = F.floor((i_col + 1) * F.col("_l") / nseg).cast("int")
+    idx = (
+        p.select(id_col, "_t", "_l", F.explode(F.sequence(F.lit(0), F.lit(k))).alias("i"))
+        .select(
+            id_col,
+            "_t",
+            F.col("_l").alias("l"),
+            "i",
+            F.substring("_t", st + 1, en - st).alias("seg"),
+        )
+    )
+    # probe side: candidate indexed lengths l ∈ [lr-k, lr] (> k), the
+    # same per-length boundaries, and the shift window d ∈ [dlo, dhi]
+    l_col, lr = F.col("l"), F.col("_l")
+    delta = lr - l_col
+    pst = F.floor(i_col * l_col / nseg).cast("int")
+    pln = (F.floor((i_col + 1) * l_col / nseg) - F.floor(i_col * l_col / nseg)).cast(
+        "int"
+    )
+    dlo = F.greatest(
+        delta - (F.lit(k) - i_col),
+        F.ceil((delta - F.lit(k)) / 2).cast("int"),
+        -pst,
+    )
+    dhi = F.least(
+        delta + (F.lit(k) - i_col),
+        F.floor((delta + F.lit(k)) / 2).cast("int"),
+        lr - pln - pst,
+    )
+    prb = (
+        p.select(
+            id_col,
+            "_t",
+            "_l",
+            F.explode(
+                F.sequence(F.greatest(lr - k, F.lit(k + 1)), lr)
+            ).alias("l"),
+        )
+        .select(id_col, "_t", "_l", "l", F.explode(F.sequence(F.lit(0), F.lit(k))).alias("i"))
+        .filter(dlo <= dhi)
+        .select(
+            id_col,
+            "_t",
+            "l",
+            "i",
+            F.explode(F.sequence(dlo, dhi)).alias("d"),
+            pst.alias("_st"),
+            pln.alias("_ln"),
+        )
+        .select(
+            id_col,
+            "_t",
+            "l",
+            "i",
+            F.substring("_t", F.col("_st") + F.col("d") + 1, F.col("_ln")).alias("seg"),
+        )
+        .distinct()
+    )
+    cand = (
+        idx.alias("a")
+        .join(prb.alias("b"), ["l", "i", "seg"])
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.least(f"a.{id_col}", f"b.{id_col}").alias("id_a"),
+            F.greatest(f"a.{id_col}", f"b.{id_col}").alias("id_b"),
+            # levenshtein is symmetric, so pairing texts by lexical
+            # order (not by id) is harmless and keeps distinct cheap
+            F.least("a._t", "b._t").alias("_ta"),
+            F.greatest("a._t", "b._t").alias("_tb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("_ta", "_tb"))
+        .filter(F.col("dist") <= k)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+def _q_fuzzy_varlen_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bounded-length fixture slice: keeps the oracle's exact all-pairs
+    # levenshtein tractable while exercising genuinely different lengths
+    docs = read_table(spark, sf_dir, "documents").filter(F.length("text") <= 260)
+    return fuzzy_edit_join(docs, k=5).orderBy("id_a", "id_b")
+
+
+_FUZZY_VARLEN_ORACLE = """
+WITH s AS (SELECT doc_id, text FROM documents WHERE length(text) <= 260)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.text, b.text) AS dist
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+  AND abs(length(a.text) - length(b.text)) <= 5
+WHERE levenshtein(a.text, b.text) <= 5
+ORDER BY id_a, id_b
+"""
+
+QUERIES["q114_fuzzy_varlen_join"] = QuerySpec(_q_fuzzy_varlen_join, _FUZZY_VARLEN_ORACLE)

@@ -1831,3 +1831,96 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "version_n")
         .limit(500)
     )
+
+
+# ---------------------------------------------------------------------------
+# q115: point-in-time join against SCD2 history — the dimension-history
+# lookup the reference's "Realtime analytics" consumers run downstream
+# (readme.md:40-43): instead of re-scanning raw events per anchor
+# (q85's form), anchors probe the change-COMPRESSED validity windows of
+# q113's materializer, so per-anchor work is one interval hit, not a
+# window re-aggregation.
+# ---------------------------------------------------------------------------
+
+_PIT_SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, value,
+         LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), changes AS (
+  SELECT user_id, ts, event_id, value FROM ordered
+  WHERE prev IS NULL OR value <> prev
+), hist AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER w AS version_n,
+         value,
+         ts AS valid_from,
+         LEAD(ts) OVER w AS valid_to
+  FROM changes
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), anchors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT a.event_id, a.user_id,
+       h.version_n AS asof_version, h.value AS asof_value
+FROM anchors a JOIN hist h
+  ON h.user_id = a.user_id
+ AND h.valid_from <= a.ts
+ AND (h.valid_to > a.ts OR h.valid_to IS NULL)
+ORDER BY a.event_id LIMIT 300
+"""
+
+
+@register("q115_pit_scd2_join", _PIT_SCD2_SQL)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # History side: q113's change compression (consecutive identical
+    # values collapse; each change opens a version, closed by the next
+    # change's start). The half-open [valid_from, valid_to) windows
+    # partition each user's timeline, so the point-in-time predicate
+    # hits EXACTLY one version per anchor — no dedupe needed.
+    #
+    # Scale shape: the join is EQUI on user_id with the interval test
+    # as a join-time filter (hash/sort-merge on the key, never a cross
+    # product — plan-gated); the history side is pre-compressed, so
+    # per-user fan-out is #versions, typically orders of magnitude
+    # below #events. At 100 TB the history table would be materialized
+    # once by scd2_history_writer and bucketed by the entity key; the
+    # probe is then a co-located join instead of this inline rebuild.
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "ts", "event_id", "value")
+        .withColumn("prev", F.lag("value").over(w))
+        .filter(F.col("prev").isNull() | (F.col("value") != F.col("prev")))
+    )
+    hist = (
+        changes.withColumn("version_n", F.row_number().over(w))
+        .withColumn("valid_from", F.col("ts"))
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            F.col("user_id").alias("h_user"),
+            "version_n",
+            F.col("value").alias("h_value"),
+            "valid_from",
+            "valid_to",
+        )
+    )
+    anchors = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("a_ts")
+    )
+    return (
+        anchors.join(
+            hist,
+            (F.col("user_id") == F.col("h_user"))
+            & (F.col("valid_from") <= F.col("a_ts"))
+            & ((F.col("valid_to") > F.col("a_ts")) | F.col("valid_to").isNull()),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("version_n").alias("asof_version"),
+            F.col("h_value").alias("asof_value"),
+        )
+        .orderBy("event_id")
+        .limit(300)
+    )
