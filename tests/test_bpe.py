@@ -156,3 +156,67 @@ def test_registered_queries_run_on_fixture(spark, sf_small):
     assert [r.merge_rank for r in merges] == list(range(1, len(merges) + 1))
     counts = qs["q39y_bpe_tokenize"].spark(spark, sf_small).collect()
     assert len(counts) > 0 and all(r.n_bpe_tokens > 0 for r in counts)
+
+
+def test_batched_training_equals_one_merge_at_a_time(spark):
+    """The compatible-prefix batching (r6) must be EXACTLY equivalent
+    to sequential training — same merges, same order, same counts —
+    not just same final vocab, on a corpus rich enough that rounds
+    genuinely accept multiple merges."""
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "alphabet", "better", "betting", "settle", "kettle",
+             "little", "litter", "matter", "mattress", "pattern", "lantern"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(30)) for _ in range(20)
+    ]
+    seq = bpe_train(_docs(spark, texts), n_merges=25, batch=1)
+    bat = bpe_train(_docs(spark, texts), n_merges=25, batch=16)
+    assert bat == seq
+    assert bat == _ref_bpe_train(texts, 25)
+
+
+def test_batched_rounds_accept_multiple_merges(spark):
+    """The batching must actually reduce driver rounds: count the
+    collect-bearing jobs via the round structure — with disjoint
+    high-count pairs the first round must accept > 1 merge."""
+    # symbol-disjoint frequent pairs: each word exercises different chars
+    texts = [" ".join(["ab"] * 50 + ["cd"] * 40 + ["ef"] * 30 + ["gh"] * 20)]
+    merges = bpe_train(_docs(spark, texts), n_merges=4, batch=8)
+    want = _ref_bpe_train(texts, 4)
+    assert merges == want
+    # counts strictly decreasing and symbol-disjoint → one round could
+    # take all four; verify via the acceptance helper directly
+    from wing_binlog_go_spark.functions.text import _compatible_merge_prefix
+
+    top = [
+        {"a": a, "b": b, "cnt": c}
+        for (a, b, c) in [("a", "b", 50), ("c", "d", 40), ("e", "f", 30), ("g", "h", 20)]
+    ]
+    assert len(_compatible_merge_prefix(top, 0, 8, 2)) == 4
+
+
+def test_compatible_prefix_stops_on_interaction(spark):
+    """Acceptance must STOP (not skip) at the first incompatible pair:
+    a shared symbol, a new-symbol collision, or a count at/below an
+    earlier pair's new-pair bound all end the round."""
+    from wing_binlog_go_spark.functions.text import _compatible_merge_prefix
+
+    # shared symbol: (a,b) then (b,c) — stop after the first
+    top = [{"a": "a", "b": "b", "cnt": 50}, {"a": "b", "b": "c", "cnt": 40},
+           {"a": "x", "b": "y", "cnt": 30}]
+    assert len(_compatible_merge_prefix(top, 0, 8, 2)) == 1
+    # new-pair bound: (x,a) count 45 means merging (a,b)->X could mint
+    # (x', X) pairs up to 45 > 40, so (c,d)@40 cannot be proven argmax
+    top = [{"a": "a", "b": "b", "cnt": 50}, {"a": "c", "b": "d", "cnt": 40},
+           {"a": "x", "b": "a", "cnt": 45}]
+    assert len(_compatible_merge_prefix(top, 0, 8, 2)) == 1
+    # tie with the bound is also a stop (strictness)
+    top = [{"a": "a", "b": "b", "cnt": 50}, {"a": "c", "b": "d", "cnt": 40},
+           {"a": "x", "b": "a", "cnt": 40}]
+    assert len(_compatible_merge_prefix(top, 0, 8, 2)) == 1
+    # floor from the uncollected tail binds too
+    top = [{"a": "a", "b": "b", "cnt": 50}, {"a": "c", "b": "d", "cnt": 40}]
+    assert len(_compatible_merge_prefix(top, 40, 8, 2)) == 1
+    assert len(_compatible_merge_prefix(top, 39, 8, 2)) == 2

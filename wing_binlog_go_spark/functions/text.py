@@ -241,26 +241,29 @@ def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _merge_pair_udf(a: str, b: str):
-    """Arrow-batched greedy left-to-right merge of one learned pair —
-    inherently sequential within a word (overlaps: 'aaa' under (a,a)
-    must become (aa, a)), so this is a legitimate Pandas-UDF step; it
-    runs over the WORD table, not the corpus."""
+def _merge_pairs_udf(ops: list[tuple[str, str]]):
+    """Arrow-batched greedy left-to-right application of one ROUND of
+    learned pairs, in learned order — each merge is inherently
+    sequential within a word (overlaps: 'aaa' under (a,a) must become
+    (aa, a)), so this is a legitimate Pandas-UDF step; it runs over
+    the WORD table, not the corpus."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")
     def merge(col: pd.Series) -> pd.Series:
         def apply(s):
-            out, i, n = [], 0, len(s)
-            while i < n:
-                if i + 1 < n and s[i] == a and s[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            return out
+            for a, b in ops:
+                out, i, n = [], 0, len(s)
+                while i < n:
+                    if i + 1 < n and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            return s
 
         return col.map(lambda s: apply(list(s)))
 
@@ -273,23 +276,84 @@ def _word_symbols(w: Column) -> Column:
     return F.concat(F.split(w, ""), F.array(F.lit("</w>")))
 
 
+def _compatible_merge_prefix(
+    top: list, floor: int, cap: int, min_count: int
+) -> list[tuple[str, str, int]]:
+    """The maximal PREFIX of this round's count-ordered pair window that
+    can be applied in one pass while staying EXACTLY equivalent to
+    sequential BPE (same merges, same order, same counts).
+
+    Pair j is accepted only if, at its sequential turn, it would still
+    be the strict argmax after the earlier accepted merges:
+
+    - its symbols are disjoint from every earlier accepted pair's (so
+      its own count is unchanged — a merge replaces two symbols with
+      one, it can neither create nor destroy an (a_j, b_j) adjacency
+      that doesn't touch a_i/b_i);
+    - neither symbol equals an earlier round-new symbol ``a_i + b_i``;
+    - its count STRICTLY exceeds every earlier pair's new-pair bound:
+      merging (a_i, b_i) → X only creates pairs (x, X) / (X, y) whose
+      counts are bounded by the pre-round counts of (x, a_i) / (b_i, y)
+      — bounded inside the collected window by the max count among
+      pairs with right == a_i or left == b_i, and outside it by
+      ``floor`` (the smallest collected count, a ceiling on everything
+      uncollected).  Strictness keeps the (count desc, pair asc)
+      tie-break intact: a new pair may tie but then loses on order
+      only if it sorts later, which we can't know — so ties stop the
+      prefix.
+
+    The first pair needs no checks (it IS the argmax). Stopping at the
+    first violation — never skipping — is what makes the prefix
+    contiguous in the total order, which the equivalence proof needs.
+    """
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    new_syms: set[str] = set()
+    bounds: list[int] = []
+    for row in top:
+        a, b, cnt = row["a"], row["b"], int(row["cnt"])
+        if cnt < min_count or len(accepted) >= cap:
+            break
+        if accepted:
+            if {a, b} & used or a in new_syms or b in new_syms:
+                break
+            if any(cnt <= bd for bd in bounds):
+                break
+        nb = floor
+        for q in top:
+            if q["b"] == a or q["a"] == b:
+                nb = max(nb, int(q["cnt"]))
+        accepted.append((a, b, cnt))
+        used.update((a, b))
+        new_syms.add(a + b)
+        bounds.append(nb)
+    return accepted
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 20,
     text_col: str = "text",
     min_count: int = 2,
     checkpoint_every: int = 6,
+    batch: int = 16,
 ) -> list[tuple[str, str, int]]:
     """Learn byte-pair-encoding merges from a corpus, distributed.
 
     Structure (what survives 100 TB): the corpus is touched ONCE
-    (``word_freqs``); each of the ``n_merges`` iterations then runs on
-    the word-frequency table — pair counts via a JVM slice/zip_with
-    explode + partial-aggregating groupBy, the global argmax via a
-    1-row sorted limit (count desc, pair asc — the deterministic
-    tie-break), and the merge application as one Arrow pass. Lineage
+    (``word_freqs``); training then runs on the word-frequency table —
+    pair counts via a JVM slice/zip_with explode + partial-aggregating
+    groupBy, the per-round top window via a sorted limit (count desc,
+    pair asc — the deterministic tie-break), and merge application as
+    one Arrow pass per round.
+
+    Each round applies up to ``batch`` merges from ONE Spark job: the
+    maximal compatible prefix of the count-ordered pair window
+    (``_compatible_merge_prefix`` — provably identical output to
+    one-merge-at-a-time training), so a production 32k-merge vocab
+    costs ~thousands of jobs instead of 32k sequential ones.  Lineage
     is cut with an eager localCheckpoint every ``checkpoint_every``
-    iterations (the dedup_clusters pattern). Training stops early —
+    rounds (the dedup_clusters pattern).  Training stops early —
     loudly, via the returned length — when the best pair drops below
     ``min_count``.
 
@@ -301,7 +365,8 @@ def bpe_train(
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str, int]] = []
-    for i in range(n_merges):
+    rounds = 0
+    while len(merges) < n_merges:
         pairs = vocab.select(
             "freq",
             F.explode(
@@ -312,21 +377,30 @@ def bpe_train(
                 )
             ).alias("p"),
         )
+        # collect past the batch cap: the extra rows sharpen the
+        # new-pair bounds and the floor for everything uncollected
+        window = max(2 * batch, batch + 8)
         top = (
             pairs.groupBy("p.a", "p.b")
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(window)
             .collect()
         )
         if not top or top[0]["cnt"] < min_count:
             break
-        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
-        merges.append((a, b, cnt))
+        floor = int(top[-1]["cnt"]) if len(top) == window else 0
+        cap = min(batch, n_merges - len(merges))
+        accepted = _compatible_merge_prefix(top, floor, cap, min_count)
+        merges.extend(accepted)
         vocab = vocab.select(
-            _merge_pair_udf(a, b)(F.col("syms")).alias("syms"), "freq"
+            _merge_pairs_udf([(a, b) for a, b, _ in accepted])(
+                F.col("syms")
+            ).alias("syms"),
+            "freq",
         )
-        if (i + 1) % checkpoint_every == 0:
+        rounds += 1
+        if rounds % checkpoint_every == 0:
             vocab = vocab.localCheckpoint(eager=True)
     return merges
 
