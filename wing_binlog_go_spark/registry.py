@@ -39,79 +39,71 @@ _OPERATOR_MODULES = (
 #: ``all_queries()`` call.  Tests assert this stays empty.
 failed_modules: dict[str, str] = {}
 
-# First 50 = the driver's verification window.  Round-5 layout: all 135
-# r4-era queries hold driver CORRECTNESS rows (coverage closed in r4);
-# this round keeps the evidence FRESH.  The window leads with the one
-# query NEW this round and the one whose implementation changed
-# (q38c now routes through LSH buckets), then re-verifies the 38
-# queries whose most recent driver row is round 1 or round 2 — the
-# stalest evidence in the ledger — and fills the remaining slots with
-# one sentinel per graded family.  Everything displaced (r3/r4-era
-# rows, all locally oracle-checked every pytest run) rotates back in
-# on later rounds.
+# First 50 = the driver's verification window.  Round-6 layout (per the
+# r5 verdict's window plan): lead with the four keys that have NEVER
+# earned a driver CORRECTNESS row (q113 oracle-backed; q38i/q39x/q39y
+# rows-only), then the two queries NEW this round, then refresh the
+# r3-era-stale band — the oldest evidence left in the ledger (every
+# r1/r2-era row was refreshed in r5, and the r4/r5 bands rotate back
+# in on later rounds).  Three r3-era keys (q56/q63/q64 — trivial
+# relational forms, locally oracle-checked on every pytest run) wait
+# for r7; nothing in the ledger is older than r3 after this window.
 _PRIORITY = (
+    # Never driver-verified (r5 additions that missed the 50-window).
+    "q113_scd2_history",
+    "q38i_ann_ivfpq",
+    "q39x_bpe_train",
+    "q39y_bpe_tokenize",
     # New this round (first driver verification).
-    "q38h_incremental_semantic_dedup",
-    "q106_grouping_sets",
-    "q107_time_weighted_avg",
-    "q108_gap_fill_locf",
-    "q109_counter_increase",
-    "q110_gap_fill_interp",
-    "q111_multimodal_near_dup",
-    "q112_fuzzy_edit_join",
-    # Implementation changed this round (LSH-bucketed candidates).
-    "q38c_embedding_near_dup",
-    # Stalest evidence: latest driver row is ROUND 1.
-    "q28_intersect",
-    "q29_string_functions",
-    "q34_map_functions",
-    "q40_sampling",
-    "q41_except",
-    "q42_in_subquery",
-    "q43_pivot",
-    "q44_stats_agg",
-    "q45_percentiles",
-    "q46_min_max_by",
-    "q47_filtered_agg",
-    "q48_date_trunc",
-    "q49_string_agg",
-    "q50_lateral_explode",
-    "q52_tpch_q5",
-    "q53_window_distribution",
-    "q54_correlated_subquery",
-    # Stalest evidence: latest driver row is ROUND 2.
-    "q30_date_functions",
-    "q31_math_decimal",
-    "q32_conditional",
-    "q33_array_functions",
-    "q35_json_functions",
-    "q37b_simhash_dedup",
-    "q37d_dedup_survivors",
-    "q38e_diversity_sample",
-    "q39_word_count",
-    "q39b_token_stats",
-    "q39c_bpe_token_count",
-    "q39d_quality_score",
-    "q39e_lang_id",
-    "q39f_fingerprint_md5",
-    "q39g_minhash_sketch",
-    "q39j_pii_scan",
-    "q39k_repetition",
-    "q39l_stratified_sample",
-    "q39n_corpus_shuffle",
-    "q39o_token_budget",
-    # Family sentinels (guard-enforced): one representative per graded
-    # family re-verifies every round against regressions.  (q22/q37/
-    # q38-brute/q39h/q39m sentinels rotated out this round to make
-    # room for the five new keys — their families stay covered
-    # in-window by q37b/c/d, q38c/e/h and the q39 stale block, and
-    # every rotated-out key holds a fresh r4 row.)
-    "q15b_asof_merge",
-    "q36_exact_dedup",
-    "q14_tpch_q3",
-    "q16_tpch_q1",
+    "q114_fuzzy_varlen_join",
+    "q115_pit_scd2_join",
+    # Stalest evidence: latest driver row is ROUND 3.
+    "q39p_boilerplate",
+    "q39q_temperature_mix",
+    "q39r_winnowing",
+    "q39s_bigram_lm",
+    "q51_null_handling",
+    "q55_first_last_value",
+    "q57_regexp_functions",
+    "q58_bitwise",
+    "q59_nullsafe_equality",
+    "q60_array_hof",
+    "q61_map_entries",
+    "q62_interval_arith",
+    "q65_ilike",
+    "q66_bigrams",
+    "q67_histogram",
+    "q68_sessionization",
+    "q69_funnel",
+    "q70_retention",
+    "q71_unpivot",
+    "q72_struct_ops",
+    "q74_time_bucket",
+    "q75_date_spine",
+    "q76_cube_grouping",
+    "q77_range_frame",
+    "q78_grouped_dedup",
+    "q79_top_terms_per_lang",
+    "q80_quantile_bins",
+    "q81_doc_length_curation",
+    "q82_cross_lingual_mix",
+    "q83_event_dedup_window",
+    "q84_tpch_q10",
+    "q85_point_in_time_join",
+    "q86_tpch_q18",
+    "q87_tpch_q7",
+    "q88_tpch_q13",
+    "q89_tpch_q16",
+    "q90_tpch_q17",
+    "q91_tpch_q19",
+    "q92_tpch_q22",
+    "q93_tpch_q4",
+    "q94_tpch_q6",
+    "q95_tpch_q14",
+    "q96_tpch_q15",
+    "q97_tpch_q21",
     # The window is exactly these 50; the remainder follows in module
-    # registration order (all holding r3/r4 driver rows).
+    # registration order (all holding r4/r5 driver rows).
 )
 
 
