@@ -128,9 +128,9 @@ def gateway_events_per_sec(n: int = 200_000, payload_len: int = 200) -> float:
         server.close()
 
 
-def main() -> None:
-    n_events = int(os.environ.get("SPARK_GRAFT_STREAM_EVENTS", "400000"))
-    n_files = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "40"))
+def one_pipeline_run(spark, n_events: int, n_files: int) -> dict:
+    """One timed pipeline pass in a fresh work dir with its own metrics
+    listener; returns the per-run metric dict (no artifact I/O)."""
     work = tempfile.mkdtemp(prefix="bench-stream-")
     log_dir = os.path.join(work, "changelog")
     sink_dir = os.path.join(work, "sink")
@@ -138,36 +138,40 @@ def main() -> None:
     metrics_path = os.path.join(work, "metrics.jsonl")
     synth_events(n_events, n_files, log_dir)
 
-    spark = get_spark("wing-binlog-go-spark-bench-stream")
-    spark.streams.addListener(PipelineMetrics(metrics_path))
+    listener = PipelineMetrics(metrics_path)
+    spark.streams.addListener(listener)
 
     def parquet_writer(env, batch_id):
         env.write.mode("append").parquet(sink_dir)
 
     # Timed section = the pipeline run only (synthesis/session excluded):
     # this is the number the reference's client-side counter measures.
-    t0 = time.perf_counter()
-    q = run_pipeline(
-        spark,
-        log_dir,
-        [Route("sink", parquet_writer)],
-        ckpt,
-        max_files_per_trigger=int(
-            os.environ.get("SPARK_GRAFT_STREAM_MAXFILES", "10")
-        ),
-    )
-    q.awaitTermination(600)
-    wall = time.perf_counter() - t0
+    try:
+        t0 = time.perf_counter()
+        q = run_pipeline(
+            spark,
+            log_dir,
+            [Route("sink", parquet_writer)],
+            ckpt,
+            max_files_per_trigger=int(
+                os.environ.get("SPARK_GRAFT_STREAM_MAXFILES", "10")
+            ),
+        )
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
 
-    out_rows = spark.read.parquet(sink_dir).count()
-    if out_rows != n_events:
-        raise SystemExit(f"sink rows {out_rows} != input events {n_events}")
+        out_rows = spark.read.parquet(sink_dir).count()
+        if out_rows != n_events:
+            raise SystemExit(f"sink rows {out_rows} != input events {n_events}")
 
-    batches = [
-        rec
-        for rec in map(json.loads, open(metrics_path))
-        if rec.get("kind") == "batch" and rec.get("input_rows", 0) > 0
-    ]  # metrics.jsonl is append-ordered → batches[0] is the cold one
+        batches = [
+            rec
+            for rec in map(json.loads, open(metrics_path))
+            if rec.get("kind") == "batch" and rec.get("input_rows", 0) > 0
+        ]  # metrics.jsonl is append-ordered → batches[0] is the cold one
+    finally:
+        spark.streams.removeListener(listener)
+        shutil.rmtree(work, ignore_errors=True)
     cold_ms = batches[0]["batch_duration_ms"] if batches else 0.0
     warm = batches[1:]
     warm_ms = sorted(b["batch_duration_ms"] for b in warm)
@@ -177,13 +181,9 @@ def main() -> None:
         if b["batch_duration_ms"] > 0
     )
     all_ms = sorted(b["batch_duration_ms"] for b in batches)
-    result = {
-        "metric": "cdc_stream_events_per_sec",
+    return {
         "value": round(n_events / wall, 1),
-        "unit": "events/sec",
         "steady_events_per_sec": round(_pct(warm_rates, 0.50), 1),
-        "events": n_events,
-        "files": n_files,
         "wall_sec": round(wall, 3),
         "batches": len(all_ms),
         # cold/warm split: first batch = plan compilation + start-up
@@ -193,9 +193,50 @@ def main() -> None:
         # whole-run percentiles kept for continuity with r1-r4 artifacts
         "batch_ms_p50": _pct(all_ms, 0.50),
         "batch_ms_p95": _pct(all_ms, 0.95),
-        # reference-parity metric: TCP subscriber receive rate
-        "gateway_events_per_sec": gateway_events_per_sec(),
     }
+
+
+def _dist(vals: list[float]) -> dict:
+    vs = sorted(vals)
+    return {
+        "min": vs[0],
+        "median": round(_pct(vs, 0.50), 1),
+        "max": vs[-1],
+    }
+
+
+def main() -> None:
+    """n-run form (r5 verdict ask #3): a single sample cannot separate
+    machine noise from a real regression on this box (NOTES.md records
+    2-3x swings under load), so each round now records the
+    DISTRIBUTION of SPARK_GRAFT_STREAM_RUNS (default 3) quiet runs —
+    {min, median, max} per metric under "dist" — with the headline
+    top-level fields set to the medians. vs_baseline compares the
+    median against the recorded single-run baseline."""
+    n_events = int(os.environ.get("SPARK_GRAFT_STREAM_EVENTS", "400000"))
+    n_files = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "40"))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_STREAM_RUNS", "3")))
+
+    spark = get_spark("wing-binlog-go-spark-bench-stream")
+    runs = [one_pipeline_run(spark, n_events, n_files) for _ in range(n_runs)]
+    gateway_runs = [gateway_events_per_sec() for _ in range(n_runs)]
+
+    result = {
+        "metric": "cdc_stream_events_per_sec",
+        "unit": "events/sec",
+        "events": n_events,
+        "files": n_files,
+        "runs": n_runs,
+    }
+    # headline fields = per-metric medians (continuity with r1-r5)
+    for key in runs[0]:
+        result[key] = _dist([r[key] for r in runs])["median"]
+    result["gateway_events_per_sec"] = _dist(gateway_runs)["median"]
+    result["dist"] = {
+        key: _dist([r[key] for r in runs]) for key in runs[0]
+    }
+    result["dist"]["gateway_events_per_sec"] = _dist(gateway_runs)
+
     here = os.path.dirname(os.path.abspath(__file__))
     bench_path = os.path.join(here, "BENCH_STREAM.json")
     if not os.path.exists(bench_path):
@@ -213,7 +254,6 @@ def main() -> None:
     with open(os.path.join(here, f"BENCH_STREAM_r{n_round:02d}.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
-    shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":
