@@ -399,14 +399,28 @@ def scd2_upsert_parquet(
         merged = current.unionByName(fresh)
     else:
         merged = fresh
-    # replay dedupe: a re-delivered event re-derives the identical
-    # (_pk, valid_from_index) version, so the tie-break is a pure
-    # tie-keep.  Break ties on the CONTENT (sorted map entries +
-    # is_delete, a total order) rather than the constant
-    # valid_from_index, so if a feed ever violates the O10 contract and
-    # delivers two DIFFERENT images at one (pk, event_index), the stored
-    # version is still deterministic across replays instead of an
-    # arbitrary partition-order pick.
+    result = _scd2_versions(merged)
+    tmp = target_dir + "._staging"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    result.write.mode("overwrite").parquet(tmp)
+    swap_dir(tmp, target_dir)
+
+
+def _scd2_versions(merged: DataFrame) -> DataFrame:
+    """Open-form rows → closed SCD2 versions, shared by the full-table
+    and bucketed writers.
+
+    Replay dedupe: a re-delivered event re-derives the identical
+    (_pk, valid_from_index) version, so the tie-break is a pure
+    tie-keep.  Break ties on the CONTENT (sorted map entries +
+    is_delete, a total order) rather than the constant
+    valid_from_index, so if a feed ever violates the O10 contract and
+    delivers two DIFFERENT images at one (pk, event_index), the stored
+    version is still deterministic across replays instead of an
+    arbitrary partition-order pick.  Version closing keys on _pk (real
+    cardinality, short per-key history — never a global sort)."""
     open_form = (
         merged.withColumn(
             "_w",
@@ -425,7 +439,7 @@ def scd2_upsert_parquet(
         )
     )
     w = Window.partitionBy("_pk").orderBy("valid_from_index")
-    result = (
+    return (
         open_form.withColumn("valid_to_index", F.lead("valid_from_index").over(w))
         .withColumn(
             "is_current",
@@ -433,12 +447,6 @@ def scd2_upsert_parquet(
         )
         .withColumn("version_n", F.row_number().over(w))
     )
-    tmp = target_dir + "._staging"
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
-    result.write.mode("overwrite").parquet(tmp)
-    swap_dir(tmp, target_dir)
 
 
 def _bucket_manifest_path(target_dir: str) -> str:
@@ -574,23 +582,87 @@ def upsert_parquet_bucketed(
             tmp = os.path.join(target_dir, f".staging_bucket_{b}")
             shutil.rmtree(tmp, ignore_errors=True)
             result.write.mode("overwrite").parquet(tmp)
-        # phases 2+3 hold the commit lock so a concurrent reader's
-        # recover_bucket_commit cannot replay our swaps mid-flight
-        with _commit_lock(target_dir):
-            # phase 2: the point of commit — manifest lands atomically
-            manifest = _bucket_manifest_path(target_dir)
-            with open(manifest + ".tmp", "w") as f:
-                json.dump({"buckets": [int(b) for b in changed]}, f)
-            os.replace(manifest + ".tmp", manifest)
-            # phase 3: swap buckets in; any crash here is rolled forward
-            for b in changed:
-                swap_dir(
-                    os.path.join(target_dir, f".staging_bucket_{b}"),
-                    os.path.join(target_dir, f"bucket={b}"),
-                )
-            os.remove(manifest)
+        _commit_staged_buckets(target_dir, changed)
     finally:
         updates.unpersist()
+
+
+def _commit_staged_buckets(target_dir: str, changed: list[int]) -> None:
+    """Phases 2+3 of the multi-bucket commit, under the commit lock so
+    a concurrent reader's recover_bucket_commit cannot replay our swaps
+    mid-flight: the manifest lands atomically (the point of commit),
+    then every staged bucket swaps in; any crash after the manifest is
+    rolled forward."""
+    from wing_binlog_go_spark.streaming.maintenance import swap_dir
+
+    with _commit_lock(target_dir):
+        manifest = _bucket_manifest_path(target_dir)
+        with open(manifest + ".tmp", "w") as f:
+            json.dump({"buckets": [int(b) for b in changed]}, f)
+        os.replace(manifest + ".tmp", manifest)
+        for b in changed:
+            swap_dir(
+                os.path.join(target_dir, f".staging_bucket_{b}"),
+                os.path.join(target_dir, f"bucket={b}"),
+            )
+        os.remove(manifest)
+
+
+def scd2_upsert_parquet_bucketed(
+    env: DataFrame, target_dir: str, pk: str | list[str] = "id", num_buckets: int = 16
+) -> None:
+    """Bucket-pruned SCD Type-2 history writer: the scale form of
+    ``scd2_upsert_parquet`` (ADVICE r5) — history is stored as
+    hash(pk)-bucketed subdirectories and a batch only re-reads and
+    rewrites the buckets whose keys actually changed, so per-batch IO
+    is O(changed buckets' history), not O(total history). Closed
+    versions of untouched keys sit in untouched buckets and are never
+    rewritten.
+
+    Version recomputation is safe per-bucket because every key's whole
+    history lives in exactly one bucket (deterministic
+    pmod(xxhash64(_pk), B)), so the per-key windows in
+    ``_scd2_versions`` see complete histories. Same empty-batch
+    short-circuit, content tie-break, and manifest commit protocol
+    (stage → manifest → swap, rolled forward on crash) as the replica's
+    ``upsert_parquet_bucketed``; read back with ``read_bucketed_table``.
+    """
+    import shutil
+
+    from wing_binlog_go_spark.streaming.maintenance import recover_swap
+
+    spark = env.sparkSession
+    os.makedirs(target_dir, exist_ok=True)
+    recover_bucket_commit(target_dir)
+    bucket = F.pmod(F.xxhash64(F.col("_pk")), F.lit(num_buckets)).cast("int")
+    fresh = (
+        change_rows_per_pk(env, pk)
+        .withColumnRenamed("event_index", "valid_from_index")
+        .withColumn("_bucket", bucket)
+        .persist()
+    )
+    try:
+        changed = [r._bucket for r in fresh.select("_bucket").distinct().collect()]
+        if not changed:  # nothing for this table in the batch
+            return
+        for b in changed:
+            bdir = os.path.join(target_dir, f"bucket={b}")
+            recover_swap(bdir)
+            u = fresh.filter(F.col("_bucket") == b).drop("_bucket")
+            if os.path.exists(bdir):
+                current = spark.read.parquet(bdir).select(
+                    "_pk", "row", "is_delete", "valid_from_index"
+                )
+                merged = current.unionByName(u)
+            else:
+                merged = u
+            result = _scd2_versions(merged)
+            tmp = os.path.join(target_dir, f".staging_bucket_{b}")
+            shutil.rmtree(tmp, ignore_errors=True)
+            result.write.mode("overwrite").parquet(tmp)
+        _commit_staged_buckets(target_dir, changed)
+    finally:
+        fresh.unpersist()
 
 
 def read_bucketed_table(spark: SparkSession, target_dir: str) -> DataFrame:

@@ -240,7 +240,10 @@ def read_typed_replica(spark, registry, full_name: str, base_dir: str) -> DataFr
 
 
 def scd2_history_writer(
-    registry, table_full_names: list[str], base_dir: str
+    registry,
+    table_full_names: list[str],
+    base_dir: str,
+    num_buckets: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Dimension-history route: the SCD Type-2 sibling of
     ``typed_replica_writer`` — instead of keeping only the newest image
@@ -249,10 +252,18 @@ def scd2_history_writer(
     "what did this row look like when event N happened" (the
     time-travel consumer the reference delegates downstream,
     readme.md:40-43). Same envelope-map storage form; decode with
-    ``read_scd2_history`` for typed columns."""
+    ``read_scd2_history`` for typed columns.
+
+    ``num_buckets`` routes through the bucket-pruned writer
+    (``scd2_upsert_parquet_bucketed``): per-batch IO becomes O(changed
+    buckets' history) instead of a full-history rewrite — the r5
+    ADVICE scale form for long-lived history tables."""
     import os
 
-    from wing_binlog_go_spark.streaming.pipeline import scd2_upsert_parquet
+    from wing_binlog_go_spark.streaming.pipeline import (
+        scd2_upsert_parquet,
+        scd2_upsert_parquet_bucketed,
+    )
 
     def write(env: DataFrame, batch_id: int) -> None:
         for full in table_full_names:
@@ -261,7 +272,12 @@ def scd2_history_writer(
                 continue
             subset = env.filter(env.full_table == full)
             target = os.path.join(base_dir, full.replace(".", "__"))
-            scd2_upsert_parquet(subset, target, pk=spec.pk_columns)
+            if num_buckets:
+                scd2_upsert_parquet_bucketed(
+                    subset, target, pk=spec.pk_columns, num_buckets=num_buckets
+                )
+            else:
+                scd2_upsert_parquet(subset, target, pk=spec.pk_columns)
 
     return write
 
@@ -270,14 +286,22 @@ def read_scd2_history(spark, registry, full_name: str, base_dir: str) -> DataFra
     """Typed view over an SCD2 history table written by
     ``scd2_history_writer``: one row per version with
     (version_n, valid_from_index, valid_to_index, is_current,
-    is_delete) alongside the decoded columns."""
+    is_delete) alongside the decoded columns. Transparent over both
+    layouts: a flat table or the bucket-pruned form (bucket=N/ dirs,
+    read through ``read_bucketed_table`` so interrupted commits roll
+    forward before the read)."""
+    import glob
     import os
 
     from wing_binlog_go_spark.functions.schema_registry import decode_column
+    from wing_binlog_go_spark.streaming.pipeline import read_bucketed_table
 
     spec = registry.get(full_name)
     target = os.path.join(base_dir, full_name.replace(".", "__"))
-    raw = spark.read.parquet(target)
+    if glob.glob(os.path.join(target, "bucket=*")):
+        raw = read_bucketed_table(spark, target)
+    else:
+        raw = spark.read.parquet(target)
     return raw.select(
         *[
             decode_column(F.element_at("row", c.name), c.raw_type).alias(c.name)
