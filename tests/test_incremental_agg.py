@@ -508,3 +508,201 @@ def test_incremental_distinct_hll_maintenance(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="insert-only"):
         incremental_distinct_apply(spark, b3, state, "g", "v")
+
+
+def test_incremental_quantile_kll_maintenance(spark, tmp_path):
+    """Approximate per-group quantile maintenance: KLL sketches merge
+    across batches (exact at these sizes — k=200 stores small streams
+    losslessly), replays are no-ops, estimates track the true
+    percentile as data accumulates, and non-insert envelopes raise
+    loudly (a sketch cannot retract)."""
+    import pytest as _pytest
+
+    from wing_binlog_go_spark.streaming.aggregate import (
+        incremental_quantile_apply,
+        quantile_view,
+    )
+
+    state = str(tmp_path / "q")
+    b1 = _env(
+        spark,
+        [
+            ("insert", i, {"g": "a", "v": str(float(i))}, None, None)
+            for i in range(1, 11)
+        ]
+        + [("insert", 11, {"g": "b", "v": "100.0"}, None, None)],
+    )
+    incremental_quantile_apply(spark, b1, state, "g", "v")
+    got = {
+        r.grp: (r.n, r.q50, r.q95)
+        for r in quantile_view(spark.read.parquet(state)).collect()
+    }
+    assert got["b"] == (1, 100.0, 100.0)
+    assert got["a"][0] == 10
+    assert 5.0 <= got["a"][1] <= 6.0  # median of 1..10
+
+    # batch 2 shifts the distribution up; merged sketch must see it
+    b2 = _env(
+        spark,
+        [
+            ("insert", 11 + i, {"g": "a", "v": str(float(100 + i))}, None, None)
+            for i in range(1, 11)
+        ],
+    )
+    incremental_quantile_apply(spark, b2, state, "g", "v")
+    got = {
+        r.grp: (r.n, r.q50, r.q95, r.q99)
+        for r in quantile_view(spark.read.parquet(state)).collect()
+    }
+    assert got["a"][0] == 20
+    assert got["a"][1] <= 101.0 <= got["a"][2]  # median at the seam
+    assert got["a"][3] >= 109.0
+
+    # replay of batch 2: no-op (high-water mark)
+    incremental_quantile_apply(spark, b2, state, "g", "v")
+    again = {
+        r.grp: (r.n, r.q50, r.q95, r.q99)
+        for r in quantile_view(spark.read.parquet(state)).collect()
+    }
+    assert again == got
+
+    # deletes cannot be retracted → loud failure
+    b3 = _env(spark, [("delete", 99, {"g": "a", "v": "1.0"}, None, None)])
+    with _pytest.raises(ValueError, match="insert-only"):
+        incremental_quantile_apply(spark, b3, state, "g", "v")
+
+
+def test_incremental_topk_misra_gries_maintenance(spark, tmp_path):
+    """Mergeable heavy-hitter maintenance: exact batch counts fold into
+    a bounded k-row-per-group Misra-Gries summary; any item above the
+    N/(k+1) frequency guarantee survives pruning across batches, count
+    bounds [cnt, cnt+err] contain the truth, replays are no-ops, and
+    non-insert envelopes raise loudly."""
+    import pytest as _pytest
+
+    from wing_binlog_go_spark.streaming.aggregate import (
+        incremental_topk_apply,
+        topk_view,
+    )
+
+    state = str(tmp_path / "hh")
+    # batch 1: group a — 'big' 12×, 'mid' 5×, ten singletons (k=4)
+    idx = 0
+    rows = []
+    for _ in range(12):
+        idx += 1
+        rows.append(("insert", idx, {"g": "a", "v": "big"}, None, None))
+    for _ in range(5):
+        idx += 1
+        rows.append(("insert", idx, {"g": "a", "v": "mid"}, None, None))
+    for j in range(10):
+        idx += 1
+        rows.append(("insert", idx, {"g": "a", "v": f"one{j}"}, None, None))
+    incremental_topk_apply(spark, _env(spark, rows), state, "g", "v", k=4)
+    st = spark.read.parquet(state)
+    assert st.count() <= 4  # bounded summary
+    view1 = {r.item: (r.cnt_low, r.cnt_high) for r in topk_view(st).collect()}
+    assert "big" in view1 and "mid" in view1
+    lo, hi = view1["big"]
+    assert lo <= 12 <= hi
+    true_n = 27
+    # every dropped singleton had true count 1 <= N/(k+1) = 5.4: allowed
+
+    # batch 2: 'mid' surges; a new heavy item appears
+    idx2 = idx
+    rows2 = []
+    for _ in range(20):
+        idx2 += 1
+        rows2.append(("insert", idx2, {"g": "a", "v": "mid"}, None, None))
+    for _ in range(8):
+        idx2 += 1
+        rows2.append(("insert", idx2, {"g": "a", "v": "new"}, None, None))
+    incremental_topk_apply(spark, _env(spark, rows2), state, "g", "v", k=4)
+    st = spark.read.parquet(state)
+    view2 = {r.item: (r.cnt_low, r.cnt_high, r.rank) for r in topk_view(st).collect()}
+    # true counts now: mid 25, big 12, new 8, N = 55, N/(k+1) = 11
+    assert view2["mid"][2] == 1  # heaviest
+    for item, true in (("mid", 25), ("big", 12), ("new", 8)):
+        if item in view2:
+            lo, hi, _ = view2[item]
+            assert lo <= true <= hi, (item, view2[item])
+    assert "mid" in view2 and "big" in view2  # > N/(k+1) must survive
+
+    # replay: no-op
+    incremental_topk_apply(spark, _env(spark, rows2), state, "g", "v", k=4)
+    again = {
+        r.item: (r.cnt_low, r.cnt_high, r.rank)
+        for r in topk_view(spark.read.parquet(state)).collect()
+    }
+    assert again == view2
+
+    # non-insert → loud failure
+    bad = _env(spark, [("update", 9999, None, {"g": "a", "v": "big"},
+                        {"g": "a", "v": "x"})])
+    with _pytest.raises(ValueError, match="insert-only"):
+        incremental_topk_apply(spark, bad, state, "g", "v", k=4)
+
+
+def test_sketch_maintainers_as_pipeline_routes(spark, tmp_path):
+    """KLL quantile + Misra-Gries top-k writers as real pipeline routes
+    over an insert-only changelog (their contract): state accumulates
+    across micro-batches through the changelog → envelope →
+    foreachBatch path."""
+    import json as _json
+
+    from wing_binlog_go_spark.streaming.aggregate import (
+        incremental_quantile_writer,
+        incremental_topk_writer,
+        quantile_view,
+        topk_view,
+    )
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    with open(log_dir / "part-0000.jsonl", "w") as f:
+        for i in range(1, 41):
+            rec = {
+                "binlog_file": "mysql-bin.000001",
+                "binlog_pos": 4 + i * 50,
+                "xid_commit": i % 10 == 0,
+                "database": "m",
+                "table": "lat",
+                "action": "insert",
+                "row_no": 0,
+                "before": None,
+                "after": {
+                    "id": str(i),
+                    "svc": "api" if i % 2 else "db",
+                    "ms": str(float(i)),
+                    "host": f"h{i % 3}",
+                },
+                "ddl_query": None,
+                "ts_header": "2018-04-19T05:21:27.000Z",
+                "gtid": f"{uuid}:{1 + i // 10}",
+            }
+            f.write(_json.dumps(rec) + "\n")
+    qstate, tstate = str(tmp_path / "q"), str(tmp_path / "t")
+    q = run_pipeline(
+        spark,
+        str(log_dir),
+        [
+            Route("q", incremental_quantile_writer(qstate, "svc", "ms")),
+            Route("t", incremental_topk_writer(tstate, "svc", "host", k=2)),
+        ],
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(90)
+    qs = {
+        r.grp: (r.n, r.q50)
+        for r in quantile_view(spark.read.parquet(qstate)).collect()
+    }
+    assert qs["api"][0] == 20 and qs["db"][0] == 20
+    assert 19.0 <= qs["api"][1] <= 21.0  # median of odd 1..39
+    hh = {
+        (r.grp, r.item): r.cnt_low
+        for r in topk_view(spark.read.parquet(tstate)).collect()
+    }
+    assert len([k for k in hh if k[0] == "api"]) <= 2  # bounded k=2
+    assert sum(v for k, v in hh.items()) > 0

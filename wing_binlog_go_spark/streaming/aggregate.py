@@ -39,6 +39,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from wing_binlog_go_spark.streaming.maintenance import recover_swap, swap_dir
 
@@ -475,4 +476,233 @@ def distinct_view(state: DataFrame) -> DataFrame:
     """(grp, approx_ndv) over the maintained sketch state."""
     return state.select(
         "grp", F.hll_sketch_estimate("sketch").alias("approx_ndv")
+    )
+
+
+def incremental_quantile_apply(
+    spark: SparkSession,
+    env_batch: DataFrame,
+    state_dir: str,
+    group_key: str,
+    value_field: str,
+    k: int = 200,
+) -> None:
+    """Maintain approximate per-group QUANTILES from the change stream
+    via Apache DataSketches KLL (Spark's ``kll_sketch_agg_double`` /
+    ``kll_sketch_merge_double``): state = (grp, sketch bytes); each
+    batch folds its INSERT images into one KLL sketch per group and
+    merges it into the state — a few KB per group with a proven
+    rank-error bound (~1.65/k single-sided), mergeable across batches,
+    executors and stores. This answers "p50/p95/p99 latency per
+    service, maintained from the stream" at 100 TB without rescanning
+    history — the quantile sibling of the HLL NDV maintainer above.
+
+    INSERT-ONLY by the math, exactly like HLL: a KLL sketch is a
+    compaction of observed values and cannot retract a delete/update.
+    A batch carrying update/delete envelopes raises loudly rather than
+    silently drifting — delete-safe quantiles need the exact value
+    multiset, which is just the replica plus ``percentile``.
+
+    Same replay high-water mark + staged-swap commit contract as
+    :func:`incremental_agg_apply`.
+    """
+    recover_swap(state_dir)
+    high = applied_index(state_dir)
+    fresh = env_batch.filter(F.col("event_index") > high)
+    mx = fresh.agg(F.max("event_index")).collect()[0][0]
+    if mx is None:
+        return
+    non_insert = fresh.filter(F.col("event_type") != "insert").limit(1).count()
+    if non_insert:
+        raise ValueError(
+            "incremental_quantile_apply is insert-only: KLL sketches "
+            "cannot retract deletes/updates — recompute percentiles "
+            "from the replica for mutable tables instead"
+        )
+    data = F.col("event.data")
+    deltas = (
+        fresh.select(
+            F.coalesce(
+                F.element_at(data, group_key), F.lit("\x00null\x00")
+            ).alias("grp"),
+            F.element_at(data, value_field).cast("double").alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("grp")
+        .agg(F.kll_sketch_agg_double("v", F.lit(k)).alias("d_sketch"))
+    )
+    if os.path.exists(state_dir):
+        state = spark.read.parquet(state_dir)
+    else:
+        state = spark.createDataFrame([], "grp string, sketch binary")
+    merged = state.join(deltas, "grp", "full_outer").select(
+        "grp",
+        F.when(
+            F.col("sketch").isNotNull() & F.col("d_sketch").isNotNull(),
+            F.kll_sketch_merge_double("sketch", "d_sketch"),
+        )
+        .otherwise(F.coalesce("d_sketch", "sketch"))
+        .alias("sketch"),
+    )
+    staged = state_dir.rstrip("/") + "._staging"
+    merged.write.mode("overwrite").parquet(staged)
+    with open(os.path.join(staged, _META), "w") as f:
+        json.dump({"max_event_index": int(mx)}, f)
+    swap_dir(staged, state_dir)
+
+
+def incremental_quantile_writer(state_dir: str, group_key: str, value_field: str):
+    """foreachBatch hook: envelope stream → maintained quantile sketches."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_quantile_apply(
+            batch_df.sparkSession, batch_df, state_dir, group_key, value_field
+        )
+
+    return write
+
+
+def quantile_view(
+    state: DataFrame, quantiles: tuple[float, ...] = (0.5, 0.95, 0.99)
+) -> DataFrame:
+    """(grp, n, q50, q95, ...) over the maintained KLL state."""
+    cols = [
+        F.kll_sketch_get_quantile_double("sketch", F.lit(q)).alias(
+            f"q{int(q * 100)}"
+        )
+        for q in quantiles
+    ]
+    return state.select(
+        "grp", F.kll_sketch_get_n_double("sketch").alias("n"), *cols
+    )
+
+
+def incremental_topk_apply(
+    spark: SparkSession,
+    env_batch: DataFrame,
+    state_dir: str,
+    group_key: str,
+    value_field: str,
+    k: int = 16,
+) -> None:
+    """Maintain per-group heavy hitters from the change stream via
+    mergeable Misra-Gries summaries (Agarwal et al., "Mergeable
+    Summaries", PODS'12): state = up to ``k`` (grp, item, cnt) rows
+    plus a per-group error bound ``err``. Each batch counts its INSERT
+    images exactly (bounded by batch size), adds them into the state,
+    then applies the MG merge rule per group: subtract the (k+1)-th
+    largest count from every item, drop non-positive rows. A true
+    count is then bounded by [cnt, cnt + err] — and any item whose
+    true frequency exceeds N/(k+1) is guaranteed present. This is
+    "top domains per language, maintained from the stream": bounded
+    state per group, no history rescans, exact batch counts so the
+    error grows only with what was pruned.
+
+    All set algebra is per-group window work over K+|batch items| rows
+    — never a global sort. INSERT-ONLY like the sketch maintainers
+    (a pruned summary cannot retract); non-insert envelopes raise
+    loudly. Same replay high-water mark + staged-swap commit contract
+    as :func:`incremental_agg_apply`.
+    """
+    recover_swap(state_dir)
+    high = applied_index(state_dir)
+    fresh = env_batch.filter(F.col("event_index") > high)
+    mx = fresh.agg(F.max("event_index")).collect()[0][0]
+    if mx is None:
+        return
+    non_insert = fresh.filter(F.col("event_type") != "insert").limit(1).count()
+    if non_insert:
+        raise ValueError(
+            "incremental_topk_apply is insert-only: a Misra-Gries "
+            "summary cannot retract deletes/updates — recompute heavy "
+            "hitters from the replica for mutable tables instead"
+        )
+    data = F.col("event.data")
+    deltas = (
+        fresh.select(
+            F.coalesce(
+                F.element_at(data, group_key), F.lit("\x00null\x00")
+            ).alias("grp"),
+            F.element_at(data, value_field).alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .groupBy("grp", "item")
+        .agg(F.count("*").alias("d_cnt"))
+    )
+    if os.path.exists(state_dir):
+        state = spark.read.parquet(state_dir)
+        errs = state.select("grp", "err").distinct()
+        items = state.select("grp", "item", "cnt")
+    else:
+        errs = spark.createDataFrame([], "grp string, err long")
+        items = spark.createDataFrame([], "grp string, item string, cnt long")
+    combined = (
+        items.join(deltas, ["grp", "item"], "full_outer")
+        .select(
+            "grp",
+            "item",
+            (F.coalesce("cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0))).alias(
+                "cnt"
+            ),
+        )
+    )
+    # MG merge rule: s = (k+1)-th largest count in the group (0 when the
+    # group holds <= k items); subtract s everywhere, drop <= 0. The
+    # window is over the SUMMARY (<= k + batch items per group), not data.
+    w = Window.partitionBy("grp").orderBy(F.desc("cnt"), F.asc("item"))
+    ranked = combined.withColumn("_rk", F.row_number().over(w))
+    s_per_grp = (
+        ranked.filter(F.col("_rk") == k + 1)
+        .select("grp", F.col("cnt").alias("_s"))
+    )
+    pruned = (
+        ranked.join(s_per_grp, "grp", "left")
+        .withColumn("_s", F.coalesce("_s", F.lit(0)))
+        .withColumn("cnt", F.col("cnt") - F.col("_s"))
+        .filter(F.col("cnt") > 0)
+    )
+    new_err = (
+        pruned.select("grp", "_s")
+        .distinct()
+        .join(errs, "grp", "full_outer")
+        .select(
+            "grp",
+            (F.coalesce("_s", F.lit(0)) + F.coalesce("err", F.lit(0))).alias(
+                "err"
+            ),
+        )
+    )
+    result = pruned.select("grp", "item", "cnt").join(new_err, "grp")
+    staged = state_dir.rstrip("/") + "._staging"
+    result.write.mode("overwrite").parquet(staged)
+    with open(os.path.join(staged, _META), "w") as f:
+        json.dump({"max_event_index": int(mx)}, f)
+    swap_dir(staged, state_dir)
+
+
+def incremental_topk_writer(state_dir: str, group_key: str, value_field: str, k: int = 16):
+    """foreachBatch hook: envelope stream → maintained heavy hitters."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_topk_apply(
+            batch_df.sparkSession, batch_df, state_dir, group_key, value_field, k
+        )
+
+    return write
+
+
+def topk_view(state: DataFrame, n: int = 10) -> DataFrame:
+    """(grp, item, cnt_low, cnt_high, rank) — the top ``n`` per group
+    with the [cnt, cnt+err] truth bounds made explicit."""
+    w = Window.partitionBy("grp").orderBy(F.desc("cnt"), F.asc("item"))
+    return (
+        state.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select(
+            "grp",
+            "item",
+            F.col("cnt").alias("cnt_low"),
+            (F.col("cnt") + F.col("err")).alias("cnt_high"),
+            "rank",
+        )
     )
