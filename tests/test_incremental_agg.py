@@ -706,3 +706,44 @@ def test_sketch_maintainers_as_pipeline_routes(spark, tmp_path):
     }
     assert len([k for k in hh if k[0] == "api"]) <= 2  # bounded k=2
     assert sum(v for k, v in hh.items()) > 0
+
+
+def test_incremental_theta_set_algebra_maintenance(spark, tmp_path):
+    """Theta sketch maintenance: per-group distinct sets accumulate
+    across batches and answer UNION / INTERSECTION / DIFFERENCE NDV
+    from state (exact at these cardinalities) — the overlap queries
+    HLL cannot express; replays are no-ops; retraction fails loudly."""
+    import pytest as _pytest
+
+    from wing_binlog_go_spark.streaming.aggregate import (
+        incremental_theta_apply,
+        theta_set_view,
+    )
+
+    state = str(tmp_path / "theta")
+    # group a sees users u1..u6; group b sees u4..u9 (overlap = 3)
+    rows, idx = [], 0
+    for u in range(1, 7):
+        idx += 1
+        rows.append(("insert", idx, {"g": "a", "v": f"u{u}"}, None, None))
+    incremental_theta_apply(spark, _env(spark, rows), state, "g", "v")
+    rows2 = []
+    for u in range(4, 10):
+        idx += 1
+        rows2.append(("insert", idx, {"g": "b", "v": f"u{u}"}, None, None))
+    incremental_theta_apply(spark, _env(spark, rows2), state, "g", "v")
+
+    row = theta_set_view(spark.read.parquet(state), "a", "b").collect()[0]
+    assert (row.ndv_a, row.ndv_b) == (6.0, 6.0)
+    assert row.ndv_union == 9.0
+    assert row.ndv_intersection == 3.0
+    assert row.ndv_a_only == 3.0
+
+    # replay no-op
+    incremental_theta_apply(spark, _env(spark, rows2), state, "g", "v")
+    again = theta_set_view(spark.read.parquet(state), "a", "b").collect()[0]
+    assert again == row
+
+    bad = _env(spark, [("delete", 9999, {"g": "a", "v": "u1"}, None, None)])
+    with _pytest.raises(ValueError, match="insert-only"):
+        incremental_theta_apply(spark, bad, state, "g", "v")

@@ -706,3 +706,101 @@ def topk_view(state: DataFrame, n: int = 10) -> DataFrame:
             "rank",
         )
     )
+
+
+def incremental_theta_apply(
+    spark: SparkSession,
+    env_batch: DataFrame,
+    state_dir: str,
+    group_key: str,
+    value_field: str,
+) -> None:
+    """Maintain per-group Theta sketches from the change stream
+    (Spark's ``theta_sketch_agg`` / ``theta_union``): like the HLL NDV
+    maintainer, but Theta sketches additionally support SET ALGEBRA —
+    ``theta_set_view`` answers "distinct users seen in BOTH groups /
+    only in one" (campaign overlap, cross-surface reach) straight from
+    the maintained state, which HLL cannot do (no intersection).
+
+    Same contract as its siblings: state = (grp, sketch bytes),
+    mergeable across batches/executors/stores; INSERT-ONLY by the math
+    with a loud failure on update/delete envelopes; replay high-water
+    mark + staged-swap commit.
+    """
+    recover_swap(state_dir)
+    high = applied_index(state_dir)
+    fresh = env_batch.filter(F.col("event_index") > high)
+    mx = fresh.agg(F.max("event_index")).collect()[0][0]
+    if mx is None:
+        return
+    non_insert = fresh.filter(F.col("event_type") != "insert").limit(1).count()
+    if non_insert:
+        raise ValueError(
+            "incremental_theta_apply is insert-only: Theta sketches "
+            "cannot retract deletes/updates — maintain the exact "
+            "(group, value) distinct table for mutable tables instead"
+        )
+    data = F.col("event.data")
+    deltas = (
+        fresh.select(
+            F.coalesce(
+                F.element_at(data, group_key), F.lit("\x00null\x00")
+            ).alias("grp"),
+            F.element_at(data, value_field).alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("grp")
+        .agg(F.theta_sketch_agg("v").alias("d_sketch"))
+    )
+    if os.path.exists(state_dir):
+        state = spark.read.parquet(state_dir)
+    else:
+        state = spark.createDataFrame([], "grp string, sketch binary")
+    merged = state.join(deltas, "grp", "full_outer").select(
+        "grp",
+        F.when(
+            F.col("sketch").isNotNull() & F.col("d_sketch").isNotNull(),
+            F.theta_union("sketch", "d_sketch"),
+        )
+        .otherwise(F.coalesce("d_sketch", "sketch"))
+        .alias("sketch"),
+    )
+    staged = state_dir.rstrip("/") + "._staging"
+    merged.write.mode("overwrite").parquet(staged)
+    with open(os.path.join(staged, _META), "w") as f:
+        json.dump({"max_event_index": int(mx)}, f)
+    swap_dir(staged, state_dir)
+
+
+def incremental_theta_writer(state_dir: str, group_key: str, value_field: str):
+    """foreachBatch hook: envelope stream → maintained Theta sketches."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_theta_apply(
+            batch_df.sparkSession, batch_df, state_dir, group_key, value_field
+        )
+
+    return write
+
+
+def theta_set_view(state: DataFrame, grp_a: str, grp_b: str) -> DataFrame:
+    """One row of set algebra over two maintained groups:
+    (ndv_a, ndv_b, ndv_union, ndv_intersection, ndv_a_only) — the
+    overlap/reach queries only Theta sketches answer from state."""
+    a = state.filter(F.col("grp") == grp_a).select(
+        F.col("sketch").alias("sa")
+    )
+    b = state.filter(F.col("grp") == grp_b).select(
+        F.col("sketch").alias("sb")
+    )
+    return a.crossJoin(b).select(
+        F.theta_sketch_estimate("sa").alias("ndv_a"),
+        F.theta_sketch_estimate("sb").alias("ndv_b"),
+        F.theta_sketch_estimate(F.theta_union("sa", "sb")).alias("ndv_union"),
+        F.theta_sketch_estimate(F.theta_intersection("sa", "sb")).alias(
+            "ndv_intersection"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("sa", "sb")).alias(
+            "ndv_a_only"
+        ),
+    )
