@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from collections import Counter
 
+from pyspark.sql import functions as F
+
 from wing_binlog_go_spark.functions.text import (
     bpe_segment,
     bpe_tokenize_counts,
@@ -220,3 +222,86 @@ def test_compatible_prefix_stops_on_interaction(spark):
     top = [{"a": "a", "b": "b", "cnt": 50}, {"a": "c", "b": "d", "cnt": 40}]
     assert len(_compatible_merge_prefix(top, 40, 8, 2)) == 1
     assert len(_compatible_merge_prefix(top, 39, 8, 2)) == 2
+
+
+def test_greedy_batch_helper_is_disjoint_and_ordered():
+    """_greedy_merge_batch accepts the top pairwise symbol-disjoint
+    pairs in count order, skipping (not stopping at) conflicts and
+    new-symbol collisions."""
+    from wing_binlog_go_spark.functions.text import _greedy_merge_batch
+
+    top = [
+        {"a": "a", "b": "b", "cnt": 50},
+        {"a": "b", "b": "c", "cnt": 45},   # shares b → skipped
+        {"a": "c", "b": "d", "cnt": 40},
+        {"a": "ab", "b": "x", "cnt": 35},  # uses round-new symbol → skipped
+        {"a": "e", "b": "f", "cnt": 30},
+        {"a": "g", "b": "h", "cnt": 1},    # below min_count → stop
+    ]
+    got = _greedy_merge_batch(top, cap=8, min_count=2)
+    assert got == [("a", "b", 50), ("c", "d", 40), ("e", "f", 30)]
+    assert _greedy_merge_batch(top, cap=2, min_count=2) == [
+        ("a", "b", 50),
+        ("c", "d", 40),
+    ]
+
+
+def test_greedy_mode_is_deterministic(spark):
+    a = bpe_train(_docs(spark), n_merges=10, batch=8, mode="greedy")
+    b = bpe_train(_docs(spark), n_merges=10, batch=8, mode="greedy")
+    assert a == b and len(a) > 0
+
+
+def test_greedy_mode_compresses_rounds_and_preserves_segmentation(spark):
+    """On the real fixture corpus greedy batching must (a) use
+    substantially fewer driver rounds than merges learned and (b) yield
+    the SAME corpus-total token count as exact/sequential training at
+    min_count EXHAUSTION — merge order diverges in count-tied tails,
+    but the learned segmentation compresses identically once both
+    trainers run out of frequent pairs.  (At a CAPPED small merge
+    budget greedy is worse — skipped conflicts displace better merges —
+    which is why mode="exact" stays the default; batching pays off at
+    production budgets, where training runs to exhaustion of the
+    frequent-pair mass.)"""
+    from wing_binlog_go_spark.functions import text as T
+    from wing_binlog_go_spark.tables import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+
+    calls = []
+    orig = T._greedy_merge_batch
+
+    def spy(top, cap, min_count):
+        r = orig(top, cap, min_count)
+        calls.append(len(r))
+        return r
+
+    T._greedy_merge_batch = spy
+    try:
+        greedy = bpe_train(docs, n_merges=500, batch=16, mode="greedy")
+    finally:
+        T._greedy_merge_batch = orig
+    rounds = len(calls)
+    assert len(greedy) < 500  # ran to min_count exhaustion, not the cap
+    assert rounds * 2 <= len(greedy), (rounds, len(greedy))  # ≥2× compression
+
+    exact = bpe_train(docs, n_merges=500, batch=16)  # provably sequential
+    assert len(exact) < 500
+
+    def total_tokens(merges):
+        seg = bpe_segment(merges)
+        wf = word_freqs(docs)
+        return (
+            wf.select((F.size(seg(F.col("w"))) * F.col("freq")).alias("t"))
+            .agg(F.sum("t"))
+            .collect()[0][0]
+        )
+
+    assert total_tokens(greedy) == total_tokens(exact)
+
+
+def test_greedy_mode_rejects_unknown_mode(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode"):
+        bpe_train(_docs(spark), n_merges=2, mode="turbo")
