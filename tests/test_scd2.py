@@ -361,3 +361,92 @@ def test_bucketed_scd2_route_and_typed_read(spark, tmp_path):
     assert [r.c_vchar for r in rows[1]] == ["row1", "row1v2"]
     assert [bool(r.is_current) for r in rows[1]] == [False, True]
     assert [bool(r.is_delete) for r in rows[5]] == [True]
+
+
+def test_pit_enrich_route_joins_dimension_state_at_event_time(spark, tmp_path):
+    """Stream-side point-in-time enrichment: fact inserts interleaved
+    with dimension updates in ONE changelog; each fact must pick up the
+    dimension version current AT ITS OWN event — including a fact and
+    the dimension change it follows inside the same micro-batch (route
+    ordering contract), and a replayed changelog must not duplicate
+    output rows (read_pit_enriched dedupes on event_index)."""
+    import json as _json
+
+    from wing_binlog_go_spark.streaming.sinks import (
+        pit_enrich_writer,
+        read_pit_enriched,
+    )
+
+    reg = SchemaRegistry()
+    reg.register(
+        TableSpec(
+            "shop", "customer",
+            [ColumnSpec("id", "bigint(20)", is_pk=True),
+             ColumnSpec("tier", "varchar(16)")],
+        )
+    )
+    reg.register(
+        TableSpec(
+            "shop", "orders",
+            [ColumnSpec("id", "bigint(20)", is_pk=True),
+             ColumnSpec("cust_id", "bigint(20)"),
+             ColumnSpec("amount", "int(11)")],
+        )
+    )
+    uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    log = tmp_path / "log"
+    log.mkdir()
+
+    def rec(pos, table, action, before, after):
+        return {
+            "binlog_file": "mysql-bin.000001", "binlog_pos": pos,
+            "xid_commit": True, "database": "shop", "table": table,
+            "action": action, "row_no": 0, "before": before,
+            "after": after, "ddl_query": None,
+            "ts_header": "2018-04-19T05:21:27.000Z", "gtid": f"{uuid}:1",
+        }
+
+    events = [
+        rec(100, "customer", "insert", None, {"id": "1", "tier": "bronze"}),
+        rec(200, "orders", "insert", None,
+            {"id": "10", "cust_id": "1", "amount": "5"}),
+        rec(300, "customer", "update", {"id": "1", "tier": "bronze"},
+            {"id": "1", "tier": "gold"}),
+        rec(400, "orders", "insert", None,
+            {"id": "11", "cust_id": "1", "amount": "7"}),
+        rec(500, "orders", "insert", None,
+            {"id": "12", "cust_id": "2", "amount": "9"}),  # unknown dim
+    ]
+    with open(log / "part-0000.jsonl", "w") as f:
+        for e in events:
+            f.write(_json.dumps(e) + "\n")
+    base, out = str(tmp_path / "scd2"), str(tmp_path / "enriched")
+    routes = [
+        Route("scd2", scd2_history_writer(reg, ["shop.customer"], base)),
+        Route(
+            "enrich",
+            pit_enrich_writer(reg, "shop.orders", "shop.customer",
+                              "cust_id", base, out),
+        ),
+    ]
+    q = run_pipeline(spark, str(log), routes, str(tmp_path / "ckpt"))
+    q.awaitTermination(90)
+    got = {
+        r.id: (r.amount, r.dim_tier)
+        for r in read_pit_enriched(spark, out).collect()
+    }
+    assert got == {
+        10: (5, "bronze"),   # before the tier change
+        11: (7, "gold"),     # after it — same batch as the change
+        12: (9, None),       # no dimension row: left join keeps the fact
+    }
+
+    # replay the same changelog through a fresh checkpoint: appends
+    # land twice, the read view stays exactly-once on event_index
+    q2 = run_pipeline(spark, str(log), routes, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(90)
+    again = {
+        r.id: (r.amount, r.dim_tier)
+        for r in read_pit_enriched(spark, out).collect()
+    }
+    assert again == got

@@ -500,3 +500,83 @@ def read_semantic_corpus(spark, store_dir: str) -> DataFrame:
             F.col("_cluster").alias("cluster"),
         )
     )
+
+
+def pit_enrich_writer(
+    registry,
+    fact_table: str,
+    dim_table: str,
+    fk_field: str,
+    base_dir: str,
+    out_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    """Point-in-time stream enrichment: every INSERT of ``fact_table``
+    is joined to the version of ``dim_table`` that was current AT THAT
+    EVENT — the "enrich orders with the customer's state as of the
+    order" consumer (reference readme.md:40-43 delegates it
+    downstream; ours composes it from the SCD2 materializer + q115's
+    interval probe, `plans/extra_queries.py::q115`).
+
+    Run AFTER an ``scd2_history_writer`` route for ``dim_table`` in the
+    same pipeline (routes run in list order, the same in-batch ordering
+    contract the MIN/MAX maintainer uses): the dimension change at
+    event_index i is then visible to a fact at index j > i within the
+    SAME micro-batch. The probe is an equi-join on the dimension key
+    with the half-open [valid_from_index, valid_to_index) interval as a
+    join filter — exactly one version matches per fact, no dedupe.
+
+    Output: parquet append of (event_index, fact columns..,
+    dim columns prefixed ``dim_``). Appends are at-least-once;
+    ``read_pit_enriched`` drops replay duplicates on the
+    replay-stable event_index (the id-presence pattern, like the
+    dedup-corpus store).
+    """
+    import os
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        fact_spec = registry.get(fact_table)
+        facts = env.filter(
+            (env.full_table == fact_table) & (env.event_type == "insert")
+        )
+        if facts.isEmpty():
+            return
+        from wing_binlog_go_spark.functions.schema_registry import decode_column
+
+        spark = env.sparkSession
+        fcols = [
+            decode_column(
+                F.element_at("event.data", c.name), c.raw_type
+            ).alias(c.name)
+            for c in fact_spec.columns
+        ]
+        f = facts.select(F.col("event_index"), *fcols)
+        dim_spec = registry.get(dim_table)
+        hist = read_scd2_history(spark, registry, dim_table, base_dir)
+        dim_pk = dim_spec.pk_columns[0]
+        d = hist.select(
+            *[F.col(c.name).alias(f"dim_{c.name}") for c in dim_spec.columns],
+            "valid_from_index",
+            "valid_to_index",
+        )
+        enriched = f.join(
+            d,
+            (F.col(fk_field) == F.col(f"dim_{dim_pk}"))
+            & (F.col("valid_from_index") <= F.col("event_index"))
+            & (
+                (F.col("valid_to_index") > F.col("event_index"))
+                | F.col("valid_to_index").isNull()
+            ),
+            "left",
+        ).drop("valid_from_index", "valid_to_index")
+        os.makedirs(out_dir, exist_ok=True)
+        enriched.write.mode("append").parquet(out_dir)
+
+    return write
+
+
+def read_pit_enriched(spark, out_dir: str) -> DataFrame:
+    """Replay-safe view over a ``pit_enrich_writer`` sink: appends are
+    at-least-once, so duplicates are dropped on the replay-stable
+    event_index (deterministic under the O10 contract — a re-delivered
+    fact re-derives the identical enriched row)."""
+    return spark.read.parquet(out_dir).dropDuplicates(["event_index"])
