@@ -108,10 +108,11 @@ def test_registry_priority_window_and_no_failed_modules():
     assert registry.failed_modules == {}
     window = list(qs)[:50]
     # (a) never-driver-verified keys + this round's new queries lead
-    assert window[:6] == [
+    assert window[:7] == [
         "q113_scd2_history", "q38i_ann_ivfpq",
         "q39x_bpe_train", "q39y_bpe_tokenize",
         "q114_fuzzy_varlen_join", "q115_pit_scd2_join",
+        "q116_asof_tolerance",
     ]
     # (b) the stalest evidence (latest row r3) fills the rest
     for stale in (

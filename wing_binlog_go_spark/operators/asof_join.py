@@ -41,16 +41,28 @@ def asof_join(
     right_time: str,
     right_values: list[str],
     inclusive: bool = True,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row: the right row with max right_time ≤ left_time
     (or < if inclusive=False) within the same key. Left rows with no
     match carry NULLs.
+
+    ``tolerance`` (a SQL interval body, e.g. ``"30 DAYS"``) bounds how
+    stale a match may be: a carried right row older than
+    ``left_time - tolerance`` is treated as no-match (NULLs) — the
+    sensor-fusion form ("pair each reading with the calibration from
+    the last hour, else flag it"). The merge plan is unchanged; the
+    staleness test is a post-window projection, so the 100 TB shape
+    (|L|+|R| rows, one shuffle) is identical.
     """
     lcols = [c for c in left.columns]
     # ALL right values travel as ONE struct: last(ignorenulls) then picks
     # the whole latest right ROW atomically — per-column carries would
     # skip a NULL member and stitch together values from different rows.
-    rv_struct = F.struct(*[F.col(c) for c in right_values])
+    # The right timestamp rides along as _rt for the tolerance test.
+    rv_struct = F.struct(
+        F.col(right_time).alias("_rt"), *[F.col(c) for c in right_values]
+    )
     rv_type = right.select(rv_struct.alias("_rv")).schema["_rv"].dataType.simpleString()
     l = left.select(
         F.col(left_on).alias("_k"),
@@ -80,12 +92,19 @@ def asof_join(
     carried = l.unionByName(r).select(
         "*", F.last("_rv", ignorenulls=True).over(w).alias("_asof")
     )
-    return (
-        carried.filter(F.col("_side") == 1)
-        .select(
+    picked = carried.filter(F.col("_side") == 1)
+    if tolerance is not None:
+        fresh = F.col("_asof._rt") >= F.col("_t") - F.expr(f"INTERVAL {tolerance}")
+        return picked.select(
             *lcols,
-            *[F.col(f"_asof.{c}").alias(c) for c in right_values],
+            *[
+                F.when(fresh, F.col(f"_asof.{c}")).alias(c)
+                for c in right_values
+            ],
         )
+    return picked.select(
+        *lcols,
+        *[F.col(f"_asof.{c}").alias(c) for c in right_values],
     )
 
 
@@ -111,3 +130,52 @@ def _q_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # identical semantics to q15 → same oracle; proves the merge formulation
 QUERIES["q15b_asof_merge"] = QuerySpec(_q_asof_merge, _REL_QUERIES["q15_asof_join"].oracle)
+
+
+def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bounded-staleness as-of over the event stream itself: each
+    # purchase pairs with the same user's latest CLICK in the preceding
+    # hour — clicks older than the tolerance are no-match (NULL), the
+    # "attribute the purchase to a recent click, else organic" shape.
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        left_on="user_id",
+        right_on="c_user",
+        left_time="ts",
+        right_time="c_ts",
+        right_values=["click_id"],
+        tolerance="6 HOURS",
+    )
+    return (
+        joined.select("event_id", "click_id")
+        .orderBy("event_id")
+        .limit(300)
+    )
+
+
+_ASOF_TOL_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id,
+       (SELECT c.click_id FROM c
+         WHERE c.user_id = p.user_id
+           AND c.ts <= p.ts
+           AND c.ts >= p.ts - INTERVAL 6 HOURS
+         ORDER BY c.ts DESC, c.click_id DESC LIMIT 1) AS click_id
+FROM p ORDER BY p.event_id LIMIT 300
+"""
+
+QUERIES["q116_asof_tolerance"] = QuerySpec(_q_asof_tolerance, _ASOF_TOL_ORACLE)

@@ -45,7 +45,7 @@ failed_modules: dict[str, str] = {}
 # rows-only), then the two queries NEW this round, then refresh the
 # r3-era-stale band — the oldest evidence left in the ledger (every
 # r1/r2-era row was refreshed in r5, and the r4/r5 bands rotate back
-# in on later rounds).  Three r3-era keys (q56/q63/q64 — trivial
+# in on later rounds).  Four r3-era keys (q56/q63/q64/q65 — trivial
 # relational forms, locally oracle-checked on every pytest run) wait
 # for r7; nothing in the ledger is older than r3 after this window.
 _PRIORITY = (
@@ -57,6 +57,7 @@ _PRIORITY = (
     # New this round (first driver verification).
     "q114_fuzzy_varlen_join",
     "q115_pit_scd2_join",
+    "q116_asof_tolerance",
     # Stalest evidence: latest driver row is ROUND 3.
     "q39p_boilerplate",
     "q39q_temperature_mix",
@@ -70,7 +71,6 @@ _PRIORITY = (
     "q60_array_hof",
     "q61_map_entries",
     "q62_interval_arith",
-    "q65_ilike",
     "q66_bigrams",
     "q67_histogram",
     "q68_sessionization",
