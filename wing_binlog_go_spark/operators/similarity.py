@@ -674,6 +674,130 @@ def _ivfpq_prober(coarse: np.ndarray, books: np.ndarray, n_probe: int):
     return probe
 
 
+def ivfpq_encode(
+    corpus: DataFrame,
+    coarse: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, _cv, _cn, _list, _codes): coarse list assignment + residual
+    PQ codes in ONE Arrow pass, plus the full vector and its norm for
+    the refine fetch — the disk layout of an IVF-PQ system."""
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("_cv")).withColumn(
+        "_cn", norm(F.col("_cv"))
+    )
+    enc = _ivfpq_encoder(coarse, books)
+    # coalesce makes the join key non-nullable so Catalyst doesn't
+    # insert an IsNotNull filter on it — that filter would split the
+    # Arrow stage and EVALUATE THE ENCODER TWICE over the corpus (the
+    # big side; observed in explain before the coalesce). The UDF
+    # never actually returns null.
+    return c.withColumn("_e", enc(F.col("_cv"))).select(
+        id_col, "_cv", "_cn",
+        F.coalesce(F.col("_e.list"), F.lit(-1)).alias("_list"),
+        F.col("_e.codes").alias("_codes"),
+    )
+
+
+def persist_ivfpq_index(
+    corpus: DataFrame,
+    store_dir: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    train_cap: int = 10000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Amortized IVF-PQ path: train the quantizer pair + encode ONCE,
+    reuse for every query batch. The codes table is PARTITIONED BY the
+    inverted-list id, so a probe touching n_probe lists reads only
+    those partitions from disk — the on-disk form of the inverted
+    index (IVF's scan saving becomes an IO saving)."""
+    import json as _json
+    import os as _os
+
+    coarse, books = ivfpq_train(
+        corpus, n_centroids, m, n_codes, train_cap, vec_col, seed
+    )
+    ivfpq_encode(corpus, coarse, books, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("_list").parquet(_os.path.join(store_dir, "codes"))
+    with open(_os.path.join(store_dir, "quantizers.json"), "w") as f:
+        _json.dump(
+            {
+                "n_centroids": n_centroids,
+                "m": m,
+                "n_codes": n_codes,
+                "coarse": coarse.tolist(),
+                "books": books.tolist(),
+            },
+            f,
+        )
+
+
+def incremental_ivfpq_index_apply(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    store_dir: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    train_cap: int = 10000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> dict:
+    """Maintain the persisted IVF-PQ index incrementally — the same
+    contract as ``incremental_pq_index_apply``: first batch trains and
+    creates the store; later batches encode the INCREMENT against the
+    FROZEN quantizers map-side and append into the list-partitioned
+    codes table (each append lands only in its lists' partitions);
+    already-present ids are replay no-ops. Frozen quantizers keep ADC
+    distances and list assignments comparable across batches; rebuild
+    with ``persist_ivfpq_index`` as offline compaction when drift
+    accumulates. Returns {"batch": n, "replayed": r, "appended": a}."""
+    import os as _os
+
+    codes_dir = _os.path.join(store_dir, "codes")
+    if _os.path.exists(_os.path.join(store_dir, "quantizers.json")):
+        _, coarse, books = load_ivfpq_index(spark, store_dir)
+        fresh = new_vectors.join(
+            spark.read.parquet(codes_dir).select(id_col), id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+        n_batch = new_vectors.count()
+        n_fresh = fresh.count()
+        if n_fresh:
+            ivfpq_encode(fresh, coarse, books, id_col, vec_col).write.mode(
+                "append"
+            ).partitionBy("_list").parquet(codes_dir)
+        return {"batch": n_batch, "replayed": n_batch - n_fresh,
+                "appended": n_fresh}
+    n_batch = new_vectors.count()
+    persist_ivfpq_index(
+        new_vectors, store_dir, n_centroids, m, n_codes, train_cap,
+        id_col, vec_col, seed,
+    )
+    return {"batch": n_batch, "replayed": 0, "appended": n_batch}
+
+
+def load_ivfpq_index(spark: SparkSession, store_dir: str):
+    """→ (coded_corpus, coarse, books) for ``ivfpq_topk(index=...)``."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(store_dir, "quantizers.json")) as f:
+        meta = _json.load(f)
+    coarse = np.asarray(meta["coarse"], dtype=np.float64)
+    books = np.asarray(meta["books"], dtype=np.float64)
+    coded = spark.read.parquet(_os.path.join(store_dir, "codes")).withColumn(
+        "_list", F.col("_list").cast("int")
+    )
+    return coded, coarse, books
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -688,6 +812,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    index=None,
 ) -> DataFrame:
     """IVF-PQ ANN: inverted lists (IVF) over residual-quantized codes
     (PQ) — the regime real billion-scale vector systems run, because
@@ -705,24 +830,19 @@ def ivfpq_topk(
     (corpus encode once, queries probe once). All determinism rules of
     the sibling regimes hold: seeded training, stable argsort ties,
     (distance, id) window ties.
+
+    ``index=(coded, coarse, books)`` (from ``load_ivfpq_index``) skips
+    training and corpus encoding — the amortized recurring-query path;
+    ``corpus`` may then be None.
     """
-    coarse, books = ivfpq_train(
-        corpus, n_centroids, m, n_codes, train_cap, vec_col, seed
-    )
-    c = corpus.select(F.col(id_col), as_double(vec_col).alias("_cv")).withColumn(
-        "_cn", norm(F.col("_cv"))
-    )
-    enc = _ivfpq_encoder(coarse, books)
-    # coalesce makes the join key non-nullable so Catalyst doesn't
-    # insert an IsNotNull filter on it — that filter would split the
-    # Arrow stage and EVALUATE THE ENCODER TWICE over the corpus (the
-    # big side; observed in explain before the coalesce). The UDF
-    # never actually returns null.
-    coded = c.withColumn("_e", enc(F.col("_cv"))).select(
-        id_col, "_cv", "_cn",
-        F.coalesce(F.col("_e.list"), F.lit(-1)).alias("_list"),
-        F.col("_e.codes").alias("_codes"),
-    )
+    if index is not None:
+        coded, coarse, books = index
+        m, n_codes = books.shape[0], books.shape[1]
+    else:
+        coarse, books = ivfpq_train(
+            corpus, n_centroids, m, n_codes, train_cap, vec_col, seed
+        )
+        coded = ivfpq_encode(corpus, coarse, books, id_col, vec_col)
     q = queries.select(
         F.col(query_id_col), as_double(vec_col).alias("_qv")
     ).withColumn("_qn", norm(F.col("_qv")))
