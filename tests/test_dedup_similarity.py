@@ -1122,3 +1122,75 @@ def test_incremental_ivfpq_index_appends_with_frozen_quantizers(
         asets.setdefault(r.query_id, set()).add(r.vec_id)
     rec = sum(len(es[i] & asets.get(i, set())) / len(es[i]) for i in es) / len(es)
     assert rec >= 0.9, f"recall@5 through incremental IVF-PQ index: {rec:.2f}"
+
+
+def test_apss_prefix_join_equals_full_inverted_index(spark, sf_small):
+    """Prefix filtering is EXACT (q117): the candidate prefix join +
+    verify must return the identical (pair, jaccard) set as the full
+    inverted-index join at the same (k, threshold) — the lemma says
+    any J >= t pair shares a prefix element, so recall is 1.0, and the
+    verify step makes precision 1.0."""
+    from wing_binlog_go_spark.operators.dedup import (
+        apss_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_table(spark, sf_small, "documents")
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in apss_prefix_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    assert want, "fixture must contain >= t pairs"
+    assert got == want
+
+
+def test_apss_prefix_filter_prunes_candidates(spark, sf_small):
+    """The scale claim: the prefix join must generate strictly fewer
+    candidate pairs than 'docs sharing ANY element' (what the full
+    inverted index enumerates) — hot elements sort out of prefixes."""
+    from wing_binlog_go_spark.operators.dedup import word_shingles
+
+    docs = read_table(spark, sf_small, "documents")
+    el = docs.select(
+        F.col("doc_id").alias("doc"), F.explode(word_shingles("text", 3)).alias("s")
+    )
+    a, b = el.alias("a"), el.alias("b")
+    sharing_any = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .select("a.doc", "b.doc")
+        .distinct()
+        .count()
+    )
+
+    # reproduce the operator's candidate stage (prefix explode + join)
+    dfreq = el.groupBy("s").agg(F.count("*").alias("df"))
+    sets = (
+        el.join(dfreq, "s")
+        .groupBy("doc")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "s"))), lambda r: r["s"]
+            ).alias("els")
+        )
+        .withColumn("n", F.size("els"))
+    )
+    pre = sets.select(
+        "doc",
+        "n",
+        F.explode(
+            F.expr("slice(els, 1, size(els) - cast(ceil(0.5 * size(els)) as int) + 1)")
+        ).alias("s"),
+    )
+    pa, pb = pre.alias("a"), pre.alias("b")
+    prefix_cands = (
+        pa.join(pb, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .filter(F.least("a.n", "b.n") >= F.lit(0.5) * F.greatest("a.n", "b.n"))
+        .select("a.doc", "b.doc")
+        .distinct()
+        .count()
+    )
+    assert prefix_cands < sharing_any / 4, (prefix_cands, sharing_any)

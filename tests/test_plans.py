@@ -346,3 +346,12 @@ def test_pit_scd2_join_is_equi_on_entity_key(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_apss_candidate_join_is_equi_join_on_prefix(spark, sf_dir):
+    """q117's candidate generation must stay an equi-join on the prefix
+    elements (the point of prefix filtering); a cartesian/nested-loop
+    means the filter degenerated to all-pairs."""
+    p = plan_of(_Q["q117_apss_join"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p

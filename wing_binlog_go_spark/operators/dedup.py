@@ -917,3 +917,133 @@ ORDER BY id_a, id_b
 """
 
 QUERIES["q114_fuzzy_varlen_join"] = QuerySpec(_q_fuzzy_varlen_join, _FUZZY_VARLEN_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# all-pairs similarity join with prefix filtering (PPJoin-lite)
+# ---------------------------------------------------------------------------
+
+
+def apss_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs Jaccard self-join via PREFIX FILTERING
+    (Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08 "PPJoin", original
+    implementation) — same semantics family as ``ngram_jaccard_pairs``
+    but a different candidate generator, built for the failure mode the
+    full inverted index hits at corpus scale: HOT SET ELEMENTS.
+
+    ``ngram_jaccard_pairs`` joins docs on EVERY shared shingle, so an
+    element appearing in d docs contributes d² candidate fan-out — at
+    100 TB a boilerplate shingle shared by millions of docs is a 10¹²
+    -pair hot key and the join never finishes. Prefix filtering fixes
+    this structurally: order each doc's elements by GLOBAL RARITY
+    (ascending document frequency, shingle string as tie-break — any
+    total order works) and index only the first
+    ``n - ceil(t*n) + 1`` elements. The lemma: two sets with
+    ``J ≥ t`` MUST share at least one element within those prefixes, so
+    recall is exactly 1.0 — while the hot elements, being the most
+    frequent, sort to the END of every doc's order and almost never
+    land in a prefix. Candidate fan-out collapses from d² on the
+    hottest element to d² on the rarest ones (tiny d by definition).
+
+    Stages (all equi-join / combiner-friendly — plan-gated):
+      1. element sets: distinct k-word shingles per doc (zero shuffle),
+      2. global document frequency: groupBy(shingle) count — partial agg,
+      3. rarity-ranked sets: join df back, sort_array of (df, s) structs,
+      4. prefix explode → self equi-join on the element + PPJoin length
+         filter (``t·max(|x|,|y|) ≤ min(|x|,|y|)`` — necessary for J≥t),
+      5. exact verify: array_intersect on the full sets, ``J ≥ t``.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b — identical
+    output contract (and values) to ``ngram_jaccard_pairs`` at the same
+    (k, threshold); the equality is test-asserted and DuckDB-oracled.
+    """
+    el = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("s")
+    ).localCheckpoint(eager=True)  # referenced by stages 2 AND 3
+    dfreq = el.groupBy("s").agg(F.count("*").alias("df"))
+    sets = (
+        el.join(dfreq, "s")
+        .groupBy("doc")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "s"))), lambda r: r["s"]
+            ).alias("els")
+        )
+        .withColumn("n", F.size("els"))
+    )
+    pre = sets.select(
+        "doc",
+        "n",
+        F.explode(
+            F.expr(
+                f"slice(els, 1, size(els) - cast(ceil({threshold} * size(els)) as int) + 1)"
+            )
+        ).alias("s"),
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        # length filter: J(x,y) ≥ t ⇒ |∩| ≥ t·|∪| ≥ t·max ⇒ min ≥ t·max
+        .filter(
+            F.least("a.n", "b.n") >= F.lit(threshold) * F.greatest("a.n", "b.n")
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc").alias("doc_a"), F.col("els").alias("_ea"), F.col("n").alias("n_a")
+    )
+    sb = sets.select(
+        F.col("doc").alias("doc_b"), F.col("els").alias("_eb"), F.col("n").alias("n_b")
+    )
+    ov = F.size(F.array_intersect("_ea", "_eb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("_j", ov / (F.col("n_a") + F.col("n_b") - ov))
+        .filter(F.col("_j") >= threshold)
+        .select("doc_a", "doc_b", F.round("_j", 6).alias("jaccard"))
+    )
+
+
+def _q_apss_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return apss_prefix_pairs(docs, k=3, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+# Exact semantics ⇒ the oracle is the SAME all-pairs Jaccard the full
+# inverted index computes — prefix filtering must not change the answer.
+_APSS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id AS doc,
+         unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+                ELSE [array_to_string(t, ' ')] END)) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc
+), common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS overlap
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT doc_a, doc_b,
+       ROUND(overlap / (na.n + nb.n - overlap), 6) AS jaccard
+FROM common
+JOIN sizes na ON na.doc = doc_a
+JOIN sizes nb ON nb.doc = doc_b
+WHERE overlap / (na.n + nb.n - overlap) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES["q117_apss_join"] = QuerySpec(_q_apss_join, _APSS_ORACLE)
