@@ -432,3 +432,72 @@ def test_curation_semantic_stage_drops_paraphrase_twins(spark, sf_small):
         rep.output_docs + rep.dropped_quality + rep.dropped_lang
         + rep.dropped_exact_dup + rep.dropped_near_dup + rep.dropped_semantic
     )
+
+
+def test_bloom_decontamination_equals_exact_overlap(spark, sf_small):
+    """q39z must return EXACTLY contamination_overlap's output — blooms
+    have no false negatives, and the verify join removes the false
+    positives. Forced-FP regime: a deliberately tiny bloom (m=256 bits,
+    heavily saturated) must still produce the exact answer."""
+    from wing_binlog_go_spark.functions.text import (
+        bloom_contamination_overlap,
+        contamination_overlap,
+    )
+
+    docs = read_table(spark, sf_small, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).withColumnRenamed(
+        "doc_id", "bench_id"
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    want = {
+        (r.doc_id, r.bench_id, r.overlapping_ngrams)
+        for r in contamination_overlap(corpus, bench, k=5).collect()
+    }
+    assert want, "fixture must contain overlap"
+    for m_bits in (1 << 20, 256):
+        got = {
+            (r.doc_id, r.bench_id, r.overlapping_ngrams)
+            for r in bloom_contamination_overlap(
+                corpus, bench, k=5, m_bits=m_bits
+            ).collect()
+        }
+        assert got == want, m_bits
+
+
+def test_bloom_prefilter_actually_prunes(spark, sf_small):
+    """At the default sizing the bloom must pass only a small fraction
+    of corpus shingles into the verify join (the scale claim: the
+    shuffle sees survivors, not the corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    from wing_binlog_go_spark.functions.text import (
+        _bloom_positions,
+        word_shingles,
+    )
+
+    docs = read_table(spark, sf_small, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    m_bits, n_hashes, n_bytes = 1 << 20, 5, (1 << 20) // 8
+
+    bench_sh = bench.select(F.explode(word_shingles("text", 5)).alias("s")).distinct()
+    pos = bench_sh.select(
+        F.explode(_bloom_positions(F.col("s"), m_bits, n_hashes)).alias("pos")
+    ).collect()
+    bloom = np.zeros(n_bytes, dtype=np.uint8)
+    p = np.array([r.pos for r in pos], dtype=np.int64)
+    np.bitwise_or.at(bloom, p >> 3, (1 << (p & 7)).astype(np.uint8))
+
+    corpus_sh = corpus.select(F.explode(word_shingles("text", 5)).alias("s"))
+    total = corpus_sh.count()
+    hits = corpus_sh.select(
+        _bloom_positions(F.col("s"), m_bits, n_hashes).alias("ps")
+    ).toPandas()
+
+    def chk(arr):
+        a = np.asarray(arr, dtype=np.int64)
+        return bool(np.all(bloom[a >> 3] & (1 << (a & 7)).astype(np.uint8)))
+
+    passed = int(hits["ps"].map(chk).sum())
+    assert passed < total / 4, (passed, total)

@@ -774,6 +774,114 @@ def decontaminate(
     return docs.join(dirty, id_col, "left_anti")
 
 
+def _bloom_positions(col, m_bits: int, n_hashes: int):
+    """array<long> of ``n_hashes`` bloom bit positions for a string
+    column — xxhash64 with the seed as a leading lit, so the SAME hash
+    family is computed JVM-side on both the build and probe sides."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(i), col), F.lit(m_bits))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def bloom_contamination_overlap(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int = 8,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """``contamination_overlap`` for eval suites too big to broadcast
+    raw: a Bloom bit-array over the benchmark k-grams prefilters the
+    corpus map-side, then survivors take the exact equi-join.
+
+    Why: q39i broadcasts the benchmark's exploded shingle STRINGS —
+    fine for thousands of eval docs, not for a full eval-harness union
+    (hundreds of thousands of docs → tens of GB of shingles). Here the
+    broadcast is ``m_bits/8`` bytes regardless of shingle count
+    (128 KiB at the default 2^20), and the shuffle join only sees the
+    corpus shingles the bloom passes.
+
+    Exactness: blooms have NO false negatives, so every truly-shared
+    shingle survives the prefilter; false positives are removed by the
+    verify join. Output is therefore IDENTICAL to
+    ``contamination_overlap`` (test-asserted) and shares its oracle.
+
+    Scale shape: build = one map pass over bench shingles + per-
+    partition bit-array OR (mapInPandas) + driver OR of ≤#partitions
+    arrays; probe = JVM-side xxhash64 positions + ONE Arrow-batched
+    numpy bit-test per shingle (the membership test is the one place
+    Python is unavoidable without a JVM bloom UDF — it is O(n_hashes)
+    int ops per row on packed bits, not string work); verify = equi-
+    join on the surviving shingles, combiner-friendly count agg.
+    """
+    import numpy as np
+
+    spark = docs.sparkSession
+    n_bytes = (m_bits + 7) // 8
+
+    bench_sh = bench.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(word_shingles(bench_text_col, k)).alias("s"),
+    ).distinct()
+    pos_df = bench_sh.select(
+        F.explode(_bloom_positions(F.col("s"), m_bits, n_hashes)).alias("pos")
+    )
+
+    def _pack(pdf_iter):
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        for pdf in pdf_iter:
+            p = pdf["pos"].to_numpy(dtype=np.int64)
+            np.bitwise_or.at(bits, p >> 3, (1 << (p & 7)).astype(np.uint8))
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    bloom = np.zeros(n_bytes, dtype=np.uint8)
+    for row in pos_df.mapInPandas(_pack, "bits binary").collect():
+        bloom |= np.frombuffer(row.bits, dtype=np.uint8)
+    bloom_bc = spark.sparkContext.broadcast(bloom)
+
+    @F.pandas_udf("boolean")
+    def _might_contain(positions: pd.Series) -> pd.Series:
+        blm = bloom_bc.value
+
+        def chk(arr):
+            a = np.asarray(arr, dtype=np.int64)
+            return bool(
+                np.all(blm[a >> 3] & (1 << (a & 7)).astype(np.uint8))
+            )
+
+        return positions.map(chk)
+
+    doc_sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(text_col, k)).alias("s"),
+        )
+        .filter(_might_contain(_bloom_positions(F.col("s"), m_bits, n_hashes)))
+    )
+    return (
+        doc_sh.join(bench_sh, "s")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("overlapping_ngrams"))
+    )
+
+
+def _q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same fixture/semantics as q39i, bloom-prefiltered path."""
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return bloom_contamination_overlap(
+        corpus, bench, k=5, bench_id_col="doc_id"
+    ).orderBy("doc_id", "bench_id")
+
+
 def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic benchmark = every 97th doc; overlap vs the rest."""
     docs = read_table(spark, sf_dir, "documents")
@@ -1275,6 +1383,10 @@ LIMIT 200
 
 QUERIES["q39h_tfidf"] = QuerySpec(_q_tfidf, _TFIDF_ORACLE)
 QUERIES["q39i_decontamination"] = QuerySpec(_q_decontamination, _DECONTAMINATION_ORACLE)
+# bloom prefilter is exact (no false negatives + verify join) → same oracle
+QUERIES["q39z_bloom_decontamination"] = QuerySpec(
+    _q_bloom_decontamination, _DECONTAMINATION_ORACLE
+)
 QUERIES["q39j_pii_scan"] = QuerySpec(_q_pii_scan, _pii_oracle())
 QUERIES["q39k_repetition"] = QuerySpec(_q_repetition, _REPETITION_ORACLE)
 QUERIES["q39_word_count"] = QuerySpec(_q_word_count, _WORD_COUNT_ORACLE)
