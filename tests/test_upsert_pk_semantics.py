@@ -98,3 +98,44 @@ def test_separator_in_value_cannot_realign_components(spark):
     )
     out = latest_image_per_pk(env, pk=["a", "b"]).collect()
     assert len(out) == 2
+
+
+def test_ddl_added_column_flows_through_replica(spark, tmp_path):
+    """Schema evolution: rows are map<string,string> envelopes, so a
+    DDL-added column is just a new map key — batch 2 rows carry it,
+    batch 1 survivors simply lack it (NULL on lookup), and the upsert
+    merge needs no schema migration. This is the replica-side half of
+    O8 (DDL → schema refresh): the registry versions the decode, the
+    materializer is representation-stable across the ALTER."""
+    target = str(tmp_path / "t")
+    upsert_parquet(
+        _env(spark, [("insert", 1, ({"id": "1", "v": "a"}, None, None))]),
+        target,
+        pk="id",
+    )
+    # ALTER TABLE ... ADD COLUMN w happens here; later events carry it
+    upsert_parquet(
+        _env(
+            spark,
+            [
+                ("insert", 2, ({"id": "2", "v": "b", "w": "W2"}, None, None)),
+                ("update", 3, (None, {"id": "1", "v": "a"},
+                               {"id": "1", "v": "a2", "w": "W1"})),
+            ],
+        ),
+        target,
+        pk="id",
+    )
+    final = {r.row["id"]: dict(r.row) for r in spark.read.parquet(target).collect()}
+    assert final["1"] == {"id": "1", "v": "a2", "w": "W1"}
+    assert final["2"] == {"id": "2", "v": "b", "w": "W2"}
+
+    # a pre-ALTER key never touched again keeps its narrow image
+    upsert_parquet(
+        _env(spark, [("insert", 4, ({"id": "3", "v": "c", "w": "W3"}, None, None))]),
+        target,
+        pk="id",
+    )
+    rows = {r.row["id"]: dict(r.row) for r in spark.read.parquet(target).collect()}
+    assert "w" not in rows["1"] or rows["1"]["w"] == "W1"
+    assert rows["3"]["w"] == "W3"
