@@ -192,3 +192,29 @@ def test_source_cap_caps_every_source_and_is_nested(spark, sf_dir):
     # deterministic across runs
     again = {r.doc_id for r in source_cap(docs, 10, seed=7).select("doc_id").collect()}
     assert loose == again
+
+
+def test_context_chunks_overlap_and_ragged_tail(spark):
+    """q118 semantics: strided windows share window-stride tokens of
+    overlap; a ragged tail < min_tokens is dropped unless it is the
+    doc's only chunk."""
+    from wing_binlog_go_spark.functions.mixing import context_chunks
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+            (2, "a b"),  # shorter than min_tokens → still one chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.chunk_no): (r.n_tokens, r.chunk)
+        for r in context_chunks(docs, window=6, stride=4, min_tokens=3).collect()
+    }
+    # doc 1: starts at tokens 1, 5, 9 → chunks of 6, 6, 2; the 2-token
+    # tail is < min_tokens and not the only chunk → dropped
+    assert out[(1, 0)] == (6, "t0 t1 t2 t3 t4 t5")
+    assert out[(1, 1)] == (6, "t4 t5 t6 t7 t8 t9")  # 2-token overlap
+    assert (1, 2) not in out
+    assert out[(2, 0)] == (2, "a b")
+    assert set(out) == {(1, 0), (1, 1), (2, 0)}

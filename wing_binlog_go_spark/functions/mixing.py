@@ -454,3 +454,84 @@ QUERIES["q39q_temperature_mix"] = QuerySpec(_q_temperature_mix, _TEMPERATURE_MIX
 QUERIES["q39m_sequence_pack"] = QuerySpec(_q_sequence_pack, _PACK_ORACLE)
 QUERIES["q39n_corpus_shuffle"] = QuerySpec(_q_corpus_shuffle, _SHUFFLE_ORACLE)
 QUERIES["q39o_token_budget"] = QuerySpec(_q_token_budget, _TOKEN_BUDGET_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking (document → training sequences with overlap)
+# ---------------------------------------------------------------------------
+
+
+def context_chunks(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    min_tokens: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's token stream into strided context windows
+    — the document → training-example step of an LM data pipeline
+    (window = model context length, ``window - stride`` tokens of
+    overlap carry context across boundaries).
+
+    Chunks start at token 1, 1+stride, 1+2·stride, …; each takes up to
+    ``window`` tokens; a ragged tail shorter than ``min_tokens`` is
+    dropped UNLESS it is the document's only chunk (short docs still
+    yield one example). Deterministic, purely positional — and a pure
+    per-row map (sequence/transform/explode, no shuffle at any scale:
+    the operator parallelizes as the scan does).
+
+    Returns (id, chunk_no, n_tokens, chunk) with chunk_no 0-based.
+    """
+    toks = tokens(text_col)
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)),
+                    lambda s: F.slice(toks, s, window),
+                ),
+                lambda c, i: (F.size(c) >= min_tokens) | (i == 0),
+            )
+        ).alias("chunk_no", "_c"),
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_no").cast("bigint").alias("chunk_no"),
+        F.size("_c").cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", "_c").alias("chunk"),
+    )
+
+
+_CHUNK_W, _CHUNK_S, _CHUNK_MIN = 32, 24, 8
+
+
+def _q_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return context_chunks(
+        d, window=_CHUNK_W, stride=_CHUNK_S, min_tokens=_CHUNK_MIN
+    ).orderBy("doc_id", "chunk_no")
+
+
+_CONTEXT_CHUNKS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), starts AS (
+  SELECT doc_id, t, unnest(range(1, GREATEST(len(t), 1) + 1, {_CHUNK_S})) AS st
+  FROM toks
+), chunks AS (
+  SELECT doc_id,
+         CAST((st - 1) / {_CHUNK_S} AS BIGINT) AS chunk_no,
+         t[st:st + {_CHUNK_W} - 1] AS c
+  FROM starts
+)
+SELECT doc_id, chunk_no,
+       CAST(len(c) AS BIGINT) AS n_tokens,
+       array_to_string(c, ' ') AS chunk
+FROM chunks
+WHERE len(c) >= {_CHUNK_MIN} OR chunk_no = 0
+ORDER BY doc_id, chunk_no
+"""
+
+QUERIES["q118_context_chunks"] = QuerySpec(_q_context_chunks, _CONTEXT_CHUNKS_ORACLE)
