@@ -1194,3 +1194,43 @@ def test_apss_prefix_filter_prunes_candidates(spark, sf_small):
         .count()
     )
     assert prefix_cands < sharing_any / 4, (prefix_cands, sharing_any)
+
+
+def test_apss_random_corpora_match_bruteforce(spark):
+    """Randomized APSS completeness: on seeded random corpora with a
+    small vocabulary (max shingle collision pressure), prefix-filtered
+    pairs must equal the brute-force all-pairs Jaccard at several
+    thresholds, including ones where almost everything matches."""
+    import itertools
+    import random
+
+    from wing_binlog_go_spark.operators.dedup import apss_prefix_pairs
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d", "e"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(60)
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def shingles(text, k):
+        t = text.lower().split(" ")
+        if len(t) < k:
+            return {" ".join(t)}
+        return {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)}
+
+    for k, t in [(2, 0.3), (2, 0.8), (3, 0.5)]:
+        sets = {i: shingles(x, k) for i, x in docs}
+        want = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= t:
+                want.add((a, b, round(j, 6)))
+        got = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in apss_prefix_pairs(sdf, k=k, threshold=t).collect()
+        }
+        assert want, (k, t)
+        assert got == want, (k, t)
