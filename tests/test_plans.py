@@ -355,3 +355,17 @@ def test_apss_candidate_join_is_equi_join_on_prefix(spark, sf_dir):
     p = plan_of(_Q["q117_apss_join"].spark(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_table_stats_aggregation_is_pushed_to_scan(spark, sf_dir):
+    """q119 must be answered from parquet footer stats: the executed
+    plan's scan carries PushedAggregation (DSv2 aggregate pushdown),
+    i.e. no data pages are read. Also: the caller's session must keep
+    its v1 reader conf (the child-session isolation contract)."""
+    before = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    df = _Q["q119_table_stats"].spark(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation" in p, p[:800]
+    assert spark.conf.get("spark.sql.sources.useV1SourceList", None) == before
+    row = df.collect()[0]
+    assert row.n > 0 and row.min_l_quantity <= row.max_l_quantity
