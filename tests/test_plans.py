@@ -369,3 +369,29 @@ def test_table_stats_aggregation_is_pushed_to_scan(spark, sf_dir):
     assert spark.conf.get("spark.sql.sources.useV1SourceList", None) == before
     row = df.collect()[0]
     assert row.n > 0 and row.min_l_quantity <= row.max_l_quantity
+
+
+def test_dynamic_partition_pruning_on_date_partitioned_layout(spark, sf_dir, tmp_path):
+    """100 TB layout contract: a fact table partitioned by event_date,
+    joined to a filtered dim, must get a runtime dynamicpruning
+    partition filter on the fact scan — Spark reads only the joined
+    dates' directories instead of the whole table. This is the layout
+    SCALE.md prescribes for the events stream; the gate proves the
+    engine actually exploits it."""
+    ev = read_table(spark, sf_dir, "events")
+    fact_dir = str(tmp_path / "ev_by_date")
+    ev.withColumn("event_date", F.to_date("ts")).write.mode("overwrite").partitionBy(
+        "event_date"
+    ).parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+
+    dim_dir = str(tmp_path / "date_dim")
+    fact.select("event_date").distinct().limit(3).withColumn(
+        "flag", F.lit(1)
+    ).write.mode("overwrite").parquet(dim_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("flag") == 1)
+
+    j = fact.join(dim, "event_date").groupBy("event_date").count()
+    p = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in p.lower(), p[:1200]
+    assert j.count() <= 3
