@@ -218,3 +218,49 @@ def test_context_chunks_overlap_and_ragged_tail(spark):
     assert (1, 2) not in out
     assert out[(2, 0)] == (2, "a b")
     assert set(out) == {(1, 0), (1, 1), (2, 0)}
+
+
+def test_deterministic_split_stability_under_recarving(spark):
+    """q120 contract: rows assigned to 'train' must keep that
+    assignment when the later buckets are re-carved (0.8/0.1/0.1 →
+    0.8/0.05/0.15), and the whole assignment is a pure function of
+    (seed, id) — rerunning yields identical splits."""
+    from wing_binlog_go_spark.functions.mixing import deterministic_split
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = {
+        r.doc_id: r.split
+        for r in deterministic_split(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id"
+        ).collect()
+    }
+    s2 = {
+        r.doc_id: r.split
+        for r in deterministic_split(
+            docs, {"train": 0.8, "val": 0.05, "test": 0.15}, id_col="doc_id"
+        ).collect()
+    }
+    train1 = {k for k, v in s1.items() if v == "train"}
+    assert train1 == {k for k, v in s2.items() if v == "train"}
+    # val shrank: every re-carved row moved val→test, never the reverse
+    assert all(s2[k] == "test" for k, v in s1.items() if v == "test")
+    moved = {k for k, v in s1.items() if v == "val" and s2[k] != "val"}
+    assert all(s2[k] == "test" for k in moved)
+    # deterministic across runs
+    again = {
+        r.doc_id: r.split
+        for r in deterministic_split(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id"
+        ).collect()
+    }
+    assert again == s1
+    # roughly proportional
+    from collections import Counter
+
+    c = Counter(s1.values())
+    assert 0.75 < c["train"] / 2000 < 0.85 and c["val"] + c["test"] < 0.3 * 2000
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        deterministic_split(docs, {"train": 0.5, "val": 0.1})

@@ -535,3 +535,72 @@ ORDER BY doc_id, chunk_no
 """
 
 QUERIES["q118_context_chunks"] = QuerySpec(_q_context_chunks, _CONTEXT_CHUNKS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def deterministic_split(
+    df: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    out: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by its seeded hash draw —
+    train/val/test assignment as a PURE FUNCTION of (seed, id).
+
+    Cumulative-threshold scheme over ``fractions`` in dict order: a
+    row lands in the first bucket whose cumulative boundary its draw
+    falls under, the last bucket absorbs rounding remainder. Because
+    boundaries are cumulative, growing or shrinking a LATER bucket
+    never reassigns rows already in an earlier one — the stability
+    property that keeps train membership fixed while val/test are
+    re-carved (no train/test leakage across pipeline versions). Row-
+    local filter ⇒ zero shuffle, reproducible across runs and engines
+    (the md5 scheme of ``sample_key``, shared with the oracle).
+    """
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not fractions or any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be a non-empty dict of >= 0 rates")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    key = sample_key(id_col, seed)
+    names = list(fractions)
+    cum = 0.0
+    expr = F.lit(names[-1])  # last bucket = remainder
+    branches = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        branches.append((name, _hash_threshold(cum)))
+    for name, thr in reversed(branches):
+        expr = F.when(key < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.withColumn(out, expr)
+
+
+def _q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        deterministic_split(d, seed=_SAMPLE_SEED)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CASE
+         WHEN substring(md5('{_SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              < '{format(int(0.8 * 2**32), "08x")}' THEN 'train'
+         WHEN substring(md5('{_SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              < '{format(int(0.9 * 2**32), "08x")}' THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["q120_deterministic_split"] = QuerySpec(_q_split, _SPLIT_ORACLE)
