@@ -247,10 +247,17 @@ def main() -> None:
             baseline = json.load(f)
         if baseline.get("events") == result["events"] and baseline.get("value"):
             result["vs_baseline"] = round(result["value"] / baseline["value"], 3)
-    # per-round artifact (next free number), the streaming BENCH_r{N}
-    n_round = 1
-    while os.path.exists(os.path.join(here, f"BENCH_STREAM_r{n_round:02d}.json")):
-        n_round += 1
+    # per-round artifact: MAX existing + 1, not first-free — rounds
+    # 2-4 predate this artifact, so first-free would backfill r02 and
+    # mislabel the current round's numbers as historical ones
+    import re as _re
+
+    taken = [
+        int(m.group(1))
+        for fn in os.listdir(here)
+        if (m := _re.fullmatch(r"BENCH_STREAM_r(\d+)\.json", fn))
+    ]
+    n_round = max(taken, default=0) + 1
     with open(os.path.join(here, f"BENCH_STREAM_r{n_round:02d}.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))

@@ -59,16 +59,19 @@ _PRIORITY = (
     "q114_fuzzy_varlen_join",
     "q115_pit_scd2_join",
     "q116_asof_tolerance",
-    # Stalest evidence: latest driver row is ROUND 3.
+    "q117_apss_join",
+    "q118_context_chunks",
+    "q119_table_stats",
+    "q120_deterministic_split",
+    "q39z_bloom_decontamination",
+    # Stalest evidence: latest driver row is ROUND 3.  (q51/q55/q57/
+    # q58/q59 — trivial relational forms, locally oracle-checked on
+    # every pytest run — join q56/q63/q64/q65 in waiting for r7 so the
+    # five new r6 keys above fit the 50-window.)
     "q39p_boilerplate",
     "q39q_temperature_mix",
     "q39r_winnowing",
     "q39s_bigram_lm",
-    "q51_null_handling",
-    "q55_first_last_value",
-    "q57_regexp_functions",
-    "q58_bitwise",
-    "q59_nullsafe_equality",
     "q60_array_hof",
     "q61_map_entries",
     "q62_interval_arith",
