@@ -501,3 +501,34 @@ def test_bloom_prefilter_actually_prunes(spark, sf_small):
 
     passed = int(hits["ps"].map(chk).sum())
     assert passed < total / 4, (passed, total)
+
+
+def test_gopher_rules_fire_individually(spark):
+    """Each Gopher rule must be falsifiable on a targeted doc: too
+    short, mean word length out of bounds, symbol-heavy, non-alpha,
+    stopword-free — and a prose-like doc passes all."""
+    from wing_binlog_go_spark.functions.text import gopher_quality_flags
+
+    prose = "the quick brown fox jumps over that lazy dog " * 7  # 63 words
+    docs = spark.createDataFrame(
+        [
+            (1, prose.strip()),
+            (2, "the of and"),  # < min_words
+            (3, ("a b c d " * 20).strip() + " the"),  # mean word len < 3
+            (4, ("supercalifragilistic " * 60).strip() + " the"),  # len > 10
+            (5, ("lorem#tag ipsum... " * 30).strip() + " the"),  # symbols
+            (6, ("1234 5678 " * 30).strip() + " the and"),  # non-alpha
+            (7, ("lorem ipsum dolor sit amet " * 12).strip()),  # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+    assert out[1].keep, out[1]
+    for d in (2, 3, 4, 5, 6, 7):
+        assert not out[d].keep, out[d]
+    # the failing rule is visible in the feature columns
+    assert out[2].n_words < 50
+    assert out[3].mean_word_len < 3.0 and out[4].mean_word_len > 10.0
+    assert out[5].symbol_ratio > 0.1
+    assert out[6].alpha_ratio < 0.8
+    assert out[7].stop_hits < 2

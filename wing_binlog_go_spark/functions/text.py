@@ -1405,3 +1405,105 @@ QUERIES["q39w_span_dedup"] = QuerySpec(_q_span_dedup, _SPAN_DEDUP_ORACLE)
 # oracle; equality-tested against a sequential reference implementation
 QUERIES["q39x_bpe_train"] = QuerySpec(_q_bpe_train, None)
 QUERIES["q39y_bpe_tokenize"] = QuerySpec(_q_bpe_tokenize, None)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule bundle
+# ---------------------------------------------------------------------------
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    stopwords: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with"),
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Per-document quality features + keep verdict after the published
+    Gopher filtering rules (Rae et al. 2021, §A1.1 — the de-facto
+    standard heuristic bundle for web-corpus cleaning): word-count
+    bounds, mean word length bounds, symbol-to-word ratio (#/ellipsis),
+    minimum fraction of words containing an alphabetic character, and a
+    minimum number of DISTINCT stopwords present (the "real prose"
+    test). Rules are emitted as columns so downstream can audit which
+    rule fired; ``keep`` is their conjunction.
+
+    All row-local column expressions — zero shuffle, filter-pushdown
+    friendly; mean word length uses the chars-minus-spaces identity
+    (stays in codegen) rather than a per-token HOF fold.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    mean_len = (F.length(text_col) - (n - 1)) / n
+    symbol_ratio = F.size(
+        F.filter(toks, lambda t: t.contains("#") | t.contains("..."))
+    ) / n
+    alpha_ratio = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(s) for s in stopwords])
+        )
+    )
+    keep = (
+        n.between(min_words, max_words)
+        & mean_len.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (alpha_ratio >= min_alpha_ratio)
+        & (stop_hits >= min_stopword_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # min_stopword_hits=1: the synthetic corpus draws at most one of
+    # the Gopher stopwords per doc, so the published default of 2 would
+    # make ``keep`` constantly false — a verdict the oracle can't
+    # discriminate. At 1, ~half the fixture passes and half fails.
+    d = read_table(spark, sf_dir, "documents")
+    return gopher_quality_flags(d, min_stopword_hits=1).orderBy("doc_id").limit(300)
+
+
+_GOPHER_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(lower(text), ' ') AS toks,
+         length(text) AS nc
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         (nc - (len(toks) - 1)) / len(toks) AS mean_len,
+         len(list_filter(toks, x -> contains(x, '#') OR contains(x, '...')))
+           / len(toks) AS sym,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+           / len(toks) AS alpha,
+         len(list_intersect(list_distinct(toks),
+             ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM t
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       ROUND(mean_len, 6) AS mean_word_len,
+       ROUND(sym, 6) AS symbol_ratio,
+       ROUND(alpha, 6) AS alpha_ratio,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       (n BETWEEN 50 AND 100000 AND mean_len BETWEEN 3.0 AND 10.0
+        AND sym <= 0.1 AND alpha >= 0.8 AND stop_hits >= 1) AS keep
+FROM f ORDER BY doc_id LIMIT 300
+"""
+
+QUERIES["q121_gopher_quality"] = QuerySpec(_q_gopher_quality, _GOPHER_ORACLE)
