@@ -1745,3 +1745,65 @@ def test_bmp_8bit_paletted_and_rle8():
     pos = bad.index(b"\x00\x01", 14 + 40 + 16) - 2  # before end-of-bitmap
     with pytest.raises(ValueError):
         decode_bmp(bytes(bad[: 14 + 40 + 16]) + b"\x01\xfa\x00\x00\x00\x01")
+
+
+def test_resize_plane_preserves_mean_and_constants():
+    """Area-average resampling invariants: a constant image stays
+    exactly constant at any target size, and global mean brightness is
+    preserved (every source pixel is covered exactly once across the
+    fractional output boxes)."""
+    from wing_binlog_go_spark.multimodal.codecs import resize_plane, resize_rgb
+
+    const = np.full((13, 7), 93.0)
+    for oh, ow in [(4, 4), (26, 14), (5, 9)]:
+        out = resize_plane(const, oh, ow)
+        assert out.shape == (oh, ow)
+        assert np.allclose(out, 93.0)
+
+    img = _gradient_img(w=64, h=48)
+    small = resize_rgb(img, 24, 32)
+    assert small.shape == (24, 32, 3) and small.dtype == np.uint8
+    # mean preserved to rounding
+    assert abs(float(small.mean()) - float(img.mean())) < 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resize_rgb(img, 0, 32)
+    with _pytest.raises(ValueError):
+        resize_rgb(img[:, :, 0], 8, 8)
+
+
+def test_resize_same_size_is_identity():
+    """At the source dimensions every fractional box covers exactly one
+    pixel, so resize must reproduce the input byte-for-byte — the
+    anchor that the box geometry is aligned (an off-by-one in the grid
+    would blur even the identity case)."""
+    from wing_binlog_go_spark.multimodal.codecs import resize_rgb
+
+    img = _gradient_img(w=64, h=48)
+    assert np.array_equal(resize_rgb(img, 48, 64), img)
+
+
+def test_resize_images_spark_mixed_formats(spark):
+    """Spark-side resize over a mixed BMP/PNG corpus: output payloads
+    decode to the target dims in both output formats; NULL payloads
+    pass through as NULL rows."""
+    from wing_binlog_go_spark.multimodal import decode_image, resize_images
+    from wing_binlog_go_spark.multimodal.codecs import encode_bmp, encode_png
+
+    img1 = _gradient_img(w=40, h=30, seed=1)
+    img2 = _gradient_img(w=64, h=48, seed=2)
+    rows = [
+        (1, bytearray(encode_bmp(img1))),
+        (2, bytearray(encode_png(img2))),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    for fmt in ("bmp", "png"):
+        out = {r.media_id: r for r in resize_images(df, 16, 20, fmt=fmt).collect()}
+        assert out[3].payload is None and out[3].height is None
+        for mid in (1, 2):
+            r = out[mid]
+            assert (r.height, r.width, r.n_bytes) == (16, 20, len(r.payload))
+            dec = decode_image(bytes(r.payload))
+            assert dec.shape == (16, 20, 3)

@@ -151,6 +151,67 @@ def image_features(df: DataFrame, batch_decoder=fake_decode_image) -> DataFrame:
     return df.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, height: int, width: int, fmt: str = "bmp"
+) -> DataFrame:
+    """Distributed decode → exact area-average resize → re-encode over
+    a binary image column — the normalize-resolution step of a
+    multimodal training pipeline, REAL end-to-end on the formats the
+    built-in decoders cover (BMP/PNG/JPEG/GIF/TIFF/VP8L WebP in,
+    BMP or PNG out).
+
+    Shape: Arrow-batched ``mapInPandas``, one Python roundtrip per
+    batch, zero shuffle — parallelism is the scan's. NULL payloads
+    pass through as NULL rows (failed fetches are normal in a media
+    corpus); an undecodable payload raises loudly (same contract as
+    ``decode_image`` — silent drops would skew the corpus). The
+    resampler is ``codecs.resize_plane``: every output pixel averages
+    exactly the source region it covers, so downscale is alias-free
+    and mean brightness is preserved to rounding.
+    """
+    from wing_binlog_go_spark.multimodal import codecs
+
+    encoders = {"bmp": codecs.encode_bmp, "png": codecs.encode_png}
+    if fmt not in encoders:
+        raise ValueError(f"resize_images: fmt must be one of {sorted(encoders)}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        enc = encoders[fmt]
+        for pdf in batches:
+            payloads, hs, ws, nb = [], [], [], []
+            for p in pdf["payload"]:
+                if p is None:
+                    payloads.append(None); hs.append(None)
+                    ws.append(None); nb.append(None)
+                    continue
+                img = codecs.resize_rgb(decode_image(bytes(p)), height, width)
+                out = enc(img)
+                payloads.append(out)
+                hs.append(height); ws.append(width); nb.append(len(out))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "height": pd.array(hs, dtype="Int32"),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "n_bytes": pd.array(nb, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(run, RESIZED_IMAGE_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -231,8 +231,9 @@ def grayscale(img: np.ndarray) -> np.ndarray:
     return img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587 + img[:, :, 2] * 0.114
 
 
-def _area_resize(gray: np.ndarray, size: int) -> np.ndarray:
-    """Exact fractional-box area-average resample to size×size.
+def resize_plane(plane: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Exact fractional-box area-average resample of one channel to
+    out_h×out_w.
 
     Each output cell is the mean of the (possibly fractional) source
     rectangle it covers, computed from an integral image sampled with
@@ -242,13 +243,15 @@ def _area_resize(gray: np.ndarray, size: int) -> np.ndarray:
     blocks of 2,2,…,1,1 while 96 rows → uniform 3s, warping the
     sampling grid and breaking phash stability under 2× upscale. The
     fractional box covers proportionally identical regions at every
-    scale, and averaging keeps per-pixel noise robustness."""
-    gray = np.asarray(gray, dtype=np.float64)
-    h, w = gray.shape
+    scale, and averaging keeps per-pixel noise robustness. (Upscale is
+    box-overlap interpolation under the same formula — every output
+    cell still averages exactly the region it covers.)"""
+    plane = np.asarray(plane, dtype=np.float64)
+    h, w = plane.shape
     integral = np.zeros((h + 1, w + 1))
-    integral[1:, 1:] = np.cumsum(np.cumsum(gray, axis=0), axis=1)
-    ys = np.linspace(0.0, h, size + 1)
-    xs = np.linspace(0.0, w, size + 1)
+    integral[1:, 1:] = np.cumsum(np.cumsum(plane, axis=0), axis=1)
+    ys = np.linspace(0.0, h, out_h + 1)
+    xs = np.linspace(0.0, w, out_w + 1)
     y0 = np.minimum(ys.astype(int), h - 1) if h > 0 else ys.astype(int)
     x0 = np.minimum(xs.astype(int), w - 1) if w > 0 else xs.astype(int)
     fy = (ys - y0)[:, None]
@@ -259,7 +262,27 @@ def _area_resize(gray: np.ndarray, size: int) -> np.ndarray:
     d = integral[np.ix_(y0 + 1, x0 + 1)]
     corner = a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx + c * fy * (1 - fx) + d * fy * fx
     sums = corner[1:, 1:] - corner[:-1, 1:] - corner[1:, :-1] + corner[:-1, :-1]
-    return sums / ((h / size) * (w / size))
+    return sums / ((h / out_h) * (w / out_w))
+
+
+def _area_resize(gray: np.ndarray, size: int) -> np.ndarray:
+    """size×size square form of ``resize_plane`` (the phash grid)."""
+    return resize_plane(gray, size, size)
+
+
+def resize_rgb(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """H×W×3 uint8 RGB → out_h×out_w×3 uint8, per-channel exact
+    area-average resample (the same sampler phash trusts for its
+    scale invariance), rounded half-away-from-zero to uint8."""
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError(f"resize_rgb: bad target {out_h}x{out_w}")
+    img = np.asarray(img)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"resize_rgb: expected HxWx3, got {img.shape}")
+    out = np.stack(
+        [resize_plane(img[:, :, c], out_h, out_w) for c in range(3)], axis=2
+    )
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
 
 
 def _dct_matrix(n: int) -> np.ndarray:
