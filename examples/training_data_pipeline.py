@@ -23,10 +23,16 @@ from pyspark.sql import functions as F
 
 from wing_binlog_go_spark.functions.curation import curate
 from wing_binlog_go_spark.functions.mixing import (
+    context_chunks,
+    deterministic_split,
     sequence_pack,
     shuffle_rank,
     source_cap,
     temperature_mix,
+)
+from wing_binlog_go_spark.functions.text import (
+    bloom_contamination_overlap,
+    gopher_quality_flags,
 )
 from wing_binlog_go_spark.multimodal import (
     MEDIA_SCHEMA,
@@ -78,6 +84,32 @@ def main() -> None:
     packed = sequence_pack(shuffle_rank(mixed), capacity=2048)
     n_packs = packed.agg(F.countDistinct("pack_id")).first()[0]
     print(f"packed into {n_packs} sequences of <=2048 tokens")
+
+    # --- r6 stages: quality rules → decontaminate → chunk → split ----
+    flagged = gopher_quality_flags(mixed, min_stopword_hits=1)
+    q_kept = mixed.join(
+        flagged.filter("keep").select("doc_id"), "doc_id", "left_semi"
+    )
+    print(f"gopher rules: {mixed.count()} -> {q_kept.count()} docs")
+
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    dirty = (
+        bloom_contamination_overlap(q_kept, bench, k=5, bench_id_col="doc_id")
+        .select("doc_id").distinct()
+    )
+    clean = q_kept.join(dirty, "doc_id", "left_anti")
+    print(f"bloom decontamination: {q_kept.count()} -> {clean.count()} docs")
+
+    chunks = context_chunks(clean, window=64, stride=48, min_tokens=16)
+    # seed must differ from the sampling stages above: temperature_mix
+    # kept the docs with the SMALLEST seed-42 draws, so splitting on
+    # the same seed would put every survivor in 'train'
+    split = deterministic_split(chunks, id_col="doc_id", seed=1234)
+    by_split = {
+        r.split: r.c
+        for r in split.groupBy("split").agg(F.count("*").alias("c")).collect()
+    }
+    print(f"chunks: {chunks.count()} training sequences; split: {by_split}")
 
     # --- embeddings: semantic dedup → diversity sample ----------------
     emb = read_table(spark, sf_dir, "embeddings")

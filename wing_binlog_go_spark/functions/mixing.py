@@ -561,6 +561,12 @@ def deterministic_split(
     re-carved (no train/test leakage across pipeline versions). Row-
     local filter ⇒ zero shuffle, reproducible across runs and engines
     (the md5 scheme of ``sample_key``, shared with the oracle).
+
+    Seed hygiene: pick a seed INDEPENDENT of any upstream hash-
+    sampling stage (``stratified_sample`` / ``temperature_mix`` /
+    ``source_cap``). Those stages keep the rows with the smallest
+    draws for their seed; splitting on the same seed re-reads the
+    same draws and piles every survivor into the first bucket.
     """
     fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
     if not fractions or any(f < 0 for f in fractions.values()):
