@@ -730,3 +730,76 @@ def test_pq_index_route_end_to_end(spark, tmp_path):
     )
     top = pq_topk(None, queries, k=1, refine=8, index=idx2).collect()
     assert top[0].vec_id == 6 and top[0].rnk == 1
+
+
+def test_ivfpq_index_route_end_to_end(spark, tmp_path):
+    """CDC inserts maintain the list-partitioned IVF-PQ store: batch 1
+    trains + creates it, batch 2 appends under frozen quantizers, a
+    full replay is a no-op (quantizers byte-identical, no growth), and
+    a stored vector queried through the index ranks itself first."""
+    import json as _json
+    import os
+
+    import numpy as np
+
+    from wing_binlog_go_spark.operators.similarity import (
+        ivfpq_topk,
+        load_ivfpq_index,
+    )
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+    from wing_binlog_go_spark.streaming.sinks import ivfpq_index_writer
+
+    rng = np.random.RandomState(34)
+    vecs = {i: rng.normal(0, 1, 32) for i in range(1, 9)}
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    for fi, ids in enumerate([(1, 2, 3, 4), (5, 6, 7, 8)]):
+        with open(log_dir / f"f{fi}.jsonl", "w") as f:
+            for ev, vid in enumerate(ids):
+                rec = {
+                    "binlog_file": f"mysql-bin.{fi:06d}",
+                    "binlog_pos": 4 + ev * 50, "xid_commit": True,
+                    "database": "ml", "table": "vectors",
+                    "action": "insert", "row_no": 0, "before": None,
+                    "after": {"id": str(vid),
+                              "embedding": _json.dumps([float(x) for x in vecs[vid]])},
+                    "ddl_query": None,
+                    "ts_header": "2018-04-19T05:21:27.000Z", "gtid": None,
+                }
+                f.write(_json.dumps(rec) + "\n")
+
+    store = str(tmp_path / "ivfpqstore")
+    route = Route(
+        "ivfpqindex",
+        ivfpq_index_writer(store, "ml.vectors", n_centroids=4, m=8, n_codes=8),
+    )
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+    idx = load_ivfpq_index(spark, store)
+    assert idx[0].count() == 8
+    # the on-disk layout is the inverted index
+    assert any(d.startswith("_list=") for d in os.listdir(f"{store}/codes"))
+
+    with open(f"{store}/quantizers.json") as f:
+        q1 = _json.load(f)
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+    idx2 = load_ivfpq_index(spark, store)
+    assert idx2[0].count() == 8
+    with open(f"{store}/quantizers.json") as f:
+        q2 = _json.load(f)
+    assert q2["coarse"] == q1["coarse"] and q2["books"] == q1["books"]
+
+    queries = spark.createDataFrame(
+        [(101, [float(x) for x in vecs[6]])], ["query_id", "embedding"]
+    )
+    top = ivfpq_topk(
+        None, queries, k=1, n_probe=4, refine=8, index=idx2
+    ).collect()
+    assert top[0].vec_id == 6 and top[0].rnk == 1

@@ -487,6 +487,54 @@ def pq_index_writer(
     return write
 
 
+def ivfpq_index_writer(
+    store_dir: str,
+    table: str,
+    id_field: str = "id",
+    vec_field: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 16,
+    n_codes: int = 16,
+):
+    """``pq_index_writer``'s big-corpus sibling: maintains the
+    LIST-PARTITIONED IVF-PQ store (`operators.similarity.
+    incremental_ivfpq_index_apply`) from INSERT envelopes — first batch
+    trains coarse+residual quantizers and creates the store, later
+    batches encode against the frozen pair and append ONLY into their
+    inverted lists' partitions, replays are id-no-ops. Query with
+    ``ivfpq_topk(index=load_ivfpq_index(...))``; probes read n_probe
+    list partitions, not the corpus.
+    """
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.operators.similarity import (
+        incremental_ivfpq_index_apply,
+    )
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        vecs = (
+            env.filter(
+                (F.col("event_type") == "insert")
+                & (F.concat_ws(".", "database", "table") == table)
+            )
+            .select(
+                F.element_at("event.data", id_field).cast("long").alias("vec_id"),
+                F.from_json(
+                    F.element_at("event.data", vec_field), "array<double>"
+                ).alias("embedding"),
+            )
+            .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        )
+        if vecs.isEmpty():
+            return
+        incremental_ivfpq_index_apply(
+            env.sparkSession, vecs, store_dir,
+            n_centroids=n_centroids, m=m, n_codes=n_codes,
+        )
+
+    return write
+
+
 def read_semantic_corpus(spark, store_dir: str) -> DataFrame:
     """The deduped embedding corpus maintained by
     ``semantic_dedup_corpus_writer``: (vec_id, embedding, cluster)."""
