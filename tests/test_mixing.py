@@ -264,3 +264,36 @@ def test_deterministic_split_stability_under_recarving(spark):
 
     with pytest.raises(ValueError):
         deterministic_split(docs, {"train": 0.5, "val": 0.1})
+
+
+def test_export_sorted_shards_global_order_and_file_bounds(spark, tmp_path):
+    """Files are individually <= max_records, and reading them back in
+    lexicographic filename order yields the globally sorted corpus —
+    without any single-partition global sort in the plan."""
+    import os
+
+    from wing_binlog_go_spark.functions.mixing import (
+        export_sorted_shards,
+        shuffle_rank,
+    )
+
+    docs = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    ranked = shuffle_rank(docs, seed=9)
+    out = str(tmp_path / "corpus")
+    export_sorted_shards(
+        ranked, out, order_col="shuffle_pos", n_shards=4, max_records_per_file=100
+    )
+
+    files = sorted(
+        f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    assert len(files) >= 10  # 1000 rows / 100-record bound
+    seen = []
+    for f in files:
+        vals = [r.shuffle_pos for r in spark.read.parquet(f"{out}/{f}").collect()]
+        assert len(vals) <= 100
+        assert vals == sorted(vals)
+        if seen and vals:
+            assert seen[-1] < vals[0]  # cross-file order
+        seen.extend(vals)
+    assert seen == list(range(1, 1001))

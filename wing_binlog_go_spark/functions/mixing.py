@@ -610,3 +610,39 @@ ORDER BY doc_id
 """
 
 QUERIES["q120_deterministic_split"] = QuerySpec(_q_split, _SPLIT_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# sorted corpus export
+# ---------------------------------------------------------------------------
+
+
+def export_sorted_shards(
+    df: DataFrame,
+    out_dir: str,
+    order_col: str = "shuffle_pos",
+    n_shards: int = 8,
+    max_records_per_file: int = 0,
+) -> None:
+    """Write the corpus globally ordered by ``order_col`` into
+    ``n_shards`` range shards — the training-data export step (pair it
+    with ``shuffle_rank`` for a seeded global shuffle, then stream the
+    files in name order).
+
+    Scale shape: ``repartitionByRange`` samples range boundaries and
+    sorts each shard IN PARALLEL — never the single-task global sort a
+    plain ``orderBy().write`` can degenerate to at the final stage.
+    ``max_records_per_file`` bounds individual parquet files (a shard
+    splits into part-…-c000/c001/… in order), so downstream loaders
+    get uniformly-sized files regardless of shard skew. Global order
+    holds across files in lexicographic filename order: range
+    partition ids are ordered, and the cNNN split counter preserves
+    the in-partition sort.
+    """
+    out = df.repartitionByRange(n_shards, F.col(order_col)).sortWithinPartitions(
+        order_col
+    )
+    writer = out.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(out_dir)
