@@ -152,7 +152,62 @@ def ann_recall_report(spark: SparkSession, k_zipf: int = 10) -> dict:
         regime: _zipf_regime(corpus, queries, exact, regime, k=k_zipf)
         for regime in ("lsh", "ivf", "pq", "ivfpq")
     }
-    return {"registered_at_k5": registered, "zipf_skew_at_k10": zipf}
+    return {
+        "registered_at_k5": registered,
+        "zipf_skew_at_k10": zipf,
+        "incremental_store_at_k5": {
+            "ivfpq@sf0.01": _incremental_store_recall(spark)
+        },
+    }
+
+
+def _incremental_store_recall(spark: SparkSession, k: int = 5) -> dict:
+    """Recall through the INCREMENTALLY built IVF-PQ store (r6): train
+    quantizers on the first half of the fixture embeddings, append the
+    second half against the frozen pair, query via the loaded index.
+    Quantizers trained on an increment assign later arrivals slightly
+    worse — wider probes/refine are the documented compensation lever,
+    and this row trends whether that lever keeps holding."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.operators.similarity import (
+        brute_force_topk,
+        incremental_ivfpq_index_apply,
+        ivfpq_topk,
+        load_ivfpq_index,
+    )
+    from wing_binlog_go_spark.tables import read_table
+
+    emb = read_table(spark, SCALES[1], "embeddings").select("vec_id", "embedding")
+    tmp = tempfile.mkdtemp(prefix="ivfpq_recall_")
+    try:
+        incremental_ivfpq_index_apply(
+            spark, emb.filter(F.col("vec_id") < 250), tmp, m=16
+        )
+        incremental_ivfpq_index_apply(
+            spark, emb.filter(F.col("vec_id") >= 250), tmp, m=16
+        )
+        idx = load_ivfpq_index(spark, tmp)
+        q = (
+            emb.orderBy("vec_id").limit(10)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        exact = brute_force_topk(emb, q, k=k).collect()
+        approx = ivfpq_topk(
+            None, q, k=k, n_probe=14, refine=150, index=idx
+        ).collect()
+        avg, low = per_query_recall(exact, approx)
+        return {
+            "recall_avg": round(avg, 4),
+            "recall_min": round(low, 4),
+            "k": k,
+            "params": {"n_probe": 14, "refine": 150, "m": 16},
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def current_round(repo_root: str = "/root/repo") -> int:
