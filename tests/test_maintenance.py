@@ -65,3 +65,53 @@ def test_recover_swap_handles_legacy_and_current_backup(spark, sf_dir, tmp_path)
     os.makedirs(tbl3 + "._old")
     recover_swap(tbl3)
     assert os.path.exists(os.path.join(tbl3, "marker-current"))
+
+
+def test_table_checksum_flags_exactly_the_diverged_chunk(spark):
+    """pt-table-checksum pattern: identical tables produce an empty
+    diff; corrupting one row (and separately, dropping one row) flags
+    exactly that key's chunk and no other."""
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.operators.stats import checksum_diff, table_checksum
+
+    src = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        F.when(F.col("id") % 7 == 0, None).otherwise(F.lit("x")).alias("w"),
+    )
+    args = ("k", ["k", "v", "w"], 16)
+    assert checksum_diff(
+        table_checksum(src, *args), table_checksum(src, *args)
+    ).count() == 0
+
+    corrupted = src.withColumn(
+        "v", F.when(F.col("k") == 123, F.lit("CORRUPT")).otherwise(F.col("v"))
+    )
+    diff = checksum_diff(
+        table_checksum(src, *args), table_checksum(corrupted, *args)
+    ).collect()
+    assert [r.chunk for r in diff] == [123 % 16]
+    assert diff[0].src_rows == diff[0].rep_rows  # same count, different content
+
+    dropped = src.filter(F.col("k") != 321)
+    diff2 = checksum_diff(
+        table_checksum(src, *args), table_checksum(dropped, *args)
+    ).collect()
+    assert [r.chunk for r in diff2] == [321 % 16]
+    assert diff2[0].src_rows == diff2[0].rep_rows + 1
+
+    # NULL vs the string the sentinel guards against: not a collision
+    swapped = src.withColumn(
+        "w",
+        F.when(F.col("k") == 7, F.lit("x"))  # was NULL (7 % 7 == 0)
+        .otherwise(F.col("w")),
+    ).withColumn(
+        "v",
+        F.when(F.col("k") == 7, F.lit(None).cast("string"))
+        .otherwise(F.col("v")),
+    )
+    diff3 = checksum_diff(
+        table_checksum(src, *args), table_checksum(swapped, *args)
+    ).collect()
+    assert [r.chunk for r in diff3] == [7]

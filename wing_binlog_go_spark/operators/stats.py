@@ -77,3 +77,96 @@ FROM lineitem
 """
 
 QUERIES["q119_table_stats"] = QuerySpec(_q_table_stats, _TABLE_STATS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# chunk-wise table checksums (replica divergence detection)
+# ---------------------------------------------------------------------------
+
+
+def table_checksum(
+    df: DataFrame,
+    key_col: str,
+    cols: list[str],
+    n_chunks: int = 64,
+) -> DataFrame:
+    """(chunk, n_rows, checksum): order-insensitive chunk-wise content
+    checksums — the pt-table-checksum pattern for CDC replicas. Compare
+    source and replica checksums chunk-by-chunk (``checksum_diff``) and
+    re-sync ONLY diverged chunks: divergence detection costs one scan
+    per side + an n_chunks-row exchange, never a row-level join.
+
+    Row hash = first 48 bits of md5 over the '|'-joined column values
+    (NULLs → a sentinel BEFORE joining: concat_ws silently skips NULLs,
+    which would make ('a',NULL,'b') collide with ('a','b',NULL)).
+    md5-on-strings is engine-portable (same function in Spark, DuckDB,
+    MySQL — so the SOURCE database can compute its side of the
+    comparison in SQL); SUM of 48-bit hashes is order- and
+    partition-insensitive and overflows nothing below ~2^15 rows per
+    chunk times 2^48. Chunk = key % n_chunks, aligned on both sides by
+    construction. Callers pick ``cols`` with engine-stable string forms
+    (integers/strings — float and timestamp FORMATTING differs across
+    engines; cast those upstream to a canonical form first).
+    """
+    sentinel = "\x00null\x00"
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit(sentinel)) for c in cols]
+    )
+    row_hash = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+    return (
+        df.groupBy((F.col(key_col) % n_chunks).alias("chunk"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(row_hash).alias("checksum"),
+        )
+        .select("chunk", "n_rows", "checksum")
+    )
+
+
+def checksum_diff(source: DataFrame, replica: DataFrame) -> DataFrame:
+    """Chunks where source and replica disagree (missing chunks count
+    as diverged): full-outer join on chunk over two n_chunks-row
+    frames — the repair worklist."""
+    s = source.select(
+        F.col("chunk"),
+        F.col("n_rows").alias("src_rows"),
+        F.col("checksum").alias("src_checksum"),
+    )
+    r = replica.select(
+        F.col("chunk"),
+        F.col("n_rows").alias("rep_rows"),
+        F.col("checksum").alias("rep_checksum"),
+    )
+    return s.join(r, "chunk", "full_outer").filter(
+        ~(
+            F.col("src_rows").eqNullSafe(F.col("rep_rows"))
+            & F.col("src_checksum").eqNullSafe(F.col("rep_checksum"))
+        )
+    )
+
+
+def _q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wing_binlog_go_spark.tables import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    return table_checksum(
+        orders,
+        "o_orderkey",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        n_chunks=64,
+    ).orderBy("chunk")
+
+
+_TABLE_CHECKSUM_ORACLE = """
+SELECT o_orderkey % 64 AS chunk,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST('0x' || substring(md5(concat_ws('|',
+             CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+             o_orderstatus, o_orderpriority)), 1, 12) AS BIGINT)) AS BIGINT)
+         AS checksum
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["q122_table_checksum"] = QuerySpec(_q_table_checksum, _TABLE_CHECKSUM_ORACLE)

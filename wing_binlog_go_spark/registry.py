@@ -65,15 +65,15 @@ _PRIORITY = (
     "q120_deterministic_split",
     "q39z_bloom_decontamination",
     "q121_gopher_quality",
+    "q122_table_checksum",
     # Stalest evidence: latest driver row is ROUND 3.  (q51/q55/q57/
-    # q58/q59/q60 — trivial relational forms, locally oracle-checked
-    # on every pytest run — join q56/q63/q64/q65 in waiting for r7 so
-    # the six new r6 keys above fit the 50-window.)
+    # q58/q59/q60/q61 — trivial relational forms, locally oracle-
+    # checked on every pytest run — join q56/q63/q64/q65 in waiting
+    # for r7 so the seven new r6 keys above fit the 50-window.)
     "q39p_boilerplate",
     "q39q_temperature_mix",
     "q39r_winnowing",
     "q39s_bigram_lm",
-    "q61_map_entries",
     "q62_interval_arith",
     "q66_bigrams",
     "q67_histogram",
