@@ -115,3 +115,52 @@ def test_table_checksum_flags_exactly_the_diverged_chunk(spark):
         table_checksum(src, *args), table_checksum(swapped, *args)
     ).collect()
     assert [r.chunk for r in diff3] == [7]
+
+
+def test_repair_chunks_converges_replica_to_source(spark, tmp_path):
+    """detect → repair → re-verify: after repairing exactly the chunks
+    checksum_diff flagged, the replica's checksums equal the source's
+    everywhere, and untouched rows are byte-identical survivors."""
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.operators.stats import (
+        checksum_diff,
+        repair_chunks,
+        table_checksum,
+    )
+
+    src = spark.range(0, 400).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    replica_dir = str(tmp_path / "replica")
+    # replica diverges three ways: a corrupted row, a missing row, a phantom
+    (
+        src.withColumn(
+            "v", F.when(F.col("k") == 50, F.lit("BAD")).otherwise(F.col("v"))
+        )
+        .filter(F.col("k") != 123)
+        .unionByName(
+            spark.createDataFrame([(9999, "phantom")], "k long, v string")
+        )
+        .write.parquet(replica_dir)
+    )
+
+    args = ("k", ["k", "v"], 16)
+    diff = checksum_diff(
+        table_checksum(src, *args),
+        table_checksum(spark.read.parquet(replica_dir), *args),
+    ).collect()
+    flagged = sorted(r.chunk for r in diff)
+    assert flagged == sorted({50 % 16, 123 % 16, 9999 % 16})
+
+    repair_chunks(spark, replica_dir, src, "k", flagged, n_chunks=16)
+    assert (
+        checksum_diff(
+            table_checksum(src, *args),
+            table_checksum(spark.read.parquet(replica_dir), *args),
+        ).count()
+        == 0
+    )
+    rows = {r.k: r.v for r in spark.read.parquet(replica_dir).collect()}
+    assert len(rows) == 400 and rows[50] == "v50" and rows[123] == "v123"
+    assert 9999 not in rows

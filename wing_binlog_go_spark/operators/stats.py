@@ -170,3 +170,41 @@ ORDER BY 1
 """
 
 QUERIES["q122_table_checksum"] = QuerySpec(_q_table_checksum, _TABLE_CHECKSUM_ORACLE)
+
+
+def repair_chunks(
+    spark: SparkSession,
+    replica_dir: str,
+    source: DataFrame,
+    key_col: str,
+    diverged_chunks: list[int],
+    n_chunks: int = 64,
+) -> None:
+    """Re-sync the replica's diverged chunks from source — the repair
+    step after ``checksum_diff``: replica rows in those chunks are
+    replaced wholesale by the source's rows (chunk membership is
+    ``key % n_chunks`` on BOTH sides, so the swap is exact by
+    construction). Untouched chunks are carried over unmodified.
+
+    Commit is the staged-write + atomic-rename swap shared with
+    ``upsert_parquet`` (crash-safe: recovery rolls the rename forward
+    or discards the staging dir). This form rewrites the whole table
+    file-set; at 100 TB apply the bucketed-manifest treatment of
+    ``upsert_parquet_bucketed`` so only diverged buckets rewrite —
+    same protocol, chunk == bucket.
+    """
+    import shutil
+
+    from wing_binlog_go_spark.streaming.maintenance import recover_swap, swap_dir
+
+    if not diverged_chunks:
+        return
+    recover_swap(replica_dir)
+    chunk = F.col(key_col) % n_chunks
+    kept = spark.read.parquet(replica_dir).filter(~chunk.isin(diverged_chunks))
+    fresh = source.filter(chunk.isin(diverged_chunks))
+    merged = kept.unionByName(fresh)
+    tmp = replica_dir + "._staging"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)
+    swap_dir(tmp, replica_dir)
