@@ -395,3 +395,25 @@ def test_dynamic_partition_pruning_on_date_partitioned_layout(spark, sf_dir, tmp
     p = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in p.lower(), p[:1200]
     assert j.count() <= 3
+
+
+def test_row_local_corpus_ops_have_no_exchange(spark, sf_dir):
+    """context_chunks / deterministic_split / gopher_quality_flags
+    claim zero shuffle (pure per-row maps) — their plans must contain
+    no Exchange and no Python eval nodes: the operators parallelize
+    exactly as the scan does at any corpus size."""
+    from wing_binlog_go_spark.functions.mixing import (
+        context_chunks,
+        deterministic_split,
+    )
+    from wing_binlog_go_spark.functions.text import gopher_quality_flags
+
+    docs = read_table(spark, sf_dir, "documents")
+    for name, df in (
+        ("chunks", context_chunks(docs)),
+        ("split", deterministic_split(docs)),
+        ("gopher", gopher_quality_flags(docs)),
+    ):
+        p = plan_of(df)
+        assert "Exchange" not in p, (name, p[:600])
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
