@@ -1234,3 +1234,41 @@ def test_apss_random_corpora_match_bruteforce(spark):
         }
         assert want, (k, t)
         assert got == want, (k, t)
+
+
+def test_incremental_apss_matches_batch_operator(spark, sf_small, tmp_path):
+    """Exactness across increments: the union of pair sets from two
+    incremental_apss_apply batches must equal ngram_jaccard_pairs on
+    the full corpus at the same (k, threshold) — the frozen founding
+    order changes candidate efficiency, never the answer. Replays are
+    id-no-ops returning no pairs."""
+    from wing_binlog_go_spark.operators.dedup import (
+        incremental_apss_apply,
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_table(spark, sf_small, "documents")
+    b1 = docs.filter(F.col("doc_id") < 250)
+    b2 = docs.filter(F.col("doc_id") >= 250)
+    store = str(tmp_path / "apss")
+
+    p1, st1 = incremental_apss_apply(spark, b1, store, k=3, threshold=0.5)
+    assert st1["replayed"] == 0 and st1["appended"] == st1["batch"]
+    p2, st2 = incremental_apss_apply(spark, b2, store, k=3, threshold=0.5)
+    assert st2["replayed"] == 0 and st2["appended"] == st2["batch"]
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard) for r in p1.collect()
+    } | {(r.doc_a, r.doc_b, r.jaccard) for r in p2.collect()}
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    assert want and got == want
+
+    p2r, st2r = incremental_apss_apply(spark, b2, store, k=3, threshold=0.5)
+    assert st2r == {
+        "batch": st2["batch"], "replayed": st2["batch"], "appended": 0,
+        "pairs_vs_history": 0, "pairs_in_batch": 0,
+    }
+    assert p2r.count() == 0

@@ -1047,3 +1047,184 @@ ORDER BY doc_a, doc_b
 """
 
 QUERIES["q117_apss_join"] = QuerySpec(_q_apss_join, _APSS_ORACLE)
+
+
+_APSS_UNSEEN_DF = 1 << 60  # tokens unknown to the frozen order sort LAST
+
+
+def _apss_ranked_sets(
+    docs: DataFrame,
+    order: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    threshold: float,
+) -> DataFrame:
+    """(doc, els, n, pre): element sets ranked under the GIVEN
+    (element → df) order — tokens absent from the order get df =
+    ``_APSS_UNSEEN_DF`` so they sort after every known element (any
+    consistent total order preserves the prefix lemma)."""
+    el = docs.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("s")
+    )
+    ranked = el.join(order, "s", "left").select(
+        "doc",
+        F.struct(
+            F.coalesce(F.col("df"), F.lit(_APSS_UNSEEN_DF)).alias("df"),
+            F.col("s"),
+        ).alias("r"),
+    )
+    return (
+        ranked.groupBy("doc")
+        .agg(
+            F.transform(F.sort_array(F.collect_list("r")), lambda r: r["s"]).alias(
+                "els"
+            )
+        )
+        .withColumn("n", F.size("els"))
+        .withColumn(
+            "pre",
+            F.expr(
+                f"slice(els, 1, size(els) - cast(ceil({threshold} * size(els)) as int) + 1)"
+            ),
+        )
+    )
+
+
+def incremental_apss_apply(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> "tuple[DataFrame, dict]":
+    """EXACT all-pairs similarity for an ingest increment against the
+    corpus history — ``apss_prefix_pairs``'s incremental form, the
+    daily-crawl workflow where ``incremental_dedup_apply``'s MinHash
+    probabilities aren't acceptable (legal dedup, eval-set hygiene).
+
+    The global rarity order is FROZEN at store creation (the founding
+    batch's document frequencies, persisted as the ``order/`` table):
+    the prefix-filter lemma only needs ONE consistent total order
+    across every doc ever ranked, not an accurate one, so later
+    batches rank under the founding order (unseen elements sort last —
+    treated as maximally common, they leave prefixes no shorter, just
+    possibly less selective; recall stays exactly 1.0 and the
+    test-asserted equality with the batch operator proves it).
+    Refreshing the order = rebuilding the store (offline compaction),
+    exactly the frozen-codebook contract of the PQ/IVF-PQ stores.
+
+    Store: ``order/`` (element, df) + ``sets/`` (doc, els, n, pre).
+    Candidates = new-prefix ⋈ (history ∪ batch) prefix equi-join with
+    the PPJoin length filter; verify = exact Jaccard on the full sets;
+    ids already in the store are replay no-ops; new sets append.
+    History text is never re-read — the probe touches the prefix and
+    set columns only.
+
+    Returns (pairs, stats): pairs = (doc_a, doc_b, jaccard) where at
+    least one side is fresh (doc_a < doc_b), stats = {batch, replayed,
+    appended, pairs_vs_history, pairs_in_batch}.
+    """
+    import os as _os
+
+    order_dir = _os.path.join(store_dir, "order")
+    sets_dir = _os.path.join(store_dir, "sets")
+    empty = spark.createDataFrame(
+        [], f"doc_a {'long'}, doc_b {'long'}, jaccard double"
+    )
+
+    if not _os.path.exists(order_dir):
+        el = new_docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_shingles(text_col, k)).alias("s"),
+        )
+        el.groupBy("s").agg(F.count("*").alias("df")).write.parquet(order_dir)
+        order = spark.read.parquet(order_dir)
+        sets = _apss_ranked_sets(
+            new_docs, order, id_col, text_col, k, threshold
+        ).localCheckpoint(eager=True)
+        n_batch = sets.count()
+        sets.write.parquet(sets_dir)
+        pairs = _apss_verify(sets, sets, threshold, within_batch=True)
+        n_pairs = pairs.count()
+        return pairs, {
+            "batch": n_batch, "replayed": 0, "appended": n_batch,
+            "pairs_vs_history": 0, "pairs_in_batch": n_pairs,
+        }
+
+    order = spark.read.parquet(order_dir)
+    history = spark.read.parquet(sets_dir)
+    n_batch = new_docs.count()
+    fresh_docs = new_docs.join(
+        history.select(F.col("doc").alias(id_col)), id_col, "left_anti"
+    )
+    sets = _apss_ranked_sets(
+        fresh_docs, order, id_col, text_col, k, threshold
+    ).localCheckpoint(eager=True)
+    n_fresh = sets.count()
+    if n_fresh == 0:
+        return empty, {
+            "batch": n_batch, "replayed": n_batch, "appended": 0,
+            "pairs_vs_history": 0, "pairs_in_batch": 0,
+        }
+    hist_pairs = _apss_verify(sets, history, threshold, within_batch=False)
+    batch_pairs = _apss_verify(sets, sets, threshold, within_batch=True)
+    n_hist = hist_pairs.count()
+    n_in_batch = batch_pairs.count()
+    sets.write.mode("append").parquet(sets_dir)
+    return hist_pairs.unionByName(batch_pairs), {
+        "batch": n_batch, "replayed": n_batch - n_fresh, "appended": n_fresh,
+        "pairs_vs_history": n_hist, "pairs_in_batch": n_in_batch,
+    }
+
+
+def _apss_verify(
+    fresh: DataFrame, other: DataFrame, threshold: float, within_batch: bool
+) -> DataFrame:
+    """Prefix equi-join candidates + exact Jaccard verify between a
+    fresh-sets frame and another sets frame (both (doc, els, n, pre)).
+    ``within_batch`` orders doc_a < doc_b to emit each pair once;
+    otherwise every (fresh, other) pairing is a distinct pair and the
+    output is canonicalized to doc_a < doc_b afterwards."""
+    a = fresh.select(
+        F.col("doc").alias("da"), F.col("n").alias("na"),
+        F.explode("pre").alias("s"),
+    ).alias("a")
+    b = other.select(
+        F.col("doc").alias("db"), F.col("n").alias("nb"),
+        F.explode("pre").alias("s"),
+    ).alias("b")
+    cond = F.col("a.s") == F.col("b.s")
+    cond = cond & (
+        (F.col("a.da") < F.col("b.db"))
+        if within_batch
+        else (F.col("a.da") != F.col("b.db"))
+    )
+    cand = (
+        a.join(b, cond)
+        .filter(
+            F.least("a.na", "b.nb") >= F.lit(threshold) * F.greatest("a.na", "b.nb")
+        )
+        .select("a.da", "b.db")
+        .distinct()
+    )
+    sa = fresh.select(
+        F.col("doc").alias("da"), F.col("els").alias("_ea"), F.col("n").alias("n_a")
+    )
+    sb = other.select(
+        F.col("doc").alias("db"), F.col("els").alias("_eb"), F.col("n").alias("n_b")
+    )
+    ov = F.size(F.array_intersect("_ea", "_eb"))
+    return (
+        cand.join(sa, "da")
+        .join(sb, "db")
+        .withColumn("_j", ov / (F.col("n_a") + F.col("n_b") - ov))
+        .filter(F.col("_j") >= threshold)
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            F.round("_j", 6).alias("jaccard"),
+        )
+    )
