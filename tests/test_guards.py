@@ -99,7 +99,7 @@ def test_registry_priority_window_and_no_failed_modules():
     window (50/round). Coverage closed at round 4 (every registered
     query holds a driver CORRECTNESS row); the window keeps evidence
     FRESH: round 6 leads with the four keys that never earned a driver
-    row (the r5 verdict's #1 window ask), then this round's two new
+    row (the r5 verdict's #1 window ask), then this round's ten new
     queries, then the r3-era band — the stalest evidence left. No
     operator module may silently fail to import (no-silent-caps)."""
     from wing_binlog_go_spark import registry
@@ -108,19 +108,26 @@ def test_registry_priority_window_and_no_failed_modules():
     assert registry.failed_modules == {}
     window = list(qs)[:50]
     # (a) never-driver-verified keys + this round's new queries lead
-    assert window[:7] == [
+    assert window[:14] == [
         "q113_scd2_history", "q38i_ann_ivfpq",
         "q39x_bpe_train", "q39y_bpe_tokenize",
         "q114_fuzzy_varlen_join", "q115_pit_scd2_join",
-        "q116_asof_tolerance",
+        "q116_asof_tolerance", "q117_apss_join",
+        "q118_context_chunks", "q119_table_stats",
+        "q120_deterministic_split", "q39z_bloom_decontamination",
+        "q121_gopher_quality", "q122_table_checksum",
     ]
-    # (b) the stalest evidence (latest row r3) fills the rest
+    # (b) the stalest evidence (latest row r3) fills the rest; the
+    # seven trivial relational forms deferred for the new keys
+    # (q51/q55/q57-q61) wait for r7 with q56/q63/q64/q65
     for stale in (
-        "q39p_boilerplate", "q51_null_handling", "q68_sessionization",
+        "q39p_boilerplate", "q68_sessionization",
         "q77_range_frame", "q85_point_in_time_join", "q94_tpch_q6",
         "q97_tpch_q21",
     ):
         assert stale in window, stale
+    for deferred in ("q51_null_handling", "q60_array_hof", "q61_map_entries"):
+        assert deferred not in window, deferred
     # (c) the graded operator families keep in-window representation
     # (dedup via q114, similarity via q38i, text via q39x/y + q39p-s,
     # as-of/PIT via q115 + q85, TPC-H core via the q84-q97 band)
