@@ -1272,3 +1272,57 @@ def test_incremental_apss_matches_batch_operator(spark, sf_small, tmp_path):
         "pairs_vs_history": 0, "pairs_in_batch": 0,
     }
     assert p2r.count() == 0
+
+
+def test_compact_ivfpq_index_retrains_and_preserves_vectors(
+    spark, sf_small, tmp_path
+):
+    """Offline compaction: after incremental builds, compaction
+    retrains quantizers on the FULL corpus (quantizers change), keeps
+    every vector, rewrites the list-partitioned layout atomically, and
+    the compacted index still answers with recall ≥ 0.9 at the same
+    probe config as the incremental store (the fixture embeddings are
+    near-orthogonal — no real cluster structure — so wide probes are
+    the regime regardless of training freshness)."""
+    import json as _json
+
+    from wing_binlog_go_spark.operators.similarity import (
+        brute_force_topk,
+        compact_ivfpq_index,
+        incremental_ivfpq_index_apply,
+        ivfpq_topk,
+        load_ivfpq_index,
+    )
+
+    store = str(tmp_path / "ivfpq")
+    emb = read_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    incremental_ivfpq_index_apply(
+        spark, emb.filter(F.col("vec_id") < 250), store, m=16
+    )
+    incremental_ivfpq_index_apply(
+        spark, emb.filter(F.col("vec_id") >= 250), store, m=16
+    )
+    with open(f"{store}/quantizers.json") as f:
+        before = _json.load(f)
+
+    stats = compact_ivfpq_index(spark, store, m=16)
+    assert stats["vectors"] == 500 and stats["n_lists"] > 1
+    with open(f"{store}/quantizers.json") as f:
+        after = _json.load(f)
+    assert after["coarse"] != before["coarse"]  # genuinely retrained
+
+    idx = load_ivfpq_index(spark, store)
+    assert idx[0].count() == 500
+    q = (
+        emb.orderBy("vec_id").limit(10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = ivfpq_topk(None, q, k=5, n_probe=14, refine=150, index=idx).collect()
+    es, asets = {}, {}
+    for r in exact:
+        es.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx:
+        asets.setdefault(r.query_id, set()).add(r.vec_id)
+    rec = sum(len(es[i] & asets.get(i, set())) / len(es[i]) for i in es) / len(es)
+    assert rec >= 0.9, rec

@@ -1504,3 +1504,69 @@ QUERIES["q38g_semantic_dedup"] = QuerySpec(_q_semantic_dedup, None)  # KMeans â€
 QUERIES["q38h_incremental_semantic_dedup"] = QuerySpec(_q_incremental_semantic_dedup, None)  # KMeans + store â€” no SQL oracle; cross-batch e2e test
 QUERIES["q38f_ann_pq"] = QuerySpec(_q_ann_pq, None)  # recall property-test (codebooks â€” no SQL oracle)
 QUERIES["q38i_ann_ivfpq"] = QuerySpec(_q_ann_ivfpq, None)  # recall property-test (quantizers â€” no SQL oracle)
+
+
+def compact_ivfpq_index(
+    spark: SparkSession,
+    store_dir: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    train_cap: int = 10000,
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> dict:
+    """Offline compaction for the incremental IVF-PQ store: RETRAIN the
+    coarse+residual quantizers on the full accumulated corpus and
+    re-encode every vector â€” the drift-recovery step the frozen-
+    quantizer contract defers (increments encoded against founding-
+    batch quantizers assign progressively worse as the distribution
+    moves; `incremental_ivfpq_index_apply` docstring).
+
+    The codes table already carries each full vector (`_cv`, the
+    refine fetch), so compaction needs NO access to the original
+    source: read ids+vectors back, train fresh, rewrite the
+    list-partitioned layout into a staging dir, then atomic-rename
+    swap (`swap_dir` â€” the upsert commit protocol, crash restores the
+    old index). Returns {"vectors": n, "n_lists": lists in new index}.
+    """
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from wing_binlog_go_spark.streaming.maintenance import recover_swap, swap_dir
+
+    codes_dir = _os.path.join(store_dir, "codes")
+    recover_swap(codes_dir)
+    corpus = (
+        spark.read.parquet(codes_dir)
+        .select(F.col(id_col), F.col("_cv").alias("embedding"))
+        .localCheckpoint(eager=True)  # sever lineage from the dir we replace
+    )
+    n = corpus.count()
+    coarse, books = ivfpq_train(
+        corpus, n_centroids, m, n_codes, train_cap, "embedding", seed
+    )
+    staging = codes_dir + "._staging"
+    _shutil.rmtree(staging, ignore_errors=True)
+    coded = ivfpq_encode(corpus, coarse, books, id_col, "embedding")
+    coded.write.partitionBy("_list").parquet(staging)
+    # quantizers first (readers joining mid-swap see a consistent pair
+    # only after the codes swap â€” acceptable: load_ivfpq_index reads
+    # quantizers then codes, and the swap is the commit)
+    with open(_os.path.join(store_dir, "quantizers.json"), "w") as f:
+        _json.dump(
+            {
+                "n_centroids": n_centroids,
+                "m": m,
+                "n_codes": n_codes,
+                "coarse": coarse.tolist(),
+                "books": books.tolist(),
+            },
+            f,
+        )
+    swap_dir(staging, codes_dir)
+    n_lists = len(
+        [d for d in _os.listdir(codes_dir) if d.startswith("_list=")]
+    )
+    return {"vectors": n, "n_lists": n_lists}
