@@ -290,3 +290,75 @@ def test_compaction_preserves_bucket_layout_and_pk_clustering(spark, tmp_path):
         for r in read_bucketed_table(spark, target).select("_pk", "event_index").collect()
     )
     assert again == after  # idempotent replay of batch2
+
+
+def test_repair_buckets_converges_corrupted_bucket(spark, tmp_path):
+    """Checksum (chunk == bucket fn) -> repair -> re-verify on the
+    bucketed replica: a corrupted row flags exactly its bucket, only
+    flagged buckets rewrite from the snapshot (replace, not merge —
+    a phantom row a merge could never remove also converges)."""
+    import shutil
+
+    from tests.test_upsert_pk_semantics import ENV_SCHEMA
+    from wing_binlog_go_spark.operators.stats import checksum_diff, table_checksum
+    from wing_binlog_go_spark.streaming.pipeline import (
+        latest_image_per_pk,
+        repair_buckets,
+        upsert_parquet_bucketed,
+    )
+
+    n_b = 8
+    env = spark.createDataFrame(
+        [
+            ("insert", i, ({"id": str(i), "v": f"v{i}"}, None, None))
+            for i in range(60)
+        ],
+        ENV_SCHEMA,
+    )
+    target = str(tmp_path / "replica")
+    upsert_parquet_bucketed(env, target, pk="id", num_buckets=n_b)
+
+    # corrupt one bucket: rewrite one key's value in place
+    victim = spark.read.parquet(target).limit(1).collect()[0]
+    vb = int(victim["bucket"])
+    bdir = f"{target}/bucket={vb}"
+    corrupted = (
+        spark.read.parquet(bdir)
+        .withColumn(
+            "row",
+            F.when(
+                F.col("_pk") == victim["_pk"],
+                F.map_from_arrays(
+                    F.array(F.lit("id"), F.lit("v")),
+                    F.array(F.element_at("row", "id"), F.lit("CORRUPT")),
+                ),
+            ).otherwise(F.col("row")),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(bdir)
+    corrupted.write.parquet(bdir)
+
+    bucket_fn = F.pmod(F.xxhash64(F.col("_pk")), F.lit(n_b)).cast("int")
+
+    def cksum(df):
+        flat = df.select(
+            "_pk",
+            F.element_at("row", "id").alias("id"),
+            F.element_at("row", "v").alias("v"),
+        )
+        return table_checksum(flat, "_pk", ["_pk", "id", "v"], chunk=bucket_fn)
+
+    expected = latest_image_per_pk(env, "id").filter(~F.col("is_delete"))
+    diff = checksum_diff(
+        cksum(expected), cksum(spark.read.parquet(target))
+    ).collect()
+    assert [r.chunk for r in diff] == [vb]
+
+    repair_buckets(spark, target, env, pk="id", buckets=[vb], num_buckets=n_b)
+    assert (
+        checksum_diff(cksum(expected), cksum(spark.read.parquet(target))).count()
+        == 0
+    )
+    fixed = {r._pk: dict(r.row) for r in spark.read.parquet(target).collect()}
+    assert len(fixed) == 60 and fixed[victim["_pk"]]["v"] != "CORRUPT"

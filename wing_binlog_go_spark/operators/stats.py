@@ -89,6 +89,7 @@ def table_checksum(
     key_col: str,
     cols: list[str],
     n_chunks: int = 64,
+    chunk=None,
 ) -> DataFrame:
     """(chunk, n_rows, checksum): order-insensitive chunk-wise content
     checksums — the pt-table-checksum pattern for CDC replicas. Compare
@@ -108,13 +109,17 @@ def table_checksum(
     (integers/strings — float and timestamp FORMATTING differs across
     engines; cast those upstream to a canonical form first).
     """
+    # ``chunk``: optional Column overriding the numeric-key modulo —
+    # align chunks with a replica's bucket fn (pmod(xxhash64(_pk), B))
+    # so the diff's worklist IS the bucket list to repair.
     sentinel = "\x00null\x00"
     canon = F.concat_ws(
         "|", *[F.coalesce(F.col(c).cast("string"), F.lit(sentinel)) for c in cols]
     )
     row_hash = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+    chunk_expr = chunk if chunk is not None else F.col(key_col) % n_chunks
     return (
-        df.groupBy((F.col(key_col) % n_chunks).alias("chunk"))
+        df.groupBy(chunk_expr.alias("chunk"))
         .agg(
             F.count("*").alias("n_rows"),
             F.sum(row_hash).alias("checksum"),

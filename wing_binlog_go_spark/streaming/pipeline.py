@@ -587,6 +587,54 @@ def upsert_parquet_bucketed(
         updates.unpersist()
 
 
+def repair_buckets(
+    spark: SparkSession,
+    target_dir: str,
+    snapshot_env: DataFrame,
+    pk: str | list[str] = "id",
+    buckets: "list[int] | None" = None,
+    num_buckets: int = 16,
+) -> None:
+    """Rewrite diverged buckets of a bucketed replica WHOLESALE from a
+    fresh source snapshot — the repair step after `operators.stats.
+    checksum_diff` run with ``chunk = pmod(xxhash64(_pk), B)`` (chunk
+    == bucket, so the diff's worklist is exactly ``buckets``).
+
+    Unlike ``upsert_parquet_bucketed`` (which MERGES — a stale phantom
+    row the snapshot no longer contains would survive a merge), each
+    listed bucket's content is REPLACED by the snapshot's rows for that
+    bucket; rows carry the snapshot's event_index, so later CDC events
+    still win by the last-writer rule and replayed older events cannot
+    resurrect. Untouched buckets are never read or written. Commit =
+    the same staged-dirs + atomic manifest protocol (crash before the
+    manifest leaves the all-old table; after it, roll-forward).
+    """
+    import shutil
+
+    if not buckets:
+        return
+    os.makedirs(target_dir, exist_ok=True)
+    recover_bucket_commit(target_dir)
+    bucket = F.pmod(F.xxhash64(F.col("_pk")), F.lit(num_buckets)).cast("int")
+    fresh = (
+        latest_image_per_pk(snapshot_env, pk)
+        .withColumn("_bucket", bucket)
+        .filter(F.col("_bucket").isin(list(buckets)))
+        .persist()
+    )
+    try:
+        for b in buckets:
+            u = fresh.filter(F.col("_bucket") == b).drop("_bucket").filter(
+                ~F.col("is_delete")
+            )
+            tmp = os.path.join(target_dir, f".staging_bucket_{b}")
+            shutil.rmtree(tmp, ignore_errors=True)
+            u.write.mode("overwrite").parquet(tmp)
+        _commit_staged_buckets(target_dir, list(buckets))
+    finally:
+        fresh.unpersist()
+
+
 def _commit_staged_buckets(target_dir: str, changed: list[int]) -> None:
     """Phases 2+3 of the multi-bucket commit, under the commit lock so
     a concurrent reader's recover_bucket_commit cannot replay our swaps
