@@ -450,3 +450,89 @@ def test_pit_enrich_route_joins_dimension_state_at_event_time(spark, tmp_path):
         for r in read_pit_enriched(spark, out).collect()
     }
     assert again == got
+
+
+def test_scd2_vacuum_drops_only_pre_horizon_closed_versions(spark, tmp_path):
+    """Retention: versions closed before the horizon drop; versions
+    closing at/after it, current rows, and open tombstones survive —
+    and a post-vacuum upsert still chains correctly."""
+    from wing_binlog_go_spark.streaming.pipeline import scd2_vacuum
+
+    env = _env(
+        spark,
+        [
+            ("insert", 1, ({"id": "1", "v": "a"}, None, None)),
+            ("update", 2, (None, {"id": "1", "v": "a"}, {"id": "1", "v": "b"})),
+            ("insert", 2, ({"id": "2", "v": "x"}, None, None)),
+            ("update", 3, (None, {"id": "1", "v": "b"}, {"id": "1", "v": "c"})),
+            ("delete", 4, ({"id": "2", "v": "x"}, None, None)),
+        ],
+    )
+    target = str(tmp_path / "t")
+    scd2_upsert_parquet(env, target, pk="id")
+
+    stats = scd2_vacuum(spark, target, retain_from_index=3)
+    assert stats == {"kept": 4, "dropped": 1}  # only key1's v-a (closed at 2)
+    h = _history(spark, target)
+    assert [r.row["v"] for r in h[pk_str("1")]] == ["b", "c"]
+    assert [r.valid_to_index for r in h[pk_str("1")]] == [3, None]
+    # key2: the closed insert (valid_to 4 >= 3) and its tombstone survive
+    assert [(r.row["v"], r.is_delete) for r in h[pk_str("2")]] == [
+        ("x", False), ("x", True)
+    ]
+
+    # idempotent: nothing else expires at the same horizon
+    assert scd2_vacuum(spark, target, retain_from_index=3) == {
+        "kept": 4, "dropped": 0
+    }
+
+    # post-vacuum writes recompute chains over the survivors
+    scd2_upsert_parquet(
+        _env(spark, [("update", 5, (None, {"id": "1", "v": "c"},
+                                    {"id": "1", "v": "d"}))]),
+        target,
+        pk="id",
+    )
+    h2 = _history(spark, target)[pk_str("1")]
+    assert [r.row["v"] for r in h2] == ["b", "c", "d"]
+    assert [r.valid_to_index for r in h2] == [3, 5, None]
+    assert [r.is_current for r in h2] == [False, False, True]
+
+
+def test_scd2_vacuum_bucketed_rewrites_only_expired_buckets(spark, tmp_path):
+    """Bucketed layout: vacuum stages + manifest-commits only buckets
+    holding expired versions; untouched buckets' files are not
+    rewritten."""
+    import glob
+    import os
+
+    from wing_binlog_go_spark.streaming.pipeline import (
+        read_bucketed_table,
+        scd2_upsert_parquet_bucketed,
+        scd2_vacuum,
+    )
+
+    rows = []
+    for i in range(12):
+        rows.append(("insert", 2 * i + 1, ({"id": str(i), "v": "old"}, None, None)))
+    # close key 0's first version early (valid_to = 100 later is fine);
+    # use a late index so every other key's version stays open
+    rows.append(("update", 100, (None, {"id": "0", "v": "old"},
+                                 {"id": "0", "v": "new"})))
+    target = str(tmp_path / "t")
+    scd2_upsert_parquet_bucketed(_env(spark, rows), target, pk="id", num_buckets=4)
+
+    before = {
+        d: sorted(os.listdir(d))
+        for d in glob.glob(os.path.join(target, "bucket=*"))
+    }
+    stats = scd2_vacuum(spark, target, retain_from_index=101)
+    assert stats["dropped"] == 1  # key 0's closed first version
+    after = {
+        d: sorted(os.listdir(d))
+        for d in glob.glob(os.path.join(target, "bucket=*"))
+    }
+    changed_dirs = [d for d in before if before[d] != after.get(d)]
+    assert len(changed_dirs) == 1  # only key 0's bucket rewrote
+    h = read_bucketed_table(spark, target)
+    assert h.count() == 12  # 13 versions - 1 expired

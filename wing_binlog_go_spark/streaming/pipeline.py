@@ -656,6 +656,71 @@ def _commit_staged_buckets(target_dir: str, changed: list[int]) -> None:
         os.remove(manifest)
 
 
+def scd2_vacuum(
+    spark: SparkSession, target_dir: str, retain_from_index: int
+) -> dict:
+    """Retention for the ever-growing SCD2 history (the ADVICE-r5
+    growth concern's other half): drop versions CLOSED before
+    ``retain_from_index``. A version survives iff it is current, still
+    open, or its ``valid_to_index`` >= the horizon — so point-in-time
+    queries at or after the horizon are unaffected, and each key's
+    remaining chain stays contiguous (vacuum removes only a PREFIX of
+    the chain; every surviving version's successor survives with it,
+    which keeps the writers' per-key valid_to/is_current recomputation
+    correct on later batches — test-asserted by upserting after a
+    vacuum).
+
+    Works on both layouts: flat (staged-write + atomic-rename swap) and
+    bucketed (per-bucket staging + the manifest commit, only buckets
+    actually holding expired versions rewrite). Returns
+    {"kept": n, "dropped": n}.
+    """
+    import glob as _glob
+    import shutil
+
+    from wing_binlog_go_spark.streaming.maintenance import recover_swap, swap_dir
+
+    keep = (
+        F.col("is_current")
+        | F.col("valid_to_index").isNull()
+        | (F.col("valid_to_index") >= retain_from_index)
+    )
+    if _glob.glob(os.path.join(target_dir, "bucket=*")):
+        recover_bucket_commit(target_dir)
+        kept = dropped = 0
+        changed = []
+        for bdir in sorted(_glob.glob(os.path.join(target_dir, "bucket=*"))):
+            b = int(bdir.rsplit("=", 1)[1])
+            recover_swap(bdir)
+            cur = spark.read.parquet(bdir)
+            n_all = cur.count()
+            survivors = cur.filter(keep).localCheckpoint(eager=True)
+            n_keep = survivors.count()
+            kept += n_keep
+            dropped += n_all - n_keep
+            if n_keep == n_all:
+                continue  # nothing expired in this bucket — never rewrite
+            tmp = os.path.join(target_dir, f".staging_bucket_{b}")
+            shutil.rmtree(tmp, ignore_errors=True)
+            survivors.write.mode("overwrite").parquet(tmp)
+            changed.append(b)
+        if changed:
+            _commit_staged_buckets(target_dir, changed)
+        return {"kept": kept, "dropped": dropped}
+
+    recover_swap(target_dir)
+    cur = spark.read.parquet(target_dir)
+    n_all = cur.count()
+    survivors = cur.filter(keep).localCheckpoint(eager=True)
+    n_keep = survivors.count()
+    if n_keep != n_all:
+        tmp = target_dir + "._staging"
+        shutil.rmtree(tmp, ignore_errors=True)
+        survivors.write.mode("overwrite").parquet(tmp)
+        swap_dir(tmp, target_dir)
+    return {"kept": n_keep, "dropped": n_all - n_keep}
+
+
 def scd2_upsert_parquet_bucketed(
     env: DataFrame, target_dir: str, pk: str | list[str] = "id", num_buckets: int = 16
 ) -> None:
