@@ -108,3 +108,37 @@ def test_control_plane_stop_reload_members(spark, tmp_path):
     assert not q.isActive  # old instance stopped
     cp.stop_all()
     assert not q2.isActive
+
+
+def test_orc_and_csv_round_trip_matches_parquet(spark, tmp_path):
+    """Format breadth: the engine's tables survive an ORC and a
+    header+schema CSV round trip value-identically (Spark's built-in
+    writers/readers — a user exporting the replica to either format
+    loses nothing on the types the CDC envelope uses)."""
+    from wing_binlog_go_spark.tables import read_table
+
+    src = (
+        read_table(spark, "/root/testdata/sf0.001", "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+    want = [tuple(r) for r in src.collect()]
+
+    orc_dir = str(tmp_path / "orc")
+    src.write.orc(orc_dir)
+    got_orc = [
+        tuple(r) for r in spark.read.orc(orc_dir).orderBy("o_orderkey").collect()
+    ]
+    assert got_orc == want
+
+    csv_dir = str(tmp_path / "csv")
+    src.write.option("header", True).csv(csv_dir)
+    got_csv = [
+        tuple(r)
+        for r in spark.read.schema(src.schema)
+        .option("header", True)
+        .csv(csv_dir)
+        .orderBy("o_orderkey")
+        .collect()
+    ]
+    assert got_csv == want
