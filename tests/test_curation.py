@@ -532,3 +532,28 @@ def test_gopher_rules_fire_individually(spark):
     assert out[5].symbol_ratio > 0.1
     assert out[6].alpha_ratio < 0.8
     assert out[7].stop_hits < 2
+
+
+def test_bloom_decontaminate_equals_exact_decontaminate(spark, sf_small):
+    """The drop variant: surviving doc ids through the bloom path must
+    equal the exact path's, including under a saturated tiny bloom."""
+    from wing_binlog_go_spark.functions.text import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    docs = read_table(spark, sf_small, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).withColumnRenamed(
+        "doc_id", "bench_id"
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    want = {r.doc_id for r in decontaminate(corpus, bench, k=5).collect()}
+    assert want and len(want) < corpus.count()
+    for m_bits in (1 << 20, 256):
+        got = {
+            r.doc_id
+            for r in bloom_decontaminate(
+                corpus, bench, k=5, m_bits=m_bits
+            ).collect()
+        }
+        assert got == want, m_bits

@@ -872,6 +872,36 @@ def bloom_contamination_overlap(
     )
 
 
+def bloom_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int = 8,
+    min_overlap: int = 1,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """``decontaminate`` through the bloom-prefiltered overlap — the
+    drop step for eval suites too big to broadcast raw. Same exact
+    semantics (the prefilter has no false negatives and the verify
+    join removes false positives), same contract: training docs with
+    ≥ ``min_overlap`` shared k-grams are dropped via left_anti."""
+    dirty = (
+        bloom_contamination_overlap(
+            docs, bench, k, m_bits, n_hashes,
+            id_col, text_col, bench_id_col, bench_text_col,
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("overlapping_ngrams").alias("total"))
+        .filter(F.col("total") >= min_overlap)
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return docs.join(dirty, id_col, "left_anti")
+
+
 def _q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same fixture/semantics as q39i, bloom-prefiltered path."""
     docs = read_table(spark, sf_dir, "documents")
