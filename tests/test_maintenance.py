@@ -164,3 +164,30 @@ def test_repair_chunks_converges_replica_to_source(spark, tmp_path):
     rows = {r.k: r.v for r in spark.read.parquet(replica_dir).collect()}
     assert len(rows) == 400 and rows[50] == "v50" and rows[123] == "v123"
     assert 9999 not in rows
+
+
+def test_table_checksum_is_order_and_partition_invariant(spark):
+    """The checksum must be a pure function of table CONTENT: shuffled
+    row order and different partition counts yield identical chunk
+    checksums (SUM of row hashes is commutative)."""
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.operators.stats import table_checksum
+
+    src = spark.range(0, 300).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("v")
+    )
+    base = {
+        r.chunk: (r.n_rows, r.checksum)
+        for r in table_checksum(src, "k", ["k", "v"], 8).collect()
+    }
+    for variant in (
+        src.orderBy(F.desc("k")),
+        src.repartition(13),
+        src.repartition(1),
+    ):
+        got = {
+            r.chunk: (r.n_rows, r.checksum)
+            for r in table_checksum(variant, "k", ["k", "v"], 8).collect()
+        }
+        assert got == base
