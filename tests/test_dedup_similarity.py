@@ -1326,3 +1326,51 @@ def test_compact_ivfpq_index_retrains_and_preserves_vectors(
         asets.setdefault(r.query_id, set()).add(r.vec_id)
     rec = sum(len(es[i] & asets.get(i, set())) / len(es[i]) for i in es) / len(es)
     assert rec >= 0.9, rec
+
+
+def test_feature_hash_embed_bridges_text_to_semantic_dedup(spark, sf_small):
+    """The hashing-trick embeddings must (a) be unit-norm and
+    deterministic, (b) place a doc and its lightly-edited copy at high
+    cosine while unrelated docs stay lower, and (c) feed semantic_dedup
+    so the planted copies get dropped — text → vector family with no
+    external model."""
+    import math
+
+    from wing_binlog_go_spark.operators.similarity import (
+        feature_hash_embed,
+        semantic_dedup,
+    )
+
+    base = read_table(spark, sf_small, "documents").limit(40)
+    toks = F.split(F.lower("text"), " ")
+    copies = base.limit(8).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.slice(toks, 1, F.size(toks) - 1), F.array(F.lit("zzz"))),
+        ).alias("text"),
+    )
+    corpus = base.select("doc_id", "text").unionByName(copies)
+    emb = feature_hash_embed(corpus, dim=64)
+    rows = {r.doc_id: r.embedding for r in emb.collect()}
+    again = {r.doc_id: r.embedding for r in feature_hash_embed(corpus, dim=64).collect()}
+    assert rows == again  # deterministic
+    for v in rows.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    pair_cos = [cos(rows[i], rows[i + 500000]) for i in range(8)]
+    cross_cos = [cos(rows[i], rows[i + 1]) for i in range(7)]
+    assert min(pair_cos) > 0.9, pair_cos
+    assert max(cross_cos) < min(pair_cos), (max(cross_cos), min(pair_cos))
+
+    kept = {
+        r.doc_id
+        for r in semantic_dedup(
+            emb, id_col="doc_id", threshold=0.95, n_clusters=4
+        ).select("doc_id").collect()
+    }
+    for i in range(8):  # min-id survivor keeps the original
+        assert i in kept and (i + 500000) not in kept

@@ -1570,3 +1570,60 @@ def compact_ivfpq_index(
         [d for d in _os.listdir(codes_dir) if d.startswith("_list=")]
     )
     return {"vectors": n, "n_lists": n_lists}
+
+
+def feature_hash_embed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    normalize: bool = True,
+) -> DataFrame:
+    """(id, embedding): deterministic text embeddings by the hashing
+    trick (feature hashing, Weinberger et al. ICML'09) — each token
+    adds ±1 to the cell ``xxhash64(token) mod dim`` (sign from an
+    independent hash bit). Lexically similar docs land near each other
+    in cosine, which is exactly what the ANN / semantic-dedup family
+    consumes: this operator bridges raw text into ``semantic_dedup``,
+    ``*_topk`` and the vector stores with NO external model, and its
+    output is reproducible across runs/engines (hash-defined).
+
+    All JVM built-ins, two combiner-friendly shuffles (token cells →
+    per-doc vectors); the dense vector materializes from the sparse
+    cell map via one transform over 0..dim-1. L2-normalized by default
+    so downstream cosine = dot product.
+    """
+    from wing_binlog_go_spark.operators.dedup import tokens
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_t")
+    )
+    pos = F.pmod(F.xxhash64(F.lit(0), F.col("_t")), F.lit(dim)).cast("int")
+    sign = F.when(
+        F.pmod(F.xxhash64(F.lit(1), F.col("_t")), F.lit(2)) == 0, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    cells = (
+        tok.groupBy(id_col, pos.alias("_p"))
+        .agg(F.sum(sign).alias("_v"))
+    )
+    vec = (
+        cells.groupBy(id_col)
+        .agg(F.map_from_entries(F.collect_list(F.struct("_p", "_v"))).alias("_m"))
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.element_at("_m", i), F.lit(0.0)),
+            ).alias("embedding"),
+        )
+    )
+    if not normalize:
+        return vec
+    nrm = F.sqrt(
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)
+    )
+    safe = F.greatest(nrm, F.lit(1e-12))  # all-zero vector guard
+    return vec.select(
+        id_col,
+        F.transform("embedding", lambda x: x / safe).alias("embedding"),
+    )
