@@ -557,3 +557,23 @@ def test_bloom_decontaminate_equals_exact_decontaminate(spark, sf_small):
             ).collect()
         }
         assert got == want, m_bits
+
+
+def test_normalize_text_canonicalizes_whitespace_and_controls(spark):
+    """Byte-level noise (CRLF, tabs, control chars, doubled spaces,
+    case) must normalize away so exact dedup converges on the
+    canonical form."""
+    from wing_binlog_go_spark.functions.text import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello   World"),
+            (2, "hello\r\nworld"),
+            (3, "\tHELLO world \x07"),
+            (4, "different text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n for r in docs.select("doc_id", normalize_text("text").alias("n")).collect()}
+    assert out[1] == out[2] == out[3] == "hello world"
+    assert out[4] == "different text"

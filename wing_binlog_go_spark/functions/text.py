@@ -1537,3 +1537,49 @@ FROM f ORDER BY doc_id LIMIT 300
 """
 
 QUERIES["q121_gopher_quality"] = QuerySpec(_q_gopher_quality, _GOPHER_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# text normalization (C4-style cleanup)
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col) -> "Column":
+    """Canonical text form for dedup/fingerprint stability (the C4-ish
+    cleanup pass): strip C0/C1 control characters, collapse every
+    whitespace run to one space, trim, lowercase. Pure JVM regexp
+    chain — row-local, codegen-fused, zero shuffle; appliable before
+    any of the dedup/fingerprint family so byte-level noise (CRLF vs
+    LF, tabs, doubled spaces) stops defeating exact dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(c, "[\\x00-\\x1f\\x7f-\\x9f]", " ")
+    collapsed = F.regexp_replace(cleaned, "\\s+", " ")
+    return F.lower(F.trim(collapsed))
+
+
+def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            normalize_text("text").alias("norm"),
+            F.md5(normalize_text("text")).alias("norm_fp"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+_TEXT_NORMALIZE_ORACLE = """
+WITH n AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(
+           regexp_replace(text, '[\\x00-\\x1f\\x7f-\\x9f]', ' ', 'g'),
+           '\\s+', ' ', 'g'))) AS norm
+  FROM documents
+)
+SELECT doc_id, norm, md5(norm) AS norm_fp
+FROM n ORDER BY doc_id LIMIT 300
+"""
+
+QUERIES["q123_text_normalize"] = QuerySpec(_q_text_normalize, _TEXT_NORMALIZE_ORACLE)

@@ -66,6 +66,7 @@ _PRIORITY = (
     "q39z_bloom_decontamination",
     "q121_gopher_quality",
     "q122_table_checksum",
+    "q123_text_normalize",
     # Stalest evidence: latest driver row is ROUND 3.  (q51/q55/q57/
     # q58/q59/q60/q61 — trivial relational forms, locally oracle-
     # checked on every pytest run — join q56/q63/q64/q65 in waiting
@@ -74,7 +75,6 @@ _PRIORITY = (
     "q39q_temperature_mix",
     "q39r_winnowing",
     "q39s_bigram_lm",
-    "q62_interval_arith",
     "q66_bigrams",
     "q67_histogram",
     "q68_sessionization",
