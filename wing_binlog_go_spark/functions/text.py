@@ -1583,3 +1583,48 @@ FROM n ORDER BY doc_id LIMIT 300
 """
 
 QUERIES["q123_text_normalize"] = QuerySpec(_q_text_normalize, _TEXT_NORMALIZE_ORACLE)
+
+
+def _q_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DROP half of decontamination as a driver-verified query:
+    corpus ids surviving ``decontaminate`` (>= 2 shared 5-grams with
+    any benchmark doc ⇒ dropped) — q39i verifies the overlap table,
+    this verifies the anti-join built on it."""
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).withColumnRenamed(
+        "doc_id", "bench_id"
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return (
+        decontaminate(corpus, bench, k=5, min_overlap=2)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_DECONTAMINATED_CORPUS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(t) >= 5
+                THEN list_transform(range(1, len(t) - 3),
+                                    i -> array_to_string(t[i:i+4], ' '))
+                ELSE [array_to_string(t, ' ')] END)) AS s
+  FROM toks
+), dirty AS (
+  SELECT d.doc_id
+  FROM (SELECT * FROM sh WHERE doc_id % 97 <> 0) d
+  JOIN (SELECT * FROM sh WHERE doc_id % 97 = 0) b ON d.s = b.s
+  GROUP BY d.doc_id
+  HAVING COUNT(*) >= 2
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+ORDER BY doc_id
+"""
+
+QUERIES["q124_decontaminated_corpus"] = QuerySpec(
+    _q_decontaminated_corpus, _DECONTAMINATED_CORPUS_ORACLE
+)

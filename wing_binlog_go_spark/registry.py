@@ -67,15 +67,15 @@ _PRIORITY = (
     "q121_gopher_quality",
     "q122_table_checksum",
     "q123_text_normalize",
+    "q124_decontaminated_corpus",
     # Stalest evidence: latest driver row is ROUND 3.  (q51/q55/
-    # q57-q62 — trivial relational forms, locally oracle-checked on
-    # every pytest run — join q56/q63/q64/q65 in waiting for r7 so
-    # the eleven new r6 keys above fit the 50-window.)
+    # q57-q62/q66 — trivial forms, locally oracle-checked on every
+    # pytest run — join q56/q63/q64/q65 in waiting for r7 so the
+    # twelve new r6 keys above fit the 50-window.)
     "q39p_boilerplate",
     "q39q_temperature_mix",
     "q39r_winnowing",
     "q39s_bigram_lm",
-    "q66_bigrams",
     "q67_histogram",
     "q68_sessionization",
     "q69_funnel",
