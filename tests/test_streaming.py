@@ -803,3 +803,46 @@ def test_ivfpq_index_route_end_to_end(spark, tmp_path):
         None, queries, k=1, n_probe=4, refine=8, index=idx2
     ).collect()
     assert top[0].vec_id == 6 and top[0].rnk == 1
+
+
+def test_dedup_corpus_route_with_quality_gate(spark, tmp_path):
+    """The corpus route's optional quality prefilter: low-quality docs
+    (fail the Gopher rules) never enter the store or the corpus;
+    passing docs flow through dedup as before."""
+    import json as _json
+
+    from wing_binlog_go_spark.functions.text import gopher_quality_flags
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+    from wing_binlog_go_spark.streaming.sinks import (
+        dedup_corpus_writer,
+        read_dedup_corpus,
+    )
+
+    good = "the quick brown fox jumps over that lazy dog " * 7
+    bad = "1234 5678 " * 30 + "the"  # fails the alpha-ratio rule
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    with open(log_dir / "f0.jsonl", "w") as f:
+        for i, text in [(1, good.strip()), (2, bad.strip()), (3, good.strip())]:
+            rec = {
+                "binlog_file": "mysql-bin.000001", "binlog_pos": 4 + i * 50,
+                "xid_commit": True, "database": "crawl", "table": "docs",
+                "action": "insert", "row_no": 0, "before": None,
+                "after": {"id": str(i), "text": text}, "ddl_query": None,
+                "ts_header": "2018-04-19T05:21:27.000Z", "gtid": None,
+            }
+            f.write(_json.dumps(rec) + "\n")
+
+    def gate(docs):
+        keep = gopher_quality_flags(docs, min_stopword_hits=1).filter("keep")
+        return docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+
+    store = str(tmp_path / "corpus")
+    route = Route(
+        "corpus",
+        dedup_corpus_writer(store, "crawl.docs", quality_filter=gate),
+    )
+    q = run_pipeline(spark, str(log_dir), [route], str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+    ids = sorted(r.doc_id for r in read_dedup_corpus(spark, store).collect())
+    assert ids == [1]  # 2 failed quality; 3 (exact copy) deduped against 1

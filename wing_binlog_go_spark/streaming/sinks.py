@@ -338,6 +338,7 @@ def dedup_corpus_writer(
     id_field: str = "id",
     text_field: str = "text",
     threshold: float = 0.8,
+    quality_filter=None,
 ):
     """Route writer composing the CDC stream with incremental corpus
     dedup (`operators.dedup.incremental_dedup_apply`): INSERT envelopes
@@ -368,6 +369,15 @@ def dedup_corpus_writer(
         )
         if docs.isEmpty():
             return
+        if quality_filter is not None:
+            # optional pre-dedup gate (e.g. lambda d:
+            # d.join(gopher_quality_flags(d, ...).filter("keep")
+            # .select("doc_id"), "doc_id", "left_semi")) — rejected
+            # docs never reach the signature store, so they cannot
+            # suppress a later GOOD near-duplicate as its "survivor"
+            docs = quality_filter(docs)
+            if docs.isEmpty():
+                return
         incremental_dedup_apply(
             env.sparkSession,
             docs,
