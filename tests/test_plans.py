@@ -417,3 +417,41 @@ def test_row_local_corpus_ops_have_no_exchange(spark, sf_dir):
         p = plan_of(df)
         assert "Exchange" not in p, (name, p[:600])
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_bm25_has_no_cartesian_and_no_python_nodes(spark, sf_dir):
+    """q125: BM25's candidate tables are |q|-term filtered BEFORE any
+    shuffle; scoring is equi-joins on term/doc_id — no cross product,
+    no Python eval in the plan."""
+    p = plan_of(_Q["q125_bm25"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_column_profile_is_single_scan(spark, sf_dir):
+    """q126: every per-column aggregate evaluates in ONE pass — exactly
+    one parquet scan of orders in the plan (the multi-DISTINCT goes
+    through Expand, not extra scans), and the unpivot is a projection."""
+    import re
+
+    p = plan_of(_Q["q126_column_profile"].spark(spark, sf_dir))
+    # formatted explain prints each node once in the tree and once in
+    # the detail section — count the numbered detail headers
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+    assert "Expand" in p  # the multi-distinct shape, not N scans
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_event_transitions_window_is_entity_keyed(spark, sf_dir):
+    """q127: the LEAD window must partition on user_id (entity-keyed,
+    parallel) — a partition-less global Window would serialize the
+    events table onto one task."""
+    df = _Q["q127_event_transitions"].spark(spark, sf_dir)
+    p = plan_of(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # no global (empty-partition-spec) window: every Window node names
+    # a partition key
+    for line in p.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "user_id" in line or "from_type" in line

@@ -1628,3 +1628,136 @@ ORDER BY doc_id
 QUERIES["q124_decontaminated_corpus"] = QuerySpec(
     _q_decontaminated_corpus, _DECONTAMINATED_CORPUS_ORACLE
 )
+
+
+# ---------------------------------------------------------------------------
+# Okapi BM25 ranking (Robertson/Spärck Jones; the standard lexical
+# retrieval scorer — the reference's consumers run ad-hoc text search
+# over replicated tables, readme.md:40-43 "Realtime analytics")
+# ---------------------------------------------------------------------------
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, score) Okapi BM25 of each document against ``query_terms``.
+
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1)  (the Lucene/+1 form, never
+    negative), tf component = tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)).
+
+    Scale shape: one tokenize+explode scan feeds doc lengths AND the
+    term-filtered tf table (localCheckpoint barrier, the standard
+    CollapseProject guard).  ``query_terms`` is a bounded literal list,
+    so tf is filtered DOWN to query terms before any shuffle — the
+    groupBy aggregates |q| terms per doc, not the vocabulary; df for
+    the |q| terms is a filtered aggregate of the same shape.  No
+    vocabulary-sized broadcast anywhere (the r2 tf_idf lesson).  Docs
+    containing no query term score 0 and are kept via a left join so
+    the operator is a total ranking, not a filter.
+    """
+    if not query_terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    tok = docs.select(
+        id_col, F.explode(tokens(text_col)).alias("term")
+    ).localCheckpoint(eager=True)
+    dl = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
+    hit = tok.filter(F.col("term").isin(terms))
+    tf = hit.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_tbl = (
+        hit.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.count()
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    # scalar avgdl: one driver-side aggregate (same budget class as
+    # tf_idf's n_docs count)
+    avgdl = float(dl.agg(F.avg("dl")).first()[0])
+    # dl joins AFTER the term filter: |q|-term rows join doc lengths,
+    # never the full token stream
+    scored = (
+        tf.join(df_tbl, "term")
+        .join(dl, id_col)
+        .select(
+            id_col,
+            (
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.lit(avgdl)
+                    )
+                )
+            ).alias("part"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("part").alias("score"))
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.round(F.coalesce(F.col("score"), F.lit(0.0)), 6).alias("bm25"),
+        )
+    )
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        bm25_scores(d, ["hash", "stream", "spark"])
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+_BM25_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+), hit AS (
+  SELECT * FROM tok WHERE term IN ('hash', 'stream', 'spark')
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM hit GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM hit) GROUP BY term
+), consts AS (
+  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+         (SELECT AVG(dl) FROM dl) AS avgdl
+), scored AS (
+  SELECT tf.doc_id,
+         SUM(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * 2.2)
+           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         ) AS score
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN consts
+  GROUP BY tf.doc_id
+)
+SELECT d.doc_id, ROUND(COALESCE(score, 0.0), 6) AS bm25
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+ORDER BY bm25 DESC, d.doc_id LIMIT 100
+"""
+
+QUERIES["q125_bm25"] = QuerySpec(_q_bm25, _BM25_ORACLE)

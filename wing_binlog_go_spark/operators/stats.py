@@ -213,3 +213,102 @@ def repair_chunks(
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.mode("overwrite").parquet(tmp)
     swap_dir(tmp, replica_dir)
+
+
+# ---------------------------------------------------------------------------
+# column profiling (ingest validation / ANALYZE-style statistics)
+# ---------------------------------------------------------------------------
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """One row PER COLUMN: (col_name, n_rows, n_nonnull, ndv, min_s,
+    max_s) — the ANALYZE/profiling pass a pipeline runs on every new
+    ingest partition before trusting it (null explosions, cardinality
+    drift, out-of-range values).
+
+    Scale shape: ONE scan. All per-column aggregates evaluate in a
+    single ``agg`` (Spark plans the multi-DISTINCT via Expand — rows ×
+    #profiled-columns, map-side partial before the single shuffle);
+    with ``approx=True`` the Expand disappears entirely because
+    approx_count_distinct is a mergeable HLL sketch, the right call at
+    100 TB. The wide 1-row result is unpivoted to the tall shape with
+    ``stack`` — pure JVM projection, no collect, no second scan.
+
+    min/max are canonicalized to strings per dtype so heterogeneous
+    columns fit one schema: fractional types go through DECIMAL(28,6)
+    (stable textual form in both Spark and DuckDB — raw double→string
+    diverges on scientific-notation thresholds), everything else casts
+    directly.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    ndv_fn = F.approx_count_distinct if approx else F.count_distinct
+    for c in cols:
+        if dtypes[c] in ("double", "float"):
+            canon = F.col(c).cast("decimal(28,6)")
+        else:
+            canon = F.col(c)
+        aggs += [
+            F.count(c).alias(f"nn__{c}"),
+            ndv_fn(F.col(c)).alias(f"ndv__{c}"),
+            F.min(canon).cast("string").alias(f"min__{c}"),
+            F.max(canon).cast("string").alias(f"max__{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `nn__{c}`, `ndv__{c}`, `min__{c}`, `max__{c}`" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_nonnull, ndv, min_s, max_s)"
+        ),
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nonnull", "ndv", "min_s", "max_s")
+
+
+def _q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return profile_columns(df).orderBy("col_name")
+
+
+_PROFILE_ORACLE = """
+WITH p AS (
+  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+         COUNT(o_orderkey) AS n_nonnull, COUNT(DISTINCT o_orderkey) AS ndv,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+         CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+         CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+         COUNT(DISTINCT o_orderstatus),
+         MIN(o_orderstatus), MAX(o_orderstatus)
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+         COUNT(DISTINCT o_totalprice),
+         CAST(CAST(MIN(o_totalprice) AS DECIMAL(28,6)) AS VARCHAR),
+         CAST(CAST(MAX(o_totalprice) AS DECIMAL(28,6)) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', COUNT(*), COUNT(o_orderdate),
+         COUNT(DISTINCT o_orderdate),
+         CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+         COUNT(DISTINCT o_orderpriority),
+         MIN(o_orderpriority), MAX(o_orderpriority)
+  FROM orders
+)
+SELECT * FROM p ORDER BY col_name
+"""
+
+QUERIES["q126_column_profile"] = QuerySpec(_q_profile, _PROFILE_ORACLE)

@@ -1924,3 +1924,64 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(300)
     )
+
+
+# ---------------------------------------------------------------------------
+# q127: event-transition matrix — Markov first-order transition counts
+# and probabilities over each user's event sequence (the clickstream
+# "what happens after X" analytics a CDC consumer of the events table
+# runs; reference readme.md:40-43 delegates exactly this to consumers)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q127_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ), c AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE) /
+                 SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM c
+    ORDER BY from_type, to_type
+    """,
+)
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the LEAD window partitions on user_id — entity-keyed,
+    millions of small groups, parallelizes like any hash shuffle (never
+    a global sort). The transition matrix is |event_types|² rows, so the
+    probability-normalizing window over from_type runs on a bounded
+    aggregate, not the raw stream. Deterministic under ts ties via the
+    (ts, event_id) composite order."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    c = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("p"),
+    ).orderBy("from_type", "to_type")
