@@ -846,3 +846,75 @@ def test_dedup_corpus_route_with_quality_gate(spark, tmp_path):
     q.awaitTermination(60)
     ids = sorted(r.doc_id for r in read_dedup_corpus(spark, store).collect())
     assert ids == [1]  # 2 failed quality; 3 (exact copy) deduped against 1
+
+
+def test_curation_stats_route_end_to_end(spark, tmp_path):
+    """The curation funnel route writes ONE stats row per micro-batch
+    (arrivals, keeps, per-rule failure counts) and is replay-idempotent:
+    re-running the whole changelog under a fresh checkpoint leaves the
+    stats table unchanged."""
+    import json as _json
+
+    from wing_binlog_go_spark.functions.text import gopher_quality_flags
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+    from wing_binlog_go_spark.streaming.sinks import (
+        curation_stats_writer,
+        read_curation_stats,
+    )
+
+    texts = {
+        1: "the quick brown fox and a dog run over green grass today",  # keep
+        2: "the tiny doc",                       # fails min-words
+        3: "### ### ### ### ### ###",            # fails symbols+alpha+stopwords
+    }
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    for fi, ids in enumerate([(1, 2), (3,)]):  # two files → two batches
+        with open(log_dir / f"f{fi}.jsonl", "w") as f:
+            for ev, did in enumerate(ids):
+                rec = {
+                    "binlog_file": f"mysql-bin.{fi:06d}",
+                    "binlog_pos": 4 + ev * 50, "xid_commit": True,
+                    "database": "crawl", "table": "docs",
+                    "action": "insert", "row_no": 0, "before": None,
+                    "after": {"id": str(did), "text": texts[did]},
+                    "ddl_query": None,
+                    "ts_header": "2018-04-19T05:21:27.000Z", "gtid": None,
+                }
+                f.write(_json.dumps(rec) + "\n")
+
+    stats_dir = str(tmp_path / "stats")
+    route = Route(
+        "stats",
+        curation_stats_writer(
+            stats_dir,
+            "crawl.docs",
+            flags_fn=lambda d: gopher_quality_flags(
+                d, min_words=5, min_stopword_hits=1, with_rules=True
+            ),
+        ),
+    )
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+
+    rows = {r.batch_id: r for r in read_curation_stats(spark, stats_dir).collect()}
+    assert set(rows) == {0, 1}
+    b0 = rows[0]
+    assert (b0.n_docs, b0.n_keep) == (2, 1)
+    assert (b0.fail_words, b0.fail_word_len) == (1, 0)
+    assert (b0.fail_symbols, b0.fail_alpha, b0.fail_stopwords) == (0, 0, 0)
+    b1 = rows[1]
+    assert (b1.n_docs, b1.n_keep) == (1, 0)
+    assert b1.fail_words == 0
+    assert (b1.fail_symbols, b1.fail_alpha, b1.fail_stopwords) == (1, 1, 1)
+
+    # full replay, fresh checkpoint: batch partitions exist → no-op
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+    assert read_curation_stats(spark, stats_dir).count() == 2

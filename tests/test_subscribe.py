@@ -347,8 +347,14 @@ def test_chaos_stalled_set_pro_subscriber_under_event_flood():
     keepalive period."""
     import threading
 
+    # queue/timeout sized so the STALLED side still must evict (it never
+    # reads: 2000 × 2 KiB ≈ 4 MB of queue + kernel buffers << 40 MB of
+    # flood) while the LIVE side tolerates ~1 s scheduler stalls — this
+    # box runs noisy co-tenants, and at 500/0.2 s a GIL-starved drain
+    # thread got itself evicted under load (flaked in the r6 full run,
+    # passed in isolation)
     server = SubscribeServer(
-        keepalive_sec=0.5, max_send_queue=500, full_timeout=0.2, write_timeout=0.5
+        keepalive_sec=0.5, max_send_queue=2000, full_timeout=1.0, write_timeout=0.5
     )
     n_events = 20_000
     try:

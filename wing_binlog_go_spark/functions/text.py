@@ -1454,6 +1454,7 @@ def gopher_quality_flags(
     min_alpha_ratio: float = 0.8,
     stopwords: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with"),
     min_stopword_hits: int = 2,
+    with_rules: bool = False,
 ) -> DataFrame:
     """Per-document quality features + keep verdict after the published
     Gopher filtering rules (Rae et al. 2021, §A1.1 — the de-facto
@@ -1480,14 +1481,21 @@ def gopher_quality_flags(
             F.array_distinct(toks), F.array(*[F.lit(s) for s in stopwords])
         )
     )
+    rules = {
+        "pass_words": n.between(min_words, max_words),
+        "pass_word_len": mean_len.between(min_mean_word_len, max_mean_word_len),
+        "pass_symbols": symbol_ratio <= max_symbol_ratio,
+        "pass_alpha": alpha_ratio >= min_alpha_ratio,
+        "pass_stopwords": stop_hits >= min_stopword_hits,
+    }
     keep = (
-        n.between(min_words, max_words)
-        & mean_len.between(min_mean_word_len, max_mean_word_len)
-        & (symbol_ratio <= max_symbol_ratio)
-        & (alpha_ratio >= min_alpha_ratio)
-        & (stop_hits >= min_stopword_hits)
+        rules["pass_words"]
+        & rules["pass_word_len"]
+        & rules["pass_symbols"]
+        & rules["pass_alpha"]
+        & rules["pass_stopwords"]
     )
-    return df.select(
+    out = [
         F.col(id_col),
         n.cast("bigint").alias("n_words"),
         F.round(mean_len, 6).alias("mean_word_len"),
@@ -1495,7 +1503,12 @@ def gopher_quality_flags(
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
         stop_hits.cast("bigint").alias("stop_hits"),
         keep.alias("keep"),
-    )
+    ]
+    if with_rules:
+        # opt-in per-rule verdicts (the curation-stats route aggregates
+        # these); the default schema stays the q121 oracle contract
+        out += [expr.alias(name) for name, expr in rules.items()]
+    return df.select(*out)
 
 
 def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -638,3 +638,83 @@ def read_pit_enriched(spark, out_dir: str) -> DataFrame:
     event_index (deterministic under the O10 contract — a re-delivered
     fact re-derives the identical enriched row)."""
     return spark.read.parquet(out_dir).dropDuplicates(["event_index"])
+
+
+def curation_stats_writer(
+    stats_dir: str,
+    table: str,
+    id_field: str = "id",
+    text_field: str = "text",
+    flags_fn=None,
+) -> Callable[[DataFrame, int], None]:
+    """Per-batch CURATION FUNNEL statistics for a documents feed: how
+    many docs arrived, how many passed the quality gate, and how many
+    failed EACH rule — the monitoring table an operator of a streaming
+    corpus pipeline watches for ingest-quality drift (a crawl source
+    going bad shows up as a rule-level failure spike batches before it
+    shows up in corpus size).
+
+    One row per micro-batch appended to ``stats_dir`` PARTITIONED BY
+    batch_id: the partition directory's presence (with data files) is
+    the commit marker, so at-least-once replays of a batch are no-ops
+    (same idempotence shape as the corpus stores' id-presence).  Cost
+    per batch: the flags are row-local column expressions (zero
+    shuffle) and every count folds into ONE single-row aggregate — one
+    driver action plus the 1-row write.
+
+    ``flags_fn`` defaults to ``gopher_quality_flags(..., with_rules=
+    True)``; any replacement must emit a boolean ``keep`` plus
+    ``pass_*`` rule columns over (doc_id, text).
+    """
+    from wing_binlog_go_spark.functions.text import gopher_quality_flags
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        part_dir = os.path.join(stats_dir, f"batch_id={batch_id}")
+        if os.path.isdir(part_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(part_dir)
+        ):
+            return  # replayed batch: stats row already committed
+        docs = (
+            env.filter(
+                (F.col("event_type") == "insert")
+                & (F.concat_ws(".", "database", "table") == table)
+            )
+            .select(
+                F.element_at("event.data", id_field).cast("long").alias("doc_id"),
+                F.element_at("event.data", text_field).alias("text"),
+            )
+            .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        )
+        flagged = (
+            flags_fn(docs)
+            if flags_fn is not None
+            else gopher_quality_flags(docs, with_rules=True)
+        )
+        rule_cols = [c for c in flagged.columns if c.startswith("pass_")]
+        if "keep" not in flagged.columns or not rule_cols:
+            raise ValueError(
+                "curation_stats_writer: flags_fn must emit 'keep' and "
+                f"'pass_*' columns, got {flagged.columns}"
+            )
+        stats = flagged.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            *[
+                F.sum((~F.col(c)).cast("long")).alias(c.replace("pass_", "fail_"))
+                for c in rule_cols
+            ],
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        # empty batches still write their row (n_docs=0): a silent gap
+        # in the stats table would be indistinguishable from a stalled
+        # route, and the no-silent-caps rule applies to monitoring too
+        stats.fillna(0).write.mode("append").partitionBy("batch_id").parquet(
+            stats_dir
+        )
+
+    return write
+
+
+def read_curation_stats(spark, stats_dir: str) -> DataFrame:
+    """The per-batch funnel table maintained by ``curation_stats_writer``
+    (one row per batch; batch_id partition pruning applies)."""
+    return spark.read.parquet(stats_dir)
