@@ -455,3 +455,14 @@ def test_event_transitions_window_is_entity_keyed(spark, sf_dir):
     for line in p.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "user_id" in line or "from_type" in line
+
+
+def test_pmi_bigrams_are_row_local_and_joins_unhinted(spark, sf_dir):
+    """q128: bigram extraction is a row-local array zip (no per-token
+    window shuffle — no Window node at all before the aggregates), and
+    the vocabulary joins carry no compile-time broadcast (no cartesian,
+    no Python nodes)."""
+    p = plan_of(_Q["q128_pmi_collocations"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "windowspecdefinition" not in p

@@ -1774,3 +1774,119 @@ ORDER BY bm25 DESC, d.doc_id LIMIT 100
 """
 
 QUERIES["q125_bm25"] = QuerySpec(_q_bm25, _BM25_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (Church & Hanks 1990 — the standard association
+# measure for finding multi-word expressions in a corpus; the phrase-
+# mining pass a tokenizer/vocab pipeline runs before merging MWEs)
+# ---------------------------------------------------------------------------
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """(a, b, n_ab, pmi) for adjacent word pairs with
+    PMI = ln( (c_ab/N_pairs) / ((c_a/N_words)·(c_b/N_words)) ).
+
+    Scale shape: bigrams come from zipping each token array with its
+    own tail — row-local, no per-token window shuffle; one scan feeds
+    unigram counts, bigram counts, and both totals (localCheckpoint
+    barrier).  The unigram join is vocabulary-sized so it carries NO
+    broadcast hint (the r2 tf_idf lesson) — AQE broadcasts when small,
+    sort-merges otherwise.  ``min_count`` prunes the bigram tail BEFORE
+    the two unigram joins.
+    """
+    toks = docs.select(id_col, tokens(text_col).alias("t")).localCheckpoint(
+        eager=True
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_w"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1).alias("a"),
+                    F.slice(F.col("t"), 2, F.size("t") - 1).alias("b"),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    totals = uni.agg(
+        F.sum("c_w").alias("n_words"), F.count("*").alias("n_vocab")
+    ).first()
+    n_words = float(totals["n_words"])
+    n_pairs = float(
+        toks.select(
+            F.sum(F.greatest(F.size("t") - 1, F.lit(0))).alias("np")
+        ).first()["np"]
+    )
+    ca = uni.select(F.col("w").alias("a"), F.col("c_w").alias("c_a"))
+    cb = uni.select(F.col("w").alias("b"), F.col("c_w").alias("c_b"))
+    return (
+        bi.join(ca, "a")
+        .join(cb, "b")
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") / F.lit(n_pairs))
+                    / (
+                        (F.col("c_a") / F.lit(n_words))
+                        * (F.col("c_b") / F.lit(n_words))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def _q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        pmi_collocations(d, min_count=5)
+        .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        .limit(100)
+    )
+
+
+_PMI_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), uni AS (
+  SELECT w, COUNT(*) AS c_w
+  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w
+), bi AS (
+  SELECT a, b, COUNT(*) AS n_ab FROM (
+    SELECT t[i] AS a, t[i + 1] AS b
+    FROM tok, unnest(range(1, len(t))) AS r(i)
+  ) GROUP BY a, b
+  HAVING COUNT(*) >= 5
+), consts AS (
+  SELECT (SELECT CAST(SUM(c_w) AS DOUBLE) FROM uni) AS n_words,
+         (SELECT CAST(SUM(GREATEST(len(t) - 1, 0)) AS DOUBLE) FROM tok)
+           AS n_pairs
+)
+SELECT bi.a, bi.b, n_ab,
+       ROUND(ln((n_ab / n_pairs) /
+                ((ca.c_w / n_words) * (cb.c_w / n_words))), 6) AS pmi
+FROM bi
+JOIN uni ca ON bi.a = ca.w
+JOIN uni cb ON bi.b = cb.w
+CROSS JOIN consts
+ORDER BY pmi DESC, bi.a, bi.b LIMIT 100
+"""
+
+QUERIES["q128_pmi_collocations"] = QuerySpec(_q_pmi, _PMI_ORACLE)

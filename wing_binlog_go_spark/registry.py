@@ -71,6 +71,7 @@ _PRIORITY = (
     "q125_bm25",
     "q126_column_profile",
     "q127_event_transitions",
+    "q128_pmi_collocations",
     # Stalest evidence: latest driver row is ROUND 3.  (q51/q55/
     # q57-q62/q66 — trivial forms, locally oracle-checked on every
     # pytest run — join q56/q63/q64/q65 in waiting for r7 so the
@@ -105,9 +106,8 @@ _PRIORITY = (
     "q91_tpch_q19",
     "q92_tpch_q22",
     "q93_tpch_q4",
-    "q94_tpch_q6",
-    # (q95/q96/q97 hold r3 rows and yield their slots to the three
-    # never-verified late-r6 keys q125/q126/q127; they rejoin the
+    # (q94-q97 hold r3 rows and yield their slots to the four
+    # never-verified late-r6 keys q125-q128; they rejoin the
     # refresh rotation in r7 with the other r3-era forms.)
     # The window is exactly these 50; the remainder follows in module
     # registration order (all holding r4/r5 driver rows).
