@@ -466,3 +466,16 @@ def test_pmi_bigrams_are_row_local_and_joins_unhinted(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "windowspecdefinition" not in p
+
+
+def test_decay_features_single_scan_partial_agg(spark, sf_dir):
+    """q130: one events scan feeding a partial→final hash aggregate on
+    user_id; the decay weight is a codegen row expression (no Python
+    nodes, no window, no join)."""
+    import re
+
+    p = plan_of(_Q["q130_decay_features"].spark(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+    assert p.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "windowspecdefinition" not in p and "Join" not in p

@@ -1228,3 +1228,55 @@ def _apss_verify(
             F.round("_j", 6).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q129: the pair→cluster step, ORACLE-verified — connected components
+# over the q37c near-dup pair graph. dedup_clusters' iterative min-label
+# propagation converges to "min doc id reachable", which a recursive
+# transitive closure expresses exactly in SQL, so the clustering
+# operator itself (not just its input pairs) is hash-checked vs DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=5, threshold=0.1)
+    return dedup_clusters(pairs).orderBy("doc")
+
+
+_DEDUP_CLUSTERS_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id AS doc,
+         unnest(list_distinct(
+           CASE WHEN len(t) >= 5
+                THEN list_transform(range(1, len(t) - 3),
+                                    i -> array_to_string(t[i:i+4], ' '))
+                ELSE [array_to_string(t, ' ')] END)) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc
+), common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+), edges AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes na ON na.doc = doc_a
+  JOIN sizes nb ON nb.doc = doc_b
+  WHERE ROUND(common / (na.n + nb.n - common), 6) >= 0.1
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION
+  SELECT doc_b, doc_a FROM edges
+), cc AS (
+  SELECT a AS doc, a AS lbl FROM sym
+  UNION
+  SELECT s.b AS doc, cc.lbl FROM cc JOIN sym s ON cc.doc = s.a
+)
+SELECT doc, MIN(lbl) AS cluster FROM cc GROUP BY doc ORDER BY doc
+"""
+
+QUERIES["q129_dedup_clusters"] = QuerySpec(_q_dedup_clusters, _DEDUP_CLUSTERS_ORACLE)

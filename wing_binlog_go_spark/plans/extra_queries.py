@@ -1985,3 +1985,49 @@ def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+# ---------------------------------------------------------------------------
+# q130: exponential time-decay features — recency-weighted per-user
+# aggregates (the standard feature-engineering transform for churn /
+# engagement models: yesterday's purchase counts more than last
+# month's). Decay at day granularity so the weight is an exact integer
+# power in both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q130_decay_features",
+    """
+    WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS ref_d FROM events)
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS total_value,
+           ROUND(SUM(value * exp(-date_diff('day', CAST(ts AS DATE), ref_d)
+                                 / 30.0)), 6) AS decayed_value
+    FROM events CROSS JOIN ref
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def _q_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one scan, one partial→final hash aggregate on
+    user_id; the reference date is a single driver-side scalar (same
+    budget class as BM25's avgdl), folded into the row expression so
+    the decay weight stays inside codegen. Day-granular decay keeps the
+    exponent an exact integer in both engines (a sub-second exponent
+    would hash-diverge on timestamp-to-double conventions)."""
+    e = _t(spark, sf_dir, "events")
+    ref_d = e.agg(F.max(F.to_date("ts"))).first()[0]
+    days = F.datediff(F.lit(ref_d), F.to_date("ts"))
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.round(
+                F.sum(F.col("value") * F.exp(-days / F.lit(30.0))), 6
+            ).alias("decayed_value"),
+        )
+        .orderBy("user_id")
+    )

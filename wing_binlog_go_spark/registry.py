@@ -72,6 +72,8 @@ _PRIORITY = (
     "q126_column_profile",
     "q127_event_transitions",
     "q128_pmi_collocations",
+    "q129_dedup_clusters",
+    "q130_decay_features",
     # Stalest evidence: latest driver row is ROUND 3.  (q51/q55/
     # q57-q62/q66 — trivial forms, locally oracle-checked on every
     # pytest run — join q56/q63/q64/q65 in waiting for r7 so the
@@ -104,10 +106,8 @@ _PRIORITY = (
     "q89_tpch_q16",
     "q90_tpch_q17",
     "q91_tpch_q19",
-    "q92_tpch_q22",
-    "q93_tpch_q4",
-    # (q94-q97 hold r3 rows and yield their slots to the four
-    # never-verified late-r6 keys q125-q128; they rejoin the
+    # (q92-q97 hold r3 rows and yield their slots to the six
+    # never-verified late-r6 keys q125-q130; they rejoin the
     # refresh rotation in r7 with the other r3-era forms.)
     # The window is exactly these 50; the remainder follows in module
     # registration order (all holding r4/r5 driver rows).
