@@ -1696,7 +1696,10 @@ def bm25_scores(
     )
     # scalar avgdl: one driver-side aggregate (same budget class as
     # tf_idf's n_docs count)
-    avgdl = float(dl.agg(F.avg("dl")).first()[0])
+    avgdl_row = dl.agg(F.avg("dl")).first()[0]
+    if avgdl_row is None:  # empty corpus: total ranking of nothing
+        return docs.select(id_col, F.lit(0.0).alias("bm25"))
+    avgdl = float(avgdl_row)
     # dl joins AFTER the term filter: |q|-term rows join doc lengths,
     # never the full token stream
     scored = (

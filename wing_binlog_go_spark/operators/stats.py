@@ -243,6 +243,8 @@ def profile_columns(
     directly.
     """
     cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_columns: no columns to profile")
     dtypes = dict(df.dtypes)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     ndv_fn = F.approx_count_distinct if approx else F.count_distinct
