@@ -191,3 +191,22 @@ def test_table_checksum_is_order_and_partition_invariant(spark):
             for r in table_checksum(variant, "k", ["k", "v"], 8).collect()
         }
         assert got == base
+
+
+def test_fk_orphans_finds_planted_and_ignores_null_fks(spark):
+    """Referential-integrity audit (q131's operator): orphans are child
+    rows whose non-NULL FK misses every parent PK; NULL FKs are not
+    orphans (SQL FK semantics); a clean parent set yields zero."""
+    from wing_binlog_go_spark.operators.stats import fk_orphans
+
+    parent = spark.createDataFrame(
+        [(1,), (2,), (3,)], "pk: bigint"
+    )
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 99), (13, None), (14, 2)],
+        "id: bigint, fk: bigint",
+    )
+    orphans = fk_orphans(child, parent, "fk", "pk")
+    assert sorted(r.id for r in orphans.collect()) == [12]
+    clean = fk_orphans(child.filter("fk is null or fk <= 3"), parent, "fk", "pk")
+    assert clean.count() == 0

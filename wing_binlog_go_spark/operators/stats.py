@@ -314,3 +314,57 @@ SELECT * FROM p ORDER BY col_name
 """
 
 QUERIES["q126_column_profile"] = QuerySpec(_q_profile, _PROFILE_ORACLE)
+
+
+def fk_orphans(
+    child: DataFrame, parent: DataFrame, fk_col: str, pk_col: str
+) -> DataFrame:
+    """Child rows whose foreign key has no parent — the referential-
+    integrity half of replica verification (a CDC apply bug that drops
+    or reorders parent rows shows up as orphans long before a full
+    checksum run finds it).  NULL FKs are not orphans (SQL FK
+    semantics).  Left-anti equi-join: one shuffle, no broadcast hint —
+    AQE broadcasts a small parent at runtime.
+    """
+    return child.filter(F.col(fk_col).isNotNull()).join(
+        parent.select(F.col(pk_col).alias(fk_col)).distinct(),
+        fk_col,
+        "left_anti",
+    )
+
+
+def _q_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan counts for the two fact→dim edges of the TPC-H-ish
+    schema, one row per edge (0 on clean data — the audit asserts the
+    join paths, not just this corpus)."""
+    from wing_binlog_go_spark.tables import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    a = fk_orphans(orders, customer, "o_custkey", "c_custkey").agg(
+        F.lit("orders->customer").alias("edge"),
+        F.count("*").alias("n_orphans"),
+    )
+    b = fk_orphans(lineitem, orders, "l_orderkey", "o_orderkey").agg(
+        F.lit("lineitem->orders").alias("edge"),
+        F.count("*").alias("n_orphans"),
+    )
+    return a.unionByName(b).orderBy("edge")
+
+
+_RI_AUDIT_ORACLE = """
+SELECT * FROM (
+  SELECT 'orders->customer' AS edge, COUNT(*) AS n_orphans
+  FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+  UNION ALL
+  SELECT 'lineitem->orders', COUNT(*)
+  FROM lineitem l
+  WHERE l.l_orderkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+) ORDER BY edge
+"""
+
+QUERIES["q131_ri_audit"] = QuerySpec(_q_ri_audit, _RI_AUDIT_ORACLE)

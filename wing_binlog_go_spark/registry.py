@@ -74,6 +74,7 @@ _PRIORITY = (
     "q128_pmi_collocations",
     "q129_dedup_clusters",
     "q130_decay_features",
+    "q131_ri_audit",
     # Stalest evidence: latest driver row is ROUND 3.  (q51/q55/
     # q57-q62/q66 — trivial forms, locally oracle-checked on every
     # pytest run — join q56/q63/q64/q65 in waiting for r7 so the
@@ -105,9 +106,8 @@ _PRIORITY = (
     "q88_tpch_q13",
     "q89_tpch_q16",
     "q90_tpch_q17",
-    "q91_tpch_q19",
-    # (q92-q97 hold r3 rows and yield their slots to the six
-    # never-verified late-r6 keys q125-q130; they rejoin the
+    # (q91-q97 hold r3 rows and yield their slots to the seven
+    # never-verified late-r6 keys q125-q131; they rejoin the
     # refresh rotation in r7 with the other r3-era forms.)
     # The window is exactly these 50; the remainder follows in module
     # registration order (all holding r4/r5 driver rows).
