@@ -140,6 +140,23 @@ def main() -> None:
         ],
         MEDIA_SCHEMA,
     )
+    # --- corpus analytics: search, phrases, profile (late r6) ---------
+    from wing_binlog_go_spark.functions.text import bm25_scores, pmi_collocations
+    from wing_binlog_go_spark.operators.stats import profile_columns
+
+    top = (
+        bm25_scores(clean, ["hash", "stream", "spark"])
+        .orderBy(F.desc("bm25"), "doc_id").limit(5).collect()
+    )
+    print("bm25 top-5:", [(r.doc_id, r.bm25) for r in top])
+    phrases = (
+        pmi_collocations(clean, min_count=3)
+        .orderBy(F.desc("pmi"), "a", "b").limit(5).collect()
+    )
+    print("top collocations:", [(r.a, r.b, r.pmi) for r in phrases])
+    prof = profile_columns(docs, cols=["doc_id", "lang", "n_chars"]).collect()
+    print("profile:", [(r.col_name, r.ndv, r.min_s, r.max_s) for r in prof])
+
     img_pairs = phash_near_dup_pairs(
         media.filter(F.col("meta.mime").startswith("image/")),
         max_hamming=8, batch_decoder=real_decode_image,
