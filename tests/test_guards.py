@@ -118,15 +118,24 @@ def test_registry_priority_window_and_no_failed_modules():
         "q121_gopher_quality", "q122_table_checksum",
     ]
     # (b) the stalest evidence (latest row r3) fills the rest; the
-    # seven trivial relational forms deferred for the new keys
-    # (q51/q55/q57-q61) wait for r7 with q56/q63/q64/q65
+    # trivial relational forms (q51/q55/q57-q61 + q56/q63-q65) AND
+    # q91-q97 (whose refresh slots went to the late-r6 never-verified
+    # keys q125-q131) wait for r7
     for stale in (
         "q39p_boilerplate", "q68_sessionization",
-        "q77_range_frame", "q85_point_in_time_join", "q94_tpch_q6",
-        "q97_tpch_q21",
+        "q77_range_frame", "q85_point_in_time_join", "q90_tpch_q17",
     ):
         assert stale in window, stale
-    for deferred in ("q51_null_handling", "q60_array_hof", "q61_map_entries"):
+    for late_r6 in (
+        "q125_bm25", "q126_column_profile", "q127_event_transitions",
+        "q128_pmi_collocations", "q129_dedup_clusters",
+        "q130_decay_features", "q131_ri_audit",
+    ):
+        assert late_r6 in window, late_r6
+    for deferred in (
+        "q51_null_handling", "q60_array_hof", "q61_map_entries",
+        "q94_tpch_q6", "q97_tpch_q21",
+    ):
         assert deferred not in window, deferred
     # (c) the graded operator families keep in-window representation
     # (dedup via q114, similarity via q38i, text via q39x/y + q39p-s,
