@@ -450,11 +450,14 @@ def test_event_transitions_window_is_entity_keyed(spark, sf_dir):
     df = _Q["q127_event_transitions"].spark(spark, sf_dir)
     p = plan_of(df)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-    # no global (empty-partition-spec) window: every Window node names
-    # a partition key
-    for line in p.splitlines():
-        if "Window" in line and "windowspecdefinition" in line:
-            assert "user_id" in line or "from_type" in line
+    # no global (empty-partition-spec) window: every windowspecdefinition
+    # names a partition key. (formatted explain prints the node header
+    # and its Arguments on SEPARATE lines, so match the spec lines
+    # directly — and require at least one, so the gate can't go vacuous)
+    spec_lines = [l for l in p.splitlines() if "windowspecdefinition" in l]
+    assert spec_lines, p[:600]
+    for line in spec_lines:
+        assert "user_id" in line or "from_type" in line, line
 
 
 def test_pmi_bigrams_are_row_local_and_joins_unhinted(spark, sf_dir):

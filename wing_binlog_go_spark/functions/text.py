@@ -1824,15 +1824,18 @@ def pmi_collocations(
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= min_count)
     )
-    totals = uni.agg(
-        F.sum("c_w").alias("n_words"), F.count("*").alias("n_vocab")
+    # both scalars from ONE shuffle-free row-local aggregate (token and
+    # pair totals are per-row array sizes — no need to re-run the
+    # vocabulary groupBy, and one action instead of two)
+    totals = toks.agg(
+        F.sum(F.size("t")).alias("n_words"),
+        F.sum(F.greatest(F.size("t") - 1, F.lit(0))).alias("n_pairs"),
     ).first()
+    if totals["n_words"] is None or not totals["n_pairs"]:
+        # degenerate corpus (empty, or no doc has 2+ tokens): no pairs
+        return bi.select("a", "b", "n_ab", F.lit(0.0).alias("pmi")).limit(0)
     n_words = float(totals["n_words"])
-    n_pairs = float(
-        toks.select(
-            F.sum(F.greatest(F.size("t") - 1, F.lit(0))).alias("np")
-        ).first()["np"]
-    )
+    n_pairs = float(totals["n_pairs"])
     ca = uni.select(F.col("w").alias("a"), F.col("c_w").alias("c_a"))
     cb = uni.select(F.col("w").alias("b"), F.col("c_w").alias("c_b"))
     return (

@@ -240,7 +240,10 @@ def profile_columns(
     columns fit one schema: fractional types go through DECIMAL(28,6)
     (stable textual form in both Spark and DuckDB — raw double→string
     diverges on scientific-notation thresholds), everything else casts
-    directly.
+    directly.  The decimal cast null-skips values it can't represent
+    (NaN/±inf/|x|≥1e22) — exactly the explosions a profiler must NOT
+    hide — so ``n_uncast`` counts them per column: non-zero means the
+    min_s/max_s bounds are understated and the column needs a look.
     """
     cols = list(cols) if cols is not None else list(df.columns)
     if not cols:
@@ -256,57 +259,69 @@ def profile_columns(
         aggs += [
             F.count(c).alias(f"nn__{c}"),
             ndv_fn(F.col(c)).alias(f"ndv__{c}"),
+            (F.count(c) - F.count(canon)).alias(f"uc__{c}"),
             F.min(canon).cast("string").alias(f"min__{c}"),
             F.max(canon).cast("string").alias(f"max__{c}"),
         ]
     wide = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', `nn__{c}`, `ndv__{c}`, `min__{c}`, `max__{c}`" for c in cols
+        f"'{c}', `nn__{c}`, `ndv__{c}`, `uc__{c}`, `min__{c}`, `max__{c}`"
+        for c in cols
     )
     return wide.select(
         F.expr(
             f"stack({len(cols)}, {stack_args}) AS "
-            "(col_name, n_nonnull, ndv, min_s, max_s)"
+            "(col_name, n_nonnull, ndv, n_uncast, min_s, max_s)"
         ),
         "n_rows",
-    ).select("col_name", "n_rows", "n_nonnull", "ndv", "min_s", "max_s")
+    ).select(
+        "col_name", "n_rows", "n_nonnull", "ndv", "n_uncast", "min_s", "max_s"
+    )
 
 
 def _q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return profile_columns(df).orderBy("col_name")
+    # read_table, not spark.read.parquet: the driver calls builders
+    # with ITS session — read_table pins UTC/ANSI-off so the timestamp
+    # min/max strings match the oracle regardless of caller conf
+    from wing_binlog_go_spark.tables import read_table
+
+    return profile_columns(read_table(spark, sf_dir, "orders")).orderBy("col_name")
 
 
 _PROFILE_ORACLE = """
 WITH p AS (
   SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
          COUNT(o_orderkey) AS n_nonnull, COUNT(DISTINCT o_orderkey) AS ndv,
+         CAST(0 AS BIGINT) AS n_uncast,
          CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
          CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
   FROM orders
   UNION ALL
   SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+         CAST(0 AS BIGINT),
          CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
   FROM orders
   UNION ALL
   SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
-         COUNT(DISTINCT o_orderstatus),
+         COUNT(DISTINCT o_orderstatus), CAST(0 AS BIGINT),
          MIN(o_orderstatus), MAX(o_orderstatus)
   FROM orders
   UNION ALL
   SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
          COUNT(DISTINCT o_totalprice),
-         CAST(CAST(MIN(o_totalprice) AS DECIMAL(28,6)) AS VARCHAR),
-         CAST(CAST(MAX(o_totalprice) AS DECIMAL(28,6)) AS VARCHAR)
+         COUNT(o_totalprice)
+           - COUNT(TRY_CAST(o_totalprice AS DECIMAL(28,6))),
+         CAST(MIN(TRY_CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR),
+         CAST(MAX(TRY_CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR)
   FROM orders
   UNION ALL
   SELECT 'o_orderdate', COUNT(*), COUNT(o_orderdate),
-         COUNT(DISTINCT o_orderdate),
+         COUNT(DISTINCT o_orderdate), CAST(0 AS BIGINT),
          CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
   FROM orders
   UNION ALL
   SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
-         COUNT(DISTINCT o_orderpriority),
+         COUNT(DISTINCT o_orderpriority), CAST(0 AS BIGINT),
          MIN(o_orderpriority), MAX(o_orderpriority)
   FROM orders
 )

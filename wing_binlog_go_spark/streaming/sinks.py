@@ -332,6 +332,26 @@ def jsonl_route_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
     return write
 
 
+def _insert_docs(
+    env: DataFrame, table: str, id_field: str, text_field: str
+) -> DataFrame:
+    """(doc_id, text) from a batch's INSERT envelopes of ``table`` — the
+    shared arrival definition for every text-corpus route (dedup store,
+    quality gate, funnel stats), so they can never drift apart on which
+    docs count as 'arrived'."""
+    return (
+        env.filter(
+            (F.col("event_type") == "insert")
+            & (F.concat_ws(".", "database", "table") == table)
+        )
+        .select(
+            F.element_at("event.data", id_field).cast("long").alias("doc_id"),
+            F.element_at("event.data", text_field).alias("text"),
+        )
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    )
+
+
 def dedup_corpus_writer(
     store_dir: str,
     table: str,
@@ -356,17 +376,7 @@ def dedup_corpus_writer(
     from wing_binlog_go_spark.operators.dedup import incremental_dedup_apply
 
     def write(env: DataFrame, batch_id: int) -> None:
-        docs = (
-            env.filter(
-                (F.col("event_type") == "insert")
-                & (F.concat_ws(".", "database", "table") == table)
-            )
-            .select(
-                F.element_at("event.data", id_field).cast("long").alias("doc_id"),
-                F.element_at("event.data", text_field).alias("text"),
-            )
-            .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
-        )
+        docs = _insert_docs(env, table, id_field, text_field)
         if docs.isEmpty():
             return
         if quality_filter is not None:
@@ -662,11 +672,23 @@ def curation_stats_writer(
     shuffle) and every count folds into ONE single-row aggregate — one
     driver action plus the 1-row write.
 
+    ``stats_dir`` must be a POSIX path (same constraint, same reason,
+    and same loud guard as the incremental-aggregate state store: the
+    commit check is an os-level directory probe; on an object store a
+    URI would silently disable replay detection and duplicate rows).
+
     ``flags_fn`` defaults to ``gopher_quality_flags(..., with_rules=
     True)``; any replacement must emit a boolean ``keep`` plus
     ``pass_*`` rule columns over (doc_id, text).
     """
     from wing_binlog_go_spark.functions.text import gopher_quality_flags
+
+    if "://" in stats_dir:
+        raise ValueError(
+            "curation_stats_writer: stats_dir must be a POSIX path "
+            f"(got {stats_dir!r}) — the batch-commit probe is os-level; "
+            "a URI would silently disable replay detection"
+        )
 
     def write(env: DataFrame, batch_id: int) -> None:
         part_dir = os.path.join(stats_dir, f"batch_id={batch_id}")
@@ -674,17 +696,7 @@ def curation_stats_writer(
             f.endswith(".parquet") for f in os.listdir(part_dir)
         ):
             return  # replayed batch: stats row already committed
-        docs = (
-            env.filter(
-                (F.col("event_type") == "insert")
-                & (F.concat_ws(".", "database", "table") == table)
-            )
-            .select(
-                F.element_at("event.data", id_field).cast("long").alias("doc_id"),
-                F.element_at("event.data", text_field).alias("text"),
-            )
-            .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
-        )
+        docs = _insert_docs(env, table, id_field, text_field)
         flagged = (
             flags_fn(docs)
             if flags_fn is not None
