@@ -1311,6 +1311,20 @@ def test_compact_ivfpq_index_retrains_and_preserves_vectors(
         after = _json.load(f)
     assert after["coarse"] != before["coarse"]  # genuinely retrained
 
+    # atomicity: the quantizers commit WITH the codes swap (embedded
+    # underscore file inside codes/), so a crash before the root-level
+    # convenience copy cannot pair new quantizers with old codes — the
+    # embedded copy is preferred even if the root copy is stale/corrupt
+    with open(f"{store}/codes/_quantizers.json") as f:
+        embedded = _json.load(f)
+    assert embedded["coarse"] == after["coarse"]
+    with open(f"{store}/quantizers.json", "w") as f:
+        f.write("{corrupt")  # simulate crash-before-convenience-copy
+    idx_pref = load_ivfpq_index(spark, store)
+    assert idx_pref[1].tolist() == after["coarse"]
+    with open(f"{store}/quantizers.json", "w") as f:
+        _json.dump(after, f)  # restore for the rest of the test
+
     idx = load_ivfpq_index(spark, store)
     assert idx[0].count() == 500
     q = (
@@ -1374,3 +1388,39 @@ def test_feature_hash_embed_bridges_text_to_semantic_dedup(spark, sf_small):
     }
     for i in range(8):  # min-id survivor keeps the original
         assert i in kept and (i + 500000) not in kept
+
+
+def test_fuzzy_varlen_join_covers_short_strings(spark):
+    """q114 domain-completeness regression: strings of length <= k
+    (where segment blocking is impossible) must still join — the
+    length-window pass makes the operator's domain identical to the
+    registered oracle's (ALL lengths), verified against brute force
+    including empty strings and short-long pairs."""
+    import itertools
+
+    from wing_binlog_go_spark.operators.dedup import fuzzy_edit_join
+
+    texts = ["ab", "abc", "", "xyz", "abcdefgh", "abcdefghx",
+             "zzzzzzzzzzzz", "ab cd", "abq"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    got = {(r.id_a, r.id_b, r.dist) for r in fuzzy_edit_join(docs, k=5).collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {
+        (i, j, lev(texts[i], texts[j]))
+        for i, j in itertools.combinations(range(len(texts)), 2)
+        if lev(texts[i], texts[j]) <= 5
+    }
+    assert got == want
+    # the pair classes partition: short-short, short-long, long-long
+    assert (0, 1, 1) in want and (4, 5, 1) in want and (1, 8, 1) in want

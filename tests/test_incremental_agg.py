@@ -747,3 +747,40 @@ def test_incremental_theta_set_algebra_maintenance(spark, tmp_path):
     bad = _env(spark, [("delete", 9999, {"g": "a", "v": "u1"}, None, None)])
     with _pytest.raises(ValueError, match="insert-only"):
         incremental_theta_apply(spark, bad, state, "g", "v")
+
+
+def test_incremental_topk_keeps_error_bound_when_group_prunes_to_empty(
+    spark, tmp_path
+):
+    """MG regression: a batch of k+1 singletons prunes EVERY item (all
+    counts equal the (k+1)-th), leaving the group with no summary rows
+    — the accrued error bound must survive as a placeholder so the
+    next batch's [cnt, cnt+err] still contains the truth."""
+    from wing_binlog_go_spark.streaming.aggregate import (
+        incremental_topk_apply,
+        topk_view,
+    )
+
+    state = str(tmp_path / "hh2")
+    rows = [
+        ("insert", i + 1, {"g": "g1", "v": v}, None, None)
+        for i, v in enumerate(["a", "b", "c"])
+    ]
+    incremental_topk_apply(spark, _env(spark, rows), state, "g", "v", k=2)
+    st = spark.read.parquet(state)
+    assert topk_view(st).count() == 0  # all items pruned...
+    errs = {r.grp: r.err for r in st.select("grp", "err").distinct().collect()}
+    assert errs == {"g1": 1}  # ...but the bound persists
+
+    rows2 = [
+        ("insert", 10 + i, {"g": "g1", "v": "d"}, None, None) for i in range(2)
+    ]
+    incremental_topk_apply(spark, _env(spark, rows2), state, "g", "v", k=2)
+    view = {
+        r.item: (r.cnt_low, r.cnt_high)
+        for r in topk_view(spark.read.parquet(state)).collect()
+    }
+    # d's true count is 2; a's could be up to 1+... the bound must be
+    # [2, 2+1], not [2, 2] (err reset) — and 'a' (true 1) stays within
+    # the any-absent-item bound err=1
+    assert view == {"d": (2, 3)}

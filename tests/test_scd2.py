@@ -416,6 +416,9 @@ def test_pit_enrich_route_joins_dimension_state_at_event_time(spark, tmp_path):
             {"id": "11", "cust_id": "1", "amount": "7"}),
         rec(500, "orders", "insert", None,
             {"id": "12", "cust_id": "2", "amount": "9"}),  # unknown dim
+        rec(600, "customer", "delete", {"id": "1", "tier": "gold"}, None),
+        rec(700, "orders", "insert", None,
+            {"id": "13", "cust_id": "1", "amount": "3"}),  # after the delete
     ]
     with open(log / "part-0000.jsonl", "w") as f:
         for e in events:
@@ -439,6 +442,8 @@ def test_pit_enrich_route_joins_dimension_state_at_event_time(spark, tmp_path):
         10: (5, "bronze"),   # before the tier change
         11: (7, "gold"),     # after it — same batch as the change
         12: (9, None),       # no dimension row: left join keeps the fact
+        13: (3, None),       # dim DELETED before the fact: absent, not
+                             # the tombstone's stale image
     }
 
     # replay the same changelog through a fresh checkpoint: appends

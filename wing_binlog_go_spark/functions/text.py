@@ -826,10 +826,17 @@ def bloom_contamination_overlap(
     spark = docs.sparkSession
     n_bytes = (m_bits + 7) // 8
 
-    bench_sh = bench.select(
-        F.col(bench_id_col).alias("bench_id"),
-        F.explode(word_shingles(bench_text_col, k)).alias("s"),
-    ).distinct()
+    # referenced by the bloom build AND the verify join — without the
+    # barrier the benchmark explode+distinct shuffle runs twice (the
+    # apss_prefix_pairs lesson)
+    bench_sh = (
+        bench.select(
+            F.col(bench_id_col).alias("bench_id"),
+            F.explode(word_shingles(bench_text_col, k)).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     pos_df = bench_sh.select(
         F.explode(_bloom_positions(F.col("s"), m_bits, n_hashes)).alias("pos")
     )

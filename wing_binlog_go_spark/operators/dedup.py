@@ -807,10 +807,18 @@ def fuzzy_edit_join(
     ``levenshtein`` on the full strings verifies.  Scale shape: probe
     fan-out is O(k²) keys per string independent of corpus size; the
     join shuffles on short segment keys, and segment entropy governs
-    bucket sizes exactly as in the fixed-length form.  Strings of
-    length <= k are excluded (degenerate zero-length segments; every
-    such pair is within k of each other anyway — handle tiny strings
-    with a dedicated length-bucket pass if they matter).
+    bucket sizes exactly as in the fixed-length form.
+
+    Strings of length <= k can't use segment blocking (zero-length
+    segments carry no signal — and no sound blocking exists: at that
+    length an edit script can replace every character).  They get a
+    dedicated LENGTH-WINDOW pass instead: a short string's partners
+    are necessarily of length <= 2k, so candidates are an equi-join on
+    the exploded candidate length — per-length buckets of sub-(2k+1)-
+    char strings, still never corpus×corpus.  The two passes partition
+    the pair space (both>k / at-least-one<=k), so their union is the
+    complete exact join over ALL lengths — the registered oracle
+    checks exactly that domain.
     """
     nseg = k + 1
     p = docs.filter(F.length(text_col) > k).select(
@@ -892,11 +900,49 @@ def fuzzy_edit_join(
         )
         .distinct()
     )
-    return (
+    main = (
         cand.withColumn("dist", F.levenshtein("_ta", "_tb"))
         .filter(F.col("dist") <= k)
         .select("id_a", "id_b", "dist")
     )
+    # short-string pass: probes of length <= k against partners of
+    # length <= 2k (longer partners are > k edits away by the length
+    # bound alone), blocked by an equi-join on the candidate length.
+    # Disjoint from the main pass (which requires BOTH sides > k).
+    shorts = docs.filter(F.length(text_col) <= k).select(
+        F.col(id_col).alias("_sid"),
+        F.col(text_col).alias("_stx"),
+        F.length(text_col).alias("_sl"),
+    )
+    partners = docs.filter(F.length(text_col) <= 2 * k).select(
+        F.col(id_col).alias("_pid"),
+        F.col(text_col).alias("_ptx"),
+        F.length(text_col).alias("_pl"),
+    )
+    short_pairs = (
+        shorts.select(
+            "_sid",
+            "_stx",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.lit(0), F.col("_sl") - k), F.col("_sl") + k
+                )
+            ).alias("_pl"),
+        )
+        .join(partners, "_pl")
+        .filter(F.col("_sid") != F.col("_pid"))
+        .select(
+            F.least("_sid", "_pid").alias("id_a"),
+            F.greatest("_sid", "_pid").alias("id_b"),
+            F.least("_stx", "_ptx").alias("_ta"),
+            F.greatest("_stx", "_ptx").alias("_tb"),
+        )
+        .distinct()
+        .withColumn("dist", F.levenshtein("_ta", "_tb"))
+        .filter(F.col("dist") <= k)
+        .select("id_a", "id_b", "dist")
+    )
+    return main.unionByName(short_pairs)
 
 
 def _q_fuzzy_varlen_join(spark: SparkSession, sf_dir: str) -> DataFrame:

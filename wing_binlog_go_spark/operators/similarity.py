@@ -762,7 +762,7 @@ def incremental_ivfpq_index_apply(
     import os as _os
 
     codes_dir = _os.path.join(store_dir, "codes")
-    if _os.path.exists(_os.path.join(store_dir, "quantizers.json")):
+    if _ivfpq_meta_path(store_dir) is not None:
         _, coarse, books = load_ivfpq_index(spark, store_dir)
         fresh = new_vectors.join(
             spark.read.parquet(codes_dir).select(id_col), id_col, "left_anti"
@@ -783,12 +783,31 @@ def incremental_ivfpq_index_apply(
     return {"batch": n_batch, "replayed": 0, "appended": n_batch}
 
 
+def _ivfpq_meta_path(store_dir: str) -> str | None:
+    """The store's quantizer file. Prefers ``codes/_quantizers.json``
+    (written by compaction INSIDE the codes dir so the atomic dir swap
+    commits codes and quantizers together — Spark hides underscore
+    files from the parquet scan) over the store-root ``quantizers.json``
+    (initial creation, and refreshed as a convenience copy after each
+    compaction swap)."""
+    import os as _os
+
+    embedded = _os.path.join(store_dir, "codes", "_quantizers.json")
+    if _os.path.exists(embedded):
+        return embedded
+    outer = _os.path.join(store_dir, "quantizers.json")
+    return outer if _os.path.exists(outer) else None
+
+
 def load_ivfpq_index(spark: SparkSession, store_dir: str):
     """→ (coded_corpus, coarse, books) for ``ivfpq_topk(index=...)``."""
     import json as _json
     import os as _os
 
-    with open(_os.path.join(store_dir, "quantizers.json")) as f:
+    meta_path = _ivfpq_meta_path(store_dir)
+    if meta_path is None:
+        raise FileNotFoundError(f"no IVF-PQ quantizers under {store_dir}")
+    with open(meta_path) as f:
         meta = _json.load(f)
     coarse = np.asarray(meta["coarse"], dtype=np.float64)
     books = np.asarray(meta["books"], dtype=np.float64)
@@ -1551,21 +1570,27 @@ def compact_ivfpq_index(
     _shutil.rmtree(staging, ignore_errors=True)
     coded = ivfpq_encode(corpus, coarse, books, id_col, "embedding")
     coded.write.partitionBy("_list").parquet(staging)
-    # quantizers first (readers joining mid-swap see a consistent pair
-    # only after the codes swap — acceptable: load_ivfpq_index reads
-    # quantizers then codes, and the swap is the commit)
-    with open(_os.path.join(store_dir, "quantizers.json"), "w") as f:
-        _json.dump(
-            {
-                "n_centroids": n_centroids,
-                "m": m,
-                "n_codes": n_codes,
-                "coarse": coarse.tolist(),
-                "books": books.tolist(),
-            },
-            f,
-        )
+    meta = {
+        "n_centroids": n_centroids,
+        "m": m,
+        "n_codes": n_codes,
+        "coarse": coarse.tolist(),
+        "books": books.tolist(),
+    }
+    # quantizers ride INSIDE the staged codes dir (underscore file —
+    # hidden from the parquet scan) so the swap_dir rename commits
+    # codes and quantizers ATOMICALLY: a crash on either side of the
+    # swap leaves a consistent (old, old) or (new, new) pair, never
+    # new quantizers over old codes (which would ADC-decode silently
+    # wrong). Readers prefer the embedded copy (_ivfpq_meta_path).
+    with open(_os.path.join(staging, "_quantizers.json"), "w") as f:
+        _json.dump(meta, f)
     swap_dir(staging, codes_dir)
+    # convenience/back-compat copy at the store root, AFTER the commit;
+    # if we crash before this write the embedded (preferred) copy is
+    # already the source of truth
+    with open(_os.path.join(store_dir, "quantizers.json"), "w") as f:
+        _json.dump(meta, f)
     n_lists = len(
         [d for d in _os.listdir(codes_dir) if d.startswith("_list=")]
     )

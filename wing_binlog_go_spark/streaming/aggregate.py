@@ -46,6 +46,92 @@ from wing_binlog_go_spark.streaming.maintenance import recover_swap, swap_dir
 _META = "_agg_meta.json"
 
 
+def _fresh_inserts(env_batch: DataFrame, state_dir: str, op_name: str, cannot: str):
+    """Front half of the commit protocol shared by every INSERT-ONLY
+    sketch maintainer (HLL / KLL / Misra-Gries / Theta): roll an
+    interrupted swap forward, drop rows at or below the replay
+    high-water mark, and refuse non-insert envelopes loudly.  Returns
+    (fresh, max_event_index) or None when the batch holds nothing new.
+    A fix to the replay/insert-only rules lands HERE, once — divergent
+    copies of this protocol would silently break exactly-once replay
+    for whichever maintainer missed the fix."""
+    recover_swap(state_dir)
+    high = applied_index(state_dir)
+    fresh = env_batch.filter(F.col("event_index") > high)
+    mx = fresh.agg(F.max("event_index")).collect()[0][0]
+    if mx is None:
+        return None
+    if fresh.filter(F.col("event_type") != "insert").limit(1).count():
+        raise ValueError(f"{op_name} is insert-only: {cannot}")
+    return fresh, mx
+
+
+def _commit_state(merged: DataFrame, state_dir: str, mx: int) -> None:
+    """Back half of the maintainer commit protocol: staged overwrite +
+    high-water meta + atomic rename swap (crash-safe on either side)."""
+    staged = state_dir.rstrip("/") + "._staging"
+    merged.write.mode("overwrite").parquet(staged)
+    with open(os.path.join(staged, _META), "w") as f:
+        json.dump({"max_event_index": int(mx)}, f)
+    swap_dir(staged, state_dir)
+
+
+def _grp_values(fresh: DataFrame, group_key: str, value_field: str, cast: str | None = None) -> DataFrame:
+    """INSERT images → (grp, v) rows (NULL group → sentinel, NULL /
+    uncastable values dropped)."""
+    data = F.col("event.data")
+    v = F.element_at(data, value_field)
+    if cast:
+        v = v.cast(cast)
+    return fresh.select(
+        F.coalesce(F.element_at(data, group_key), F.lit("\x00null\x00")).alias(
+            "grp"
+        ),
+        v.alias("v"),
+    ).filter(F.col("v").isNotNull())
+
+
+def _sketch_maintain(
+    spark: SparkSession,
+    env_batch: DataFrame,
+    state_dir: str,
+    group_key: str,
+    value_field: str,
+    op_name: str,
+    cannot: str,
+    agg_expr,
+    merge_fn,
+    cast: str | None = None,
+) -> None:
+    """The whole maintainer for the (grp, sketch) state shape: batch
+    deltas fold into one sketch per group (``agg_expr`` over column
+    ``v``), which merges into the state via ``merge_fn`` — the only
+    parts that differ between HLL / KLL / Theta."""
+    got = _fresh_inserts(env_batch, state_dir, op_name, cannot)
+    if got is None:
+        return
+    fresh, mx = got
+    deltas = (
+        _grp_values(fresh, group_key, value_field, cast)
+        .groupBy("grp")
+        .agg(agg_expr.alias("d_sketch"))
+    )
+    if os.path.exists(state_dir):
+        state = spark.read.parquet(state_dir)
+    else:
+        state = spark.createDataFrame([], "grp string, sketch binary")
+    merged = state.join(deltas, "grp", "full_outer").select(
+        "grp",
+        F.when(
+            F.col("sketch").isNotNull() & F.col("d_sketch").isNotNull(),
+            merge_fn(F.col("sketch"), F.col("d_sketch")),
+        )
+        .otherwise(F.coalesce("d_sketch", "sketch"))
+        .alias("sketch"),
+    )
+    _commit_state(merged, state_dir, mx)
+
+
 def envelope_deltas(
     env: DataFrame, group_key: str, value_field: str
 ) -> DataFrame:
@@ -414,51 +500,17 @@ def incremental_distinct_apply(
     without ever rescanning history.
 
     Same replay high-water mark + staged-swap commit contract as
-    :func:`incremental_agg_apply`.
+    :func:`incremental_agg_apply` (via the shared ``_sketch_maintain``
+    scaffold).
     """
-    recover_swap(state_dir)
-    high = applied_index(state_dir)
-    fresh = env_batch.filter(F.col("event_index") > high)
-    mx = fresh.agg(F.max("event_index")).collect()[0][0]
-    if mx is None:
-        return
-    non_insert = fresh.filter(F.col("event_type") != "insert").limit(1).count()
-    if non_insert:
-        raise ValueError(
-            "incremental_distinct_apply is insert-only: HLL sketches "
-            "cannot retract deletes/updates — rebuild from the replica "
-            "or maintain an exact (group, value) distinct table instead"
-        )
-    data = F.col("event.data")
-    deltas = (
-        fresh.select(
-            F.coalesce(
-                F.element_at(data, group_key), F.lit("\x00null\x00")
-            ).alias("grp"),
-            F.element_at(data, value_field).alias("v"),
-        )
-        .filter(F.col("v").isNotNull())
-        .groupBy("grp")
-        .agg(F.hll_sketch_agg("v", F.lit(lgk)).alias("d_sketch"))
+    _sketch_maintain(
+        spark, env_batch, state_dir, group_key, value_field,
+        "incremental_distinct_apply",
+        "HLL sketches cannot retract deletes/updates — rebuild from the "
+        "replica or maintain an exact (group, value) distinct table instead",
+        F.hll_sketch_agg("v", F.lit(lgk)),
+        F.hll_union,
     )
-    if os.path.exists(state_dir):
-        state = spark.read.parquet(state_dir)
-    else:
-        state = spark.createDataFrame([], "grp string, sketch binary")
-    merged = state.join(deltas, "grp", "full_outer").select(
-        "grp",
-        F.when(
-            F.col("sketch").isNotNull() & F.col("d_sketch").isNotNull(),
-            F.hll_union("sketch", "d_sketch"),
-        )
-        .otherwise(F.coalesce("d_sketch", "sketch"))
-        .alias("sketch"),
-    )
-    staged = state_dir.rstrip("/") + "._staging"
-    merged.write.mode("overwrite").parquet(staged)
-    with open(os.path.join(staged, _META), "w") as f:
-        json.dump({"max_event_index": int(mx)}, f)
-    swap_dir(staged, state_dir)
 
 
 def incremental_distinct_writer(state_dir: str, group_key: str, value_field: str):
@@ -504,51 +556,18 @@ def incremental_quantile_apply(
     multiset, which is just the replica plus ``percentile``.
 
     Same replay high-water mark + staged-swap commit contract as
-    :func:`incremental_agg_apply`.
+    :func:`incremental_agg_apply` (via the shared ``_sketch_maintain``
+    scaffold).
     """
-    recover_swap(state_dir)
-    high = applied_index(state_dir)
-    fresh = env_batch.filter(F.col("event_index") > high)
-    mx = fresh.agg(F.max("event_index")).collect()[0][0]
-    if mx is None:
-        return
-    non_insert = fresh.filter(F.col("event_type") != "insert").limit(1).count()
-    if non_insert:
-        raise ValueError(
-            "incremental_quantile_apply is insert-only: KLL sketches "
-            "cannot retract deletes/updates — recompute percentiles "
-            "from the replica for mutable tables instead"
-        )
-    data = F.col("event.data")
-    deltas = (
-        fresh.select(
-            F.coalesce(
-                F.element_at(data, group_key), F.lit("\x00null\x00")
-            ).alias("grp"),
-            F.element_at(data, value_field).cast("double").alias("v"),
-        )
-        .filter(F.col("v").isNotNull())
-        .groupBy("grp")
-        .agg(F.kll_sketch_agg_double("v", F.lit(k)).alias("d_sketch"))
+    _sketch_maintain(
+        spark, env_batch, state_dir, group_key, value_field,
+        "incremental_quantile_apply",
+        "KLL sketches cannot retract deletes/updates — recompute "
+        "percentiles from the replica for mutable tables instead",
+        F.kll_sketch_agg_double("v", F.lit(k)),
+        F.kll_sketch_merge_double,
+        cast="double",
     )
-    if os.path.exists(state_dir):
-        state = spark.read.parquet(state_dir)
-    else:
-        state = spark.createDataFrame([], "grp string, sketch binary")
-    merged = state.join(deltas, "grp", "full_outer").select(
-        "grp",
-        F.when(
-            F.col("sketch").isNotNull() & F.col("d_sketch").isNotNull(),
-            F.kll_sketch_merge_double("sketch", "d_sketch"),
-        )
-        .otherwise(F.coalesce("d_sketch", "sketch"))
-        .alias("sketch"),
-    )
-    staged = state_dir.rstrip("/") + "._staging"
-    merged.write.mode("overwrite").parquet(staged)
-    with open(os.path.join(staged, _META), "w") as f:
-        json.dump({"max_event_index": int(mx)}, f)
-    swap_dir(staged, state_dir)
 
 
 def incremental_quantile_writer(state_dir: str, group_key: str, value_field: str):
@@ -604,35 +623,29 @@ def incremental_topk_apply(
     loudly. Same replay high-water mark + staged-swap commit contract
     as :func:`incremental_agg_apply`.
     """
-    recover_swap(state_dir)
-    high = applied_index(state_dir)
-    fresh = env_batch.filter(F.col("event_index") > high)
-    mx = fresh.agg(F.max("event_index")).collect()[0][0]
-    if mx is None:
+    got = _fresh_inserts(
+        env_batch, state_dir, "incremental_topk_apply",
+        "a Misra-Gries summary cannot retract deletes/updates — "
+        "recompute heavy hitters from the replica for mutable tables "
+        "instead",
+    )
+    if got is None:
         return
-    non_insert = fresh.filter(F.col("event_type") != "insert").limit(1).count()
-    if non_insert:
-        raise ValueError(
-            "incremental_topk_apply is insert-only: a Misra-Gries "
-            "summary cannot retract deletes/updates — recompute heavy "
-            "hitters from the replica for mutable tables instead"
-        )
-    data = F.col("event.data")
+    fresh, mx = got
     deltas = (
-        fresh.select(
-            F.coalesce(
-                F.element_at(data, group_key), F.lit("\x00null\x00")
-            ).alias("grp"),
-            F.element_at(data, value_field).alias("item"),
-        )
-        .filter(F.col("item").isNotNull())
+        _grp_values(fresh, group_key, value_field)
+        .withColumnRenamed("v", "item")
         .groupBy("grp", "item")
         .agg(F.count("*").alias("d_cnt"))
     )
     if os.path.exists(state_dir):
         state = spark.read.parquet(state_dir)
         errs = state.select("grp", "err").distinct()
-        items = state.select("grp", "item", "cnt")
+        # item IS NULL rows are err-only placeholders: a group whose
+        # summary pruned to zero items still carries its error bound
+        items = state.select("grp", "item", "cnt").filter(
+            F.col("item").isNotNull()
+        )
     else:
         errs = spark.createDataFrame([], "grp string, err long")
         items = spark.createDataFrame([], "grp string, item string, cnt long")
@@ -661,10 +674,18 @@ def incremental_topk_apply(
         .withColumn("cnt", F.col("cnt") - F.col("_s"))
         .filter(F.col("cnt") > 0)
     )
-    new_err = (
-        pruned.select("grp", "_s")
+    # the subtrahend per group comes from ALL groups touched this
+    # batch (not just prune survivors: a group whose every item pruned
+    # to zero still accrued _s of error — deriving _s from `pruned`
+    # would silently reset such a group's bound)
+    grp_s = (
+        combined.select("grp")
         .distinct()
-        .join(errs, "grp", "full_outer")
+        .join(s_per_grp, "grp", "left")
+        .select("grp", F.coalesce("_s", F.lit(0)).alias("_s"))
+    )
+    new_err = (
+        grp_s.join(errs, "grp", "full_outer")
         .select(
             "grp",
             (F.coalesce("_s", F.lit(0)) + F.coalesce("err", F.lit(0))).alias(
@@ -672,12 +693,12 @@ def incremental_topk_apply(
             ),
         )
     )
-    result = pruned.select("grp", "item", "cnt").join(new_err, "grp")
-    staged = state_dir.rstrip("/") + "._staging"
-    result.write.mode("overwrite").parquet(staged)
-    with open(os.path.join(staged, _META), "w") as f:
-        json.dump({"max_event_index": int(mx)}, f)
-    swap_dir(staged, state_dir)
+    # right outer: a group with err but no surviving items keeps an
+    # (item NULL, cnt NULL) placeholder row so its bound persists
+    result = pruned.select("grp", "item", "cnt").join(
+        new_err, "grp", "right_outer"
+    )
+    _commit_state(result, state_dir, mx)
 
 
 def incremental_topk_writer(state_dir: str, group_key: str, value_field: str, k: int = 16):
@@ -696,7 +717,8 @@ def topk_view(state: DataFrame, n: int = 10) -> DataFrame:
     with the [cnt, cnt+err] truth bounds made explicit."""
     w = Window.partitionBy("grp").orderBy(F.desc("cnt"), F.asc("item"))
     return (
-        state.withColumn("rank", F.row_number().over(w))
+        state.filter(F.col("item").isNotNull())  # skip err-only rows
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= n)
         .select(
             "grp",
@@ -725,51 +747,17 @@ def incremental_theta_apply(
     Same contract as its siblings: state = (grp, sketch bytes),
     mergeable across batches/executors/stores; INSERT-ONLY by the math
     with a loud failure on update/delete envelopes; replay high-water
-    mark + staged-swap commit.
+    mark + staged-swap commit (via the shared ``_sketch_maintain``
+    scaffold).
     """
-    recover_swap(state_dir)
-    high = applied_index(state_dir)
-    fresh = env_batch.filter(F.col("event_index") > high)
-    mx = fresh.agg(F.max("event_index")).collect()[0][0]
-    if mx is None:
-        return
-    non_insert = fresh.filter(F.col("event_type") != "insert").limit(1).count()
-    if non_insert:
-        raise ValueError(
-            "incremental_theta_apply is insert-only: Theta sketches "
-            "cannot retract deletes/updates — maintain the exact "
-            "(group, value) distinct table for mutable tables instead"
-        )
-    data = F.col("event.data")
-    deltas = (
-        fresh.select(
-            F.coalesce(
-                F.element_at(data, group_key), F.lit("\x00null\x00")
-            ).alias("grp"),
-            F.element_at(data, value_field).alias("v"),
-        )
-        .filter(F.col("v").isNotNull())
-        .groupBy("grp")
-        .agg(F.theta_sketch_agg("v").alias("d_sketch"))
+    _sketch_maintain(
+        spark, env_batch, state_dir, group_key, value_field,
+        "incremental_theta_apply",
+        "Theta sketches cannot retract deletes/updates — maintain the "
+        "exact (group, value) distinct table for mutable tables instead",
+        F.theta_sketch_agg("v"),
+        F.theta_union,
     )
-    if os.path.exists(state_dir):
-        state = spark.read.parquet(state_dir)
-    else:
-        state = spark.createDataFrame([], "grp string, sketch binary")
-    merged = state.join(deltas, "grp", "full_outer").select(
-        "grp",
-        F.when(
-            F.col("sketch").isNotNull() & F.col("d_sketch").isNotNull(),
-            F.theta_union("sketch", "d_sketch"),
-        )
-        .otherwise(F.coalesce("d_sketch", "sketch"))
-        .alias("sketch"),
-    )
-    staged = state_dir.rstrip("/") + "._staging"
-    merged.write.mode("overwrite").parquet(staged)
-    with open(os.path.join(staged, _META), "w") as f:
-        json.dump({"max_event_index": int(mx)}, f)
-    swap_dir(staged, state_dir)
 
 
 def incremental_theta_writer(state_dir: str, group_key: str, value_field: str):

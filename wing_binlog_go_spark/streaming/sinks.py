@@ -619,7 +619,15 @@ def pit_enrich_writer(
         ]
         f = facts.select(F.col("event_index"), *fcols)
         dim_spec = registry.get(dim_table)
-        hist = read_scd2_history(spark, registry, dim_table, base_dir)
+        # delete versions carry the REMOVED row's image (so history
+        # readers can see what was deleted) — but "current as of the
+        # fact" must treat a deleted dimension as absent: without this
+        # filter a fact landing inside a delete version's
+        # [valid_from, valid_to) window would be silently enriched
+        # with the deleted row's stale values instead of NULLs
+        hist = read_scd2_history(spark, registry, dim_table, base_dir).filter(
+            ~F.col("is_delete")
+        )
         dim_pk = dim_spec.pk_columns[0]
         d = hist.select(
             *[F.col(c.name).alias(f"dim_{c.name}") for c in dim_spec.columns],
