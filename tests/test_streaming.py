@@ -918,3 +918,122 @@ def test_curation_stats_route_end_to_end(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert read_curation_stats(spark, stats_dir).count() == 2
+
+
+def test_five_route_fanout_composes_end_to_end(spark, tmp_path):
+    """O13 composition at full width: ONE changelog feeds five routes
+    in one pipeline — typed replica, SCD2 history, PIT enrichment,
+    deduped corpus, curation stats — and every sink is simultaneously
+    correct. This is the reference's fan-out story (one binlog, many
+    consumers) exercised as a single integration path instead of five
+    isolated tests."""
+    import json as _json
+
+    from wing_binlog_go_spark.functions.schema_registry import (
+        ColumnSpec,
+        SchemaRegistry,
+        TableSpec,
+    )
+    from wing_binlog_go_spark.functions.text import gopher_quality_flags
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+    from wing_binlog_go_spark.streaming.sinks import (
+        curation_stats_writer,
+        dedup_corpus_writer,
+        pit_enrich_writer,
+        read_curation_stats,
+        read_dedup_corpus,
+        read_pit_enriched,
+        read_scd2_history,
+        read_typed_replica,
+        scd2_history_writer,
+        typed_replica_writer,
+    )
+
+    reg = SchemaRegistry()
+    reg.register(TableSpec("shop", "customer",
+                           [ColumnSpec("id", "bigint(20)", is_pk=True),
+                            ColumnSpec("tier", "varchar(16)")]))
+    reg.register(TableSpec("shop", "orders",
+                           [ColumnSpec("id", "bigint(20)", is_pk=True),
+                            ColumnSpec("cust_id", "bigint(20)"),
+                            ColumnSpec("amount", "int(11)")]))
+    uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+
+    def rec(pos, table, action, before, after):
+        return {
+            "binlog_file": "mysql-bin.000001", "binlog_pos": pos,
+            "xid_commit": True, "database": "shop", "table": table,
+            "action": action, "row_no": 0, "before": before,
+            "after": after, "ddl_query": None,
+            "ts_header": "2018-04-19T05:21:27.000Z", "gtid": f"{uuid}:1",
+        }
+
+    good = ("the quick brown fox jumps over that lazy dog while the "
+            "patient grey owl watches from a very tall oak tree")
+    events = [
+        rec(100, "customer", "insert", None, {"id": "1", "tier": "bronze"}),
+        rec(200, "orders", "insert", None,
+            {"id": "10", "cust_id": "1", "amount": "5"}),
+        rec(300, "customer", "update", {"id": "1", "tier": "bronze"},
+            {"id": "1", "tier": "gold"}),
+        rec(400, "orders", "insert", None,
+            {"id": "11", "cust_id": "1", "amount": "7"}),
+        # documents table feeds corpus + stats routes
+        rec(500, "docs", "insert", None, {"id": "1", "text": good}),
+        rec(600, "docs", "insert", None, {"id": "2", "text": good}),  # dup
+        rec(700, "docs", "insert", None, {"id": "3", "text": "tiny"}),
+    ]
+    log = tmp_path / "log"
+    log.mkdir()
+    with open(log / "part-0000.jsonl", "w") as f:
+        for e in events:
+            f.write(_json.dumps(e) + "\n")
+
+    replica = str(tmp_path / "replica")
+    scd2 = str(tmp_path / "scd2")
+    enriched = str(tmp_path / "enriched")
+    corpus = str(tmp_path / "corpus")
+    stats = str(tmp_path / "stats")
+    routes = [
+        Route("replica", typed_replica_writer(
+            reg, ["shop.customer", "shop.orders"], replica)),
+        Route("scd2", scd2_history_writer(reg, ["shop.customer"], scd2)),
+        Route("enrich", pit_enrich_writer(
+            reg, "shop.orders", "shop.customer", "cust_id", scd2, enriched)),
+        Route("corpus", dedup_corpus_writer(corpus, "shop.docs",
+                                            threshold=0.7)),
+        Route("stats", curation_stats_writer(
+            stats, "shop.docs",
+            flags_fn=lambda d: gopher_quality_flags(
+                d, min_words=5, min_stopword_hits=1, with_rules=True))),
+    ]
+    q = run_pipeline(spark, str(log), routes, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    # replica: latest customer state + both orders
+    cust = {r.id: r.tier for r in
+            read_typed_replica(spark, reg, "shop.customer", replica).collect()}
+    assert cust == {1: "gold"}
+    orders = {r.id: r.amount for r in
+              read_typed_replica(spark, reg, "shop.orders", replica).collect()}
+    assert orders == {10: 5, 11: 7}
+    # scd2: two versions of customer 1
+    hist = sorted(
+        (r.version_n, r.tier, bool(r.is_current))
+        for r in read_scd2_history(spark, reg, "shop.customer", scd2).collect()
+    )
+    assert hist == [(1, "bronze", False), (2, "gold", True)]
+    # enrichment: each order saw the tier current at its event
+    enr = {r.id: r.dim_tier for r in read_pit_enriched(spark, enriched).collect()}
+    assert enr == {10: "bronze", 11: "gold"}
+    # corpus: the exact duplicate was dropped; the distinct (if tiny)
+    # doc survives — this route is dedup-only, quality lives in stats
+    assert sorted(
+        r.doc_id for r in read_dedup_corpus(spark, corpus).collect()
+    ) == [1, 3]
+    # stats: one batch row, 3 arrivals, 2 keeps (doc 3 fails min-words;
+    # the duplicate still counts as an arrival and a keep — dedup is a
+    # separate route, stats measure the QUALITY funnel)
+    s = read_curation_stats(spark, stats).collect()
+    assert len(s) == 1
+    assert (s[0].n_docs, s[0].n_keep, s[0].fail_words) == (3, 2, 1)
