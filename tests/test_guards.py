@@ -123,24 +123,25 @@ def test_registry_priority_window_and_no_failed_modules():
     # keys q125-q131) wait for r7
     for stale in (
         "q39p_boilerplate", "q68_sessionization",
-        "q77_range_frame", "q85_point_in_time_join", "q90_tpch_q17",
+        "q77_range_frame", "q85_point_in_time_join", "q88_tpch_q13",
     ):
         assert stale in window, stale
     for late_r6 in (
         "q125_bm25", "q126_column_profile", "q127_event_transitions",
         "q128_pmi_collocations", "q129_dedup_clusters",
         "q130_decay_features", "q131_ri_audit",
+        "q132_windowed_funnel", "q133_last_touch_attribution",
     ):
         assert late_r6 in window, late_r6
     for deferred in (
         "q51_null_handling", "q60_array_hof", "q61_map_entries",
-        "q94_tpch_q6", "q97_tpch_q21",
+        "q90_tpch_q17", "q94_tpch_q6", "q97_tpch_q21",
     ):
         assert deferred not in window, deferred
     # (c) the graded operator families keep in-window representation
     # (dedup via q114, similarity via q38i, text via q39x/y + q39p-s,
     # as-of/PIT via q115 + q85, TPC-H core via the q84-q97 band)
-    for family in ("q38", "q39", "q114", "q115", "q8", "q9"):
+    for family in ("q38", "q39", "q114", "q115", "q84", "q88"):
         assert any(k.startswith(family) for k in window), family
     # (d) the priority block fills the window exactly — nothing with a
     # fresh r4/r5 row sneaks in ahead of stale evidence

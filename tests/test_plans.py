@@ -482,3 +482,18 @@ def test_decay_features_single_scan_partial_agg(spark, sf_dir):
     assert p.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "windowspecdefinition" not in p and "Join" not in p
+
+
+def test_windowed_funnel_and_attribution_plan_hygiene(spark, sf_dir):
+    """q132: the conversion probe is an equi-join on user_id with the
+    time window as a join filter (the only cross join is the two
+    single-row totals). q133: one entity-keyed window, no joins."""
+    p = plan_of(_Q["q132_windowed_funnel"].spark(spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "LeftSemi" in p
+    import re
+
+    spec = [l for l in plan_of(
+        _Q["q133_last_touch_attribution"].spark(spark, sf_dir)
+    ).splitlines() if "windowspecdefinition" in l]
+    assert spec and all("user_id" in l for l in spec)

@@ -2031,3 +2031,112 @@ def _q_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q132: time-bound conversion funnel — signup → purchase within a
+# 1-hour window of the user's FIRST signup (q69's funnel counts steps
+# ever; real product funnels bound the conversion window)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q132_windowed_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), conv AS (
+      SELECT DISTINCT s.user_id
+      FROM s JOIN events e ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= s.s_ts AND e.ts < s.s_ts + INTERVAL 1 HOUR
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signups,
+           CAST((SELECT COUNT(*) FROM conv) AS BIGINT) AS n_converted_1h,
+           ROUND(CAST((SELECT COUNT(*) FROM conv) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM s), 6) AS conversion_rate
+    """,
+)
+def _q_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: anchor table is one hash agg (first signup per
+    user); the conversion probe is an equi-join on user_id with the
+    time window as a join filter — the q85/q115 interval pattern,
+    never a cross product. Both totals fold into one single-row
+    aggregate."""
+    e = _t(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    conv = (
+        s.join(
+            e.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+            ),
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("s_ts"))
+            & (F.col("p_ts") < F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_semi",
+        )
+    )
+    return s.agg(F.count("*").alias("n_signups")).crossJoin(
+        conv.agg(F.count("*").alias("n_converted_1h"))
+    ).select(
+        "n_signups",
+        "n_converted_1h",
+        F.round(
+            F.col("n_converted_1h").cast("double") / F.col("n_signups"), 6
+        ).alias("conversion_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q133: last-touch attribution — every purchase credits the user's
+# most recent PRECEDING non-purchase event (the marketing-attribution
+# query every clickstream consumer runs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q133_last_touch_attribution",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events
+    )
+    SELECT touch, CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY touch ORDER BY touch NULLS FIRST
+    """,
+)
+def _q_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one entity-keyed window (user_id — parallel hash
+    shuffle) carrying a null-skipping LAST over the frame ending one
+    row before the purchase, then a tiny |event_types|-row aggregate.
+    First-event purchases attribute to NULL (no prior touch) — kept,
+    not dropped: silent attribution loss is the classic bug in this
+    query."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.select("event_type", touch.alias("touch"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("touch")
+        .agg(F.count("*").alias("n_purchases"))
+        .orderBy(F.asc_nulls_first("touch"))
+    )

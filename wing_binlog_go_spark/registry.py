@@ -76,6 +76,8 @@ _PRIORITY = (
     "q129_dedup_clusters",
     "q130_decay_features",
     "q131_ri_audit",
+    "q132_windowed_funnel",
+    "q133_last_touch_attribution",
     # Stalest evidence: latest driver row is ROUND 3.  (q51/q55/
     # q57-q62/q66 — trivial forms, locally oracle-checked on every
     # pytest run — join q56/q63/q64/q65 and q91-q97 in waiting for r7
@@ -105,10 +107,8 @@ _PRIORITY = (
     "q86_tpch_q18",
     "q87_tpch_q7",
     "q88_tpch_q13",
-    "q89_tpch_q16",
-    "q90_tpch_q17",
-    # (q91-q97 hold r3 rows and yield their slots to the seven
-    # never-verified late-r6 keys q125-q131; they rejoin the
+    # (q89-q97 hold r3 rows and yield their slots to the nine
+    # never-verified late-r6 keys q125-q133; they rejoin the
     # refresh rotation in r7 with the other r3-era forms.)
     # The window is exactly these 50; the remainder follows in module
     # registration order (all holding r4/r5 driver rows).
