@@ -119,7 +119,7 @@ def test_registry_priority_window_and_no_failed_modules():
     ]
     # (b) the stalest evidence (latest row r3) fills the rest; the
     # trivial relational forms (q51/q55/q57-q61 + q56/q63-q65) AND
-    # q91-q97 (whose refresh slots went to the late-r6 never-verified
+    # q89-q97 (whose refresh slots went to the late-r6 never-verified
     # keys q125-q131) wait for r7
     for stale in (
         "q39p_boilerplate", "q68_sessionization",

@@ -491,9 +491,7 @@ def test_windowed_funnel_and_attribution_plan_hygiene(spark, sf_dir):
     p = plan_of(_Q["q132_windowed_funnel"].spark(spark, sf_dir))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "LeftSemi" in p
-    import re
-
-    spec = [l for l in plan_of(
-        _Q["q133_last_touch_attribution"].spark(spark, sf_dir)
-    ).splitlines() if "windowspecdefinition" in l]
+    p133 = plan_of(_Q["q133_last_touch_attribution"].spark(spark, sf_dir))
+    assert "Join" not in p133  # window formulation, never a self-join
+    spec = [l for l in p133.splitlines() if "windowspecdefinition" in l]
     assert spec and all("user_id" in l for l in spec)

@@ -715,27 +715,16 @@ def persist_ivfpq_index(
     reuse for every query batch. The codes table is PARTITIONED BY the
     inverted-list id, so a probe touching n_probe lists reads only
     those partitions from disk — the on-disk form of the inverted
-    index (IVF's scan saving becomes an IO saving)."""
-    import json as _json
-    import os as _os
-
+    index (IVF's scan saving becomes an IO saving). Commits through
+    the same staged-swap protocol as ``compact_ivfpq_index`` (the
+    quantizers ride inside the codes dir), so a rebuild over an
+    existing store can never pair new codes with old quantizers — and
+    the embedded copy is refreshed WITH the codes, never left stale."""
     coarse, books = ivfpq_train(
         corpus, n_centroids, m, n_codes, train_cap, vec_col, seed
     )
-    ivfpq_encode(corpus, coarse, books, id_col, vec_col).write.mode(
-        "overwrite"
-    ).partitionBy("_list").parquet(_os.path.join(store_dir, "codes"))
-    with open(_os.path.join(store_dir, "quantizers.json"), "w") as f:
-        _json.dump(
-            {
-                "n_centroids": n_centroids,
-                "m": m,
-                "n_codes": n_codes,
-                "coarse": coarse.tolist(),
-                "books": books.tolist(),
-            },
-            f,
-        )
+    coded = ivfpq_encode(corpus, coarse, books, id_col, vec_col)
+    _commit_ivfpq_store(coded, coarse, books, store_dir, n_centroids, m, n_codes)
 
 
 def incremental_ivfpq_index_apply(
@@ -781,6 +770,48 @@ def incremental_ivfpq_index_apply(
         id_col, vec_col, seed,
     )
     return {"batch": n_batch, "replayed": 0, "appended": n_batch}
+
+
+def _commit_ivfpq_store(
+    coded: DataFrame,
+    coarse,
+    books,
+    store_dir: str,
+    n_centroids: int,
+    m: int,
+    n_codes: int,
+) -> None:
+    """The ONE commit path for a full (re)write of the IVF-PQ store:
+    stage the list-partitioned codes WITH the quantizers embedded as an
+    underscore file, atomic-rename swap, then refresh the store-root
+    convenience copy. A crash on either side of the swap leaves a
+    consistent (codes, quantizers) pair — (old, old) or (new, new) —
+    and the embedded copy can never be stale because it is only ever
+    written together with the codes it encodes."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from wing_binlog_go_spark.streaming.maintenance import recover_swap, swap_dir
+
+    codes_dir = _os.path.join(store_dir, "codes")
+    _os.makedirs(store_dir, exist_ok=True)
+    recover_swap(codes_dir)
+    staging = codes_dir + "._staging"
+    _shutil.rmtree(staging, ignore_errors=True)
+    coded.write.partitionBy("_list").parquet(staging)
+    meta = {
+        "n_centroids": n_centroids,
+        "m": m,
+        "n_codes": n_codes,
+        "coarse": coarse.tolist(),
+        "books": books.tolist(),
+    }
+    with open(_os.path.join(staging, "_quantizers.json"), "w") as f:
+        _json.dump(meta, f)
+    swap_dir(staging, codes_dir)
+    with open(_os.path.join(store_dir, "quantizers.json"), "w") as f:
+        _json.dump(meta, f)
 
 
 def _ivfpq_meta_path(store_dir: str) -> str | None:
@@ -1549,11 +1580,9 @@ def compact_ivfpq_index(
     swap (`swap_dir` — the upsert commit protocol, crash restores the
     old index). Returns {"vectors": n, "n_lists": lists in new index}.
     """
-    import json as _json
     import os as _os
-    import shutil as _shutil
 
-    from wing_binlog_go_spark.streaming.maintenance import recover_swap, swap_dir
+    from wing_binlog_go_spark.streaming.maintenance import recover_swap
 
     codes_dir = _os.path.join(store_dir, "codes")
     recover_swap(codes_dir)
@@ -1566,31 +1595,10 @@ def compact_ivfpq_index(
     coarse, books = ivfpq_train(
         corpus, n_centroids, m, n_codes, train_cap, "embedding", seed
     )
-    staging = codes_dir + "._staging"
-    _shutil.rmtree(staging, ignore_errors=True)
     coded = ivfpq_encode(corpus, coarse, books, id_col, "embedding")
-    coded.write.partitionBy("_list").parquet(staging)
-    meta = {
-        "n_centroids": n_centroids,
-        "m": m,
-        "n_codes": n_codes,
-        "coarse": coarse.tolist(),
-        "books": books.tolist(),
-    }
-    # quantizers ride INSIDE the staged codes dir (underscore file —
-    # hidden from the parquet scan) so the swap_dir rename commits
-    # codes and quantizers ATOMICALLY: a crash on either side of the
-    # swap leaves a consistent (old, old) or (new, new) pair, never
-    # new quantizers over old codes (which would ADC-decode silently
-    # wrong). Readers prefer the embedded copy (_ivfpq_meta_path).
-    with open(_os.path.join(staging, "_quantizers.json"), "w") as f:
-        _json.dump(meta, f)
-    swap_dir(staging, codes_dir)
-    # convenience/back-compat copy at the store root, AFTER the commit;
-    # if we crash before this write the embedded (preferred) copy is
-    # already the source of truth
-    with open(_os.path.join(store_dir, "quantizers.json"), "w") as f:
-        _json.dump(meta, f)
+    # one shared commit path with persist_ivfpq_index: codes +
+    # embedded quantizers swap atomically (see _commit_ivfpq_store)
+    _commit_ivfpq_store(coded, coarse, books, store_dir, n_centroids, m, n_codes)
     n_lists = len(
         [d for d in _os.listdir(codes_dir) if d.startswith("_list=")]
     )

@@ -223,10 +223,10 @@ def repair_chunks(
 def profile_columns(
     df: DataFrame, cols: list[str] | None = None, approx: bool = False
 ) -> DataFrame:
-    """One row PER COLUMN: (col_name, n_rows, n_nonnull, ndv, min_s,
-    max_s) — the ANALYZE/profiling pass a pipeline runs on every new
-    ingest partition before trusting it (null explosions, cardinality
-    drift, out-of-range values).
+    """One row PER COLUMN: (col_name, n_rows, n_nonnull, ndv, n_uncast,
+    min_s, max_s) — the ANALYZE/profiling pass a pipeline runs on every
+    new ingest partition before trusting it (null explosions,
+    cardinality drift, out-of-range values).
 
     Scale shape: ONE scan. All per-column aggregates evaluate in a
     single ``agg`` (Spark plans the multi-DISTINCT via Expand — rows ×

@@ -43,12 +43,12 @@ failed_modules: dict[str, str] = {}
 # First 50 = the driver's verification window.  Round-6 layout (per the
 # r5 verdict's window plan): lead with the four keys that have NEVER
 # earned a driver CORRECTNESS row (q113 oracle-backed; q38i/q39x/q39y
-# rows-only), then the NINETEEN queries new this round (q114-q124 +
-# the late-session q125-q131), then refresh the r3-era-stale band —
+# rows-only), then the TWENTY-ONE queries new this round (q114-q124 +
+# the late-session q125-q133), then refresh the r3-era-stale band —
 # the oldest evidence left in the ledger (every r1/r2-era row was
 # refreshed in r5, and the r4/r5 bands rotate back in on later
 # rounds).  The trivial r3-era relational forms (q51/q55/q56/q57-q61/
-# q63-q66) and q91-q97 wait for r7 — locally oracle-checked on every
+# q63-q66) and q89-q97 wait for r7 — locally oracle-checked on every
 # pytest run; nothing in the ledger is older than r3 after this window.
 _PRIORITY = (
     # Never driver-verified (r5 additions that missed the 50-window).
@@ -80,8 +80,8 @@ _PRIORITY = (
     "q133_last_touch_attribution",
     # Stalest evidence: latest driver row is ROUND 3.  (q51/q55/
     # q57-q62/q66 — trivial forms, locally oracle-checked on every
-    # pytest run — join q56/q63/q64/q65 and q91-q97 in waiting for r7
-    # so the nineteen new r6 keys above fit the 50-window.)
+    # pytest run — join q56/q63/q64/q65 and q89-q97 in waiting for r7
+    # so the twenty-one new r6 keys above fit the 50-window.)
     "q39p_boilerplate",
     "q39q_temperature_mix",
     "q39r_winnowing",
