@@ -1903,3 +1903,63 @@ ORDER BY pmi DESC, bi.a, bi.b LIMIT 100
 """
 
 QUERIES["q128_pmi_collocations"] = QuerySpec(_q_pmi, _PMI_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# inverted-index export (the retrieval-side artifact BM25 consumes:
+# term → document frequency + sorted posting list)
+# ---------------------------------------------------------------------------
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """(term, df, postings) — postings as a comma-joined sorted id
+    string (engine-portable textual form).  One tokenize scan, one
+    distinct, one groupBy on term.
+
+    Skew note for 100 TB: a stop word's posting list is corpus-sized —
+    real systems shard postings by (term, id-range) blocks.  Here
+    ``min_df`` prunes the long TAIL (hapaxes) and the caller caps the
+    HEAD by dropping stopword-frequency terms (df above a ceiling)
+    before export; both are single filters on the df column.
+    """
+    pairs = docs.select(
+        F.explode(tokens(text_col)).alias("term"), F.col(id_col).alias("_id")
+    ).distinct()
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(F.sort_array(F.collect_list("_id")), ",").alias(
+                "postings"
+            ),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return inverted_index(d, min_df=5).orderBy("term")
+
+
+_INVERTED_INDEX_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT term, doc_id FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS term, doc_id
+    FROM documents
+  )
+)
+SELECT term, COUNT(*) AS df,
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+FROM pairs
+GROUP BY term
+HAVING COUNT(*) >= 5
+ORDER BY term
+"""
+
+QUERIES["q135_inverted_index"] = QuerySpec(_q_inverted_index, _INVERTED_INDEX_ORACLE)

@@ -383,3 +383,106 @@ SELECT * FROM (
 """
 
 QUERIES["q131_ri_audit"] = QuerySpec(_q_ri_audit, _RI_AUDIT_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (replica reconciliation without a changelog)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, pk: str, cols: list[str]
+) -> DataFrame:
+    """Row-level diff of two table snapshots keyed on ``pk``:
+    (pk, change ∈ {insert, delete, update}) — what changed between two
+    points in time when no changelog exists (bootstrap validation, or
+    reconciling a replica against a source dump; the reference's users
+    do this manually with mysqldump diffs).
+
+    One full-outer equi-join on the key; change detection compares the
+    '|'-joined canonical string of ``cols`` (NULL → sentinel, the
+    table_checksum convention, so NULL shifts can't alias).  Scale
+    shape: the join shuffles both snapshots on pk once — at 100 TB
+    pre-bucket both snapshots on pk and the shuffle disappears.
+    """
+    sentinel = "\x00null\x00"
+
+    def canon(df: DataFrame) -> Column:
+        return F.concat_ws(
+            "|",
+            *[F.coalesce(F.col(c).cast("string"), F.lit(sentinel)) for c in cols],
+        )
+
+    o = old.select(F.col(pk), canon(old).alias("_old_v"))
+    n = new.select(F.col(pk), canon(new).alias("_new_v"))
+    joined = o.join(n, pk, "full_outer")
+    return joined.select(
+        pk,
+        F.when(F.col("_old_v").isNull(), F.lit("insert"))
+        .when(F.col("_new_v").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change"),
+    ).filter(
+        F.col("change").isin("insert", "delete")
+        | (F.col("_old_v") != F.col("_new_v"))
+    )
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized second snapshot (deterministic, mirrored in SQL):
+    keys %13==0 change status, %17==0 are deleted, and a shifted copy
+    of keys %19==0 is inserted."""
+    from wing_binlog_go_spark.tables import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    changed = orders.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    kept = changed.filter(F.col("o_orderkey") % 17 != 0)
+    inserted = orders.filter(F.col("o_orderkey") % 19 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+    new = kept.unionByName(inserted)
+    return snapshot_diff(
+        orders, new, "o_orderkey", ["o_orderstatus", "o_orderpriority"]
+    ).orderBy("o_orderkey")
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 17 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 19 = 0
+), j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NULL AS ins,
+         n.o_orderkey IS NULL AS del,
+         concat_ws('|', COALESCE(CAST(o.o_orderstatus AS VARCHAR), chr(0) || 'null' || chr(0)),
+                        COALESCE(CAST(o.o_orderpriority AS VARCHAR), chr(0) || 'null' || chr(0))) AS ov,
+         concat_ws('|', COALESCE(CAST(n.o_orderstatus AS VARCHAR), chr(0) || 'null' || chr(0)),
+                        COALESCE(CAST(n.o_orderpriority AS VARCHAR), chr(0) || 'null' || chr(0))) AS nv
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN ins THEN 'insert' WHEN del THEN 'delete'
+            ELSE 'update' END AS change
+FROM j
+WHERE ins OR del OR ov <> nv
+ORDER BY o_orderkey
+"""
+
+QUERIES["q134_snapshot_diff"] = QuerySpec(_q_snapshot_diff, _SNAPSHOT_DIFF_ORACLE)
