@@ -167,3 +167,53 @@ def test_read_range_names_removed_or_shrunk_file(tmp_path):
     p.write_bytes(b'{"a":1}\n')
     with pytest.raises(RuntimeError, match="shrank.*append-only"):
         list(_read_range(str(tmp_path), "short.jsonl", 0, 4096, None))
+
+
+def test_to_tuple_converts_nonutc_offsets_to_utc():
+    """A +08:00 ts_header must decode to the same naive-UTC instant as
+    its Z form (stripping the zone without converting would shift the
+    event time by the offset)."""
+    from wing_binlog_go_spark.sources.binlog import _to_tuple
+
+    base = {"binlog_file": "f", "binlog_pos": 4, "database": "d",
+            "table": "t", "action": "insert"}
+    z = _to_tuple({**base, "ts_header": "2018-04-19T05:21:27.000Z"})
+    offset = _to_tuple({**base, "ts_header": "2018-04-19T13:21:27.000+08:00"})
+    assert z[10] == offset[10]
+    assert str(z[10]) == "2018-04-19 05:21:27"
+    # unparseable timestamp → NULL, not a dead stream
+    bad = _to_tuple({**base, "ts_header": "not-a-time"})
+    assert bad[10] is None
+
+
+def test_malformed_changelog_line_dead_letters_instead_of_killing_stream(
+    spark, tmp_path
+):
+    """A garbage line in the changelog must become a dead-letter row
+    (the all-null record run_pipeline's validity filter captures), not
+    a permanently failing task: valid events around it still flow."""
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+    from wing_binlog_go_spark.streaming.sinks import collecting_writer
+
+    log = tmp_path / "log"
+    log.mkdir()
+    good = fixture_records()[0]
+    with open(log / "mysql-bin.000001.jsonl", "w") as f:
+        f.write(json.dumps(good) + "\n")
+        f.write("this is { not json at all\n")
+        f.write(json.dumps({"no_coordinates": True}) + "\n")
+        f.write(json.dumps(dict(good, binlog_pos=77, row_no=1)) + "\n")
+    store: list = []
+    dl = str(tmp_path / "dead")
+    q = run_pipeline(
+        spark,
+        str(log),
+        [Route("rec", collecting_writer(store))],
+        str(tmp_path / "ckpt"),
+        source="binlog",
+        dead_letter_dir=dl,
+    )
+    q.awaitTermination(60)
+    assert len(store) == 2  # both valid records survived the garbage
+    dead = spark.read.parquet(dl)
+    assert dead.count() == 2  # the non-JSON line + the coordinate-less one

@@ -161,6 +161,9 @@ def test_crash_before_manifest_leaves_old_state(spark, tmp_path):
     from wing_binlog_go_spark.streaming.pipeline import pk_str
 
     assert final[pk_str("1")] == 1001 and pk_str("99") not in final
+    # ...and the writer DISCARDED the orphaned staging dir (without the
+    # cleanup a rarely-touched bucket's full staged copy leaks forever)
+    assert not os.path.exists(os.path.join(target, ".staging_bucket_0"))
 
 
 def test_swap_backup_is_invisible_to_partition_discovery(spark, tmp_path):

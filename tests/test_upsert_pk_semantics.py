@@ -139,3 +139,30 @@ def test_ddl_added_column_flows_through_replica(spark, tmp_path):
     rows = {r.row["id"]: dict(r.row) for r in spark.read.parquet(target).collect()}
     assert "w" not in rows["1"] or rows["1"]["w"] == "W1"
     assert rows["3"]["w"] == "W3"
+
+
+def test_empty_batch_skips_replica_rewrite(spark, tmp_path):
+    """A multi-table replica route calls upsert_parquet per registered
+    table per batch; a table with zero events must not pay a full
+    read-and-rewrite (staging mtime unchanged == nothing written)."""
+    import os
+
+    from wing_binlog_go_spark.streaming.pipeline import upsert_parquet
+
+    env = _env(
+        spark,
+        [
+            ("insert", 1, ({"id": "1", "v": "a"}, None, None)),
+            ("insert", 2, ({"id": "2", "v": "b"}, None, None)),
+        ],
+    )
+    target = str(tmp_path / "replica")
+    upsert_parquet(env, target, pk="id")
+    files_before = {
+        f: os.path.getmtime(os.path.join(target, f)) for f in os.listdir(target)
+    }
+    upsert_parquet(env.filter("1 = 0"), target, pk="id")  # empty batch
+    files_after = {
+        f: os.path.getmtime(os.path.join(target, f)) for f in os.listdir(target)
+    }
+    assert files_before == files_after

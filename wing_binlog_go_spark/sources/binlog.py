@@ -53,7 +53,7 @@ from __future__ import annotations
 
 import json
 import os
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -148,14 +148,30 @@ class GtidSet:
 def _to_tuple(r: dict) -> tuple:
     ts = r.get("ts_header")
     if isinstance(ts, str):
-        ts = datetime.fromisoformat(ts.replace("Z", "+00:00")).replace(tzinfo=None)
+        try:
+            dt = datetime.fromisoformat(ts.replace("Z", "+00:00"))
+            if dt.tzinfo is not None:
+                # CONVERT to UTC before dropping the zone: stripping a
+                # non-UTC offset in place would shift the event time by
+                # that offset (naive datetimes here are UTC-by-contract,
+                # matching the files source under the session's UTC pin)
+                dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+            ts = dt
+        except ValueError:
+            ts = None  # unparseable timestamp: null, not a dead stream
+    else:
+        ts = None
+    # .get() everywhere: a record missing required coordinates becomes a
+    # null-coordinate row the pipeline's dead-letter filter captures —
+    # raising here would kill the stream on every retry (the offset
+    # never advances past the bad byte range)
     return (
-        r["binlog_file"],
-        r["binlog_pos"],
+        r.get("binlog_file"),
+        r.get("binlog_pos"),
         bool(r.get("xid_commit")),
-        r["database"],
-        r["table"],
-        r["action"],
+        r.get("database"),
+        r.get("table"),
+        r.get("action"),
         r.get("row_no") or 0,
         r.get("before"),
         r.get("after"),
@@ -163,6 +179,12 @@ def _to_tuple(r: dict) -> tuple:
         ts,
         r.get("gtid"),
     )
+
+
+#: the all-null row emitted for a line that is not valid JSON — the
+#: binlog-source analog of PERMISSIVE JSON mode's null record, routed
+#: to the dead-letter table by run_pipeline's validity filter
+_MALFORMED = (None, None, False, None, None, None, 0, None, None, None, None, None)
 
 
 def _complete_size(path: str) -> int:
@@ -230,7 +252,17 @@ def _read_range(
     for line in payload.splitlines():
         if not line.strip():
             continue
-        rec = json.loads(line)
+        try:
+            rec = json.loads(line)
+            if not isinstance(rec, dict):
+                raise ValueError("changelog line is not a JSON object")
+        except ValueError:
+            # malformed line: emit the all-null row for the dead-letter
+            # table instead of raising — a raise fails the task
+            # identically on every retry and permanently kills the
+            # stream (the offset never advances past this byte range)
+            yield _MALFORMED
+            continue
         if skip is not None and skip.contains(rec.get("gtid")):
             continue
         yield _to_tuple(rec)
@@ -262,8 +294,12 @@ def _plan_partitions(
 # ---------------------------------------------------------------------------
 
 
-class BinlogStreamReader(DataSourceStreamReader):
-    def __init__(self, options):
+class _BinlogReaderOptions:
+    """Option validation + partition read shared by BOTH readers so the
+    stream and batch paths cannot drift (same loud failures, same
+    malformed-line handling)."""
+
+    def _init_options(self, options) -> None:
         self.path = options.get("path")
         if not self.path:
             raise ValueError("binlog source requires option 'path'")
@@ -284,6 +320,22 @@ class BinlogStreamReader(DataSourceStreamReader):
         if self.gtid_exclude:
             GtidSet(self.gtid_exclude)  # validate eagerly, on the driver
 
+    def read(self, partition: BinlogPartition | None):
+        if partition is None:  # pyspark plans [None] for an empty partition list
+            return
+        yield from _read_range(
+            self.path,
+            partition.fname,
+            partition.start,
+            partition.end,
+            partition.gtid_exclude,
+        )
+
+
+class BinlogStreamReader(_BinlogReaderOptions, DataSourceStreamReader):
+    def __init__(self, options):
+        self._init_options(options)
+
     def initialOffset(self) -> dict:
         # Clamp semantics (handler.go:32-55): start from the beginning of
         # whatever the changelog currently holds; with start_gtid, skip
@@ -302,44 +354,17 @@ class BinlogStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         return _plan_partitions(start, end, end.get("gtid_exclude"))
 
-    def read(self, partition: BinlogPartition | None):
-        if partition is None:  # pyspark plans [None] for an empty partition list
-            return
-        yield from _read_range(
-            self.path,
-            partition.fname,
-            partition.start,
-            partition.end,
-            partition.gtid_exclude,
-        )
-
     def commit(self, end: dict) -> None:
         pass  # progress lives in the checkpoint offset log
 
 
-class BinlogBatchReader(DataSourceReader):
+class BinlogBatchReader(_BinlogReaderOptions, DataSourceReader):
     def __init__(self, options):
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("binlog source requires option 'path'")
-        self.gtid_exclude = options.get("start_gtid") or None
-        if self.gtid_exclude:
-            GtidSet(self.gtid_exclude)  # validate eagerly, on the driver
+        self._init_options(options)
 
     def partitions(self) -> list[InputPartition]:
         sizes = _list_complete_sizes(self.path)
         return _plan_partitions({"files": {}}, {"files": sizes}, self.gtid_exclude)
-
-    def read(self, partition: BinlogPartition | None):
-        if partition is None:  # pyspark plans [None] for an empty partition list
-            return
-        yield from _read_range(
-            self.path,
-            partition.fname,
-            partition.start,
-            partition.end,
-            partition.gtid_exclude,
-        )
 
 
 class BinlogDataSource(DataSource):

@@ -87,7 +87,16 @@ class IndexState:
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(state, f)
-        os.replace(tmp, self.path)  # atomic, like the reference's O_SYNC pos write
+            # fsync BEFORE the rename: os.replace is atomic against
+            # process crash, but after power loss a renamed-but-unsynced
+            # file can surface stale or empty — and a reverted "next"
+            # would hand a later batch an already-used index range
+            # (duplicate event_index = wrong LWW winners downstream).
+            # This matches the durability of the reference's O_SYNC pos
+            # write (util.go:11-57), not just its atomicity.
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.path)
         return base
 
 
@@ -295,15 +304,27 @@ def change_rows_per_pk(env: DataFrame, pk: str | list[str] = "id") -> DataFrame:
     return rows.unionByName(pk_moves)
 
 
+def _collapse_lww(rows: DataFrame) -> DataFrame:
+    """THE last-writer-wins rule: one (row, is_delete, event_index)
+    winner per _pk by max event_index. Every LWW collapse in this
+    module goes through here — the winner rule (and any future
+    tie-break change) must never diverge between the batch collapse
+    and the two table merges."""
+    return (
+        rows.groupBy("_pk")
+        .agg(
+            F.max_by(
+                F.struct("row", "is_delete", "event_index"), "event_index"
+            ).alias("w")
+        )
+        .select("_pk", "w.row", "w.is_delete", "w.event_index")
+    )
+
+
 def latest_image_per_pk(env: DataFrame, pk: str | list[str] = "id") -> DataFrame:
     """Newest row image (or tombstone) per primary key in the batch —
     ``change_rows_per_pk`` collapsed last-writer-wins by event_index."""
-    return (
-        change_rows_per_pk(env, pk)
-        .groupBy("_pk")
-        .agg(F.max_by(F.struct("row", "is_delete", "event_index"), "event_index").alias("w"))
-        .select("_pk", "w.row", "w.is_delete", "w.event_index")
-    )
+    return _collapse_lww(change_rows_per_pk(env, pk))
 
 
 def upsert_parquet(
@@ -322,17 +343,18 @@ def upsert_parquet(
     recover_swap(target_dir)
     updates = latest_image_per_pk(env, pk)
     if os.path.exists(target_dir):
+        # empty-batch short-circuit: a multi-table replica route calls
+        # this once per registered table per micro-batch, and a table
+        # with no events must not pay a full read-and-rewrite of its
+        # accumulated replica (the scd2 writer's growth guard, applied
+        # here too)
+        if updates.isEmpty():
+            return
         current = spark.read.parquet(target_dir)
-        merged = (
-            current.select("_pk", "row", "is_delete", "event_index")
-            .unionByName(updates)
-            .groupBy("_pk")
-            .agg(
-                F.max_by(
-                    F.struct("row", "is_delete", "event_index"), "event_index"
-                ).alias("w")
+        merged = _collapse_lww(
+            current.select("_pk", "row", "is_delete", "event_index").unionByName(
+                updates
             )
-            .select("_pk", "w.row", "w.is_delete", "w.event_index")
         )
     else:
         merged = updates
@@ -551,12 +573,15 @@ def upsert_parquet_bucketed(
     spark = env.sparkSession
     os.makedirs(target_dir, exist_ok=True)
     recover_bucket_commit(target_dir)
+    _discard_stale_staging(target_dir)
     bucket = F.pmod(F.xxhash64(F.col("_pk")), F.lit(num_buckets)).cast("int")
     # persist: the distinct-buckets collect AND every per-bucket filter
     # read this; without it each pass recomputes the full aggregation
     updates = latest_image_per_pk(env, pk).withColumn("_bucket", bucket).persist()
     try:
         changed = [r._bucket for r in updates.select("_bucket").distinct().collect()]
+        if not changed:  # empty batch: no staging, no manifest churn
+            return
         # phase 1: stage every changed bucket (reads see the old table)
         for b in changed:
             bdir = os.path.join(target_dir, f"bucket={b}")
@@ -564,16 +589,10 @@ def upsert_parquet_bucketed(
             u = updates.filter(F.col("_bucket") == b).drop("_bucket")
             if os.path.exists(bdir):
                 current = spark.read.parquet(bdir)
-                merged = (
-                    current.select("_pk", "row", "is_delete", "event_index")
-                    .unionByName(u)
-                    .groupBy("_pk")
-                    .agg(
-                        F.max_by(
-                            F.struct("row", "is_delete", "event_index"), "event_index"
-                        ).alias("w")
-                    )
-                    .select("_pk", "w.row", "w.is_delete", "w.event_index")
+                merged = _collapse_lww(
+                    current.select(
+                        "_pk", "row", "is_delete", "event_index"
+                    ).unionByName(u)
                 )
             else:
                 merged = u
@@ -615,6 +634,7 @@ def repair_buckets(
         return
     os.makedirs(target_dir, exist_ok=True)
     recover_bucket_commit(target_dir)
+    _discard_stale_staging(target_dir)
     bucket = F.pmod(F.xxhash64(F.col("_pk")), F.lit(num_buckets)).cast("int")
     fresh = (
         latest_image_per_pk(snapshot_env, pk)
@@ -635,6 +655,26 @@ def repair_buckets(
         fresh.unpersist()
 
 
+def _discard_stale_staging(target_dir: str) -> None:
+    """Writer-side cleanup of staging dirs orphaned by a crash BEFORE
+    the point of commit (no manifest ⇒ the staged data is dead weight:
+    each orphan is a complete bucket copy that would otherwise persist
+    until some batch happens to touch that exact bucket). Called only
+    from writers at the START of their own commit sequence — the
+    single-writer contract means no live phase-1 staging can be
+    deleted; reader-side recovery must NOT do this (it races a live
+    writer's staging). Under the commit lock so a roll-forward's swaps
+    never interleave."""
+    import glob as _glob
+    import shutil
+
+    with _commit_lock(target_dir):
+        if os.path.exists(_bucket_manifest_path(target_dir)):
+            return  # committed: these dirs belong to a roll-forward
+        for staged in _glob.glob(os.path.join(target_dir, ".staging_bucket_*")):
+            shutil.rmtree(staged, ignore_errors=True)
+
+
 def _commit_staged_buckets(target_dir: str, changed: list[int]) -> None:
     """Phases 2+3 of the multi-bucket commit, under the commit lock so
     a concurrent reader's recover_bucket_commit cannot replay our swaps
@@ -647,6 +687,13 @@ def _commit_staged_buckets(target_dir: str, changed: list[int]) -> None:
         manifest = _bucket_manifest_path(target_dir)
         with open(manifest + ".tmp", "w") as f:
             json.dump({"buckets": [int(b) for b in changed]}, f)
+            # fsync before the rename: bucket renames below can reach
+            # disk while an unsynced manifest does not — after power
+            # loss recovery would then see "no manifest = crash before
+            # commit" and leave a lasting old/new bucket mix, exactly
+            # what this protocol exists to prevent
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(manifest + ".tmp", manifest)
         for b in changed:
             swap_dir(
@@ -687,6 +734,7 @@ def scd2_vacuum(
     )
     if _glob.glob(os.path.join(target_dir, "bucket=*")):
         recover_bucket_commit(target_dir)
+        _discard_stale_staging(target_dir)
         kept = dropped = 0
         changed = []
         for bdir in sorted(_glob.glob(os.path.join(target_dir, "bucket=*"))):
@@ -747,6 +795,7 @@ def scd2_upsert_parquet_bucketed(
     spark = env.sparkSession
     os.makedirs(target_dir, exist_ok=True)
     recover_bucket_commit(target_dir)
+    _discard_stale_staging(target_dir)
     bucket = F.pmod(F.xxhash64(F.col("_pk")), F.lit(num_buckets)).cast("int")
     fresh = (
         change_rows_per_pk(env, pk)
