@@ -208,3 +208,40 @@ def test_table_include_exclude(spark, changes):
     kept = table_filter(env, include=["^fixtures\\..*"], exclude=[".*\\.other_table$"])
     tables = {r.full_table for r in kept.select("full_table").distinct().collect()}
     assert tables == {"fixtures.cdc_typed_all"}
+
+
+def test_decode_enum_and_set_preserve_null(spark):
+    """SQL NULL ordinal/bitmask must stay NULL — conflating nil with
+    the zero value ('' / empty set) is a go-mysql semantic the decoders
+    mirror (util.go:96-113 never receives nil; our columns can)."""
+    df = spark.createDataFrame(
+        [(None, None), (0, 0), (2, 3)], "e: int, s: int"
+    ).select(
+        decode_enum("e", ["a", "b", "c"]).alias("e"),
+        decode_set("s", ["x", "y", "z"]).alias("s"),
+    )
+    rows = df.collect()
+    assert (rows[0].e, rows[0].s) == (None, None)
+    assert (rows[1].e, rows[1].s) == ("", "")
+    assert (rows[2].e, rows[2].s) == ("b", "x,y")
+
+
+def test_running_total_partitioned_on_boolean_key(spark):
+    """Non-string partition keys: the driver-side offset map must be
+    keyed by SPARK's string form, not Python's str() ('true' vs 'True'
+    would make element_at miss and NULL the whole output)."""
+    from wing_binlog_go_spark.functions.envelope import with_running_total
+
+    df = spark.createDataFrame(
+        [(True, 1, 10), (True, 2, 20), (False, 3, 5), (False, 4, 7)],
+        "flag: boolean, o: long, v: long",
+    )
+    out = {
+        (r.flag, r.o): r._running
+        for r in with_running_total(
+            df, ["o"], F.col("v"), partition_cols=["flag"]
+        ).collect()
+    }
+    assert out == {
+        (True, 1): 10, (True, 2): 30, (False, 3): 5, (False, 4): 12,
+    }

@@ -291,3 +291,17 @@ def test_epoch_never_regresses_for_an_observer_during_steal_gap(tmp_path):
     os.unlink(lease)
     assert b.try_acquire() is True
     assert b.epoch == 2  # floored by the observed epoch, not reset to 1
+
+
+def test_non_object_lease_json_reads_as_no_lease(tmp_path):
+    """Valid JSON that is not an object (external corruption) must not
+    AttributeError-kill the election loop — it reads as 'no lease' and
+    a node simply acquires over it."""
+    lease = _lease(tmp_path)
+    with open(lease, "w") as f:
+        f.write("[1, 2]")
+    old = time.time() - 60
+    os.utime(lease, (old, old))
+    a = FileLeaderElector(lease, node_id="A", ttl_seconds=5)
+    assert a.try_acquire()
+    assert a.renew() is True

@@ -414,3 +414,44 @@ def test_chaos_stalled_set_pro_subscriber_under_event_flood():
         stalled.close()
     finally:
         server.close()
+
+
+def test_passive_subscriber_survives_past_write_timeout():
+    """A client that subscribes and then only RECEIVES (never sends —
+    ticking is optional) must not be evicted when the socket-wide
+    timeout set for the write deadline fires on the reader's recv."""
+    server = SubscribeServer(keepalive_sec=30.0, write_timeout=0.3)
+    try:
+        host, port = server.address
+        c = SubscribeClient(host, port)
+        c.subscribe(r"db\.t")
+        time.sleep(1.0)  # > 3x write_timeout of pure inbound silence
+        assert len(server.members()) == 1  # still connected
+        server.send_all("db.t", b"after-silence")
+        assert c.events(1, timeout=5) == [b"after-silence"]
+        c.close()
+    finally:
+        server.close()
+
+
+def test_subscribe_ack_survives_preceding_event_frames():
+    """A just-connected client has empty topics (match-all), so a busy
+    server can push CMD_EVENT frames ahead of the SET_PRO ack; the ack
+    wait must buffer them for events(), not fail the subscribe."""
+    server = SubscribeServer()
+    try:
+        host, port = server.address
+        c = SubscribeClient(host, port)
+        deadline = time.monotonic() + 5
+        while not server.members() and time.monotonic() < deadline:
+            time.sleep(0.01)  # wait for the accept to land
+        server.send_all("db.t", b"early-1")
+        server.send_all("db.t", b"early-2")
+        time.sleep(0.2)  # let the frames reach the socket buffer
+        c.subscribe(r"db\.t")  # must not raise on the queued events
+        assert c.events(2, timeout=5) == [b"early-1", b"early-2"]
+        server.send_all("db.t", b"later")
+        assert c.events(1, timeout=5) == [b"later"]
+        c.close()
+    finally:
+        server.close()

@@ -177,7 +177,16 @@ def _with_running_total(
     summed = ranged.withColumn("_cum", F.sum("_val").over(w)).localCheckpoint(
         eager=True
     )
-    sums = summed.groupBy("_pid", *pcols).agg(F.sum("_val").alias("s")).collect()
+    # group on the SPARK string form of each key column (not the raw
+    # value): the driver-side map below is probed with key_expr's
+    # cast("string"), and Python's str() disagrees with Spark's cast for
+    # e.g. booleans ("True" vs "true") — raw-value grouping would build
+    # keys element_at can never find, silently NULLing the whole output
+    _kcols = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_KEY)).alias(f"_k{i}")
+        for i, c in enumerate(pcols)
+    ]
+    sums = summed.groupBy("_pid", *_kcols).agg(F.sum("_val").alias("s")).collect()
     if not sums:
         return df.withColumn(out, F.lit(None).cast("long")), 0
     total = sum(r.s or 0 for r in sums)
@@ -203,7 +212,7 @@ def _with_running_total(
     # partitioning, but the offset must reset at every key boundary).
     groups: dict[tuple, list[tuple[int, int]]] = {}
     for r in sums:
-        key = tuple(_NULL_KEY if r[c] is None else str(r[c]) for c in pcols)
+        key = tuple(r[f"_k{i}"] for i in range(len(pcols)))
         groups.setdefault(key, []).append((r._pid, r.s or 0))
     key_offsets: dict[str, int] = {}
     for key, parts in groups.items():
@@ -376,19 +385,29 @@ def widen_unsigned(col, bits: int) -> Column:
 
 
 def decode_enum(ordinal, labels: list[str]) -> Column:
-    """1-based ENUM ordinal → label; 0 (invalid/empty) → '' (util.go:96-100)."""
+    """1-based ENUM ordinal → label; 0 (invalid/empty) → ''
+    (util.go:96-100). SQL NULL stays NULL — the go-mysql decoder never
+    conflates nil with the zero value, and neither may we (the
+    ``otherwise('')`` branch would otherwise swallow it)."""
     c = F.col(ordinal) if isinstance(ordinal, str) else ordinal
     arr = F.array(*[F.lit(x) for x in labels])
-    return F.when(c >= 1, F.element_at(arr, c.cast("int"))).otherwise(F.lit(""))
+    return (
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(c >= 1, F.element_at(arr, c.cast("int")))
+        .otherwise(F.lit(""))
+    )
 
 
 def decode_set(bitmask, labels: list[str]) -> Column:
-    """SET bitmask → comma-joined member labels (util.go:101-113)."""
+    """SET bitmask → comma-joined member labels (util.go:101-113);
+    NULL bitmask stays NULL (same nil/zero distinction as
+    ``decode_enum``), while an empty/zero mask is ''."""
     c = F.col(bitmask) if isinstance(bitmask, str) else bitmask
     members = [
         F.when(c.bitwiseAND(F.lit(1 << i)) != 0, F.lit(lab)) for i, lab in enumerate(labels)
     ]
-    return F.array_join(F.array_compact(F.array(*members)), ",")
+    joined = F.array_join(F.array_compact(F.array(*members)), ",")
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(joined)
 
 
 def decode_date(col) -> Column:

@@ -89,8 +89,13 @@ class FileLeaderElector:
                 cur = json.load(f)
         except (OSError, ValueError):
             return None
-        if isinstance(cur, dict):
-            self._seen_epoch = max(self._seen_epoch, cur.get("epoch", 0))
+        if not isinstance(cur, dict):
+            # valid JSON that is not an object (external corruption or a
+            # mis-pointed lease_path) must read as "no lease", not leak
+            # into every caller's .get() as an AttributeError that kills
+            # the election loop
+            return None
+        self._seen_epoch = max(self._seen_epoch, cur.get("epoch", 0))
         return cur
 
     def _age(self) -> float | None:
@@ -159,6 +164,8 @@ class FileLeaderElector:
                 t_age = time.time() - os.stat(tomb).st_mtime
                 with open(tomb) as f:
                     prev = json.load(f)
+                if not isinstance(prev, dict):
+                    prev = None  # non-object JSON: corrupt, treat as none
             except (OSError, ValueError):
                 prev, t_age = None, None
             if t_age is not None and t_age <= self.ttl:
@@ -233,15 +240,42 @@ class FileLeaderElector:
     def release(self) -> None:
         """Give up leadership (only removes a lease we still own, at the
         epoch we acquired — a zombie's release must not clobber the new
-        leader's lease)."""
-        cur = self._read()
-        if (
-            cur
-            and cur.get("owner") == self.node_id
-            and (self.epoch is None or cur.get("epoch") == self.epoch)
-        ):
+        leader's lease).
+
+        ATOMIC via the steal path's rename trick: a plain check-then-
+        unlink races a concurrent steal (zombie reads its own stale
+        lease, new leader replaces it, zombie unlinks the NEW lease →
+        two actives). Renaming to a private tombstone takes the file
+        exclusively; the content check then runs on what we actually
+        took, and a lease that turns out not to be ours is restored by
+        re-link (same residual as the steal path: a contender linking
+        into the momentarily-empty window displaces the holder, who
+        steps down on its next renew's epoch check)."""
+        tomb = f"{self.lease_path}.tomb.{os.getpid()}.{id(self)}"
+        try:
+            os.rename(self.lease_path, tomb)
+        except OSError:
+            self.epoch = None
+            return
+        try:
             try:
-                os.unlink(self.lease_path)
+                with open(tomb) as f:
+                    cur = json.load(f)
+            except (OSError, ValueError):
+                cur = None
+            ours = (
+                isinstance(cur, dict)
+                and cur.get("owner") == self.node_id
+                and (self.epoch is None or cur.get("epoch") == self.epoch)
+            )
+            if not ours:
+                try:
+                    os.link(tomb, self.lease_path)  # not ours: put it back
+                except FileExistsError:
+                    pass
+        finally:
+            try:
+                os.unlink(tomb)
             except FileNotFoundError:
                 pass
         self.epoch = None

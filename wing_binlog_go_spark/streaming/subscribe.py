@@ -257,6 +257,14 @@ class _ClientNode:
         while self.online:
             try:
                 data = self.conn.recv(1024)
+            except TimeoutError:
+                # the write deadline set by _send_loop is socket-WIDE in
+                # Python (unlike Go's SetWriteDeadline, node.go:185): a
+                # recv timeout here just means the client sent nothing
+                # for write_timeout seconds — which is allowed (clients
+                # MAY tick, they don't have to). Evicting would cut off
+                # every passive, healthy subscriber each 30 s.
+                continue
             except OSError:
                 break
             if not data:
@@ -395,7 +403,16 @@ class SubscribeServer:
                 return
             conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             with self._lock:
-                self._nodes.append(_ClientNode(self, conn, addr))
+                node = _ClientNode(self, conn, addr)
+                accepted = not self._closed
+                if accepted:
+                    self._nodes.append(node)
+            if not accepted:
+                # close() snapshotted _nodes before we appended: a
+                # connection accepted concurrently with shutdown would
+                # otherwise keep two live threads + a socket forever.
+                # Closed OUTSIDE the lock (close → _remove retakes it).
+                node.close()
 
     def _keepalive_loop(self) -> None:
         # broadcast to every client regardless of topics (tcp.go:230-245
@@ -418,6 +435,7 @@ class SubscribeClient:
         self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self._parser = FrameParser()
         self._frames: list[tuple[int, bytes | None]] = []
+        self._pending_events: list[bytes | None] = []
 
     def subscribe(self, topic: str) -> None:
         """CMD_SET_PRO + FlagSetPro + topic; returns after the ack."""
@@ -438,11 +456,18 @@ class SubscribeClient:
         return cmd == CMD_SET_PRO and payload == b"ok"
 
     def _recv_skipping_ticks(self) -> tuple[int, bytes | None]:
-        # a server keepalive tick may interleave with any ack
+        # ticks AND events may interleave with any ack: a just-connected
+        # client has empty topics (match-all, reference semantics), so a
+        # busy server can push CMD_EVENT frames ahead of the SET_PRO
+        # ack. Buffer those for events() instead of failing the ack.
         while True:
             cmd, payload = self.recv_frame()
-            if cmd != CMD_TICK:
-                return cmd, payload
+            if cmd == CMD_TICK:
+                continue
+            if cmd == CMD_EVENT:
+                self._pending_events.append(payload)
+                continue
+            return cmd, payload
 
     def recv_frame(self, timeout: float | None = None) -> tuple[int, bytes | None]:
         if timeout is not None:
@@ -457,6 +482,10 @@ class SubscribeClient:
     def events(self, n: int, timeout: float = 10.0) -> list[bytes]:
         """Collect the next ``n`` CMD_EVENT payloads, skipping ticks."""
         out: list[bytes] = []
+        while self._pending_events and len(out) < n:
+            p = self._pending_events.pop(0)  # buffered during an ack wait
+            if p is not None:
+                out.append(p)
         deadline = time.monotonic() + timeout
         while len(out) < n:
             left = deadline - time.monotonic()
