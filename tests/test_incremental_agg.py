@@ -784,3 +784,36 @@ def test_incremental_topk_keeps_error_bound_when_group_prunes_to_empty(
     # [2, 2+1], not [2, 2] (err reset) — and 'a' (true 1) stays within
     # the any-absent-item bound err=1
     assert view == {"d": (2, 3)}
+
+
+def test_sketch_maintainer_skips_alter_envelopes(spark, tmp_path):
+    """Ordinary DDL on the maintained table must not wedge an
+    insert-only route: the alter envelope advances the high-water mark
+    and is skipped (no row image to fold); updates still raise."""
+    import pytest as _pytest
+
+    from wing_binlog_go_spark.streaming.aggregate import (
+        distinct_view,
+        incremental_distinct_apply,
+    )
+
+    state = str(tmp_path / "ndv")
+    rows = [
+        ("insert", 1, {"g": "a", "v": "x"}, None, None),
+        ("alter", 2, None, None, None),
+        ("insert", 3, {"g": "a", "v": "y"}, None, None),
+    ]
+    incremental_distinct_apply(spark, _env(spark, rows), state, "g", "v")
+    got = {
+        r.grp: round(r.approx_ndv)
+        for r in distinct_view(spark.read.parquet(state)).collect()
+    }
+    assert got == {"a": 2}
+    # replay including the alter: no-op, no raise
+    incremental_distinct_apply(spark, _env(spark, rows), state, "g", "v")
+    assert distinct_view(spark.read.parquet(state)).count() == 1
+    # genuine retraction attempts still fail loudly
+    bad = _env(spark, [("update", 9, None, {"g": "a", "v": "x"},
+                        {"g": "a", "v": "z"})])
+    with _pytest.raises(ValueError, match="insert-only"):
+        incremental_distinct_apply(spark, bad, state, "g", "v")

@@ -130,3 +130,28 @@ def test_snapshot_bootstrap_then_stream(spark, tmp_path):
     assert final[pk_str("77")]["c_vchar"] == "snap77"  # untouched snapshot row survives
     assert final[pk_str("1")]["c_vchar"] == "row1v2"   # stream update beats snapshot
     assert pk_str("5") not in final                    # stream delete beats snapshot
+
+
+def test_decode_column_modern_mysql_and_edge_types(spark):
+    """MySQL 8.0.19+ integer types without display widths must still
+    classify (not fall through to string); ENUM/SET labels keep their
+    original case; decimal(p) without a scale keeps its precision."""
+    # unsigned values arrive on the wire in their SIGNED representation
+    # (the binlog row image); widening maps them back
+    df = spark.createDataFrame(
+        [("-1", "4294967295", "2", "3", "12345678901234567890")],
+        "u64: string, u32: string, e: string, s: string, d: string",
+    ).select(
+        decode_column(F.col("u64"), "bigint unsigned").alias("u64"),
+        decode_column(F.col("u32"), "int unsigned").alias("u32"),
+        decode_column(F.col("e"), "enum('Active','Disabled')").alias("e"),
+        decode_column(F.col("s"), "set('Read','Write')").alias("s"),
+        decode_column(F.col("d"), "decimal(20)").alias("d"),
+    )
+    row = df.collect()[0]
+    assert dict(df.dtypes)["u64"] == "decimal(20,0)"
+    assert str(row.u64) == "18446744073709551615"
+    assert row.u32 == 4294967295 and dict(df.dtypes)["u32"] == "bigint"
+    assert row.e == "Disabled"          # original case preserved
+    assert row.s == "Read,Write"        # bitmask 3 → both labels
+    assert str(row.d) == "12345678901234567890"  # no (10,0) shrink

@@ -137,3 +137,57 @@ def test_pipeline_with_txn_atomic_routes_see_closed_transactions(spark, tmp_path
     ]
     assert texts_2 == ["split-a", "split-b"]  # coordinate order preserved
     assert [e["event_index"] for e in env_2] == [n_first + 1, n_first + 2]
+
+
+def test_txn_gate_times_out_commitless_transaction_loudly(spark, tmp_path):
+    """A transaction whose commit marker was malformed (xid_commit
+    parsed to NULL) must not strand in keyed state forever: after
+    hold_timeout_ms it releases un-closed (visibly wrong beats silently
+    absent + unbounded state)."""
+    import time
+
+    from wing_binlog_go_spark.functions.envelope import CHANGE_SCHEMA
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = fixture_records()[0]
+    orphan = dict(base)
+    orphan.update(
+        gtid="3e11fa47-71ca-11e1-9e33-c80aa9429562:999",
+        xid_commit=None,  # the malformed-marker shape PERMISSIVE yields
+        after={"id": "900", "c_vchar": "orphan", "c_int": "1"},
+    )
+    _write_jsonl(src / "a.jsonl", [orphan])
+    batches: list = []
+
+    def run():
+        stream = spark.readStream.schema(CHANGE_SCHEMA).json(str(src))
+        q = (
+            txn_gate(stream, hold_timeout_ms=1500)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: batches.append(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(90)
+
+    # (the HOLD behavior at the default 10-minute timeout is covered by
+    # test_txn_gate_holds_split_transaction_until_commit; here the
+    # short timeout may fire within the first availableNow run itself)
+    run()
+    released = {r.after.get("c_vchar") for b in batches for r in b if r.after}
+    if "orphan" not in released:
+        time.sleep(2.5)  # let the processing-time timeout expire
+        # a later batch (any data) fires expired timeouts
+        tick = dict(base)
+        tick.update(
+            gtid=None, after={"id": "901", "c_vchar": "tick", "c_int": "1"}
+        )
+        _write_jsonl(src / "b.jsonl", [tick])
+        batches.clear()
+        run()
+        released = {
+            r.after.get("c_vchar") for b in batches for r in b if r.after
+        }
+    assert "orphan" in released  # released despite the missing commit

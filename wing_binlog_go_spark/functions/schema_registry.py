@@ -79,7 +79,11 @@ def decode_column(value: Column, raw_type: str) -> Column:
     """
     t = raw_type.strip().lower()
     unsigned = "unsigned" in t
-    base = t.split("(")[0].strip()
+    # first word before any '(': MySQL 8.0.19+ drops integer display
+    # widths, so the type arrives as "bigint unsigned" — without the
+    # split()[0] that whole string would match no branch and silently
+    # fall through to string (no unsigned widening, wrong type)
+    base = t.split("(")[0].split()[0]
 
     if base == "tinyint":
         return widen_unsigned(value.cast("int"), 8) if unsigned else value.cast("int")
@@ -96,8 +100,12 @@ def decode_column(value: Column, raw_type: str) -> Column:
     if base in ("double", "real"):
         return value.cast("double")
     if base in ("decimal", "numeric"):
-        m = re.match(r"(?:decimal|numeric)\((\d+),\s*(\d+)\)", t)
-        p, s = (int(m.group(1)), int(m.group(2))) if m else (10, 0)
+        # scale is optional in MySQL (decimal(20) ⇒ scale 0): a regex
+        # demanding both args would silently shrink decimal(20) to the
+        # (10,0) default and NULL-overflow every value over 10 digits
+        m = re.match(r"(?:decimal|numeric)\((\d+)(?:,\s*(\d+))?\)", t)
+        p = int(m.group(1)) if m else 10
+        s = int(m.group(2)) if m and m.group(2) is not None else 0
         return value.cast(f"decimal({p},{s})")
     if base == "bit":
         return value.cast("long")
@@ -110,9 +118,12 @@ def decode_column(value: Column, raw_type: str) -> Column:
     if base == "time":
         return value.cast("string")  # MySQL TIME can exceed 24h; keep string
     if base == "enum":
-        return decode_enum(value.cast("int"), _parse_labels(t))
+        # labels come from the ORIGINAL string: classification may
+        # lowercase, values must not ("enum('Active',...)" decodes to
+        # 'Active', exactly as MySQL returns it)
+        return decode_enum(value.cast("int"), _parse_labels(raw_type))
     if base == "set":
-        return decode_set(value.cast("long"), _parse_labels(t))
+        return decode_set(value.cast("long"), _parse_labels(raw_type))
     if base in ("binary", "varbinary", "blob", "tinyblob", "mediumblob",
                 "longblob", "geometry"):
         return value.cast("binary")

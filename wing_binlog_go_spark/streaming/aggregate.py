@@ -58,12 +58,25 @@ def _fresh_inserts(env_batch: DataFrame, state_dir: str, op_name: str, cannot: s
     recover_swap(state_dir)
     high = applied_index(state_dir)
     fresh = env_batch.filter(F.col("event_index") > high)
-    mx = fresh.agg(F.max("event_index")).collect()[0][0]
-    if mx is None:
+    # DDL envelopes carry no row image: an ALTER on the maintained
+    # table must advance the high-water mark and be skipped, not raise
+    # — raising would replay the same batch on every restart and wedge
+    # the route forever on ordinary DDL. One aggregation answers the
+    # high-water mark AND the insert-only probe (was two jobs).
+    probe = fresh.agg(
+        F.max("event_index").alias("mx"),
+        F.max(
+            F.when(
+                ~F.col("event_type").isin("insert", "alter"),
+                F.col("event_type"),
+            )
+        ).alias("bad"),
+    ).collect()[0]
+    if probe["mx"] is None:
         return None
-    if fresh.filter(F.col("event_type") != "insert").limit(1).count():
+    if probe["bad"] is not None:
         raise ValueError(f"{op_name} is insert-only: {cannot}")
-    return fresh, mx
+    return fresh.filter(F.col("event_type") == "insert"), probe["mx"]
 
 
 def _commit_state(merged: DataFrame, state_dir: str, mx: int) -> None:
@@ -161,6 +174,17 @@ def envelope_deltas(
                 * F.pow(F.element_at(img, value_field).cast("double"), 2)
             ).alias("d_sumsq"),
             F.lit(sign).cast("bigint").alias("d_count"),
+            # non-null value count: d_count counts ROWS, but F.sum
+            # skipped NULL/uncastable values in d_sum/d_sumsq — deriving
+            # AVG/variance from the row count would be silently wrong
+            # for any nullable value column ([10, NULL] → avg 5, not 10)
+            F.when(
+                F.element_at(img, value_field).cast("double").isNotNull(),
+                F.lit(sign),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("d_nnull"),
         ]
 
     ins = env.filter(F.col("event_type") == "insert").select(*_delta(data, 1))
@@ -176,6 +200,7 @@ def envelope_deltas(
             F.sum("d_sum").alias("d_sum"),
             F.sum("d_sumsq").alias("d_sumsq"),
             F.sum("d_count").alias("d_count"),
+            F.sum("d_nnull").alias("d_nnull"),
         )
     )
 
@@ -233,13 +258,16 @@ def incremental_agg_apply(
         state = spark.read.parquet(state_dir)
     else:
         state = spark.createDataFrame(
-            [], "grp string, agg_sum double, agg_sumsq double, agg_count bigint"
+            [],
+            "grp string, agg_sum double, agg_sumsq double, "
+            "agg_count bigint, agg_nnull bigint",
         )
-    if "agg_sumsq" not in state.columns:  # pre-sumsq state: fail loudly
-        raise ValueError(
-            "state table lacks agg_sumsq (written by an older engine); "
-            "rebuild the aggregate state from the replica"
-        )
+    for required in ("agg_sumsq", "agg_nnull"):  # older state: fail loudly
+        if required not in state.columns:
+            raise ValueError(
+                f"state table lacks {required} (written by an older "
+                "engine); rebuild the aggregate state from the replica"
+            )
     merged = (
         state.join(deltas, "grp", "full_outer")
         .select(
@@ -256,14 +284,14 @@ def incremental_agg_apply(
                 F.coalesce(F.col("agg_count"), F.lit(0))
                 + F.coalesce(F.col("d_count"), F.lit(0))
             ).alias("agg_count"),
+            (
+                F.coalesce(F.col("agg_nnull"), F.lit(0))
+                + F.coalesce(F.col("d_nnull"), F.lit(0))
+            ).alias("agg_nnull"),
         )
         .filter(F.col("agg_count") > 0)
     )
-    staged = state_dir.rstrip("/") + "._staging"
-    merged.write.mode("overwrite").parquet(staged)
-    with open(os.path.join(staged, _META), "w") as f:
-        json.dump({"max_event_index": int(mx)}, f)
-    swap_dir(staged, state_dir)
+    _commit_state(merged, state_dir, mx)
 
 
 def incremental_agg_writer(
@@ -288,11 +316,16 @@ def agg_view(state: DataFrame) -> DataFrame:
     when stddev ≪ |mean| (both terms huge, difference tiny). The
     maintained form is for bounded-magnitude metrics (counters, rates,
     prices); variance is floored at 0 so roundoff can't surface a
-    negative value."""
-    mean = F.col("agg_sum") / F.col("agg_count")
-    var = F.greatest(
-        F.col("agg_sumsq") / F.col("agg_count") - mean * mean, F.lit(0.0)
-    )
+    negative value.
+
+    AVG/variance divide by agg_nnull (values actually summed), not
+    agg_count (rows): SQL AVG skips NULLs, and so did the maintained
+    sums — dividing by the row count would understate both for any
+    nullable value column. A group whose every value is NULL gets NULL
+    moments, exactly as SQL AVG/VAR_POP would."""
+    n = F.when(F.col("agg_nnull") > 0, F.col("agg_nnull"))
+    mean = F.col("agg_sum") / n
+    var = F.greatest(F.col("agg_sumsq") / n - mean * mean, F.lit(0.0))
     return state.select(
         "grp",
         "agg_sum",
@@ -444,11 +477,7 @@ def incremental_minmax_apply(
         )
     )
     merged = valid.unionByName(recomputed)
-    staged = state_dir.rstrip("/") + "._staging"
-    merged.write.mode("overwrite").parquet(staged)
-    with open(os.path.join(staged, _META), "w") as f:
-        json.dump({"max_event_index": int(mx)}, f)
-    swap_dir(staged, state_dir)
+    _commit_state(merged, state_dir, mx)
 
 
 def incremental_minmax_writer(

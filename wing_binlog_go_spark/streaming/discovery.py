@@ -44,17 +44,28 @@ class ServiceRegistry:
         never see a torn file; the rename also bumps mtime = heartbeat).
         """
         fd, tmp = tempfile.mkstemp(prefix=".svc.", dir=self.root)
-        with os.fdopen(fd, "w") as f:
-            json.dump(
-                {
-                    "service_id": service_id,
-                    "host": host,
-                    "port": port,
-                    "connections": connections,
-                },
-                f,
-            )
-        os.replace(tmp, self._path(service_id))
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(
+                    {
+                        "service_id": service_id,
+                        "host": host,
+                        "port": port,
+                        "connections": connections,
+                    },
+                    f,
+                )
+            # mkstemp creates 0600; on a SHARED registry dir (gateways
+            # under different service accounts) clients couldn't read
+            # the entry and would silently treat a live gateway as dead
+            os.chmod(tmp, 0o644)
+            os.replace(tmp, self._path(service_id))
+        except BaseException:
+            try:
+                os.unlink(tmp)  # don't accumulate orphaned temp files
+            except FileNotFoundError:
+                pass
+            raise
 
     def withdraw(self, service_id: str) -> None:
         try:

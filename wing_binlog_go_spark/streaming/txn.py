@@ -34,6 +34,7 @@ server side; a runaway multi-GB transaction should be split upstream).
 from __future__ import annotations
 
 import json
+import logging
 from collections.abc import Iterator
 
 import pandas as pd
@@ -43,15 +44,29 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from wing_binlog_go_spark.functions.envelope import CHANGE_SCHEMA
 
+logger = logging.getLogger(__name__)
+
 _COLS = [f.name for f in CHANGE_SCHEMA.fields]
 
+#: how long a transaction may wait for its commit marker before the
+#: gate gives up and releases it anyway (loudly). The "commit is always
+#: in flight" premise holds for well-formed binlogs; a MALFORMED commit
+#: row (e.g. a non-boolean xid_commit that parsed to NULL) would
+#: otherwise strand its transaction in keyed state forever — never
+#: delivered, never dead-lettered, state growing without bound.
+DEFAULT_HOLD_TIMEOUT_MS = 10 * 60 * 1000
 
-def txn_gate(changes: DataFrame) -> DataFrame:
+
+def txn_gate(
+    changes: DataFrame, hold_timeout_ms: int = DEFAULT_HOLD_TIMEOUT_MS
+) -> DataFrame:
     """CHANGE_SCHEMA stream → CHANGE_SCHEMA stream, transaction-closed.
 
     Emits a transaction's rows only in the batch where its commit
     marker (xid_commit / ddl) has been seen; earlier rows wait in
-    keyed state.
+    keyed state, bounded by ``hold_timeout_ms`` (timed-out transactions
+    release un-closed with a warning — visibly wrong beats silently
+    absent plus unbounded state).
     """
     gated = changes.filter(F.col("gtid").isNotNull())
     passthrough = changes.filter(F.col("gtid").isNull())
@@ -59,6 +74,20 @@ def txn_gate(changes: DataFrame) -> DataFrame:
     def release(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            rows = json.loads(state.get[0]) if state.exists else []
+            state.remove()
+            if rows:
+                logger.warning(
+                    "txn gate releasing %d rows of transaction %s WITHOUT "
+                    "a commit marker (held past %.0f s — malformed or "
+                    "lost XID row)",
+                    len(rows), key[0], hold_timeout_ms / 1000.0,
+                )
+                out = pd.DataFrame(rows, columns=_COLS)
+                out["ts_header"] = pd.to_datetime(out["ts_header"])
+                yield out
+            return
         rows: list[dict] = json.loads(state.get[0]) if state.exists else []
         commit_seen = False
         for pdf in pdfs:
@@ -83,13 +112,14 @@ def txn_gate(changes: DataFrame) -> DataFrame:
             yield out
         else:
             state.update((json.dumps(rows, default=str),))
+            state.setTimeoutDuration(hold_timeout_ms)
 
     released = gated.groupBy("gtid").applyInPandasWithState(
         release,
         outputStructType=CHANGE_SCHEMA,
         stateStructType="pending string",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
     # align schemas (applyInPandasWithState re-derives column types from
     # the declared struct; the passthrough side already matches)
