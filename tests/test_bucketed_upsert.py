@@ -365,3 +365,29 @@ def test_repair_buckets_converges_corrupted_bucket(spark, tmp_path):
     )
     fixed = {r._pk: dict(r.row) for r in spark.read.parquet(target).collect()}
     assert len(fixed) == 60 and fixed[victim["_pk"]]["v"] != "CORRUPT"
+
+
+def test_bucket_lost_mid_swap_is_restored_on_read(spark, tmp_path):
+    """A crash between swap_dir's two renames leaves a bucket existing
+    only as its HIDDEN backup — invisible to partition discovery, and
+    absent from os.listdir so nothing would ever retry it. Readers must
+    restore it; its rows must not silently vanish."""
+    from wing_binlog_go_spark.streaming.maintenance import backup_path
+
+    env = _env(spark, tmp_path)
+    target = str(tmp_path / "t")
+    upsert_parquet_bucketed(env, target, pk="id", num_buckets=4)
+    before = sorted(
+        (r._pk, r.event_index) for r in read_bucketed_table(spark, target).collect()
+    )
+    victim = next(
+        d for d in sorted(os.listdir(target)) if d.startswith("bucket=")
+    )
+    vdir = os.path.join(target, victim)
+    os.rename(vdir, backup_path(vdir))  # simulate the mid-swap crash
+    assert not os.path.exists(vdir)
+    after = sorted(
+        (r._pk, r.event_index) for r in read_bucketed_table(spark, target).collect()
+    )
+    assert after == before  # restored, nothing lost
+    assert os.path.exists(vdir)

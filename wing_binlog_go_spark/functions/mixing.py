@@ -246,8 +246,15 @@ def temperature_mix(
         out="_rn",
         partition_cols=[group_col],
     )
+    # NULL-safe quota join: counts/z/takes all include a NULL group
+    # (its n^α consumes z-mass and quota), so a plain equality join —
+    # where NULL never matches NULL — would silently drop every
+    # NULL-group row AND undershoot ``total`` by that group's quota.
+    # The siblings (source_cap, stratified_sample) already keep NULL
+    # groups; <=> keeps this a hash-joinable equi-join.
+    t = F.broadcast(takes).withColumnRenamed(group_col, "_tg")
     return (
-        ranked.join(F.broadcast(takes), group_col)
+        ranked.join(t, F.col(group_col).eqNullSafe(F.col("_tg")))
         .filter(F.col("_rn") <= F.col("_take"))
         .select(id_col, group_col)
     )

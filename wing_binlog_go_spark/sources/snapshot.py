@@ -39,6 +39,14 @@ def jdbc_snapshot(
     dbtable = f"(SELECT * FROM {table} WHERE {where}) snap" if where else table
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach the JDBC reader as the literal
+            # "None" and die later in a NumberFormatException — fail at
+            # the call site with the actual requirement instead
+            raise ValueError(
+                "jdbc_snapshot: partition_column requires lower_bound "
+                "and upper_bound (SELECT MIN(col), MAX(col) upfront)"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("numPartitions", str(num_partitions))
@@ -49,13 +57,23 @@ def jdbc_snapshot(
 
 
 def snapshot_as_changes(
-    snapshot: DataFrame, database: str, table: str, snapshot_ts: str | None = None
+    snapshot: DataFrame,
+    database: str,
+    table: str,
+    snapshot_ts: str | None = None,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Batch rows → CHANGE_SCHEMA ``insert`` records (dump.go semantics:
     every dumped row re-enters the pipeline as an insert event).
 
     Values are stringified into the envelope's map<string,string> the
     same way binlog row images are.
+
+    ``order_cols``: a UNIQUE key subset to derive the deterministic row
+    numbering from — pass the primary key. Defaults to every column
+    (always correct), but on a wide table that makes the whole ROW the
+    range-sort key (multi-KB composites through the shuffle); the PK
+    gives identical determinism at a fraction of the cost.
     """
     from wing_binlog_go_spark.functions.envelope import with_dense_index
 
@@ -71,7 +89,9 @@ def snapshot_as_changes(
     # parallel dense numbering (range-partitioned zipWithIndex) — a plain
     # global Window here would single-partition the entire snapshot,
     # defeating the parallel JDBC read
-    ordered = with_dense_index(snapshot, cols, out="_row_order").select(
+    ordered = with_dense_index(
+        snapshot, list(order_cols) if order_cols else cols, out="_row_order"
+    ).select(
         F.create_map(*kv).alias("after"), F.col("_row_order").alias("_rn")
     )
     return ordered.select(

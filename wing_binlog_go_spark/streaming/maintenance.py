@@ -37,6 +37,14 @@ def swap_dir(new_dir: str, path: str) -> None:
     is recoverable because the previous table survives at the backup and
     ``recover_swap`` (called first) restores it. Delta/Iceberg commit
     logs are the real answer at scale; this is the best plain-FS analog.
+
+    Isolation honesty: crash-safe is not snapshot-isolated. A reader
+    that LISTED the old files before the swap can hit FileNotFound on
+    the deleted parts mid-scan, and there is an instant between the two
+    renames where ``path`` does not exist. Serialize maintenance swaps
+    against long-running readers (the streaming readers re-list per
+    batch, so they only ever race the instant, not the file set); real
+    MVCC needs the Delta/Iceberg log.
     """
     backup = backup_path(path)
     shutil.rmtree(backup, ignore_errors=True)  # stale backup from a crash
@@ -68,6 +76,27 @@ def recover_swap(path: str) -> None:
         os.rename(legacy, path)
     elif os.path.exists(legacy):
         shutil.rmtree(legacy, ignore_errors=True)
+
+
+def recover_bucket_swaps(target_dir: str) -> None:
+    """Restore any bucket dir lost mid-swap: a crash between swap_dir's
+    two renames leaves only the HIDDEN backup, which hive partition
+    discovery (correctly) skips — so without this probe the bucket's
+    rows silently vanish from every read, and nothing ever retries the
+    swap of a dir that no longer appears in os.listdir. Probes both the
+    dot-prefixed and legacy backup names."""
+    try:
+        entries = os.listdir(target_dir)
+    except FileNotFoundError:
+        return
+    for entry in entries:
+        name = None
+        if entry.startswith(".bucket=") and entry.endswith("._old"):
+            name = entry[1:-len("._old")]
+        elif entry.startswith("bucket=") and entry.endswith("._old"):
+            name = entry[: -len("._old")]
+        if name:
+            recover_swap(os.path.join(target_dir, name))
 
 
 def dir_size_bytes(path: str) -> int:
@@ -135,18 +164,31 @@ def compact_bucketed_table(
     commit is rolled forward first; each per-bucket rewrite stays
     crash-safe through the same staged-swap protocol as the upsert.
 
+    Runs under the table's COMMIT LOCK: compaction rewrites the same
+    bucket dirs the live upsert's manifest protocol swaps, and an
+    unserialized compactor could clobber a batch committed between its
+    read and its swap (the manifest is gone by then, so recovery could
+    not roll the lost rows forward). Holding the lock for the whole
+    pass serializes maintenance against the stream's phase 2+3 — the
+    same single-writer-per-table assumption the upsert already makes.
+
     Returns {bucket dir name: new file count}.
     """
-    from wing_binlog_go_spark.streaming.pipeline import recover_bucket_commit
+    from wing_binlog_go_spark.streaming.pipeline import (
+        _commit_lock,
+        recover_bucket_commit,
+    )
 
     recover_bucket_commit(target_dir)
+    recover_bucket_swaps(target_dir)  # heal any bucket lost mid-swap
     out: dict[str, int] = {}
-    for d in sorted(os.listdir(target_dir)):
-        if not d.startswith("bucket="):
-            continue
-        bdir = os.path.join(target_dir, d)
-        if os.path.isdir(bdir):
-            out[d] = compact_parquet(
-                spark, bdir, target_file_mb, sort_cols=["_pk"]
-            )
+    with _commit_lock(target_dir):
+        for d in sorted(os.listdir(target_dir)):
+            if not d.startswith("bucket="):
+                continue
+            bdir = os.path.join(target_dir, d)
+            if os.path.isdir(bdir):
+                out[d] = compact_parquet(
+                    spark, bdir, target_file_mb, sort_cols=["_pk"]
+                )
     return out

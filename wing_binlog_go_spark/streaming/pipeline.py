@@ -831,8 +831,13 @@ def read_bucketed_table(spark: SparkSession, target_dir: str) -> DataFrame:
     """Read a bucketed upsert table; hive-style partition discovery turns
     bucket=N dirs into a prunable `bucket` column. A manifest left by an
     interrupted commit is rolled forward first, so readers never observe
-    a lasting mix of old and new buckets."""
+    a lasting mix of old and new buckets; a bucket dir lost mid-swap
+    (only its hidden backup on disk — invisible to partition discovery)
+    is restored so its rows cannot silently vanish from the read."""
+    from wing_binlog_go_spark.streaming.maintenance import recover_bucket_swaps
+
     recover_bucket_commit(target_dir)
+    recover_bucket_swaps(target_dir)
     return spark.read.parquet(target_dir).drop("bucket")
 
 
