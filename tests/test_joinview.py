@@ -1,0 +1,274 @@
+"""Incremental join-view maintenance: the materialized inner join of two
+CDC-fed tables stays equal to a batch recompute under inserts, join-key
+moves, PK moves, deletes, replay, and mid-commit crashes."""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+
+from pyspark.sql import functions as F
+
+from wing_binlog_go_spark.functions.envelope import EVENT_SCHEMA
+from wing_binlog_go_spark.streaming.joinview import (
+    incremental_joinview_apply,
+    joinview_high_water,
+    joinview_writer,
+    read_joinview,
+)
+
+
+def _env(spark, rows):
+    """rows: (table, event_type, event_index, data, old_data, new_data)"""
+    return spark.createDataFrame(
+        [
+            ("shop", tb, et, 0, idx, {"data": d, "old_data": o, "new_data": n})
+            for tb, et, idx, d, o, n in rows
+        ],
+        EVENT_SCHEMA,
+    )
+
+
+def _pairs(spark, state):
+    """The view as a set of (left id, right id) pairs."""
+    return {
+        (r.row_l["id"], r.row_r["id"])
+        for r in read_joinview(spark, state).collect()
+    }
+
+
+def _apply(spark, state, batch):
+    incremental_joinview_apply(
+        spark, batch, state, "orders", "customers", "cust", "id"
+    )
+
+
+def test_joinview_build_and_mutations(spark, tmp_path):
+    state = str(tmp_path / "jv")
+    b1 = _env(
+        spark,
+        [
+            ("customers", "insert", 1, {"id": "1", "seg": "A"}, None, None),
+            ("customers", "insert", 2, {"id": "2", "seg": "B"}, None, None),
+            ("orders", "insert", 3, {"id": "10", "cust": "1"}, None, None),
+            ("orders", "insert", 4, {"id": "11", "cust": "1"}, None, None),
+            ("orders", "insert", 5, {"id": "12", "cust": "2"}, None, None),
+            # NULL join key: live row, joins nothing (inner semantics)
+            ("orders", "insert", 6, {"id": "13"}, None, None),
+        ],
+    )
+    _apply(spark, state, b1)
+    assert _pairs(spark, state) == {("10", "1"), ("11", "1"), ("12", "2")}
+    assert joinview_high_water(state) == 6
+
+    # join-key move + right-side delete in one batch
+    b2 = _env(
+        spark,
+        [
+            ("orders", "update", 7, None,
+             {"id": "11", "cust": "1"}, {"id": "11", "cust": "2"}),
+            ("customers", "delete", 8, {"id": "2", "seg": "B"}, None, None),
+        ],
+    )
+    _apply(spark, state, b2)
+    assert _pairs(spark, state) == {("10", "1")}
+
+    # PK move on the right side: customer 1 re-keys to 3; the old key's
+    # pairs must vanish and orders pointing at 3 must appear
+    b3 = _env(
+        spark,
+        [
+            ("customers", "update", 9, None,
+             {"id": "1", "seg": "A"}, {"id": "3", "seg": "A"}),
+            ("orders", "insert", 10, {"id": "14", "cust": "3"}, None, None),
+        ],
+    )
+    _apply(spark, state, b3)
+    assert _pairs(spark, state) == {("14", "3")}
+
+
+def test_joinview_replay_is_noop(spark, tmp_path):
+    state = str(tmp_path / "jv")
+    b = _env(
+        spark,
+        [
+            ("customers", "insert", 1, {"id": "1", "seg": "A"}, None, None),
+            ("orders", "insert", 2, {"id": "10", "cust": "1"}, None, None),
+        ],
+    )
+    _apply(spark, state, b)
+    first = _pairs(spark, state)
+    _apply(spark, state, b)  # exact redelivery
+    assert _pairs(spark, state) == first == {("10", "1")}
+    # partial overlap: one replayed row + one new
+    b2 = _env(
+        spark,
+        [
+            ("orders", "insert", 2, {"id": "10", "cust": "1"}, None, None),
+            ("orders", "insert", 3, {"id": "11", "cust": "1"}, None, None),
+        ],
+    )
+    _apply(spark, state, b2)
+    assert _pairs(spark, state) == {("10", "1"), ("11", "1")}
+    assert joinview_high_water(state) == 3
+
+
+def test_joinview_crash_between_child_swaps_reconverges(spark, tmp_path):
+    """Crash AFTER the left-side swap but BEFORE the view swap: the
+    high-water mark (which rides the view swap) still names the old
+    batch, the redelivered batch re-merges the side idempotently, and
+    the view rebuild converges."""
+    from wing_binlog_go_spark.streaming.joinview import (
+        _merge_side,
+        _read_or_empty,
+        _side_changes,
+        _swap_child,
+        _SIDE_SCHEMA,
+    )
+
+    state = str(tmp_path / "jv")
+    _apply(
+        spark,
+        state,
+        _env(
+            spark,
+            [
+                ("customers", "insert", 1, {"id": "1", "seg": "A"}, None, None),
+                ("orders", "insert", 2, {"id": "10", "cust": "1"}, None, None),
+            ],
+        ),
+    )
+    b2 = _env(
+        spark,
+        [
+            ("orders", "insert", 3, {"id": "11", "cust": "1"}, None, None),
+            ("customers", "insert", 4, {"id": "2", "seg": "B"}, None, None),
+        ],
+    )
+    # replicate apply() up to the crash point: left swapped, nothing else
+    left_dir = os.path.join(state, "left")
+    ch_l = _side_changes(b2, "orders", "id")
+    _swap_child(
+        _merge_side(_read_or_empty(spark, left_dir, _SIDE_SCHEMA), ch_l),
+        left_dir,
+    )
+    assert joinview_high_water(state) == 2  # mark did NOT advance
+    # plus a stale staging dir from the crash
+    os.makedirs(os.path.join(state, "view._staging"), exist_ok=True)
+
+    _apply(spark, state, b2)  # at-least-once redelivery
+    assert _pairs(spark, state) == {("10", "1"), ("11", "1")}
+    assert joinview_high_water(state) == 4
+
+
+def test_joinview_matches_batch_recompute_randomized(spark, tmp_path):
+    """~90 random events over both tables in 3 batches equal a from-
+    scratch dict-model recompute after every batch."""
+    rng = random.Random(20260815)
+    state = str(tmp_path / "jv")
+    model = {"orders": {}, "customers": {}}
+    idx = 0
+
+    def fresh_row(tb):
+        # customers: pk IS the join key (small domain so orders hit it);
+        # orders: own pk domain + a (possibly dangling) cust reference
+        if tb == "customers":
+            return {"id": str(rng.randrange(10)), "seg": str(rng.randrange(3))}
+        return {"id": str(rng.randrange(100)), "cust": str(rng.randrange(10))}
+
+    def gen_batch(n):
+        nonlocal idx
+        rows = []
+        for _ in range(n):
+            tb = rng.choice(("orders", "customers"))
+            side = model[tb]
+            op = rng.choice(("insert", "insert", "update", "delete"))
+            if op == "insert" or not side:
+                idx += 1
+                row = fresh_row(tb)
+                pk = row["id"]
+                if pk in side:  # model as an update of the live row
+                    rows.append((tb, "update", idx, None, dict(side[pk]), row))
+                else:
+                    rows.append((tb, "insert", idx, row, None, None))
+                side[pk] = row
+            elif op == "update":
+                idx += 1
+                pk = rng.choice(sorted(side))
+                old = dict(side[pk])
+                new = fresh_row(tb)
+                if new["id"] != pk and new["id"] in side:
+                    continue  # a real feed can't collide two live PKs
+                rows.append((tb, "update", idx, None, old, new))
+                del side[pk]
+                side[new["id"]] = new
+            else:
+                idx += 1
+                pk = rng.choice(sorted(side))
+                rows.append((tb, "delete", idx, dict(side[pk]), None, None))
+                del side[pk]
+        return rows
+
+    for _ in range(3):
+        _apply(spark, state, _env(spark, gen_batch(30)))
+        want = {
+            (o["id"], c["id"])
+            for o in model["orders"].values()
+            for c in model["customers"].values()
+            if o.get("cust") is not None and o["cust"] == c["id"]
+        }
+        assert _pairs(spark, state) == want
+
+
+def test_joinview_route_through_pipeline(spark, tmp_path):
+    """The writer as a pipeline route: a two-table changelog → envelope
+    stream → foreachBatch → maintained join view."""
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+
+    log_dir = tmp_path / "log"
+    os.makedirs(log_dir)
+    recs = [
+        ("customers", "insert", None, {"id": "1", "seg": "A"}),
+        ("customers", "insert", None, {"id": "2", "seg": "B"}),
+        ("orders", "insert", None, {"id": "10", "cust": "1"}),
+        ("orders", "insert", None, {"id": "11", "cust": "2"}),
+        ("orders", "update", {"id": "11", "cust": "2"}, {"id": "11", "cust": "1"}),
+        ("customers", "delete", {"id": "2", "seg": "B"}, None),
+    ]
+    with open(log_dir / "changelog.jsonl", "w") as f:
+        for pos, (tb, action, before, after) in enumerate(recs):
+            f.write(
+                json.dumps(
+                    {
+                        "binlog_file": "mysql-bin.000001",
+                        "binlog_pos": 1000 + pos,
+                        "xid_commit": True,
+                        "database": "shop",
+                        "table": tb,
+                        "action": action,
+                        "row_no": 0,
+                        "before": before,
+                        "after": after,
+                        "ddl_query": None,
+                        "ts_header": "2018-04-19T05:21:27.000Z",
+                        "gtid": None,
+                    }
+                )
+                + "\n"
+            )
+    state = str(tmp_path / "jv")
+    q = run_pipeline(
+        spark,
+        str(log_dir),
+        [
+            Route(
+                "jv",
+                joinview_writer(state, "orders", "customers", "cust", "id"),
+            )
+        ],
+        str(tmp_path / "ckpt"),
+        include=[r"shop\.(orders|customers)"],
+    )
+    q.awaitTermination(60)
+    assert _pairs(spark, state) == {("10", "1"), ("11", "1")}

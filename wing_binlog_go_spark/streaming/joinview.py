@@ -1,0 +1,243 @@
+"""Incremental JOIN-view maintenance over the CDC envelope stream.
+
+The reference feeds "Realtime analytics" consumers (`readme.md:40-43`)
+from one changelog carrying many tables; the second-most-common consumer
+after per-key aggregates (streaming/aggregate.py) is a MATERIALIZED JOIN
+of two of those tables — e.g. orders enriched with their customer row,
+kept current as either side changes. Recomputing the join per batch is
+O(|A| + |B|) every few seconds; this module maintains it incrementally
+with the classic delta-join rule:
+
+    V_new = (V_old minus pairs touching a changed key)
+          ∪ ΔA_live ⋈ B_new
+          ∪ (A_new ∖ ΔA) ⋈ ΔB_live
+
+Each batch costs O(|Δ| ⋈ state-on-matching-join-keys) for the delta
+joins plus an anti-join of the old view against the (small, broadcast)
+set of touched primary keys — never a re-join of the full sides.
+
+State layout under ``state_dir`` (all plain parquet + POSIX rename,
+same storage constraint as every maintainer in aggregate.py):
+
+    state_dir/left   (_pk, row map, event_index)   live rows of table A
+    state_dir/right  (_pk, row map, event_index)   live rows of table B
+    state_dir/view   (_pk_l, _pk_r, jk, row_l, row_r)
+    state_dir/view/_join_meta.json                 replay high-water mark
+
+Commit protocol: each child is staged-swapped individually, in the fixed
+order left → right → view, and the high-water mark rides with the VIEW
+swap — the last rename is the commit point. A crash between child swaps
+leaves sides ahead of the mark, which is safe because every step is
+idempotent: the side merge is last-writer-wins by the replay-stable
+``event_index`` (re-unioning the same change rows picks the same
+winners), and the view rebuild recomputes all pairs touching the
+replayed keys from whatever the sides now hold. The at-least-once
+source redelivers the batch (foreachBatch checkpoints commit after the
+writer returns), the replay re-derives identical deltas, and the three
+children reconverge.
+
+Update/delete semantics come from the envelope shapes
+(`src/library/binlog/handler.go:113-184`): updates re-key on the NEW
+image and tombstone a moved primary key (change_rows_per_pk), so a row
+whose JOIN KEY changes leaves its old pairs (its _pk is touched → old
+pairs anti-joined away) and enters the new ones (delta join under the
+new key); deletes remove every pair the row participated in.
+
+Scale shape (100 TB): the delta joins shuffle O(|Δ|) rows against the
+side states partitioned on the join key; the touched-pk sets are
+batch-sized and broadcast. The full-table rewrite of a CHANGED side and
+of the view is the plain-parquet cost floor — at billions of live rows
+swap the children for the bucketed-manifest layout (streaming/bucketed
+upsert) so only buckets holding touched keys rewrite, or a Delta MERGE;
+the delta algebra above is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wing_binlog_go_spark.streaming.maintenance import recover_swap, swap_dir
+from wing_binlog_go_spark.streaming.pipeline import (
+    _collapse_lww,
+    change_rows_per_pk,
+)
+
+_META = "_join_meta.json"
+
+_SIDE_SCHEMA = (
+    "_pk string, row map<string,string>, event_index bigint"
+)
+_VIEW_SCHEMA = (
+    "_pk_l string, _pk_r string, jk string, "
+    "row_l map<string,string>, row_r map<string,string>"
+)
+
+
+def joinview_high_water(state_dir: str) -> int:
+    """Replay high-water mark: max ``event_index`` whose batch has fully
+    committed (rode the view swap). −1 before the first commit."""
+    meta = os.path.join(state_dir, "view", _META)
+    if not os.path.exists(meta):
+        return -1
+    with open(meta) as f:
+        return int(json.load(f)["max_event_index"])
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    if os.path.exists(path):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def _side_changes(fresh: DataFrame, table: str, pk) -> DataFrame:
+    """LWW-collapsed change rows of one table in the batch:
+    (_pk, row, is_delete, event_index), one winner per key."""
+    return _collapse_lww(
+        change_rows_per_pk(fresh.filter(F.col("table") == table), pk)
+    )
+
+
+def _merge_side(state: DataFrame, changes: DataFrame) -> DataFrame:
+    """Side state ∪ batch changes, last-writer-wins, tombstones dropped.
+    Idempotent: replaying the same changes re-picks the same winners."""
+    merged = _collapse_lww(
+        state.withColumn("is_delete", F.lit(False))
+        .select("_pk", "row", "is_delete", "event_index")
+        .unionByName(changes)
+    )
+    return merged.filter(~F.col("is_delete")).select("_pk", "row", "event_index")
+
+
+def _swap_child(df: DataFrame, path: str, meta_mx: int | None = None) -> None:
+    staged = path.rstrip("/") + "._staging"
+    df.write.mode("overwrite").parquet(staged)
+    if meta_mx is not None:
+        with open(os.path.join(staged, _META), "w") as f:
+            json.dump({"max_event_index": int(meta_mx)}, f)
+    swap_dir(staged, path)
+
+
+def incremental_joinview_apply(
+    spark: SparkSession,
+    env_batch: DataFrame,
+    state_dir: str,
+    left_table: str,
+    right_table: str,
+    key_left: str,
+    key_right: str,
+    pk_left: str | list[str] = "id",
+    pk_right: str | list[str] = "id",
+) -> None:
+    """Apply one envelope micro-batch to the maintained inner-join view
+    ``left ⋈ right ON left.key_left = right.key_right``.
+
+    Rows with a NULL join key stay in the side state (they are live
+    rows and may gain a key later) but join to nothing — inner-join
+    semantics, same as the batch recompute. Replay-safe via the
+    high-water mark committed with the view swap (see module doc).
+    """
+    left_dir = os.path.join(state_dir, "left")
+    right_dir = os.path.join(state_dir, "right")
+    view_dir = os.path.join(state_dir, "view")
+    for d in (left_dir, right_dir, view_dir):
+        recover_swap(d)
+
+    high = joinview_high_water(state_dir)
+    fresh = env_batch.filter(F.col("event_index") > high)
+    mx = fresh.agg(F.max("event_index")).collect()[0][0]
+    if mx is None:
+        return
+
+    ch_l = _side_changes(fresh, left_table, pk_left).localCheckpoint(eager=True)
+    ch_r = _side_changes(fresh, right_table, pk_right).localCheckpoint(eager=True)
+
+    # sides: merge + swap only when the batch actually touched them
+    # (the idle-table IO guard, same as upsert_parquet's short-circuit)
+    l_dirty = not ch_l.isEmpty()
+    r_dirty = not ch_r.isEmpty()
+    if l_dirty:
+        _swap_child(
+            _merge_side(_read_or_empty(spark, left_dir, _SIDE_SCHEMA), ch_l),
+            left_dir,
+        )
+    if r_dirty:
+        _swap_child(
+            _merge_side(_read_or_empty(spark, right_dir, _SIDE_SCHEMA), ch_r),
+            right_dir,
+        )
+
+    # view rebuild from the POST-swap sides (replay converges on these)
+    new_l = _read_or_empty(spark, left_dir, _SIDE_SCHEMA).select(
+        "_pk", F.element_at("row", key_left).alias("jk"), F.col("row")
+    )
+    new_r = _read_or_empty(spark, right_dir, _SIDE_SCHEMA).select(
+        "_pk", F.element_at("row", key_right).alias("jk"), F.col("row")
+    )
+    t_l = ch_l.select("_pk").distinct()
+    t_r = ch_r.select("_pk").distinct()
+
+    old_view = _read_or_empty(spark, view_dir, _VIEW_SCHEMA)
+    kept = old_view.join(
+        F.broadcast(t_l.withColumnRenamed("_pk", "_pk_l")), "_pk_l", "left_anti"
+    ).join(
+        F.broadcast(t_r.withColumnRenamed("_pk", "_pk_r")), "_pk_r", "left_anti"
+    )
+
+    def pairs(lhs: DataFrame, rhs: DataFrame) -> DataFrame:
+        l = lhs.select(
+            F.col("_pk").alias("_pk_l"), "jk", F.col("row").alias("row_l")
+        )
+        r = rhs.select(
+            F.col("_pk").alias("_pk_r"),
+            F.col("jk").alias("_jk_r"),
+            F.col("row").alias("row_r"),
+        )
+        return l.join(r, l["jk"] == r["_jk_r"]).select(
+            "_pk_l", "_pk_r", "jk", "row_l", "row_r"
+        )
+
+    # ΔA ⋈ B_new covers (touched-l × anything); (A_new ∖ ΔA) ⋈ ΔB covers
+    # the remaining touched-r pairs exactly once
+    add_l = pairs(new_l.join(F.broadcast(t_l), "_pk", "left_semi"), new_r)
+    add_r = pairs(
+        new_l.join(F.broadcast(t_l), "_pk", "left_anti"),
+        new_r.join(F.broadcast(t_r), "_pk", "left_semi"),
+    )
+    new_view = kept.select(*old_view.columns).unionByName(add_l).unionByName(add_r)
+    _swap_child(new_view, view_dir, meta_mx=mx)  # commit point
+
+
+def joinview_writer(
+    state_dir: str,
+    left_table: str,
+    right_table: str,
+    key_left: str,
+    key_right: str,
+    pk_left: str | list[str] = "id",
+    pk_right: str | list[str] = "id",
+):
+    """foreachBatch hook: envelope stream → maintained join view."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_joinview_apply(
+            batch_df.sparkSession,
+            batch_df,
+            state_dir,
+            left_table,
+            right_table,
+            key_left,
+            key_right,
+            pk_left,
+            pk_right,
+        )
+
+    return write
+
+
+def read_joinview(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained view: (_pk_l, _pk_r, jk, row_l, row_r)."""
+    return _read_or_empty(spark, os.path.join(state_dir, "view"), _VIEW_SCHEMA)
