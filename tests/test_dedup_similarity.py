@@ -1424,3 +1424,64 @@ def test_fuzzy_varlen_join_covers_short_strings(spark):
     assert got == want
     # the pair classes partition: short-short, short-long, long-long
     assert (0, 1, 1) in want and (4, 5, 1) in want and (1, 8, 1) in want
+
+
+def test_containment_planted_snippet_found_and_jaccard_blind(spark):
+    """q138's reason to exist: a short snippet verbatim inside a long
+    host has high containment but tiny Jaccard. The planted pair must
+    surface in containment_pairs and NOT in the symmetric join at the
+    same shingle size."""
+    from wing_binlog_go_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    host_words = [f"w{i}" for i in range(400)]
+    snippet = " ".join(host_words[100:130])  # 30 words embedded verbatim
+    other = " ".join(f"x{i}" for i in range(300))
+    docs = spark.createDataFrame(
+        [(1, " ".join(host_words)), (2, snippet), (3, other)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(docs, k=3, threshold=0.8).collect()
+    }
+    assert (2, 1) in got and got[(2, 1)] == 1.0  # snippet ⊂ host
+    assert (1, 2) not in got  # direction matters: host ⊄ snippet
+    sym = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    assert (1, 2) not in sym and (2, 1) not in sym  # Jaccard is blind here
+
+
+def test_containment_equals_bruteforce_on_fixture(spark, sf_small):
+    """Prefix filtering on the contained side is EXACT: candidates +
+    verify must equal the unfiltered directional overlap ratio."""
+    from wing_binlog_go_spark.operators.dedup import (
+        containment_pairs,
+        word_shingles,
+    )
+
+    docs = read_table(spark, sf_small, "documents")
+    got = {
+        (r.doc_a, r.doc_b, r.containment)
+        for r in containment_pairs(docs, k=3, threshold=0.8).collect()
+    }
+    el = docs.select(
+        F.col("doc_id").alias("doc"), F.explode(word_shingles("text", 3)).alias("s")
+    )
+    n = el.groupBy("doc").count()
+    brute = (
+        el.alias("a")
+        .join(el.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") != F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("ov"))
+        .join(n.withColumnRenamed("doc", "doc_a").withColumnRenamed("count", "n_a"), "doc_a")
+        .filter(F.col("ov") / F.col("n_a") >= 0.8)
+        .select("doc_a", "doc_b", F.round(F.col("ov") / F.col("n_a"), 6).alias("containment"))
+    )
+    want = {(r.doc_a, r.doc_b, r.containment) for r in brute.collect()}
+    assert want, "fixture must contain containment pairs"
+    assert got == want

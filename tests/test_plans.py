@@ -495,3 +495,13 @@ def test_windowed_funnel_and_attribution_plan_hygiene(spark, sf_dir):
     assert "Join" not in p133  # window formulation, never a self-join
     spec = [l for l in p133.splitlines() if "windowspecdefinition" in l]
     assert spec and all("user_id" in l for l in spec)
+
+
+def test_containment_join_is_prefix_filtered_equi_join(spark, sf_dir):
+    """q138: directional containment candidates come from the contained
+    side's rarity prefix equi-joined against the full inverted index —
+    never an all-pairs product, never Python eval."""
+    p = plan_of(_Q["q138_containment_join"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

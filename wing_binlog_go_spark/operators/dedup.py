@@ -1326,3 +1326,126 @@ SELECT doc, MIN(lbl) AS cluster FROM cc GROUP BY doc ORDER BY doc
 """
 
 QUERIES["q129_dedup_clusters"] = QuerySpec(_q_dedup_clusters, _DEDUP_CLUSTERS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment join (quote / subset inclusion)
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """DIRECTIONAL near-containment self-join: pairs (doc_a, doc_b)
+    where C(A→B) = |A∩B| / |A| ≥ t over k-word shingle sets — the
+    "small doc quoted inside a big doc" duplicate that symmetric
+    Jaccard structurally misses: a 50-shingle snippet fully embedded in
+    a 5000-shingle page has J ≈ 0.01 but C = 1.0. Training-data
+    pipelines need this form to drop snippet-sized republications
+    without also merging the unrelated long hosts.
+
+    Candidate generation is prefix filtering on the CONTAINED side
+    only (the containment analog of ``apss_prefix_pairs``): rank each
+    doc's shingles by global rarity; if C(A→B) ≥ t then A and B share
+    ≥ ⌈t·|A|⌉ elements, and A's un-indexed suffix holds only
+    ⌈t·|A|⌉ − 1 of them — so at least one shared element sits in A's
+    first |A| − ⌈t·|A|⌉ + 1 elements. B carries no size bound (any
+    superset can contain A), so the B side indexes ALL its elements;
+    fan-out on a hot element s is |prefixes holding s| × |docs holding
+    s|, and hot elements — by rarity order — almost never enter a
+    prefix, which is what keeps the join off the d² hot-key cliff.
+    A size filter (|B| ≥ ⌈t·|A|⌉, since |∩| ≤ |B|) prunes the rest.
+
+    Verification is exact: array_intersect over the full sets.
+    Returns (doc_a, doc_b, containment), doc_a ≠ doc_b, doc_a the
+    contained side. Self-pairs are excluded; both directions of a
+    mutual near-equal pair are reported (directionality is the point).
+    """
+    el = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("s")
+    ).localCheckpoint(eager=True)  # feeds document frequency AND ranked sets
+    dfreq = el.groupBy("s").agg(F.count("*").alias("df"))
+    sets = (
+        el.join(dfreq, "s")
+        .groupBy("doc")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "s"))), lambda r: r["s"]
+            ).alias("els")
+        )
+        .withColumn("n", F.size("els"))
+    )
+    pre = sets.select(
+        "doc",
+        "n",
+        F.explode(
+            F.expr(
+                f"slice(els, 1, size(els) - cast(ceil({threshold} * size(els)) as int) + 1)"
+            )
+        ).alias("s"),
+    )
+    full = sets.select("doc", "n", F.explode("els").alias("s"))
+    cand = (
+        pre.alias("a")
+        .join(
+            full.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") != F.col("b.doc")),
+        )
+        # |∩| ≥ t·|A| and |∩| ≤ |B| ⇒ |B| ≥ t·|A|
+        .filter(F.col("b.n") >= F.lit(threshold) * F.col("a.n"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc").alias("doc_a"), F.col("els").alias("_ea"), F.col("n").alias("n_a")
+    )
+    sb = sets.select(F.col("doc").alias("doc_b"), F.col("els").alias("_eb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "_c", F.size(F.array_intersect("_ea", "_eb")) / F.col("n_a")
+        )
+        .filter(F.col("_c") >= threshold)
+        .select("doc_a", "doc_b", F.round("_c", 6).alias("containment"))
+    )
+
+
+def _q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, k=3, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+# Exact semantics ⇒ the oracle is the unfiltered directional overlap
+# ratio — prefix filtering must not change the answer.
+_CONTAINMENT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id AS doc,
+         unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+                ELSE [array_to_string(t, ' ')] END)) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc
+), common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS overlap
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc <> b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT doc_a, doc_b,
+       ROUND(overlap / na.n, 6) AS containment
+FROM common
+JOIN sizes na ON na.doc = doc_a
+WHERE overlap / na.n >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES["q138_containment_join"] = QuerySpec(_q_containment_join, _CONTAINMENT_ORACLE)
