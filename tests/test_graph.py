@@ -1,0 +1,88 @@
+"""Graph operators: PageRank vs a numpy reference, k-hop reachability
+vs a dict-BFS closure, and the deterministic edge builder."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from wing_binlog_go_spark.operators.graph import (
+    interaction_edges,
+    khop_counts,
+    pagerank,
+)
+from wing_binlog_go_spark.tables import read_table
+
+
+def _ref_pagerank(edges, d=0.85, iters=10):
+    nodes = sorted({u for e in edges for u in e})
+    ix = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[ix[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[ix[t]] += r[ix[s]] / out[ix[s]]
+        dangling = r[out == 0].sum()
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    return {u: r[ix[u]] for u in nodes}
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    """Cycle + spoke + DANGLING sink: ranks match the dense reference
+    to 1e-9 and keep summing to 1 (the dangling redistribution)."""
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4), (4, 5), (2, 4)]  # 5 dangles
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(e, damping=0.85, n_iter=10).collect()}
+    want = _ref_pagerank(edges)
+    assert set(got) == set(want)
+    for u in want:
+        assert abs(got[u] - want[u]) < 1e-9, u
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_sink_gains_cycle_loses(spark):
+    """Directional sanity: a node every path feeds into outranks the
+    node that only feeds others."""
+    e = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (9, 1)], "src long, dst long"
+    )
+    got = {r.node: r.rank for r in pagerank(e, n_iter=20).collect()}
+    assert got[9] == max(got.values())
+
+
+def test_khop_matches_dict_bfs(spark, sf_small):
+    """k-hop closure over the real events-derived graph equals a
+    driver-side BFS with the same hop bound (cycles may re-reach the
+    start node; that is part of the contract)."""
+    ev = read_table(spark, sf_small, "events")
+    edges = interaction_edges(ev)
+    elist = [(r.src, r.dst) for r in edges.collect()]
+    adj = {}
+    for s, t in elist:
+        adj.setdefault(s, set()).add(t)
+    want = {}
+    for start in adj:
+        seen, frontier = set(), {start}
+        for _ in range(3):
+            frontier = {t for u in frontier for t in adj.get(u, ())}
+            seen |= frontier
+        if seen:
+            want[start] = len(seen)
+    got = {r.node: r.n_reachable for r in khop_counts(edges, k=3).collect()}
+    assert want, "fixture graph must be non-empty"
+    assert got == want
+
+
+def test_interaction_edges_deterministic_and_thresholded(spark, sf_small):
+    """Edge builder: no self-loops, weights ≥ threshold, and two runs
+    agree exactly (window order is keyed on unique event_id)."""
+    ev = read_table(spark, sf_small, "events")
+    a = {(r.src, r.dst): r.weight for r in interaction_edges(ev, 2).collect()}
+    b = {(r.src, r.dst): r.weight for r in interaction_edges(ev, 2).collect()}
+    assert a == b and a
+    assert all(s != t for s, t in a)
+    assert all(w >= 2 for w in a.values())

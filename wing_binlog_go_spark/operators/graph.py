@@ -1,0 +1,176 @@
+"""Graph operators over the events-derived interaction graph.
+
+Training-data pipelines weight and filter sources by graph signals —
+PageRank-family centrality over the link graph is the classic corpus
+quality prior (the Common Crawl ranking recipe), and bounded-hop
+reachability is the feature the curation side joins back onto entities.
+The engine already has the connected-components member of this family
+(operators/dedup.py::dedup_clusters, oracled q129); this module adds the
+weighted-centrality and bounded-BFS members.
+
+Graph construction is deterministic and JVM-only: within each
+``event_type`` channel, order events by ``event_id`` and link
+consecutive DISTINCT actors; keep pairs co-occurring ≥ ``min_weight``
+times (the affinity threshold that separates structure from the noise
+floor — below it the fixture graph is near-complete and every node
+reaches every node).
+
+Scale shape (100 TB): the edge builder is one entity-keyed window (no
+global sort) + one partial-agg groupBy. PageRank iterations are each
+ONE shuffle (contributions groupBy dst) against edges hash-partitioned
+on src and persisted once; the dangling-mass scalar is a driver-side
+sum, bounded by n_iter (same driver-loop budget class as BPE training —
+documented, not hidden). The k-hop frontier expansion is the BFS
+delta-join: frontier ⋈ edges on the frontier's reached column, distinct
+per round, lineage cut per round — k is small and fixed, and the state
+is (node, reached) pairs, which is the answer's own size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wing_binlog_go_spark.plans.relational import QuerySpec
+from wing_binlog_go_spark.tables import read_table
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def interaction_edges(
+    events: DataFrame,
+    min_weight: int = 3,
+) -> DataFrame:
+    """Directed affinity edges (src, dst, weight): consecutive distinct
+    actors within an event_type channel, kept when the pair repeats
+    ≥ min_weight times across all channels."""
+    nxt = F.lead("user_id").over(
+        Window.partitionBy("event_type").orderBy("event_id")
+    )
+    pairs = (
+        events.select(F.col("user_id").alias("src"), nxt.alias("dst"))
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    )
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """Standard PageRank over (src, dst) edges (unweighted; parallel
+    edges collapse). Dangling-node mass is redistributed uniformly each
+    iteration, so ranks sum to 1 at every step.
+
+        r'(v) = (1−d)/N + d·(Σ_{u→v} r(u)/outdeg(u) + dangling/N)
+
+    One shuffle per iteration (contributions groupBy dst); the node
+    list and out-degrees are computed once; each iteration's result is
+    localCheckpoint-ed so the lineage stays one-join deep. The
+    dangling-mass term is a scalar driver action per iteration —
+    inherent to exact PageRank (it is a global sum), bounded by n_iter.
+    """
+    e = edges.select("src", "dst").distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        with_deg = ranks.join(
+            outdeg, ranks["node"] == outdeg["src"], "left"
+        ).select("node", "rank", "outdeg")
+        dangling = (
+            with_deg.filter(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            with_deg.join(e, with_deg["node"] == e["src"])
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def khop_counts(edges: DataFrame, k: int = 3) -> DataFrame:
+    """(node, n_reachable): distinct nodes reachable in 1..k hops.
+    A node counts itself only if a cycle returns to it — the same
+    closure a recursive SQL CTE computes with a hop bound."""
+    e = edges.select("src", "dst").distinct().persist()
+    frontier = e.select(F.col("src").alias("node"), F.col("dst").alias("reached"))
+    reach = frontier
+    for _ in range(k - 1):
+        step = (
+            reach.join(e, reach["reached"] == e["src"])
+            .select("node", F.col("dst").alias("reached"))
+        )
+        reach = reach.union(step).distinct().localCheckpoint(eager=True)
+    e.unpersist()
+    return reach.groupBy("node").agg(F.count("*").alias("n_reachable"))
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    ranks = pagerank(interaction_edges(ev), damping=0.85, n_iter=5)
+    return ranks.select(
+        F.col("node").alias("user_id"), F.round("rank", 6).alias("rank")
+    ).orderBy(F.col("rank").desc(), "user_id")
+
+
+# rank values are float iterates (no integer form exists) — rows-only by
+# design; the numpy-reference property test carries the value evidence.
+QUERIES["q139_pagerank"] = QuerySpec(_q_pagerank, None)
+
+
+def _q_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return khop_counts(interaction_edges(ev), k=3).orderBy("node")
+
+
+_KHOP_ORACLE = """
+WITH RECURSIVE o AS (
+  SELECT user_id AS src,
+         lead(user_id) OVER (PARTITION BY event_type ORDER BY event_id) AS dst
+  FROM events
+), edges AS (
+  SELECT src, dst FROM o
+  WHERE dst IS NOT NULL AND dst <> src
+  GROUP BY src, dst HAVING COUNT(*) >= 3
+), r AS (
+  SELECT src AS node, dst AS reached, 1 AS hops FROM edges
+  UNION
+  SELECT r.node, e.dst, r.hops + 1
+  FROM r JOIN edges e ON r.reached = e.src
+  WHERE r.hops < 3
+)
+SELECT node, COUNT(DISTINCT reached) AS n_reachable
+FROM r GROUP BY node ORDER BY node
+"""
+
+QUERIES["q140_khop_reachability"] = QuerySpec(_q_khop, _KHOP_ORACLE)
