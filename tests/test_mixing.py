@@ -297,3 +297,32 @@ def test_export_sorted_shards_global_order_and_file_bounds(spark, tmp_path):
             assert seen[-1] < vals[0]  # cross-file order
         seen.extend(vals)
     assert seen == list(range(1, 1001))
+
+
+def test_leakage_safe_split_keeps_pairs_together(spark, sf_small):
+    """q141's whole point: no near-dup pair may straddle a split
+    boundary, while the per-doc split (same seed) demonstrably does
+    leak on clustered corpora — and train membership is stable under
+    re-carving val/test (inherited from q120, at cluster grain)."""
+    from wing_binlog_go_spark.functions.mixing import leakage_safe_split
+    from wing_binlog_go_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = read_table(spark, sf_small, "documents")
+    assign = {
+        r.doc_id: r.split for r in leakage_safe_split(docs).collect()
+    }
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, k=5, threshold=0.1).collect()
+    ]
+    assert pairs, "fixture must contain near-dup pairs"
+    assert all(assign[a] == assign[b] for a, b in pairs)
+
+    recarved = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(
+            docs, {"train": 0.8, "val": 0.05, "test": 0.15}
+        ).collect()
+    }
+    train = {d for d, s in assign.items() if s == "train"}
+    assert train == {d for d, s in recarved.items() if s == "train"}

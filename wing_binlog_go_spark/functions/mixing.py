@@ -653,3 +653,110 @@ def export_sorted_shards(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe split: near-dup clusters stay inside one split
+# ---------------------------------------------------------------------------
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.1,
+    seed: int = _SAMPLE_SEED,
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak through near-
+    duplicates: ``deterministic_split`` keyed on the document's
+    NEAR-DUP CLUSTER label instead of its own id, so every member of a
+    duplicate cluster lands in the same split. Splitting per-doc while
+    near-dups straddle the boundary is the classic eval contamination
+    — the test set "generalization" is just train paraphrases.
+
+    Composition of two independently-oracled operators:
+    ``ngram_jaccard_pairs`` (q37c) → ``dedup_clusters`` (q129) labels
+    each doc with its component's min doc_id; singletons keep their own
+    id; ``deterministic_split`` (q120) hashes the label. Inherits
+    q120's stability property at cluster granularity: re-carving
+    val/test never moves a cluster already in train.
+
+    Returns (id_col, cluster, split). Scale shape = the sum of its
+    parts: the pair join is the inverted-index equi-join, label
+    propagation is diameter-bounded, the split itself is row-local.
+    """
+    from wing_binlog_go_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(docs, k=k, threshold=threshold)
+    clusters = dedup_clusters(pairs)
+    labeled = (
+        docs.join(clusters, docs[id_col] == clusters["doc"], "left")
+        .withColumn("cluster", F.coalesce(F.col("cluster"), F.col(id_col)))
+        .select(id_col, "cluster")
+    )
+    return deterministic_split(labeled, fractions, id_col="cluster", seed=seed)
+
+
+def _q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return leakage_safe_split(d).orderBy("doc_id")
+
+
+# q129's transitive closure + q120's md5 scheme, keyed on the cluster
+# label — the oracle checks the COMPOSITION end to end.
+_LEAKAGE_SPLIT_ORACLE = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id AS doc,
+         unnest(list_distinct(
+           CASE WHEN len(t) >= 5
+                THEN list_transform(range(1, len(t) - 3),
+                                    i -> array_to_string(t[i:i+4], ' '))
+                ELSE [array_to_string(t, ' ')] END)) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc
+), common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+), edges AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes na ON na.doc = doc_a
+  JOIN sizes nb ON nb.doc = doc_b
+  WHERE ROUND(common / (na.n + nb.n - common), 6) >= 0.1
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION
+  SELECT doc_b, doc_a FROM edges
+), cc AS (
+  SELECT a AS doc, a AS lbl FROM sym
+  UNION
+  SELECT s.b AS doc, cc.lbl FROM cc JOIN sym s ON cc.doc = s.a
+), lbl AS (
+  SELECT doc, MIN(lbl) AS cluster FROM cc GROUP BY doc
+), keyed AS (
+  SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN lbl l ON l.doc = d.doc_id
+)
+SELECT doc_id, cluster,
+       CASE
+         WHEN substring(md5('{_SAMPLE_SEED}:' || CAST(cluster AS VARCHAR)), 1, 8)
+              < 'cccccccc' THEN 'train'
+         WHEN substring(md5('{_SAMPLE_SEED}:' || CAST(cluster AS VARCHAR)), 1, 8)
+              < 'e6666666' THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM keyed
+ORDER BY doc_id
+"""
+
+QUERIES["q141_leakage_safe_split"] = QuerySpec(
+    _q_leakage_safe_split, _LEAKAGE_SPLIT_ORACLE
+)
