@@ -119,11 +119,11 @@ def test_registry_priority_window_and_no_failed_modules():
     ]
     # (b) the stalest evidence (latest row r3) fills the rest; the
     # trivial relational forms (q51/q55/q57-q61 + q56/q63-q65) AND
-    # q89-q97 (whose refresh slots went to the late-r6 never-verified
-    # keys q125-q131) wait for r7
+    # q81-q97 (whose refresh slots went to the late-r6 never-verified
+    # keys q125-q141) wait for r7
     for stale in (
         "q39p_boilerplate", "q68_sessionization",
-        "q77_range_frame", "q85_point_in_time_join", "q88_tpch_q13",
+        "q77_range_frame", "q80_quantile_bins",
     ):
         assert stale in window, stale
     for late_r6 in (
@@ -131,17 +131,23 @@ def test_registry_priority_window_and_no_failed_modules():
         "q128_pmi_collocations", "q129_dedup_clusters",
         "q130_decay_features", "q131_ri_audit",
         "q132_windowed_funnel", "q133_last_touch_attribution",
+        "q134_snapshot_diff", "q135_inverted_index",
+        "q136_asof_forward", "q137_asof_nearest",
+        "q138_containment_join", "q139_pagerank",
+        "q140_khop_reachability", "q141_leakage_safe_split",
     ):
         assert late_r6 in window, late_r6
     for deferred in (
         "q51_null_handling", "q60_array_hof", "q61_map_entries",
+        "q85_point_in_time_join", "q88_tpch_q13",
         "q90_tpch_q17", "q94_tpch_q6", "q97_tpch_q21",
     ):
         assert deferred not in window, deferred
     # (c) the graded operator families keep in-window representation
-    # (dedup via q114, similarity via q38i, text via q39x/y + q39p-s,
-    # as-of/PIT via q115 + q85, TPC-H core via the q84-q97 band)
-    for family in ("q38", "q39", "q114", "q115", "q84", "q88"):
+    # (dedup via q114/q138, similarity via q38i, text via q39x/y +
+    # q39p-s, as-of/PIT via q115/q136/q137, graph via q139/q140;
+    # TPC-H core holds r3/r4 rows and rotates back in r7)
+    for family in ("q38", "q39", "q114", "q115", "q136", "q139"):
         assert any(k.startswith(family) for k in window), family
     # (d) the priority block fills the window exactly — nothing with a
     # fresh r4/r5 row sneaks in ahead of stale evidence

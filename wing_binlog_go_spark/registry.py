@@ -79,10 +79,23 @@ _PRIORITY = (
     "q131_ri_audit",
     "q132_windowed_funnel",
     "q133_last_touch_attribution",
+    # Final-session r6 additions: first driver verification beats
+    # refreshing rows that are already green (q134/q135 snapshot diff +
+    # inverted index, q136/q137 as-of directions, q138 containment,
+    # q139/q140 graph, q141 leakage-safe split).
+    "q134_snapshot_diff",
+    "q135_inverted_index",
+    "q136_asof_forward",
+    "q137_asof_nearest",
+    "q138_containment_join",
+    "q139_pagerank",
+    "q140_khop_reachability",
+    "q141_leakage_safe_split",
     # Stalest evidence: latest driver row is ROUND 3.  (q51/q55/
     # q57-q62/q66 — trivial forms, locally oracle-checked on every
-    # pytest run — join q56/q63/q64/q65 and q89-q97 in waiting for r7
-    # so the twenty-one new r6 keys above fit the 50-window.)
+    # pytest run — join q56/q63/q64/q65, q81-q88 and q89-q97 in
+    # waiting for r7 so the twenty-nine new r6 keys above fit the
+    # 50-window.)
     "q39p_boilerplate",
     "q39q_temperature_mix",
     "q39r_winnowing",
@@ -100,17 +113,9 @@ _PRIORITY = (
     "q78_grouped_dedup",
     "q79_top_terms_per_lang",
     "q80_quantile_bins",
-    "q81_doc_length_curation",
-    "q82_cross_lingual_mix",
-    "q83_event_dedup_window",
-    "q84_tpch_q10",
-    "q85_point_in_time_join",
-    "q86_tpch_q18",
-    "q87_tpch_q7",
-    "q88_tpch_q13",
-    # (q89-q97 hold r3 rows and yield their slots to the nine
-    # never-verified late-r6 keys q125-q133; they rejoin the
-    # refresh rotation in r7 with the other r3-era forms.)
+    # (q81-q88 and q89-q97 hold r3 rows and yield their slots to the
+    # never-verified r6 keys q125-q141; they rejoin the refresh
+    # rotation in r7 with the other r3-era forms.)
     # The window is exactly these 50; the remainder follows in module
     # registration order (all holding r4/r5 driver rows).
 )
