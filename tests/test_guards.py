@@ -123,7 +123,7 @@ def test_registry_priority_window_and_no_failed_modules():
     # keys q125-q141) wait for r7
     for stale in (
         "q39p_boilerplate", "q68_sessionization",
-        "q77_range_frame", "q80_quantile_bins",
+        "q77_range_frame", "q79_top_terms_per_lang",
     ):
         assert stale in window, stale
     for late_r6 in (
@@ -134,12 +134,12 @@ def test_registry_priority_window_and_no_failed_modules():
         "q134_snapshot_diff", "q135_inverted_index",
         "q136_asof_forward", "q137_asof_nearest",
         "q138_containment_join", "q139_pagerank",
-        "q140_khop_reachability", "q141_leakage_safe_split",
+        "q140_khop_reachability", "q141_leakage_safe_split", "q142_weighted_sample",
     ):
         assert late_r6 in window, late_r6
     for deferred in (
         "q51_null_handling", "q60_array_hof", "q61_map_entries",
-        "q85_point_in_time_join", "q88_tpch_q13",
+        "q80_quantile_bins", "q85_point_in_time_join", "q88_tpch_q13",
         "q90_tpch_q17", "q94_tpch_q6", "q97_tpch_q21",
     ):
         assert deferred not in window, deferred

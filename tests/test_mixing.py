@@ -326,3 +326,60 @@ def test_leakage_safe_split_keeps_pairs_together(spark, sf_small):
     }
     train = {d for d, s in assign.items() if s == "train"}
     assert train == {d for d, s in recarved.items() if s == "train"}
+
+
+def test_weighted_sample_matches_python_reference(spark, sf_small):
+    """q142 is a pure function of (seed, id, weight): the chosen set
+    must equal a hashlib reference of Efraimidis-Spirakis exactly."""
+    import hashlib
+    import math
+
+    from wing_binlog_go_spark.functions.mixing import weighted_sample
+
+    docs = read_table(spark, sf_small, "documents")
+    rows = [(r.doc_id, r.n_chars) for r in docs.select("doc_id", "n_chars").collect()]
+
+    def key(doc_id, w):
+        h = int(hashlib.md5(f"42:{doc_id}".encode()).hexdigest()[:8], 16)
+        return math.log((h + 0.5) / 2**32) / w
+
+    want = {
+        d for d, _ in sorted(
+            ((d, w) for d, w in rows if w and w > 0),
+            key=lambda t: (-key(*t), t[0]),
+        )[:25]
+    }
+    got = {r.doc_id for r in weighted_sample(docs, 25, "n_chars").collect()}
+    assert got == want
+    # reproducible across runs
+    again = {r.doc_id for r in weighted_sample(docs, 25, "n_chars").collect()}
+    assert again == got
+
+
+def test_weighted_sample_is_proportional_to_size(spark):
+    """Heavy rows (weight 100) must be drawn far more often than light
+    rows (weight 1) across independent seeds — the E-S guarantee."""
+    from wing_binlog_go_spark.functions.mixing import weighted_sample
+
+    data = [(i, 100 if i < 50 else 1) for i in range(500)]
+    df = spark.createDataFrame(data, "doc_id long, w long")
+    heavy = light = 0
+    for seed in range(8):
+        picked = {
+            r.doc_id for r in weighted_sample(df, 50, "w", seed=seed).collect()
+        }
+        heavy += sum(1 for d in picked if d < 50)
+        light += sum(1 for d in picked if d >= 50)
+    # 50 heavy rows carry 5000/5450 of the mass; expect the large
+    # majority of 400 draws to be heavy (binomial noise-safe margin)
+    assert heavy > 4 * light
+
+
+def test_weighted_sample_plan_is_topk_not_global_sort(spark, sf_small):
+    """The scale claim: global top-k must compile to
+    TakeOrderedAndProject, never a full Sort + Limit of the corpus."""
+    from wing_binlog_go_spark.functions.mixing import weighted_sample
+
+    docs = read_table(spark, sf_small, "documents")
+    plan = weighted_sample(docs, 25, "n_chars")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -760,3 +760,77 @@ ORDER BY doc_id
 QUERIES["q141_leakage_safe_split"] = QuerySpec(
     _q_leakage_safe_split, _LEAKAGE_SPLIT_ORACLE
 )
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = _SAMPLE_SEED,
+) -> DataFrame:
+    """Seeded weighted sample WITHOUT replacement: the k rows with the
+    largest u_i^(1/w_i) draws (Efraimidis-Spirakis, IPL 2006), computed
+    as ln(u_i)/w_i (same ordering, no tiny-power underflow). Inclusion
+    probability is proportional-to-size without the rejection loops or
+    the replacement bias of naive weighted picks — the corpus-sampling
+    form ("sample documents ∝ token count") the mixing stages need.
+
+    u_i comes from the shared md5 scheme (``sample_key`` hex → integer
+    → (h+0.5)/2³²), so the draw is a pure cross-engine function of
+    (seed, id): the same rows are chosen by Spark and the SQL oracle,
+    and re-runs are reproducible. Rows with weight ≤ 0 or NULL are
+    excluded (they cannot be drawn — their key is undefined).
+
+    Scale shape: one row-local projection + a global top-k
+    (TakeOrderedAndProject — k·partitions driver cost, never a full
+    sort). Floats exist only INSIDE the ordering key; the output is
+    (id, weight), so engine ulp differences cannot reach the result
+    unless two keys collide to ~1 ulp (ids hash independently;
+    probability ~n²·2⁻⁵²).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = F.conv(sample_key(id_col, seed), 16, 10).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 32))
+    w = F.col(weight_col).cast("double")
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("_es_key", F.log(u) / w)
+        .orderBy(F.col("_es_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_es_key")
+    )
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        weighted_sample(d, k=25, weight_col="n_chars")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         ln((CAST(concat('0x',
+               substring(md5('{_SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS UBIGINT) + 0.5) / 4294967296.0) / n_chars AS es_key
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+  ORDER BY es_key DESC, doc_id
+  LIMIT 25
+)
+ORDER BY doc_id
+"""
+
+QUERIES["q142_weighted_sample"] = QuerySpec(
+    _q_weighted_sample, _WEIGHTED_SAMPLE_ORACLE
+)

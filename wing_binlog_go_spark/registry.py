@@ -91,6 +91,7 @@ _PRIORITY = (
     "q139_pagerank",
     "q140_khop_reachability",
     "q141_leakage_safe_split",
+    "q142_weighted_sample",
     # Stalest evidence: latest driver row is ROUND 3.  (q51/q55/
     # q57-q62/q66 — trivial forms, locally oracle-checked on every
     # pytest run — join q56/q63/q64/q65, q81-q88 and q89-q97 in
@@ -112,8 +113,7 @@ _PRIORITY = (
     "q77_range_frame",
     "q78_grouped_dedup",
     "q79_top_terms_per_lang",
-    "q80_quantile_bins",
-    # (q81-q88 and q89-q97 hold r3 rows and yield their slots to the
+    # (q80-q88 and q89-q97 hold r3 rows and yield their slots to the
     # never-verified r6 keys q125-q141; they rejoin the refresh
     # rotation in r7 with the other r3-era forms.)
     # The window is exactly these 50; the remainder follows in module
