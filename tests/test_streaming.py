@@ -921,12 +921,12 @@ def test_curation_stats_route_end_to_end(spark, tmp_path):
 
 
 def test_five_route_fanout_composes_end_to_end(spark, tmp_path):
-    """O13 composition at full width: ONE changelog feeds five routes
+    """O13 composition at full width: ONE changelog feeds six routes
     in one pipeline — typed replica, SCD2 history, PIT enrichment,
-    deduped corpus, curation stats — and every sink is simultaneously
-    correct. This is the reference's fan-out story (one binlog, many
-    consumers) exercised as a single integration path instead of five
-    isolated tests."""
+    deduped corpus, curation stats, maintained join view — and every
+    sink is simultaneously correct. This is the reference's fan-out
+    story (one binlog, many consumers) exercised as a single
+    integration path instead of six isolated tests."""
     import json as _json
 
     from wing_binlog_go_spark.functions.schema_registry import (
@@ -935,6 +935,10 @@ def test_five_route_fanout_composes_end_to_end(spark, tmp_path):
         TableSpec,
     )
     from wing_binlog_go_spark.functions.text import gopher_quality_flags
+    from wing_binlog_go_spark.streaming.joinview import (
+        joinview_writer,
+        read_joinview,
+    )
     from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
     from wing_binlog_go_spark.streaming.sinks import (
         curation_stats_writer,
@@ -994,6 +998,7 @@ def test_five_route_fanout_composes_end_to_end(spark, tmp_path):
     enriched = str(tmp_path / "enriched")
     corpus = str(tmp_path / "corpus")
     stats = str(tmp_path / "stats")
+    jv = str(tmp_path / "jv")
     routes = [
         Route("replica", typed_replica_writer(
             reg, ["shop.customer", "shop.orders"], replica)),
@@ -1006,6 +1011,8 @@ def test_five_route_fanout_composes_end_to_end(spark, tmp_path):
             stats, "shop.docs",
             flags_fn=lambda d: gopher_quality_flags(
                 d, min_words=5, min_stopword_hits=1, with_rules=True))),
+        Route("jv", joinview_writer(
+            jv, "orders", "customer", "cust_id", "id")),
     ]
     q = run_pipeline(spark, str(log), routes, str(tmp_path / "ckpt"))
     q.awaitTermination(120)
@@ -1037,3 +1044,10 @@ def test_five_route_fanout_composes_end_to_end(spark, tmp_path):
     s = read_curation_stats(spark, stats).collect()
     assert len(s) == 1
     assert (s[0].n_docs, s[0].n_keep, s[0].fail_words) == (3, 2, 1)
+    # join view: both orders paired with the customer's LATEST image
+    # (the view is current-state, unlike the PIT enrichment above)
+    jv_pairs = {
+        (r.row_l["id"], r.row_r["id"], r.row_r["tier"])
+        for r in read_joinview(spark, jv).collect()
+    }
+    assert jv_pairs == {("10", "1", "gold"), ("11", "1", "gold")}
