@@ -383,3 +383,49 @@ def test_weighted_sample_plan_is_topk_not_global_sort(spark, sf_small):
     docs = read_table(spark, sf_small, "documents")
     plan = weighted_sample(docs, 25, "n_chars")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_webdataset_export_roundtrip_and_determinism(spark, tmp_path):
+    """Tar shards hold every sample exactly once as adjacent members
+    keyed by id (binary as-is, text utf-8, struct as JSON), keys sorted
+    within a shard, and a re-export is byte-identical."""
+    import hashlib
+    import tarfile
+
+    from wing_binlog_go_spark.functions.mixing import export_webdataset_shards
+
+    rows = [
+        (i, bytes([i % 251]) * (10 + i), f"text-{i}", {"lang": "en", "n": str(i)})
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, img binary, text string, meta map<string,string>"
+    )
+    out = tmp_path / "wds"
+    export_webdataset_shards(
+        df, str(out), {"bin": "img", "txt": "text", "json": "meta"}, n_shards=4
+    )
+    seen = {}
+    for shard in sorted(out.glob("shard-*.tar")):
+        with tarfile.open(shard) as t:
+            names = t.getnames()
+            keys = [n.rsplit(".", 1)[0] for n in names]
+            # members of one sample are adjacent; keys ascend
+            uniq = sorted(set(keys), key=keys.index)
+            assert uniq == sorted(uniq, key=str)
+            for n in names:
+                seen[n] = t.extractfile(n).read()
+    for i, img, text, meta in rows:
+        assert seen[f"{i}.bin"] == img
+        assert seen[f"{i}.txt"] == text.encode()
+        assert b'"lang": "en"' in seen[f"{i}.json"]
+    assert len(seen) == 120  # 40 samples x 3 members, exactly once
+
+    out2 = tmp_path / "wds2"
+    export_webdataset_shards(
+        df, str(out2), {"bin": "img", "txt": "text", "json": "meta"}, n_shards=4
+    )
+    h = lambda p: hashlib.md5(p.read_bytes()).hexdigest()
+    assert sorted((p.name, h(p)) for p in out.glob("*.tar")) == sorted(
+        (p.name, h(p)) for p in out2.glob("*.tar")
+    )

@@ -655,6 +655,92 @@ def export_sorted_shards(
     writer.parquet(out_dir)
 
 
+def export_webdataset_shards(
+    df: DataFrame,
+    out_dir: str,
+    members: dict[str, str],
+    key_col: str = "doc_id",
+    n_shards: int = 8,
+) -> None:
+    """Export samples as WebDataset-style tar shards: each sample is a
+    group of adjacent tar members sharing a basename key —
+    ``<key>.<ext>`` per ``members`` entry (ext → column) — the
+    sequential-read layout multimodal training loaders stream. Binary
+    columns write as-is, strings as UTF-8, anything else as JSON.
+
+    Deterministic end to end: shard = md5-hash of the key (the shared
+    ``sample_key`` scheme), members sort by key within a shard, tar
+    metadata is pinned (mtime 0, USTAR) — re-exporting the same corpus
+    yields byte-identical shards, so downstream caches can key on
+    content.
+
+    Scale shape: one hash repartition + in-partition sort; each task
+    STREAMS its rows into tar files (roll on shard change — no
+    per-partition materialization, memory = one row). Tars land under
+    ``out_dir`` as shard-NNNNN.tar; pick n_shards so a shard is the
+    loader-friendly ~1 GB. out_dir must be task-writable shared
+    storage (same POSIX constraint as the maintainer state dirs —
+    at cloud scale point this at the fuse mount or swap the open() for
+    the object-store client; the tar layout is unchanged).
+    """
+    import os
+
+    if not members:
+        raise ValueError("members must map at least one extension to a column")
+    os.makedirs(out_dir, exist_ok=True)
+    shard = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long") % n_shards
+    cols = [F.col(key_col).cast("string").alias("_key"), shard.alias("_shard")]
+    exts = sorted(members)
+    for ext in exts:
+        cols.append(F.col(members[ext]).alias(f"_m_{ext}"))
+    staged = (
+        df.select(*cols)
+        .repartition(n_shards, "_shard")
+        .sortWithinPartitions("_shard", "_key")
+    )
+
+    def write_partition(rows):
+        import io
+        import json as _json
+        import tarfile
+
+        tar, cur = None, None
+        try:
+            for row in rows:
+                if row._shard != cur:
+                    if tar is not None:
+                        tar.close()
+                    cur = row._shard
+                    tar = tarfile.open(
+                        os.path.join(out_dir, f"shard-{cur:05d}.tar"),
+                        "w",
+                        format=tarfile.USTAR_FORMAT,
+                    )
+                for ext in exts:
+                    v = row[f"_m_{ext}"]
+                    if v is None:
+                        continue
+                    if isinstance(v, (bytes, bytearray)):
+                        payload = bytes(v)
+                    elif isinstance(v, str):
+                        payload = v.encode("utf-8")
+                    else:
+                        payload = _json.dumps(
+                            v, sort_keys=True, default=str
+                        ).encode("utf-8")
+                    info = tarfile.TarInfo(name=f"{row._key}.{ext}")
+                    info.size = len(payload)
+                    info.mtime = 0
+                    tar.addfile(info, io.BytesIO(payload))
+        finally:
+            if tar is not None:
+                tar.close()
+
+    staged.foreachPartition(write_partition)
+
+
 # ---------------------------------------------------------------------------
 # leakage-safe split: near-dup clusters stay inside one split
 # ---------------------------------------------------------------------------
