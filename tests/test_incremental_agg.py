@@ -817,3 +817,58 @@ def test_sketch_maintainer_skips_alter_envelopes(spark, tmp_path):
                         {"g": "a", "v": "z"})])
     with _pytest.raises(ValueError, match="insert-only"):
         incremental_distinct_apply(spark, bad, state, "g", "v")
+
+
+def test_anomaly_route_flags_outlier_against_prebatch_state(spark, tmp_path):
+    """A planted spike is judged against the moments accumulated BEFORE
+    its batch; replay rewrites the same flag partition (no duplicates);
+    warm-up batches flag nothing (min_n / first-batch rules)."""
+    from wing_binlog_go_spark.streaming.aggregate import (
+        anomaly_writer,
+        read_anomalies,
+    )
+
+    state = str(tmp_path / "agg")
+    flags = str(tmp_path / "flags")
+    w = anomaly_writer(state, flags, "g", "v", z=3.0, min_n=10)
+
+    # batch 1: 12 calm values around 10 — builds the baseline, and as
+    # the FIRST batch can flag nothing (no pre-batch state exists)
+    b1 = _env(
+        spark,
+        [("insert", i, {"g": "a", "v": str(10 + (i % 3))}, None, None)
+         for i in range(1, 13)],
+    )
+    w(b1, 0)
+    assert read_anomalies(spark, flags).count() == 0
+
+    # batch 2: one calm value + one spike
+    b2 = _env(
+        spark,
+        [
+            ("insert", 20, {"g": "a", "v": "11"}, None, None),
+            ("insert", 21, {"g": "a", "v": "100"}, None, None),
+        ],
+    )
+    w(b2, 1)
+    got = read_anomalies(spark, flags)
+    flagged = [(r.grp, r.v, r.ingest) for r in got.collect()]
+    assert flagged == [("a", 100.0, 21)]
+    z1 = got.collect()[0].zscore
+    assert z1 > 3
+
+    # at-least-once replay of batch 2: same partition overwritten,
+    # state unchanged (high-water mark), flag count stays 1
+    w(b2, 1)
+    again = read_anomalies(spark, flags).collect()
+    assert [(r.grp, r.v, r.ingest) for r in again] == [("a", 100.0, 21)]
+    assert abs(again[0].zscore - z1) < 1e-12
+    # the spike is now IN the state: a repeat of the same value later
+    # scores a smaller z (history absorbed it)
+    b3 = _env(spark, [("insert", 30, {"g": "a", "v": "100"}, None, None)])
+    w(b3, 2)
+    z2 = max(
+        r.zscore for r in read_anomalies(spark, flags).collect()
+        if r.ingest == 30
+    )
+    assert z2 < z1

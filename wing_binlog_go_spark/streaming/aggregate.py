@@ -821,3 +821,105 @@ def theta_set_view(state: DataFrame, grp_a: str, grp_b: str) -> DataFrame:
             "ndv_a_only"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming anomaly detection over the maintained moments
+# ---------------------------------------------------------------------------
+
+
+def anomaly_flags(
+    batch_values: DataFrame,
+    state: DataFrame,
+    z: float = 3.0,
+    min_n: int = 10,
+) -> DataFrame:
+    """(grp, v, mean, stddev, zscore) rows of ``batch_values`` deviating
+    ≥ z standard deviations from their group's PRE-batch moments —
+    pure column algebra over ``agg_view``'s mean/stddev. Groups with
+    fewer than ``min_n`` observed values or zero variance produce no
+    flags (a cold or constant group has no meaningful z)."""
+    view = agg_view(state).select("grp", "agg_avg", "agg_stddev")
+    nnull = state.select("grp", "agg_nnull")
+    return (
+        batch_values.join(view, "grp")
+        .join(nnull, "grp")
+        .filter(
+            (F.col("agg_nnull") >= min_n) & (F.col("agg_stddev") > 0)
+        )
+        .select(
+            "grp",
+            "v",
+            F.col("agg_avg").alias("mean"),
+            F.col("agg_stddev").alias("stddev"),
+            (
+                (F.col("v") - F.col("agg_avg")) / F.col("agg_stddev")
+            ).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) >= z)
+    )
+
+
+def anomaly_writer(
+    state_dir: str,
+    flags_dir: str,
+    group_key: str,
+    value_field: str,
+    z: float = 3.0,
+    min_n: int = 10,
+):
+    """foreachBatch hook: flag each batch's outliers against the moments
+    accumulated BEFORE the batch, then fold the batch into the state —
+    the realtime metric-anomaly consumer (a value is judged by history,
+    not by a window that already contains it).
+
+    Flags write under the batch's ``ingest=<max event_index>``
+    partition with dynamic overwrite, so an at-least-once replay
+    rewrites the identical flag rows instead of duplicating them (the
+    state side is already replay-safe via its high-water mark — a
+    replayed batch produces the same flags because the state it reads
+    excludes it both times: the mark filtered it out of the fold).
+    """
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        spark = env.sparkSession
+        recover_swap(state_dir)
+        high = applied_index(state_dir)
+        fresh = env.filter(F.col("event_index") > high)
+        mx = fresh.agg(F.max("event_index")).collect()[0][0]
+        if mx is None:
+            return
+        inserts = fresh.filter(F.col("event_type") == "insert")
+        vals = _grp_values(inserts, group_key, value_field, cast="double")
+        # first batch: no pre-batch state exists, nothing can be judged
+        if os.path.exists(state_dir):
+            state = spark.read.parquet(state_dir)
+            flags = anomaly_flags(vals, state, z=z, min_n=min_n)
+            (
+                flags.withColumn("ingest", F.lit(int(mx)).cast("long"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest")
+                .parquet(flags_dir)
+            )
+        incremental_agg_apply(spark, env, state_dir, group_key, value_field)
+
+    return write
+
+
+_FLAGS_SCHEMA = (
+    "grp string, v double, mean double, stddev double, "
+    "zscore double, ingest bigint"
+)
+
+
+def read_anomalies(spark: SparkSession, flags_dir: str) -> DataFrame:
+    """The flagged-outlier log; empty (typed) before any flag lands —
+    an all-calm stream writes no partitions, which must read as zero
+    anomalies, not an error."""
+    if not os.path.exists(flags_dir):
+        return spark.createDataFrame([], _FLAGS_SCHEMA)
+    try:
+        return spark.read.schema(_FLAGS_SCHEMA).parquet(flags_dir)
+    except Exception:
+        return spark.createDataFrame([], _FLAGS_SCHEMA)
