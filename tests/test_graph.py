@@ -86,3 +86,37 @@ def test_interaction_edges_deterministic_and_thresholded(spark, sf_small):
     assert a == b and a
     assert all(s != t for s, t in a)
     assert all(w >= 2 for w in a.values())
+
+
+def test_khop_random_graphs_match_bfs_reference(spark):
+    """Hypothesis over random edge lists (self-loops and duplicates
+    included — the operator takes arbitrary edges): the iterative
+    frontier join equals a dict BFS for k ∈ {1, 2, 3}."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    edge = st.tuples(st.integers(0, 7), st.integers(0, 7))
+
+    @given(edges=st.lists(edge, min_size=1, max_size=25), k=st.integers(1, 3))
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(edges, k):
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.n_reachable for r in khop_counts(e, k=k).collect()}
+        adj = {}
+        for s, t in edges:
+            adj.setdefault(s, set()).add(t)
+        want = {}
+        for start in adj:
+            seen, frontier = set(), {start}
+            for _ in range(k):
+                frontier = {t for u in frontier for t in adj.get(u, ())}
+                seen |= frontier
+            if seen:
+                want[start] = len(seen)
+        assert got == want
+
+    check()
