@@ -167,6 +167,35 @@ def main() -> None:
     print(f"media near-dups: image pairs {[(r.media_a, r.media_b) for r in img_pairs]}, "
           f"audio pairs {[(r.media_a, r.media_b) for r in aud_pairs]}")
 
+    # --- split, sample, export (late r6) ------------------------------
+    # leakage-safe split: near-dup clusters stay inside ONE split, so
+    # the eval set can't be train paraphrases (per-doc splits leak)
+    from wing_binlog_go_spark.functions.mixing import (
+        export_webdataset_shards,
+        leakage_safe_split,
+        weighted_sample,
+    )
+
+    split = leakage_safe_split(docs)
+    by_split = {r.split: r.cnt for r in
+                split.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    print("leakage-safe split sizes:", by_split)
+    # size-proportional sample (∝ n_chars) — deterministic, no replacement
+    picked = weighted_sample(docs, k=50, weight_col="n_chars")
+    print("weighted sample: 50 docs,",
+          picked.agg(F.sum("n_chars")).first()[0], "chars of mass")
+    # WebDataset export: tar shards of adjacent members per sample
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        export_webdataset_shards(
+            picked.withColumn("meta", F.to_json(F.struct("lang", "source"))),
+            td, {"txt": "text", "json": "meta"}, n_shards=4,
+        )
+        import os as _os
+        shards = sorted(_os.listdir(td))
+        print("webdataset shards:", shards)
+
 
 if __name__ == "__main__":
     main()
