@@ -132,3 +132,51 @@ def test_search_index_route_and_insert_only_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="insert-only"):
         search_index_writer(store, "shop.docs")(bad, 0)
+
+
+def test_compaction_folds_partitions_and_blocks_stale_replay(spark, tmp_path):
+    """After compaction the index holds ONE ingest partition with the
+    same scores; a replayed pre-compaction batch is a no-op (its rows
+    are folded — recreating its partition would double them); new
+    batches still append and score correctly."""
+    from wing_binlog_go_spark.streaming.searchindex import (
+        compact_search_index,
+        compacted_through,
+    )
+
+    store = str(tmp_path / "idx")
+    incremental_index_apply(spark, _df(spark, DOCS1), store, mark=10)
+    incremental_index_apply(spark, _df(spark, DOCS2[:1]), store, mark=20)
+    before = {
+        r.doc_id: r.bm25 for r in bm25_over_index(spark, store, QUERY).collect()
+    }
+    compact_search_index(spark, store)
+    assert compacted_through(store) == 20
+    ingests = {
+        r.ingest
+        for r in read_search_postings(spark, store).select("ingest").distinct().collect()
+    }
+    assert ingests == {20}
+    after = {
+        r.doc_id: r.bm25 for r in bm25_over_index(spark, store, QUERY).collect()
+    }
+    assert after == before
+
+    # stale replay: folded batch redelivered -> no duplicate postings
+    incremental_index_apply(spark, _df(spark, DOCS1), store, mark=10)
+    assert {
+        r.doc_id: r.bm25 for r in bm25_over_index(spark, store, QUERY).collect()
+    } == before
+
+    # post-compaction appends keep working
+    incremental_index_apply(spark, _df(spark, DOCS2[1:]), store, mark=30)
+    got = {
+        r.doc_id: r.bm25 for r in bm25_over_index(spark, store, QUERY).collect()
+    }
+    want = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(_df(spark, DOCS1 + DOCS2), QUERY).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9, d

@@ -60,7 +60,12 @@ def incremental_index_apply(
     text_col: str = "text",
 ) -> None:
     """Append one increment's postings + doc lengths under its
-    ``ingest=mark`` partition (idempotent overwrite on replay)."""
+    ``ingest=mark`` partition (idempotent overwrite on replay). A
+    batch at or below the compaction floor is a no-op: its rows are
+    already folded into the base partition, and re-creating its
+    ingest partition would double them."""
+    if mark <= compacted_through(store_dir):
+        return
     tok = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
     ).localCheckpoint(eager=True)  # feeds tf AND dl
@@ -204,3 +209,79 @@ def bm25_over_index(
             F.round(F.coalesce(F.col("score"), F.lit(0.0)), 6).alias("bm25"),
         )
     )
+
+
+_COMPACT_META = "_index_meta.json"
+
+
+def compacted_through(store_dir: str) -> int:
+    """Ingest floor: batches at or below this mark are folded into the
+    base partition; the writer must skip their replays."""
+    meta = os.path.join(store_dir, _COMPACT_META)
+    if not os.path.exists(meta):
+        return -1
+    import json
+
+    with open(meta) as f:
+        return int(json.load(f)["compacted_through"])
+
+
+def compact_search_index(spark: SparkSession, store_dir: str) -> None:
+    """Fold the per-batch ingest partitions into one base partition —
+    the index's small-file maintenance (a streaming cadence writes one
+    postings file set per batch per bucket; a day of 5 s batches is
+    ~17k partitions of a few KB).
+
+    Replay safety is the subtle part: after folding, a redelivered old
+    batch would re-CREATE its ingest partition next to the folded base
+    and double its postings. The floor meta therefore commits FIRST
+    (fsync-before-rename): once it names the fold's high mark, the
+    writer skips any batch at or below it, and only then do the folded
+    directories swap in. A crash between the two swaps is benign —
+    folding preserves the exact row multiset, so postings/doclens stay
+    content-equivalent partition-layout aside, and the next compaction
+    re-folds. Readers never see a half-written table (staged swap_dir,
+    same as every maintainer).
+    """
+    import json
+
+    from wing_binlog_go_spark.streaming.maintenance import recover_swap, swap_dir
+
+    post_dir = os.path.join(store_dir, "postings")
+    dl_dir = os.path.join(store_dir, "doclens")
+    for d in (post_dir, dl_dir):
+        recover_swap(d)
+    if not os.path.exists(post_dir):
+        return
+    post = spark.read.parquet(post_dir)
+    floor = post.agg(F.max("ingest")).collect()[0][0]
+    if floor is None:
+        return
+    # 1. commit the floor BEFORE touching data: blocks replay dupes
+    meta = os.path.join(store_dir, _COMPACT_META)
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"compacted_through": int(floor)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, meta)
+    # 2. fold each table under a single ingest=floor partition
+    staged_post = post_dir + "._compact"
+    (
+        post.withColumn("ingest", F.lit(int(floor)).cast("long"))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("ingest", "bucket")
+        .parquet(staged_post)
+    )
+    swap_dir(staged_post, post_dir)
+    dl = spark.read.parquet(dl_dir)
+    staged_dl = dl_dir + "._compact"
+    (
+        dl.withColumn("ingest", F.lit(int(floor)).cast("long"))
+        .coalesce(4)
+        .write.mode("overwrite")
+        .partitionBy("ingest")
+        .parquet(staged_dl)
+    )
+    swap_dir(staged_dl, dl_dir)
