@@ -120,3 +120,13 @@ def test_khop_random_graphs_match_bfs_reference(spark):
         assert got == want
 
     check()
+
+
+def test_graph_degenerate_inputs(spark):
+    """Empty graph ranks nothing (no divide-by-zero); k < 1 raises."""
+    import pytest
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty, n_iter=3).collect() == []
+    with pytest.raises(ValueError, match="k must be"):
+        khop_counts(empty, k=0)

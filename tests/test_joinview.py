@@ -272,3 +272,23 @@ def test_joinview_route_through_pipeline(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert _pairs(spark, state) == {("10", "1"), ("11", "1")}
+
+
+def test_joinview_tolerates_corrupt_meta(spark, tmp_path):
+    """An unreadable high-water meta reads as -1 (full idempotent
+    re-apply), never a crash that wedges the route."""
+    state = str(tmp_path / "jv")
+    b = _env(
+        spark,
+        [
+            ("customers", "insert", 1, {"id": "1", "seg": "A"}, None, None),
+            ("orders", "insert", 2, {"id": "10", "cust": "1"}, None, None),
+        ],
+    )
+    _apply(spark, state, b)
+    with open(os.path.join(state, "view", "_join_meta.json"), "w") as f:
+        f.write("")  # power-loss-truncated mark
+    assert joinview_high_water(state) == -1
+    _apply(spark, state, b)  # full re-apply converges
+    assert _pairs(spark, state) == {("10", "1")}
+    assert joinview_high_water(state) == 2

@@ -84,6 +84,10 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:  # empty graph: empty ranking, not a divide-by-zero
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.withColumn("rank", F.lit(0.0))
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
@@ -122,6 +126,8 @@ def khop_counts(edges: DataFrame, k: int = 3) -> DataFrame:
     """(node, n_reachable): distinct nodes reachable in 1..k hops.
     A node counts itself only if a cycle returns to it — the same
     closure a recursive SQL CTE computes with a hop bound."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     e = edges.select("src", "dst").distinct().persist()
     frontier = e.select(F.col("src").alias("node"), F.col("dst").alias("reached"))
     reach = frontier

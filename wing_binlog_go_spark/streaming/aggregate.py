@@ -81,11 +81,18 @@ def _fresh_inserts(env_batch: DataFrame, state_dir: str, op_name: str, cannot: s
 
 def _commit_state(merged: DataFrame, state_dir: str, mx: int) -> None:
     """Back half of the maintainer commit protocol: staged overwrite +
-    high-water meta + atomic rename swap (crash-safe on either side)."""
+    high-water meta + atomic rename swap (crash-safe on either side).
+
+    The meta fsyncs before the swap: unlike the idempotent stores, the
+    DELTA maintainers re-APPLY on replay — if a power loss persisted
+    the dir rename but not the mark's bytes, ``applied_index`` would
+    read −1 and the next batch would double-fold history."""
     staged = state_dir.rstrip("/") + "._staging"
     merged.write.mode("overwrite").parquet(staged)
     with open(os.path.join(staged, _META), "w") as f:
         json.dump({"max_event_index": int(mx)}, f)
+        f.flush()
+        os.fsync(f.fileno())
     swap_dir(staged, state_dir)
 
 

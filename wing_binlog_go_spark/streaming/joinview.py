@@ -79,12 +79,17 @@ _VIEW_SCHEMA = (
 
 def joinview_high_water(state_dir: str) -> int:
     """Replay high-water mark: max ``event_index`` whose batch has fully
-    committed (rode the view swap). −1 before the first commit."""
+    committed (rode the view swap). −1 before the first commit, and −1
+    on an unreadable meta (same tolerance as ``applied_index``): every
+    step of the apply is idempotent, so re-processing from scratch is
+    wasteful but correct — crashing on corrupt JSON would wedge the
+    route instead."""
     meta = os.path.join(state_dir, "view", _META)
-    if not os.path.exists(meta):
+    try:
+        with open(meta) as f:
+            return int(json.load(f)["max_event_index"])
+    except (OSError, ValueError, KeyError):
         return -1
-    with open(meta) as f:
-        return int(json.load(f)["max_event_index"])
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
@@ -116,8 +121,13 @@ def _swap_child(df: DataFrame, path: str, meta_mx: int | None = None) -> None:
     staged = path.rstrip("/") + "._staging"
     df.write.mode("overwrite").parquet(staged)
     if meta_mx is not None:
+        # fsync before the commit rename: the dir rename can survive a
+        # power loss whose page cache still held the meta bytes, and an
+        # empty mark file would silently replay the whole history
         with open(os.path.join(staged, _META), "w") as f:
             json.dump({"max_event_index": int(meta_mx)}, f)
+            f.flush()
+            os.fsync(f.fileno())
     swap_dir(staged, path)
 
 
