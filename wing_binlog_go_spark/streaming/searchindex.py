@@ -63,7 +63,27 @@ def incremental_index_apply(
     ``ingest=mark`` partition (idempotent overwrite on replay). A
     batch at or below the compaction floor is a no-op: its rows are
     already folded into the base partition, and re-creating its
-    ingest partition would double them."""
+    ingest partition would double them.
+
+    Serialized against ``compact_search_index`` by the store's commit
+    lock: an unserialized fold whose read snapshot missed this batch's
+    partition would swap a postings dir WITHOUT it into place — silent
+    data loss, not just a benign race."""
+    from wing_binlog_go_spark.streaming.pipeline import _commit_lock
+
+    os.makedirs(store_dir, exist_ok=True)
+    with _commit_lock(store_dir):
+        _index_apply_locked(spark, docs, store_dir, mark, id_col, text_col)
+
+
+def _index_apply_locked(
+    spark: SparkSession,
+    docs: DataFrame,
+    store_dir: str,
+    mark: int,
+    id_col: str,
+    text_col: str,
+) -> None:
     if mark <= compacted_through(store_dir):
         return
     tok = docs.select(
@@ -243,6 +263,15 @@ def compact_search_index(spark: SparkSession, store_dir: str) -> None:
     re-folds. Readers never see a half-written table (staged swap_dir,
     same as every maintainer).
     """
+    from wing_binlog_go_spark.streaming.pipeline import _commit_lock
+
+    if not os.path.exists(store_dir):
+        return
+    with _commit_lock(store_dir):
+        _compact_locked(spark, store_dir)
+
+
+def _compact_locked(spark: SparkSession, store_dir: str) -> None:
     import json
 
     from wing_binlog_go_spark.streaming.maintenance import recover_swap, swap_dir
