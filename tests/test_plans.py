@@ -505,3 +505,13 @@ def test_containment_join_is_prefix_filtered_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_interval_overlap_is_chunk_equi_join(spark, sf_dir):
+    """q143: candidates come from the time-chunk equi-join — the plan
+    must never contain the nested-loop product the naive theta form
+    degenerates to."""
+    p = plan_of(_Q["q143_interval_overlap"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

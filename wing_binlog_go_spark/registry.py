@@ -31,6 +31,7 @@ _OPERATOR_MODULES = (
     "wing_binlog_go_spark.operators.asof_join",
     "wing_binlog_go_spark.operators.stats",
     "wing_binlog_go_spark.operators.graph",
+    "wing_binlog_go_spark.operators.interval_join",
     "wing_binlog_go_spark.functions.text",
     "wing_binlog_go_spark.functions.mixing",
     "wing_binlog_go_spark.plans.extra_queries",
