@@ -429,3 +429,40 @@ def test_webdataset_export_roundtrip_and_determinism(spark, tmp_path):
     assert sorted((p.name, h(p)) for p in out.glob("*.tar")) == sorted(
         (p.name, h(p)) for p in out2.glob("*.tar")
     )
+
+
+def test_weighted_sample_per_group_matches_reference_and_caps(spark, sf_small):
+    """q144: per-group chosen sets equal the hashlib reference of
+    per-stratum E-S top-k; no group exceeds k."""
+    import hashlib
+    import math
+
+    from wing_binlog_go_spark.functions.mixing import weighted_sample_per_group
+
+    docs = read_table(spark, sf_small, "documents")
+    rows = [
+        (r.lang, r.doc_id, r.n_chars)
+        for r in docs.select("lang", "doc_id", "n_chars").collect()
+    ]
+
+    def key(doc_id, w):
+        h = int(hashlib.md5(f"42:{doc_id}".encode()).hexdigest()[:8], 16)
+        return math.log((h + 0.5) / 2**32) / w
+
+    want = set()
+    langs = {g for g, _, _ in rows}
+    for g in langs:
+        members = [(d, w) for gg, d, w in rows if gg == g and w and w > 0]
+        members.sort(key=lambda t: (-key(*t), t[0]))
+        want |= {(g, d) for d, _ in members[:10]}
+    got = {
+        (r.lang, r.doc_id)
+        for r in weighted_sample_per_group(
+            docs, 10, "n_chars", "lang"
+        ).collect()
+    }
+    assert got == want
+    from collections import Counter
+
+    per = Counter(g for g, _ in got)
+    assert all(c <= 10 for c in per.values()) and len(per) == len(langs)

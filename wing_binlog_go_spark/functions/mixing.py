@@ -920,3 +920,62 @@ ORDER BY doc_id
 QUERIES["q142_weighted_sample"] = QuerySpec(
     _q_weighted_sample, _WEIGHTED_SAMPLE_ORACLE
 )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    seed: int = _SAMPLE_SEED,
+) -> DataFrame:
+    """Stratified form of ``weighted_sample``: the top-k
+    Efraimidis-Spirakis draws WITHIN each group — per-language (or
+    per-source) proportional-to-size sampling in one entity-keyed
+    window, no global sort and no driver loop over strata. Same
+    cross-engine draw, so the per-group chosen sets hash-match SQL."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = F.conv(sample_key(id_col, seed), 16, 10).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 32))
+    w = F.col(weight_col).cast("double")
+    win = Window.partitionBy(group_col).orderBy(
+        (F.log(u) / w).desc(), F.col(id_col)
+    )
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _q_weighted_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        weighted_sample_per_group(d, k=10, weight_col="n_chars", group_col="lang")
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    )
+
+
+_WEIGHTED_GROUP_ORACLE = f"""
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ln((CAST(concat('0x',
+                 substring(md5('{_SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS UBIGINT) + 0.5) / 4294967296.0) / n_chars DESC, doc_id
+         ) AS rn
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+WHERE rn <= 10
+ORDER BY lang, doc_id
+"""
+
+QUERIES["q144_weighted_sample_per_group"] = QuerySpec(
+    _q_weighted_sample_per_group, _WEIGHTED_GROUP_ORACLE
+)
