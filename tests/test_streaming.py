@@ -921,12 +921,12 @@ def test_curation_stats_route_end_to_end(spark, tmp_path):
 
 
 def test_five_route_fanout_composes_end_to_end(spark, tmp_path):
-    """O13 composition at full width: ONE changelog feeds six routes
+    """O13 composition at full width: ONE changelog feeds seven routes
     in one pipeline — typed replica, SCD2 history, PIT enrichment,
-    deduped corpus, curation stats, maintained join view — and every
-    sink is simultaneously correct. This is the reference's fan-out
-    story (one binlog, many consumers) exercised as a single
-    integration path instead of six isolated tests."""
+    deduped corpus, curation stats, maintained join view, search index
+    — and every sink is simultaneously correct. This is the
+    reference's fan-out story (one binlog, many consumers) exercised
+    as a single integration path instead of seven isolated tests."""
     import json as _json
 
     from wing_binlog_go_spark.functions.schema_registry import (
@@ -938,6 +938,10 @@ def test_five_route_fanout_composes_end_to_end(spark, tmp_path):
     from wing_binlog_go_spark.streaming.joinview import (
         joinview_writer,
         read_joinview,
+    )
+    from wing_binlog_go_spark.streaming.searchindex import (
+        bm25_over_index,
+        search_index_writer,
     )
     from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
     from wing_binlog_go_spark.streaming.sinks import (
@@ -999,6 +1003,7 @@ def test_five_route_fanout_composes_end_to_end(spark, tmp_path):
     corpus = str(tmp_path / "corpus")
     stats = str(tmp_path / "stats")
     jv = str(tmp_path / "jv")
+    idx = str(tmp_path / "idx")
     routes = [
         Route("replica", typed_replica_writer(
             reg, ["shop.customer", "shop.orders"], replica)),
@@ -1013,6 +1018,7 @@ def test_five_route_fanout_composes_end_to_end(spark, tmp_path):
                 d, min_words=5, min_stopword_hits=1, with_rules=True))),
         Route("jv", joinview_writer(
             jv, "orders", "customer", "cust_id", "id")),
+        Route("search", search_index_writer(idx, "shop.docs")),
     ]
     q = run_pipeline(spark, str(log), routes, str(tmp_path / "ckpt"))
     q.awaitTermination(120)
@@ -1051,3 +1057,11 @@ def test_five_route_fanout_composes_end_to_end(spark, tmp_path):
         for r in read_joinview(spark, jv).collect()
     }
     assert jv_pairs == {("10", "1", "gold"), ("11", "1", "gold")}
+    # search index: both good docs rank above the tiny one for a query
+    # from their shared text; all three docs present (total ranking)
+    scores = {
+        r.doc_id: r.bm25
+        for r in bm25_over_index(spark, idx, ["quick", "owl"]).collect()
+    }
+    assert set(scores) == {1, 2, 3}
+    assert scores[1] > 0 and scores[2] > 0 and scores[3] == 0.0
