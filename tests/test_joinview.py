@@ -292,3 +292,39 @@ def test_joinview_tolerates_corrupt_meta(spark, tmp_path):
     _apply(spark, state, b)  # full re-apply converges
     assert _pairs(spark, state) == {("10", "1")}
     assert joinview_high_water(state) == 2
+
+
+def test_joinview_idle_batch_advances_mark_without_rewrite(spark, tmp_path):
+    """A batch carrying only other tables' events must advance the
+    high-water mark WITHOUT rewriting the view parquet (the idle-table
+    IO guard)."""
+    state = str(tmp_path / "jv")
+    _apply(
+        spark,
+        state,
+        _env(
+            spark,
+            [
+                ("customers", "insert", 1, {"id": "1", "seg": "A"}, None, None),
+                ("orders", "insert", 2, {"id": "10", "cust": "1"}, None, None),
+            ],
+        ),
+    )
+    view_dir = os.path.join(state, "view")
+    files_before = {
+        f: os.path.getmtime(os.path.join(view_dir, f))
+        for f in os.listdir(view_dir)
+        if f.endswith(".parquet")
+    }
+    idle = _env(
+        spark, [("noise", "insert", 3, {"k": "v"}, None, None)]
+    )
+    _apply(spark, state, idle)
+    assert joinview_high_water(state) == 3
+    files_after = {
+        f: os.path.getmtime(os.path.join(view_dir, f))
+        for f in os.listdir(view_dir)
+        if f.endswith(".parquet")
+    }
+    assert files_after == files_before  # untouched data files
+    assert _pairs(spark, state) == {("10", "1")}

@@ -169,6 +169,21 @@ def incremental_joinview_apply(
     # (the idle-table IO guard, same as upsert_parquet's short-circuit)
     l_dirty = not ch_l.isEmpty()
     r_dirty = not ch_r.isEmpty()
+    if not l_dirty and not r_dirty:
+        # batch carried only other tables' events: advance the mark
+        # WITHOUT rewriting the untouched view (the scd2 idle-table
+        # lesson) — atomic file replace, fsynced like the swap path
+        view_dir_exists = os.path.exists(view_dir)
+        meta = os.path.join(view_dir, _META)
+        if view_dir_exists:
+            tmp = meta + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"max_event_index": int(mx)}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, meta)
+            return
+        # no view yet: fall through and materialize the (empty) state
     if l_dirty:
         _swap_child(
             _merge_side(_read_or_empty(spark, left_dir, _SIDE_SCHEMA), ch_l),
