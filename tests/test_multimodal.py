@@ -1807,3 +1807,54 @@ def test_resize_images_spark_mixed_formats(spark):
             assert (r.height, r.width, r.n_bytes) == (16, 20, len(r.payload))
             dec = decode_image(bytes(r.payload))
             assert dec.shape == (16, 20, 3)
+
+
+def test_resample_linear_preserves_tone_and_duration():
+    """440 Hz at 8 kHz resampled to 16 kHz keeps its dominant FFT bin
+    at 440 Hz and doubles the sample count; identity rate is a copy;
+    bad rates raise."""
+    import numpy as np
+    import pytest
+
+    from wing_binlog_go_spark.multimodal import codecs
+
+    t = np.arange(8000) / 8000.0
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+    up = codecs.resample_linear(tone, 8000, 16000)
+    assert len(up) == 16000
+    freqs = np.fft.rfftfreq(len(up), 1 / 16000.0)
+    peak = freqs[np.argmax(np.abs(np.fft.rfft(up)))]
+    assert abs(peak - 440) < 2
+    same = codecs.resample_linear(tone, 8000, 8000)
+    assert np.array_equal(same, tone)
+    with pytest.raises(ValueError):
+        codecs.resample_linear(tone, 0, 16000)
+
+
+def test_resample_audio_over_spark_mixed_formats(spark):
+    """WAV and FLAC payloads normalize to one rate through the Spark
+    op; NULL passes through; duration is preserved to one sample."""
+    import numpy as np
+
+    from wing_binlog_go_spark.multimodal import decode_audio, resample_audio
+    from wing_binlog_go_spark.multimodal.codecs import encode_flac, encode_wav
+
+    t8 = np.arange(4000) / 8000.0   # 0.5 s at 8 kHz
+    t22 = np.arange(11025) / 22050.0  # 0.5 s at 22.05 kHz
+    tone8 = 0.4 * np.sin(2 * np.pi * 300 * t8)
+    tone22 = 0.4 * np.sin(2 * np.pi * 300 * t22)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(tone8, rate=8000))),
+            (2, bytearray(encode_flac(tone22, rate=22050))),
+            (3, None),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in resample_audio(df, rate=16000).collect()}
+    assert rows[3].payload is None
+    for mid in (1, 2):
+        rate, samples = decode_audio(bytes(rows[mid].payload))
+        assert rate == 16000
+        assert abs(len(samples) - 8000) <= 1  # 0.5 s at 16 kHz
+        assert rows[mid].n_samples == len(samples)

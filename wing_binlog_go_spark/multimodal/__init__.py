@@ -568,3 +568,52 @@ def size_bucketed(df: DataFrame, buckets: int = 32) -> DataFrame:
     return df.withColumn(
         "_spread", F.pmod(F.xxhash64("media_id"), F.lit(buckets)).cast("int")
     ).repartition(buckets, "_spread").drop("_spread")
+
+
+RESAMPLED_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resample_audio(df: DataFrame, rate: int = 16000) -> DataFrame:
+    """Distributed decode → linear resample → 16-bit WAV re-encode over
+    a binary audio column — the normalize-sample-rate step of a
+    multimodal training pipeline (models expect one rate), REAL
+    end-to-end for WAV/FLAC inputs. The audio sibling of
+    ``resize_images``: same Arrow-batched ``mapInPandas`` shape, zero
+    shuffle, NULL payloads pass through, undecodable payloads raise
+    loudly. Band-limit caveat and the windowed-sinc upgrade seam are
+    documented on ``codecs.resample_linear``.
+    """
+    from wing_binlog_go_spark.multimodal import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, rates, ns, nb = [], [], [], []
+            for p in pdf["payload"]:
+                if p is None:
+                    payloads.append(None); rates.append(None)
+                    ns.append(None); nb.append(None)
+                    continue
+                src_rate, samples = decode_audio(bytes(p))
+                out_samples = codecs.resample_linear(samples, src_rate, rate)
+                out = codecs.encode_wav(out_samples, rate=rate)
+                payloads.append(out)
+                rates.append(rate); ns.append(len(out_samples)); nb.append(len(out))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "rate": pd.array(rates, dtype="Int32"),
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "n_bytes": pd.array(nb, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(run, RESAMPLED_AUDIO_SCHEMA)

@@ -3485,3 +3485,25 @@ def encode_bmp_rle8(img: np.ndarray) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(data), 2835, 2835, n_col, 0
     )
     return bytes(hdr) + bytes(pal) + bytes(data)
+
+
+def resample_linear(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
+    """Resample mono float samples by linear interpolation on the
+    continuous time axis (output length = round(n·dst/src); endpoints
+    anchored so duration is preserved to one sample).
+
+    Linear interpolation is the standard cheap resampler: exact for
+    any signal band-limited well below Nyquist, with high-frequency
+    roll-off near Nyquist instead of aliasing rejection — a windowed-
+    sinc polyphase filter is the production upgrade and slots in HERE
+    behind the same signature (the resize_plane seam note, for audio).
+    Identity when src_rate == dst_rate.
+    """
+    if src_rate <= 0 or dst_rate <= 0:
+        raise ValueError(f"rates must be positive, got {src_rate}->{dst_rate}")
+    x = np.asarray(samples, dtype=np.float64)
+    if src_rate == dst_rate or x.size == 0:
+        return x.copy()
+    n_out = max(int(round(x.size * dst_rate / src_rate)), 1)
+    src_pos = np.arange(n_out, dtype=np.float64) * (src_rate / dst_rate)
+    return np.interp(src_pos, np.arange(x.size, dtype=np.float64), x)
