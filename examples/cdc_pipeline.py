@@ -1,6 +1,6 @@
 """End-to-end CDC demo: changelog directory → envelope pipeline →
-(gateway push + parquet replica + incremental aggregate), with the
-transaction gate and metrics listener on.
+(gateway push + parquet replica + incremental aggregate + anomaly log),
+with the transaction gate and metrics listener on.
 
     python examples/cdc_pipeline.py /path/to/changelog /path/to/out
 
@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 
 from wing_binlog_go_spark.session import get_spark
 from wing_binlog_go_spark.sources.changelog import write_fixture_changelog
-from wing_binlog_go_spark.streaming.aggregate import incremental_agg_writer
+from wing_binlog_go_spark.streaming.aggregate import (
+    anomaly_writer,
+    incremental_agg_writer,
+    read_anomalies,
+)
 from wing_binlog_go_spark.streaming.metrics import PipelineMetrics, summarize
 from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline, upsert_parquet
 from wing_binlog_go_spark.streaming.subscribe import SubscribeServer, subscribe_route_writer
@@ -56,6 +60,11 @@ def main() -> None:
             Route("gateway", subscribe_route_writer(gateway)),
             Route("replica", replica),
             Route("agg", incremental_agg_writer(os.path.join(out, "agg"), "c_vchar", "c_int")),
+            # flags values z-scored against pre-batch history (tiny
+            # fixture: min_n=1 so the demo produces rows)
+            Route("anom", anomaly_writer(
+                os.path.join(out, "anom_state"), os.path.join(out, "anom"),
+                "c_vchar", "c_int", z=1.0, min_n=1)),
         ],
         os.path.join(out, "ckpt"),
         txn_atomic=True,
@@ -63,6 +72,7 @@ def main() -> None:
     q.awaitTermination(120)
     print("replica rows:", spark.read.parquet(os.path.join(out, "replica")).count())
     print("aggregate:", spark.read.parquet(os.path.join(out, "agg")).orderBy("grp").show(truncate=False))
+    print("anomalies flagged:", read_anomalies(spark, os.path.join(out, "anom")).count())
     print("throughput:", summarize(metrics_path))
     gateway.close()
 
