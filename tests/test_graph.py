@@ -130,3 +130,36 @@ def test_graph_degenerate_inputs(spark):
     assert pagerank(empty, n_iter=3).collect() == []
     with pytest.raises(ValueError, match="k must be"):
         khop_counts(empty, k=0)
+
+
+def test_weighted_pagerank_matches_numpy_reference(spark):
+    """Weighted mode distributes rank proportionally to out-edge
+    weights (parallel edges sum); matches a dense reference to 1e-9
+    and an unweighted run on unit weights exactly."""
+    edges = [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 5.0), (2, 4, 1.0)]
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    got = {
+        r.node: r.rank
+        for r in pagerank(e, n_iter=12, weight_col="weight").collect()
+    }
+    nodes = sorted({u for s, t, _ in edges for u in (s, t)})
+    ix = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    wout = np.zeros(n)
+    for s, t, w in edges:
+        wout[ix[s]] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        contrib = np.zeros(n)
+        for s, t, w in edges:
+            contrib[ix[t]] += r[ix[s]] * w / wout[ix[s]]
+        dangling = r[wout == 0].sum()
+        r = 0.15 / n + 0.85 * (contrib + dangling / n)
+    for u in nodes:
+        assert abs(got[u] - r[ix[u]]) < 1e-9, u
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # unit weights == unweighted
+    unit = e.withColumn("weight", F.lit(1.0))
+    a = {r_.node: r_.rank for r_ in pagerank(unit, n_iter=5, weight_col="weight").collect()}
+    b = {r_.node: r_.rank for r_ in pagerank(e.select("src", "dst"), n_iter=5).collect()}
+    assert a == b

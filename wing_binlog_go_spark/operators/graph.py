@@ -63,12 +63,16 @@ def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     n_iter: int = 10,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Standard PageRank over (src, dst) edges (unweighted; parallel
-    edges collapse). Dangling-node mass is redistributed uniformly each
-    iteration, so ranks sum to 1 at every step.
+    """PageRank over (src, dst) edges. Unweighted by default (parallel
+    edges collapse); pass ``weight_col`` to distribute each node's rank
+    proportionally to its out-edge weights (parallel edges SUM) — the
+    affinity counts ``interaction_edges`` already computes. Dangling-
+    node mass is redistributed uniformly each iteration, so ranks sum
+    to 1 at every step.
 
-        r'(v) = (1−d)/N + d·(Σ_{u→v} r(u)/outdeg(u) + dangling/N)
+        r'(v) = (1−d)/N + d·(Σ_{u→v} r(u)·w(u,v)/w_out(u) + dangling/N)
 
     One shuffle per iteration (contributions groupBy dst); the node
     list and out-degrees are computed once; each iteration's result is
@@ -76,7 +80,15 @@ def pagerank(
     dangling-mass term is a scalar driver action per iteration —
     inherent to exact PageRank (it is a global sum), bounded by n_iter.
     """
-    e = edges.select("src", "dst").distinct().persist()
+    w = (
+        F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    )
+    e = (
+        edges.select("src", "dst", w.alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select("dst"))
@@ -88,7 +100,7 @@ def pagerank(
         e.unpersist()
         nodes.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
         with_deg = ranks.join(
@@ -101,7 +113,10 @@ def pagerank(
         )
         contribs = (
             with_deg.join(e, with_deg["node"] == e["src"])
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("w") / F.col("outdeg")).alias("c"),
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
