@@ -328,3 +328,165 @@ def test_joinview_idle_batch_advances_mark_without_rewrite(spark, tmp_path):
     }
     assert files_after == files_before  # untouched data files
     assert _pairs(spark, state) == {("10", "1")}
+
+
+def _apply_b(spark, state, batch, n=8):
+    from wing_binlog_go_spark.streaming.joinview import (
+        incremental_joinview_apply_bucketed,
+    )
+
+    incremental_joinview_apply_bucketed(
+        spark, batch, state, "orders", "customers", "cust", "id", num_buckets=n
+    )
+
+
+def _pairs_b(spark, state):
+    from wing_binlog_go_spark.streaming.joinview import read_joinview_bucketed
+
+    return {
+        (r.row_l["id"], r.row_r["id"])
+        for r in read_joinview_bucketed(spark, state).collect()
+    }
+
+
+def test_bucketed_joinview_equals_flat_randomized(spark, tmp_path):
+    """The bucketed layout and the flat layout produce identical views
+    after every one of 3 randomized batches (same generator as the
+    dict-model test), and replaying the last batch is a no-op."""
+    rng = random.Random(99)
+    flat = str(tmp_path / "flat")
+    buck = str(tmp_path / "buck")
+    model = {"orders": {}, "customers": {}}
+    idx = 0
+
+    def fresh_row(tb):
+        if tb == "customers":
+            return {"id": str(rng.randrange(10)), "seg": str(rng.randrange(3))}
+        return {"id": str(rng.randrange(100)), "cust": str(rng.randrange(10))}
+
+    def gen_batch(n):
+        nonlocal idx
+        rows = []
+        for _ in range(n):
+            tb = rng.choice(("orders", "customers"))
+            side = model[tb]
+            op = rng.choice(("insert", "insert", "update", "delete"))
+            if op == "insert" or not side:
+                idx += 1
+                row = fresh_row(tb)
+                if row["id"] in side:
+                    rows.append((tb, "update", idx, None, dict(side[row["id"]]), row))
+                else:
+                    rows.append((tb, "insert", idx, row, None, None))
+                side[row["id"]] = row
+            elif op == "update":
+                idx += 1
+                pk = rng.choice(sorted(side))
+                old = dict(side[pk])
+                new = fresh_row(tb)
+                if new["id"] != pk and new["id"] in side:
+                    continue
+                rows.append((tb, "update", idx, None, old, new))
+                del side[pk]
+                side[new["id"]] = new
+            else:
+                idx += 1
+                pk = rng.choice(sorted(side))
+                rows.append((tb, "delete", idx, dict(side[pk]), None, None))
+                del side[pk]
+        return rows
+
+    last = None
+    for _ in range(3):
+        last = _env(spark, gen_batch(25))
+        _apply(spark, flat, last)
+        _apply_b(spark, buck, last)
+        assert _pairs_b(spark, buck) == _pairs(spark, flat)
+    before = _pairs_b(spark, buck)
+    _apply_b(spark, buck, last)  # at-least-once redelivery
+    assert _pairs_b(spark, buck) == before
+
+
+def test_bucketed_joinview_leaves_untouched_buckets_alone(spark, tmp_path):
+    """The bucket-pruning claim: a batch touching one order and one
+    customer rewrites only the affected view buckets — every other
+    bucket's files are byte-stable (mtimes unchanged)."""
+    import glob
+
+    state = str(tmp_path / "jv")
+    rows = [("customers", "insert", i + 1, {"id": str(i), "seg": "A"}, None, None)
+            for i in range(10)]
+    rows += [("orders", "insert", 100 + i, {"id": str(100 + i), "cust": str(i)},
+              None, None) for i in range(10)]
+    _apply_b(spark, state, _env(spark, rows), n=8)
+    view_glob = os.path.join(state, "view", "vb=*", "*.parquet")
+    before = {p: os.path.getmtime(p) for p in glob.glob(view_glob)}
+
+    from wing_binlog_go_spark.streaming.joinview import _bucket_of
+    from wing_binlog_go_spark.streaming.pipeline import pk_str
+
+    touched_vb = {
+        r.vb
+        for r in spark.createDataFrame(
+            [(pk_str("105"),)], "k string"
+        ).select(_bucket_of("k", 8).alias("vb")).collect()
+    }
+    b2 = _env(
+        spark,
+        [("orders", "update", 200, None,
+          {"id": "105", "cust": "5"}, {"id": "105", "cust": "6"})],
+    )
+    _apply_b(spark, state, b2, n=8)
+    after = {p: os.path.getmtime(p) for p in glob.glob(view_glob)}
+    unchanged = [
+        p for p in before
+        if f"vb={list(touched_vb)[0]}" not in p
+    ]
+    assert unchanged, "fixture must populate more than the touched bucket"
+    for p in unchanged:
+        assert p in after and after[p] == before[p], p
+    assert ("105", "6") in _pairs_b(spark, state)
+    assert ("105", "5") not in _pairs_b(spark, state)
+
+
+def test_bucketed_joinview_converges_after_partial_overwrite_crash(spark, tmp_path):
+    """Crash between bucket overwrites: sides advanced, view partially
+    new, mark old — the redelivered batch reconverges."""
+    from wing_binlog_go_spark.streaming.joinview import (
+        joinview_bucketed_high_water,
+    )
+
+    state = str(tmp_path / "jv")
+    _apply_b(
+        spark,
+        state,
+        _env(
+            spark,
+            [
+                ("customers", "insert", 1, {"id": "1", "seg": "A"}, None, None),
+                ("customers", "insert", 2, {"id": "2", "seg": "B"}, None, None),
+                ("orders", "insert", 3, {"id": "10", "cust": "1"}, None, None),
+                ("orders", "insert", 4, {"id": "11", "cust": "2"}, None, None),
+            ],
+        ),
+    )
+    b2 = _env(
+        spark,
+        [
+            ("orders", "update", 5, None,
+             {"id": "10", "cust": "1"}, {"id": "10", "cust": "2"}),
+            ("customers", "delete", 6, {"id": "2", "seg": "B"}, None, None),
+        ],
+    )
+    # simulate the crash: run the full apply, then REGRESS the mark to
+    # pre-batch (as if the meta replace never happened) — state dirs
+    # hold the post-batch content, exactly the partial-commit picture
+    _apply_b(spark, state, b2)
+    with open(os.path.join(state, "_join_meta.json"), "w") as f:
+        json.dump({"max_event_index": 4}, f)
+    assert joinview_bucketed_high_water(state) == 4
+    _apply_b(spark, state, b2)  # redelivery
+    # cust 2 deleted AND order 10 moved to it: no pairs survive but 11?
+    # order 11 pointed at 2 -> gone too
+    assert _pairs_b(spark, state) == set()
+    assert joinview_bucketed_high_water(state) == 6

@@ -46,10 +46,10 @@ new key); deletes remove every pair the row participated in.
 Scale shape (100 TB): the delta joins shuffle O(|Δ|) rows against the
 side states partitioned on the join key; the touched-pk sets are
 batch-sized and broadcast. The full-table rewrite of a CHANGED side and
-of the view is the plain-parquet cost floor — at billions of live rows
-swap the children for the bucketed-manifest layout (streaming/bucketed
-upsert) so only buckets holding touched keys rewrite, or a Delta MERGE;
-the delta algebra above is unchanged.
+of the view is this flat layout's cost floor — at billions of live rows
+use ``incremental_joinview_apply_bucketed`` below (hash-bucketed
+children, only buckets holding touched keys rewrite) or a Delta MERGE;
+the delta algebra is identical in all three.
 """
 
 from __future__ import annotations
@@ -266,3 +266,252 @@ def joinview_writer(
 def read_joinview(spark: SparkSession, state_dir: str) -> DataFrame:
     """The maintained view: (_pk_l, _pk_r, jk, row_l, row_r)."""
     return _read_or_empty(spark, os.path.join(state_dir, "view"), _VIEW_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# bucketed layout: per-batch IO = O(changed buckets), not O(state)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_of(col, n: int):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(n)).cast("int")
+
+
+def _distinct_ints(df: DataFrame, col: str) -> list[int]:
+    return sorted(r[0] for r in df.select(col).distinct().collect())
+
+
+def _overwrite_buckets(
+    df: DataFrame, path: str, part_col: str, affected: list[int]
+) -> None:
+    """Dynamic partition overwrite that ALSO handles the pitfall the
+    mode itself has: a partition whose new content is EMPTY is never
+    overwritten (Spark writes no partition for zero rows), so rows
+    deleted down to an empty bucket would silently resurrect. Buckets
+    in ``affected`` with no surviving rows are removed explicitly after
+    the write; a crash between the write and the removals reconverges
+    on replay (the stale bucket's rows are all touched-key rows, so the
+    bucket re-enters the affected set and recomputes to empty again)."""
+    import shutil
+
+    frame = df.localCheckpoint(eager=True)  # one compute: presence + write
+    present = set(_distinct_ints(frame.select(part_col), part_col))
+    if present:
+        (
+            frame.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(part_col)
+            .parquet(path)
+        )
+    for b in set(affected) - present:
+        shutil.rmtree(os.path.join(path, f"{part_col}={b}"), ignore_errors=True)
+
+
+def _read_bucketed(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read a bucket-partitioned child; a missing dir OR a dir whose
+    every bucket was deleted (fully-emptied state — legal after mass
+    deletes) reads as the empty typed frame, not a schema-inference
+    error."""
+    if os.path.exists(path):
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            pass
+    return spark.createDataFrame([], schema)
+
+
+def joinview_bucketed_high_water(state_dir: str) -> int:
+    """Bucketed layout's replay mark (root-level meta — the commit is a
+    fsynced file replace, not a dir swap). Same −1 tolerance."""
+    try:
+        with open(os.path.join(state_dir, _META)) as f:
+            return int(json.load(f)["max_event_index"])
+    except (OSError, ValueError, KeyError):
+        return -1
+
+
+def incremental_joinview_apply_bucketed(
+    spark: SparkSession,
+    env_batch: DataFrame,
+    state_dir: str,
+    left_table: str,
+    right_table: str,
+    key_left: str,
+    key_right: str,
+    pk_left: str | list[str] = "id",
+    pk_right: str | list[str] = "id",
+    num_buckets: int = 16,
+) -> None:
+    """The flat apply's scale form: sides hash-bucketed on ``_pk`` and
+    the view on ``_pk_l``, maintained by DYNAMIC PARTITION OVERWRITE of
+    only the buckets a batch touches — per-batch IO is O(|Δ| + touched
+    buckets), never a full-state rewrite (the upgrade path the flat
+    docstring promises, without leaving plain parquet).
+
+    Affected view buckets = buckets of the touched LEFT keys ∪ buckets
+    of existing pairs whose ``_pk_r`` is touched (found by one
+    column-pruned scan of the view's (_pk_r, vb) columns — removals
+    keyed on the non-bucketing side are the reason a naive single-key
+    partition scheme is not enough) ∪ buckets of the right-delta join's
+    new pairs. Every added pair provably lands inside the affected set,
+    so untouched buckets are byte-stable (test-asserted by mtime).
+
+    Commit = the root meta's fsynced atomic replace AFTER all bucket
+    overwrites. A crash mid-overwrite leaves some buckets new and some
+    old with the OLD mark: the redelivered batch re-merges sides
+    last-writer-wins (idempotent per bucket) and re-derives each
+    affected bucket's final content from scratch — already-written
+    buckets recompute to the same rows (their adds are touched-key
+    pairs, so the anti-join strips and re-adds them), unwritten ones
+    catch up. Convergence, not atomicity, is the contract — same as the
+    flat variant's child-swap ordering.
+    """
+    left_dir = os.path.join(state_dir, "left")
+    right_dir = os.path.join(state_dir, "right")
+    view_dir = os.path.join(state_dir, "view")
+    os.makedirs(state_dir, exist_ok=True)
+
+    high = joinview_bucketed_high_water(state_dir)
+    fresh = env_batch.filter(F.col("event_index") > high)
+    mx = fresh.agg(F.max("event_index")).collect()[0][0]
+    if mx is None:
+        return
+
+    ch_l = _side_changes(fresh, left_table, pk_left).localCheckpoint(eager=True)
+    ch_r = _side_changes(fresh, right_table, pk_right).localCheckpoint(eager=True)
+
+    def commit_mark() -> None:
+        tmp = os.path.join(state_dir, _META + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"max_event_index": int(mx)}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(state_dir, _META))
+
+    if ch_l.isEmpty() and ch_r.isEmpty():
+        commit_mark()  # other tables' events: mark only, zero table IO
+        return
+
+    side_schema = _SIDE_SCHEMA + ", sb int"
+
+    def read_side(path: str) -> DataFrame:
+        return _read_bucketed(spark, path, side_schema)
+
+    def merge_side_buckets(path: str, changes: DataFrame) -> None:
+        if changes.isEmpty():
+            return
+        touched = changes.select(_bucket_of("_pk", num_buckets).alias("sb"))
+        buckets = _distinct_ints(touched, "sb")
+        old = read_side(path).filter(F.col("sb").isin(buckets)).select(
+            "_pk", "row", "event_index"
+        )
+        merged = _merge_side(old, changes).withColumn(
+            "sb", _bucket_of("_pk", num_buckets)
+        )
+        _overwrite_buckets(merged, path, "sb", buckets)
+
+    merge_side_buckets(left_dir, ch_l)
+    merge_side_buckets(right_dir, ch_r)
+
+    new_l = read_side(left_dir).select(
+        "_pk", F.element_at("row", key_left).alias("jk"), F.col("row")
+    )
+    new_r = read_side(right_dir).select(
+        "_pk", F.element_at("row", key_right).alias("jk"), F.col("row")
+    )
+    t_l = ch_l.select("_pk").distinct().localCheckpoint(eager=True)
+    t_r = ch_r.select("_pk").distinct().localCheckpoint(eager=True)
+
+    def pairs(lhs: DataFrame, rhs: DataFrame) -> DataFrame:
+        l = lhs.select(
+            F.col("_pk").alias("_pk_l"), "jk", F.col("row").alias("row_l")
+        )
+        r = rhs.select(
+            F.col("_pk").alias("_pk_r"),
+            F.col("jk").alias("_jk_r"),
+            F.col("row").alias("row_r"),
+        )
+        return l.join(r, l["jk"] == r["_jk_r"]).select(
+            "_pk_l", "_pk_r", "jk", "row_l", "row_r"
+        )
+
+    add_l = pairs(new_l.join(F.broadcast(t_l), "_pk", "left_semi"), new_r)
+    add_r = pairs(
+        new_l.join(F.broadcast(t_l), "_pk", "left_anti"),
+        new_r.join(F.broadcast(t_r), "_pk", "left_semi"),
+    ).localCheckpoint(eager=True)  # feeds the bucket set AND the union
+
+    old_view = _read_bucketed(spark, view_dir, _VIEW_SCHEMA + ", vb int")
+
+    # affected view buckets: touched-left keys, pairs losing a touched
+    # right key (column-pruned scan of (_pk_r, vb)), and right-delta adds
+    vb_sets = [
+        t_l.select(_bucket_of("_pk", num_buckets).alias("vb")),
+        old_view.join(
+            F.broadcast(t_r.withColumnRenamed("_pk", "_pk_r")), "_pk_r", "left_semi"
+        ).select("vb"),
+        add_r.select(_bucket_of("_pk_l", num_buckets).alias("vb")),
+    ]
+    affected = _distinct_ints(
+        vb_sets[0].unionByName(vb_sets[1]).unionByName(vb_sets[2]), "vb"
+    )
+    if not affected:
+        commit_mark()  # deletes of absent keys etc.: nothing to rewrite
+        return
+
+    kept = (
+        old_view.filter(F.col("vb").isin(affected))
+        .select("_pk_l", "_pk_r", "jk", "row_l", "row_r")
+        .join(
+            F.broadcast(t_l.withColumnRenamed("_pk", "_pk_l")), "_pk_l", "left_anti"
+        )
+        .join(
+            F.broadcast(t_r.withColumnRenamed("_pk", "_pk_r")), "_pk_r", "left_anti"
+        )
+    )
+    new_view = (
+        kept.unionByName(add_l)
+        .unionByName(add_r)
+        .withColumn("vb", _bucket_of("_pk_l", num_buckets))
+    )
+    _overwrite_buckets(new_view, view_dir, "vb", affected)
+    commit_mark()
+
+
+def joinview_bucketed_writer(
+    state_dir: str,
+    left_table: str,
+    right_table: str,
+    key_left: str,
+    key_right: str,
+    pk_left: str | list[str] = "id",
+    pk_right: str | list[str] = "id",
+    num_buckets: int = 16,
+):
+    """foreachBatch hook for the bucketed layout."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_joinview_apply_bucketed(
+            batch_df.sparkSession,
+            batch_df,
+            state_dir,
+            left_table,
+            right_table,
+            key_left,
+            key_right,
+            pk_left,
+            pk_right,
+            num_buckets,
+        )
+
+    return write
+
+
+def read_joinview_bucketed(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The bucketed view, bucket column dropped — same shape as the
+    flat reader."""
+    view_dir = os.path.join(state_dir, "view")
+    return _read_bucketed(spark, view_dir, _VIEW_SCHEMA + ", vb int").select(
+        "_pk_l", "_pk_r", "jk", "row_l", "row_r"
+    )
