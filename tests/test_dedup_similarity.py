@@ -1485,3 +1485,41 @@ def test_containment_equals_bruteforce_on_fixture(spark, sf_small):
     want = {(r.doc_a, r.doc_b, r.containment) for r in brute.collect()}
     assert want, "fixture must contain containment pairs"
     assert got == want
+
+
+def test_incremental_containment_matches_batch_operator(spark, sf_small, tmp_path):
+    """The union of every increment's pairs equals containment_pairs on
+    the cumulative corpus (both directions); replay is a no-op."""
+    from wing_binlog_go_spark.operators.dedup import (
+        containment_pairs,
+        incremental_containment_apply,
+    )
+
+    docs = read_table(spark, sf_small, "documents").orderBy("doc_id").limit(240)
+    parts = [
+        docs.filter(F.col("doc_id") % 3 == i).localCheckpoint(eager=True)
+        for i in range(3)
+    ]
+    store = str(tmp_path / "cont")
+    got = set()
+    for p in parts:
+        pairs, stats = incremental_containment_apply(
+            spark, p, store, k=3, threshold=0.8
+        )
+        got |= {
+            (r.doc_a, r.doc_b, r.containment) for r in pairs.collect()
+        }
+        assert stats["appended"] > 0
+    want_df = containment_pairs(
+        docs, k=3, threshold=0.8
+    )
+    want = {(r.doc_a, r.doc_b, r.containment) for r in want_df.collect()}
+    assert want, "fixture must contain containment pairs"
+    assert got == want
+
+    # replay: the last increment redelivered contributes nothing new
+    pairs, stats = incremental_containment_apply(
+        spark, parts[-1], store, k=3, threshold=0.8
+    )
+    assert stats["appended"] == 0 and stats["replayed"] == stats["batch"]
+    assert pairs.count() == 0

@@ -1449,3 +1449,150 @@ ORDER BY doc_a, doc_b
 """
 
 QUERIES["q138_containment_join"] = QuerySpec(_q_containment_join, _CONTAINMENT_ORACLE)
+
+
+def _containment_verify(
+    cand: DataFrame, sets_a: DataFrame, sets_b: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact directional verify over candidate (doc_a, doc_b) pairs:
+    containment = |A∩B| / |A| ≥ t, A the contained side."""
+    sa = sets_a.select(
+        F.col("doc").alias("doc_a"), F.col("els").alias("_ea"),
+        F.col("n").alias("n_a"),
+    )
+    sb = sets_b.select(F.col("doc").alias("doc_b"), F.col("els").alias("_eb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("_c", F.size(F.array_intersect("_ea", "_eb")) / F.col("n_a"))
+        .filter(F.col("_c") >= threshold)
+        .select("doc_a", "doc_b", F.round("_c", 6).alias("containment"))
+    )
+
+
+def incremental_containment_apply(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> "tuple[DataFrame, dict]":
+    """EXACT directional containment for an ingest increment against
+    the corpus history — ``containment_pairs``'s incremental form (the
+    quote/subset duplicates a daily crawl must catch against everything
+    already ingested, both directions: a fresh snippet quoted from a
+    stored host AND a stored snippet that a fresh host now contains).
+
+    Same frozen-founding-order contract as ``incremental_apss_apply``
+    (one consistent rarity total order is all the prefix lemma needs;
+    the containment prefix length is the SAME ``n − ⌈t·n⌉ + 1``
+    formula, so the ranked-sets builder is shared). What containment
+    adds is the ASYMMETRY of its candidate rule — a contained side's
+    prefix must meet the container's FULL element list — so the store
+    persists history under BOTH roles as append-only inverted indexes:
+
+        order/      (s, df)    frozen founding rarity order
+        sets/       (doc, els, n, pre)  full sets (verify + replay)
+        els_index/  (doc, s)   every element  (fresh ⊂ history probe)
+        pre_index/  (doc, s)   prefix elements (history ⊂ fresh probe)
+
+    Per batch the probes are two equi-joins touching only postings that
+    match the batch's elements — history text and history sets are
+    never re-exploded. Ids already in ``sets/`` are replay no-ops.
+
+    Returns (pairs, stats): pairs = (doc_a, doc_b, containment) with
+    doc_a the contained side and at least one side fresh; the union of
+    every batch's pairs equals the batch operator on the cumulative
+    corpus (test-asserted).
+    """
+    import os as _os
+
+    order_dir = _os.path.join(store_dir, "order")
+    sets_dir = _os.path.join(store_dir, "sets")
+    els_dir = _os.path.join(store_dir, "els_index")
+    pre_dir = _os.path.join(store_dir, "pre_index")
+    empty = spark.createDataFrame([], "doc_a long, doc_b long, containment double")
+
+    def explode_col(sets: DataFrame, col: str) -> DataFrame:
+        return sets.select(F.col("doc"), F.explode(col).alias("s"))
+
+    def within(sets: DataFrame) -> DataFrame:
+        a = sets.select(F.col("doc").alias("doc_a"), F.explode("pre").alias("s"))
+        b = sets.select(F.col("doc").alias("doc_b"), F.explode("els").alias("s"))
+        cand = (
+            a.join(b, "s")
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        return _containment_verify(cand, sets, sets, threshold)
+
+    if not _os.path.exists(order_dir):
+        el = new_docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_shingles(text_col, k)).alias("s"),
+        )
+        el.groupBy("s").agg(F.count("*").alias("df")).write.parquet(order_dir)
+        order = spark.read.parquet(order_dir)
+        sets = _apss_ranked_sets(
+            new_docs, order, id_col, text_col, k, threshold
+        ).localCheckpoint(eager=True)
+        n_batch = sets.count()
+        sets.write.parquet(sets_dir)
+        explode_col(sets, "els").write.parquet(els_dir)
+        explode_col(sets, "pre").write.parquet(pre_dir)
+        pairs = within(sets).localCheckpoint(eager=True)
+        return pairs, {
+            "batch": n_batch, "replayed": 0, "appended": n_batch,
+            "pairs_vs_history": 0, "pairs_in_batch": pairs.count(),
+        }
+
+    order = spark.read.parquet(order_dir)
+    history = spark.read.parquet(sets_dir)
+    n_batch = new_docs.count()
+    fresh_docs = new_docs.join(
+        history.select(F.col("doc").alias(id_col)), id_col, "left_anti"
+    )
+    sets = _apss_ranked_sets(
+        fresh_docs, order, id_col, text_col, k, threshold
+    ).localCheckpoint(eager=True)
+    n_fresh = sets.count()
+    if n_fresh == 0:
+        return empty, {
+            "batch": n_batch, "replayed": n_batch, "appended": 0,
+            "pairs_vs_history": 0, "pairs_in_batch": 0,
+        }
+    els_index = spark.read.parquet(els_dir)
+    pre_index = spark.read.parquet(pre_dir)
+    # fresh ⊂ history: fresh prefixes meet history's FULL postings
+    c1 = (
+        sets.select(F.col("doc").alias("doc_a"), F.explode("pre").alias("s"))
+        .join(els_index.withColumnRenamed("doc", "doc_b"), "s")
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # history ⊂ fresh: history's prefix postings meet fresh FULL elements
+    c2 = (
+        pre_index.withColumnRenamed("doc", "doc_a")
+        .join(
+            sets.select(F.col("doc").alias("doc_b"), F.explode("els").alias("s")),
+            "s",
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    hist_pairs = _containment_verify(c1, sets, history, threshold).unionByName(
+        _containment_verify(c2, history, sets, threshold)
+    ).localCheckpoint(eager=True)
+    batch_pairs = within(sets).localCheckpoint(eager=True)
+    n_hist = hist_pairs.count()
+    n_in_batch = batch_pairs.count()
+    sets.write.mode("append").parquet(sets_dir)
+    explode_col(sets, "els").write.mode("append").parquet(els_dir)
+    explode_col(sets, "pre").write.mode("append").parquet(pre_dir)
+    return hist_pairs.unionByName(batch_pairs), {
+        "batch": n_batch, "replayed": n_batch - n_fresh, "appended": n_fresh,
+        "pairs_vs_history": n_hist, "pairs_in_batch": n_in_batch,
+    }
