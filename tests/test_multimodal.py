@@ -1858,3 +1858,33 @@ def test_resample_audio_over_spark_mixed_formats(spark):
         assert rate == 16000
         assert abs(len(samples) - 8000) <= 1  # 0.5 s at 16 kHz
         assert rows[mid].n_samples == len(samples)
+
+
+def test_resample_sinc_beats_linear_near_nyquist():
+    """The quality claim behind the seam: on a 3 kHz tone near the
+    4 kHz input Nyquist, sinc upsampling reconstructs to ~1e-3 RMS
+    while linear droops 20x worse; DC passes exactly; identity rate is
+    a copy; an out-of-band tone DOWNsamples to near-silence (rejected,
+    not aliased)."""
+    import numpy as np
+
+    from wing_binlog_go_spark.multimodal import codecs
+
+    t = np.arange(8000) / 8000.0
+    tone = 0.5 * np.sin(2 * np.pi * 3000 * t)  # 3 kHz, near 4 kHz Nyquist
+    ref = 0.5 * np.sin(2 * np.pi * 3000 * np.arange(16000) / 16000.0)
+    cut = slice(200, -200)  # ignore edge windows
+    up_sinc = codecs.resample_sinc(tone, 8000, 16000)
+    up_lin = codecs.resample_linear(tone, 8000, 16000)
+    err_sinc = np.sqrt(np.mean((up_sinc[cut] - ref[cut]) ** 2))
+    err_lin = np.sqrt(np.mean((up_lin[cut] - ref[cut]) ** 2))
+    assert err_sinc < 2e-3
+    assert err_sinc < err_lin / 20
+    dc = codecs.resample_sinc(np.full(1000, 0.25), 8000, 12000)
+    assert np.allclose(dc[50:-50], 0.25, atol=1e-9)
+    same = codecs.resample_sinc(tone, 8000, 8000)
+    assert np.array_equal(same, tone)
+    # downsample of an out-of-band tone is attenuated (anti-aliased),
+    # not folded: 3 kHz is above the 2 kHz Nyquist of 4 kHz output
+    down = codecs.resample_sinc(tone, 8000, 4000)
+    assert np.sqrt(np.mean(down[cut] ** 2)) < 0.05  # vs 0.35 RMS input

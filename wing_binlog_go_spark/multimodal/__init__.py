@@ -581,19 +581,27 @@ RESAMPLED_AUDIO_SCHEMA = T.StructType(
 )
 
 
-def resample_audio(df: DataFrame, rate: int = 16000) -> DataFrame:
+def resample_audio(
+    df: DataFrame, rate: int = 16000, method: str = "linear"
+) -> DataFrame:
     """Distributed decode → linear resample → 16-bit WAV re-encode over
     a binary audio column — the normalize-sample-rate step of a
     multimodal training pipeline (models expect one rate), REAL
     end-to-end for WAV/FLAC inputs. The audio sibling of
     ``resize_images``: same Arrow-batched ``mapInPandas`` shape, zero
     shuffle, NULL payloads pass through, undecodable payloads raise
-    loudly. Band-limit caveat and the windowed-sinc upgrade seam are
-    documented on ``codecs.resample_linear``.
+    loudly. ``method="linear"`` (cheap, high-frequency droop) or
+    ``"sinc"`` (band-limited windowed-sinc: anti-aliased downsampling,
+    near-exact in-band reconstruction — see ``codecs.resample_sinc``).
     """
     from wing_binlog_go_spark.multimodal import codecs
 
+    resamplers = {"linear": codecs.resample_linear, "sinc": codecs.resample_sinc}
+    if method not in resamplers:
+        raise ValueError(f"method must be one of {sorted(resamplers)}")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = resamplers[method]
         for pdf in batches:
             payloads, rates, ns, nb = [], [], [], []
             for p in pdf["payload"]:
@@ -602,7 +610,7 @@ def resample_audio(df: DataFrame, rate: int = 16000) -> DataFrame:
                     ns.append(None); nb.append(None)
                     continue
                 src_rate, samples = decode_audio(bytes(p))
-                out_samples = codecs.resample_linear(samples, src_rate, rate)
+                out_samples = fn(samples, src_rate, rate)
                 out = codecs.encode_wav(out_samples, rate=rate)
                 payloads.append(out)
                 rates.append(rate); ns.append(len(out_samples)); nb.append(len(out))
