@@ -490,3 +490,66 @@ def test_bucketed_joinview_converges_after_partial_overwrite_crash(spark, tmp_pa
     # order 11 pointed at 2 -> gone too
     assert _pairs_b(spark, state) == set()
     assert joinview_bucketed_high_water(state) == 6
+
+
+def test_bucketed_joinview_route_through_pipeline(spark, tmp_path):
+    """The bucketed writer as a pipeline route produces the same view
+    as the flat route test's scenario."""
+    from wing_binlog_go_spark.streaming.joinview import (
+        joinview_bucketed_writer,
+        read_joinview_bucketed,
+    )
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+
+    log_dir = tmp_path / "log"
+    os.makedirs(log_dir)
+    recs = [
+        ("customers", "insert", None, {"id": "1", "seg": "A"}),
+        ("customers", "insert", None, {"id": "2", "seg": "B"}),
+        ("orders", "insert", None, {"id": "10", "cust": "1"}),
+        ("orders", "insert", None, {"id": "11", "cust": "2"}),
+        ("orders", "update", {"id": "11", "cust": "2"}, {"id": "11", "cust": "1"}),
+        ("customers", "delete", {"id": "2", "seg": "B"}, None),
+    ]
+    with open(log_dir / "changelog.jsonl", "w") as f:
+        for pos, (tb, action, before, after) in enumerate(recs):
+            f.write(
+                json.dumps(
+                    {
+                        "binlog_file": "mysql-bin.000001",
+                        "binlog_pos": 1000 + pos,
+                        "xid_commit": True,
+                        "database": "shop",
+                        "table": tb,
+                        "action": action,
+                        "row_no": 0,
+                        "before": before,
+                        "after": after,
+                        "ddl_query": None,
+                        "ts_header": "2018-04-19T05:21:27.000Z",
+                        "gtid": None,
+                    }
+                )
+                + "\n"
+            )
+    state = str(tmp_path / "jvb")
+    q = run_pipeline(
+        spark,
+        str(log_dir),
+        [
+            Route(
+                "jvb",
+                joinview_bucketed_writer(
+                    state, "orders", "customers", "cust", "id", num_buckets=4
+                ),
+            )
+        ],
+        str(tmp_path / "ckpt"),
+        include=[r"shop\.(orders|customers)"],
+    )
+    q.awaitTermination(60)
+    got = {
+        (r.row_l["id"], r.row_r["id"])
+        for r in read_joinview_bucketed(spark, state).collect()
+    }
+    assert got == {("10", "1"), ("11", "1")}
