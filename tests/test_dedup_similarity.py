@@ -1523,3 +1523,99 @@ def test_incremental_containment_matches_batch_operator(spark, sf_small, tmp_pat
     )
     assert stats["appended"] == 0 and stats["replayed"] == stats["batch"]
     assert pairs.count() == 0
+
+
+def test_incremental_containment_dedup_rules_and_replay(spark, tmp_path):
+    """Drop rules: snippet ⊂ history host drops; mutual near-equals
+    keep the min id; unrelated docs survive; one-directional batch
+    containment drops the contained side; replay is a no-op."""
+    from wing_binlog_go_spark.operators.dedup import (
+        incremental_containment_dedup_apply,
+    )
+
+    store = str(tmp_path / "cstore")
+    host = " ".join(f"w{i}" for i in range(200))
+    b1 = spark.createDataFrame(
+        [(1, host), (2, " ".join(f"x{i}" for i in range(100)))],
+        "doc_id long, text string",
+    )
+    surv1, s1 = incremental_containment_dedup_apply(spark, b1, store)
+    assert {r.doc_id for r in surv1.collect()} == {1, 2}
+    assert s1["appended"] == 2
+
+    snippet = " ".join(f"w{i}" for i in range(50, 90))  # ⊂ host (history)
+    near_a = " ".join(f"y{i}" for i in range(80))
+    near_b = near_a + " y999"  # mutual ≥0.8 pair with near_a
+    contained_new = " ".join(f"x{i}" for i in range(10, 40))  # ⊂ doc 2? history!
+    b2 = spark.createDataFrame(
+        [(10, snippet), (11, near_a), (12, near_b), (13, contained_new)],
+        "doc_id long, text string",
+    )
+    surv2, s2 = incremental_containment_dedup_apply(spark, b2, store)
+    got = {r.doc_id for r in surv2.collect()}
+    # 10 ⊂ history host; 13 ⊂ history doc 2; mutual (11,12) keeps 11
+    assert got == {11}
+    assert s2["dropped_vs_history"] == 2
+    assert s2["dropped_in_batch"] == 1
+    assert s2["appended"] == 1
+
+    # replay of b2: 11 is in the store (replay no-op, not re-emitted —
+    # id-presence IS the commit); the dropped three are re-judged
+    # against the SAME store and drop again — nothing appends twice
+    surv2r, s2r = incremental_containment_dedup_apply(spark, b2, store)
+    assert surv2r.count() == 0
+    assert s2r["appended"] == 0 and s2r["replayed"] == 1
+    # 12's mutual partner 11 is HISTORY on replay: it now drops as a
+    # history containment, alongside 10 and 13
+    assert s2r["dropped_vs_history"] == 3 and s2r["dropped_in_batch"] == 0
+
+
+def test_containment_corpus_route_e2e(spark, tmp_path):
+    """Pipeline route: host arrives in batch 1, its snippet + an
+    unrelated doc in batch 2 — the corpus keeps host + unrelated."""
+    import json as _json
+
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+    from wing_binlog_go_spark.streaming.sinks import (
+        containment_corpus_writer,
+        read_containment_corpus,
+    )
+
+    log = tmp_path / "log"
+    log.mkdir()
+    host = " ".join(f"w{i}" for i in range(150))
+
+    def rec(pos, did, text):
+        return {
+            "binlog_file": "mysql-bin.000001", "binlog_pos": pos,
+            "xid_commit": True, "database": "shop", "table": "docs",
+            "action": "insert", "row_no": 0, "before": None,
+            "after": {"id": str(did), "text": text}, "ddl_query": None,
+            "ts_header": "2018-04-19T05:21:27.000Z", "gtid": None,
+        }
+
+    import os as _os
+    import time as _time
+
+    with open(log / "a.jsonl", "w") as f:
+        f.write(_json.dumps(rec(100, 1, host)) + "\n")
+    with open(log / "b.jsonl", "w") as f:
+        f.write(_json.dumps(rec(200, 2, " ".join(f"w{i}" for i in range(40, 80)))) + "\n")
+        f.write(_json.dumps(rec(201, 3, " ".join(f"z{i}" for i in range(60)))) + "\n")
+    # the file source picks batches by mtime: pin a.jsonl strictly
+    # older so the host is ingested before its snippet
+    now = _time.time()
+    _os.utime(log / "a.jsonl", (now - 60, now - 60))
+    _os.utime(log / "b.jsonl", (now, now))
+    store = str(tmp_path / "cstore")
+    q = run_pipeline(
+        spark,
+        str(log),
+        [Route("cont", containment_corpus_writer(store, "shop.docs"))],
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+    assert sorted(
+        r.doc_id for r in read_containment_corpus(spark, store).collect()
+    ) == [1, 3]

@@ -1500,7 +1500,12 @@ def incremental_containment_apply(
 
     Per batch the probes are two equi-joins touching only postings that
     match the batch's elements — history text and history sets are
-    never re-exploded. Ids already in ``sets/`` are replay no-ops.
+    never re-exploded. Ids already in ``sets/`` are replay no-ops, and
+    ``sets/`` appends LAST — it is the commit: a crash after the index
+    appends but before it merely re-appends the same postings on replay
+    (candidate generation is distinct-normalized, so duplicates cost
+    storage, never correctness), whereas committing sets first would
+    leave docs invisible to every future probe — a silent recall hole.
 
     Returns (pairs, stats): pairs = (doc_a, doc_b, containment) with
     doc_a the contained side and at least one side fresh; the union of
@@ -1529,20 +1534,24 @@ def incremental_containment_apply(
         )
         return _containment_verify(cand, sets, sets, threshold)
 
-    if not _os.path.exists(order_dir):
+    if not _os.path.exists(sets_dir):
+        # founding commit = the sets/ write (LAST); order and indexes
+        # overwrite so a crashed founding attempt simply re-runs
         el = new_docs.select(
             F.col(id_col).alias("doc"),
             F.explode(word_shingles(text_col, k)).alias("s"),
         )
-        el.groupBy("s").agg(F.count("*").alias("df")).write.parquet(order_dir)
+        el.groupBy("s").agg(F.count("*").alias("df")).write.mode(
+            "overwrite"
+        ).parquet(order_dir)
         order = spark.read.parquet(order_dir)
         sets = _apss_ranked_sets(
             new_docs, order, id_col, text_col, k, threshold
         ).localCheckpoint(eager=True)
         n_batch = sets.count()
+        explode_col(sets, "els").write.mode("overwrite").parquet(els_dir)
+        explode_col(sets, "pre").write.mode("overwrite").parquet(pre_dir)
         sets.write.parquet(sets_dir)
-        explode_col(sets, "els").write.parquet(els_dir)
-        explode_col(sets, "pre").write.parquet(pre_dir)
         pairs = within(sets).localCheckpoint(eager=True)
         return pairs, {
             "batch": n_batch, "replayed": 0, "appended": n_batch,
@@ -1589,10 +1598,136 @@ def incremental_containment_apply(
     batch_pairs = within(sets).localCheckpoint(eager=True)
     n_hist = hist_pairs.count()
     n_in_batch = batch_pairs.count()
-    sets.write.mode("append").parquet(sets_dir)
     explode_col(sets, "els").write.mode("append").parquet(els_dir)
     explode_col(sets, "pre").write.mode("append").parquet(pre_dir)
+    sets.write.mode("append").parquet(sets_dir)  # the commit
     return hist_pairs.unionByName(batch_pairs), {
         "batch": n_batch, "replayed": n_batch - n_fresh, "appended": n_fresh,
         "pairs_vs_history": n_hist, "pairs_in_batch": n_in_batch,
     }
+
+
+def incremental_containment_dedup_apply(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> "tuple[DataFrame, dict]":
+    """The DEDUP application of incremental containment: drop each
+    fresh doc that is ≥t-contained in the corpus history or in another
+    fresh doc — the quote/snippet-republication filter a crawl feed
+    needs (MinHash resemblance is blind to it; see q138). Only
+    SURVIVORS enter the store, so a dropped snippet can never later
+    suppress unrelated content.
+
+    Drop rule, deterministic and replay-stable: fresh A drops iff some
+    B exists with C(A→B) ≥ t where B is history, or B is fresh and NOT
+    (C(B→A) ≥ t with A < B) — mutual near-equals keep the min id (the
+    same conservative survivor rule as the MinHash and semantic
+    incremental dedups), one-directional containment always drops the
+    contained side regardless of id.
+
+    Same store layout, frozen founding order, and commit ordering as
+    ``incremental_containment_apply`` (indexes first, ``sets/`` last =
+    the commit; id-presence replay no-ops), plus the survivors' text
+    rides in ``sets/`` so the store doubles as the deduped corpus.
+    Returns (survivor_docs, stats).
+    """
+    import os as _os
+
+    order_dir = _os.path.join(store_dir, "order")
+    sets_dir = _os.path.join(store_dir, "sets")
+    els_dir = _os.path.join(store_dir, "els_index")
+    pre_dir = _os.path.join(store_dir, "pre_index")
+
+    def explode_col(sets: DataFrame, col: str) -> DataFrame:
+        return sets.select(F.col("doc"), F.explode(col).alias("s"))
+
+    def contained_pairs(a_sets: DataFrame, b_post: DataFrame, b_sets: DataFrame):
+        """(doc_a, doc_b, ) where fresh doc_a ⊂ doc_b at ≥ t."""
+        cand = (
+            a_sets.select(F.col("doc").alias("doc_a"), F.explode("pre").alias("s"))
+            .join(b_post.withColumnRenamed("doc", "doc_b"), "s")
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        return _containment_verify(cand, a_sets, b_sets, threshold)
+
+    founding = not _os.path.exists(sets_dir)
+    if founding:
+        el = new_docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_shingles(text_col, k)).alias("s"),
+        )
+        el.groupBy("s").agg(F.count("*").alias("df")).write.mode(
+            "overwrite"
+        ).parquet(order_dir)
+        fresh_docs = new_docs
+        n_replayed = 0
+        n_batch = new_docs.count()
+    else:
+        history_ids = spark.read.parquet(sets_dir).select(
+            F.col("doc").alias(id_col)
+        )
+        n_batch = new_docs.count()
+        fresh_docs = new_docs.join(history_ids, id_col, "left_anti")
+    order = spark.read.parquet(order_dir)
+    sets = (
+        _apss_ranked_sets(fresh_docs, order, id_col, text_col, k, threshold)
+        .join(
+            fresh_docs.select(
+                F.col(id_col).alias("doc"), F.col(text_col).alias("_text")
+            ),
+            "doc",
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_fresh = sets.count()
+    if not founding:
+        n_replayed = n_batch - n_fresh
+    stats = {
+        "batch": n_batch, "replayed": n_replayed, "appended": 0,
+        "dropped_vs_history": 0, "dropped_in_batch": 0,
+    }
+    empty = new_docs.limit(0)
+    if n_fresh == 0:
+        return empty, stats
+
+    drop_hist = spark.createDataFrame([], "doc_a long")
+    if not founding:
+        history = spark.read.parquet(sets_dir)
+        els_index = spark.read.parquet(els_dir)
+        drop_hist = contained_pairs(sets, els_index, history).select(
+            "doc_a"
+        ).distinct()
+    fwd = contained_pairs(sets, explode_col(sets, "els"), sets)
+    rev = fwd.select(
+        F.col("doc_a").alias("doc_b"), F.col("doc_b").alias("doc_a")
+    ).withColumn("_mutual", F.lit(True))
+    drop_batch = (
+        fwd.join(rev, ["doc_a", "doc_b"], "left")
+        # one-directional: contained side drops; mutual: min id survives
+        .filter(~(F.coalesce("_mutual", F.lit(False)) & (F.col("doc_a") < F.col("doc_b"))))
+        .select("doc_a")
+        .distinct()
+    )
+    stats["dropped_vs_history"] = drop_hist.count()
+    stats["dropped_in_batch"] = drop_batch.count()
+    dropped = drop_hist.unionByName(drop_batch).distinct()
+    survivors_sets = sets.join(
+        dropped.withColumnRenamed("doc_a", "doc"), "doc", "left_anti"
+    ).localCheckpoint(eager=True)
+    stats["appended"] = survivors_sets.count()
+    mode = "overwrite" if founding else "append"
+    idx = survivors_sets.select("doc", "els", "n", "pre", "_text")
+    explode_col(idx, "els").write.mode(mode).parquet(els_dir)
+    explode_col(idx, "pre").write.mode(mode).parquet(pre_dir)
+    idx.write.mode("append" if not founding else "overwrite").parquet(sets_dir)
+    survivors = new_docs.join(
+        survivors_sets.select(F.col("doc").alias(id_col)), id_col, "left_semi"
+    )
+    return survivors, stats

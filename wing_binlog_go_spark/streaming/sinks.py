@@ -738,3 +738,43 @@ def read_curation_stats(spark, stats_dir: str) -> DataFrame:
     """The per-batch funnel table maintained by ``curation_stats_writer``
     (one row per batch; batch_id partition pruning applies)."""
     return spark.read.parquet(stats_dir)
+
+
+def containment_corpus_writer(
+    store_dir: str,
+    table: str,
+    id_field: str = "id",
+    text_field: str = "text",
+    threshold: float = 0.8,
+):
+    """Route writer composing the CDC stream with incremental
+    containment dedup (`operators.dedup.incremental_containment_dedup_
+    apply`): INSERT envelopes of ``table`` become ingest increments and
+    quote/snippet republications of anything already ingested are
+    dropped — the EXACT directional companion to ``dedup_corpus_writer``
+    (whose MinHash resemblance is blind to small-inside-big).
+    Survivors' text rides in the store's ``sets/`` table (read it back
+    with ``read_containment_corpus``); sets-append-last is the commit,
+    so replays converge."""
+    from wing_binlog_go_spark.operators.dedup import (
+        incremental_containment_dedup_apply,
+    )
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        docs = _insert_docs(env, table, id_field, text_field)
+        if docs.isEmpty():
+            return
+        incremental_containment_dedup_apply(
+            env.sparkSession, docs, store_dir, threshold=threshold
+        )
+
+    return write
+
+
+def read_containment_corpus(spark, store_dir: str) -> DataFrame:
+    """(doc_id, text) of the containment-deduped corpus."""
+    import os
+
+    return spark.read.parquet(os.path.join(store_dir, "sets")).select(
+        F.col("doc").alias("doc_id"), F.col("_text").alias("text")
+    )
