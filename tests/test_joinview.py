@@ -553,3 +553,37 @@ def test_bucketed_joinview_route_through_pipeline(spark, tmp_path):
         for r in read_joinview_bucketed(spark, state).collect()
     }
     assert got == {("10", "1"), ("11", "1")}
+
+
+def test_joinview_bootstrap_then_stream(spark, tmp_path):
+    """O3 for this consumer: initialize from table snapshots, then
+    apply only the post-snapshot changes — the stream's replay filter
+    starts after the snapshot coordinates, and later changes win LWW
+    over snapshot rows."""
+    from wing_binlog_go_spark.streaming.joinview import bootstrap_joinview
+
+    state = str(tmp_path / "jv")
+    customers = spark.createDataFrame(
+        [("1", "A"), ("2", "B")], "id string, seg string"
+    )
+    orders = spark.createDataFrame(
+        [("10", "1"), ("11", "2")], "id string, cust string"
+    )
+    bootstrap_joinview(
+        spark, orders, customers, state, "cust", "id", high_water=100
+    )
+    assert _pairs(spark, state) == {("10", "1"), ("11", "2")}
+    assert joinview_high_water(state) == 100
+
+    # pre-snapshot events (idx <= 100) are no-ops; post-snapshot apply
+    b = _env(
+        spark,
+        [
+            ("orders", "insert", 90, {"id": "99", "cust": "1"}, None, None),
+            ("customers", "delete", 101, {"id": "2", "seg": "B"}, None, None),
+            ("orders", "insert", 102, {"id": "12", "cust": "1"}, None, None),
+        ],
+    )
+    _apply(spark, state, b)
+    assert _pairs(spark, state) == {("10", "1"), ("12", "1")}
+    assert joinview_high_water(state) == 102

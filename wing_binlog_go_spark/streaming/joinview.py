@@ -515,3 +515,62 @@ def read_joinview_bucketed(spark: SparkSession, state_dir: str) -> DataFrame:
     return _read_bucketed(spark, view_dir, _VIEW_SCHEMA + ", vb int").select(
         "_pk_l", "_pk_r", "jk", "row_l", "row_r"
     )
+
+
+def bootstrap_joinview(
+    spark: SparkSession,
+    left_rows: DataFrame,
+    right_rows: DataFrame,
+    state_dir: str,
+    key_left: str,
+    key_right: str,
+    pk_left: str | list[str] = "id",
+    pk_right: str | list[str] = "id",
+    high_water: int = 0,
+) -> None:
+    """Initialize the flat join-view state from SNAPSHOTS of the two
+    tables (string-typed columns, the decoded-row shape a
+    ``jdbc_snapshot`` produces) instead of replaying the full changelog
+    — the O3 bootstrap story applied to this consumer: snapshot first,
+    then stream from the coordinates the snapshot was taken at, passing
+    those coordinates' ``event_index`` here as ``high_water`` so the
+    stream's replay filter starts exactly after the snapshot.
+
+    Rows are entered at ``event_index = high_water`` (any later change
+    wins LWW, exactly as a change after a snapshot must). The view
+    builds with one join; the commit is the same view-swap-with-meta as
+    the incremental path, so a crash mid-bootstrap just re-runs.
+    """
+    from wing_binlog_go_spark.streaming.pipeline import _pk_key
+
+    def side(rows: DataFrame, pk) -> DataFrame:
+        pk_cols = [pk] if isinstance(pk, str) else list(pk)
+        as_map = F.map_from_arrays(
+            F.array(*[F.lit(c) for c in rows.columns]),
+            F.array(*[F.col(c).cast("string") for c in rows.columns]),
+        )
+        return rows.select(
+            _pk_key(as_map, pk_cols).alias("_pk"),
+            as_map.alias("row"),
+            F.lit(int(high_water)).cast("long").alias("event_index"),
+        )
+
+    l = side(left_rows, pk_left)
+    r = side(right_rows, pk_right)
+    _swap_child(l, os.path.join(state_dir, "left"))
+    _swap_child(r, os.path.join(state_dir, "right"))
+    lj = l.select("_pk", F.element_at("row", key_left).alias("jk"), "row")
+    rj = r.select("_pk", F.element_at("row", key_right).alias("jk"), "row")
+    view = (
+        lj.select(F.col("_pk").alias("_pk_l"), "jk", F.col("row").alias("row_l"))
+        .join(
+            rj.select(
+                F.col("_pk").alias("_pk_r"),
+                F.col("jk").alias("_jk_r"),
+                F.col("row").alias("row_r"),
+            ),
+            F.col("jk") == F.col("_jk_r"),
+        )
+        .select("_pk_l", "_pk_r", "jk", "row_l", "row_r")
+    )
+    _swap_child(view, os.path.join(state_dir, "view"), meta_mx=high_water)
