@@ -466,3 +466,43 @@ def test_weighted_sample_per_group_matches_reference_and_caps(spark, sf_small):
 
     per = Counter(g for g, _ in got)
     assert all(c <= 10 for c in per.values()) and len(per) == len(langs)
+
+
+def test_weighted_sample_hypothesis_vs_reference(spark):
+    """Hypothesis sweep: random (id, weight) tables and k values — the
+    Spark top-k set equals the hashlib/math reference every time (the
+    cross-engine draw has no float-boundary pathologies)."""
+    import hashlib
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from wing_binlog_go_spark.functions.mixing import weighted_sample
+
+    row = st.tuples(
+        st.integers(0, 10_000), st.integers(-2, 10_000)
+    )
+
+    @given(rows=st.lists(row, min_size=1, max_size=40, unique_by=lambda t: t[0]),
+           k=st.integers(1, 12), seed=st.integers(0, 5))
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(rows, k, seed):
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+
+        def key(doc_id, w):
+            h = int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:8], 16)
+            return math.log((h + 0.5) / 2**32) / w
+
+        eligible = [(d, w) for d, w in rows if w > 0]
+        want = {
+            d for d, _ in sorted(eligible, key=lambda t: (-key(*t), t[0]))[:k]
+        }
+        got = {r.doc_id for r in weighted_sample(df, k, "w", seed=seed).collect()}
+        assert got == want
+
+    check()
