@@ -158,7 +158,10 @@ def khop_counts(edges: DataFrame, k: int = 3) -> DataFrame:
 
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
-    ranks = pagerank(interaction_edges(ev), damping=0.85, n_iter=5)
+    # affinity-weighted: repeated co-occurrence carries more rank
+    ranks = pagerank(
+        interaction_edges(ev), damping=0.85, n_iter=5, weight_col="weight"
+    )
     return ranks.select(
         F.col("node").alias("user_id"), F.round("rank", 6).alias("rank")
     ).orderBy(F.col("rank").desc(), "user_id")
