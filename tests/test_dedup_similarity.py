@@ -1619,3 +1619,25 @@ def test_containment_corpus_route_e2e(spark, tmp_path):
     assert sorted(
         r.doc_id for r in read_containment_corpus(spark, store).collect()
     ) == [1, 3]
+
+
+def test_incremental_containment_dedup_string_ids(spark, tmp_path):
+    """The drop-set plumbing must not assume integer ids (the empty
+    history frame is derived from the sets schema, not hardcoded)."""
+    from wing_binlog_go_spark.operators.dedup import (
+        incremental_containment_dedup_apply,
+    )
+
+    store = str(tmp_path / "cstore")
+    host = " ".join(f"w{i}" for i in range(120))
+    b1 = spark.createDataFrame([("host-1", host)], "doc_id string, text string")
+    surv1, _ = incremental_containment_dedup_apply(spark, b1, store)
+    assert [r.doc_id for r in surv1.collect()] == ["host-1"]
+    b2 = spark.createDataFrame(
+        [("snip-2", " ".join(f"w{i}" for i in range(30, 60))),
+         ("new-3", " ".join(f"q{i}" for i in range(50)))],
+        "doc_id string, text string",
+    )
+    surv2, s2 = incremental_containment_dedup_apply(spark, b2, store)
+    assert sorted(r.doc_id for r in surv2.collect()) == ["new-3"]
+    assert s2["dropped_vs_history"] == 1

@@ -1697,7 +1697,7 @@ def incremental_containment_dedup_apply(
     if n_fresh == 0:
         return empty, stats
 
-    drop_hist = spark.createDataFrame([], "doc_a long")
+    drop_hist = sets.select(F.col("doc").alias("doc_a")).limit(0)
     if not founding:
         history = spark.read.parquet(sets_dir)
         els_index = spark.read.parquet(els_dir)
@@ -1726,7 +1726,7 @@ def incremental_containment_dedup_apply(
     idx = survivors_sets.select("doc", "els", "n", "pre", "_text")
     explode_col(idx, "els").write.mode(mode).parquet(els_dir)
     explode_col(idx, "pre").write.mode(mode).parquet(pre_dir)
-    idx.write.mode("append" if not founding else "overwrite").parquet(sets_dir)
+    idx.write.mode(mode).parquet(sets_dir)  # the commit, always LAST
     survivors = new_docs.join(
         survivors_sets.select(F.col("doc").alias(id_col)), id_col, "left_semi"
     )
