@@ -1177,9 +1177,15 @@ def incremental_apss_apply(
 
     order_dir = _os.path.join(store_dir, "order")
     sets_dir = _os.path.join(store_dir, "sets")
-    empty = spark.createDataFrame(
-        [], f"doc_a {'long'}, doc_b {'long'}, jaccard double"
-    )
+
+    def _empty_pairs():
+        # schema derives from the id column, not a hardcoded bigint
+        c = new_docs.select(F.col(id_col)).limit(0)
+        return c.select(
+            F.col(id_col).alias("doc_a")
+        ).crossJoin(c.select(F.col(id_col).alias("doc_b"))).withColumn(
+            "jaccard", F.lit(0.0)
+        )
 
     if not _os.path.exists(order_dir):
         el = new_docs.select(
@@ -1211,7 +1217,7 @@ def incremental_apss_apply(
     ).localCheckpoint(eager=True)
     n_fresh = sets.count()
     if n_fresh == 0:
-        return empty, {
+        return _empty_pairs(), {
             "batch": n_batch, "replayed": n_batch, "appended": 0,
             "pairs_vs_history": 0, "pairs_in_batch": 0,
         }
@@ -1518,7 +1524,14 @@ def incremental_containment_apply(
     sets_dir = _os.path.join(store_dir, "sets")
     els_dir = _os.path.join(store_dir, "els_index")
     pre_dir = _os.path.join(store_dir, "pre_index")
-    empty = spark.createDataFrame([], "doc_a long, doc_b long, containment double")
+
+    def _empty_pairs():
+        c = new_docs.select(F.col(id_col)).limit(0)
+        return c.select(
+            F.col(id_col).alias("doc_a")
+        ).crossJoin(c.select(F.col(id_col).alias("doc_b"))).withColumn(
+            "containment", F.lit(0.0)
+        )
 
     def explode_col(sets: DataFrame, col: str) -> DataFrame:
         return sets.select(F.col("doc"), F.explode(col).alias("s"))
@@ -1569,7 +1582,7 @@ def incremental_containment_apply(
     ).localCheckpoint(eager=True)
     n_fresh = sets.count()
     if n_fresh == 0:
-        return empty, {
+        return _empty_pairs(), {
             "batch": n_batch, "replayed": n_batch, "appended": 0,
             "pairs_vs_history": 0, "pairs_in_batch": 0,
         }
