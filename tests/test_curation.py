@@ -577,3 +577,43 @@ def test_normalize_text_canonicalizes_whitespace_and_controls(spark):
     out = {r.doc_id: r.n for r in docs.select("doc_id", normalize_text("text").alias("n")).collect()}
     assert out[1] == out[2] == out[3] == "hello world"
     assert out[4] == "different text"
+
+
+def test_perplexity_bucket_mix_is_per_language_and_drops_tail(spark, sf_small):
+    """q145: each language tiles independently (rarer languages keep
+    their head instead of being emptied by a global cut), the tail
+    tier is gone, kept
+    fractions per language ≈ 2/3, and gibberish lands in the dropped
+    tier."""
+    from wing_binlog_go_spark.functions.text import (
+        bigram_lm_scores,
+        perplexity_bucket_mix,
+    )
+
+    docs = read_table(spark, sf_small, "documents")
+    kept = perplexity_bucket_mix(docs).collect()
+    langs_all = {r.lang for r in docs.select("lang").distinct().collect()}
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == langs_all  # every language survives
+    assert {r.bucket for r in kept} <= {1, 2}
+    scored_n = (
+        bigram_lm_scores(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    totals = {r.lang: r["count"] for r in scored_n}
+    for lang, rows in by_lang.items():
+        frac = len(rows) / totals[lang]
+        assert 0.6 <= frac <= 0.72, (lang, frac)  # ≈ 2/3 with tile rounding
+    # the dropped tier contains the per-language WORST nll docs
+    worst = max(
+        bigram_lm_scores(docs).join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("lang") == sorted(langs_all)[0])
+        .collect(),
+        key=lambda r: (r.nll, r.doc_id),
+    )
+    assert worst.doc_id not in {r.doc_id for r in kept}

@@ -1963,3 +1963,87 @@ ORDER BY term
 """
 
 QUERIES["q135_inverted_index"] = QuerySpec(_q_inverted_index, _INVERTED_INDEX_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity-bucketed corpus selection
+# ---------------------------------------------------------------------------
+
+
+def perplexity_bucket_mix(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    keep_buckets: tuple[int, ...] = (1, 2),
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The CCNet selection recipe (Wenzek et al. 2020) as one composed
+    operator: score every document with the corpus bigram LM
+    (``bigram_lm_scores`` — the engine's perplexity proxy, q39s), split
+    each LANGUAGE into ``n_buckets`` equal perplexity tiles
+    (head = most fluent), and keep ``keep_buckets`` (CCNet's default
+    drops the tail tier). Per-language tiling is the point: absolute
+    NLL is not comparable across languages, so a global cut would
+    silently empty the rarer ones.
+
+    Docs with <2 tokens carry no bigram evidence and are excluded (by
+    construction of the LM, not a silent cap — callers route them to a
+    length filter instead). Returns (id, lang, nll, bucket) for kept
+    docs.
+
+    Scale shape = its parts: two partial-agg count tables + natural-key
+    equi-joins from the LM, then ONE entity-keyed window (ntile over
+    lang partitions — never a global sort). Buckets tie-break on id, so
+    the tiling is deterministic and engine-portable on the ROUNDED nll
+    the scorer emits.
+    """
+    scored = bigram_lm_scores(docs, id_col, text_col).join(
+        docs.select(id_col, lang_col), id_col
+    )
+    win = Window.partitionBy(lang_col).orderBy(F.col("nll").asc(), F.col(id_col))
+    tiled = scored.withColumn("bucket", F.ntile(n_buckets).over(win))
+    return tiled.filter(F.col("bucket").isin(list(keep_buckets))).select(
+        id_col, lang_col, "nll", "bucket"
+    )
+
+
+def _q_ccnet_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return perplexity_bucket_mix(docs).orderBy("doc_id")
+
+
+_CCNET_MIX_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), uni AS (
+  SELECT w, COUNT(*) AS cw FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+), voc AS (SELECT COUNT(*) AS v FROM uni),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> array_to_string(t[i:i+1], ' '))) AS bg
+  FROM toks WHERE len(t) >= 2
+), bigc AS (
+  SELECT bg, COUNT(*) AS cbg FROM big GROUP BY bg
+), scored AS (
+  SELECT b.doc_id,
+         ln((bigc.cbg + 1.0) / (uni.cw + voc.v)) AS lp
+  FROM big b
+  JOIN bigc ON b.bg = bigc.bg
+  JOIN uni ON string_split(b.bg, ' ')[1] = uni.w
+  CROSS JOIN voc
+), nlls AS (
+  SELECT doc_id, ROUND(-AVG(lp), 4) AS nll FROM scored GROUP BY doc_id
+), tiled AS (
+  SELECT n.doc_id, d.lang, n.nll,
+         NTILE(3) OVER (PARTITION BY d.lang ORDER BY n.nll ASC, n.doc_id)
+           AS bucket
+  FROM nlls n JOIN documents d ON d.doc_id = n.doc_id
+)
+SELECT doc_id, lang, nll, bucket FROM tiled
+WHERE bucket IN (1, 2)
+ORDER BY doc_id
+"""
+
+QUERIES["q145_ccnet_mix"] = QuerySpec(_q_ccnet_mix, _CCNET_MIX_ORACLE)
