@@ -1641,3 +1641,43 @@ def test_incremental_containment_dedup_string_ids(spark, tmp_path):
     surv2, s2 = incremental_containment_dedup_apply(spark, b2, store)
     assert sorted(r.doc_id for r in surv2.collect()) == ["new-3"]
     assert s2["dropped_vs_history"] == 1
+
+
+def test_incremental_apss_founding_crash_recovers(spark, sf_small, tmp_path):
+    """A crash between the founding order/ write and the sets/ write
+    (the ADVICE r6 finding) must not wedge the store: the retry re-takes
+    the founding branch (keyed on sets/, the commit point), overwrites
+    the orphan order/, and the result still equals the batch operator."""
+    from wing_binlog_go_spark.operators.dedup import (
+        incremental_apss_apply,
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+
+    docs = read_table(spark, sf_small, "documents").filter(F.col("doc_id") < 120)
+    store = tmp_path / "apss_crash"
+    order_dir = str(store / "order")
+
+    # Simulate the crashed founding attempt: order/ exists (from a
+    # PARTIAL batch, so a stale rarity order), sets/ does not.
+    partial = docs.filter(F.col("doc_id") < 30)
+    partial.select(
+        F.col("doc_id").alias("doc"), F.explode(word_shingles("text", 3)).alias("s")
+    ).groupBy("s").agg(F.count("*").alias("df")).write.parquet(order_dir)
+    assert not (store / "sets").exists()
+
+    pairs, st = incremental_apss_apply(spark, docs, str(store), k=3, threshold=0.5)
+    assert st["replayed"] == 0 and st["appended"] == st["batch"]
+    got = {(r.doc_a, r.doc_b, r.jaccard) for r in pairs.collect()}
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    assert want and got == want
+
+    # And the recovered store keeps working incrementally.
+    b2 = read_table(spark, sf_small, "documents").filter(
+        (F.col("doc_id") >= 120) & (F.col("doc_id") < 180)
+    )
+    _, st2 = incremental_apss_apply(spark, b2, str(store), k=3, threshold=0.5)
+    assert st2["replayed"] == 0 and st2["appended"] == st2["batch"]

@@ -68,3 +68,38 @@ def test_overlap_edges_and_guards(spark):
     assert got == {("L", "touch"): 0}
     with pytest.raises(ValueError, match="chunk_seconds"):
         interval_overlap_pairs(left, right, chunk_seconds=0)
+
+
+def test_overlap_negative_epoch_intervals(spark):
+    """Pre-1970 intervals (negative epoch µs) must bucket with floor
+    semantics: cast-truncation toward zero would assign [-7s, -3s] and
+    [-4s, -1s] to disjoint chunk ranges at chunk=5s and silently miss
+    the overlap (the ADVICE r6 finding)."""
+    left = spark.createDataFrame(
+        [("A", -7_000_000, -3_000_000), ("C", -100_000_000, -90_000_000)],
+        "id string, start_us long, end_us long",
+    )
+    right = spark.createDataFrame(
+        [("B", -4_000_000, -1_000_000), ("D", 1_000_000, 2_000_000)],
+        "id string, start_us long, end_us long",
+    )
+    got = {
+        (r.id_a, r.id_b): r.overlap_us
+        for r in interval_overlap_pairs(left, right, chunk_seconds=5).collect()
+    }
+    assert got == {("A", "B"): 1_000_000}
+
+    # Straddling zero: an interval crossing the epoch must still meet
+    # both a negative-side and a positive-side partner.
+    straddle = spark.createDataFrame(
+        [("S", -2_000_000, 2_000_000)], "id string, start_us long, end_us long"
+    )
+    both = spark.createDataFrame(
+        [("N", -3_000_000, -2_500_000), ("P", 1_500_000, 9_000_000)],
+        "id string, start_us long, end_us long",
+    )
+    got2 = {
+        (r.id_a, r.id_b): r.overlap_us
+        for r in interval_overlap_pairs(straddle, both, chunk_seconds=5).collect()
+    }
+    assert got2 == {("S", "P"): 500_000}

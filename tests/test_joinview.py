@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 import os
+import pytest
 import random
 
 from pyspark.sql import functions as F
@@ -587,3 +588,31 @@ def test_joinview_bootstrap_then_stream(spark, tmp_path):
     _apply(spark, state, b)
     assert _pairs(spark, state) == {("10", "1"), ("12", "1")}
     assert joinview_high_water(state) == 102
+
+
+def test_read_bucketed_raises_on_corrupt_bucket(spark, tmp_path):
+    """_read_bucketed tolerates ONLY the known-empty layout (no bucket
+    subdirs). A corrupt parquet inside a real bucket dir must raise —
+    treating it as empty state would let the next overwrite + commit
+    advance silently drop every prior row (the ADVICE r6 finding)."""
+    from wing_binlog_go_spark.streaming.joinview import _read_bucketed
+
+    schema = "_pk string, _bucket int"
+
+    # Missing dir → empty typed frame.
+    missing = str(tmp_path / "nope")
+    assert _read_bucketed(spark, missing, schema).count() == 0
+
+    # Dir with only droppings (post-mass-delete layout) → empty frame.
+    emptied = tmp_path / "emptied"
+    emptied.mkdir()
+    (emptied / "_SUCCESS").write_text("")
+    assert _read_bucketed(spark, str(emptied), schema).count() == 0
+
+    # Real bucket dir with a corrupt file → must raise, never empty.
+    corrupt = tmp_path / "corrupt"
+    bucket = corrupt / "_bucket=3"
+    bucket.mkdir(parents=True)
+    (bucket / "part-00000.snappy.parquet").write_bytes(b"not parquet at all")
+    with pytest.raises(Exception):
+        _read_bucketed(spark, str(corrupt), schema).collect()

@@ -1187,12 +1187,19 @@ def incremental_apss_apply(
             "jaccard", F.lit(0.0)
         )
 
-    if not _os.path.exists(order_dir):
+    # Founding is keyed on sets/ (the commit point) with order/ written
+    # in overwrite mode, mirroring incremental_containment_apply: a
+    # crash between the order/ and sets/ writes leaves sets/ absent, so
+    # the retry re-takes the founding branch and overwrites the orphan
+    # order/ instead of wedging on errorifexists + a missing sets/.
+    if not _os.path.exists(sets_dir):
         el = new_docs.select(
             F.col(id_col).alias("doc"),
             F.explode(word_shingles(text_col, k)).alias("s"),
         )
-        el.groupBy("s").agg(F.count("*").alias("df")).write.parquet(order_dir)
+        el.groupBy("s").agg(F.count("*").alias("df")).write.mode(
+            "overwrite"
+        ).parquet(order_dir)
         order = spark.read.parquet(order_dir)
         sets = _apss_ranked_sets(
             new_docs, order, id_col, text_col, k, threshold

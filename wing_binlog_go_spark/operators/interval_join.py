@@ -61,8 +61,11 @@ def interval_overlap_pairs(
             F.col("end_us").alias(f"e_{side}"),
             F.explode(
                 F.sequence(
-                    (F.col("start_us") / w).cast("long"),
-                    (F.col("end_us") / w).cast("long"),
+                    # floor, not cast: cast truncates toward zero, which
+                    # mis-buckets pre-1970 (negative-epoch) intervals and
+                    # breaks the pigeonhole guarantee.
+                    F.floor(F.col("start_us") / w).cast("long"),
+                    F.floor(F.col("end_us") / w).cast("long"),
                 )
             ).alias("chunk"),
         )

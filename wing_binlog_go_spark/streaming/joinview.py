@@ -314,10 +314,17 @@ def _read_bucketed(spark: SparkSession, path: str, schema: str) -> DataFrame:
     deletes) reads as the empty typed frame, not a schema-inference
     error."""
     if os.path.exists(path):
-        try:
+        # Only the KNOWN-empty layout (no bucket=N subdirs left after a
+        # mass delete — just _SUCCESS/.crc droppings) may read as the
+        # empty frame. Any read failure over real bucket dirs is a
+        # transient/corrupt-parquet error; swallowing it here would let
+        # the subsequent bucket overwrite + commit-mark advance silently
+        # drop every touched bucket's prior rows.
+        has_buckets = any(
+            e.is_dir() and "=" in e.name for e in os.scandir(path)
+        )
+        if has_buckets:
             return spark.read.parquet(path)
-        except Exception:
-            pass
     return spark.createDataFrame([], schema)
 
 
