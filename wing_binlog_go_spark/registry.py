@@ -42,83 +42,72 @@ _OPERATOR_MODULES = (
 #: ``all_queries()`` call.  Tests assert this stays empty.
 failed_modules: dict[str, str] = {}
 
-# First 50 = the driver's verification window.  Round-6 layout (per the
-# r5 verdict's window plan): lead with the four keys that have NEVER
-# earned a driver CORRECTNESS row (q113 oracle-backed; q38i/q39x/q39y
-# rows-only), then the TWENTY-ONE queries new this round (q114-q124 +
-# the late-session q125-q133), then refresh the r3-era-stale band —
-# the oldest evidence left in the ledger (every r1/r2-era row was
-# refreshed in r5, and the r4/r5 bands rotate back in on later
-# rounds).  The trivial r3-era relational forms (q51/q55/q56/q57-q61/
-# q63-q66) and q89-q97 wait for r7 — locally oracle-checked on every
-# pytest run; nothing in the ledger is older than r3 after this window.
+# First 50 = the driver's verification window.  Round-7 layout (per the
+# r6 verdict's window plan): lead with the THREE keys that have never
+# earned a driver CORRECTNESS row (q143-q145 — registered after the r6
+# window was cut), then the full r3-era-stale band (q51/q55-q66/
+# q80-q97 — the 31 keys whose latest driver evidence is round 3), then
+# 16 of the r4 band, led by the queries whose code or evidence moved
+# this round (q38f's refine retune to 100; q38's out-of-band r6 bench
+# sample; their recall siblings) and the heaviest TPC-H forms.  The
+# remaining r4 keys and the whole r5/r6 bands hold green rows at most
+# two rounds old and rotate back in on r8.  After this window nothing
+# in the ledger is older than round 4.
 _PRIORITY = (
-    # Never driver-verified (r5 additions that missed the 50-window).
-    "q113_scd2_history",
-    "q38i_ann_ivfpq",
-    "q39x_bpe_train",
-    "q39y_bpe_tokenize",
-    # New this round (first driver verification).
-    "q114_fuzzy_varlen_join",
-    "q115_pit_scd2_join",
-    "q116_asof_tolerance",
-    "q117_apss_join",
-    "q118_context_chunks",
-    "q119_table_stats",
-    "q120_deterministic_split",
-    "q39z_bloom_decontamination",
-    "q121_gopher_quality",
-    "q122_table_checksum",
-    "q123_text_normalize",
-    "q124_decontaminated_corpus",
-    "q125_bm25",
-    "q126_column_profile",
-    "q127_event_transitions",
-    "q128_pmi_collocations",
-    "q129_dedup_clusters",
-    "q130_decay_features",
-    "q131_ri_audit",
-    "q132_windowed_funnel",
-    "q133_last_touch_attribution",
-    # Final-session r6 additions: first driver verification beats
-    # refreshing rows that are already green (q134/q135 snapshot diff +
-    # inverted index, q136/q137 as-of directions, q138 containment,
-    # q139/q140 graph, q141 leakage-safe split).
-    "q134_snapshot_diff",
-    "q135_inverted_index",
-    "q136_asof_forward",
-    "q137_asof_nearest",
-    "q138_containment_join",
-    "q139_pagerank",
-    "q140_khop_reachability",
-    "q141_leakage_safe_split",
-    "q142_weighted_sample",
-    # Stalest evidence: latest driver row is ROUND 3.  (q51/q55/
-    # q57-q62/q66 — trivial forms, locally oracle-checked on every
-    # pytest run — join q56/q63/q64/q65, q81-q88 and q89-q97 in
-    # waiting for r7 so the twenty-nine new r6 keys above fit the
-    # 50-window.)
-    "q39p_boilerplate",
-    "q39q_temperature_mix",
-    "q39r_winnowing",
-    "q39s_bigram_lm",
-    "q67_histogram",
-    "q68_sessionization",
-    "q69_funnel",
-    "q70_retention",
-    "q71_unpivot",
-    "q72_struct_ops",
-    "q74_time_bucket",
-    "q75_date_spine",
-    "q76_cube_grouping",
-    "q77_range_frame",
-    "q78_grouped_dedup",
-    "q79_top_terms_per_lang",
-    # (q80-q88 and q89-q97 hold r3 rows and yield their slots to the
-    # never-verified r6 keys q125-q141; they rejoin the refresh
-    # rotation in r7 with the other r3-era forms.)
-    # The window is exactly these 50; the remainder follows in module
-    # registration order (all holding r4/r5 driver rows).
+    # Never driver-verified (registered after the r6 window was cut).
+    "q143_interval_overlap",
+    "q144_weighted_sample_per_group",
+    "q145_ccnet_mix",
+    # The r3-stale band: latest driver row is ROUND 3 (31 keys).
+    "q51_null_handling",
+    "q55_first_last_value",
+    "q56_union_all",
+    "q57_regexp_functions",
+    "q58_bitwise",
+    "q59_nullsafe_equality",
+    "q60_array_hof",
+    "q61_map_entries",
+    "q62_interval_arith",
+    "q63_recursive_cte",
+    "q64_values_inline",
+    "q65_ilike",
+    "q66_bigrams",
+    "q80_quantile_bins",
+    "q81_doc_length_curation",
+    "q82_cross_lingual_mix",
+    "q83_event_dedup_window",
+    "q84_tpch_q10",
+    "q85_point_in_time_join",
+    "q86_tpch_q18",
+    "q87_tpch_q7",
+    "q88_tpch_q13",
+    "q89_tpch_q16",
+    "q90_tpch_q17",
+    "q91_tpch_q19",
+    "q92_tpch_q22",
+    "q93_tpch_q4",
+    "q94_tpch_q6",
+    "q95_tpch_q14",
+    "q96_tpch_q15",
+    "q97_tpch_q21",
+    # r4-band refresh: code moved this round first (q38f refine=100),
+    # then its recall siblings and the heaviest TPC-H forms.
+    "q38f_ann_pq",
+    "q38_ann_brute_force",
+    "q38b_ann_lsh",
+    "q38d_ann_ivf",
+    "q38g_semantic_dedup",
+    "q37_minhash_dedup",
+    "q37c_ngram_jaccard",
+    "q39h_tfidf",
+    "q39i_decontamination",
+    "q39m_sequence_pack",
+    "q39t_heavy_hitters",
+    "q39v_source_cap",
+    "q39w_span_dedup",
+    "q98_tpch_q8",
+    "q99_tpch_q9",
+    "q100_tpch_q11",
 )
 
 
