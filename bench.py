@@ -51,7 +51,9 @@ def main() -> None:
     # query, not session bring-up (driver compares across rounds).
     registry["q01_parquet_scan"].spark(spark, sf_dir).collect()
 
+    n_runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    dists: dict[str, dict] = {}
     skipped: list[str] = []
     for name in HEADLINE:
         spec = registry.get(name)
@@ -60,15 +62,25 @@ def main() -> None:
             # import — surface it instead of silently shrinking the total
             skipped.append(name)
             continue
-        # best-of-2: the second run reuses compiled codegen and parquet
-        # footer caches, so min() measures the query rather than one-time
-        # session warmup or a co-tenant CPU spike
-        best = float("inf")
-        for _ in range(2):
+        # n runs (default 3, SPARK_GRAFT_BENCH_RUNS): the later runs
+        # reuse compiled codegen and parquet footer caches, so min()
+        # measures the query rather than one-time session warmup or a
+        # co-tenant CPU spike. The headline value stays the min (the
+        # r1-r6 comparator); the full {min, median, max} distribution
+        # is recorded under "dist" (r6 verdict ask #4: a single sample
+        # cannot separate machine noise from a real regression).
+        samples = []
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             spec.spark(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[0], 3)
+        dists[name] = {
+            "min": round(samples[0], 3),
+            "median": round(samples[len(samples) // 2], 3),
+            "max": round(samples[-1], 3),
+        }
 
     try:
         sf_val: object = float(sf)
@@ -79,6 +91,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "dist": dists,
+        "runs_per_query": n_runs,
         "sf": sf_val,
     }
     if skipped:
