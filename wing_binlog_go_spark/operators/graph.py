@@ -167,9 +167,62 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("rank").desc(), "user_id")
 
 
-# rank values are float iterates (no integer form exists) — rows-only by
-# design; the numpy-reference property test carries the value evidence.
-QUERIES["q139_pagerank"] = QuerySpec(_q_pagerank, None)
+def _pagerank_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
+    """DuckDB oracle for q139 (r6 verdict ask #6): exact PageRank is a
+    FIXED number of iterations, so instead of a recursive CTE (which
+    cannot aggregate in the recursive term) the iterations unroll as
+    chained CTEs r0..r{n}. Each iteration carries its dangling mass as
+    a scalar subquery; values round to 6 dp exactly like the Spark
+    side, far above double summation-order jitter (~1e-15)."""
+    d = damping
+    head = """
+WITH o AS (
+  SELECT user_id AS src,
+         lead(user_id) OVER (PARTITION BY event_type ORDER BY event_id) AS dst
+  FROM events
+), edges AS (
+  SELECT src, dst, COUNT(*)::DOUBLE AS w FROM o
+  WHERE dst IS NOT NULL AND dst <> src
+  GROUP BY src, dst HAVING COUNT(*) >= 3
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), nn AS (
+  SELECT COUNT(*)::DOUBLE AS n FROM nodes
+), outdeg AS (
+  SELECT src, SUM(w) AS outdeg FROM edges GROUP BY src
+), r0 AS (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+)"""
+    steps = []
+    for i in range(n_iter):
+        steps.append(f""", d{i} AS (
+  SELECT COALESCE(SUM(r.rank), 0.0) AS mass
+  FROM r{i} r LEFT JOIN outdeg od ON r.node = od.src
+  WHERE od.src IS NULL
+), c{i} AS (
+  SELECT e.dst AS node, SUM(r.rank * e.w / od.outdeg) AS contrib
+  FROM r{i} r JOIN edges e ON r.node = e.src
+  JOIN outdeg od ON r.node = od.src
+  GROUP BY e.dst
+), r{i + 1} AS (
+  SELECT nodes.node,
+         (1.0 - {d}) / (SELECT n FROM nn)
+         + {d} * (COALESCE(c.contrib, 0.0)
+                  + (SELECT mass FROM d{i}) / (SELECT n FROM nn)) AS rank
+  FROM nodes LEFT JOIN c{i} c ON nodes.node = c.node
+)""")
+    tail = f"""
+SELECT node AS user_id, ROUND(rank, 6) AS rank
+FROM r{n_iter}
+ORDER BY rank DESC, user_id
+"""
+    return head + "".join(steps) + tail
+
+
+# r7: oracle-backed — exact PageRank over a fixed iteration count
+# unrolls into plain SQL (see _pagerank_oracle); the numpy-reference
+# property test keeps carrying the independent value evidence.
+QUERIES["q139_pagerank"] = QuerySpec(_q_pagerank, _pagerank_oracle())
 
 
 def _q_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
