@@ -173,38 +173,42 @@ def _pagerank_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
     cannot aggregate in the recursive term) the iterations unroll as
     chained CTEs r0..r{n}. Each iteration carries its dangling mass as
     a scalar subquery; values round to 6 dp exactly like the Spark
-    side, far above double summation-order jitter (~1e-15)."""
+    side, far above double summation-order jitter (~1e-15). CTEs are
+    MATERIALIZED: DuckDB inlines plain CTEs and r{i} is referenced
+    twice per iteration, so an un-materialized chain doubles the plan
+    per level (the q146 classifier oracle hit fd exhaustion this way
+    at 16 levels)."""
     d = damping
     head = """
-WITH o AS (
+WITH o AS MATERIALIZED (
   SELECT user_id AS src,
          lead(user_id) OVER (PARTITION BY event_type ORDER BY event_id) AS dst
   FROM events
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT src, dst, COUNT(*)::DOUBLE AS w FROM o
   WHERE dst IS NOT NULL AND dst <> src
   GROUP BY src, dst HAVING COUNT(*) >= 3
-), nodes AS (
+), nodes AS MATERIALIZED (
   SELECT src AS node FROM edges UNION SELECT dst FROM edges
-), nn AS (
+), nn AS MATERIALIZED (
   SELECT COUNT(*)::DOUBLE AS n FROM nodes
-), outdeg AS (
+), outdeg AS MATERIALIZED (
   SELECT src, SUM(w) AS outdeg FROM edges GROUP BY src
-), r0 AS (
+), r0 AS MATERIALIZED (
   SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
 )"""
     steps = []
     for i in range(n_iter):
-        steps.append(f""", d{i} AS (
+        steps.append(f""", d{i} AS MATERIALIZED (
   SELECT COALESCE(SUM(r.rank), 0.0) AS mass
   FROM r{i} r LEFT JOIN outdeg od ON r.node = od.src
   WHERE od.src IS NULL
-), c{i} AS (
+), c{i} AS MATERIALIZED (
   SELECT e.dst AS node, SUM(r.rank * e.w / od.outdeg) AS contrib
   FROM r{i} r JOIN edges e ON r.node = e.src
   JOIN outdeg od ON r.node = od.src
   GROUP BY e.dst
-), r{i + 1} AS (
+), r{i + 1} AS MATERIALIZED (
   SELECT nodes.node,
          (1.0 - {d}) / (SELECT n FROM nn)
          + {d} * (COALESCE(c.contrib, 0.0)

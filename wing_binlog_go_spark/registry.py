@@ -36,6 +36,7 @@ _OPERATOR_MODULES = (
     "wing_binlog_go_spark.functions.mixing",
     "wing_binlog_go_spark.plans.extra_queries",
     "wing_binlog_go_spark.multimodal.queries",
+    "wing_binlog_go_spark.functions.classifier",
 )
 
 #: module → exception message for imports that failed during the last
