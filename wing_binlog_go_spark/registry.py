@@ -55,10 +55,13 @@ failed_modules: dict[str, str] = {}
 # two rounds old and rotate back in on r8.  After this window nothing
 # in the ledger is older than round 4.
 _PRIORITY = (
-    # Never driver-verified (registered after the r6 window was cut).
+    # Never driver-verified (q143-q145 registered after the r6 window
+    # was cut; q146/q147 are new this round).
     "q143_interval_overlap",
     "q144_weighted_sample_per_group",
     "q145_ccnet_mix",
+    "q146_quality_classifier",
+    "q147_classifier_filtered_corpus",
     # The r3-stale band: latest driver row is ROUND 3 (31 keys).
     "q51_null_handling",
     "q55_first_last_value",
@@ -107,8 +110,6 @@ _PRIORITY = (
     "q39v_source_cap",
     "q39w_span_dedup",
     "q98_tpch_q8",
-    "q99_tpch_q9",
-    "q100_tpch_q11",
 )
 
 
