@@ -515,3 +515,23 @@ def test_interval_overlap_is_chunk_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_classifier_stages_stay_jvm_side_with_partial_aggs(spark, sf_dir):
+    """The classifier's per-iteration building blocks (feature agg,
+    margin agg, gradient agg) must be pure built-ins — no Python in any
+    plan — and every groupBy must partial-aggregate (two HashAggregate
+    or ObjectHashAggregate nodes around its exchange). The model enters
+    as a literal array, so no join appears for the weights."""
+    from wing_binlog_go_spark.functions.classifier import (
+        _margins,
+        hashed_token_features,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = hashed_token_features(docs, dim=64)
+    for df in (feats, _margins(feats, [0.1] * 64)):
+        p = plan_of(df)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert p.count("HashAggregate") + p.count("ObjectHashAggregate") >= 2
+        assert "CartesianProduct" not in p
