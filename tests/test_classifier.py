@@ -91,3 +91,88 @@ def test_registered_classifier_scores_separate_on_fixture(spark, sf_small):
     pos_mean = m[m["pos"]]["score"].mean()
     neg_mean = m[~m["pos"]]["score"].mean()
     assert pos_mean - neg_mean > 0.2, (pos_mean, neg_mean)
+
+
+def test_classifier_corpus_route_end_to_end(spark, tmp_path):
+    """Frozen-model streaming stage: train offline on a planted corpus
+    (label = contains 'spamword'; the classifier learns to REJECT it),
+    persist the model, stream CDC inserts through
+    classifier_corpus_writer — spam docs are dropped, clean docs kept
+    with their scores, and a full changelog replay under a fresh
+    checkpoint leaves the store unchanged."""
+    import json as _json
+
+    from wing_binlog_go_spark.functions.classifier import (
+        save_logreg,
+        train_logreg,
+    )
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+    from wing_binlog_go_spark.streaming.sinks import (
+        classifier_corpus_writer,
+        read_classifier_corpus,
+    )
+
+    rng = np.random.RandomState(9)
+    vocab = [f"w{i}" for i in range(30)]
+
+    def make(spam: bool) -> str:
+        words = list(rng.choice(vocab, size=25))
+        if spam:
+            words[rng.randint(25)] = "spamword"
+        return " ".join(words)
+
+    # offline training set: label 1 = CLEAN (keep), 0 = spam
+    train_rows = [(i, make(spam=i % 2 == 1), float(i % 2 == 0)) for i in range(80)]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text", "y"])
+    feats = hashed_token_features(train, dim=64)
+    w = train_logreg(
+        feats, train.select(F.col("doc_id").alias("doc"), "y"),
+        dim=64, n_iter=24, lr=400.0,
+    )
+    model_path = str(tmp_path / "model.json")
+    save_logreg(w, model_path)
+
+    # stream: two batches, mixed clean/spam
+    stream_docs = {
+        101: make(spam=False), 102: make(spam=True),
+        103: make(spam=True), 104: make(spam=False),
+    }
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    for fi, ids in enumerate([(101, 102), (103, 104)]):
+        with open(log_dir / f"f{fi}.jsonl", "w") as f:
+            for ev, did in enumerate(ids):
+                rec = {
+                    "binlog_file": f"mysql-bin.{fi:06d}",
+                    "binlog_pos": 4 + ev * 50, "xid_commit": True,
+                    "database": "crawl", "table": "documents",
+                    "action": "insert", "row_no": 0, "before": None,
+                    "after": {"id": str(did), "text": stream_docs[did]},
+                    "ddl_query": None,
+                    "ts_header": "2018-04-19T05:21:27.000Z", "gtid": None,
+                }
+                f.write(_json.dumps(rec) + "\n")
+
+    store = str(tmp_path / "kept")
+    route = Route(
+        "quality",
+        classifier_corpus_writer(store, model_path, "crawl.documents"),
+    )
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(90)
+    kept = {r.doc_id: r.score for r in read_classifier_corpus(spark, store).collect()}
+    assert set(kept) == {101, 104}
+    assert all(s >= 0.5 for s in kept.values())
+
+    # full replay under a fresh checkpoint: ids already committed → no-op
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(90)
+    assert {
+        r.doc_id for r in read_classifier_corpus(spark, store).collect()
+    } == {101, 104}

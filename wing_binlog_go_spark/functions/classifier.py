@@ -146,6 +146,30 @@ def score_logreg(features: DataFrame, w: list[float]) -> DataFrame:
     )
 
 
+def save_logreg(w: list[float], path: str) -> None:
+    """Persist a trained model (atomic rename — the file's presence is
+    the commit, so a crashed save never leaves a half-written model
+    for the streaming scorer to load)."""
+    import json as _json
+    import os as _os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"dim": len(w), "weights": w}, f)
+        f.flush()
+        _os.fsync(f.fileno())
+    _os.replace(tmp, path)
+
+
+def load_logreg(path: str) -> tuple[list[float], int]:
+    """→ (weights, dim) saved by :func:`save_logreg`."""
+    import json as _json
+
+    with open(path) as f:
+        meta = _json.load(f)
+    return [float(x) for x in meta["weights"]], int(meta["dim"])
+
+
 # ---------------------------------------------------------------------------
 # registered queries
 # ---------------------------------------------------------------------------

@@ -778,3 +778,68 @@ def read_containment_corpus(spark, store_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(store_dir, "sets")).select(
         F.col("doc").alias("doc_id"), F.col("_text").alias("text")
     )
+
+
+def classifier_corpus_writer(
+    store_dir: str,
+    model_path: str,
+    table: str,
+    id_field: str = "id",
+    text_field: str = "text",
+    threshold: float = 0.5,
+):
+    """Route writer applying a FROZEN quality classifier to the CDC
+    stream (`functions.classifier`): INSERT envelopes of ``table`` are
+    scored with a model trained OFFLINE (`train_logreg` →
+    `save_logreg`) and docs scoring ≥ ``threshold`` append to the
+    curated store — the GPT-3-style "classifier-kept" feed as a
+    streaming stage.
+
+    The model is deliberately frozen, exactly the PQ/IVF-PQ
+    frozen-quantizer contract: retraining inside the stream would make
+    a doc's keep/drop verdict depend on WHEN it arrived relative to
+    the retrain, so replays could disagree with the first pass.
+    Refreshing the model = retrain offline, save to a new path, deploy
+    a new route. Id-presence in the store is the per-row commit (same
+    replay convergence as dedup_corpus_writer); read back with
+    ``read_classifier_corpus``.
+    """
+    from wing_binlog_go_spark.functions.classifier import (
+        hashed_token_features,
+        load_logreg,
+        score_logreg,
+    )
+
+    w, dim = load_logreg(model_path)
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        docs = _insert_docs(env, table, id_field, text_field)
+        if docs.isEmpty():
+            return
+        if os.path.exists(store_dir):
+            seen = env.sparkSession.read.parquet(store_dir).select(
+                F.col("doc_id")
+            )
+            docs = docs.join(seen, "doc_id", "left_anti")
+            mode = "append"
+        else:
+            mode = "errorifexists"
+        if docs.isEmpty():
+            return
+        feats = hashed_token_features(docs, dim=dim)
+        kept = (
+            score_logreg(feats, w)
+            .filter(F.col("score") >= threshold)
+            .select(F.col("doc").alias("doc_id"), F.round("score", 6).alias("score"))
+        )
+        # survivors carry their score + text (the curated corpus is the
+        # table a training run reads; losers are simply never appended,
+        # and the id-level anti-join above makes replays no-ops)
+        docs.join(kept, "doc_id").write.mode(mode).parquet(store_dir)
+
+    return write
+
+
+def read_classifier_corpus(spark, store_dir: str) -> DataFrame:
+    """(doc_id, text, score) kept by ``classifier_corpus_writer``."""
+    return spark.read.parquet(store_dir)
