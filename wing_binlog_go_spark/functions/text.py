@@ -2047,3 +2047,82 @@ ORDER BY doc_id
 """
 
 QUERIES["q145_ccnet_mix"] = QuerySpec(_q_ccnet_mix, _CCNET_MIX_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# q148: n-gram novelty — first-occurrence attribution
+# ---------------------------------------------------------------------------
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_shingles, n_novel, novelty): per document, the fraction
+    of its DISTINCT k-shingles whose first corpus occurrence (minimum
+    id in arrival order) is this document — "how much did this doc add
+    that the corpus hadn't seen". Near-copies, quotes, and template
+    pages all score ≈0 regardless of WHICH dedup family would catch
+    them, which makes novelty the cheap one-pass triage signal ahead
+    of the pairwise dedup operators, and a natural sampling weight
+    (weight ∝ novelty keeps first sources and starves mirrors).
+
+    Scale shape: one shingle-keyed partial agg (min over the corpus)
+    and one id-keyed agg — two shuffles total, no joins against the
+    corpus text, output exactly one row per doc.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, k)).alias("s"),
+    )
+    first = sh.groupBy("s").agg(F.min("doc").alias("first_doc"))
+    return (
+        sh.join(first, "s")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+    )
+
+
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, k=3).orderBy("doc_id")
+
+
+_NGRAM_NOVELTY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id AS doc,
+         unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+                ELSE [array_to_string(t, ' ')] END)) AS s
+  FROM toks
+), first AS (
+  SELECT s, MIN(doc) AS first_doc FROM sh GROUP BY s
+)
+SELECT sh.doc AS doc_id,
+       COUNT(*) AS n_shingles,
+       SUM((first.first_doc = sh.doc)::BIGINT)::BIGINT AS n_novel,
+       ROUND(SUM((first.first_doc = sh.doc)::BIGINT)::DOUBLE / COUNT(*), 6)
+         AS novelty
+FROM sh JOIN first USING (s)
+GROUP BY sh.doc
+ORDER BY doc_id
+"""
+
+QUERIES["q148_ngram_novelty"] = QuerySpec(_q_ngram_novelty, _NGRAM_NOVELTY_ORACLE)
