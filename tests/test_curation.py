@@ -617,3 +617,122 @@ def test_perplexity_bucket_mix_is_per_language_and_drops_tail(spark, sf_small):
         key=lambda r: (r.nll, r.doc_id),
     )
     assert worst.doc_id not in {r.doc_id for r in kept}
+
+
+def test_incremental_novelty_matches_batch_and_replays(spark, sf_small, tmp_path):
+    """incremental_novelty_apply over id-ordered batches must equal
+    ngram_novelty on the cumulative corpus; replays are id-no-ops; a
+    crash between the shingle append and the novelty write reconverges
+    (the doc's own attribution rides in the shingle store)."""
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.functions.text import (
+        incremental_novelty_apply,
+        ngram_novelty,
+    )
+    from wing_binlog_go_spark.tables import read_table
+
+    docs = read_table(spark, sf_small, "documents").filter(F.col("doc_id") < 200)
+    b1 = docs.filter(F.col("doc_id") < 100)
+    b2 = docs.filter(F.col("doc_id") >= 100)
+    store = str(tmp_path / "nov")
+
+    r1, st1 = incremental_novelty_apply(spark, b1, store, k=3)
+    assert st1 == {"batch": 100, "replayed": 0, "appended": 100}
+    r2, st2 = incremental_novelty_apply(spark, b2, store, k=3)
+    assert st2 == {"batch": 100, "replayed": 0, "appended": 100}
+
+    got = {
+        (r.doc_id, r.n_shingles, r.n_novel, r.novelty)
+        for r in r1.collect() + r2.collect()
+    }
+    want = {
+        (r.doc_id, r.n_shingles, r.n_novel, r.novelty)
+        for r in ngram_novelty(docs, k=3).collect()
+    }
+    assert got == want
+
+    # replay: no new rows, store unchanged
+    r2r, st2r = incremental_novelty_apply(spark, b2, store, k=3)
+    assert st2r == {"batch": 100, "replayed": 100, "appended": 0}
+    assert r2r.count() == 0
+    assert spark.read.parquet(store + "/novelty").count() == 200
+
+    # crash sim: shingles appended for a new batch but novelty write
+    # lost → wipe the batch's novelty rows and re-apply; scores for the
+    # crashed batch must still match the batch operator (own-id
+    # attribution makes the replayed docs' shingles count as novel)
+    b3 = read_table(spark, sf_small, "documents").filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 260)
+    )
+    r3, _ = incremental_novelty_apply(spark, b3, store, k=3)
+    want3 = {(r.doc_id, r.novelty) for r in r3.collect()}
+    import shutil
+
+    # drop novelty rows of batch 3 (simulate the novelty write lost;
+    # the shingle append survived)
+    kept = spark.read.parquet(store + "/novelty").filter(
+        F.col("doc_id") < 200
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(store + "/novelty")
+    kept.write.parquet(store + "/novelty")
+    r3b, st3b = incremental_novelty_apply(spark, b3, store, k=3)
+    assert st3b["appended"] == 60
+    assert {(r.doc_id, r.novelty) for r in r3b.collect()} == want3
+
+
+def test_novelty_route_end_to_end(spark, tmp_path):
+    """Novelty scoring as a pipeline route: a batch-2 near-copy of a
+    batch-1 doc scores ~0 while fresh prose scores 1.0, and a full
+    changelog replay under a fresh checkpoint leaves the store
+    unchanged."""
+    import json as _json
+
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+    from wing_binlog_go_spark.streaming.sinks import (
+        novelty_stats_writer,
+        read_novelty_stats,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while a patient "
+            "grey owl watches from a very tall oak tree near the river")
+    texts = {
+        1: base,
+        2: "entirely unrelated prose about columnar execution engines and "
+           "shuffle boundaries with partition pruning at large scale",
+        3: base.replace("dog", "cat"),  # near-copy of 1, later batch
+    }
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    for fi, ids in enumerate([(1, 2), (3,)]):
+        with open(log_dir / f"f{fi}.jsonl", "w") as f:
+            for ev, did in enumerate(ids):
+                rec = {
+                    "binlog_file": f"mysql-bin.{fi:06d}",
+                    "binlog_pos": 4 + ev * 50, "xid_commit": True,
+                    "database": "crawl", "table": "documents",
+                    "action": "insert", "row_no": 0, "before": None,
+                    "after": {"id": str(did), "text": texts[did]},
+                    "ddl_query": None,
+                    "ts_header": "2018-04-19T05:21:27.000Z", "gtid": None,
+                }
+                f.write(_json.dumps(rec) + "\n")
+
+    store = str(tmp_path / "nov")
+    route = Route("novelty", novelty_stats_writer(store, "crawl.documents"))
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+    nov = {r.doc_id: r.novelty for r in read_novelty_stats(spark, store).collect()}
+    assert set(nov) == {1, 2, 3}
+    assert nov[1] == 1.0 and nov[2] == 1.0
+    assert nov[3] < 0.35  # near-copy: only the shingles around 'cat' are new
+
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+    assert read_novelty_stats(spark, store).count() == 3

@@ -535,3 +535,18 @@ def test_classifier_stages_stay_jvm_side_with_partial_aggs(spark, sf_dir):
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
         assert p.count("HashAggregate") + p.count("ObjectHashAggregate") >= 2
         assert "CartesianProduct" not in p
+
+
+def test_ngram_novelty_is_two_partial_aggs_no_join_on_text(spark, sf_dir):
+    """q148: one shingle-keyed min agg + one id-keyed ratio agg, both
+    partial-aggregated; the join carries (doc, s) pairs only — the text
+    column must not survive past the scan projection."""
+    p = plan_of(_Q["q148_ngram_novelty"].spark(spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") + p.count("ObjectHashAggregate") >= 4
+    # text is consumed by the shingle expression at/just above the scan;
+    # no Exchange may ship the raw text column
+    for line in p.splitlines():
+        if line.strip().startswith("Arguments: hashpartitioning"):
+            assert "text" not in line, line

@@ -2126,3 +2126,115 @@ ORDER BY doc_id
 """
 
 QUERIES["q148_ngram_novelty"] = QuerySpec(_q_ngram_novelty, _NGRAM_NOVELTY_ORACLE)
+
+
+def incremental_novelty_apply(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    store_dir: str,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "tuple[DataFrame, dict]":
+    """Arrival-order n-gram novelty as an ingest increment — the
+    streaming form of :func:`ngram_novelty`, which is INHERENTLY
+    incremental (novelty is defined by first occurrence in arrival
+    order, so a batch's scores depend only on history + the batch).
+
+    Store layout and commit reasoning (the containment-store pattern):
+
+        shingles/  (s, first_doc) — the seen set with its attribution
+        novelty/   (doc_id, n_shingles, n_novel, novelty)
+
+    ``shingles/`` appends FIRST; a shingle's attribution rides with it,
+    so a crash after the shingle append but before the novelty write
+    replays safely: the doc's own id is the stored ``first_doc``, and
+    the novelty rule credits a shingle to a doc when the MIN of the
+    stored and in-batch attributions equals the doc — a replayed doc
+    still counts its own shingles as novel. Duplicate (s, first_doc)
+    rows from such replays cost storage, never correctness (reads take
+    the min). Ids already in ``novelty/`` are replay no-ops.
+
+    The union of every batch's novelty rows equals the batch operator
+    on the cumulative corpus whenever ids are monotone with arrival
+    (the CDC stream's event_index contract, O10); for out-of-order ids
+    the incremental form keeps ARRIVAL-order attribution — the stream
+    semantics — while the batch operator uses global min id
+    (test-asserted equality under the monotone condition).
+
+    Returns (novelty_rows_for_fresh_docs, stats).
+    """
+    import os as _os
+
+    sh_dir = _os.path.join(store_dir, "shingles")
+    nov_dir = _os.path.join(store_dir, "novelty")
+
+    n_batch = new_docs.count()
+    if _os.path.exists(nov_dir):
+        done = spark.read.parquet(nov_dir).select(F.col(id_col))
+        fresh = new_docs.join(done, id_col, "left_anti")
+    else:
+        fresh = new_docs
+    sh = fresh.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, k)).alias("s"),
+    ).localCheckpoint(eager=True)
+    n_fresh = sh.select("doc").distinct().count()
+    if n_fresh == 0:
+        empty = spark.createDataFrame(
+            [], f"{id_col} long, n_shingles bigint, n_novel bigint, novelty double"
+        )
+        return empty, {"batch": n_batch, "replayed": n_batch, "appended": 0}
+
+    batch_first = sh.groupBy("s").agg(F.min("doc").alias("batch_first"))
+    if _os.path.exists(sh_dir):
+        hist = (
+            spark.read.parquet(sh_dir)
+            .groupBy("s")
+            .agg(F.min("first_doc").alias("hist_first"))
+        )
+        first = batch_first.join(hist, "s", "left").select(
+            "s",
+            F.least(
+                F.col("batch_first"), F.coalesce("hist_first", "batch_first")
+            ).alias("first_doc"),
+            F.col("hist_first").isNull().alias("_new"),
+        )
+        write_mode = "append"
+    else:
+        first = batch_first.select(
+            "s",
+            F.col("batch_first").alias("first_doc"),
+            F.lit(True).alias("_new"),
+        )
+        write_mode = "errorifexists"
+    first = first.localCheckpoint(eager=True)
+    # shingle append FIRST (see commit reasoning above)
+    first.filter("_new").select("s", "first_doc").write.mode(write_mode).parquet(
+        sh_dir
+    )
+    novelty = (
+        sh.join(first.select("s", "first_doc"), "s")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    novelty.write.mode("append" if _os.path.exists(nov_dir) else "errorifexists").parquet(
+        nov_dir
+    )
+    return novelty, {
+        "batch": n_batch,
+        "replayed": n_batch - n_fresh,
+        "appended": n_fresh,
+    }

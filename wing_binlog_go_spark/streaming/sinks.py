@@ -843,3 +843,34 @@ def classifier_corpus_writer(
 def read_classifier_corpus(spark, store_dir: str) -> DataFrame:
     """(doc_id, text, score) kept by ``classifier_corpus_writer``."""
     return spark.read.parquet(store_dir)
+
+
+def novelty_stats_writer(
+    store_dir: str,
+    table: str,
+    id_field: str = "id",
+    text_field: str = "text",
+    k: int = 3,
+):
+    """Route writer maintaining arrival-order n-gram novelty from the
+    CDC stream (`functions.text.incremental_novelty_apply`): INSERT
+    envelopes of ``table`` become ingest increments; each doc's
+    novelty is scored against everything that arrived before it and
+    appended to the store's ``novelty/`` table (read it back with
+    ``read_novelty_stats``). Shingle-append-first with attribution
+    riding in the store makes replays converge (see the operator's
+    commit reasoning)."""
+    from wing_binlog_go_spark.functions.text import incremental_novelty_apply
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        docs = _insert_docs(env, table, id_field, text_field)
+        if docs.isEmpty():
+            return
+        incremental_novelty_apply(env.sparkSession, docs, store_dir, k=k)
+
+    return write
+
+
+def read_novelty_stats(spark, store_dir: str) -> DataFrame:
+    """(doc_id, n_shingles, n_novel, novelty) per arrived doc."""
+    return spark.read.parquet(os.path.join(store_dir, "novelty"))
