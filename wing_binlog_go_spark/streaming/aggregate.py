@@ -926,7 +926,13 @@ def read_anomalies(spark: SparkSession, flags_dir: str) -> DataFrame:
     anomalies, not an error."""
     if not os.path.exists(flags_dir):
         return spark.createDataFrame([], _FLAGS_SCHEMA)
-    try:
-        return spark.read.schema(_FLAGS_SCHEMA).parquet(flags_dir)
-    except Exception:
+    # Only the KNOWN-empty layout (no ingest= partitions yet) reads as
+    # zero anomalies; a real read failure over existing partitions must
+    # raise — an operator watching this log would otherwise mistake a
+    # corrupt store for an all-calm stream (the r6 joinview lesson).
+    has_parts = any(
+        e.is_dir() and "=" in e.name for e in os.scandir(flags_dir)
+    )
+    if not has_parts:
         return spark.createDataFrame([], _FLAGS_SCHEMA)
+    return spark.read.schema(_FLAGS_SCHEMA).parquet(flags_dir)
