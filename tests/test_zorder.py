@@ -1,0 +1,152 @@
+"""Z-order layout: the Morton code is a correct bit interleave, the
+written layout is value-complete, and — the point — a two-dimensional
+box predicate can prune MORE FILES (by parquet footer min/max) than a
+single-column-sorted layout of the same file count."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from wing_binlog_go_spark.operators.zorder import (
+    write_zordered,
+    zorder_values,
+)
+from wing_binlog_go_spark.tables import read_table
+
+
+def _files_admitting(path: str, col_a: str, lo_a, hi_a, col_b, lo_b, hi_b):
+    """Files whose footer min/max CANNOT exclude the box predicate —
+    exactly the files a stats-pruning scan must read."""
+    admit = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins: dict = {}
+        maxs: dict = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                name = c.path_in_schema
+                st = c.statistics
+                if st is None:
+                    continue
+                mins[name] = min(mins.get(name, st.min), st.min)
+                maxs[name] = max(maxs.get(name, st.max), st.max)
+        if not mins:
+            admit.append(f)
+            continue
+        if mins[col_a] > hi_a or maxs[col_a] < lo_a:
+            continue
+        if mins[col_b] > hi_b or maxs[col_b] < lo_b:
+            continue
+        admit.append(f)
+    return admit
+
+
+def test_morton_interleave_is_exact(spark):
+    """Hand-checked interleave: x=0b0011, y=0b0101 at 4 bits →
+    z = sum over i of x_i<<(2i) + y_i<<(2i+1) = 0b00100111."""
+    df = spark.createDataFrame([(3, 5)], ["x", "y"])
+    # force identity scaling: min=0, max=15 at bits=4 needs a range row
+    df = df.union(spark.createDataFrame([(0, 0), (15, 15)], ["x", "y"]))
+    zdf, stats = zorder_values(df, ["x", "y"], bits=4)
+    assert stats == {"x": (0.0, 15.0), "y": (0.0, 15.0)}
+    z = {(r.x, r.y): r._z for r in zdf.collect()}
+    assert z[(3, 5)] == 0b00100111
+    assert z[(0, 0)] == 0
+    assert z[(15, 15)] == 0b11111111
+
+
+def test_zorder_guards(spark):
+    df = spark.createDataFrame([(1, 2)], ["a", "b"])
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        zorder_values(df, ["a"])
+    with pytest.raises(ValueError, match="overflows"):
+        zorder_values(df, ["a", "b"], bits=32)
+
+
+def test_zordered_layout_prunes_box_predicates(spark, sf_small, tmp_path):
+    """Z-order's claim is BALANCED pruning: a user_id-sorted layout
+    prunes perfectly on user_id and not at all on amount; the z-ordered
+    layout must prune substantially on EITHER dimension alone (at most
+    half the files the single-sorted layout admits on its unsorted
+    dimension) and at least as well on the two-dimensional box — while
+    remaining value-complete and returning correct pruned-scan
+    results."""
+    ev = read_table(spark, sf_small, "events").select(
+        "event_id", "user_id", F.col("value").cast("double").alias("amount")
+    )
+    n_files = 64
+
+    flat = str(tmp_path / "flat")
+    (
+        ev.repartitionByRange(n_files, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.parquet(flat)
+    )
+    zpath = str(tmp_path / "zord")
+    # amount is heavily skewed (range 0.03-327, median ~35): quantile
+    # coding gives every code equal row mass, which is what makes a
+    # 20%-mass band touch ~20% of the code axis
+    write_zordered(
+        ev, zpath, ["user_id", "amount"], n_files=n_files,
+        bits=6, coding="quantile",
+    )
+
+    # value-completeness: same multiset of event ids
+    a = spark.read.parquet(zpath).agg(
+        F.count("*"), F.sum("event_id"), F.sum(F.hash("event_id").cast("long"))
+    ).collect()[0]
+    b = spark.read.parquet(flat).agg(
+        F.count("*"), F.sum("event_id"), F.sum(F.hash("event_id").cast("long"))
+    ).collect()[0]
+    assert tuple(a) == tuple(b)
+
+    # middle 20% band of each dimension; full range of the other.
+    # File counts differ between layouts (range-partitioning 15
+    # distinct user ids over 32 partitions leaves empty partitions
+    # unwritten), so compare admitted FRACTIONS.
+    u = ev.approxQuantile("user_id", [0.0, 0.4, 0.6, 1.0], 0.0)
+    m = ev.approxQuantile("amount", [0.0, 0.4, 0.6, 1.0], 0.0)
+    n_z = len(glob.glob(f"{zpath}/*.parquet"))
+    n_flat = len(glob.glob(f"{flat}/*.parquet"))
+    assert n_z == n_files
+
+    # amount-only predicate: the user_id-sorted layout cannot prune
+    # (amount scatters across every file); z-order must halve the
+    # admitted fraction
+    flat_amt = _files_admitting(flat, "user_id", u[0], u[3], "amount", m[1], m[2])
+    z_amt = _files_admitting(zpath, "user_id", u[0], u[3], "amount", m[1], m[2])
+    assert len(flat_amt) == n_flat, (len(flat_amt), n_flat)
+    assert len(z_amt) / n_z <= 0.5, (len(z_amt), n_z)
+
+    # user-only predicate: z-order still prunes (coarser than the
+    # perfectly-sorted layout, but well below a full scan)
+    z_usr = _files_admitting(zpath, "user_id", u[1], u[2], "amount", m[0], m[3])
+    assert len(z_usr) / n_z <= 0.75, (len(z_usr), n_z)
+
+    # the two-dimensional box is the headline: both dimensions prune
+    # multiplicatively-ish (measured 0.19 at this config vs 1.0 flat)
+    admit_z = _files_admitting(zpath, "user_id", u[1], u[2], "amount", m[1], m[2])
+    assert len(admit_z) / n_z <= 0.35, (len(admit_z), n_z)
+    assert len(admit_z) <= min(len(z_amt), len(z_usr))
+
+    # and the pruned scan is still CORRECT: reading only admitted files
+    # returns the same box rows as the full scan
+    want = (
+        ev.filter(
+            F.col("user_id").between(u[1], u[2])
+            & F.col("amount").between(m[1], m[2])
+        ).count()
+    )
+    got = (
+        spark.read.parquet(*admit_z)
+        .filter(
+            F.col("user_id").between(u[1], u[2])
+            & F.col("amount").between(m[1], m[2])
+        ).count()
+    )
+    assert want > 0 and got == want

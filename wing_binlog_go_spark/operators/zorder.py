@@ -1,0 +1,149 @@
+"""Z-order (Morton-curve) file layout for multi-column data skipping.
+
+At 100 TB the cheapest predicate is the one that never reads the file:
+parquet scans skip whole files/row-groups whose footer min/max exclude
+the filter range. A single-column sort gives perfect skipping on that
+column and none on any other; interleaving the bits of SEVERAL columns'
+rank codes (the Morton / Z space-filling curve) makes files cluster in
+every interleaved dimension at once, so a two-dimensional box predicate
+prunes on both columns — the technique behind Delta's OPTIMIZE ZORDER
+and Databricks' liquid clustering, here in plain open Spark.
+
+Mechanics (all JVM expressions — the bit interleave is a STATIC sum of
+shift/mask terms built in Python, no HOF, no UDF):
+
+1. one stats agg computes each column's min/max;
+2. each column scales to a ``bits``-wide integer code — linear on the
+   min/max range for uniform-ish columns, or equal-mass quantile codes
+   (``coding='quantile'``) so a skewed column's predicate band still
+   maps to a proportionate slice of the code axis;
+3. codes interleave into the z-value; ``repartitionByRange(z)`` makes
+   each output file own a compact z-range (range partitioning is the
+   global-sort shuffle — write-time cost, amortized over every later
+   scan), ``sortWithinPartitions`` tightens row-group stats inside the
+   file.
+
+The effectiveness test reads the written footers with pyarrow and
+counts files a box predicate can prune vs a single-column-sorted
+layout of the same file count (`tests/test_zorder.py`).
+
+Reference analog: none — the reference streams events and never
+organizes storage (readme.md:40-43 delegates analytics); this is part
+of the engine's own 100 TB posture (SCALE.md §Storage layout).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _scale_to_code(col: F.Column, mn: float, mx: float, bits: int) -> F.Column:
+    """Linear min/max scaling to an integer code in [0, 2^bits)."""
+    top = (1 << bits) - 1
+    if mx <= mn:  # constant column: every row codes to 0
+        return F.lit(0).cast("long")
+    scaled = (col.cast("double") - F.lit(float(mn))) / F.lit(float(mx - mn))
+    return F.least(
+        F.greatest(F.floor(scaled * top).cast("long"), F.lit(0)), F.lit(top)
+    )
+
+
+def _quantile_code(col: F.Column, cuts: list[float]) -> F.Column:
+    """Equal-MASS coding: code = #cut-points ≤ x, cuts = the
+    (2^bits − 1) approx quantile boundaries. Skewed columns waste most
+    of a linear code range on empty value space; quantile codes give
+    every code the same row mass, so a k%-mass predicate band touches
+    ~k% of the code axis regardless of the distribution. The fold runs
+    over ≤ 2^bits literals at WRITE time only."""
+    arr = F.array(*[F.lit(float(b)) for b in cuts])
+    return F.size(F.filter(arr, lambda b: col.cast("double") >= b)).cast("long")
+
+
+def _interleave(codes: list[F.Column], bits: int) -> F.Column:
+    """Morton interleave: bit i of code j lands at position
+    i*n_cols + j. Built as a static sum of shift/mask expressions —
+    whole-stage-codegen friendly, no higher-order functions."""
+    n = len(codes)
+    terms = []
+    for j, c in enumerate(codes):
+        for i in range(bits):
+            terms.append(
+                F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    return reduce(lambda a, b: a + b, terms).alias("_z")
+
+
+def zorder_values(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    coding: str = "linear",
+) -> tuple[DataFrame, dict]:
+    """df + a ``_z`` Morton-code column over ``cols``; returns the
+    per-column coding stats (persist them next to the layout if later
+    appends must code consistently).
+
+    ``coding='linear'`` scales each column on its (min, max) — exact
+    and cheap for uniform-ish columns; ``coding='quantile'`` codes by
+    approximate quantile rank (equal mass per code), the right choice
+    for skewed columns where a linear range is mostly empty. Quantile
+    boundaries are a bounded driver-side array (≤ 2^bits − 1 doubles
+    per column — at bits ≤ 8 that is ≤ 255 literals in the plan)."""
+    if len(cols) < 2:
+        raise ValueError(f"z-order needs >= 2 columns, got {cols}")
+    if bits * len(cols) > 63:
+        raise ValueError(f"{bits} bits x {len(cols)} cols overflows a long")
+    if coding == "linear":
+        stats_row = df.agg(
+            *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+        ).collect()[0]
+        stats = {c: (stats_row[f"mn_{c}"], stats_row[f"mx_{c}"]) for c in cols}
+        codes = [
+            _scale_to_code(F.col(c), stats[c][0], stats[c][1], bits)
+            for c in cols
+        ]
+    elif coding == "quantile":
+        if bits > 8:
+            raise ValueError(
+                f"quantile coding caps at 8 bits/column ({bits} requested): "
+                "boundaries are plan literals"
+            )
+        n_cuts = (1 << bits) - 1
+        probs = [i / (n_cuts + 1) for i in range(1, n_cuts + 1)]
+        dbl = df.select(
+            *[F.col(c).cast("double").alias(c) for c in cols]
+        )
+        stats = {
+            c: dbl.approxQuantile(c, probs, 0.001) for c in cols
+        }
+        codes = [_quantile_code(F.col(c), stats[c]) for c in cols]
+    else:
+        raise ValueError(f"unknown coding {coding!r}")
+    return df.withColumn("_z", _interleave(codes, bits)), stats
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 16,
+    coding: str = "linear",
+) -> dict:
+    """Write ``df`` as ``n_files`` z-clustered parquet files: global
+    range shuffle on the z-value (each file owns a compact z-range),
+    sorted within files so row-group min/max stay tight. One stats agg
+    + one shuffle — the standard offline OPTIMIZE cost."""
+    zdf, stats = zorder_values(df, cols, bits, coding)
+    (
+        zdf.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return stats
