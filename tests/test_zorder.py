@@ -150,3 +150,31 @@ def test_zordered_layout_prunes_box_predicates(spark, sf_small, tmp_path):
         ).count()
     )
     assert want > 0 and got == want
+
+
+def test_optimize_zorder_rewrites_in_place_crash_safely(spark, sf_small, tmp_path):
+    """The maintenance form: rewrites a live table dir through the
+    staged-swap protocol (value-complete, z-clustered after), and a
+    crash that left only the backup recovers before optimizing."""
+    import shutil
+
+    from wing_binlog_go_spark.streaming.maintenance import optimize_zorder
+
+    ev = read_table(spark, sf_small, "events").select(
+        "event_id", "user_id", F.col("value").cast("double").alias("amount")
+    )
+    path = str(tmp_path / "tbl")
+    ev.repartition(8).write.parquet(path)
+    before = ev.agg(F.sum("event_id")).collect()[0][0]
+
+    n = optimize_zorder(spark, path, ["user_id", "amount"], bits=6)
+    assert n >= 1
+    after = spark.read.parquet(path).agg(F.sum("event_id")).collect()[0][0]
+    assert after == before
+
+    # crash sim: table dir vanished mid-swap, backup remains
+    backup = str(tmp_path / ".tbl._old")
+    shutil.move(path, backup)
+    n2 = optimize_zorder(spark, path, ["user_id", "amount"], bits=6)
+    assert n2 >= 1
+    assert spark.read.parquet(path).agg(F.sum("event_id")).collect()[0][0] == before

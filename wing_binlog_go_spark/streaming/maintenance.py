@@ -192,3 +192,39 @@ def compact_bucketed_table(
                     spark, bdir, target_file_mb, sort_cols=["_pk"]
                 )
     return out
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    target_file_mb: int = 128,
+    bits: int = 8,
+    coding: str = "quantile",
+) -> int:
+    """OPTIMIZE ZORDER for a plain-parquet table: rewrite ``path`` as
+    z-clustered files (`operators.zorder`) through the same staged-swap
+    crash-safe protocol as :func:`compact_parquet`, sizing the output
+    like compaction does. The write is a global range shuffle on the
+    z-value (unlike compaction's shuffle-free coalesce) — that is the
+    price of multi-column clustering, paid once offline and amortized
+    over every later stats-pruned scan. Returns the new file count."""
+    from wing_binlog_go_spark.operators.zorder import zorder_values
+
+    path = path.rstrip("/")
+    recover_swap(path)
+    size = dir_size_bytes(path)
+    n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+    d, b = os.path.split(path)
+    staged = os.path.join(d, "." + b + "._zorder")
+    shutil.rmtree(staged, ignore_errors=True)
+    zdf, _ = zorder_values(spark.read.parquet(path), cols, bits, coding)
+    (
+        zdf.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(staged)
+    )
+    swap_dir(staged, path)
+    return parquet_file_count(path)
