@@ -411,8 +411,16 @@ def persist_pq_index(
     pq_encode(corpus, books, id_col, vec_col).write.mode("overwrite").parquet(
         _os.path.join(store_dir, "codes")
     )
-    with open(_os.path.join(store_dir, "codebooks.json"), "w") as f:
+    # codes first, codebooks LAST and atomically: the json's presence is
+    # the founding commit (incremental_pq_index_apply keys on it), so a
+    # crash mid-write must leave no truncated file a reader could load
+    final = _os.path.join(store_dir, "codebooks.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
         _json.dump({"m": m, "n_codes": n_codes, "books": books.tolist()}, f)
+        f.flush()
+        _os.fsync(f.fileno())
+    _os.replace(tmp, final)
 
 
 def incremental_pq_index_apply(
