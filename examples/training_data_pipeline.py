@@ -196,6 +196,32 @@ def main() -> None:
         shards = sorted(_os.listdir(td))
         print("webdataset shards:", shards)
 
+    # --- learned stages (r7) ------------------------------------------
+    # classifier-scored quality: train on a text-derivable weak label,
+    # score everything, keep the high half; novelty: how much each doc
+    # added that the corpus hadn't seen
+    from wing_binlog_go_spark.functions.classifier import (
+        hashed_token_features,
+        score_logreg,
+        train_logreg,
+    )
+    from wing_binlog_go_spark.functions.text import ngram_novelty
+
+    feats = hashed_token_features(docs, dim=512)
+    labels = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.array_contains(F.split(F.lower("text"), " "), "vector")
+        .cast("double").alias("y"),
+    )
+    w = train_logreg(feats, labels, dim=512, n_iter=16, lr=400.0)
+    scored = score_logreg(feats, w)
+    print("classifier: kept",
+          scored.filter("score >= 0.5").count(), "of", scored.count())
+    nov = ngram_novelty(docs, k=3)
+    print("novelty: mean",
+          round(nov.agg(F.avg("novelty")).first()[0], 3),
+          "— lowest-novelty docs are the near-copies/templates")
+
 
 if __name__ == "__main__":
     main()
