@@ -98,59 +98,50 @@ def test_registry_priority_window_and_no_failed_modules():
     """The driver verifies queries in registration order with a capped
     window (50/round). Coverage closed at round 4 (every registered
     query holds a driver CORRECTNESS row); the window keeps evidence
-    FRESH: round 6 leads with the four keys that never earned a driver
-    row (the r5 verdict's #1 window ask), then this round's ten new
-    queries, then the r3-era band — the stalest evidence left. No
-    operator module may silently fail to import (no-silent-caps)."""
+    FRESH: round 7 leads with the six keys that have never earned a
+    driver row (q143-q145 registered after the r6 window was cut;
+    q146-q148 new this round), then the full r3-era band — the stalest
+    evidence left — then an r4-band refresh led by the code that moved
+    this round (q38f's refine retune). No operator module may silently
+    fail to import (no-silent-caps)."""
     from wing_binlog_go_spark import registry
 
     qs = registry.all_queries()
     assert registry.failed_modules == {}
     window = list(qs)[:50]
-    # (a) never-driver-verified keys + this round's new queries lead
-    assert window[:14] == [
-        "q113_scd2_history", "q38i_ann_ivfpq",
-        "q39x_bpe_train", "q39y_bpe_tokenize",
-        "q114_fuzzy_varlen_join", "q115_pit_scd2_join",
-        "q116_asof_tolerance", "q117_apss_join",
-        "q118_context_chunks", "q119_table_stats",
-        "q120_deterministic_split", "q39z_bloom_decontamination",
-        "q121_gopher_quality", "q122_table_checksum",
+    # (a) never-driver-verified keys lead
+    assert window[:6] == [
+        "q143_interval_overlap", "q144_weighted_sample_per_group",
+        "q145_ccnet_mix", "q146_quality_classifier",
+        "q147_classifier_filtered_corpus", "q148_ngram_novelty",
     ]
-    # (b) the stalest evidence (latest row r3) fills the rest; the
-    # trivial relational forms (q51/q55/q57-q61 + q56/q63-q65) AND
-    # q81-q97 (whose refresh slots went to the late-r6 never-verified
-    # keys q125-q141) wait for r7
+    # (b) the full r3-stale band is in-window
     for stale in (
-        "q39p_boilerplate", "q68_sessionization",
-        "q77_range_frame", "q79_top_terms_per_lang",
+        "q51_null_handling", "q55_first_last_value", "q56_union_all",
+        "q57_regexp_functions", "q58_bitwise", "q59_nullsafe_equality",
+        "q60_array_hof", "q61_map_entries", "q62_interval_arith",
+        "q63_recursive_cte", "q64_values_inline", "q65_ilike",
+        "q66_bigrams", "q80_quantile_bins", "q81_doc_length_curation",
+        "q82_cross_lingual_mix", "q83_event_dedup_window",
+        "q84_tpch_q10", "q85_point_in_time_join", "q86_tpch_q18",
+        "q87_tpch_q7", "q88_tpch_q13", "q89_tpch_q16", "q90_tpch_q17",
+        "q91_tpch_q19", "q92_tpch_q22", "q93_tpch_q4", "q94_tpch_q6",
+        "q95_tpch_q14", "q96_tpch_q15", "q97_tpch_q21",
     ):
         assert stale in window, stale
-    for late_r6 in (
-        "q125_bm25", "q126_column_profile", "q127_event_transitions",
-        "q128_pmi_collocations", "q129_dedup_clusters",
-        "q130_decay_features", "q131_ri_audit",
-        "q132_windowed_funnel", "q133_last_touch_attribution",
-        "q134_snapshot_diff", "q135_inverted_index",
-        "q136_asof_forward", "q137_asof_nearest",
-        "q138_containment_join", "q139_pagerank",
-        "q140_khop_reachability", "q141_leakage_safe_split", "q142_weighted_sample",
-    ):
-        assert late_r6 in window, late_r6
+    # keys holding fresh r5/r6 rows wait for r8
     for deferred in (
-        "q51_null_handling", "q60_array_hof", "q61_map_entries",
-        "q80_quantile_bins", "q85_point_in_time_join", "q88_tpch_q13",
-        "q90_tpch_q17", "q94_tpch_q6", "q97_tpch_q21",
+        "q113_scd2_history", "q114_fuzzy_varlen_join", "q125_bm25",
+        "q129_dedup_clusters", "q134_snapshot_diff",
+        "q141_leakage_safe_split", "q142_weighted_sample",
+        "q99_tpch_q9", "q100_tpch_q11",
     ):
         assert deferred not in window, deferred
     # (c) the graded operator families keep in-window representation
-    # (dedup via q114/q138, similarity via q38i, text via q39x/y +
-    # q39p-s, as-of/PIT via q115/q136/q137, graph via q139/q140;
-    # TPC-H core holds r3/r4 rows and rotates back in r7)
-    for family in ("q38", "q39", "q114", "q115", "q136", "q139"):
+    for family in ("q37", "q38", "q39", "q85", "q143", "q146", "q148"):
         assert any(k.startswith(family) for k in window), family
     # (d) the priority block fills the window exactly — nothing with a
-    # fresh r4/r5 row sneaks in ahead of stale evidence
+    # fresh r4/r5/r6 row sneaks in ahead of stale evidence
     assert len(registry._PRIORITY) == 50
     assert window == list(registry._PRIORITY)
     # priority list stays consistent with what's actually registered
