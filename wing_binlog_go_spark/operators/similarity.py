@@ -1670,3 +1670,72 @@ def feature_hash_embed(
         id_col,
         F.transform("embedding", lambda x: x / safe).alias("embedding"),
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 5,
+    n_bits: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Directed k-nearest-neighbor graph over the corpus itself:
+    (src, dst, rnk, sim_r) with each node's top-k cosine neighbors —
+    the dataset-cartography substrate (duplicate-cluster maps, label
+    propagation over neighbors, coreset selection, kNN-LM retrieval
+    graphs all start from this table).
+
+    The all-pairs trap is the same as dedup's, and so is the cure:
+    candidates come from hyperplane-LSH bucket collisions, an EQUI
+    self-join on (table, bucket) — corpus x corpus never materializes.
+    Unlike ``lsh_topk`` (bounded query side, broadcast), BOTH sides
+    here are the corpus, so the join shuffles both on the bucket key
+    and per-bucket fan-out is the quadratic unit — n_bits must grow
+    with corpus size exactly as the lsh_topk docstring prescribes, and
+    AQE's skew split handles hot buckets.
+
+    Candidate ids are deduped BEFORE vectors rejoin (ids are small;
+    carrying two dim-wide vectors through the distinct would blow the
+    shuffle), then vectors attach via two id-keyed joins against the
+    corpus and the exact cosine ranks the survivors.
+    """
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("_v")).withColumn(
+        "_n", norm(F.col("_v"))
+    )
+    buckets = all_table_buckets(n_bits, n_tables, dim)
+    b = c.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(buckets(F.col("_v"))).alias("_tbl", "_bkt"),
+    )
+    cand = (
+        b.alias("a")
+        .join(
+            b.alias("bb"),
+            (F.col("a._tbl") == F.col("bb._tbl"))
+            & (F.col("a._bkt") == F.col("bb._bkt")),
+        )
+        .filter(F.col("a._id") != F.col("bb._id"))
+        .select(F.col("a._id").alias("src"), F.col("bb._id").alias("dst"))
+        .distinct()
+    )
+    sv = c.select(F.col(id_col).alias("src"), F.col("_v").alias("_sv"),
+                  F.col("_n").alias("_sn"))
+    dv = c.select(F.col(id_col).alias("dst"), F.col("_v").alias("_dv"),
+                  F.col("_n").alias("_dn"))
+    scored = (
+        cand.join(sv, "src")
+        .join(dv, "dst")
+        .select(
+            "src",
+            "dst",
+            (dot(F.col("_sv"), F.col("_dv")) / (F.col("_sn") * F.col("_dn"))).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("_sim"), F.asc("dst"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("src", "dst", "rnk", F.round("_sim", 6).alias("sim_r"))
+    )
