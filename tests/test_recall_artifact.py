@@ -40,6 +40,9 @@ def test_recall_report_gates_every_regime_and_writes_artifact(spark):
     inc = report["incremental_store_at_k5"]["ivfpq@sf0.01"]
     assert inc["recall_avg"] >= 0.9, inc
 
+    kg = report["knn_graph_at_k5"]["sf0.01"]
+    assert kg["recall_avg"] >= 0.9, kg
+
     path = write_recall_artifact(report)
     assert os.path.exists(path)
     on_disk = json.load(open(path))

@@ -158,6 +158,39 @@ def ann_recall_report(spark: SparkSession, k_zipf: int = 10) -> dict:
         "incremental_store_at_k5": {
             "ivfpq@sf0.01": _incremental_store_recall(spark)
         },
+        "knn_graph_at_k5": {"sf0.01": _knn_graph_recall(spark)},
+    }
+
+
+def _knn_graph_recall(spark: SparkSession, k: int = 5) -> dict:
+    """Per-node recall of the LSH-bucketed kNN graph (r7) vs the exact
+    neighbor lists on the fixture embeddings — the graph form has no
+    bounded query side to broadcast, so its recall is a separate
+    evidence row from lsh_topk's."""
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.operators.similarity import (
+        brute_force_topk,
+        knn_graph,
+    )
+    from wing_binlog_go_spark.tables import read_table
+
+    emb = read_table(spark, SCALES[1], "embeddings")
+    params = {"n_bits": 3, "n_tables": 16}
+    got: dict = {}
+    for r in knn_graph(emb, k=k, **params).collect():
+        got.setdefault(r.src, set()).add(r.dst)
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    want: dict = {}
+    for r in brute_force_topk(emb, q, k=k + 1).collect():
+        if r.query_id != r.vec_id and len(want.setdefault(r.query_id, set())) < k:
+            want[r.query_id].add(r.vec_id)
+    per = [len(want[s] & got.get(s, set())) / len(want[s]) for s in want]
+    return {
+        "recall_avg": round(sum(per) / len(per), 4),
+        "recall_min": round(min(per), 4),
+        "k": k,
+        "params": params,
     }
 
 
