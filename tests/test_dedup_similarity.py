@@ -1698,7 +1698,7 @@ def test_knn_graph_recall_and_structure(spark, sf_small):
 
     emb = read_table(spark, sf_small, "embeddings")
     k = 5
-    g = knn_graph(emb, k=k, n_bits=3, n_tables=16)
+    g = knn_graph(emb, k=k, n_bits=3, n_tables=32)
 
     buf = io.StringIO()
     with redirect_stdout(buf):

@@ -41,7 +41,7 @@ def test_recall_report_gates_every_regime_and_writes_artifact(spark):
     assert inc["recall_avg"] >= 0.9, inc
 
     kg = report["knn_graph_at_k5"]["sf0.01"]
-    assert kg["recall_avg"] >= 0.9, kg
+    assert kg["recall_avg"] >= 0.9 and kg["recall_min"] >= 0.8, kg
 
     path = write_recall_artifact(report)
     assert os.path.exists(path)
