@@ -210,3 +210,51 @@ def test_fk_orphans_finds_planted_and_ignores_null_fks(spark):
     assert sorted(r.id for r in orphans.collect()) == [12]
     clean = fk_orphans(child.filter("fk is null or fk <= 3"), parent, "fk", "pk")
     assert clean.count() == 0
+
+
+def test_cms_sketch_bounds_and_mergeability(spark, sf_small):
+    """Count-Min guarantees on the fixture token stream: estimates
+    never undercount; the worst overcount obeys the depth-min Markov
+    bound (4·N/width at depth 4 — deterministic fixture, so this is a
+    regression pin, not a probabilistic flake); and building per-shard
+    sketches then merging equals the whole-corpus build cell-for-cell."""
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.operators.stats import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+    from wing_binlog_go_spark.tables import read_table
+
+    docs = read_table(spark, sf_small, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    width, depth = 64, 4  # small width FORCES collisions (31-word vocab)
+    sketch = cms_build(toks, "tok", width=width, depth=depth)
+    exact = {r.tok: r.cnt for r in
+             toks.groupBy("tok").agg(F.count("*").alias("cnt")).collect()}
+    n_total = sum(exact.values())
+    probes = toks.select("tok").distinct()
+    est = {r.item: r.est for r in
+           cms_estimate(sketch, probes, "tok", width=width, depth=depth).collect()}
+    assert set(est) == set(exact)
+    for tok, true in exact.items():
+        assert est[tok] >= true, tok
+        assert est[tok] - true <= 4 * n_total / width, (tok, est[tok], true)
+
+    # mergeability: shard sketches sum to the whole-corpus sketch
+    a = cms_build(toks.filter("doc_id < 250"), "tok", width=width, depth=depth)
+    b = cms_build(toks.filter("doc_id >= 250"), "tok", width=width, depth=depth)
+    merged = {(r.j, r.col): r.cnt for r in cms_merge(a, b).collect()}
+    whole = {(r.j, r.col): r.cnt for r in sketch.collect()}
+    assert merged == whole
+
+    # the registered probe query returns exactly the top-20 estimates
+    from wing_binlog_go_spark.registry import all_queries
+
+    q = all_queries()["q149_cms_heavy_hitters"].spark(spark, sf_small)
+    rows = q.collect()
+    assert len(rows) == 20
+    assert all(r.est >= exact[r.tok] for r in rows)

@@ -486,3 +486,110 @@ ORDER BY o_orderkey
 """
 
 QUERIES["q134_snapshot_diff"] = QuerySpec(_q_snapshot_diff, _SNAPSHOT_DIFF_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable approximate counting (q149)
+# ---------------------------------------------------------------------------
+
+
+def cms_build(
+    items: DataFrame,
+    item_col: str,
+    count_col: str | None = None,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of an item
+    stream as a (j, col, cnt) table — depth·width cells regardless of
+    item cardinality, which is the whole point at 100 TB: the exact
+    heavy-hitters table (q39t) costs a token-cardinality shuffle, the
+    sketch costs a depth·width-bounded one and two sketches built on
+    disjoint shards MERGE by cell-wise addition (`cms_merge`), so
+    per-day/per-shard sketches roll up without touching raw data.
+
+    Each depth row uses Spark's murmur3 (`F.hash`) under a distinct
+    seed — deterministic across runs and executors; no SQL oracle for
+    exactly that reason (DuckDB has no murmur3), so the evidence is the
+    property suite: estimates never undercount, overcounts obey the
+    Markov bound, and shard-merge equals whole-corpus build exactly.
+    """
+    w = F.col(count_col).cast("long") if count_col else F.lit(1).cast("long")
+    parts = [
+        items.select(
+            F.lit(j).alias("j"),
+            F.pmod(F.hash(F.col(item_col), F.lit(seed + j)), F.lit(width)).alias(
+                "col"
+            ),
+            w.alias("cnt"),
+        )
+        for j in range(depth)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("j", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two sketches built with the SAME (width, depth,
+    seed) — the mergeability that makes sketches shard-parallel."""
+    return a.unionByName(b).groupBy("j", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """(item, est): min over depth rows of the probed cells — the CMS
+    upper-bound estimate (never an undercount). The probe side explodes
+    to depth rows per item and equi-joins the sketch on (j, col); a
+    missing cell reads as 0."""
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.pmod(
+                    F.hash(F.col("item"), F.lit(seed + j)), F.lit(width)
+                ).alias("col"),
+            )
+            for j in range(depth)
+        ]
+    )
+    probed = probes.select(F.col(item_col).alias("item")).distinct().select(
+        "item", F.explode(hashes).alias("h")
+    ).select("item", F.col("h.j").alias("j"), F.col("h.col").alias("col"))
+    return (
+        probed.join(sketch, ["j", "col"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate the exact top tokens' counts through the sketch (the
+    q39t pairing: exact table vs mergeable approximation). Rows-only by
+    design — F.hash is Spark murmur3, which DuckDB cannot replay; the
+    property suite carries the value evidence."""
+    from wing_binlog_go_spark.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    sketch = cms_build(toks, "tok", width=512, depth=4)
+    top = (
+        toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok").limit(20).select("tok")
+    )
+    return (
+        cms_estimate(sketch, top, "tok", width=512, depth=4)
+        .withColumnRenamed("item", "tok")
+        .orderBy("tok")
+    )
+
+
+QUERIES["q149_cms_heavy_hitters"] = QuerySpec(_q_cms_heavy_hitters, None)  # murmur3 — no SQL oracle; property-tested
