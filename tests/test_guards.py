@@ -100,7 +100,7 @@ def test_registry_priority_window_and_no_failed_modules():
     query holds a driver CORRECTNESS row); the window keeps evidence
     FRESH: round 7 leads with the six keys that have never earned a
     driver row (q143-q145 registered after the r6 window was cut;
-    q146-q148 new this round), then the full r3-era band — the stalest
+    q146-q149 new this round), then the full r3-era band — the stalest
     evidence left — then an r4-band refresh led by the code that moved
     this round (q38f's refine retune). No operator module may silently
     fail to import (no-silent-caps)."""
@@ -110,10 +110,11 @@ def test_registry_priority_window_and_no_failed_modules():
     assert registry.failed_modules == {}
     window = list(qs)[:50]
     # (a) never-driver-verified keys lead
-    assert window[:6] == [
+    assert window[:7] == [
         "q143_interval_overlap", "q144_weighted_sample_per_group",
         "q145_ccnet_mix", "q146_quality_classifier",
         "q147_classifier_filtered_corpus", "q148_ngram_novelty",
+        "q149_cms_heavy_hitters",
     ]
     # (b) the full r3-stale band is in-window
     for stale in (

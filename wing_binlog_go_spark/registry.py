@@ -63,6 +63,7 @@ _PRIORITY = (
     "q146_quality_classifier",
     "q147_classifier_filtered_corpus",
     "q148_ngram_novelty",
+    "q149_cms_heavy_hitters",
     # The r3-stale band: latest driver row is ROUND 3 (31 keys).
     "q51_null_handling",
     "q55_first_last_value",
@@ -109,7 +110,6 @@ _PRIORITY = (
     "q39m_sequence_pack",
     "q39t_heavy_hitters",
     "q39v_source_cap",
-    "q39w_span_dedup",
 )
 
 
