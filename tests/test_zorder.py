@@ -178,3 +178,72 @@ def test_optimize_zorder_rewrites_in_place_crash_safely(spark, sf_small, tmp_pat
     n2 = optimize_zorder(spark, path, ["user_id", "amount"], bits=6)
     assert n2 >= 1
     assert spark.read.parquet(path).agg(F.sum("event_id")).collect()[0][0] == before
+
+
+def _xy2d_ref(order: int, x: int, y: int) -> int:
+    """Reference Hilbert xy2d (Wikipedia form) for cross-checking the
+    Spark expression."""
+    rx = ry = 0
+    d = 0
+    s = order // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_index_matches_reference(spark):
+    """The unrolled Spark expression equals the canonical xy2d walk on
+    every cell of an 8x8 grid (bits=3) and on random 6-bit points."""
+    import random
+
+    from wing_binlog_go_spark.operators.zorder import _hilbert_d2
+
+    pts = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(pts, "x long, y long").withColumn(
+        "d", _hilbert_d2(F.col("x"), F.col("y"), 3)
+    )
+    got = {(r.x, r.y): r.d for r in df.collect()}
+    for x, y in pts:
+        assert got[(x, y)] == _xy2d_ref(8, x, y), (x, y)
+    # the 3-bit curve visits all 64 cells exactly once
+    assert sorted(got.values()) == list(range(64))
+
+    random.seed(11)
+    pts6 = [(random.randrange(64), random.randrange(64)) for _ in range(50)]
+    df6 = spark.createDataFrame(pts6, "x long, y long").withColumn(
+        "d", _hilbert_d2(F.col("x"), F.col("y"), 6)
+    )
+    for r in df6.collect():
+        assert r.d == _xy2d_ref(64, r.x, r.y), (r.x, r.y)
+
+
+def test_hilbert_layout_prunes_at_least_as_well_as_morton(spark, sf_small, tmp_path):
+    """Hilbert's adjacency (no Z-jumps) must not lose to Morton on the
+    2-D box at the same file count / bit budget (small slack for
+    range-boundary noise), and the layout stays value-complete."""
+    ev = read_table(spark, sf_small, "events").select(
+        "event_id", "user_id", F.col("value").cast("double").alias("amount")
+    )
+    n_files = 64
+    mpath, hpath = str(tmp_path / "m"), str(tmp_path / "h")
+    write_zordered(ev, mpath, ["user_id", "amount"], n_files=n_files,
+                   bits=6, coding="quantile", curve="morton")
+    write_zordered(ev, hpath, ["user_id", "amount"], n_files=n_files,
+                   bits=6, coding="quantile", curve="hilbert")
+    assert (
+        spark.read.parquet(hpath).count() == ev.count()
+    )
+    u = ev.approxQuantile("user_id", [0.4, 0.6], 0.0)
+    m = ev.approxQuantile("amount", [0.4, 0.6], 0.0)
+    adm_m = _files_admitting(mpath, "user_id", u[0], u[1], "amount", m[0], m[1])
+    adm_h = _files_admitting(hpath, "user_id", u[0], u[1], "amount", m[0], m[1])
+    assert len(adm_h) <= len(adm_m) + 2, (len(adm_h), len(adm_m))
