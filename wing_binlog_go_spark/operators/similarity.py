@@ -1739,3 +1739,15 @@ def knn_graph(
         .filter(F.col("rnk") <= k)
         .select("src", "dst", "rnk", F.round("_sim", 6).alias("sim_r"))
     )
+
+
+def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered kNN-graph form over the fixture embeddings at the
+    recall-audited params (RECALL artifact: avg/min 1.0 @k5). Rows-only
+    by design — hyperplane buckets have no SQL replay; the recall row
+    and the structure/plan test carry the value evidence."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=5, n_bits=3, n_tables=32).orderBy("src", "rnk")
+
+
+QUERIES["q150_knn_graph"] = QuerySpec(_q_knn_graph, None)  # LSH buckets — no SQL oracle; recall-audited
