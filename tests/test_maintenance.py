@@ -258,3 +258,68 @@ def test_cms_sketch_bounds_and_mergeability(spark, sf_small):
     rows = q.collect()
     assert len(rows) == 20
     assert all(r.est >= exact[r.tok] for r in rows)
+
+
+def test_cms_route_end_to_end(spark, tmp_path):
+    """The streaming sketch: two batches of docs sketch into per-batch
+    partitions; the merged read equals a batch-built sketch of ALL the
+    text, and a full changelog replay under a fresh checkpoint changes
+    nothing (partition-presence commit — addition would double-count)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.operators.stats import cms_build
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+    from wing_binlog_go_spark.streaming.sinks import (
+        cms_sketch_writer,
+        read_cms_sketch,
+    )
+
+    texts = {
+        1: "alpha beta gamma alpha",
+        2: "beta delta epsilon",
+        3: "alpha zeta zeta eta",
+        4: "theta beta alpha",
+    }
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    for fi, ids in enumerate([(1, 2), (3, 4)]):
+        with open(log_dir / f"f{fi}.jsonl", "w") as f:
+            for ev, did in enumerate(ids):
+                rec = {
+                    "binlog_file": f"mysql-bin.{fi:06d}",
+                    "binlog_pos": 4 + ev * 50, "xid_commit": True,
+                    "database": "crawl", "table": "documents",
+                    "action": "insert", "row_no": 0, "before": None,
+                    "after": {"id": str(did), "text": texts[did]},
+                    "ddl_query": None,
+                    "ts_header": "2018-04-19T05:21:27.000Z", "gtid": None,
+                }
+                f.write(_json.dumps(rec) + "\n")
+
+    store = str(tmp_path / "cms")
+    route = Route(
+        "sketch", cms_sketch_writer(store, "crawl.documents", width=64, depth=4)
+    )
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+
+    merged = {(r.j, r.col): r.cnt for r in read_cms_sketch(spark, store).collect()}
+    all_toks = spark.createDataFrame(
+        [(t,) for txt in texts.values() for t in txt.split(" ")], ["tok"]
+    )
+    want = {(r.j, r.col): r.cnt
+            for r in cms_build(all_toks, "tok", width=64, depth=4).collect()}
+    assert merged == want
+
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+    merged2 = {(r.j, r.col): r.cnt for r in read_cms_sketch(spark, store).collect()}
+    assert merged2 == want

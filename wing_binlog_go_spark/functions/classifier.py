@@ -113,6 +113,10 @@ def train_logreg(
     feats = features.persist()
     labs = labels.select(F.col("doc"), F.col("y").cast("double")).persist()
     n_docs = labs.count()
+    if n_docs == 0:  # loud, not a silent all-zero model
+        feats.unpersist()
+        labs.unpersist()
+        raise ValueError("train_logreg: labels are empty — nothing to fit")
     w = [0.0] * dim
     for _ in range(n_iter):
         err = (

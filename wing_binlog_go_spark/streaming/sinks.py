@@ -874,3 +874,61 @@ def novelty_stats_writer(
 def read_novelty_stats(spark, store_dir: str) -> DataFrame:
     """(doc_id, n_shingles, n_novel, novelty) per arrived doc."""
     return spark.read.parquet(os.path.join(store_dir, "novelty"))
+
+
+def cms_sketch_writer(
+    store_dir: str,
+    table: str,
+    item_field: str = "text",
+    id_field: str = "id",
+    width: int = 1024,
+    depth: int = 4,
+):
+    """Route writer maintaining a Count-Min token sketch from the CDC
+    stream (`operators.stats.cms_build`): each micro-batch's INSERT
+    docs tokenize and sketch into a PARTITION keyed by the batch's
+    minimum doc id (an at-least-once-stable batch key), and the
+    partition directory's presence is the commit — a replayed batch is
+    a no-op instead of a double-count, which matters precisely because
+    sketches merge by ADDITION. Read the merged sketch back with
+    ``read_cms_sketch`` (cell-wise sum across partitions — the
+    mergeability doing the work)."""
+    from wing_binlog_go_spark.operators.stats import cms_build
+
+    if "://" in store_dir:
+        raise ValueError(
+            "cms_sketch_writer: store_dir must be a POSIX path "
+            f"(got {store_dir!r}) — the batch-commit probe is os-level"
+        )
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        docs = _insert_docs(env, table, id_field, item_field).withColumnRenamed(
+            "text", "_payload"
+        )
+        if docs.isEmpty():
+            return
+        batch_key = docs.agg(F.min("doc_id")).collect()[0][0]
+        part_dir = os.path.join(store_dir, f"bkey={batch_key}")
+        if os.path.isdir(part_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(part_dir)
+        ):
+            return  # replayed batch: sketch partition already committed
+        toks = docs.select(
+            F.explode(F.split(F.lower("_payload"), " ")).alias("tok")
+        )
+        sketch = cms_build(toks, "tok", width=width, depth=depth).withColumn(
+            "bkey", F.lit(int(batch_key))
+        )
+        sketch.write.mode("append").partitionBy("bkey").parquet(store_dir)
+
+    return write
+
+
+def read_cms_sketch(spark, store_dir: str) -> DataFrame:
+    """The merged (j, col, cnt) sketch: cell-wise sum over every
+    committed batch partition."""
+    return (
+        spark.read.parquet(store_dir)
+        .groupBy("j", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
