@@ -75,10 +75,16 @@ def main() -> None:
             spec.spark(spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
         samples.sort()
+        n = len(samples)
+        median = (
+            samples[n // 2]
+            if n % 2
+            else (samples[n // 2 - 1] + samples[n // 2]) / 2
+        )
         timings[name] = round(samples[0], 3)
         dists[name] = {
             "min": round(samples[0], 3),
-            "median": round(samples[len(samples) // 2], 3),
+            "median": round(median, 3),
             "max": round(samples[-1], 3),
         }
 

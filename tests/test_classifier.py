@@ -176,3 +176,42 @@ def test_classifier_corpus_route_end_to_end(spark, tmp_path):
     assert {
         r.doc_id for r in read_classifier_corpus(spark, store).collect()
     } == {101, 104}
+
+
+def test_features_exclude_empty_tokens_cross_engine(spark):
+    """Multi-spaced text: empty tokens are excluded from FEATURES in
+    both engines (Spark folds [''] once, DuckDB folds zero times — kept
+    empties would silently diverge the q146/q147 oracle), while n_toks
+    still counts them as length. Asserts the Spark side here; the
+    oracle side carries the same WHERE length(tok) > 0."""
+    import duckdb
+
+    docs = spark.createDataFrame([(1, "a  b"), (2, " c")], ["doc_id", "text"])
+    feats = hashed_token_features(docs, dim=64).collect()
+    # doc 1: tokens ['a','','b'] → 2 feature rows, each val 1/3
+    # doc 2: tokens ['','c'] → 1 feature row, val 1/2
+    by_doc: dict = {}
+    for r in feats:
+        by_doc.setdefault(r.doc, []).append(r.val)
+    assert sorted(by_doc[1]) == pytest.approx([1 / 3, 1 / 3])
+    assert by_doc[2] == pytest.approx([1 / 2])
+
+    # cross-engine bucket equality on the same rows
+    duck = duckdb.sql("""
+        WITH base AS (
+          SELECT * FROM (VALUES (1, 'a  b'), (2, ' c')) t(doc, text)
+        ), toks AS (
+          SELECT doc, unnest(string_split(lower(text), ' ')) AS tok,
+                 len(string_split(lower(text), ' ')) AS n_toks
+          FROM base
+        )
+        SELECT doc,
+               list_reduce(list_prepend(7::BIGINT,
+                 list_transform(range(1, length(tok) + 1), i -> ascii(tok[i]))),
+                 (a, b) -> (a * 31 + b) % 64) AS idx,
+               COUNT(*)::DOUBLE / ANY_VALUE(n_toks) AS val
+        FROM toks WHERE length(tok) > 0 GROUP BY doc, idx
+    """).fetchall()
+    want = {(r.doc, r.idx, round(r.val, 9)) for r in feats}
+    got = {(d, i, round(v, 9)) for d, i, v in duck}
+    assert got == want

@@ -1718,16 +1718,12 @@ def test_knn_graph_recall_and_structure(spark, sf_small):
         assert sorted(rk for rk, _ in lst) == list(range(1, len(lst) + 1))
         assert len(lst) <= k
 
-    # exact graph via the audited brute-force operator, querying the
-    # corpus against itself (drop self-matches, take k)
+    # exact graph via the audited brute-force operator (it already
+    # excludes self-matches, so k=k is the exact neighbor list)
     q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
-    exact = brute_force_topk(emb, q, k=k + 1).collect()
     want: dict = {}
-    for r in exact:
-        if r.query_id != r.vec_id:
-            want.setdefault(r.query_id, set())
-            if len(want[r.query_id]) < k:
-                want[r.query_id].add(r.vec_id)
+    for r in brute_force_topk(emb, q, k=k).collect():
+        want.setdefault(r.query_id, set()).add(r.vec_id)
     got = {s: {d for _, d in lst} for s, lst in by_src.items()}
     per_node = [
         len(want[s] & got.get(s, set())) / len(want[s]) for s in want

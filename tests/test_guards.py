@@ -98,7 +98,7 @@ def test_registry_priority_window_and_no_failed_modules():
     """The driver verifies queries in registration order with a capped
     window (50/round). Coverage closed at round 4 (every registered
     query holds a driver CORRECTNESS row); the window keeps evidence
-    FRESH: round 7 leads with the six keys that have never earned a
+    FRESH: round 7 leads with the seven keys that have never earned a
     driver row (q143-q145 registered after the r6 window was cut;
     q146-q149 new this round), then the full r3-era band — the stalest
     evidence left — then an r4-band refresh led by the code that moved

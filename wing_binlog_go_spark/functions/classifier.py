@@ -48,8 +48,10 @@ _HASH_SEED = 7
 
 def _bucket(tok: F.Column, dim: int) -> F.Column:
     """Deterministic feature bucket: polynomial rolling hash over the
-    token's character codes, identical in Spark and DuckDB (verified
-    cross-engine: (seed*31 + code) % dim folded left-to-right)."""
+    token's character codes — (seed*31 + code) % dim folded
+    left-to-right, verified cross-engine for NON-EMPTY tokens (Spark
+    splits "" to [""] and folds once; DuckDB folds zero times — which
+    is why hashed_token_features filters empty tokens out)."""
     return F.aggregate(
         F.transform(F.split(tok, ""), lambda ch: F.ascii(ch)),
         F.lit(_HASH_SEED).cast("long"),
@@ -72,7 +74,13 @@ def hashed_token_features(
         F.col(id_col).alias("doc"),
         F.explode(tokens(text_col)).alias("tok"),
         F.size(tokens(text_col)).alias("n_toks"),
-    )
+    ).filter(F.length("tok") > 0)
+    # empty tokens (doubled/leading/trailing spaces) are excluded from
+    # FEATURES in both engines: Spark folds [""] to a seed*31 hash while
+    # DuckDB's empty char range folds to the bare seed, so keeping them
+    # would silently diverge the oracle on any multi-spaced text
+    # (n_toks deliberately still counts them — it is a length, not a
+    # vocabulary)
     return (
         toks.withColumn("idx", _bucket(F.col("tok"), dim))
         .groupBy("doc", "idx")
@@ -227,7 +235,7 @@ WITH base AS MATERIALIZED (
              list_transform(range(1, length(tok) + 1), i -> ascii(tok[i]))),
            (a, b) -> (a * 31 + b) % {dim}) AS idx,
          COUNT(*)::DOUBLE / ANY_VALUE(n_toks) AS val
-  FROM toks GROUP BY doc, idx
+  FROM toks WHERE length(tok) > 0 GROUP BY doc, idx
 ), lab AS MATERIALIZED (
   SELECT doc, list_contains(t, 'vector')::DOUBLE AS y FROM base
 ), nn AS MATERIALIZED (

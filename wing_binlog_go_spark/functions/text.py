@@ -2181,8 +2181,14 @@ def incremental_novelty_apply(
     ).localCheckpoint(eager=True)
     n_fresh = sh.select("doc").distinct().count()
     if n_fresh == 0:
-        empty = spark.createDataFrame(
-            [], f"{id_col} long, n_shingles bigint, n_novel bigint, novelty double"
+        # schema derives from the caller's id column (name AND type) —
+        # hardcoding "doc_id long" would break string-id callers on
+        # exactly (and only) the replay path
+        empty = (
+            new_docs.select(F.col(id_col)).limit(0)
+            .withColumn("n_shingles", F.lit(0).cast("long"))
+            .withColumn("n_novel", F.lit(0).cast("long"))
+            .withColumn("novelty", F.lit(0.0))
         )
         return empty, {"batch": n_batch, "replayed": n_batch, "appended": 0}
 

@@ -182,11 +182,13 @@ def _knn_graph_recall(spark: SparkSession, k: int = 5) -> dict:
     got: dict = {}
     for r in knn_graph(emb, k=k, **params).collect():
         got.setdefault(r.src, set()).add(r.dst)
+    # brute_force_topk already excludes self-matches, so k=k IS the
+    # exact neighbor list — capping a k+1 call by collect() arrival
+    # order would depend on row order, which is not a contract
     q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
     want: dict = {}
-    for r in brute_force_topk(emb, q, k=k + 1).collect():
-        if r.query_id != r.vec_id and len(want.setdefault(r.query_id, set())) < k:
-            want[r.query_id].add(r.vec_id)
+    for r in brute_force_topk(emb, q, k=k).collect():
+        want.setdefault(r.query_id, set()).add(r.vec_id)
     per = [len(want[s] & got.get(s, set())) / len(want[s]) for s in want]
     return {
         "recall_avg": round(sum(per) / len(per), 4),

@@ -1703,7 +1703,9 @@ def knn_graph(
     """
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("_v")).withColumn(
         "_n", norm(F.col("_v"))
-    )
+    ).localCheckpoint(eager=True)  # referenced 3x (both join sides + vectors):
+    # cut lineage so the scan + HOF norm fold run once, the same cure
+    # dedup.py prescribes for this shape
     buckets = all_table_buckets(n_bits, n_tables, dim)
     b = c.select(
         F.col(id_col).alias("_id"),

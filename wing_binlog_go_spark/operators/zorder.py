@@ -43,7 +43,9 @@ from pyspark.sql import functions as F
 def _scale_to_code(col: F.Column, mn: float, mx: float, bits: int) -> F.Column:
     """Linear min/max scaling to an integer code in [0, 2^bits)."""
     top = (1 << bits) - 1
-    if mx <= mn:  # constant column: every row codes to 0
+    # all-NULL column: min/max stats are None — code to 0 like the
+    # constant case rather than throwing an opaque TypeError mid-OPTIMIZE
+    if mn is None or mx is None or mx <= mn:
         return F.lit(0).cast("long")
     scaled = (col.cast("double") - F.lit(float(mn))) / F.lit(float(mx - mn))
     return F.least(

@@ -44,9 +44,10 @@ _OPERATOR_MODULES = (
 failed_modules: dict[str, str] = {}
 
 # First 50 = the driver's verification window.  Round-7 layout (per the
-# r6 verdict's window plan): lead with the THREE keys that have never
-# earned a driver CORRECTNESS row (q143-q145 — registered after the r6
-# window was cut), then the full r3-era-stale band (q51/q55-q66/
+# r6 verdict's window plan): lead with the SEVEN keys that have never
+# earned a driver CORRECTNESS row (q143-q145 registered after the r6
+# window was cut; q146-q149 new this round), then the full r3-era-stale
+# band (q51/q55-q66/
 # q80-q97 — the 31 keys whose latest driver evidence is round 3), then
 # 16 of the r4 band, led by the queries whose code or evidence moved
 # this round (q38f's refine retune to 100; q38's out-of-band r6 bench

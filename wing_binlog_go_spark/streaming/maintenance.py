@@ -201,15 +201,18 @@ def optimize_zorder(
     target_file_mb: int = 128,
     bits: int = 8,
     coding: str = "quantile",
+    curve: str = "morton",
 ) -> int:
     """OPTIMIZE ZORDER for a plain-parquet table: rewrite ``path`` as
-    z-clustered files (`operators.zorder`) through the same staged-swap
-    crash-safe protocol as :func:`compact_parquet`, sizing the output
-    like compaction does. The write is a global range shuffle on the
-    z-value (unlike compaction's shuffle-free coalesce) — that is the
-    price of multi-column clustering, paid once offline and amortized
-    over every later stats-pruned scan. Returns the new file count."""
-    from wing_binlog_go_spark.operators.zorder import zorder_values
+    z-clustered files (`operators.zorder.write_zordered` — one recipe,
+    not a copy, so the curve option incl. ``'hilbert'`` is available
+    here too) through the same staged-swap crash-safe protocol as
+    :func:`compact_parquet`, sizing the output like compaction does.
+    The write is a global range shuffle on the curve value (unlike
+    compaction's shuffle-free coalesce) — the price of multi-column
+    clustering, paid once offline and amortized over every later
+    stats-pruned scan. Returns the new file count."""
+    from wing_binlog_go_spark.operators.zorder import write_zordered
 
     path = path.rstrip("/")
     recover_swap(path)
@@ -218,13 +221,9 @@ def optimize_zorder(
     d, b = os.path.split(path)
     staged = os.path.join(d, "." + b + "._zorder")
     shutil.rmtree(staged, ignore_errors=True)
-    zdf, _ = zorder_values(spark.read.parquet(path), cols, bits, coding)
-    (
-        zdf.repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        .parquet(staged)
+    write_zordered(
+        spark.read.parquet(path), staged, cols,
+        n_files=n_files, bits=bits, coding=coding, curve=curve,
     )
     swap_dir(staged, path)
     return parquet_file_count(path)
