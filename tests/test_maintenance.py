@@ -323,3 +323,32 @@ def test_cms_route_end_to_end(spark, tmp_path):
     q.awaitTermination(60)
     merged2 = {(r.j, r.col): r.cnt for r in read_cms_sketch(spark, store).collect()}
     assert merged2 == want
+
+
+def test_misra_gries_guarantees(spark, sf_small):
+    """MG bounds on the fixture token stream across multiple real
+    partitions: estimates never overcount, total undercount <= N/(k+1),
+    and every token with true frequency above that bound is present —
+    the enumeration guarantee CMS cannot give."""
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.operators.stats import misra_gries_topk
+    from wing_binlog_go_spark.tables import read_table
+
+    docs = read_table(spark, sf_small, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).repartition(8)  # force multi-partition partials + merge
+    exact = {r.tok: r.cnt for r in
+             toks.groupBy("tok").agg(F.count("*").alias("cnt")).collect()}
+    n_total = sum(exact.values())
+
+    k = 16  # < vocabulary size, so the decrement path actually runs
+    est = {r.item: r.est for r in misra_gries_topk(toks, "tok", k=k).collect()}
+    bound = n_total / (k + 1)
+    for item, e in est.items():
+        assert e <= exact[item], item          # never overcount
+        assert exact[item] - e <= bound, item  # bounded undercount
+    for tok, true in exact.items():
+        if true > bound:
+            assert tok in est, (tok, true, bound)  # heavy => present

@@ -593,3 +593,51 @@ def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q149_cms_heavy_hitters"] = QuerySpec(_q_cms_heavy_hitters, None)  # murmur3 — no SQL oracle; property-tested
+
+
+def misra_gries_topk(
+    items: DataFrame,
+    item_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Mergeable Misra-Gries heavy-hitter summary: (item, est) with at
+    most ~k items per partition surviving, merged by summing partial
+    estimates — the ENUMERATING companion to the CMS (`cms_build`
+    answers point queries but cannot list the heavy items; MG lists
+    them). Guarantees after the merge (Agarwal et al. 2012, mergeable
+    summaries): est never OVERcounts, the undercount is bounded by
+    N/(k+1) in total across partitions, so every item with true
+    frequency > N/(k+1) is guaranteed present.
+
+    Scale shape: one Arrow-batched pass per partition maintaining k
+    counters (the documented Python boundary — MG is inherently a
+    sequential counter algorithm), emitting ≤ k rows per partition;
+    the merge is a tiny groupBy over ≤ partitions·k rows.
+    """
+    import pandas as pd
+
+    schema = f"item {dict(items.dtypes)[item_col]}, est long"
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for it in pdf[item_col]:
+                if it in counters:
+                    counters[it] += 1
+                elif len(counters) < k:
+                    counters[it] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {"item": list(counters), "est": list(counters.values())}
+        )
+
+    partials = items.select(item_col).mapInPandas(mg_partition, schema)
+    return partials.groupBy("item").agg(F.sum("est").alias("est"))
