@@ -2244,3 +2244,99 @@ def incremental_novelty_apply(
         "replayed": n_batch - n_fresh,
         "appended": n_fresh,
     }
+
+
+# ---------------------------------------------------------------------------
+# q151: per-source curation scorecard
+# ---------------------------------------------------------------------------
+
+
+def source_scorecard(
+    docs: DataFrame,
+    k: int = 3,
+    min_stopword_hits: int = 1,
+) -> DataFrame:
+    """(source, n_docs, keep_rate, avg_novelty, avg_words): the
+    per-source dashboard a corpus operator watches — quality keep rate
+    (Gopher rules), mean n-gram novelty (a mirror/near-copy source
+    shows up as a novelty crater batches before corpus size moves),
+    and mean length. Pure composition of the oracled interiors
+    (``gopher_quality_flags`` + ``ngram_novelty``), so the whole
+    scorecard stays hash-checked vs DuckDB.
+
+    Scale shape: novelty's two shuffles + one row-local flags pass +
+    one source-keyed agg (low cardinality — AQE coalesces it)."""
+    flags = gopher_quality_flags(
+        docs, min_stopword_hits=min_stopword_hits
+    ).select("doc_id", "n_words", "keep")
+    nov = ngram_novelty(docs, k=k).select("doc_id", "novelty")
+    return (
+        docs.select("doc_id", "source")
+        .join(flags, "doc_id")
+        .join(nov, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(F.col("keep").cast("double")), 6).alias("keep_rate"),
+            F.round(F.avg("novelty"), 6).alias("avg_novelty"),
+            F.round(F.avg("n_words"), 6).alias("avg_words"),
+        )
+    )
+
+
+def _q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return source_scorecard(docs).orderBy("source")
+
+
+_SOURCE_SCORECARD_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         string_split(lower(text), ' ') AS toks,
+         length(text) AS nc
+  FROM documents
+), f AS (
+  SELECT doc_id, source,
+         len(toks) AS n,
+         (nc - (len(toks) - 1)) / len(toks) AS mean_len,
+         len(list_filter(toks, x -> contains(x, '#') OR contains(x, '...')))
+           / len(toks) AS sym,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+           / len(toks) AS alpha,
+         len(list_intersect(list_distinct(toks),
+             ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM t
+), flags AS (
+  SELECT doc_id, source, n,
+         (n BETWEEN 50 AND 100000 AND mean_len BETWEEN 3.0 AND 10.0
+          AND sym <= 0.1 AND alpha >= 0.8 AND stop_hits >= 1) AS keep
+  FROM f
+), sh AS (
+  SELECT doc_id AS doc,
+         unnest(list_distinct(
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE [array_to_string(toks, ' ')] END)) AS s
+  FROM t
+), first AS (
+  SELECT s, MIN(doc) AS first_doc FROM sh GROUP BY s
+), nov AS (
+  SELECT sh.doc AS doc_id,
+         SUM((first.first_doc = sh.doc)::BIGINT)::DOUBLE / COUNT(*) AS novelty
+  FROM sh JOIN first USING (s)
+  GROUP BY sh.doc
+)
+SELECT flags.source,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(flags.keep::DOUBLE), 6) AS keep_rate,
+       ROUND(AVG(ROUND(nov.novelty, 6)), 6) AS avg_novelty,
+       ROUND(AVG(flags.n), 6) AS avg_words
+FROM flags JOIN nov USING (doc_id)
+GROUP BY flags.source
+ORDER BY flags.source
+"""
+
+QUERIES["q151_source_scorecard"] = QuerySpec(
+    _q_source_scorecard, _SOURCE_SCORECARD_ORACLE
+)
