@@ -550,3 +550,23 @@ def test_ngram_novelty_is_two_partial_aggs_no_join_on_text(spark, sf_dir):
     for line in p.splitlines():
         if line.strip().startswith("Arguments: hashpartitioning"):
             assert "text" not in line, line
+
+
+def test_round7_new_query_plan_hygiene(spark, sf_dir):
+    """q149 (CMS probe), q150 (kNN graph), q151 (source scorecard):
+    no cartesian products, no row-at-a-time Python, partial
+    aggregation present. q150's bucket projection is Arrow-batched
+    (the accepted boundary); q149/q151 must be JVM-only."""
+    for name, allow_arrow in (
+        ("q149_cms_heavy_hitters", False),
+        ("q150_knn_graph", True),
+        ("q151_source_scorecard", False),
+    ):
+        p = plan_of(_Q[name].spark(spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+        if not allow_arrow:
+            assert "ArrowEvalPython" not in p, name
+        assert (
+            p.count("HashAggregate") + p.count("ObjectHashAggregate") >= 2
+        ), name
