@@ -352,3 +352,69 @@ def test_misra_gries_guarantees(spark, sf_small):
     for tok, true in exact.items():
         if true > bound:
             assert tok in est, (tok, true, bound)  # heavy => present
+
+
+def test_mg_route_end_to_end(spark, tmp_path):
+    """Streaming MG: per-batch summaries merge to estimates that obey
+    the mergeable-summary bounds against the exact stream counts, and
+    a full changelog replay under a fresh checkpoint changes nothing."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+    from wing_binlog_go_spark.streaming.sinks import (
+        mg_sketch_writer,
+        read_mg_sketch,
+    )
+
+    texts = {
+        1: "alpha alpha alpha beta gamma",
+        2: "alpha beta delta delta",
+        3: "alpha epsilon zeta beta beta",
+        4: "alpha theta beta iota",
+    }
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    for fi, ids in enumerate([(1, 2), (3, 4)]):
+        with open(log_dir / f"f{fi}.jsonl", "w") as f:
+            for ev, did in enumerate(ids):
+                rec = {
+                    "binlog_file": f"mysql-bin.{fi:06d}",
+                    "binlog_pos": 4 + ev * 50, "xid_commit": True,
+                    "database": "crawl", "table": "documents",
+                    "action": "insert", "row_no": 0, "before": None,
+                    "after": {"id": str(did), "text": texts[did]},
+                    "ddl_query": None,
+                    "ts_header": "2018-04-19T05:21:27.000Z", "gtid": None,
+                }
+                f.write(_json.dumps(rec) + "\n")
+
+    store = str(tmp_path / "mg")
+    route = Route("mg", mg_sketch_writer(store, "crawl.documents", k=4))
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+
+    exact: dict = {}
+    for txt in texts.values():
+        for t in txt.split(" "):
+            exact[t] = exact.get(t, 0) + 1
+    n_total = sum(exact.values())
+    est = {r.item: r.est for r in read_mg_sketch(spark, store).collect()}
+    # never overcount; undercount bounded by sum of per-batch N_i/(k+1)
+    bound = n_total / (4 + 1)
+    for item, e in est.items():
+        assert e <= exact[item], item
+        assert exact[item] - e <= bound, (item, e, exact[item])
+    # the stream-wide heaviest items are present ('alpha' 6x, 'beta' 5x)
+    assert "alpha" in est and "beta" in est
+
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+    assert {r.item: r.est for r in read_mg_sketch(spark, store).collect()} == est

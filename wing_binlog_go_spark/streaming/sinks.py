@@ -932,3 +932,59 @@ def read_cms_sketch(spark, store_dir: str) -> DataFrame:
         .groupBy("j", "col")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def mg_sketch_writer(
+    store_dir: str,
+    table: str,
+    item_field: str = "text",
+    id_field: str = "id",
+    k: int = 64,
+):
+    """Route writer maintaining a Misra-Gries heavy-hitter summary from
+    the CDC stream (`operators.stats.misra_gries_topk`): per batch the
+    token summary lands in a partition keyed by the batch's min doc id
+    with partition-presence as the commit (the same idempotence shape
+    as ``cms_sketch_writer`` — MG merges by summing partial estimates,
+    so a replayed batch must not re-merge). ``read_mg_sketch`` returns
+    the merged (item, est) table; the mergeable-summary theorem keeps
+    the N/(k+1) undercount bound through the per-batch merge."""
+    from wing_binlog_go_spark.operators.stats import misra_gries_topk
+
+    if "://" in store_dir:
+        raise ValueError(
+            "mg_sketch_writer: store_dir must be a POSIX path "
+            f"(got {store_dir!r}) — the batch-commit probe is os-level"
+        )
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        docs = _insert_docs(env, table, id_field, item_field).withColumnRenamed(
+            "text", "_payload"
+        )
+        if docs.isEmpty():
+            return
+        batch_key = docs.agg(F.min("doc_id")).collect()[0][0]
+        part_dir = os.path.join(store_dir, f"bkey={batch_key}")
+        if os.path.isdir(part_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(part_dir)
+        ):
+            return  # replayed batch: summary partition already committed
+        toks = docs.select(
+            F.explode(F.split(F.lower("_payload"), " ")).alias("tok")
+        )
+        summary = misra_gries_topk(toks, "tok", k=k).withColumn(
+            "bkey", F.lit(int(batch_key))
+        )
+        summary.write.mode("append").partitionBy("bkey").parquet(store_dir)
+
+    return write
+
+
+def read_mg_sketch(spark, store_dir: str) -> DataFrame:
+    """The merged (item, est) heavy-hitter summary across committed
+    batch partitions."""
+    return (
+        spark.read.parquet(store_dir)
+        .groupBy("item")
+        .agg(F.sum("est").alias("est"))
+    )
