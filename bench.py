@@ -97,7 +97,6 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "dist": dists,
         "runs_per_query": n_runs,
         "sf": sf_val,
     }
@@ -105,7 +104,8 @@ def main() -> None:
         result["skipped"] = skipped
     # BASELINE.md contract: first green run records BENCH.json; later
     # runs compare against it (2× budget) without overwriting.
-    bench_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    bench_path = os.path.join(repo_dir, "BENCH.json")
     if not os.path.exists(bench_path):
         with open(bench_path, "w") as f:
             json.dump(result, f, indent=1)
@@ -114,6 +114,28 @@ def main() -> None:
             baseline = json.load(f)
         if baseline.get("sf") == result["sf"] and baseline.get("value"):
             result["vs_baseline"] = round(result["value"] / baseline["value"], 3)
+    # The per-query {min, median, max} distributions go to a committed
+    # side artifact, NOT stdout: r7's single stdout line with the dist
+    # map inlined overflowed the driver's tail capture and BENCH_r07
+    # recorded parsed: null. The headline line must stay compact and
+    # must be the LAST stdout line.
+    # Round number = latest driver CORRECTNESS round + 1, so repeated
+    # bench runs within one round overwrite the same dist file instead
+    # of minting a new number per invocation.
+    correctness = [
+        int(name[len("CORRECTNESS_r"):-len(".json")])
+        for name in os.listdir(repo_dir)
+        if name.startswith("CORRECTNESS_r") and name.endswith(".json")
+        and name[len("CORRECTNESS_r"):-len(".json")].isdigit()
+    ]
+    dist_round = max(correctness, default=0) + 1
+    dist_path = os.path.join(repo_dir, f"BENCH_DIST_r{dist_round:02d}.json")
+    with open(dist_path, "w") as f:
+        json.dump(
+            {"dist": dists, "runs_per_query": n_runs, "sf": sf_val,
+             "headline_total_min_sec": result["value"]},
+            f, indent=1,
+        )
     print(json.dumps(result))
 
 

@@ -681,6 +681,32 @@ def test_incremental_novelty_matches_batch_and_replays(spark, sf_small, tmp_path
     assert {(r.doc_id, r.novelty) for r in r3b.collect()} == want3
 
 
+def test_incremental_novelty_out_of_order_no_double_credit(spark, tmp_path):
+    """Regression (r7 advice): a LATER-arriving doc with a SMALLER id
+    must not be credited a shingle history already owns — attribution
+    is arrival order, and the old least(batch_first, hist_first) form
+    counted such a shingle as novel for both arrivals."""
+    from wing_binlog_go_spark.functions.text import incremental_novelty_apply
+
+    store = str(tmp_path / "nov")
+    # doc 10 arrives first and owns every shingle of "red fox jumps".
+    b1 = spark.createDataFrame([(10, "red fox jumps")], ["doc_id", "text"])
+    r1, _ = incremental_novelty_apply(spark, b1, store, k=3)
+    assert {(r.doc_id, r.n_novel) for r in r1.collect()} == {(10, 1)}
+
+    # doc 5 arrives SECOND with the same text: out-of-order id. Arrival
+    # order says nothing about it is novel.
+    b2 = spark.createDataFrame([(5, "red fox jumps")], ["doc_id", "text"])
+    r2, _ = incremental_novelty_apply(spark, b2, store, k=3)
+    assert {(r.doc_id, r.n_novel, r.novelty) for r in r2.collect()} == {
+        (5, 0, 0.0)
+    }
+    # and the store still attributes the shingle to doc 10 (one owner,
+    # no double credit across the union of outputs)
+    sh = spark.read.parquet(store + "/shingles").collect()
+    assert {(r.s, r.first_doc) for r in sh} == {("red fox jumps", 10)}
+
+
 def test_novelty_route_end_to_end(spark, tmp_path):
     """Novelty scoring as a pipeline route: a batch-2 near-copy of a
     batch-1 doc scores ~0 while fresh prose scores 1.0, and a full

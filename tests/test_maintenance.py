@@ -325,6 +325,67 @@ def test_cms_route_end_to_end(spark, tmp_path):
     assert merged2 == want
 
 
+def test_cms_route_crash_mid_commit_is_retried_not_skipped(spark, tmp_path):
+    """Regression (r7 advice): the batch commit is an atomic directory
+    rename. A crash mid parquet job leaves only ``_staging`` debris —
+    simulated here by pre-seeding a half-written staging dir for the
+    first batch's key — and the replayed batch must RE-SKETCH (not skip,
+    which would permanently undercount the merged sketch), while the
+    staging leftovers stay invisible to the merged read."""
+    import json as _json
+
+    from wing_binlog_go_spark.operators.stats import cms_build
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+    from wing_binlog_go_spark.streaming.sinks import (
+        cms_sketch_writer,
+        read_cms_sketch,
+    )
+
+    texts = {1: "alpha beta gamma", 2: "beta delta", 3: "alpha zeta"}
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    for fi, ids in enumerate([(1, 2), (3,)]):
+        with open(log_dir / f"f{fi}.jsonl", "w") as f:
+            for ev, did in enumerate(ids):
+                rec = {
+                    "binlog_file": f"mysql-bin.{fi:06d}",
+                    "binlog_pos": 4 + ev * 50, "xid_commit": True,
+                    "database": "crawl", "table": "documents",
+                    "action": "insert", "row_no": 0, "before": None,
+                    "after": {"id": str(did), "text": texts[did]},
+                    "ddl_query": None,
+                    "ts_header": "2018-04-19T05:21:27.000Z", "gtid": None,
+                }
+                f.write(_json.dumps(rec) + "\n")
+
+    store = tmp_path / "cms"
+    # Simulate the crash: batch key 1's parquet job died mid-write.
+    # Under the pre-fix layout these files would have lived in the
+    # committed bkey=1 path and the replay probe would skip the batch.
+    crashed = store / "_staging" / "bkey=1"
+    crashed.mkdir(parents=True)
+    (crashed / "part-00000.parquet").write_bytes(b"torn parquet bytes")
+
+    route = Route(
+        "sketch",
+        cms_sketch_writer(str(store), "crawl.documents", width=64, depth=4),
+    )
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+
+    merged = {(r.j, r.col): r.cnt
+              for r in read_cms_sketch(spark, str(store)).collect()}
+    all_toks = spark.createDataFrame(
+        [(t,) for txt in texts.values() for t in txt.split(" ")], ["tok"]
+    )
+    want = {(r.j, r.col): r.cnt
+            for r in cms_build(all_toks, "tok", width=64, depth=4).collect()}
+    assert merged == want  # the crashed batch was re-sketched, once
+
+
 def test_misra_gries_guarantees(spark, sf_small):
     """MG bounds on the fixture token stream across multiple real
     partitions: estimates never overcount, total undercount <= N/(k+1),

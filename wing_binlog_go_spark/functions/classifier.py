@@ -107,29 +107,66 @@ def train_logreg(
     dim: int = 256,
     n_iter: int = 8,
     lr: float = 2.0,
+    l2: float = 0.0,
+    n_batches: int = 1,
 ) -> list[float]:
-    """Full-batch GD for logistic regression over long-form features.
+    """(Mini-batch) GD for L2-regularized logistic regression over
+    long-form features.
 
     labels: (doc, y) with y ∈ {0.0, 1.0}. Weights start at zero (no
-    RNG); each iteration does margin → sigmoid error → per-idx gradient
-    (÷ n_docs) → w ← w − lr·grad. Deterministic for fixed n_iter.
+    RNG); iteration i uses the deterministic mini-batch
+    ``doc % n_batches == i % n_batches`` (cross-engine expressible —
+    no RNG shuffling — so the unrolled-SQL oracle scheme still covers
+    the mini-batch form; requires non-negative integer doc ids when
+    n_batches > 1) and does margin → sigmoid error → per-idx gradient
+    (÷ batch size) → w ← (1 − lr·l2)·w − lr·grad (weight-decay form of
+    the L2 term — applied to EVERY weight every iteration, gradient or
+    not). Deterministic for fixed n_iter. l2=0, n_batches=1 is the
+    original full-batch GD exactly.
 
     Scale shape: features are persisted once; per iteration two
-    doc-keyed shuffles (margin agg + error join reuse the same key) and
-    one idx-keyed agg whose cardinality is ≤ dim, then a dim-sized
+    doc-keyed shuffles over the BATCH's rows only (the pmod filter is
+    row-local — no semi-join shuffle to pick the batch) and one
+    idx-keyed agg whose cardinality is ≤ dim, then a dim-sized
     collect. Driver holds only the model."""
+    if n_batches < 1:
+        raise ValueError(f"train_logreg: n_batches must be >= 1, got {n_batches}")
     feats = features.persist()
     labs = labels.select(F.col("doc"), F.col("y").cast("double")).persist()
-    n_docs = labs.count()
-    if n_docs == 0:  # loud, not a silent all-zero model
+    if n_batches == 1:
+        batch_sizes = {0: labs.count()}
+    else:
+        batch_sizes = {
+            r["b"]: r["cnt"]
+            for r in labs.groupBy(
+                F.pmod("doc", F.lit(n_batches)).cast("int").alias("b")
+            )
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+    if sum(batch_sizes.values()) == 0:  # loud, not a silent all-zero model
         feats.unpersist()
         labs.unpersist()
         raise ValueError("train_logreg: labels are empty — nothing to fit")
     w = [0.0] * dim
-    for _ in range(n_iter):
+    decay = 1.0 - lr * l2
+    for i in range(n_iter):
+        b = i % n_batches
+        n_b = batch_sizes.get(b, 0)
+        if n_b == 0:
+            # empty batch: gradient is zero everywhere; only decay
+            # applies (matches the oracle's LEFT JOIN + COALESCE(g, 0))
+            if decay != 1.0:
+                w = [decay * x for x in w]
+            continue
+        if n_batches == 1:
+            bfeats, blabs = feats, labs
+        else:
+            bfeats = feats.filter(F.pmod("doc", F.lit(n_batches)) == b)
+            blabs = labs.filter(F.pmod("doc", F.lit(n_batches)) == b)
         err = (
-            _margins(feats, w)
-            .join(labs, "doc")
+            _margins(bfeats, w)
+            .join(blabs, "doc")
             .select(
                 "doc",
                 (
@@ -138,13 +175,13 @@ def train_logreg(
             )
         )
         grad_rows = (
-            feats.join(err, "doc")
+            bfeats.join(err, "doc")
             .groupBy("idx")
-            .agg((F.sum(F.col("val") * F.col("err")) / F.lit(float(n_docs))).alias("g"))
+            .agg((F.sum(F.col("val") * F.col("err")) / F.lit(float(n_b))).alias("g"))
             .collect()
         )
-        for r in grad_rows:
-            w[r["idx"]] -= lr * r["g"]
+        grad = {r["idx"]: r["g"] for r in grad_rows}
+        w = [decay * x - lr * grad.get(j, 0.0) for j, x in enumerate(w)]
     feats.unpersist()
     labs.unpersist()
     return w
@@ -278,7 +315,13 @@ def _q_classifier_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame
     classifier scores above the corpus median — the 'classifier-kept'
     half of the GPT-3-style filtering split, joined back to payload
     columns so the output is the corpus a training run would read."""
-    scored = _q_quality_classifier(spark, sf_dir)
+    # localCheckpoint: the scored frame is read twice below (median
+    # collect + the semi-join) and its lineage embeds the whole
+    # train+score chain — without the barrier each read re-runs the
+    # feature hashing and final scoring agg (r7 advice). The barrier
+    # also truncates the HOF-heavy literal-weights projection, the same
+    # CollapseProject guard the hash-dedup operators use.
+    scored = _q_quality_classifier(spark, sf_dir).localCheckpoint(eager=True)
     # exact interpolated median (matches DuckDB's median() on doubles;
     # approxQuantile picks an element and would disagree on even counts)
     med = scored.agg(F.expr("percentile(score, 0.5)")).collect()[0][0]
@@ -303,4 +346,176 @@ ORDER BY d.doc_id
 
 QUERIES["q147_classifier_filtered_corpus"] = QuerySpec(
     _q_classifier_filtered_corpus, _filtered_oracle(_DIM, _N_ITER, _LR)
+)
+
+
+# ---------------------------------------------------------------------------
+# q152: held-out calibration — mini-batch + L2 training, rank AUC
+# ---------------------------------------------------------------------------
+
+# Seed INDEPENDENT of mixing._SAMPLE_SEED (seed-hygiene note on
+# deterministic_split: reusing an upstream sampling seed re-reads the
+# same draws and piles survivors into one bucket).
+_AUC_SEED = 917
+_TRAIN_FRAC = 0.8
+_L2 = 1e-4
+_N_BATCHES = 4
+
+
+def _q_classifier_heldout_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shaped evaluation of the quality classifier: split
+    the corpus deterministically (the q120 md5 scheme, independent
+    seed), train with MINI-BATCH + L2 options on the train split only,
+    score the held-out split, and report rank AUC (Mann-Whitney with
+    average-rank tie handling) plus score calibration means — the
+    numbers that decide whether the filtering stage is trustworthy on
+    a real crawl, computed on docs the model never saw.
+
+    Scale shape: training as train_logreg (batch-filtered, bounded
+    collects); evaluation groups by DISTINCT rounded score before the
+    one global-ordered cumulative window, so the window runs over at
+    most |distinct scores| rows — a scalar-metric tail, not a per-doc
+    sort. Scores are rounded to 6dp BEFORE ranking so cross-engine
+    last-ulp jitter cannot flip a tie (same tolerance q146 relies on).
+    """
+    from pyspark.sql import Window
+
+    from wing_binlog_go_spark.functions.mixing import _hash_threshold, sample_key
+
+    docs = read_table(spark, sf_dir, "documents")
+    lab = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.array_contains(tokens("text"), "vector").cast("double").alias("y"),
+        (
+            sample_key(F.col("doc_id"), _AUC_SEED)
+            < F.lit(_hash_threshold(_TRAIN_FRAC))
+        ).alias("is_train"),
+    )
+    feats = hashed_token_features(docs, dim=_DIM)
+    trlab = lab.filter("is_train").select("doc", "y")
+    # one semi-join up front, materialized into train_logreg's persist:
+    # cheaper than letting every GD iteration compute margins for
+    # held-out docs only to drop them at the error join
+    trfeats = feats.join(trlab.select("doc"), "doc", "left_semi")
+    w = train_logreg(
+        trfeats, trlab, dim=_DIM, n_iter=_N_ITER, lr=_LR,
+        l2=_L2, n_batches=_N_BATCHES,
+    )
+    n_train = trlab.count()
+    ho = (
+        score_logreg(feats, w)
+        .join(lab.filter(~F.col("is_train")).select("doc", "y"), "doc")
+        .select(F.round("score", 6).alias("score"), "y")
+    )
+    bys = ho.groupBy("score").agg(
+        F.sum("y").alias("np"),
+        F.sum(F.lit(1.0) - F.col("y")).alias("nn"),
+    )
+    cum_w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = bys.withColumn(
+        "cnn", F.coalesce(F.sum("nn").over(cum_w), F.lit(0.0))
+    )
+    return cum.agg(
+        (F.sum("np") + F.sum("nn")).cast("long").alias("n_heldout"),
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.round(
+            F.sum(F.col("np") * (F.col("cnn") + 0.5 * F.col("nn")))
+            / (F.sum("np") * F.sum("nn")),
+            6,
+        ).alias("auc"),
+        F.round(F.sum(F.col("score") * F.col("np")) / F.sum("np"), 6).alias(
+            "mean_pos_score"
+        ),
+        F.round(F.sum(F.col("score") * F.col("nn")) / F.sum("nn"), 6).alias(
+            "mean_neg_score"
+        ),
+    ).select(F.lit(int(n_train)).cast("long").alias("n_train"), "*")
+
+
+def _auc_oracle(
+    dim: int, n_iter: int, lr: float, l2: float, n_batches: int,
+    seed: int, train_frac: float,
+) -> str:
+    """Unrolled mini-batch GD + rank-AUC oracle. Iteration i trains on
+    ``doc % n_batches == i % n_batches`` within the md5 train split;
+    the weight update carries the (1 − lr·l2) decay. All chained CTEs
+    MATERIALIZED (DuckDB inlines plain CTEs — 2^n plan blowup)."""
+    from wing_binlog_go_spark.functions.mixing import _hash_threshold
+
+    thr = _hash_threshold(train_frac)
+    head = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id AS doc, string_split(lower(text), ' ') AS t,
+         substring(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 8) < '{thr}'
+           AS is_train
+  FROM documents
+), toks AS MATERIALIZED (
+  SELECT doc, unnest(t) AS tok, len(t) AS n_toks FROM base
+), feat AS MATERIALIZED (
+  SELECT doc,
+         list_reduce(
+           list_prepend({_HASH_SEED}::BIGINT,
+             list_transform(range(1, length(tok) + 1), i -> ascii(tok[i]))),
+           (a, b) -> (a * 31 + b) % {dim}) AS idx,
+         COUNT(*)::DOUBLE / ANY_VALUE(n_toks) AS val
+  FROM toks WHERE length(tok) > 0 GROUP BY doc, idx
+), lab AS MATERIALIZED (
+  SELECT doc, list_contains(t, 'vector')::DOUBLE AS y, is_train FROM base
+), trlab AS MATERIALIZED (
+  SELECT doc, y FROM lab WHERE is_train
+), trfeat AS MATERIALIZED (
+  SELECT f.doc, f.idx, f.val, f.doc % {n_batches} AS b
+  FROM feat f JOIN (SELECT DISTINCT doc FROM trlab) tr USING (doc)
+), nb AS MATERIALIZED (
+  SELECT doc % {n_batches} AS b, COUNT(*)::DOUBLE AS n FROM trlab GROUP BY b
+), w0 AS MATERIALIZED (
+  SELECT unnest(range(0, {dim})) AS idx, 0.0::DOUBLE AS w
+)"""
+    steps = []
+    for i in range(n_iter):
+        b = i % n_batches
+        steps.append(f""", m{i} AS MATERIALIZED (
+  SELECT f.doc, SUM(f.val * w.w) AS margin
+  FROM trfeat f JOIN w{i} w USING (idx) WHERE f.b = {b} GROUP BY f.doc
+), e{i} AS MATERIALIZED (
+  SELECT l.doc, 1.0 / (1.0 + exp(-COALESCE(m.margin, 0.0))) - l.y AS err
+  FROM trlab l LEFT JOIN m{i} m USING (doc) WHERE l.doc % {n_batches} = {b}
+), g{i} AS MATERIALIZED (
+  SELECT f.idx,
+         SUM(f.val * e.err) / (SELECT n FROM nb WHERE b = {b}) AS g
+  FROM trfeat f JOIN e{i} e USING (doc) GROUP BY f.idx
+), w{i + 1} AS MATERIALIZED (
+  SELECT w.idx, w.w * (1.0 - {lr} * {l2}) - {lr} * COALESCE(g.g, 0.0) AS w
+  FROM w{i} w LEFT JOIN g{i} g USING (idx)
+)""")
+    tail = f""", mf AS MATERIALIZED (
+  SELECT f.doc, SUM(f.val * w.w) AS margin
+  FROM feat f JOIN w{n_iter} w USING (idx) GROUP BY f.doc
+), ho AS MATERIALIZED (
+  SELECT ROUND(1.0 / (1.0 + exp(-m.margin)), 6) AS score, l.y
+  FROM lab l JOIN mf m USING (doc) WHERE NOT l.is_train
+), bys AS MATERIALIZED (
+  SELECT score, SUM(y) AS np, SUM(1.0 - y) AS nn FROM ho GROUP BY score
+), cum AS MATERIALIZED (
+  SELECT score, np, nn,
+         COALESCE(SUM(nn) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cnn
+  FROM bys
+)
+SELECT (SELECT COUNT(*) FROM trlab)::BIGINT AS n_train,
+       CAST(SUM(np) + SUM(nn) AS BIGINT) AS n_heldout,
+       CAST(SUM(np) AS BIGINT) AS n_pos,
+       CAST(SUM(nn) AS BIGINT) AS n_neg,
+       ROUND(SUM(np * (cnn + 0.5 * nn)) / (SUM(np) * SUM(nn)), 6) AS auc,
+       ROUND(SUM(score * np) / SUM(np), 6) AS mean_pos_score,
+       ROUND(SUM(score * nn) / SUM(nn), 6) AS mean_neg_score
+FROM cum
+"""
+    return head + "".join(steps) + tail
+
+
+QUERIES["q152_classifier_heldout_auc"] = QuerySpec(
+    _q_classifier_heldout_auc,
+    _auc_oracle(_DIM, _N_ITER, _LR, _L2, _N_BATCHES, _AUC_SEED, _TRAIN_FRAC),
 )

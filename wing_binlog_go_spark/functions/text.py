@@ -2149,18 +2149,23 @@ def incremental_novelty_apply(
     ``shingles/`` appends FIRST; a shingle's attribution rides with it,
     so a crash after the shingle append but before the novelty write
     replays safely: the doc's own id is the stored ``first_doc``, and
-    the novelty rule credits a shingle to a doc when the MIN of the
-    stored and in-batch attributions equals the doc — a replayed doc
-    still counts its own shingles as novel. Duplicate (s, first_doc)
-    rows from such replays cost storage, never correctness (reads take
-    the min). Ids already in ``novelty/`` are replay no-ops.
+    HISTORY WINS (``coalesce(hist_first, batch_first)``) — a replayed
+    doc's shingles still carry its own id in the store, so it counts
+    them as novel, while a shingle any earlier arrival owns stays
+    credited to that arrival. Duplicate (s, first_doc) rows from such
+    replays cost storage, never correctness (reads take the min). Ids
+    already in ``novelty/`` are replay no-ops.
 
     The union of every batch's novelty rows equals the batch operator
     on the cumulative corpus whenever ids are monotone with arrival
     (the CDC stream's event_index contract, O10); for out-of-order ids
-    the incremental form keeps ARRIVAL-order attribution — the stream
-    semantics — while the batch operator uses global min id
-    (test-asserted equality under the monotone condition).
+    the incremental form keeps true ARRIVAL-order attribution — a
+    later-arriving smaller id is NOT novel for a shingle history
+    already owns (the stream semantics; r7 advice: the earlier
+    ``least(batch_first, hist_first)`` form double-credited that
+    shingle to both arrivals) — while the batch operator uses global
+    min id (test-asserted equality under the monotone condition,
+    divergence-by-design asserted for out-of-order ids).
 
     Returns (novelty_rows_for_fresh_docs, stats).
     """
@@ -2199,11 +2204,13 @@ def incremental_novelty_apply(
             .groupBy("s")
             .agg(F.min("first_doc").alias("hist_first"))
         )
+        # history wins: attribution is arrival order, not min id — an
+        # out-of-order smaller id must not steal (and double-credit) a
+        # shingle already attributed. A replayed doc's own shingles
+        # have hist_first == doc, so replay self-credit still works.
         first = batch_first.join(hist, "s", "left").select(
             "s",
-            F.least(
-                F.col("batch_first"), F.coalesce("hist_first", "batch_first")
-            ).alias("first_doc"),
+            F.coalesce("hist_first", "batch_first").alias("first_doc"),
             F.col("hist_first").isNull().alias("_new"),
         )
         write_mode = "append"

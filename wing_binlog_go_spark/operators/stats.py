@@ -500,6 +500,7 @@ def cms_build(
     width: int = 1024,
     depth: int = 4,
     seed: int = 7,
+    bucket_fn=None,
 ) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan 2005) of an item
     stream as a (j, col, cnt) table — depth·width cells regardless of
@@ -510,18 +511,24 @@ def cms_build(
     per-day/per-shard sketches roll up without touching raw data.
 
     Each depth row uses Spark's murmur3 (`F.hash`) under a distinct
-    seed — deterministic across runs and executors; no SQL oracle for
-    exactly that reason (DuckDB has no murmur3), so the evidence is the
-    property suite: estimates never undercount, overcounts obey the
-    Markov bound, and shard-merge equals whole-corpus build exactly.
+    seed by default — deterministic across runs and executors; no SQL
+    oracle for exactly that reason (DuckDB has no murmur3), so the
+    evidence is the property suite: estimates never undercount,
+    overcounts obey the Markov bound, and shard-merge equals
+    whole-corpus build exactly. Pass ``bucket_fn(item_col, j) → col``
+    to swap the hash family — ``rolling_cms_bucket`` gives the
+    cross-engine polynomial hash that makes the whole sketch
+    hash-checkable against DuckDB (q149b); murmur3 stays the
+    production default (constant-time per item vs per-character fold).
     """
     w = F.col(count_col).cast("long") if count_col else F.lit(1).cast("long")
+    bucket = bucket_fn or (
+        lambda c, j: F.pmod(F.hash(c, F.lit(seed + j)), F.lit(width))
+    )
     parts = [
         items.select(
             F.lit(j).alias("j"),
-            F.pmod(F.hash(F.col(item_col), F.lit(seed + j)), F.lit(width)).alias(
-                "col"
-            ),
+            bucket(F.col(item_col), j).alias("col"),
             w.alias("cnt"),
         )
         for j in range(depth)
@@ -545,18 +552,21 @@ def cms_estimate(
     width: int = 1024,
     depth: int = 4,
     seed: int = 7,
+    bucket_fn=None,
 ) -> DataFrame:
     """(item, est): min over depth rows of the probed cells — the CMS
     upper-bound estimate (never an undercount). The probe side explodes
     to depth rows per item and equi-joins the sketch on (j, col); a
-    missing cell reads as 0."""
+    missing cell reads as 0. ``bucket_fn`` must match the one the
+    sketch was built with."""
+    bucket = bucket_fn or (
+        lambda c, j: F.pmod(F.hash(c, F.lit(seed + j)), F.lit(width))
+    )
     hashes = F.array(
         *[
             F.struct(
                 F.lit(j).alias("j"),
-                F.pmod(
-                    F.hash(F.col("item"), F.lit(seed + j)), F.lit(width)
-                ).alias("col"),
+                bucket(F.col("item"), j).alias("col"),
             )
             for j in range(depth)
         ]

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -887,10 +888,15 @@ def cms_sketch_writer(
     """Route writer maintaining a Count-Min token sketch from the CDC
     stream (`operators.stats.cms_build`): each micro-batch's INSERT
     docs tokenize and sketch into a PARTITION keyed by the batch's
-    minimum doc id (an at-least-once-stable batch key), and the
-    partition directory's presence is the commit — a replayed batch is
-    a no-op instead of a double-count, which matters precisely because
-    sketches merge by ADDITION. Read the merged sketch back with
+    minimum doc id (an at-least-once-stable batch key). The batch
+    sketch is first written to ``_staging/bkey=<key>`` and then
+    ``os.rename``d into place, so the ``bkey=`` directory appears
+    ATOMICALLY: a crash mid-write leaves only staging debris (invisible
+    to Spark reads — leading underscore — and overwritten on retry),
+    never a partial committed partition. Directory presence is
+    therefore a sound commit marker and a replayed batch is a no-op
+    instead of a double-count, which matters precisely because sketches
+    merge by ADDITION. Read the merged sketch back with
     ``read_cms_sketch`` (cell-wise sum across partitions — the
     mergeability doing the work)."""
     from wing_binlog_go_spark.operators.stats import cms_build
@@ -909,17 +915,23 @@ def cms_sketch_writer(
             return
         batch_key = docs.agg(F.min("doc_id")).collect()[0][0]
         part_dir = os.path.join(store_dir, f"bkey={batch_key}")
-        if os.path.isdir(part_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(part_dir)
-        ):
-            return  # replayed batch: sketch partition already committed
+        if os.path.isdir(part_dir):
+            return  # replayed batch: partition rename already committed
         toks = docs.select(
             F.explode(F.split(F.lower("_payload"), " ")).alias("tok")
         )
-        sketch = cms_build(toks, "tok", width=width, depth=depth).withColumn(
-            "bkey", F.lit(int(batch_key))
-        )
-        sketch.write.mode("append").partitionBy("bkey").parquet(store_dir)
+        sketch = cms_build(toks, "tok", width=width, depth=depth)
+        # Stage-then-rename commit: the multi-file parquet job is not
+        # atomic, so a crash mid-write must leave NO bkey= directory
+        # (else the replay probe would skip the batch and the sketch
+        # would permanently undercount). The bkey partition value comes
+        # from the directory name after the rename.
+        stage_dir = os.path.join(store_dir, "_staging", f"bkey={batch_key}")
+        if os.path.isdir(stage_dir):
+            shutil.rmtree(stage_dir)  # crashed earlier attempt: discard
+        sketch.write.mode("overwrite").parquet(stage_dir)
+        os.makedirs(store_dir, exist_ok=True)
+        os.rename(stage_dir, part_dir)  # the commit point
 
     return write
 
@@ -943,10 +955,12 @@ def mg_sketch_writer(
 ):
     """Route writer maintaining a Misra-Gries heavy-hitter summary from
     the CDC stream (`operators.stats.misra_gries_topk`): per batch the
-    token summary lands in a partition keyed by the batch's min doc id
-    with partition-presence as the commit (the same idempotence shape
-    as ``cms_sketch_writer`` — MG merges by summing partial estimates,
-    so a replayed batch must not re-merge). ``read_mg_sketch`` returns
+    token summary lands in a partition keyed by the batch's min doc id,
+    committed by staging + atomic ``os.rename`` so partition-presence
+    is a sound replay probe (the same commit shape as
+    ``cms_sketch_writer`` — MG merges by summing partial estimates,
+    so a replayed batch must not re-merge and a crashed half-written
+    batch must not be skipped). ``read_mg_sketch`` returns
     the merged (item, est) table; the mergeable-summary theorem keeps
     the N/(k+1) undercount bound through the per-batch merge."""
     from wing_binlog_go_spark.operators.stats import misra_gries_topk
@@ -965,17 +979,21 @@ def mg_sketch_writer(
             return
         batch_key = docs.agg(F.min("doc_id")).collect()[0][0]
         part_dir = os.path.join(store_dir, f"bkey={batch_key}")
-        if os.path.isdir(part_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(part_dir)
-        ):
-            return  # replayed batch: summary partition already committed
+        if os.path.isdir(part_dir):
+            return  # replayed batch: partition rename already committed
         toks = docs.select(
             F.explode(F.split(F.lower("_payload"), " ")).alias("tok")
         )
-        summary = misra_gries_topk(toks, "tok", k=k).withColumn(
-            "bkey", F.lit(int(batch_key))
-        )
-        summary.write.mode("append").partitionBy("bkey").parquet(store_dir)
+        summary = misra_gries_topk(toks, "tok", k=k)
+        # Stage-then-rename (see cms_sketch_writer): directory rename is
+        # the atomic commit point; a crash mid-parquet-job leaves only
+        # _staging debris, never a skippable partial partition.
+        stage_dir = os.path.join(store_dir, "_staging", f"bkey={batch_key}")
+        if os.path.isdir(stage_dir):
+            shutil.rmtree(stage_dir)  # crashed earlier attempt: discard
+        summary.write.mode("overwrite").parquet(stage_dir)
+        os.makedirs(store_dir, exist_ok=True)
+        os.rename(stage_dir, part_dir)  # the commit point
 
     return write
 
