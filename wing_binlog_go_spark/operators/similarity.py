@@ -1494,13 +1494,118 @@ def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def load_frozen_centroids(name: str = "centroids_q38e") -> list[list[float]]:
+    """Centroids from the committed quantizer store (a versioned JSON
+    under ``wing_binlog_go_spark/resources/``) — the production shape:
+    quantizers are trained ONCE, frozen, and shipped with the pipeline,
+    because retraining per run re-scales the space under existing
+    assignments (the same reason the incremental PQ/semantic-dedup
+    stores freeze theirs). Frozen floats are also what makes
+    cluster assignment SQL-expressible: the model enters both engines
+    as the same literals."""
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "resources", f"{name}.json",
+    )
+    with open(path) as f:
+        return [[float(x) for x in c] for c in _json.load(f)["centroids"]]
+
+
+def diversity_sample_frozen(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    per_cluster: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """:func:`diversity_sample` against FROZEN centroids with a
+    cross-engine sampling draw: nearest-centroid assignment as literal
+    column expressions (no shuffle, no UDF), then one window per
+    cluster keeping the ``per_cluster`` smallest md5 draws (the q120
+    sample_key scheme — replayable in ANSI SQL, unlike xxhash64).
+    Deterministic given (centroids, seed): replays, audits, and the
+    DuckDB oracle reproduce the exact mix."""
+    from wing_binlog_go_spark.functions.mixing import sample_key
+
+    assigned = assign_to_centroids(corpus, cents, vec_col)
+    w = Window.partitionBy("_cluster").orderBy(
+        sample_key(id_col, seed), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_cluster)
+        .drop("_rn")
+    )
+
+
+_Q38E_SEED = 42
+_Q38E_PER_CLUSTER = 10
+
+
 def _q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-quantizer diversity sampling (oracle-backed since r8: the
+    committed centroid store enters both engines as literals, and the
+    md5 draw replaces xxhash64, so the whole assignment + per-cluster
+    cap chain hash-checks against DuckDB)."""
     emb = read_table(spark, sf_dir, "embeddings")
     return (
-        diversity_sample(emb, per_cluster=10, n_clusters=8)
-        .select("vec_id", "_cluster")
+        diversity_sample_frozen(
+            emb, load_frozen_centroids(),
+            per_cluster=_Q38E_PER_CLUSTER, seed=_Q38E_SEED,
+        )
+        .select("vec_id", F.col("_cluster").cast("int").alias("cluster"))
         .orderBy("vec_id")
     )
+
+
+def _diversity_oracle() -> str:
+    """Assignment = argmin over the frozen centroids of the L2^2
+    distance, folded left-to-right exactly as Spark's zip_with +
+    aggregate does (bit-identical doubles, so even would-be ties agree);
+    lowest index wins ties via the sequential CASE. Sampling = the q120
+    md5 scheme."""
+    cents = load_frozen_centroids()
+    dist_cols = []
+    for i, c in enumerate(cents):
+        lit = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+        dist_cols.append(
+            f"list_reduce(list_transform(range(1, len(embedding) + 1),"
+            f" i -> (embedding[i]::DOUBLE - ({lit})[i])"
+            f" * (embedding[i]::DOUBLE - ({lit})[i])),"
+            f" (a, b) -> a + b) AS d{i}"
+        )
+    k = len(cents)
+    case = "CASE\n"
+    for i in range(k - 1):
+        conds = " AND ".join(f"d{i} <= d{j}" for j in range(k) if j != i)
+        case += f"    WHEN {conds} THEN {i}\n"
+    case += f"    ELSE {k - 1} END"
+    dist_block = ",\n         ".join(dist_cols)
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT vec_id,
+         {dist_block}
+  FROM embeddings
+), assigned AS MATERIALIZED (
+  SELECT vec_id,
+         {case} AS cluster
+  FROM d
+), ranked AS (
+  SELECT vec_id, cluster,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster
+           ORDER BY substring(md5('{_Q38E_SEED}:' || CAST(vec_id AS VARCHAR)), 1, 8),
+                    vec_id) AS rn
+  FROM assigned
+)
+SELECT vec_id, cluster FROM ranked
+WHERE rn <= {_Q38E_PER_CLUSTER}
+ORDER BY vec_id
+"""
 
 
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1559,7 +1664,7 @@ QUERIES["q38_ann_brute_force"] = QuerySpec(_q_ann_brute, _ANN_ORACLE)
 QUERIES["q38b_ann_lsh"] = QuerySpec(_q_ann_lsh, None)  # recall property-test
 QUERIES["q38c_embedding_near_dup"] = QuerySpec(_q_near_dup, _NEAR_DUP_ORACLE)
 QUERIES["q38d_ann_ivf"] = QuerySpec(_q_ann_ivf, None)  # recall property-test
-QUERIES["q38e_diversity_sample"] = QuerySpec(_q_diversity_sample, None)  # KMeans — no SQL oracle
+QUERIES["q38e_diversity_sample"] = QuerySpec(_q_diversity_sample, _diversity_oracle())  # frozen-quantizer store → SQL-expressible
 QUERIES["q38g_semantic_dedup"] = QuerySpec(_q_semantic_dedup, None)  # KMeans — no SQL oracle; planted-dup test
 QUERIES["q38h_incremental_semantic_dedup"] = QuerySpec(_q_incremental_semantic_dedup, None)  # KMeans + store — no SQL oracle; cross-batch e2e test
 QUERIES["q38f_ann_pq"] = QuerySpec(_q_ann_pq, None)  # recall property-test (codebooks — no SQL oracle)

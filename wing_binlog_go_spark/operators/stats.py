@@ -605,6 +605,109 @@ def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q149_cms_heavy_hitters"] = QuerySpec(_q_cms_heavy_hitters, None)  # murmur3 — no SQL oracle; property-tested
 
 
+# Distinct polynomial BASES per depth row, not distinct seeds: with a
+# shared multiplier the rows differ only by a length-dependent additive
+# shift, so same-length tokens that collide in one row collide in ALL
+# rows and the min-over-rows does nothing. Distinct odd-prime bases
+# give genuinely different collision sets. Width prime (not 2^k) so
+# the low-bit-only structure of a power-of-two modulus can't align
+# with the base either.
+_CMS_ROLL_MULTS = (31, 37, 41, 43)
+_CMS_ROLL_WIDTH = 509
+_CMS_ROLL_SEED = 7
+
+
+def rolling_cms_bucket(item: F.Column, j: int) -> F.Column:
+    """Cross-engine CMS bucket for depth row j: the polynomial rolling
+    hash (seed·m + code) % width folded left-to-right over character
+    codes — the classifier's feature-hash scheme (verified vs DuckDB
+    ``list_reduce``) with a per-row multiplier. NON-EMPTY tokens only:
+    Spark folds [''] once, DuckDB's empty range folds zero times."""
+    m = _CMS_ROLL_MULTS[j]
+    return F.aggregate(
+        F.transform(F.split(item, ""), lambda ch: F.ascii(ch)),
+        F.lit(_CMS_ROLL_SEED).cast("long"),
+        lambda acc, c: (acc * m + c.cast("long")) % _CMS_ROLL_WIDTH,
+    )
+
+
+def _q_cms_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q149's estimate path with the cross-engine rolling-hash family:
+    the same sketch build + min-over-rows probe, hash-CHECKED against a
+    DuckDB replay of the full sketch rather than property-tested —
+    upgrading the mergeable-sketch story from bounds to exact-match
+    evidence. murmur3 (q149) stays the production default: one hash op
+    per item beats a per-character fold on a 100 TB token stream."""
+    from wing_binlog_go_spark.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    depth = len(_CMS_ROLL_MULTS)
+    sketch = cms_build(
+        toks, "tok", width=_CMS_ROLL_WIDTH, depth=depth,
+        bucket_fn=rolling_cms_bucket,
+    )
+    top = (
+        toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok").limit(20).select("tok")
+    )
+    return (
+        cms_estimate(
+            sketch, top, "tok", width=_CMS_ROLL_WIDTH, depth=depth,
+            bucket_fn=rolling_cms_bucket,
+        )
+        .withColumnRenamed("item", "tok")
+        .orderBy("tok")
+    )
+
+
+def _cms_rolling_oracle() -> str:
+    w, seed = _CMS_ROLL_WIDTH, _CMS_ROLL_SEED
+    hash_cols = ",\n         ".join(
+        f"list_reduce(list_prepend({seed}::BIGINT,"
+        f" list_transform(range(1, length(tok) + 1), i -> ascii(tok[i]))),"
+        f" (a, b) -> (a * {m} + b) % {w}) AS c{j}"
+        for j, m in enumerate(_CMS_ROLL_MULTS)
+    )
+    sketch_rows = "\n  UNION ALL\n".join(
+        f"  SELECT {j} AS j, c{j} AS col, COUNT(*)::BIGINT AS cnt"
+        f" FROM h GROUP BY c{j}"
+        for j in range(len(_CMS_ROLL_MULTS))
+    )
+    probe_rows = "\n  UNION ALL\n".join(
+        f"  SELECT tok, {j} AS j, c{j} AS col FROM toph"
+        for j in range(len(_CMS_ROLL_MULTS))
+    )
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+), t AS MATERIALIZED (
+  SELECT tok FROM toks WHERE length(tok) > 0
+), h AS MATERIALIZED (
+  SELECT tok,
+         {hash_cols}
+  FROM t
+), sketch AS MATERIALIZED (
+{sketch_rows}
+), top AS MATERIALIZED (
+  SELECT tok FROM t GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT 20
+), toph AS MATERIALIZED (
+  SELECT DISTINCT h.tok, c0, c1, c2, c3 FROM h JOIN top USING (tok)
+), probe AS (
+{probe_rows}
+)
+SELECT p.tok, MIN(COALESCE(s.cnt, 0))::BIGINT AS est
+FROM probe p LEFT JOIN sketch s USING (j, col)
+GROUP BY p.tok
+ORDER BY p.tok
+"""
+
+
+QUERIES["q149b_cms_rolling_hash"] = QuerySpec(_q_cms_rolling, _cms_rolling_oracle())
+
+
 def misra_gries_topk(
     items: DataFrame,
     item_col: str,
