@@ -570,3 +570,37 @@ def test_round7_new_query_plan_hygiene(spark, sf_dir):
         assert (
             p.count("HashAggregate") + p.count("ObjectHashAggregate") >= 2
         ), name
+
+
+def test_round8_new_query_plan_hygiene(spark, sf_dir):
+    """q149b (rolling-hash CMS), q152 (held-out AUC), q153 (kNN
+    coreset), q38e (frozen-quantizer diversity sample): no cartesian
+    products, no Python nodes at all (every stage is JVM column
+    expressions — the frozen models enter as literals), partial
+    aggregation present."""
+    for name in (
+        "q149b_cms_rolling_hash",
+        "q152_classifier_heldout_auc",
+        "q153_knn_coreset",
+        "q38e_diversity_sample",
+    ):
+        p = plan_of(_Q[name].spark(spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name
+        assert (
+            p.count("HashAggregate")
+            + p.count("ObjectHashAggregate")
+            + p.count("Window")
+            >= 1
+        ), name
+
+
+def test_knn_coreset_join_is_cluster_equi(spark, sf_dir):
+    """q153's candidate generation must be the cluster equi-self-join
+    (the SemDeDup bound) — hashpartitioning on the cluster key, never
+    a corpus x corpus product; and the in-degree side is a dst-keyed
+    partial agg."""
+    p = plan_of(_Q["q153_knn_coreset"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p

@@ -1562,12 +1562,12 @@ def _q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _diversity_oracle() -> str:
-    """Assignment = argmin over the frozen centroids of the L2^2
+def _frozen_assign_cte() -> str:
+    """The ``d`` + ``assigned`` CTE pair shared by the frozen-centroid
+    oracles (q38e, q153): argmin over the frozen centroids of the L2^2
     distance, folded left-to-right exactly as Spark's zip_with +
-    aggregate does (bit-identical doubles, so even would-be ties agree);
-    lowest index wins ties via the sequential CASE. Sampling = the q120
-    md5 scheme."""
+    aggregate does (bit-identical doubles, so even would-be ties
+    agree); lowest index wins ties via the sequential CASE."""
     cents = load_frozen_centroids()
     dist_cols = []
     for i, c in enumerate(cents):
@@ -1594,7 +1594,13 @@ WITH d AS MATERIALIZED (
   SELECT vec_id,
          {case} AS cluster
   FROM d
-), ranked AS (
+)"""
+
+
+def _diversity_oracle() -> str:
+    """Frozen assignment (see :func:`_frozen_assign_cte`) + the q120
+    md5 sampling scheme."""
+    return _frozen_assign_cte() + f""", ranked AS (
   SELECT vec_id, cluster,
          ROW_NUMBER() OVER (
            PARTITION BY cluster
@@ -1604,6 +1610,148 @@ WITH d AS MATERIALIZED (
 )
 SELECT vec_id, cluster FROM ranked
 WHERE rn <= {_Q38E_PER_CLUSTER}
+ORDER BY vec_id
+"""
+
+
+def knn_graph_clustered(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-within-cluster kNN graph against FROZEN centroids:
+    (src, dst, rnk, sim, cluster) with each node's top-k cosine
+    neighbors among its own cluster — the SemDeDup candidate bound
+    applied to graph building. Where :func:`knn_graph` buckets by
+    LSH collision (better recall for cross-cluster neighbors, Spark
+    murmur3 → rows-only evidence), this variant's candidates are the
+    cluster equi-self-join and the frozen quantizer makes the WHOLE
+    graph SQL-replayable (q153). n_clusters must grow with the corpus
+    so per-cluster lists stay bounded — same prescription as
+    semantic_dedup's."""
+    assigned = (
+        assign_to_centroids(
+            corpus.select(F.col(id_col), as_double(vec_col).alias("_v")),
+            cents, "_v",
+        )
+        .withColumn("_n", norm(F.col("_v")))
+        # referenced twice (both self-join sides); the barrier also
+        # stops CollapseProject from duplicating the HOF assignment
+        .localCheckpoint(eager=True)
+    )
+    lhs = assigned.select(
+        F.col(id_col).alias("src"), F.col("_cluster").alias("cluster"),
+        F.col("_v").alias("_sv"), F.col("_n").alias("_sn"),
+    )
+    rhs = assigned.select(
+        F.col(id_col).alias("dst"), F.col("_cluster").alias("cluster"),
+        F.col("_v").alias("_dv"), F.col("_n").alias("_dn"),
+    )
+    scored = (
+        lhs.join(rhs, "cluster")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "cluster", "src", "dst",
+            (dot(F.col("_sv"), F.col("_dv"))
+             / (F.col("_sn") * F.col("_dn"))).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("_sim"), F.asc("dst"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("src", "dst", "rnk", F.col("_sim").alias("sim"), "cluster")
+    )
+
+
+def coreset_by_degree(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    k: int = 5,
+    per_cluster: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Degree-based coreset selection over the clustered kNN graph —
+    the consumer that proves the graph substrate: a node's IN-degree
+    (how often it lands in other nodes' top-k) is a local-density
+    proxy, so keeping the ``per_cluster`` LOWEST in-degree nodes per
+    cluster selects the sparse-region representatives a diverse
+    training coreset wants (redundant prototype-dense points are
+    exactly the high in-degree ones). Zero in-degree nodes — never
+    anyone's neighbor — are the most isolated and select first.
+
+    Scale shape: graph build as :func:`knn_graph_clustered`; then one
+    dst-keyed count (≤ N·k edge rows) and one per-cluster window.
+    Output (vec_id, cluster, in_degree) ordered by vec_id."""
+    assigned = assign_to_centroids(
+        corpus.select(F.col(id_col), as_double(vec_col).alias("_v")), cents, "_v"
+    ).select(F.col(id_col), F.col("_cluster").alias("cluster"))
+    edges = knn_graph_clustered(corpus, cents, k=k, id_col=id_col, vec_col=vec_col)
+    deg = edges.groupBy("dst").agg(F.count("*").alias("in_degree"))
+    w = Window.partitionBy("cluster").orderBy(
+        F.asc("in_degree"), F.asc(id_col)
+    )
+    return (
+        assigned.join(deg, assigned[id_col] == deg["dst"], "left")
+        .select(
+            F.col(id_col), "cluster",
+            F.coalesce(F.col("in_degree"), F.lit(0)).cast("long").alias("in_degree"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_cluster)
+        .drop("_rn")
+    )
+
+
+_Q153_K = 5
+_Q153_PER_CLUSTER = 10
+
+
+def _q_knn_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN-graph consumer (r7 verdict ask #6): frozen-quantizer
+    clustered kNN graph → in-degree → low-density coreset, the whole
+    chain hash-checked against DuckDB."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        coreset_by_degree(
+            emb, load_frozen_centroids(), k=_Q153_K,
+            per_cluster=_Q153_PER_CLUSTER,
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _knn_coreset_oracle() -> str:
+    """Frozen assignment + within-cluster exact kNN (raw-sim ranking —
+    the q38 precedent: list_cosine_similarity vs Spark's fold agree on
+    ordering for this corpus; ties break on dst) + in-degree window."""
+    return _frozen_assign_cte() + f""", av AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM assigned a JOIN embeddings e USING (vec_id)
+), edges AS MATERIALIZED (
+  SELECT s.cluster, s.vec_id AS src, t.vec_id AS dst,
+         list_cosine_similarity(s.v, t.v) AS sim
+  FROM av s JOIN av t ON s.cluster = t.cluster AND s.vec_id != t.vec_id
+), topk AS MATERIALIZED (
+  SELECT cluster, src, dst FROM (
+    SELECT cluster, src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY sim DESC, dst) AS rnk
+    FROM edges
+  ) WHERE rnk <= {_Q153_K}
+), deg AS MATERIALIZED (
+  SELECT dst, COUNT(*)::BIGINT AS in_degree FROM topk GROUP BY dst
+), sel AS (
+  SELECT a.vec_id, a.cluster, COALESCE(g.in_degree, 0) AS in_degree,
+         ROW_NUMBER() OVER (PARTITION BY a.cluster
+                            ORDER BY COALESCE(g.in_degree, 0), a.vec_id) AS rn
+  FROM assigned a LEFT JOIN deg g ON a.vec_id = g.dst
+)
+SELECT vec_id, cluster, in_degree FROM sel
+WHERE rn <= {_Q153_PER_CLUSTER}
 ORDER BY vec_id
 """
 
@@ -1858,3 +2006,4 @@ def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q150_knn_graph"] = QuerySpec(_q_knn_graph, None)  # LSH buckets — no SQL oracle; recall-audited
+QUERIES["q153_knn_coreset"] = QuerySpec(_q_knn_coreset, _knn_coreset_oracle())

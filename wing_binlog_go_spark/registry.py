@@ -43,74 +43,76 @@ _OPERATOR_MODULES = (
 #: ``all_queries()`` call.  Tests assert this stays empty.
 failed_modules: dict[str, str] = {}
 
-# First 50 = the driver's verification window.  Round-7 layout (per the
-# r6 verdict's window plan): lead with the SEVEN keys that have never
-# earned a driver CORRECTNESS row (q143-q145 registered after the r6
-# window was cut; q146-q149 new this round), then the full r3-era-stale
-# band (q51/q55-q66/
-# q80-q97 — the 31 keys whose latest driver evidence is round 3), then
-# 16 of the r4 band, led by the queries whose code or evidence moved
-# this round (q38f's refine retune to 100; q38's out-of-band r6 bench
-# sample; their recall siblings) and the heaviest TPC-H forms.  The
-# remaining r4 keys and the whole r5/r6 bands hold green rows at most
-# two rounds old and rotate back in on r8.  After this window nothing
-# in the ledger is older than round 4.
+# First 50 = the driver's verification window.  Round-8 layout (per the
+# r7 verdict's window plan): lead with the FIVE keys that have never
+# earned a driver CORRECTNESS row (q150/q151 registered after the r7
+# window was cut; q149b/q152/q153 new this round), then the THREE keys
+# whose rows-only→oracle upgrade has never been driver-confirmed
+# (q37d/q139 upgraded in r7 but their latest rows predate it; q38e
+# upgraded this round), then the full r4-stale band — the stalest
+# evidence left (34 keys: the q01-q27 relational core, q98-q105,
+# q39w, q18) — and 8 of the r5 band (the bench-headline TPC-H forms
+# including the q52 watch, then the gap-fill family).  The remaining
+# r5 keys and the whole r6/r7 bands hold rows at most two rounds old
+# and rotate back in on r9.  After this window nothing in the ledger
+# is older than round 5.
 _PRIORITY = (
-    # Never driver-verified (q143-q145 registered after the r6 window
-    # was cut; q146/q147 are new this round).
-    "q143_interval_overlap",
-    "q144_weighted_sample_per_group",
-    "q145_ccnet_mix",
-    "q146_quality_classifier",
-    "q147_classifier_filtered_corpus",
-    "q148_ngram_novelty",
-    "q149_cms_heavy_hitters",
-    # The r3-stale band: latest driver row is ROUND 3 (31 keys).
-    "q51_null_handling",
-    "q55_first_last_value",
-    "q56_union_all",
-    "q57_regexp_functions",
-    "q58_bitwise",
-    "q59_nullsafe_equality",
-    "q60_array_hof",
-    "q61_map_entries",
-    "q62_interval_arith",
-    "q63_recursive_cte",
-    "q64_values_inline",
-    "q65_ilike",
-    "q66_bigrams",
-    "q80_quantile_bins",
-    "q81_doc_length_curation",
-    "q82_cross_lingual_mix",
-    "q83_event_dedup_window",
-    "q84_tpch_q10",
-    "q85_point_in_time_join",
-    "q86_tpch_q18",
-    "q87_tpch_q7",
-    "q88_tpch_q13",
-    "q89_tpch_q16",
-    "q90_tpch_q17",
-    "q91_tpch_q19",
-    "q92_tpch_q22",
-    "q93_tpch_q4",
-    "q94_tpch_q6",
-    "q95_tpch_q14",
-    "q96_tpch_q15",
-    "q97_tpch_q21",
-    # r4-band refresh: code moved this round first (q38f refine=100),
-    # then its recall siblings and the heaviest TPC-H forms.
-    "q38f_ann_pq",
-    "q38_ann_brute_force",
-    "q38b_ann_lsh",
-    "q38d_ann_ivf",
-    "q38g_semantic_dedup",
-    "q37_minhash_dedup",
-    "q37c_ngram_jaccard",
-    "q39h_tfidf",
-    "q39i_decontamination",
-    "q39m_sequence_pack",
-    "q39t_heavy_hitters",
-    "q39v_source_cap",
+    # Never driver-verified (q150/q151 registered after the r7 window
+    # was cut; q149b/q152/q153 are new this round).
+    "q150_knn_graph",
+    "q151_source_scorecard",
+    "q149b_cms_rolling_hash",
+    "q152_classifier_heldout_auc",
+    "q153_knn_coreset",
+    # rows-only → oracle upgrades awaiting a driver hash-match row.
+    "q37d_dedup_survivors",
+    "q139_pagerank",
+    "q38e_diversity_sample",
+    # The r4-stale band: latest driver row is ROUND 4 (34 keys).
+    "q01_parquet_scan",
+    "q02_projection",
+    "q03_filter",
+    "q04_in_predicate",
+    "q05_null_semantics",
+    "q06_inner_join",
+    "q07_broadcast_join",
+    "q08_left_outer_join",
+    "q09_full_outer_join",
+    "q10_left_semi_join",
+    "q11_left_anti_join",
+    "q12_range_join",
+    "q13_cross_join",
+    "q15_asof_join",
+    "q17_count_distinct",
+    "q18_approx_count_distinct",
+    "q19_rollup",
+    "q20_having",
+    "q21_scalar_subquery",
+    "q22_window_ranking",
+    "q23_window_lag",
+    "q24_window_frame",
+    "q25_multi_key_sort",
+    "q26_topk_per_group",
+    "q27_union",
+    "q39w_span_dedup",
+    "q98_tpch_q8",
+    "q99_tpch_q9",
+    "q100_tpch_q11",
+    "q101_tpch_q20",
+    "q102_tpch_q2",
+    "q103_tpch_q12",
+    "q104_lateral_join",
+    "q105_mode_median",
+    # r5-band refresh: the bench-headline TPC-H forms (q52 is the
+    # standing perf watch) and the time-series gap-fill family.
+    "q14_tpch_q3",
+    "q15b_asof_merge",
+    "q16_tpch_q1",
+    "q52_tpch_q5",
+    "q106_grouping_sets",
+    "q107_time_weighted_avg",
+    "q108_gap_fill_locf",
+    "q109_counter_increase",
 )
 
 
