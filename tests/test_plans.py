@@ -583,6 +583,7 @@ def test_round8_new_query_plan_hygiene(spark, sf_dir):
         "q152_classifier_heldout_auc",
         "q153_knn_coreset",
         "q38e_diversity_sample",
+        "q38j_ann_ivf_frozen",
     ):
         p = plan_of(_Q[name].spark(spark, sf_dir))
         assert "CartesianProduct" not in p, name

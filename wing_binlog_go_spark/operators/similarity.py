@@ -1562,23 +1562,30 @@ def _q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _frozen_assign_cte() -> str:
-    """The ``d`` + ``assigned`` CTE pair shared by the frozen-centroid
-    oracles (q38e, q153): argmin over the frozen centroids of the L2^2
-    distance, folded left-to-right exactly as Spark's zip_with +
-    aggregate does (bit-identical doubles, so even would-be ties
-    agree); lowest index wins ties via the sequential CASE."""
+def _frozen_dist_cols(vec: str = "embedding") -> list[str]:
+    """SQL expressions d0..d{k-1}: L2^2 distance of ``vec`` to each
+    frozen centroid, folded left-to-right exactly as Spark's zip_with
+    + aggregate does (bit-identical doubles, so even would-be ties
+    agree)."""
     cents = load_frozen_centroids()
     dist_cols = []
     for i, c in enumerate(cents):
         lit = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
         dist_cols.append(
-            f"list_reduce(list_transform(range(1, len(embedding) + 1),"
-            f" i -> (embedding[i]::DOUBLE - ({lit})[i])"
-            f" * (embedding[i]::DOUBLE - ({lit})[i])),"
+            f"list_reduce(list_transform(range(1, len({vec}) + 1),"
+            f" i -> ({vec}[i]::DOUBLE - ({lit})[i])"
+            f" * ({vec}[i]::DOUBLE - ({lit})[i])),"
             f" (a, b) -> a + b) AS d{i}"
         )
-    k = len(cents)
+    return dist_cols
+
+
+def _frozen_assign_cte() -> str:
+    """The ``d`` + ``assigned`` CTE pair shared by the frozen-centroid
+    oracles (q38e, q153): argmin of the :func:`_frozen_dist_cols`
+    distances; lowest index wins ties via the sequential CASE."""
+    dist_cols = _frozen_dist_cols()
+    k = len(load_frozen_centroids())
     case = "CASE\n"
     for i in range(k - 1):
         conds = " AND ".join(f"d{i} <= d{j}" for j in range(k) if j != i)
@@ -1753,6 +1760,162 @@ def _knn_coreset_oracle() -> str:
 SELECT vec_id, cluster, in_degree FROM sel
 WHERE rn <= {_Q153_PER_CLUSTER}
 ORDER BY vec_id
+"""
+
+
+def probe_centroids(
+    df: DataFrame,
+    cents: list[list[float]],
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Explode each row to its ``n_probe`` nearest frozen centroids
+    (adds ``_cluster``) — the IVF probe side. Ties break on the lower
+    centroid index (array_sort on struct(d, i)), matching the oracle's
+    ORDER BY dist, cluster."""
+    c = df.withColumn("_dv", as_double(vec_col))
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_dv"),
+                        F.array(*[F.lit(x) for x in ctr]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, ctr in enumerate(cents)
+        ]
+    )
+    return (
+        c.withColumn("_probe", F.slice(F.array_sort(dists), 1, n_probe))
+        .select("*", F.explode(F.col("_probe")["i"]).alias("_cluster"))
+        .drop("_dv", "_probe")
+    )
+
+
+def ivf_topk_frozen(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN against FROZEN coarse centroids: each query probes its
+    ``n_probe`` nearest centroid lists and exact-ranks only those —
+    the same probe-pruning as :func:`ivf_topk`, but with the quantizer
+    from the committed store, which makes the ENTIRE index+search
+    path SQL-replayable (q38j): list assignment, probe selection, and
+    the pruned ranking all hash-check against DuckDB, evidence the
+    trained-on-the-fly form can only approximate with recall bounds.
+
+    Scale shape: corpus assignment is map-side literals; the
+    candidate join is an equi-join on the list id (reads
+    n_probe/n_centroids of the corpus per query batch); ranking is a
+    per-query window over the pruned candidates only."""
+    assigned = (
+        assign_to_centroids(
+            corpus.select(F.col(id_col), as_double(vec_col).alias("_v")),
+            cents, "_v",
+        )
+        .withColumn("_n", norm(F.col("_v")))
+        .select(
+            F.col(id_col), F.col("_cluster").alias("cluster"),
+            F.col("_v"), F.col("_n"),
+        )
+    )
+    probed = probe_centroids(
+        queries.select(F.col(query_id_col), as_double(vec_col).alias("_qv")),
+        cents, n_probe=n_probe, vec_col="_qv",
+    ).select(
+        F.col(query_id_col), F.col("_cluster").alias("cluster"),
+        F.col("_qv"), norm(F.col("_qv")).alias("_qn"),
+    )
+    scored = (
+        probed.join(assigned, "cluster")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col, id_col,
+            (dot(F.col("_qv"), F.col("_v"))
+             / (F.col("_qn") * F.col("_n"))).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            query_id_col, id_col, "rnk", F.round("_sim", 6).alias("sim_r")
+        )
+    )
+
+
+_Q38J_N_PROBE = 2
+
+
+def _q_ann_ivf_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.orderBy("vec_id").limit(10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return ivf_topk_frozen(
+        emb, q, load_frozen_centroids(), k=5, n_probe=_Q38J_N_PROBE
+    ).orderBy("query_id", "rnk")
+
+
+def _ivf_frozen_oracle() -> str:
+    """Frozen corpus assignment + per-query probe selection (unpivot
+    the centroid distances, top-n_probe by dist then index) + pruned
+    exact ranking — the q38 ranking precedent applies to the sim
+    ordering."""
+    k_cents = len(load_frozen_centroids())
+    q_dists = ",\n         ".join(_frozen_dist_cols("qv"))
+    unpivot = "\n  UNION ALL\n".join(
+        f"  SELECT query_id, {i} AS cluster, d{i} AS dist FROM qd"
+        for i in range(k_cents)
+    )
+    return _frozen_assign_cte() + f""", q AS MATERIALIZED (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 10
+), qd AS MATERIALIZED (
+  SELECT query_id,
+         {q_dists}
+  FROM q
+), unpv AS MATERIALIZED (
+{unpivot}
+), probed AS MATERIALIZED (
+  SELECT query_id, cluster FROM (
+    SELECT query_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dist, cluster) AS rn
+    FROM unpv
+  ) WHERE rn <= {_Q38J_N_PROBE}
+), cv AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM assigned a JOIN embeddings e USING (vec_id)
+), s AS (
+  SELECT p.query_id, c.vec_id, list_cosine_similarity(q.qv, c.v) AS sim
+  FROM probed p
+  JOIN cv c USING (cluster)
+  JOIN q USING (query_id)
+  WHERE c.vec_id != p.query_id
+), r AS (
+  SELECT query_id, vec_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, vec_id) AS INTEGER) AS rnk,
+         ROUND(sim, 6) AS sim_r
+  FROM s
+)
+SELECT query_id, vec_id, rnk, sim_r FROM r WHERE rnk <= 5
+ORDER BY query_id, rnk
 """
 
 
@@ -2007,3 +2170,4 @@ def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q150_knn_graph"] = QuerySpec(_q_knn_graph, None)  # LSH buckets — no SQL oracle; recall-audited
 QUERIES["q153_knn_coreset"] = QuerySpec(_q_knn_coreset, _knn_coreset_oracle())
+QUERIES["q38j_ann_ivf_frozen"] = QuerySpec(_q_ann_ivf_frozen, _ivf_frozen_oracle())
