@@ -584,6 +584,7 @@ def test_round8_new_query_plan_hygiene(spark, sf_dir):
         "q153_knn_coreset",
         "q38e_diversity_sample",
         "q38j_ann_ivf_frozen",
+        "q154_label_propagation",
     ):
         p = plan_of(_Q[name].spark(spark, sf_dir))
         assert "CartesianProduct" not in p, name

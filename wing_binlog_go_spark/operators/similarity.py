@@ -1857,6 +1857,89 @@ def ivf_topk_frozen(
     )
 
 
+def label_propagation_knn(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """One-hop label propagation over the clustered kNN graph — the
+    second graph-substrate consumer (after degree coresets): each
+    node's predicted label is the MAJORITY label of its top-k cosine
+    neighbors (ties: higher vote count, then smaller label), the
+    standard kNN-classifier / semi-supervised bootstrap over an
+    embedding space. Output (vec_id, label, pred_label, n_votes,
+    agree) — `agree` against the node's own label is the
+    neighborhood-consistency signal a labeling-quality audit reads
+    (mislabeled or boundary points disagree with their neighborhood).
+
+    Scale shape: the edge table is the :func:`knn_graph_clustered`
+    equi-join; voting is one (src, neighbor-label) agg ≤ N·k rows and
+    one per-src window."""
+    edges = knn_graph_clustered(corpus, cents, k=k, id_col=id_col, vec_col=vec_col)
+    labels = corpus.select(F.col(id_col), F.col(label_col).alias("_lbl"))
+    votes = (
+        edges.join(labels.withColumnRenamed(id_col, "dst"), "dst")
+        .groupBy("src", "_lbl")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("n_votes"), F.asc("_lbl"))
+    pred = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("src").alias(id_col),
+            F.col("_lbl").alias("pred_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
+    )
+    return labels.join(pred, id_col).select(
+        F.col(id_col), F.col("_lbl").alias(label_col), "pred_label",
+        "n_votes", (F.col("_lbl") == F.col("pred_label")).alias("agree"),
+    )
+
+
+def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return label_propagation_knn(
+        emb, load_frozen_centroids(), k=_Q153_K
+    ).orderBy("vec_id")
+
+
+def _label_prop_oracle() -> str:
+    return _frozen_assign_cte() + f""", av AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, CAST(e.embedding AS DOUBLE[]) AS v, e.label
+  FROM assigned a JOIN embeddings e USING (vec_id)
+), edges AS MATERIALIZED (
+  SELECT s.vec_id AS src, t.vec_id AS dst, t.label AS nlbl,
+         list_cosine_similarity(s.v, t.v) AS sim
+  FROM av s JOIN av t ON s.cluster = t.cluster AND s.vec_id != t.vec_id
+), topk AS MATERIALIZED (
+  SELECT src, nlbl FROM (
+    SELECT src, nlbl,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY sim DESC, dst) AS rnk
+    FROM edges
+  ) WHERE rnk <= {_Q153_K}
+), votes AS MATERIALIZED (
+  SELECT src, nlbl, COUNT(*)::BIGINT AS n_votes FROM topk GROUP BY src, nlbl
+), pred AS (
+  SELECT src AS vec_id, nlbl AS pred_label, n_votes FROM (
+    SELECT src, nlbl, n_votes,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY n_votes DESC, nlbl) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT e.vec_id, e.label, p.pred_label, p.n_votes,
+       e.label = p.pred_label AS agree
+FROM embeddings e JOIN pred p USING (vec_id)
+ORDER BY e.vec_id
+"""
+
+
 _Q38J_N_PROBE = 2
 
 
@@ -2171,3 +2254,4 @@ def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q150_knn_graph"] = QuerySpec(_q_knn_graph, None)  # LSH buckets — no SQL oracle; recall-audited
 QUERIES["q153_knn_coreset"] = QuerySpec(_q_knn_coreset, _knn_coreset_oracle())
 QUERIES["q38j_ann_ivf_frozen"] = QuerySpec(_q_ann_ivf_frozen, _ivf_frozen_oracle())
+QUERIES["q154_label_propagation"] = QuerySpec(_q_label_propagation, _label_prop_oracle())
