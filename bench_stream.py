@@ -16,8 +16,9 @@ per-batch durations. Prints ONE JSON line:
 
 and persists it to BENCH_STREAM.json (first run creates the baseline;
 later runs add "vs_baseline", same contract as bench.py) plus a
-per-round BENCH_STREAM_r{NN}.json (next free number) so streaming perf
-is trendable round-over-round like the query bench.
+per-round BENCH_STREAM_r{NN}.json (NN = latest driver CORRECTNESS
+round + 1) so streaming perf is trendable round-over-round like the
+query bench.
 
 Cold/warm split: the FIRST batch pays one-time plan compilation +
 stream start-up and used to dominate p95 (r4: p95 3.9× p50, all
@@ -247,15 +248,16 @@ def main() -> None:
             baseline = json.load(f)
         if baseline.get("events") == result["events"] and baseline.get("value"):
             result["vs_baseline"] = round(result["value"] / baseline["value"], 3)
-    # per-round artifact: MAX existing + 1, not first-free — rounds
-    # 2-4 predate this artifact, so first-free would backfill r02 and
-    # mislabel the current round's numbers as historical ones
+    # per-round artifact numbered like bench.py's dist file: the build
+    # round = latest driver CORRECTNESS round + 1, so repeated runs in
+    # one round overwrite the same file instead of minting max+1 each
+    # invocation (r7's scheme; it mislabeled reruns as future rounds)
     import re as _re
 
     taken = [
         int(m.group(1))
         for fn in os.listdir(here)
-        if (m := _re.fullmatch(r"BENCH_STREAM_r(\d+)\.json", fn))
+        if (m := _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn))
     ]
     n_round = max(taken, default=0) + 1
     with open(os.path.join(here, f"BENCH_STREAM_r{n_round:02d}.json"), "w") as f:
