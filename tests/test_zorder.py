@@ -247,3 +247,91 @@ def test_hilbert_layout_prunes_at_least_as_well_as_morton(spark, sf_small, tmp_p
     adm_m = _files_admitting(mpath, "user_id", u[0], u[1], "amount", m[0], m[1])
     adm_h = _files_admitting(hpath, "user_id", u[0], u[1], "amount", m[0], m[1])
     assert len(adm_h) <= len(adm_m) + 2, (len(adm_h), len(adm_m))
+
+
+def _skilling_axes_to_index(coords: list[int], bits: int) -> int:
+    """Pure-Python Skilling AxesToTranspose + MSB-major interleave —
+    the independent reference the Spark column implementation must
+    match bit-for-bit."""
+    x = list(coords)
+    n = len(x)
+    m = 1 << (bits - 1)
+    q = m
+    while q > 1:
+        p = q - 1
+        for i in range(n):
+            if x[i] & q:
+                x[0] ^= p
+            else:
+                t = (x[0] ^ x[i]) & p
+                x[0] ^= t
+                x[i] ^= t
+        q >>= 1
+    for i in range(1, n):
+        x[i] ^= x[i - 1]
+    t = 0
+    q = m
+    while q > 1:
+        if x[n - 1] & q:
+            t ^= q - 1
+        q >>= 1
+    for i in range(n):
+        x[i] ^= t
+    idx = 0
+    for s in range(bits - 1, -1, -1):
+        for i in range(n):
+            idx = (idx << 1) | ((x[i] >> s) & 1)
+    return idx
+
+
+def test_hilbert_3d_matches_reference_bijective_and_unit_step(spark):
+    """The d>2 Hilbert path (Skilling transpose) over the full 3-D,
+    3-bit cube (512 cells): (a) every cell's index equals the
+    pure-Python reference, (b) the map is a bijection onto [0, 512),
+    (c) consecutive indexes differ by exactly 1 in exactly one
+    coordinate — the unit-step property that defines a Hilbert curve
+    and is what tightens per-file bounding boxes."""
+    from wing_binlog_go_spark.operators.zorder import _hilbert_skilling_frame
+
+    bits, n = 3, 3
+    side = 1 << bits
+    cells = [
+        (cx, cy, cz)
+        for cx in range(side) for cy in range(side) for cz in range(side)
+    ]
+    df = spark.createDataFrame(cells, ["_c0", "_c1", "_c2"])
+    got = {
+        (r._c0, r._c1, r._c2): r._z
+        for r in _hilbert_skilling_frame(df, ["_c0", "_c1", "_c2"], bits)
+        .select("_c0", "_c1", "_c2", "_z")
+        .collect()
+    }
+    # (a) reference equality, cell for cell
+    for coords, z in got.items():
+        assert z == _skilling_axes_to_index(list(coords), bits), coords
+    # (b) bijection onto the full index range
+    assert sorted(got.values()) == list(range(side ** n))
+    # (c) unit-step adjacency along the whole walk
+    by_index = sorted(got, key=got.get)
+    for a, b in zip(by_index, by_index[1:]):
+        diffs = [abs(p - q) for p, q in zip(a, b)]
+        assert sorted(diffs) == [0, 0, 1], (a, b)
+
+
+def test_hilbert_4d_write_path(spark, sf_small, tmp_path):
+    """write_zordered(curve='hilbert') accepts 4 columns through the
+    Skilling path and stays value-complete."""
+    ev = read_table(spark, sf_small, "events").select(
+        "event_id", "user_id",
+        F.col("value").cast("double").alias("amount"),
+        F.dayofmonth("ts").alias("day"),
+    )
+    path = str(tmp_path / "h4")
+    write_zordered(
+        ev, path, ["user_id", "amount", "day", "event_id"],
+        n_files=16, bits=4, coding="quantile", curve="hilbert",
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    assert sorted(r.event_id for r in back.select("event_id").collect()) == \
+        sorted(r.event_id for r in ev.select("event_id").collect())

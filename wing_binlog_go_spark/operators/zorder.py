@@ -215,21 +215,114 @@ def _hilbert_frame(df: DataFrame, cx: str, cy: str, bits: int) -> DataFrame:
     )
 
 
+def _hilbert_skilling_frame(
+    df: DataFrame, code_cols: list[str], bits: int
+) -> DataFrame:
+    """d-dimensional Hilbert index via Skilling's transpose algorithm
+    ("Programming the Hilbert curve", AIP Conf. Proc. 707, 2004 —
+    public domain): undo the excess rotations level by level
+    (conditional invert / bit-swap against axis 0), Gray-encode across
+    axes, then apply the parity correction derived from the last
+    axis. The result ("transpose form") interleaves MSB-major with
+    axis 0 most significant into the final index.
+
+    Every step is a plain bitwise column expression; like
+    :func:`_hilbert_frame`, each (level, axis) update lands in REAL
+    columns so the expression tree stays linear in bits·d instead of
+    re-substituting per level. Adds ``_z``, drops the work columns."""
+    n = len(code_cols)
+    work = [f"_hx{i}" for i in range(n)]
+    out = df
+    for w, c in zip(work, code_cols):
+        out = out.withColumn(w, F.col(c).cast("long"))
+    # inverse undo: Q = M, M/2, ..., 2
+    for s in range(bits - 1, 0, -1):
+        q = 1 << s
+        p = q - 1
+        for i in range(n):
+            cond = F.col(work[i]).bitwiseAND(F.lit(q)) != 0
+            if i == 0:
+                out = out.withColumn(
+                    work[0],
+                    F.when(cond, F.col(work[0]).bitwiseXOR(F.lit(p)))
+                    .otherwise(F.col(work[0])),
+                )
+            else:
+                # bit set: X[0] ^= P (invert); bit clear: swap the low
+                # bits of X[0] and X[i] (t = differing bits under P)
+                t = (
+                    F.col(work[0]).bitwiseXOR(F.col(work[i]))
+                ).bitwiseAND(F.lit(p))
+                out = (
+                    out.withColumn(
+                        "_ht", F.when(cond, F.lit(0).cast("long")).otherwise(t)
+                    )
+                    .withColumn(
+                        work[0],
+                        F.when(cond, F.col(work[0]).bitwiseXOR(F.lit(p)))
+                        .otherwise(F.col(work[0]).bitwiseXOR(F.col("_ht"))),
+                    )
+                    .withColumn(
+                        work[i], F.col(work[i]).bitwiseXOR(F.col("_ht"))
+                    )
+                )
+    # Gray encode across axes (sequential — each uses the UPDATED
+    # previous axis, exactly Skilling's in-place loop)
+    for i in range(1, n):
+        out = out.withColumn(
+            work[i], F.col(work[i]).bitwiseXOR(F.col(work[i - 1]))
+        )
+    # parity correction from the last axis: t = XOR of (Q-1) over set
+    # high bits — one static XOR chain, no data-dependent loop
+    tcol = F.lit(0).cast("long")
+    for s in range(bits - 1, 0, -1):
+        q = 1 << s
+        tcol = tcol.bitwiseXOR(
+            F.when(
+                F.col(work[n - 1]).bitwiseAND(F.lit(q)) != 0, F.lit(q - 1)
+            ).otherwise(F.lit(0)).cast("long")
+        )
+    out = out.withColumn("_ht", tcol)
+    for i in range(n):
+        out = out.withColumn(
+            work[i], F.col(work[i]).bitwiseXOR(F.col("_ht"))
+        )
+    # transpose → index: bit s of axis i lands at s*n + (n-1-i)
+    # (axis 0 most significant within each bit group, MSB-major)
+    terms = []
+    for i, w in enumerate(work):
+        for s in range(bits):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(F.col(w), s).bitwiseAND(F.lit(1)),
+                    s * n + (n - 1 - i),
+                )
+            )
+    out = out.withColumn("_z", reduce(lambda a, b: a + b, terms))
+    return out.drop("_ht", *work)
+
+
 def hilbert_values(
     df: DataFrame,
     cols: list[str],
     bits: int = 16,
     coding: str = "linear",
 ) -> tuple[DataFrame, dict]:
-    """``zorder_values``'s Hilbert sibling (two columns only — the
-    rotation algebra is dimension-specific): df + ``_z`` holding the
-    Hilbert index of the two coded columns. Same coding options, same
-    downstream write path (``write_zordered`` accepts the frame via
-    ``curve='hilbert'``)."""
-    if len(cols) != 2:
-        raise ValueError(f"hilbert coding is 2-D, got {cols}")
+    """``zorder_values``'s Hilbert sibling: df + ``_z`` holding the
+    Hilbert index of the coded columns. Two columns walk the classic
+    xy2d rotation (:func:`_hilbert_frame`, pinned cell-for-cell vs the
+    canonical walk); three or more go through Skilling's transpose
+    algorithm (:func:`_hilbert_skilling_frame` — the Gray-code form of
+    the same rotation algebra; both are unit-step curves, verified by
+    the bijectivity + adjacency property tests). Same coding options,
+    same downstream write path (``write_zordered`` accepts the frame
+    via ``curve='hilbert'``)."""
+    if len(cols) < 2:
+        raise ValueError(f"hilbert coding needs >= 2 columns, got {cols}")
+    if bits * len(cols) > 63:
+        raise ValueError(f"{bits} bits x {len(cols)} cols overflows a long")
     zdf, stats = zorder_values(df, cols, bits, coding)
-    # recompute the two codes ONCE into real columns, then run the
+    # recompute the codes ONCE into real columns, then run the
     # linear-size frame walk (see _hilbert_frame's size note)
     if coding == "linear":
         codes = [
@@ -238,9 +331,12 @@ def hilbert_values(
         ]
     else:
         codes = [_quantile_code(F.col(c), stats[c]) for c in cols]
-    coded = (
-        zdf.drop("_z")
-        .withColumn("_c0", codes[0])
-        .withColumn("_c1", codes[1])
-    )
-    return _hilbert_frame(coded, "_c0", "_c1", bits).drop("_c0", "_c1"), stats
+    coded = zdf.drop("_z")
+    names = [f"_c{i}" for i in range(len(cols))]
+    for nm, code in zip(names, codes):
+        coded = coded.withColumn(nm, code)
+    if len(cols) == 2:
+        walked = _hilbert_frame(coded, names[0], names[1], bits)
+    else:
+        walked = _hilbert_skilling_frame(coded, names, bits)
+    return walked.drop(*names), stats
