@@ -59,6 +59,41 @@ def test_training_is_deterministic(spark, sf_small):
     assert any(x != 0.0 for x in w1)
 
 
+def test_minibatch_l2_options(spark, sf_small):
+    """Round-8 hardening options: (a) l2=0 + n_batches=1 reproduces the
+    original full-batch path byte-for-byte (backward compatibility of
+    the rewritten update rule); (b) L2 shrinks weight norms at equal
+    iterations; (c) mini-batch training is deterministic and visits
+    every batch (weights move even for docs in late batches);
+    (d) n_batches < 1 fails loudly."""
+    import pytest as _pytest
+
+    docs = read_table(spark, sf_small, "documents").filter(F.col("doc_id") < 120)
+    feats = hashed_token_features(docs, dim=32)
+    labels = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.array_contains(F.split(F.lower("text"), " "), "vector")
+        .cast("double")
+        .alias("y"),
+    )
+    base = train_logreg(feats, labels, dim=32, n_iter=4, lr=2.0)
+    compat = train_logreg(feats, labels, dim=32, n_iter=4, lr=2.0,
+                          l2=0.0, n_batches=1)
+    assert base == compat
+
+    reg = train_logreg(feats, labels, dim=32, n_iter=4, lr=2.0, l2=0.01)
+    assert sum(x * x for x in reg) < sum(x * x for x in base)
+    assert any(x != 0.0 for x in reg)
+
+    mb1 = train_logreg(feats, labels, dim=32, n_iter=8, lr=2.0, n_batches=4)
+    mb2 = train_logreg(feats, labels, dim=32, n_iter=8, lr=2.0, n_batches=4)
+    assert mb1 == mb2
+    assert mb1 != base and any(x != 0.0 for x in mb1)
+
+    with _pytest.raises(ValueError, match="n_batches"):
+        train_logreg(feats, labels, dim=32, n_iter=1, lr=2.0, n_batches=0)
+
+
 def test_feature_hashing_layout(spark):
     """Long-form sparse features: one row per (doc, bucket), values are
     length-normalized counts summing to 1 per doc, buckets in [0, dim)."""
