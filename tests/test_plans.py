@@ -585,6 +585,7 @@ def test_round8_new_query_plan_hygiene(spark, sf_dir):
         "q38e_diversity_sample",
         "q38j_ann_ivf_frozen",
         "q154_label_propagation",
+        "q38k_ann_lsh_frozen",
     ):
         p = plan_of(_Q[name].spark(spark, sf_dir))
         assert "CartesianProduct" not in p, name

@@ -1942,6 +1942,145 @@ ORDER BY e.vec_id
 
 _Q38J_N_PROBE = 2
 
+# q38k (frozen-LSH oracle form): small deliberately — the bucket bits
+# are EXPRESSION folds (left-to-right, bit-identical to the SQL
+# replay), and the expression form costs plan size per plane. The
+# production path (q38b/q150) keeps the einsum UDF, whose pairwise
+# numpy summation could flip a boundary sign vs a sequential fold and
+# is therefore not oracle-replayable.
+_Q38K_BITS = 3
+_Q38K_TABLES = 4
+
+
+def _lsh_frozen_planes(
+    n_bits: int = _Q38K_BITS, n_tables: int = _Q38K_TABLES, dim: int = 64
+) -> list[list[list[float]]]:
+    """The q38b/q150 hyperplane family at the q38k config — same
+    deterministic seeds (`_hyperplanes`), exposed as plain floats so
+    both engines receive identical literals."""
+    return [_hyperplanes(dim, n_bits, t) for t in range(n_tables)]
+
+
+def lsh_bucket_exprs(
+    vec: F.Column, planes: list[list[list[float]]]
+) -> list[F.Column]:
+    """One bucket id per table as a pure column expression: bit j set
+    iff dot(v, plane_j) > 0, dot folded left-to-right from 0.0 — the
+    exact fold the SQL oracle replays (einsum's pairwise summation
+    could disagree on a boundary sign; a sequential fold cannot)."""
+    out = []
+    for tbl in planes:
+        b = F.lit(0).cast("long")
+        for j, plane in enumerate(tbl):
+            d = dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
+            b = b + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+        out.append(b)
+    return out
+
+
+def _q_ann_lsh_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN with frozen hyperplanes in expression form — completes
+    the hash-matched ANN family (q38 brute, q38j IVF, q38k LSH):
+    bucket math, multi-table candidate union, and the exact rerank all
+    replay in DuckDB. Candidates are per-table equi-joins (the scale
+    shape q38b proves at production size)."""
+    planes = _lsh_frozen_planes()
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", as_double("embedding").alias("_v")
+    )
+    bcols = lsh_bucket_exprs(F.col("_v"), planes)
+    corpus = base.select(
+        "vec_id", "_v", *[b.alias(f"_b{t}") for t, b in enumerate(bcols)]
+    ).withColumn("_n", norm(F.col("_v"))).localCheckpoint(eager=True)
+    q = (
+        corpus.orderBy("vec_id").limit(10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("_v").alias("_qv"), F.col("_n").alias("_qn"),
+            *[F.col(f"_b{t}").alias(f"_qb{t}") for t in range(len(planes))],
+        )
+    )
+    cand = None
+    for t in range(len(planes)):
+        c = q.join(
+            corpus, F.col(f"_qb{t}") == F.col(f"_b{t}")
+        ).filter(F.col("query_id") != F.col("vec_id")).select(
+            "query_id", "vec_id"
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.distinct()
+    qv = q.select("query_id", "_qv", "_qn")
+    cv = corpus.select("vec_id", "_v", "_n")
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "vec_id")
+        .select(
+            "query_id", "vec_id",
+            (dot(F.col("_qv"), F.col("_v"))
+             / (F.col("_qn") * F.col("_n"))).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "vec_id",
+                F.col("rnk").cast("int").alias("rnk"),
+                F.round("_sim", 6).alias("sim_r"))
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _lsh_frozen_oracle() -> str:
+    planes = _lsh_frozen_planes()
+
+    def bucket_sql(vec: str, t: int) -> str:
+        terms = []
+        for j, plane in enumerate(planes[t]):
+            lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_reduce(list_transform("
+                f"range(1, len({vec}) + 1),"
+                f" i -> {vec}[i]::DOUBLE * ({lit})[i]), (a, b) -> a + b) > 0"
+                f" THEN {1 << j} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    n_t = len(planes)
+    corpus_buckets = ",\n         ".join(
+        f"{bucket_sql('embedding', t)} AS b{t}" for t in range(n_t)
+    )
+    cand_union = "\n  UNION\n".join(
+        f"  SELECT q.query_id, c.vec_id FROM qb q JOIN cb c"
+        f" ON q.b{t} = c.b{t} AND q.query_id != c.vec_id"
+        for t in range(n_t)
+    )
+    return f"""
+WITH cb AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {corpus_buckets}
+  FROM embeddings
+), qb AS MATERIALIZED (
+  SELECT vec_id AS query_id, v AS qv,
+         {", ".join(f"b{t}" for t in range(n_t))}
+  FROM cb ORDER BY vec_id LIMIT 10
+), cand AS MATERIALIZED (
+{cand_union}
+), s AS (
+  SELECT d.query_id, d.vec_id, list_cosine_similarity(q.qv, c.v) AS sim
+  FROM cand d JOIN qb q USING (query_id) JOIN cb c USING (vec_id)
+), r AS (
+  SELECT query_id, vec_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, vec_id) AS INTEGER) AS rnk,
+         ROUND(sim, 6) AS sim_r
+  FROM s
+)
+SELECT query_id, vec_id, rnk, sim_r FROM r WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
 
 def _q_ann_ivf_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
@@ -2255,3 +2394,4 @@ QUERIES["q150_knn_graph"] = QuerySpec(_q_knn_graph, None)  # LSH buckets — no 
 QUERIES["q153_knn_coreset"] = QuerySpec(_q_knn_coreset, _knn_coreset_oracle())
 QUERIES["q38j_ann_ivf_frozen"] = QuerySpec(_q_ann_ivf_frozen, _ivf_frozen_oracle())
 QUERIES["q154_label_propagation"] = QuerySpec(_q_label_propagation, _label_prop_oracle())
+QUERIES["q38k_ann_lsh_frozen"] = QuerySpec(_q_ann_lsh_frozen, _lsh_frozen_oracle())
