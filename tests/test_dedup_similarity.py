@@ -1729,3 +1729,72 @@ def test_knn_graph_recall_and_structure(spark, sf_small):
         len(want[s] & got.get(s, set())) / len(want[s]) for s in want
     ]
     assert sum(per_node) / len(per_node) >= 0.9, sum(per_node) / len(per_node)
+
+
+def test_incremental_knn_graph_converges_replays_and_heals_crash(
+    spark, sf_small, tmp_path
+):
+    """incremental_knn_graph_apply over two increments must equal the
+    batch knn_graph_clustered on the cumulative corpus; replayed ids
+    are vector no-ops but still rebuild their clusters (that is the
+    crash-heal mechanism); a crash between the vector append and the
+    edge swap converges on replay."""
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.operators.similarity import (
+        incremental_knn_graph_apply,
+        knn_graph_clustered,
+        load_frozen_centroids,
+        read_knn_graph,
+    )
+    from wing_binlog_go_spark.tables import read_table
+
+    emb = read_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    cents = load_frozen_centroids()
+    b1 = emb.filter(F.col("vec_id") < 250)
+    b2 = emb.filter(F.col("vec_id") >= 250)
+    store = str(tmp_path / "g")
+
+    _, st1 = incremental_knn_graph_apply(spark, b1, store, cents, k=5)
+    assert st1["replayed"] == 0 and st1["appended"] == st1["batch"]
+    _, st2 = incremental_knn_graph_apply(spark, b2, store, cents, k=5)
+    assert st2["replayed"] == 0
+
+    want = {
+        (r.src, r.dst, r.rnk)
+        for r in knn_graph_clustered(emb, cents, k=5).collect()
+    }
+    got = {
+        (r.src, r.dst, r.rnk)
+        for r in read_knn_graph(spark, store).collect()
+    }
+    assert got == want
+
+    # replay batch 2 wholesale: vector no-ops, graph unchanged
+    _, st2r = incremental_knn_graph_apply(spark, b2, store, cents, k=5)
+    assert st2r["appended"] == 0 and st2r["replayed"] == st2r["batch"]
+    assert {
+        (r.src, r.dst, r.rnk) for r in read_knn_graph(spark, store).collect()
+    } == want
+
+    # crash sim: batch-3 vectors appended but the edge swap was lost —
+    # wipe one touched cluster's edge partition entirely, then replay
+    # the batch; the batch-named rebuild must restore it
+    import os
+    import shutil
+
+    b3 = emb.orderBy(F.desc("vec_id")).limit(20).select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding"
+    )
+    _, st3 = incremental_knn_graph_apply(spark, b3, store, cents, k=5)
+    full = {
+        (r.src, r.dst, r.rnk) for r in read_knn_graph(spark, store).collect()
+    }
+    lost = st3["clusters_rebuilt"][0]
+    shutil.rmtree(os.path.join(store, "edges", f"cluster={lost}"))
+    _, st3r = incremental_knn_graph_apply(spark, b3, store, cents, k=5)
+    assert st3r["appended"] == 0  # vectors survived the crash
+    assert lost in st3r["clusters_rebuilt"]
+    assert {
+        (r.src, r.dst, r.rnk) for r in read_knn_graph(spark, store).collect()
+    } == full

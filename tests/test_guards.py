@@ -98,9 +98,9 @@ def test_registry_priority_window_and_no_failed_modules():
     """The driver verifies queries in registration order with a capped
     window (50/round). Coverage closed at round 4 (every registered
     query holds a driver CORRECTNESS row); the window keeps evidence
-    FRESH: round 8 leads with the eight keys that have never earned a
+    FRESH: round 8 leads with the nine keys that have never earned a
     driver row (q150/q151 registered after the r7 window was cut;
-    q149b/q152/q153/q38j/q154/q38k new this round), then the three
+    q149b/q152/q153/q38j/q154/q38k/q155 new this round), then the three
     rows-only→oracle upgrades awaiting driver confirmation (q37d/q139
     from r7, q38e from r8), then the full r4-stale band and an r5-band
     refresh led by the bench headliners (q52 = the standing perf
@@ -112,11 +112,12 @@ def test_registry_priority_window_and_no_failed_modules():
     assert registry.failed_modules == {}
     window = list(qs)[:50]
     # (a) never-driver-verified keys lead, then the oracle upgrades
-    assert window[:11] == [
+    assert window[:12] == [
         "q150_knn_graph", "q151_source_scorecard",
         "q149b_cms_rolling_hash", "q152_classifier_heldout_auc",
         "q153_knn_coreset", "q38j_ann_ivf_frozen",
         "q154_label_propagation", "q38k_ann_lsh_frozen",
+        "q155_incremental_knn_graph",
         "q37d_dedup_survivors", "q139_pagerank", "q38e_diversity_sample",
     ]
     # (b) the full r4-stale band is in-window

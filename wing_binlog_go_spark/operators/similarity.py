@@ -1940,6 +1940,186 @@ ORDER BY e.vec_id
 """
 
 
+def incremental_knn_graph_apply(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    store_dir: str,
+    cents: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "tuple[DataFrame, dict]":
+    """kNN-graph maintenance as an ingest increment — the streaming
+    form of :func:`knn_graph_clustered`. Store layout:
+
+        vectors/            (id, vector, cluster) — the corpus so far
+        edges/cluster=N/    (src, dst, rnk, sim) — per-cluster edges
+
+    A new vector can only create or displace edges INSIDE its frozen
+    cluster (assignment is a pure function of the vector — the reason
+    the quantizer must be frozen), so each batch rebuilds exactly the
+    clusters it touches from the updated vector store: cluster-bounded
+    recompute, never a whole-graph rebuild.
+
+    Commit protocol: fresh vectors append FIRST (ids already present
+    are replay no-ops); then every cluster NAMED BY THE BATCH — by a
+    fresh or a replayed row — is rebuilt from vectors/ and swapped in
+    atomically (stage + ``os.rename``, the sketch-writer pattern).
+    Rebuilding batch-named rather than fresh-named clusters is what
+    heals the crash window between the vector append and the edge
+    swap: the replayed batch re-names the same clusters and the
+    rebuild is a pure function of vectors/, so replays converge.
+
+    Returns (edges of the touched clusters, stats)."""
+    import os as _os
+    import shutil as _shutil
+
+    vec_dir = _os.path.join(store_dir, "vectors")
+    edge_dir = _os.path.join(store_dir, "edges")
+
+    assigned = assign_to_centroids(
+        new_vectors.select(F.col(id_col), as_double(vec_col).alias("_v")),
+        cents, "_v",
+    ).select(
+        F.col(id_col), F.col("_v").alias("vector"),
+        F.col("_cluster").cast("int").alias("cluster"),
+    ).localCheckpoint(eager=True)
+    n_batch = assigned.count()
+    touched = [r.cluster for r in assigned.select("cluster").distinct().collect()]
+
+    if _os.path.exists(vec_dir):
+        known = spark.read.parquet(vec_dir).select(id_col)
+        fresh = assigned.join(known, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        n_fresh = fresh.count()
+        if n_fresh:
+            fresh.write.mode("append").parquet(vec_dir)
+    else:
+        n_fresh = n_batch
+        assigned.write.parquet(vec_dir)
+
+    # rebuild every batch-named cluster from the updated store
+    corpus = (
+        spark.read.parquet(vec_dir)
+        .filter(F.col("cluster").isin(touched))
+        .withColumn("_n", norm(F.col("vector")))
+        .localCheckpoint(eager=True)  # two self-join sides below
+    )
+    lhs = corpus.select(
+        F.col(id_col).alias("src"), "cluster",
+        F.col("vector").alias("_sv"), F.col("_n").alias("_sn"),
+    )
+    rhs = corpus.select(
+        F.col(id_col).alias("dst"), "cluster",
+        F.col("vector").alias("_dv"), F.col("_n").alias("_dn"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("_sim"), F.asc("dst"))
+    edges = (
+        lhs.join(rhs, "cluster")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "cluster", "src", "dst",
+            (dot(F.col("_sv"), F.col("_dv"))
+             / (F.col("_sn") * F.col("_dn"))).alias("_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("cluster", "src", "dst", "rnk", F.col("_sim").alias("sim"))
+        .localCheckpoint(eager=True)
+    )
+    for c in touched:
+        part = edges.filter(F.col("cluster") == c).drop("cluster")
+        stage = _os.path.join(edge_dir, "_staging", f"cluster={c}")
+        final = _os.path.join(edge_dir, f"cluster={c}")
+        if _os.path.isdir(stage):
+            _shutil.rmtree(stage)  # crashed earlier attempt
+        part.write.mode("overwrite").parquet(stage)
+        _os.makedirs(edge_dir, exist_ok=True)
+        if _os.path.isdir(final):
+            # swap: retire the old partition, promote the staged one
+            old = final + ".old"
+            if _os.path.isdir(old):
+                _shutil.rmtree(old)
+            _os.rename(final, old)
+            _os.rename(stage, final)
+            _shutil.rmtree(old)
+        else:
+            _os.rename(stage, final)
+    return edges, {
+        "batch": n_batch,
+        "replayed": n_batch - n_fresh,
+        "appended": n_fresh,
+        "clusters_rebuilt": sorted(touched),
+    }
+
+
+def read_knn_graph(spark: SparkSession, store_dir: str) -> DataFrame:
+    """(src, dst, rnk, sim, cluster) — the maintained graph."""
+    import os as _os
+
+    return spark.read.parquet(_os.path.join(store_dir, "edges"))
+
+
+def _q_incremental_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental graph exercised as two ingest increments into a
+    fresh store (low-id half, then high-id half + replays of ten
+    batch-1 vectors, which must be no-ops); the FINAL maintained edge
+    table must equal the batch build — and the batch build is the q153
+    oracle chain, so the whole incremental path is hash-checked, not
+    just rows-counted (contrast q38h, whose trained-on-batch-1
+    quantizer has no SQL replay; the frozen store removes that
+    excuse)."""
+    import shutil
+    import tempfile
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = load_frozen_centroids()
+    mid = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+    b1 = emb.filter(F.col("vec_id") < mid)
+    b2 = emb.filter(F.col("vec_id") >= mid).unionByName(
+        emb.orderBy("vec_id").limit(10)  # replays: already-known ids
+    )
+    store = tempfile.mkdtemp(prefix="knn_graph_store_")
+    try:
+        incremental_knn_graph_apply(spark, b1, store, cents, k=_Q153_K)
+        incremental_knn_graph_apply(spark, b2, store, cents, k=_Q153_K)
+        out = (
+            read_knn_graph(spark, store)
+            .select(
+                "src", "dst", "rnk", F.round("sim", 6).alias("sim_r"),
+                F.col("cluster").cast("int").alias("cluster"),
+            )
+            .orderBy("src", "rnk")
+            .localCheckpoint(eager=True)  # outlives the tempdir teardown
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
+def _incremental_knn_oracle() -> str:
+    """The batch-built graph (the q153 chain's edge CTEs) — what the
+    incremental store must converge to."""
+    return _frozen_assign_cte() + f""", av AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM assigned a JOIN embeddings e USING (vec_id)
+), edges AS MATERIALIZED (
+  SELECT s.cluster, s.vec_id AS src, t.vec_id AS dst,
+         list_cosine_similarity(s.v, t.v) AS sim
+  FROM av s JOIN av t ON s.cluster = t.cluster AND s.vec_id != t.vec_id
+)
+SELECT src, dst, rnk, sim_r, cluster FROM (
+  SELECT cluster, src, dst,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src
+                                 ORDER BY sim DESC, dst) AS INTEGER) AS rnk,
+         ROUND(sim, 6) AS sim_r
+  FROM edges
+) WHERE rnk <= {_Q153_K}
+ORDER BY src, rnk
+"""
+
+
 _Q38J_N_PROBE = 2
 
 # q38k (frozen-LSH oracle form): small deliberately — the bucket bits
@@ -2395,3 +2575,6 @@ QUERIES["q153_knn_coreset"] = QuerySpec(_q_knn_coreset, _knn_coreset_oracle())
 QUERIES["q38j_ann_ivf_frozen"] = QuerySpec(_q_ann_ivf_frozen, _ivf_frozen_oracle())
 QUERIES["q154_label_propagation"] = QuerySpec(_q_label_propagation, _label_prop_oracle())
 QUERIES["q38k_ann_lsh_frozen"] = QuerySpec(_q_ann_lsh_frozen, _lsh_frozen_oracle())
+QUERIES["q155_incremental_knn_graph"] = QuerySpec(
+    _q_incremental_knn_graph, _incremental_knn_oracle()
+)
