@@ -64,6 +64,7 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 10,
     weight_col: str | None = None,
+    personalization: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over (src, dst) edges. Unweighted by default (parallel
     edges collapse); pass ``weight_col`` to distribute each node's rank
@@ -73,6 +74,16 @@ def pagerank(
     to 1 at every step.
 
         r'(v) = (1−d)/N + d·(Σ_{u→v} r(u)·w(u,v)/w_out(u) + dangling/N)
+
+    ``personalization``: (node, p) replaces BOTH uniform terms with the
+    normalized p-distribution — personalized PageRank / TrustRank
+    (Gyöngyi et al., VLDB 2004): rank becomes proximity to the seed
+    set, the corpus-curation trust prior (seed trusted sources, score
+    everything by how rank flows from them). Restart AND dangling mass
+    land on p, initial ranks start at p, so every iteration's ranks
+    still sum to 1:
+
+        r'(v) = (1−d)·p(v) + d·(Σ_{u→v} r(u)·w(u,v)/w_out(u) + dangling·p(v))
 
     One shuffle per iteration (contributions groupBy dst); the node
     list and out-degrees are computed once; each iteration's result is
@@ -101,7 +112,28 @@ def pagerank(
         nodes.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
     outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if personalization is not None:
+        # normalize p over the graph's nodes; absent nodes get p = 0
+        pn = (
+            nodes.join(
+                personalization.select("node", F.col("p").cast("double").alias("p")),
+                "node", "left",
+            )
+            .select("node", F.coalesce("p", F.lit(0.0)).alias("p"))
+        )
+        p_total = pn.agg(F.sum("p")).collect()[0][0]
+        if not p_total or p_total <= 0:
+            raise ValueError(
+                "pagerank: personalization mass over the graph's nodes is 0 "
+                "— no seed is in the graph"
+            )
+        pn = pn.select(
+            "node", (F.col("p") / F.lit(float(p_total))).alias("p")
+        ).persist()
+        ranks = pn.select("node", F.col("p").alias("rank"))
+    else:
+        pn = None
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
         with_deg = ranks.join(
             outdeg, ranks["node"] == outdeg["src"], "left"
@@ -120,20 +152,39 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
-                ).alias("rank"),
+        if pn is not None:
+            ranks = (
+                pn.join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(1.0 - damping) * F.col("p")
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("contrib"), F.lit(0.0))
+                            + F.lit(float(dangling)) * F.col("p")
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
+        else:
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
     e.unpersist()
     nodes.unpersist()
+    if pn is not None:
+        pn.unpersist()
     return ranks
 
 
@@ -227,6 +278,95 @@ ORDER BY rank DESC, user_id
 # unrolls into plain SQL (see _pagerank_oracle); the numpy-reference
 # property test keeps carrying the independent value evidence.
 QUERIES["q139_pagerank"] = QuerySpec(_q_pagerank, _pagerank_oracle())
+
+
+_TRUST_N_ITER = 5
+_TRUST_DAMPING = 0.85
+_TRUST_SEEDS = 5
+
+
+def _q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a deterministic seed set — TrustRank
+    for source curation: seeds = the most active users (top event
+    count, user_id tie-break), score = proximity of every node to the
+    seed set through the weighted interaction graph. The score a
+    pipeline multiplies into per-source sampling weights."""
+    ev = read_table(spark, sf_dir, "events")
+    seeds = (
+        ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "user_id").limit(_TRUST_SEEDS)
+        .select(F.col("user_id").alias("node"), F.lit(1.0).alias("p"))
+    )
+    ranks = pagerank(
+        interaction_edges(ev), damping=_TRUST_DAMPING, n_iter=_TRUST_N_ITER,
+        weight_col="weight", personalization=seeds,
+    )
+    return ranks.select(
+        F.col("node").alias("user_id"), F.round("rank", 6).alias("trust")
+    ).orderBy(F.col("trust").desc(), "user_id")
+
+
+def _trustrank_oracle(
+    n_iter: int = _TRUST_N_ITER, damping: float = _TRUST_DAMPING
+) -> str:
+    """q139's unrolled chain with the restart/dangling mass on the
+    normalized seed distribution instead of 1/N."""
+    d = damping
+    head = f"""
+WITH o AS MATERIALIZED (
+  SELECT user_id AS src,
+         lead(user_id) OVER (PARTITION BY event_type ORDER BY event_id) AS dst
+  FROM events
+), edges AS MATERIALIZED (
+  SELECT src, dst, COUNT(*)::DOUBLE AS w FROM o
+  WHERE dst IS NOT NULL AND dst <> src
+  GROUP BY src, dst HAVING COUNT(*) >= 3
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), seeds AS MATERIALIZED (
+  SELECT user_id AS node, 1.0::DOUBLE AS p FROM (
+    SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ORDER BY cnt DESC, user_id LIMIT {_TRUST_SEEDS}
+  )
+), p0 AS MATERIALIZED (
+  SELECT nodes.node, COALESCE(s.p, 0.0) AS p
+  FROM nodes LEFT JOIN seeds s USING (node)
+), pmass AS MATERIALIZED (
+  SELECT SUM(p) AS t FROM p0
+), pn AS MATERIALIZED (
+  SELECT node, p / (SELECT t FROM pmass) AS p FROM p0
+), outdeg AS MATERIALIZED (
+  SELECT src, SUM(w) AS outdeg FROM edges GROUP BY src
+), r0 AS MATERIALIZED (
+  SELECT node, p AS rank FROM pn
+)"""
+    steps = []
+    for i in range(n_iter):
+        steps.append(f""", d{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.rank), 0.0) AS mass
+  FROM r{i} r LEFT JOIN outdeg od ON r.node = od.src
+  WHERE od.src IS NULL
+), c{i} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(r.rank * e.w / od.outdeg) AS contrib
+  FROM r{i} r JOIN edges e ON r.node = e.src
+  JOIN outdeg od ON r.node = od.src
+  GROUP BY e.dst
+), r{i + 1} AS MATERIALIZED (
+  SELECT pn.node,
+         (1.0 - {d}) * pn.p
+         + {d} * (COALESCE(c.contrib, 0.0)
+                  + (SELECT mass FROM d{i}) * pn.p) AS rank
+  FROM pn LEFT JOIN c{i} c ON pn.node = c.node
+)""")
+    tail = f"""
+SELECT node AS user_id, ROUND(rank, 6) AS trust
+FROM r{n_iter}
+ORDER BY trust DESC, user_id
+"""
+    return head + "".join(steps) + tail
+
+
+QUERIES["q156_trustrank"] = QuerySpec(_q_trustrank, _trustrank_oracle())
 
 
 def _q_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
