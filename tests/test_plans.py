@@ -586,6 +586,7 @@ def test_round8_new_query_plan_hygiene(spark, sf_dir):
         "q38j_ann_ivf_frozen",
         "q154_label_propagation",
         "q38k_ann_lsh_frozen",
+        "q38l_ann_pq_frozen",
     ):
         p = plan_of(_Q[name].spark(spark, sf_dir))
         assert "CartesianProduct" not in p, name

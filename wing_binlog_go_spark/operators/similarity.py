@@ -2120,6 +2120,180 @@ ORDER BY src, rnk
 """
 
 
+def load_frozen_pq_books(name: str = "pq_books_q38l") -> list[list[list[float]]]:
+    """(m, n_codes, sub) PQ codebooks from the committed quantizer
+    store — same contract as :func:`load_frozen_centroids`."""
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "resources", f"{name}.json",
+    )
+    with open(path) as f:
+        return [
+            [[float(x) for x in cent] for cent in book]
+            for book in _json.load(f)["books"]
+        ]
+
+
+def _subdist(vec: F.Column, j: int, sub: int, cent: list[float]) -> F.Column:
+    """L2^2 of subvector j of ``vec`` against a literal centroid,
+    folded left-to-right from 0.0 — the exact fold both engines run."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(vec, j * sub + 1, sub),
+            F.array(*[F.lit(float(x)) for x in cent]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode_frozen(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, j, code): PQ codes against FROZEN codebooks as pure column
+    expressions — per subvector, argmin of the literal-centroid
+    distances (ties → lowest code, array_sort on struct(d, c) —
+    matching the oracle's ORDER BY d, c). The expression form exists
+    for the SQL replay; the production encode path (`pq_encode`) keeps
+    the Arrow/numpy batch kernel."""
+    sub = len(books[0][0])
+    v = as_double(vec_col)
+    code_structs = []
+    for j, book in enumerate(books):
+        dists = F.array(
+            *[
+                F.struct(
+                    _subdist(v, j, sub, cent).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c, cent in enumerate(book)
+            ]
+        )
+        code_structs.append(
+            F.struct(
+                F.lit(j).alias("j"),
+                F.element_at(F.array_sort(dists), 1)["c"].alias("code"),
+            )
+        )
+    return corpus.select(
+        F.col(id_col), F.explode(F.array(*code_structs)).alias("_jc")
+    ).select(id_col, F.col("_jc.j").alias("j"), F.col("_jc.code").alias("code"))
+
+
+def _q_ann_pq_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN with frozen codebooks, hash-matched end-to-end — the
+    last ANN strategy to join the cross-engine family (brute q38,
+    IVF q38j, LSH q38k, PQ q38l): corpus encode (argmin per
+    subvector), the per-query ADC lookup tables, and the ADC-ranked
+    scan all replay in DuckDB. The ADC estimate is
+    Σ_j d2(qsub_j, book_j[code_j(v)]) — computed here as a broadcast
+    equi-join of the (query, j, c) distance table against the
+    (vec, j, code) code table, grouped per (query, vec): the
+    table-lookup structure of a real ADC scan, expressed relationally
+    (never a query x corpus cross join in the plan)."""
+    books = load_frozen_pq_books()
+    m, n_codes, sub = len(books), len(books[0]), len(books[0][0])
+    emb = read_table(spark, sf_dir, "embeddings")
+    codes = pq_encode_frozen(emb, books)
+    q10 = (
+        emb.orderBy("vec_id").limit(10)
+        .select(F.col("vec_id").alias("query_id"),
+                as_double("embedding").alias("_qv"))
+    )
+    # per-query ADC tables via a literal (j, c, centroid) explode — no
+    # cartesian node, and the fold is the same sequential _subdist
+    bt = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), F.lit(c).alias("c"),
+                _subdist(F.col("_qv"), j, sub, books[j][c]).alias("d"),
+            )
+            for j in range(m)
+            for c in range(n_codes)
+        ]
+    )
+    qd = q10.select("query_id", F.explode(bt).alias("_b")).select(
+        "query_id", F.col("_b.j").alias("j"), F.col("_b.c").alias("c"),
+        F.col("_b.d").alias("d"),
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qd),
+            (codes["j"] == qd["j"]) & (codes["code"] == qd["c"]),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("_adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "query_id", "vec_id", F.col("rnk").cast("int").alias("rnk"),
+            F.round("_adc", 6).alias("adc_r"),
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _pq_frozen_oracle() -> str:
+    books = load_frozen_pq_books()
+    m, n_codes, sub = len(books), len(books[0]), len(books[0][0])
+    values = ",\n    ".join(
+        f"({j}, {c}, [{', '.join(repr(float(x)) for x in books[j][c])}]::DOUBLE[])"
+        for j in range(m)
+        for c in range(n_codes)
+    )
+    dist = (
+        f"list_reduce(list_transform(range(1, {sub} + 1),"
+        f" i -> (embedding[bt.j * {sub} + i]::DOUBLE - bt.cent[i])"
+        f" * (embedding[bt.j * {sub} + i]::DOUBLE - bt.cent[i])),"
+        f" (a, b) -> a + b)"
+    )
+    return f"""
+WITH bt (j, c, cent) AS MATERIALIZED (
+  VALUES
+    {values}
+), cd AS MATERIALIZED (
+  SELECT e.vec_id, bt.j, bt.c, {dist} AS d
+  FROM embeddings e CROSS JOIN bt
+), codes AS MATERIALIZED (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM cd
+  ) WHERE rn = 1
+), q AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding
+  FROM embeddings ORDER BY vec_id LIMIT 10
+), qd AS MATERIALIZED (
+  SELECT q.query_id, bt.j, bt.c, {dist} AS d
+  FROM q CROSS JOIN bt
+), adc AS MATERIALIZED (
+  SELECT qd.query_id, codes.vec_id, SUM(qd.d) AS a
+  FROM codes JOIN qd ON codes.j = qd.j AND codes.code = qd.c
+  WHERE codes.vec_id != qd.query_id
+  GROUP BY qd.query_id, codes.vec_id
+)
+SELECT query_id, vec_id, rnk, adc_r FROM (
+  SELECT query_id, vec_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY a, vec_id) AS INTEGER) AS rnk,
+         ROUND(a, 6) AS adc_r
+  FROM adc
+) WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
 _Q38J_N_PROBE = 2
 
 # q38k (frozen-LSH oracle form): small deliberately — the bucket bits
@@ -2578,3 +2752,4 @@ QUERIES["q38k_ann_lsh_frozen"] = QuerySpec(_q_ann_lsh_frozen, _lsh_frozen_oracle
 QUERIES["q155_incremental_knn_graph"] = QuerySpec(
     _q_incremental_knn_graph, _incremental_knn_oracle()
 )
+QUERIES["q38l_ann_pq_frozen"] = QuerySpec(_q_ann_pq_frozen, _pq_frozen_oracle())
