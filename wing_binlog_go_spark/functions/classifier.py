@@ -402,9 +402,13 @@ def _q_classifier_heldout_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2=_L2, n_batches=_N_BATCHES,
     )
     n_train = trlab.count()
+    holab = lab.filter(~F.col("is_train")).select("doc", "y")
+    # score ONLY the held-out docs: per-doc margins are unaffected by
+    # dropping other docs' feature rows, and the final agg shrinks to
+    # the held-out fifth of the corpus (the oracle's mf mirrors this)
     ho = (
-        score_logreg(feats, w)
-        .join(lab.filter(~F.col("is_train")).select("doc", "y"), "doc")
+        score_logreg(feats.join(holab.select("doc"), "doc", "left_semi"), w)
+        .join(holab, "doc")
         .select(F.round("score", 6).alias("score"), "y")
     )
     bys = ho.groupBy("score").agg(
@@ -489,9 +493,12 @@ WITH base AS MATERIALIZED (
   SELECT w.idx, w.w * (1.0 - {lr} * {l2}) - {lr} * COALESCE(g.g, 0.0) AS w
   FROM w{i} w LEFT JOIN g{i} g USING (idx)
 )""")
-    tail = f""", mf AS MATERIALIZED (
+    tail = f""", hofeat AS MATERIALIZED (
+  SELECT f.doc, f.idx, f.val
+  FROM feat f JOIN lab l USING (doc) WHERE NOT l.is_train
+), mf AS MATERIALIZED (
   SELECT f.doc, SUM(f.val * w.w) AS margin
-  FROM feat f JOIN w{n_iter} w USING (idx) GROUP BY f.doc
+  FROM hofeat f JOIN w{n_iter} w USING (idx) GROUP BY f.doc
 ), ho AS MATERIALIZED (
   SELECT ROUND(1.0 / (1.0 + exp(-m.margin)), 6) AS score, l.y
   FROM lab l JOIN mf m USING (doc) WHERE NOT l.is_train

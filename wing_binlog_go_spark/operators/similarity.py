@@ -2031,16 +2031,21 @@ def incremental_knn_graph_apply(
     for c in touched:
         part = edges.filter(F.col("cluster") == c).drop("cluster")
         stage = _os.path.join(edge_dir, "_staging", f"cluster={c}")
+        # the retired copy ALSO lives under _staging: a crash mid-swap
+        # must never leave a non-partition directory (cluster=N.old)
+        # next to live partitions, where Spark's partition discovery
+        # would misparse it
+        old = _os.path.join(edge_dir, "_staging", f"cluster={c}.old")
         final = _os.path.join(edge_dir, f"cluster={c}")
-        if _os.path.isdir(stage):
-            _shutil.rmtree(stage)  # crashed earlier attempt
+        for leftover in (stage, old):
+            if _os.path.isdir(leftover):
+                _shutil.rmtree(leftover)  # crashed earlier attempt
         part.write.mode("overwrite").parquet(stage)
         _os.makedirs(edge_dir, exist_ok=True)
         if _os.path.isdir(final):
-            # swap: retire the old partition, promote the staged one
-            old = final + ".old"
-            if _os.path.isdir(old):
-                _shutil.rmtree(old)
+            # swap: retire the old partition, promote the staged one;
+            # a crash between the renames leaves final absent and is
+            # healed by the batch-named rebuild on replay
             _os.rename(final, old)
             _os.rename(stage, final)
             _shutil.rmtree(old)
