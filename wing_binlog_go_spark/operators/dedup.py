@@ -709,7 +709,180 @@ WHERE doc_id NOT IN (SELECT doc FROM losers)
 ORDER BY doc_id
 """
 
+# ---------------------------------------------------------------------------
+# q37f: MinHash LSH with a cross-engine rolling-hash family
+# ---------------------------------------------------------------------------
+
+# 8 perms in 4 bands of 2 — q37's 2-per-band scheme at half width.
+# Distinct odd-prime BASES per perm (the q149b lesson: distinct seeds
+# under one base only SHIFT same-length strings, keeping their
+# collisions aligned); modulus a large prime so a*M+b stays in int64
+# (a < 1e9+7, M <= 61 → < 2^63).
+_MH_ROLL_BASES = (31, 37, 41, 43, 47, 53, 59, 61)
+_MH_ROLL_P = 1_000_000_007
+_MH_ROLL_SEED = 7
+_MH_ROLL_BANDS = 4
+_MH_ROLL_THRESHOLD = 0.5
+
+
+def _roll(s: F.Column, base: int) -> F.Column:
+    """Polynomial rolling hash of a string, (acc·base + code) % P
+    folded left-to-right — the q149b family at modulus P."""
+    return F.aggregate(
+        F.transform(F.split(s, ""), lambda ch: F.ascii(ch)),
+        F.lit(_MH_ROLL_SEED).cast("long"),
+        lambda acc, c: (acc * base + c.cast("long")) % _MH_ROLL_P,
+    )
+
+
+def minhash_rolling_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = _MH_ROLL_THRESHOLD,
+) -> DataFrame:
+    """:func:`minhash_dedup_pairs` with the cross-engine rolling-hash
+    family — the oracle-replayable member of the MinHash pipeline
+    (xxhash64 has no SQL replay, so q37's evidence is recall; this
+    form hash-matches the ENTIRE shingle → signature → band join →
+    estimate chain against DuckDB). Same plan shape: per-row
+    signatures (zero shuffle), one band equi-self-join carrying both
+    signatures, estimate verify. Empty shingles (empty-text docs) are
+    excluded in both engines — the established empty-token fold
+    divergence."""
+    n = len(_MH_ROLL_BASES)
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.filter(
+            word_shingles(text_col, shingle_k), lambda s: F.length(s) > 0
+        ).alias("_sh"),
+    ).filter(F.size("_sh") > 0).localCheckpoint(eager=True)
+    # 8 per-row array_min folds over the materialized shingle column
+    # (the checkpoint keeps CollapseProject from inlining the shingle
+    # builder into every fold — the q37 lesson). The per-base lambda
+    # comes from a closure FACTORY: a `lambda s, b=b:` default arg
+    # makes the callable arity-2 and F.transform then binds b to the
+    # ELEMENT INDEX, silently replacing every base.
+    def _hash_with(base: int):
+        return lambda s: _roll(s, base)
+
+    sigs = sh.select(
+        "doc",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("_sh"), _hash_with(b)))
+                for b in _MH_ROLL_BASES
+            ]
+        ).alias("mh"),
+    ).localCheckpoint(eager=True)
+    per_band = n // _MH_ROLL_BANDS
+    bands = sigs.select(
+        "doc", "mh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.element_at("mh", b * per_band + 1).alias("k1"),
+                        F.element_at("mh", b * per_band + 2).alias("k2"),
+                    )
+                    for b in range(_MH_ROLL_BANDS)
+                ]
+            )
+        ).alias("_b"),
+    ).select("doc", "mh", "_b.band", "_b.k1", "_b.k2")
+    a, bb = bands.alias("a"), bands.alias("b")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("a.mh"), F.col("b.mh"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.k2") == F.col("b.k2"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            (agree / F.lit(float(n))).alias("est_jaccard"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def _q_minhash_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        minhash_rolling_pairs(docs)
+        .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_rolling_oracle() -> str:
+    n = len(_MH_ROLL_BASES)
+    per_band = n // _MH_ROLL_BANDS
+    roll = (
+        "list_reduce(list_prepend({seed}::BIGINT,"
+        " list_transform(range(1, length(s) + 1), i -> ascii(s[i]))),"
+        " (a, b) -> (a * {base} + b) % {p})"
+    )
+    mh_cols = ",\n         ".join(
+        "MIN(" + roll.format(seed=_MH_ROLL_SEED, base=b, p=_MH_ROLL_P)
+        + f") AS mh{i}"
+        for i, b in enumerate(_MH_ROLL_BASES)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc, {b} AS band, mh{b * per_band} AS k1,"
+        f" mh{b * per_band + 1} AS k2,"
+        f" {', '.join(f'mh{i}' for i in range(n))} FROM mh"
+        for b in range(_MH_ROLL_BANDS)
+    )
+    agree = " + ".join(f"(a.mh{i} = b.mh{i})::INT" for i in range(n))
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id AS doc, string_split(lower(text), ' ') AS t FROM documents
+), sh AS MATERIALIZED (
+  SELECT doc,
+         unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+                ELSE [array_to_string(t, ' ')] END)) AS s
+  FROM base
+), shf AS MATERIALIZED (
+  SELECT doc, s FROM sh WHERE length(s) > 0
+), mh AS MATERIALIZED (
+  SELECT doc,
+         {mh_cols}
+  FROM shf GROUP BY doc
+), bands AS MATERIALIZED (
+{band_rows}
+), pairs AS MATERIALIZED (
+  SELECT a.doc AS doc_a, b.doc AS doc_b,
+         ANY_VALUE(({agree})::DOUBLE / {n}.0) AS est
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT doc_a, doc_b, ROUND(est, 6) AS est_jaccard
+FROM pairs WHERE est >= {_MH_ROLL_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES["q37_minhash_dedup"] = QuerySpec(_q_minhash, None)  # recall property-test
+QUERIES["q37f_minhash_rolling"] = QuerySpec(
+    _q_minhash_rolling, _minhash_rolling_oracle()
+)
 QUERIES["q37d_dedup_survivors"] = QuerySpec(_q_dedup_survivors, _DEDUP_SURVIVORS_ORACLE)
 QUERIES["q37b_simhash_dedup"] = QuerySpec(_q_simhash, None)
 QUERIES["q37c_ngram_jaccard"] = QuerySpec(_q_ngram_jaccard, _NGRAM_JACCARD_ORACLE)

@@ -44,21 +44,21 @@ _OPERATOR_MODULES = (
 failed_modules: dict[str, str] = {}
 
 # First 50 = the driver's verification window.  Round-8 layout (per the
-# r7 verdict's window plan): lead with the ELEVEN keys that have never
+# r7 verdict's window plan): lead with the TWELVE keys that have never
 # earned a driver CORRECTNESS row (q150/q151 registered after the r7
-# window was cut; q149b/q152/q153/q38j/q154/q38k/q155/q156/q38l new this round), then the THREE
+# window was cut; q149b/q152/q153/q38j/q154/q38k/q155/q156/q38l/q37f new this
+# round), then the THREE
 # keys whose rows-only→oracle upgrade has never been driver-confirmed
 # (q37d/q139 upgraded in r7 but their latest rows predate it; q38e
 # upgraded this round), then the full r4-stale band — the stalest
 # evidence left (34 keys: the q01-q27 relational core, q98-q105,
-# q39w, q18) — and 2 of the r5 band (the bench-headline TPC-H forms
-# including the q52 watch, then the gap-fill family).  The remaining
+# q39w, q18) — and the q52 slot (the standing perf watch).  The remaining
 # r5 keys and the whole r6/r7 bands hold rows at most two rounds old
 # and rotate back in on r9.  After this window nothing in the ledger
 # is older than round 5.
 _PRIORITY = (
     # Never driver-verified (q150/q151 registered after the r7 window
-    # was cut; q149b/q152/q153/q38j/q154/q38k/q155/q156/q38l are new this round).
+    # was cut; q149b/q152/q153/q38j/q154/q38k/q155/q156/q38l/q37f are new this round).
     "q150_knn_graph",
     "q151_source_scorecard",
     "q149b_cms_rolling_hash",
@@ -70,6 +70,7 @@ _PRIORITY = (
     "q155_incremental_knn_graph",
     "q156_trustrank",
     "q38l_ann_pq_frozen",
+    "q37f_minhash_rolling",
     # rows-only → oracle upgrades awaiting a driver hash-match row.
     "q37d_dedup_survivors",
     "q139_pagerank",
@@ -111,7 +112,6 @@ _PRIORITY = (
     "q105_mode_median",
     # r5-band refresh: bench-headline forms (q52 is the standing perf
     # watch; q14 is smoke-run by entry() every round regardless).
-    "q16_tpch_q1",
     "q52_tpch_q5",
 )
 
