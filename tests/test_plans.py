@@ -588,6 +588,7 @@ def test_round8_new_query_plan_hygiene(spark, sf_dir):
         "q38k_ann_lsh_frozen",
         "q38l_ann_pq_frozen",
         "q37f_minhash_rolling",
+        "q37g_simhash_rolling",
     ):
         p = plan_of(_Q[name].spark(spark, sf_dir))
         assert "CartesianProduct" not in p, name

@@ -885,6 +885,177 @@ QUERIES["q37f_minhash_rolling"] = QuerySpec(
 )
 QUERIES["q37d_dedup_survivors"] = QuerySpec(_q_dedup_survivors, _DEDUP_SURVIVORS_ORACLE)
 QUERIES["q37b_simhash_dedup"] = QuerySpec(_q_simhash, None)
+
+
+# ---------------------------------------------------------------------------
+# q37g: SimHash with the cross-engine rolling-hash family
+# ---------------------------------------------------------------------------
+
+_SH_ROLL_BITS = 48
+_SH_ROLL_MAX_HAMMING = 2
+# 3 chunks (16+16+16 bits): hamming <= 2 leaves >= 1 chunk intact, so
+# chunk-equality candidate generation is lossless (pigeonhole). 48
+# bits ~ a 7.5-degree angle at hamming 2 (SimHash hamming estimates
+# the bag-of-words angle as pi*h/bits), sharp enough to separate true
+# near-dups from this corpus's shared-vocabulary background; fp and
+# every 2^j stay exact in long/double (< 2^53).
+_SH_ROLL_CHUNKS = ((0, 16), (16, 16), (32, 16))
+
+
+def simhash_rolling_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = _SH_ROLL_MAX_HAMMING,
+) -> DataFrame:
+    """:func:`simhash_dedup_pairs`'s cross-engine sibling: a 48-bit
+    SimHash over rolling-hashed distinct 3-word SHINGLES — per-bit ±1
+    sums are INTEGER arithmetic, so the whole fingerprint (not just
+    its rounding) is bit-identical across engines — then pigeonhole
+    chunk candidates and an exact bit_count(xor) hamming filter.
+    Shingle features, not unigrams: this corpus's docs draw on a
+    shared vocabulary, so unigram-profile angles are tiny everywhere
+    (measured: the same ~17k pairs at 32 AND 48 bits) while shingle
+    profiles separate true near-dups exactly as q37/q37c's do. The
+    64-bit xxhash64 form (q37b) keeps its planted-recall evidence;
+    this form hash-matches the pipeline."""
+    n_bits = _SH_ROLL_BITS
+    toks = F.filter(
+        word_shingles(text_col, 3), lambda t: F.length(t) > 0
+    )
+    hashed = F.transform(toks, lambda t: _roll(t, 31))
+    # pyspark's shiftright/shiftleft wrappers take a PYTHON int for the
+    # shift, so a lambda-variable bit index can't use them; 2^j via pow
+    # is exact here (h < 2^30, powers ≤ 2^15 — far inside double range)
+    p2 = lambda j: F.pow(F.lit(2.0), j.cast("double"))  # noqa: E731
+    sums = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0).cast("long"), n_bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(n_bits - 1)),
+            lambda a, j: a
+            + F.when(
+                F.floor(h.cast("double") / p2(j)).cast("long") % 2 == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        ),
+    )
+    fp_expr = F.aggregate(
+        F.zip_with(
+            sums,
+            F.sequence(F.lit(0), F.lit(n_bits - 1)),
+            lambda s, j: F.when(s > 0, p2(j).cast("long"))
+            .otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    fps = (
+        df
+        # zero-token docs have no hash rows in the oracle's GROUP BY and
+        # thus no fingerprint; drop them here too (an all-zero fp would
+        # otherwise pair every empty doc with every other empty doc)
+        .filter(F.size(toks) > 0)
+        .select(F.col(id_col).alias("doc"), fp_expr.alias("fp"))
+        .localCheckpoint(eager=True)  # self-joined below; HOF tree cut once
+    )
+    chunks = fps.select(
+        "doc", "fp",
+        *[
+            F.shiftright("fp", off).bitwiseAND(F.lit((1 << w) - 1)).alias(f"c{i}")
+            for i, (off, w) in enumerate(_SH_ROLL_CHUNKS)
+        ],
+    )
+    cand = None
+    for i in range(len(_SH_ROLL_CHUNKS)):
+        a, b = chunks.alias("a"), chunks.alias("b")
+        c = (
+            a.join(
+                b,
+                (F.col(f"a.c{i}") == F.col(f"b.c{i}"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(
+                F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+                F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"),
+            )
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    return (
+        cand.distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _q_simhash_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_rolling_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+def _simhash_rolling_oracle() -> str:
+    n_bits = _SH_ROLL_BITS
+    roll = (
+        f"list_reduce(list_prepend({_MH_ROLL_SEED}::BIGINT,"
+        f" list_transform(range(1, length(tok) + 1), i -> ascii(tok[i]))),"
+        f" (a, b) -> (a * 31 + b) % {_MH_ROLL_P})"
+    )
+    sum_cols = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(n_bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(n_bits)
+    )
+    chunk_cols = ", ".join(
+        f"(fp >> {off}) & {(1 << w) - 1} AS c{i}"
+        for i, (off, w) in enumerate(_SH_ROLL_CHUNKS)
+    )
+    cand_union = "\n  UNION\n".join(
+        f"  SELECT a.doc AS doc_a, b.doc AS doc_b, a.fp AS fp_a, b.fp AS fp_b"
+        f" FROM ch a JOIN ch b ON a.c{i} = b.c{i} AND a.doc < b.doc"
+        for i in range(len(_SH_ROLL_CHUNKS))
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id AS doc, string_split(lower(text), ' ') AS t FROM documents
+), toks AS MATERIALIZED (
+  SELECT doc,
+         unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+                ELSE [array_to_string(t, ' ')] END)) AS tok
+  FROM base
+), h AS MATERIALIZED (
+  SELECT doc, {roll} AS h FROM toks WHERE length(tok) > 0
+), sums AS MATERIALIZED (
+  SELECT doc,
+         {sum_cols}
+  FROM h GROUP BY doc
+), fps AS MATERIALIZED (
+  SELECT doc, ({fp})::BIGINT AS fp FROM sums
+), ch AS MATERIALIZED (
+  SELECT doc, fp, {chunk_cols} FROM fps
+), cand AS MATERIALIZED (
+{cand_union}
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= {_SH_ROLL_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES["q37g_simhash_rolling"] = QuerySpec(
+    _q_simhash_rolling, _simhash_rolling_oracle()
+)
 QUERIES["q37c_ngram_jaccard"] = QuerySpec(_q_ngram_jaccard, _NGRAM_JACCARD_ORACLE)
 
 
