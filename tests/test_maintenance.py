@@ -479,3 +479,80 @@ def test_mg_route_end_to_end(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert {r.item: r.est for r in read_mg_sketch(spark, store).collect()} == est
+
+
+def test_knn_graph_route_end_to_end(spark, tmp_path):
+    """The kNN graph as a pipeline route: embedding INSERTs across two
+    micro-batches maintain the store; the final graph equals the batch
+    build over all vectors, and a full changelog replay under a fresh
+    checkpoint changes nothing (id-presence + batch-named cluster
+    rebuild)."""
+    import json as _json
+
+    import numpy as np
+
+    from wing_binlog_go_spark.operators.similarity import (
+        knn_graph_clustered,
+        read_knn_graph,
+    )
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+    from wing_binlog_go_spark.streaming.sinks import knn_graph_writer
+
+    rng = np.random.RandomState(77)
+    vecs = {i: rng.normal(0, 1, 16) for i in range(1, 9)}
+    cents = [list(map(float, rng.normal(0, 1, 16))) for _ in range(3)]
+
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    for fi, ids in enumerate([(1, 2, 3, 4), (5, 6, 7, 8)]):
+        with open(log_dir / f"f{fi}.jsonl", "w") as f:
+            for ev, did in enumerate(ids):
+                rec = {
+                    "binlog_file": f"mysql-bin.{fi:06d}",
+                    "binlog_pos": 4 + ev * 50, "xid_commit": True,
+                    "database": "crawl", "table": "vectors",
+                    "action": "insert", "row_no": 0, "before": None,
+                    "after": {
+                        "id": str(did),
+                        "embedding": _json.dumps(
+                            [float(x) for x in vecs[did]]
+                        ),
+                    },
+                    "ddl_query": None,
+                    "ts_header": "2018-04-19T05:21:27.000Z", "gtid": None,
+                }
+                f.write(_json.dumps(rec) + "\n")
+
+    store = str(tmp_path / "knn")
+    route = Route(
+        "knn",
+        knn_graph_writer(store, "crawl.vectors", k=3, centroids=cents),
+    )
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+
+    all_vecs = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    want = {
+        (r.src, r.dst, r.rnk)
+        for r in knn_graph_clustered(all_vecs, cents, k=3).collect()
+    }
+    got = {
+        (r.src, r.dst, r.rnk)
+        for r in read_knn_graph(spark, store).collect()
+    }
+    assert got == want and want  # non-trivial graph
+
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+    assert {
+        (r.src, r.dst, r.rnk) for r in read_knn_graph(spark, store).collect()
+    } == want

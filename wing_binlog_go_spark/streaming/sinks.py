@@ -463,6 +463,57 @@ def semantic_dedup_corpus_writer(
     return write
 
 
+def knn_graph_writer(
+    store_dir: str,
+    table: str,
+    id_field: str = "id",
+    vec_field: str = "embedding",
+    k: int = 5,
+    centroids: "list[list[float]] | None" = None,
+):
+    """Route writer maintaining the clustered kNN GRAPH from the CDC
+    stream (`operators.similarity.incremental_knn_graph_apply`):
+    INSERT envelopes of ``table`` carrying an embedding become graph
+    increments — fresh vectors append to the store (id presence = the
+    replay no-op), and every batch-named cluster's edge partition
+    rebuilds and swaps in atomically. The quantizer is the FROZEN
+    committed store by default (`load_frozen_centroids`) — the same
+    reason the PQ/semantic routes freeze theirs: retraining per batch
+    would silently reassign history under the existing edges. Read the
+    graph back with `operators.similarity.read_knn_graph`; the degree
+    coreset and label-propagation consumers run on it directly."""
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.operators.similarity import (
+        incremental_knn_graph_apply,
+        load_frozen_centroids,
+    )
+
+    cents = centroids or load_frozen_centroids()
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        vecs = (
+            env.filter(
+                (F.col("event_type") == "insert")
+                & (F.concat_ws(".", "database", "table") == table)
+            )
+            .select(
+                F.element_at("event.data", id_field).cast("long").alias("vec_id"),
+                F.from_json(
+                    F.element_at("event.data", vec_field), "array<double>"
+                ).alias("embedding"),
+            )
+            .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        )
+        if vecs.isEmpty():
+            return
+        incremental_knn_graph_apply(
+            env.sparkSession, vecs, store_dir, cents, k=k
+        )
+
+    return write
+
+
 def pq_index_writer(
     store_dir: str,
     table: str,
