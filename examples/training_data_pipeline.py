@@ -222,6 +222,26 @@ def main() -> None:
           round(nov.agg(F.avg("novelty")).first()[0], 3),
           "— lowest-novelty docs are the near-copies/templates")
 
+    # --- graph-substrate stages (r8) ----------------------------------
+    # the frozen committed quantizer clusters the embedding space once;
+    # the clustered kNN graph then feeds BOTH a density-diverse coreset
+    # (low in-degree = sparse region) and a neighborhood-agreement
+    # labeling audit — two consumers off one edge table
+    from wing_binlog_go_spark.operators.similarity import (
+        coreset_by_degree,
+        label_propagation_knn,
+        load_frozen_centroids,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = load_frozen_centroids()
+    coreset = coreset_by_degree(emb, cents, k=5, per_cluster=10)
+    print("coreset:", coreset.count(), "low-density representatives")
+    agree = label_propagation_knn(emb, cents, k=5)
+    n_dis = agree.filter("NOT agree").count()
+    print("label audit:", n_dis, "docs disagree with their kNN",
+          "neighborhood — review-first candidates")
+
 
 if __name__ == "__main__":
     main()
