@@ -589,6 +589,7 @@ def test_round8_new_query_plan_hygiene(spark, sf_dir):
         "q38l_ann_pq_frozen",
         "q37f_minhash_rolling",
         "q37g_simhash_rolling",
+        "q157_fuzzy_decontamination",
     ):
         p = plan_of(_Q[name].spark(spark, sf_dir))
         assert "CartesianProduct" not in p, name

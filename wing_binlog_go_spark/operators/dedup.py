@@ -735,6 +735,63 @@ def _roll(s: F.Column, base: int) -> F.Column:
     )
 
 
+def rolling_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc, mh: array<long>[8]) — per-row MinHash signatures under the
+    rolling-hash family, zero shuffle. Shared by the self-join dedup
+    (q37f) and the corpus-vs-benchmark decontamination (q157)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.filter(
+            word_shingles(text_col, shingle_k), lambda s: F.length(s) > 0
+        ).alias("_sh"),
+    ).filter(F.size("_sh") > 0).localCheckpoint(eager=True)
+
+    # 8 per-row array_min folds over the materialized shingle column
+    # (the checkpoint keeps CollapseProject from inlining the shingle
+    # builder into every fold — the q37 lesson). The per-base lambda
+    # comes from a closure FACTORY: a `lambda s, b=b:` default arg
+    # makes the callable arity-2 and F.transform then binds b to the
+    # ELEMENT INDEX, silently replacing every base.
+    def _hash_with(base: int):
+        return lambda s: _roll(s, base)
+
+    return sh.select(
+        "doc",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("_sh"), _hash_with(b)))
+                for b in _MH_ROLL_BASES
+            ]
+        ).alias("mh"),
+    ).localCheckpoint(eager=True)
+
+
+def _rolling_bands(sigs: DataFrame) -> DataFrame:
+    """Explode (doc, mh) to one row per LSH band: (doc, mh, band, k1,
+    k2) — 2 signature values per band, 4 bands."""
+    per_band = len(_MH_ROLL_BASES) // _MH_ROLL_BANDS
+    return sigs.select(
+        "doc", "mh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.element_at("mh", b * per_band + 1).alias("k1"),
+                        F.element_at("mh", b * per_band + 2).alias("k2"),
+                    )
+                    for b in range(_MH_ROLL_BANDS)
+                ]
+            )
+        ).alias("_b"),
+    ).select("doc", "mh", "_b.band", "_b.k1", "_b.k2")
+
+
 def minhash_rolling_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -751,47 +808,9 @@ def minhash_rolling_pairs(
     signatures, estimate verify. Empty shingles (empty-text docs) are
     excluded in both engines — the established empty-token fold
     divergence."""
+    sigs = rolling_signatures(df, id_col, text_col, shingle_k)
     n = len(_MH_ROLL_BASES)
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.filter(
-            word_shingles(text_col, shingle_k), lambda s: F.length(s) > 0
-        ).alias("_sh"),
-    ).filter(F.size("_sh") > 0).localCheckpoint(eager=True)
-    # 8 per-row array_min folds over the materialized shingle column
-    # (the checkpoint keeps CollapseProject from inlining the shingle
-    # builder into every fold — the q37 lesson). The per-base lambda
-    # comes from a closure FACTORY: a `lambda s, b=b:` default arg
-    # makes the callable arity-2 and F.transform then binds b to the
-    # ELEMENT INDEX, silently replacing every base.
-    def _hash_with(base: int):
-        return lambda s: _roll(s, base)
-
-    sigs = sh.select(
-        "doc",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("_sh"), _hash_with(b)))
-                for b in _MH_ROLL_BASES
-            ]
-        ).alias("mh"),
-    ).localCheckpoint(eager=True)
-    per_band = n // _MH_ROLL_BANDS
-    bands = sigs.select(
-        "doc", "mh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.element_at("mh", b * per_band + 1).alias("k1"),
-                        F.element_at("mh", b * per_band + 2).alias("k2"),
-                    )
-                    for b in range(_MH_ROLL_BANDS)
-                ]
-            )
-        ).alias("_b"),
-    ).select("doc", "mh", "_b.band", "_b.k1", "_b.k2")
+    bands = _rolling_bands(sigs)
     a, bb = bands.alias("a"), bands.alias("b")
     agree = F.size(
         F.filter(
@@ -882,6 +901,135 @@ ORDER BY doc_a, doc_b
 QUERIES["q37_minhash_dedup"] = QuerySpec(_q_minhash, None)  # recall property-test
 QUERIES["q37f_minhash_rolling"] = QuerySpec(
     _q_minhash_rolling, _minhash_rolling_oracle()
+)
+
+
+def fuzzy_decontaminate_pairs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = _MH_ROLL_THRESHOLD,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: training docs that are MinHash
+    NEAR-DUPLICATES of an eval doc — the contamination the exact
+    k-gram overlap (q39i) under-ranks when the leaked copy was lightly
+    edited (the Dolma/FineWeb practice: run fuzzy dedup against the
+    eval suites, not just exact n-gram matching). Same machinery as
+    :func:`minhash_rolling_pairs` but corpus×bench instead of a
+    self-join: the benchmark side is small by nature, so its banded
+    signatures BROADCAST and the corpus is never shuffled — one scan,
+    map-side join, then the per-pair estimate.
+
+    Returns (doc_id, bench_id, est_jaccard ≥ threshold)."""
+    csig = _rolling_bands(
+        rolling_signatures(corpus, id_col, text_col, shingle_k)
+    )
+    bsig = _rolling_bands(
+        rolling_signatures(bench, bench_id_col, text_col, shingle_k)
+    )
+    n = len(_MH_ROLL_BASES)
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("c.mh"), F.col("b.mh"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        csig.alias("c")
+        .join(
+            F.broadcast(bsig.alias("b")),
+            (F.col("c.band") == F.col("b.band"))
+            & (F.col("c.k1") == F.col("b.k1"))
+            & (F.col("c.k2") == F.col("b.k2")),
+        )
+        .select(
+            F.col("c.doc").alias("doc_id"),
+            F.col("b.doc").alias("bench_id"),
+            (agree / F.lit(float(n))).alias("est_jaccard"),
+        )
+        .groupBy("doc_id", "bench_id")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def _q_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q39i's deterministic benchmark scheme, fuzzy membership:
+    near-duplicate leaks, not just exact k-gram overlap. Stride 89
+    rather than q39i's 97: measured as the split whose benchmark
+    actually contains near-dup leaks at BOTH test scales (97's sf0.01
+    benchmark has none, which would make the driver row a trivial
+    zero-row match)."""
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 89 == 0)
+    corpus = docs.filter(F.col("doc_id") % 89 != 0)
+    return (
+        fuzzy_decontaminate_pairs(corpus, bench)
+        .select(
+            "doc_id", "bench_id", F.round("est_jaccard", 6).alias("est_jaccard")
+        )
+        .orderBy("doc_id", "bench_id")
+    )
+
+
+def _fuzzy_decontamination_oracle() -> str:
+    n = len(_MH_ROLL_BASES)
+    per_band = n // _MH_ROLL_BANDS
+    roll = (
+        "list_reduce(list_prepend({seed}::BIGINT,"
+        " list_transform(range(1, length(s) + 1), i -> ascii(s[i]))),"
+        " (a, b) -> (a * {base} + b) % {p})"
+    )
+    mh_cols = ",\n         ".join(
+        "MIN(" + roll.format(seed=_MH_ROLL_SEED, base=b, p=_MH_ROLL_P)
+        + f") AS mh{i}"
+        for i, b in enumerate(_MH_ROLL_BASES)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc, {b} AS band, mh{b * per_band} AS k1,"
+        f" mh{b * per_band + 1} AS k2,"
+        f" {', '.join(f'mh{i}' for i in range(n))} FROM mh"
+        for b in range(_MH_ROLL_BANDS)
+    )
+    agree = " + ".join(f"(c.mh{i} = b.mh{i})::INT" for i in range(n))
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id AS doc, string_split(lower(text), ' ') AS t FROM documents
+), sh AS MATERIALIZED (
+  SELECT doc,
+         unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+                ELSE [array_to_string(t, ' ')] END)) AS s
+  FROM base
+), shf AS MATERIALIZED (
+  SELECT doc, s FROM sh WHERE length(s) > 0
+), mh AS MATERIALIZED (
+  SELECT doc,
+         {mh_cols}
+  FROM shf GROUP BY doc
+), bands AS MATERIALIZED (
+{band_rows}
+), pairs AS MATERIALIZED (
+  SELECT c.doc AS doc_id, b.doc AS bench_id,
+         ANY_VALUE(({agree})::DOUBLE / {n}.0) AS est
+  FROM (SELECT * FROM bands WHERE doc % 89 <> 0) c
+  JOIN (SELECT * FROM bands WHERE doc % 89 = 0) b
+    ON c.band = b.band AND c.k1 = b.k1 AND c.k2 = b.k2
+  GROUP BY c.doc, b.doc
+)
+SELECT doc_id, bench_id, ROUND(est, 6) AS est_jaccard
+FROM pairs WHERE est >= {_MH_ROLL_THRESHOLD}
+ORDER BY doc_id, bench_id
+"""
+
+
+QUERIES["q157_fuzzy_decontamination"] = QuerySpec(
+    _q_fuzzy_decontamination, _fuzzy_decontamination_oracle()
 )
 QUERIES["q37d_dedup_survivors"] = QuerySpec(_q_dedup_survivors, _DEDUP_SURVIVORS_ORACLE)
 QUERIES["q37b_simhash_dedup"] = QuerySpec(_q_simhash, None)
