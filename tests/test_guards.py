@@ -98,9 +98,9 @@ def test_registry_priority_window_and_no_failed_modules():
     """The driver verifies queries in registration order with a capped
     window (50/round). Coverage closed at round 4 (every registered
     query holds a driver CORRECTNESS row); the window keeps evidence
-    FRESH: round 8 leads with the fourteen keys that have never earned a
+    FRESH: round 8 leads with the fifteen keys that have never earned a
     driver row (q150/q151 registered after the r7 window was cut;
-    q149b/q152/q153/q38j/q154/q38k/q155/q156/q38l/q37f/q37g/q157 new this round), then the three
+    q149b/q152/q153/q38j/q154/q38k/q155/q156/q38l/q37f/q37g/q157/q38m new this round), then the three
     rows-only→oracle upgrades awaiting driver confirmation (q37d/q139
     from r7, q38e from r8), then the full r4-stale band and an r5-band
     refresh led by the bench headliners (q52 = the standing perf
@@ -112,7 +112,7 @@ def test_registry_priority_window_and_no_failed_modules():
     assert registry.failed_modules == {}
     window = list(qs)[:50]
     # (a) never-driver-verified keys lead, then the oracle upgrades
-    assert window[:17] == [
+    assert window[:18] == [
         "q150_knn_graph", "q151_source_scorecard",
         "q149b_cms_rolling_hash", "q152_classifier_heldout_auc",
         "q153_knn_coreset", "q38j_ann_ivf_frozen",
@@ -120,6 +120,7 @@ def test_registry_priority_window_and_no_failed_modules():
         "q155_incremental_knn_graph", "q156_trustrank",
         "q38l_ann_pq_frozen", "q37f_minhash_rolling",
         "q37g_simhash_rolling", "q157_fuzzy_decontamination",
+        "q38m_ann_ivfpq_frozen",
         "q37d_dedup_survivors", "q139_pagerank", "q38e_diversity_sample",
     ]
     # (b) the full r4-stale band is in-window
@@ -128,7 +129,7 @@ def test_registry_priority_window_and_no_failed_modules():
         "q04_in_predicate", "q06_inner_join",
         "q07_broadcast_join", "q08_left_outer_join",
         "q09_full_outer_join", "q10_left_semi_join",
-        "q11_left_anti_join", "q12_range_join", "q13_cross_join",
+        "q11_left_anti_join", "q12_range_join",
         "q15_asof_join", "q17_count_distinct",
         "q19_rollup", "q20_having",
         "q21_scalar_subquery", "q22_window_ranking", "q23_window_lag",
@@ -144,7 +145,7 @@ def test_registry_priority_window_and_no_failed_modules():
         "q148_ngram_novelty", "q51_null_handling", "q84_tpch_q10",
         "q97_tpch_q21", "q38f_ann_pq", "q39t_heavy_hitters", "q14_tpch_q3",
         "q15b_asof_merge", "q16_tpch_q1", "q18_approx_count_distinct",
-        "q05_null_semantics",
+        "q05_null_semantics", "q13_cross_join",
         "q113_scd2_history", "q125_bm25", "q129_dedup_clusters",
     ):
         assert deferred not in window, deferred

@@ -590,6 +590,7 @@ def test_round8_new_query_plan_hygiene(spark, sf_dir):
         "q37f_minhash_rolling",
         "q37g_simhash_rolling",
         "q157_fuzzy_decontamination",
+        "q38m_ann_ivfpq_frozen",
     ):
         p = plan_of(_Q[name].spark(spark, sf_dir))
         assert "CartesianProduct" not in p, name

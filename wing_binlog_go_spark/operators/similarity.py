@@ -2299,6 +2299,205 @@ ORDER BY query_id, rnk
 """
 
 
+def _residual_expr(vec: F.Column, cents: list[list[float]]) -> F.Column:
+    """vector − coarse_centroid[_cluster] as a column expression: the
+    centroid matrix enters as a literal array-of-arrays indexed by the
+    row's cluster — element-wise subtraction order matches the SQL
+    replay exactly."""
+    cent2d = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    return F.zip_with(
+        vec,
+        F.element_at(cent2d, F.col("_cluster").cast("int") + 1),
+        lambda a, b: a - b,
+    )
+
+
+_Q38M_N_PROBE = 2
+
+
+def _q_ann_ivfpq_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with both quantizers frozen — the LAST ANN variant to get
+    a hash-matched sibling (q38i's production form trains per-run):
+    corpus rows assign to the frozen coarse list and PQ-encode their
+    RESIDUAL against the frozen residual codebooks; each query probes
+    its n_probe nearest lists and ADC-scans only those, with a
+    PER-LIST distance table built from the query's residual against
+    that list's centroid (the property that makes residual PQ finer
+    than raw-vector PQ). Everything — assignment, probe selection,
+    residual encode, per-list ADC — replays in DuckDB."""
+    coarse = load_frozen_centroids()
+    books = load_frozen_pq_books("pq_resid_books_q38m")
+    m, n_codes, sub = len(books), len(books[0]), len(books[0][0])
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    base = assign_to_centroids(
+        emb.select("vec_id", as_double("embedding").alias("_v")), coarse, "_v"
+    ).withColumn("_rv", _residual_expr(F.col("_v"), coarse)).select(
+        "vec_id", F.col("_cluster").alias("cluster"), "_rv"
+    ).localCheckpoint(eager=True)  # encode explodes m rows per vec
+    code_structs = []
+    for j, book in enumerate(books):
+        dists = F.array(
+            *[
+                F.struct(
+                    _subdist(F.col("_rv"), j, sub, cent).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c, cent in enumerate(book)
+            ]
+        )
+        code_structs.append(
+            F.struct(
+                F.lit(j).alias("j"),
+                F.element_at(F.array_sort(dists), 1)["c"].alias("code"),
+            )
+        )
+    codes = base.select(
+        "vec_id", "cluster", F.explode(F.array(*code_structs)).alias("_jc")
+    ).select(
+        "vec_id", "cluster", F.col("_jc.j").alias("j"),
+        F.col("_jc.code").alias("code"),
+    )
+
+    q10 = (
+        emb.orderBy("vec_id").limit(10)
+        .select(F.col("vec_id").alias("query_id"),
+                as_double("embedding").alias("_qv"))
+    )
+    probed = probe_centroids(q10, coarse, n_probe=_Q38M_N_PROBE, vec_col="_qv")
+    probed = probed.withColumn(
+        "_qrv", _residual_expr(F.col("_qv"), coarse)
+    ).select("query_id", F.col("_cluster").alias("cluster"), "_qrv")
+    bt = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), F.lit(c).alias("c"),
+                _subdist(F.col("_qrv"), j, sub, books[j][c]).alias("d"),
+            )
+            for j in range(m)
+            for c in range(n_codes)
+        ]
+    )
+    qd = probed.select(
+        "query_id", "cluster", F.explode(bt).alias("_b")
+    ).select(
+        "query_id", "cluster", F.col("_b.j").alias("j"),
+        F.col("_b.c").alias("c"), F.col("_b.d").alias("d"),
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qd),
+            (codes["cluster"] == qd["cluster"])
+            & (codes["j"] == qd["j"])
+            & (codes["code"] == qd["c"]),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("_adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "query_id", "vec_id", F.col("rnk").cast("int").alias("rnk"),
+            F.round("_adc", 6).alias("adc_r"),
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _ivfpq_frozen_oracle() -> str:
+    coarse = load_frozen_centroids()
+    books = load_frozen_pq_books("pq_resid_books_q38m")
+    m, n_codes, sub = len(books), len(books[0]), len(books[0][0])
+    ct_values = ",\n    ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(coarse)
+    )
+    bt_values = ",\n    ".join(
+        f"({j}, {c}, [{', '.join(repr(float(x)) for x in books[j][c])}]::DOUBLE[])"
+        for j in range(m)
+        for c in range(n_codes)
+    )
+    rdist = (
+        f"list_reduce(list_transform(range(1, {sub} + 1),"
+        f" i -> (rv[bt.j * {sub} + i] - bt.cent[i])"
+        f" * (rv[bt.j * {sub} + i] - bt.cent[i])),"
+        f" (a, b) -> a + b)"
+    )
+    q_dists = ",\n         ".join(_frozen_dist_cols("qv"))
+    unpivot = "\n  UNION ALL\n".join(
+        f"  SELECT query_id, {i} AS cluster, d{i} AS dist FROM qdist"
+        for i in range(len(coarse))
+    )
+    return _frozen_assign_cte() + f""", ct (cluster, cent) AS MATERIALIZED (
+  VALUES
+    {ct_values}
+), bt (j, c, cent) AS MATERIALIZED (
+  VALUES
+    {bt_values}
+), av AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster,
+         list_transform(range(1, len(e.embedding) + 1),
+                        i -> e.embedding[i]::DOUBLE - ct.cent[i]) AS rv
+  FROM assigned a
+  JOIN embeddings e USING (vec_id)
+  JOIN ct USING (cluster)
+), cd AS MATERIALIZED (
+  SELECT av.vec_id, av.cluster, bt.j, bt.c, {rdist} AS d
+  FROM av CROSS JOIN bt
+), codes AS MATERIALIZED (
+  SELECT vec_id, cluster, j, c AS code FROM (
+    SELECT vec_id, cluster, j, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM cd
+  ) WHERE rn = 1
+), q AS MATERIALIZED (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 10
+), qdist AS MATERIALIZED (
+  SELECT query_id,
+         {q_dists}
+  FROM q
+), unpv AS MATERIALIZED (
+{unpivot}
+), probed AS MATERIALIZED (
+  SELECT query_id, cluster FROM (
+    SELECT query_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dist, cluster) AS rn
+    FROM unpv
+  ) WHERE rn <= {_Q38M_N_PROBE}
+), qr AS MATERIALIZED (
+  SELECT p.query_id, p.cluster,
+         list_transform(range(1, len(q.qv) + 1),
+                        i -> q.qv[i] - ct.cent[i]) AS rv
+  FROM probed p JOIN q USING (query_id) JOIN ct USING (cluster)
+), qd AS MATERIALIZED (
+  SELECT qr.query_id, qr.cluster, bt.j, bt.c, {rdist.replace("rv[", "qr.rv[")} AS d
+  FROM qr CROSS JOIN bt
+), adc AS MATERIALIZED (
+  SELECT qd.query_id, codes.vec_id, SUM(qd.d) AS a
+  FROM codes
+  JOIN qd ON codes.cluster = qd.cluster AND codes.j = qd.j
+         AND codes.code = qd.c
+  WHERE codes.vec_id != qd.query_id
+  GROUP BY qd.query_id, codes.vec_id
+)
+SELECT query_id, vec_id, rnk, adc_r FROM (
+  SELECT query_id, vec_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY a, vec_id) AS INTEGER) AS rnk,
+         ROUND(a, 6) AS adc_r
+  FROM adc
+) WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
 _Q38J_N_PROBE = 2
 
 # q38k (frozen-LSH oracle form): small deliberately — the bucket bits
@@ -2758,3 +2957,6 @@ QUERIES["q155_incremental_knn_graph"] = QuerySpec(
     _q_incremental_knn_graph, _incremental_knn_oracle()
 )
 QUERIES["q38l_ann_pq_frozen"] = QuerySpec(_q_ann_pq_frozen, _pq_frozen_oracle())
+QUERIES["q38m_ann_ivfpq_frozen"] = QuerySpec(
+    _q_ann_ivfpq_frozen, _ivfpq_frozen_oracle()
+)

@@ -44,23 +44,24 @@ _OPERATOR_MODULES = (
 failed_modules: dict[str, str] = {}
 
 # First 50 = the driver's verification window.  Round-8 layout (per the
-# r7 verdict's window plan): lead with the FOURTEEN keys that have never
+# r7 verdict's window plan): lead with the FIFTEEN keys that have never
 # earned a driver CORRECTNESS row (q150/q151 registered after the r7
-# window was cut; q149b/q152/q153/q38j/q154/q38k/q155/q156/q38l/q37f/q37g/q157 new
-# this round), then the THREE
+# window was cut; q149b/q152/q153/q38j/q154/q38k/q155/q156/q38l/q37f/q37g/q157/q38m
+# new this round), then the THREE
 # keys whose rows-only→oracle upgrade has never been driver-confirmed
 # (q37d/q139 upgraded in r7 but their latest rows predate it; q38e
 # upgraded this round), then the full r4-stale band — the stalest
-# evidence left (32 keys: the q01-q27 relational core minus q18 —
-# rows-only-by-design, waits for r9 — and minus q05, whose Q5-family
-# twin q51 holds a fresh r7 row — plus q98-q105 and q39w) — and the
-# q52 slot (the standing perf watch).  The remaining
+# evidence left (31 keys: the q01-q27 relational core minus q18 —
+# rows-only-by-design, waits for r9 — minus q05, whose Q5-family
+# twin q51 holds a fresh r7 row, and minus q13, the cross-join
+# baseline — plus q39w and q98-q105) — and the q52 slot (the
+# standing perf watch).  The remaining
 # r5 keys and the whole r6/r7 bands hold rows at most two rounds old
 # and rotate back in on r9.  After this window nothing in the ledger
 # is older than round 5.
 _PRIORITY = (
     # Never driver-verified (q150/q151 registered after the r7 window
-    # was cut; q149b/q152/q153/q38j/q154/q38k/q155/q156/q38l/q37f/q37g/q157 are new this round).
+    # was cut; q149b/q152/q153/q38j/q154/q38k/q155/q156/q38l/q37f/q37g/q157/q38m are new this round).
     "q150_knn_graph",
     "q151_source_scorecard",
     "q149b_cms_rolling_hash",
@@ -75,12 +76,14 @@ _PRIORITY = (
     "q37f_minhash_rolling",
     "q37g_simhash_rolling",
     "q157_fuzzy_decontamination",
+    "q38m_ann_ivfpq_frozen",
     # rows-only → oracle upgrades awaiting a driver hash-match row.
     "q37d_dedup_survivors",
     "q139_pagerank",
     "q38e_diversity_sample",
-    # The r4-stale band: latest driver row is ROUND 4 (32 keys; q18
-    # and q05 rotate to r9 — rows-only-by-design / fresh family twin).
+    # The r4-stale band: latest driver row is ROUND 4 (31 keys; q18,
+    # q05, q13 rotate to r9 — rows-only-by-design / fresh family twin
+    # / the cross-join audit baseline).
     "q01_parquet_scan",
     "q02_projection",
     "q03_filter",
@@ -92,7 +95,6 @@ _PRIORITY = (
     "q10_left_semi_join",
     "q11_left_anti_join",
     "q12_range_join",
-    "q13_cross_join",
     "q15_asof_join",
     "q17_count_distinct",
     "q19_rollup",
