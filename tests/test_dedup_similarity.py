@@ -1798,3 +1798,50 @@ def test_incremental_knn_graph_converges_replays_and_heals_crash(
     assert {
         (r.src, r.dst, r.rnk) for r in read_knn_graph(spark, store).collect()
     } == full
+
+
+def test_incremental_knn_graph_dedupes_within_batch(spark, sf_small, tmp_path):
+    """Regression (r8 advice): an at-least-once CDC feed can deliver the
+    same INSERT twice INSIDE one micro-batch — the store anti-join only
+    screens against history, so without in-batch dedup the duplicate
+    would write two vector rows permanently (duplicate nodes/edges in
+    every later rebuild, diverging from the batch build)."""
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.operators.similarity import (
+        incremental_knn_graph_apply,
+        knn_graph_clustered,
+        load_frozen_centroids,
+        read_knn_graph,
+    )
+    from wing_binlog_go_spark.tables import read_table
+
+    emb = (
+        read_table(spark, sf_small, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(60)
+    )
+    cents = load_frozen_centroids()
+    store = str(tmp_path / "g")
+
+    # first batch carries every row TWICE (the first-batch path used to
+    # append verbatim), second batch re-delivers a subset twice more
+    dup1 = emb.unionByName(emb)
+    _, st1 = incremental_knn_graph_apply(spark, dup1, store, cents, k=5)
+    assert st1["batch"] == 60  # dedup happens before any counting
+    dup2 = emb.limit(10).unionByName(emb.limit(10))
+    _, st2 = incremental_knn_graph_apply(spark, dup2, store, cents, k=5)
+    assert st2["batch"] == 10 and st2["appended"] == 0
+
+    import os
+
+    vecs = spark.read.parquet(os.path.join(store, "vectors"))
+    assert vecs.count() == 60
+    assert vecs.select("vec_id").distinct().count() == 60
+    want = {
+        (r.src, r.dst, r.rnk)
+        for r in knn_graph_clustered(emb, cents, k=5).collect()
+    }
+    assert {
+        (r.src, r.dst, r.rnk) for r in read_knn_graph(spark, store).collect()
+    } == want

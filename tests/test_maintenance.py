@@ -386,6 +386,62 @@ def test_cms_route_crash_mid_commit_is_retried_not_skipped(spark, tmp_path):
     assert merged == want  # the crashed batch was re-sketched, once
 
 
+def test_cms_route_pre_rename_debris_is_not_a_commit(spark, tmp_path):
+    """Regression (r8 advice): a store created by the PRE-rename
+    append-mode writer could crash leaving a bare ``bkey=N`` directory
+    with no parquet files. The replay probe must treat that as
+    NOT-committed (dir + parquet-presence, not bare isdir) and the
+    writer must clear the debris before its commit rename — otherwise
+    the batch is skipped forever and the merged sketch undercounts."""
+    import json as _json
+
+    from wing_binlog_go_spark.operators.stats import cms_build
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+    from wing_binlog_go_spark.streaming.sinks import (
+        cms_sketch_writer,
+        read_cms_sketch,
+    )
+
+    texts = {1: "alpha beta gamma", 2: "beta delta"}
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    with open(log_dir / "f0.jsonl", "w") as f:
+        for ev, did in enumerate(sorted(texts)):
+            rec = {
+                "binlog_file": "mysql-bin.000000",
+                "binlog_pos": 4 + ev * 50, "xid_commit": True,
+                "database": "crawl", "table": "documents",
+                "action": "insert", "row_no": 0, "before": None,
+                "after": {"id": str(did), "text": texts[did]},
+                "ddl_query": None,
+                "ts_header": "2018-04-19T05:21:27.000Z", "gtid": None,
+            }
+            f.write(_json.dumps(rec) + "\n")
+
+    store = tmp_path / "cms"
+    # pre-upgrade crash debris: the committed path exists but holds no
+    # parquet (only a stray non-data marker)
+    debris = store / "bkey=1"
+    debris.mkdir(parents=True)
+    (debris / "_SUCCESS").write_bytes(b"")
+
+    route = Route(
+        "sketch",
+        cms_sketch_writer(str(store), "crawl.documents", width=64, depth=4),
+    )
+    q = run_pipeline(spark, str(log_dir), [route], str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+
+    merged = {(r.j, r.col): r.cnt
+              for r in read_cms_sketch(spark, str(store)).collect()}
+    all_toks = spark.createDataFrame(
+        [(t,) for txt in texts.values() for t in txt.split(" ")], ["tok"]
+    )
+    want = {(r.j, r.col): r.cnt
+            for r in cms_build(all_toks, "tok", width=64, depth=4).collect()}
+    assert merged == want  # the debris batch was sketched, not skipped
+
+
 def test_misra_gries_guarantees(spark, sf_small):
     """MG bounds on the fixture token stream across multiple real
     partitions: estimates never overcount, total undercount <= N/(k+1),

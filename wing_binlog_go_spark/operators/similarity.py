@@ -1580,6 +1580,25 @@ def _frozen_dist_cols(vec: str = "embedding") -> list[str]:
     return dist_cols
 
 
+def _sql_exact_norm(vec: str) -> str:
+    """SQL replay of Spark's :func:`norm`: sqrt of the left-to-right
+    sum-of-squares fold (DuckDB's list_reduce starts from the first
+    element, Spark's aggregate from 0.0 — identical doubles, since
+    0.0 + x == x exactly)."""
+    return (
+        f"sqrt(list_reduce(list_transform(range(1, len({vec}) + 1),"
+        f" i -> {vec}[i] * {vec}[i]), (a, b) -> a + b))"
+    )
+
+
+def _sql_exact_dot(u: str, v: str) -> str:
+    """SQL replay of Spark's :func:`dot` — the same sequential fold."""
+    return (
+        f"list_reduce(list_transform(range(1, len({u}) + 1),"
+        f" i -> {u}[i] * {v}[i]), (a, b) -> a + b)"
+    )
+
+
 def _frozen_assign_cte() -> str:
     """The ``d`` + ``assigned`` CTE pair shared by the frozen-centroid
     oracles (q38e, q153): argmin of the :func:`_frozen_dist_cols`
@@ -1732,15 +1751,19 @@ def _q_knn_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_coreset_oracle() -> str:
-    """Frozen assignment + within-cluster exact kNN (raw-sim ranking —
-    the q38 precedent: list_cosine_similarity vs Spark's fold agree on
-    ordering for this corpus; ties break on dst) + in-degree window."""
+    """Frozen assignment + within-cluster exact kNN + in-degree window.
+    The ranking key replays Spark's EXACT fold (sequential dot over
+    per-row norms, :func:`_sql_exact_dot` / :func:`_sql_exact_norm`) —
+    bit-identical doubles, so top-k membership can never flip on a
+    ulp-level divergence the way a list_cosine_similarity key could
+    at another corpus or scale."""
     return _frozen_assign_cte() + f""", av AS MATERIALIZED (
-  SELECT a.vec_id, a.cluster, CAST(e.embedding AS DOUBLE[]) AS v
+  SELECT a.vec_id, a.cluster, CAST(e.embedding AS DOUBLE[]) AS v,
+         {_sql_exact_norm("CAST(e.embedding AS DOUBLE[])")} AS n
   FROM assigned a JOIN embeddings e USING (vec_id)
 ), edges AS MATERIALIZED (
   SELECT s.cluster, s.vec_id AS src, t.vec_id AS dst,
-         list_cosine_similarity(s.v, t.v) AS sim
+         {_sql_exact_dot("s.v", "t.v")} / (s.n * t.n) AS sim
   FROM av s JOIN av t ON s.cluster = t.cluster AND s.vec_id != t.vec_id
 ), topk AS MATERIALIZED (
   SELECT cluster, src, dst FROM (
@@ -1909,12 +1932,14 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _label_prop_oracle() -> str:
+    # ranking key = Spark's exact fold (see _knn_coreset_oracle)
     return _frozen_assign_cte() + f""", av AS MATERIALIZED (
-  SELECT a.vec_id, a.cluster, CAST(e.embedding AS DOUBLE[]) AS v, e.label
+  SELECT a.vec_id, a.cluster, CAST(e.embedding AS DOUBLE[]) AS v, e.label,
+         {_sql_exact_norm("CAST(e.embedding AS DOUBLE[])")} AS n
   FROM assigned a JOIN embeddings e USING (vec_id)
 ), edges AS MATERIALIZED (
   SELECT s.vec_id AS src, t.vec_id AS dst, t.label AS nlbl,
-         list_cosine_similarity(s.v, t.v) AS sim
+         {_sql_exact_dot("s.v", "t.v")} / (s.n * t.n) AS sim
   FROM av s JOIN av t ON s.cluster = t.cluster AND s.vec_id != t.vec_id
 ), topk AS MATERIALIZED (
   SELECT src, nlbl FROM (
@@ -1983,7 +2008,13 @@ def incremental_knn_graph_apply(
     ).select(
         F.col(id_col), F.col("_v").alias("vector"),
         F.col("_cluster").cast("int").alias("cluster"),
-    ).localCheckpoint(eager=True)
+    # in-batch dedup: the left_anti below only screens against the
+    # STORE, and the first-batch path appends verbatim — an
+    # at-least-once CDC feed can deliver the same INSERT twice inside
+    # one micro-batch, which without this would write duplicate vector
+    # rows permanently (duplicate nodes/edges in every later rebuild,
+    # diverging from the batch build)
+    ).dropDuplicates([id_col]).localCheckpoint(eager=True)
     n_batch = assigned.count()
     touched = [r.cluster for r in assigned.select("cluster").distinct().collect()]
 
@@ -2105,13 +2136,16 @@ def _q_incremental_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _incremental_knn_oracle() -> str:
     """The batch-built graph (the q153 chain's edge CTEs) — what the
-    incremental store must converge to."""
+    incremental store must converge to. Ranking key = Spark's exact
+    fold (see _knn_coreset_oracle); sim_r additionally rounds to 6dp
+    for the output column."""
     return _frozen_assign_cte() + f""", av AS MATERIALIZED (
-  SELECT a.vec_id, a.cluster, CAST(e.embedding AS DOUBLE[]) AS v
+  SELECT a.vec_id, a.cluster, CAST(e.embedding AS DOUBLE[]) AS v,
+         {_sql_exact_norm("CAST(e.embedding AS DOUBLE[])")} AS n
   FROM assigned a JOIN embeddings e USING (vec_id)
 ), edges AS MATERIALIZED (
   SELECT s.cluster, s.vec_id AS src, t.vec_id AS dst,
-         list_cosine_similarity(s.v, t.v) AS sim
+         {_sql_exact_dot("s.v", "t.v")} / (s.n * t.n) AS sim
   FROM av s JOIN av t ON s.cluster = t.cluster AND s.vec_id != t.vec_id
 )
 SELECT src, dst, rnk, sim_r, cluster FROM (

@@ -966,7 +966,15 @@ def cms_sketch_writer(
             return
         batch_key = docs.agg(F.min("doc_id")).collect()[0][0]
         part_dir = os.path.join(store_dir, f"bkey={batch_key}")
-        if os.path.isdir(part_dir):
+        # committed = dir exists AND holds parquet: rename-committed
+        # dirs always contain files, so the extra check is free for
+        # them — it exists for stores created by the PRE-rename
+        # append-mode writer, where a crash could leave a bare bkey=
+        # directory; a dir-only probe would treat that debris as
+        # committed and permanently undercount the merged sketch
+        if os.path.isdir(part_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(part_dir)
+        ):
             return  # replayed batch: partition rename already committed
         toks = docs.select(
             F.explode(F.split(F.lower("_payload"), " ")).alias("tok")
@@ -982,6 +990,10 @@ def cms_sketch_writer(
             shutil.rmtree(stage_dir)  # crashed earlier attempt: discard
         sketch.write.mode("overwrite").parquet(stage_dir)
         os.makedirs(store_dir, exist_ok=True)
+        if os.path.isdir(part_dir):
+            # parquet-less debris (the pre-rename writer's crash
+            # window) — clear it or the commit rename gets ENOTEMPTY
+            shutil.rmtree(part_dir)
         os.rename(stage_dir, part_dir)  # the commit point
 
     return write
@@ -1030,7 +1042,12 @@ def mg_sketch_writer(
             return
         batch_key = docs.agg(F.min("doc_id")).collect()[0][0]
         part_dir = os.path.join(store_dir, f"bkey={batch_key}")
-        if os.path.isdir(part_dir):
+        # dir + parquet-presence probe, not bare isdir — see
+        # cms_sketch_writer: protects pre-rename-era crash debris
+        # (a bare bkey= dir) from masquerading as a committed batch
+        if os.path.isdir(part_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(part_dir)
+        ):
             return  # replayed batch: partition rename already committed
         toks = docs.select(
             F.explode(F.split(F.lower("_payload"), " ")).alias("tok")
@@ -1044,6 +1061,8 @@ def mg_sketch_writer(
             shutil.rmtree(stage_dir)  # crashed earlier attempt: discard
         summary.write.mode("overwrite").parquet(stage_dir)
         os.makedirs(store_dir, exist_ok=True)
+        if os.path.isdir(part_dir):
+            shutil.rmtree(part_dir)  # parquet-less pre-rename debris
         os.rename(stage_dir, part_dir)  # the commit point
 
     return write
