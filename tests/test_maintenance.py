@@ -612,3 +612,93 @@ def test_knn_graph_route_end_to_end(spark, tmp_path):
     assert {
         (r.src, r.dst, r.rnk) for r in read_knn_graph(spark, store).collect()
     } == want
+
+
+def _env_batch(spark, rows, db="crawl", table="documents"):
+    """rows: (event_type, event_index, data-map) under the normalized
+    envelope schema — the direct-call form the incremental-agg tests
+    use, here for the store routes' insert-only contract."""
+    from wing_binlog_go_spark.functions.envelope import EVENT_SCHEMA
+
+    return spark.createDataFrame(
+        [
+            (db, table, et, 0, idx, {"data": d, "old_data": None, "new_data": None})
+            for et, idx, d in rows
+        ],
+        EVENT_SCHEMA,
+    )
+
+
+def test_store_routes_raise_on_retraction(spark, tmp_path):
+    """The store-maintaining routes share the aggregate maintainers'
+    loud insert-only contract (r8 verdict): a DELETE or UPDATE envelope
+    for the maintained table must raise, not silently ghost the store
+    — one representative per family (text corpus, mergeable sketch,
+    vector store/graph)."""
+    import numpy as np
+    import pytest
+
+    from wing_binlog_go_spark.streaming.sinks import (
+        cms_sketch_writer,
+        dedup_corpus_writer,
+        knn_graph_writer,
+    )
+
+    vec = "[" + ", ".join(str(x) for x in np.arange(16) / 16.0) + "]"
+    cents = [[float(i == j) for j in range(16)] for i in range(2)]
+    writers = {
+        "dedup": dedup_corpus_writer(str(tmp_path / "d"), "crawl.documents"),
+        "cms": cms_sketch_writer(str(tmp_path / "c"), "crawl.documents"),
+        "knn": knn_graph_writer(
+            str(tmp_path / "g"), "crawl.documents",
+            vec_field="embedding", centroids=cents,
+        ),
+    }
+    mixed = _env_batch(
+        spark,
+        [
+            ("insert", 1, {"id": "1", "text": "alpha beta",
+                           "embedding": vec}),
+            ("delete", 2, {"id": "1", "text": "alpha beta",
+                           "embedding": vec}),
+        ],
+    )
+    update_only = _env_batch(
+        spark,
+        [("update", 3, {"id": "1", "text": "alpha", "embedding": vec})],
+    )
+    for name, w in writers.items():
+        with pytest.raises(ValueError, match="insert-only"):
+            w(mixed, 0)
+        with pytest.raises(ValueError, match="insert-only"):
+            w(update_only, 1)
+
+
+def test_store_routes_tolerate_alter_and_other_tables(spark, tmp_path):
+    """The probe's two deliberate pass-throughs: ALTER on the maintained
+    table (DDL, no row image — the aggregate maintainers' skip rule) and
+    retractions on OTHER tables sharing the stream must NOT raise; the
+    batch's inserts still apply."""
+    from wing_binlog_go_spark.streaming.sinks import (
+        dedup_corpus_writer,
+        read_dedup_corpus,
+    )
+
+    store = str(tmp_path / "d")
+    w = dedup_corpus_writer(store, "crawl.documents")
+    batch = _env_batch(
+        spark,
+        [
+            ("insert", 1, {"id": "1", "text": "alpha beta gamma"}),
+            ("alter", 2, None),
+        ],
+    ).unionByName(
+        _env_batch(
+            spark,
+            [("delete", 3, {"id": "9", "text": "other row"})],
+            table="orders",
+        )
+    )
+    w(batch, 0)
+    got = {(r.doc_id, r.text) for r in read_dedup_corpus(spark, store).collect()}
+    assert got == {(1, "alpha beta gamma")}

@@ -2994,3 +2994,101 @@ QUERIES["q38l_ann_pq_frozen"] = QuerySpec(_q_ann_pq_frozen, _pq_frozen_oracle())
 QUERIES["q38m_ann_ivfpq_frozen"] = QuerySpec(
     _q_ann_ivfpq_frozen, _ivfpq_frozen_oracle()
 )
+
+
+def semantic_dedup_frozen(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`semantic_dedup` against the FROZEN committed quantizer —
+    the oracle-able form of the SemDeDup scheme, closing the family's
+    last evidence gap (r8 verdict ask #3): with centroids entering both
+    engines as literals and the cosine computed by the exact sequential
+    fold, the whole cluster→prune chain is SQL-replayable, where
+    q38g/q38h's in-run k-means has no SQL twin.
+
+    Same survivor rule as :func:`semantic_dedup` (drop iff a SMALLER-id
+    row in the same cluster is within ``threshold``) and the same scale
+    shape: assignment is a map-side literal expression, the only
+    shuffles are the cluster equi-self-join (Σ|c|²/2 candidate bound)
+    and the final anti-join. Returns (id, cluster) survivors."""
+    assigned = (
+        assign_to_centroids(
+            corpus.select(F.col(id_col), as_double(vec_col).alias("_v")),
+            cents, "_v",
+        )
+        .select(
+            F.col(id_col),
+            F.col("_cluster").cast("int").alias("cluster"),
+            "_v",
+        )
+        .withColumn("_n", norm(F.col("_v")))
+        # referenced three times (both join sides + the survivor base)
+        .localCheckpoint(eager=True)
+    )
+    lhs = assigned.select(
+        F.col(id_col).alias("_id_keep"), "cluster",
+        F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+    )
+    rhs = assigned.select(
+        F.col(id_col).alias("_id_drop"), "cluster",
+        F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+    )
+    dropped = (
+        lhs.join(rhs, "cluster")
+        .filter(F.col("_id_keep") < F.col("_id_drop"))
+        .filter(
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("_id_drop").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(id_col, "cluster")
+
+
+# The fixture corpus is random-normal (near-orthogonal: max
+# within-cluster cosine ~0.47, p99 ~0.32 at both test scales), so the
+# production 0.95 would never fire and the driver would be hashing a
+# trivially-empty prune. 0.30 sits just under p99: a few hundred pairs
+# cross it at both scales, so the drop set, the min-id survivor rule,
+# and the anti-join are all genuinely exercised.
+_Q38N_THRESHOLD = 0.30
+
+
+def _q_semantic_dedup_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        semantic_dedup_frozen(
+            emb, load_frozen_centroids(), threshold=_Q38N_THRESHOLD
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _semantic_dedup_frozen_oracle() -> str:
+    """Frozen assignment + within-cluster smaller-id prune. The
+    threshold compares the UNROUNDED sim, safe because both engines
+    run the identical sequential fold (bit-equal doubles — the
+    q153/q154/q155 ranking-key argument, applied to a predicate)."""
+    return _frozen_assign_cte() + f""", av AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, CAST(e.embedding AS DOUBLE[]) AS v,
+         {_sql_exact_norm("CAST(e.embedding AS DOUBLE[])")} AS n
+  FROM assigned a JOIN embeddings e USING (vec_id)
+), dropped AS MATERIALIZED (
+  SELECT DISTINCT t.vec_id
+  FROM av s JOIN av t ON s.cluster = t.cluster AND s.vec_id < t.vec_id
+  WHERE {_sql_exact_dot("s.v", "t.v")} / (s.n * t.n) >= {_Q38N_THRESHOLD}
+)
+SELECT a.vec_id, a.cluster FROM assigned a
+WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+ORDER BY a.vec_id
+"""
+
+
+QUERIES["q38n_semantic_dedup_frozen"] = QuerySpec(
+    _q_semantic_dedup_frozen, _semantic_dedup_frozen_oracle()
+)

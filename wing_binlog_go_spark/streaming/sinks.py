@@ -353,6 +353,90 @@ def _insert_docs(
     )
 
 
+def _insert_only_probe(env: DataFrame, table: str, op_name: str, usable) -> int:
+    """The STORE-MAINTAINING routes' shared insert-only contract — the
+    foreachBatch sibling of ``streaming.aggregate._fresh_inserts``: a
+    CDC stream CAN carry UPDATE/DELETE envelopes for the maintained
+    table, and silently ignoring them would leave the store diverged
+    from the replica with no signal (a ghost vector in the ANN index, a
+    ghost node in the kNN graph, stale text in the dedup corpus, tokens
+    a sketch can never subtract). So the contract violation raises
+    LOUDLY here instead. ALTER passes (DDL carries no row image — the
+    same skip rule as the aggregate maintainers). A fix to the
+    insert-only rules for this route family lands HERE, once.
+
+    ``usable`` is the route's row-usability predicate over the insert
+    envelope (non-null id, parseable payload, ...): the return value is
+    the count of USABLE insert rows, so the probe doubles as the
+    routes' former ``docs.isEmpty()`` action — one driver job, not two.
+    """
+    row = (
+        env.filter(F.concat_ws(".", "database", "table") == table)
+        .agg(
+            F.sum(
+                ((F.col("event_type") == "insert") & usable).cast("long")
+            ).alias("n"),
+            F.max(
+                F.when(
+                    ~F.col("event_type").isin("insert", "alter"),
+                    F.col("event_type"),
+                )
+            ).alias("bad"),
+        )
+        .collect()[0]
+    )
+    if row["bad"] is not None:
+        raise ValueError(
+            f"{op_name} is insert-only: the batch carries a "
+            f"{row['bad']!r} envelope for maintained table {table!r}. "
+            "Applying inserts while dropping the retraction would "
+            "silently diverge the store from the replica; route "
+            "updates/deletes elsewhere, or retrain/rebuild the store "
+            "offline and redeploy."
+        )
+    return int(row["n"] or 0)
+
+
+def _docs_usable(id_field: str, text_field: str):
+    """Usability predicate matching ``_insert_docs``'s row filter."""
+    return (
+        F.element_at("event.data", id_field).cast("long").isNotNull()
+        & F.element_at("event.data", text_field).isNotNull()
+    )
+
+
+def _insert_vecs(
+    env: DataFrame, table: str, id_field: str, vec_field: str
+) -> DataFrame:
+    """(vec_id, embedding) from a batch's INSERT envelopes of ``table``
+    — the embedding-modality sibling of ``_insert_docs``, shared by the
+    vector-store routes (semantic corpus, kNN graph, PQ / IVF-PQ index)
+    so their arrival definition cannot drift either."""
+    return (
+        env.filter(
+            (F.col("event_type") == "insert")
+            & (F.concat_ws(".", "database", "table") == table)
+        )
+        .select(
+            F.element_at("event.data", id_field).cast("long").alias("vec_id"),
+            F.from_json(
+                F.element_at("event.data", vec_field), "array<double>"
+            ).alias("embedding"),
+        )
+        .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+    )
+
+
+def _vecs_usable(id_field: str, vec_field: str):
+    """Usability predicate matching ``_insert_vecs``'s row filter."""
+    return (
+        F.element_at("event.data", id_field).cast("long").isNotNull()
+        & F.from_json(
+            F.element_at("event.data", vec_field), "array<double>"
+        ).isNotNull()
+    )
+
+
 def dedup_corpus_writer(
     store_dir: str,
     table: str,
@@ -371,15 +455,23 @@ def dedup_corpus_writer(
     the per-row commit, so at-least-once batch replays re-process only
     rows whose append never landed and the corpus converges without a
     second sink (read it back with ``read_dedup_corpus``).
+
+    INSERT-ONLY, enforced loudly: an UPDATE/DELETE envelope for
+    ``table`` raises (``_insert_only_probe``) — a silently-dropped
+    retraction would leave ghost text in the corpus AND its signature
+    suppressing future near-duplicates forever.
     """
     from pyspark.sql import functions as F
 
     from wing_binlog_go_spark.operators.dedup import incremental_dedup_apply
 
     def write(env: DataFrame, batch_id: int) -> None:
-        docs = _insert_docs(env, table, id_field, text_field)
-        if docs.isEmpty():
+        if not _insert_only_probe(
+            env, table, "dedup_corpus_writer",
+            _docs_usable(id_field, text_field),
+        ):
             return
+        docs = _insert_docs(env, table, id_field, text_field)
         if quality_filter is not None:
             # optional pre-dedup gate (e.g. lambda d:
             # d.join(gopher_quality_flags(d, ...).filter("keep")
@@ -428,6 +520,10 @@ def semantic_dedup_corpus_writer(
     is probed by cluster equi-join; presence of an id in the store IS
     the per-row commit, so at-least-once replays converge. Read the
     curated corpus back with ``read_semantic_corpus``.
+
+    INSERT-ONLY, enforced loudly: an UPDATE/DELETE envelope for
+    ``table`` raises — dropping it would leave a ghost vector deduping
+    future arrivals against a row the replica no longer has.
     """
     from pyspark.sql import functions as F
 
@@ -436,21 +532,12 @@ def semantic_dedup_corpus_writer(
     )
 
     def write(env: DataFrame, batch_id: int) -> None:
-        docs = (
-            env.filter(
-                (F.col("event_type") == "insert")
-                & (F.concat_ws(".", "database", "table") == table)
-            )
-            .select(
-                F.element_at("event.data", id_field).cast("long").alias("vec_id"),
-                F.from_json(
-                    F.element_at("event.data", vec_field), "array<double>"
-                ).alias("embedding"),
-            )
-            .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
-        )
-        if docs.isEmpty():
+        if not _insert_only_probe(
+            env, table, "semantic_dedup_corpus_writer",
+            _vecs_usable(id_field, vec_field),
+        ):
             return
+        docs = _insert_vecs(env, table, id_field, vec_field)
         incremental_semantic_dedup_apply(
             env.sparkSession,
             docs,
@@ -481,7 +568,16 @@ def knn_graph_writer(
     reason the PQ/semantic routes freeze theirs: retraining per batch
     would silently reassign history under the existing edges. Read the
     graph back with `operators.similarity.read_knn_graph`; the degree
-    coreset and label-propagation consumers run on it directly."""
+    coreset and label-propagation consumers run on it directly.
+
+    INSERT-ONLY, enforced loudly: an UPDATE carrying a new embedding
+    or a DELETE raises (``_insert_only_probe``) — id presence makes a
+    later arrival a no-op, so a dropped retraction would leave the
+    stale vector AND its edges in every future rebuild of its cluster.
+    (The rebuild IS a pure function of ``vectors/``, so the offline
+    delete path exists: remove the id from ``vectors/`` and rebuild
+    the touched clusters with the batch template; online retraction
+    support would wire exactly that here.)"""
     from pyspark.sql import functions as F
 
     from wing_binlog_go_spark.operators.similarity import (
@@ -492,21 +588,11 @@ def knn_graph_writer(
     cents = centroids or load_frozen_centroids()
 
     def write(env: DataFrame, batch_id: int) -> None:
-        vecs = (
-            env.filter(
-                (F.col("event_type") == "insert")
-                & (F.concat_ws(".", "database", "table") == table)
-            )
-            .select(
-                F.element_at("event.data", id_field).cast("long").alias("vec_id"),
-                F.from_json(
-                    F.element_at("event.data", vec_field), "array<double>"
-                ).alias("embedding"),
-            )
-            .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
-        )
-        if vecs.isEmpty():
+        if not _insert_only_probe(
+            env, table, "knn_graph_writer", _vecs_usable(id_field, vec_field)
+        ):
             return
+        vecs = _insert_vecs(env, table, id_field, vec_field)
         incremental_knn_graph_apply(
             env.sparkSession, vecs, store_dir, cents, k=k
         )
@@ -529,6 +615,9 @@ def pq_index_writer(
     against the frozen codebooks and append, replays are id-no-ops.
     Query it any time with ``pq_topk(index=load_pq_index(...))`` — the
     vector-database ingestion path fed straight from the binlog.
+
+    INSERT-ONLY, enforced loudly: a retraction raises — dropping it
+    would leave ghost codes answering queries for a deleted vector.
     """
     from pyspark.sql import functions as F
 
@@ -537,21 +626,11 @@ def pq_index_writer(
     )
 
     def write(env: DataFrame, batch_id: int) -> None:
-        vecs = (
-            env.filter(
-                (F.col("event_type") == "insert")
-                & (F.concat_ws(".", "database", "table") == table)
-            )
-            .select(
-                F.element_at("event.data", id_field).cast("long").alias("vec_id"),
-                F.from_json(
-                    F.element_at("event.data", vec_field), "array<double>"
-                ).alias("embedding"),
-            )
-            .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
-        )
-        if vecs.isEmpty():
+        if not _insert_only_probe(
+            env, table, "pq_index_writer", _vecs_usable(id_field, vec_field)
+        ):
             return
+        vecs = _insert_vecs(env, table, id_field, vec_field)
         incremental_pq_index_apply(
             env.sparkSession, vecs, store_dir, m=m, n_codes=n_codes
         )
@@ -576,6 +655,9 @@ def ivfpq_index_writer(
     inverted lists' partitions, replays are id-no-ops. Query with
     ``ivfpq_topk(index=load_ivfpq_index(...))``; probes read n_probe
     list partitions, not the corpus.
+
+    INSERT-ONLY, enforced loudly — same contract and reason as
+    ``pq_index_writer``.
     """
     from pyspark.sql import functions as F
 
@@ -584,21 +666,11 @@ def ivfpq_index_writer(
     )
 
     def write(env: DataFrame, batch_id: int) -> None:
-        vecs = (
-            env.filter(
-                (F.col("event_type") == "insert")
-                & (F.concat_ws(".", "database", "table") == table)
-            )
-            .select(
-                F.element_at("event.data", id_field).cast("long").alias("vec_id"),
-                F.from_json(
-                    F.element_at("event.data", vec_field), "array<double>"
-                ).alias("embedding"),
-            )
-            .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
-        )
-        if vecs.isEmpty():
+        if not _insert_only_probe(
+            env, table, "ivfpq_index_writer", _vecs_usable(id_field, vec_field)
+        ):
             return
+        vecs = _insert_vecs(env, table, id_field, vec_field)
         incremental_ivfpq_index_apply(
             env.sparkSession, vecs, store_dir,
             n_centroids=n_centroids, m=m, n_codes=n_codes,
@@ -740,6 +812,12 @@ def curation_stats_writer(
     ``flags_fn`` defaults to ``gopher_quality_flags(..., with_rules=
     True)``; any replacement must emit a boolean ``keep`` plus
     ``pass_*`` rule columns over (doc_id, text).
+
+    Deliberately NOT under the store routes' loud insert-only probe:
+    this route maintains per-batch ARRIVAL counters, not a mirror of
+    the table — an UPDATE/DELETE is simply not an arrival, ignoring it
+    is the correct semantics, and a retraction cannot diverge a
+    counter that never claimed to track current state.
     """
     from wing_binlog_go_spark.functions.text import gopher_quality_flags
 
@@ -807,15 +885,22 @@ def containment_corpus_writer(
     (whose MinHash resemblance is blind to small-inside-big).
     Survivors' text rides in the store's ``sets/`` table (read it back
     with ``read_containment_corpus``); sets-append-last is the commit,
-    so replays converge."""
+    so replays converge.
+
+    INSERT-ONLY, enforced loudly: a retraction raises — a dropped
+    DELETE would leave the doc's shingle sets suppressing future
+    arrivals it contains."""
     from wing_binlog_go_spark.operators.dedup import (
         incremental_containment_dedup_apply,
     )
 
     def write(env: DataFrame, batch_id: int) -> None:
-        docs = _insert_docs(env, table, id_field, text_field)
-        if docs.isEmpty():
+        if not _insert_only_probe(
+            env, table, "containment_corpus_writer",
+            _docs_usable(id_field, text_field),
+        ):
             return
+        docs = _insert_docs(env, table, id_field, text_field)
         incremental_containment_dedup_apply(
             env.sparkSession, docs, store_dir, threshold=threshold
         )
@@ -855,6 +940,10 @@ def classifier_corpus_writer(
     a new route. Id-presence in the store is the per-row commit (same
     replay convergence as dedup_corpus_writer); read back with
     ``read_classifier_corpus``.
+
+    INSERT-ONLY, enforced loudly: a retraction raises — a dropped
+    DELETE would leave the doc's text in the curated corpus a training
+    run reads.
     """
     from wing_binlog_go_spark.functions.classifier import (
         hashed_token_features,
@@ -865,9 +954,12 @@ def classifier_corpus_writer(
     w, dim = load_logreg(model_path)
 
     def write(env: DataFrame, batch_id: int) -> None:
-        docs = _insert_docs(env, table, id_field, text_field)
-        if docs.isEmpty():
+        if not _insert_only_probe(
+            env, table, "classifier_corpus_writer",
+            _docs_usable(id_field, text_field),
+        ):
             return
+        docs = _insert_docs(env, table, id_field, text_field)
         if os.path.exists(store_dir):
             seen = env.sparkSession.read.parquet(store_dir).select(
                 F.col("doc_id")
@@ -911,13 +1003,20 @@ def novelty_stats_writer(
     appended to the store's ``novelty/`` table (read it back with
     ``read_novelty_stats``). Shingle-append-first with attribution
     riding in the store makes replays converge (see the operator's
-    commit reasoning)."""
+    commit reasoning).
+
+    INSERT-ONLY, enforced loudly: a retraction raises — a dropped
+    DELETE would leave the doc's shingles depressing every later
+    arrival's novelty score."""
     from wing_binlog_go_spark.functions.text import incremental_novelty_apply
 
     def write(env: DataFrame, batch_id: int) -> None:
-        docs = _insert_docs(env, table, id_field, text_field)
-        if docs.isEmpty():
+        if not _insert_only_probe(
+            env, table, "novelty_stats_writer",
+            _docs_usable(id_field, text_field),
+        ):
             return
+        docs = _insert_docs(env, table, id_field, text_field)
         incremental_novelty_apply(env.sparkSession, docs, store_dir, k=k)
 
     return write
@@ -949,7 +1048,10 @@ def cms_sketch_writer(
     instead of a double-count, which matters precisely because sketches
     merge by ADDITION. Read the merged sketch back with
     ``read_cms_sketch`` (cell-wise sum across partitions — the
-    mergeability doing the work)."""
+    mergeability doing the work).
+
+    INSERT-ONLY, enforced loudly: a retraction raises — a sketch can
+    never subtract a deleted doc's tokens."""
     from wing_binlog_go_spark.operators.stats import cms_build
 
     if "://" in store_dir:
@@ -959,11 +1061,14 @@ def cms_sketch_writer(
         )
 
     def write(env: DataFrame, batch_id: int) -> None:
+        if not _insert_only_probe(
+            env, table, "cms_sketch_writer",
+            _docs_usable(id_field, item_field),
+        ):
+            return
         docs = _insert_docs(env, table, id_field, item_field).withColumnRenamed(
             "text", "_payload"
         )
-        if docs.isEmpty():
-            return
         batch_key = docs.agg(F.min("doc_id")).collect()[0][0]
         part_dir = os.path.join(store_dir, f"bkey={batch_key}")
         # committed = dir exists AND holds parquet: rename-committed
@@ -1025,7 +1130,10 @@ def mg_sketch_writer(
     so a replayed batch must not re-merge and a crashed half-written
     batch must not be skipped). ``read_mg_sketch`` returns
     the merged (item, est) table; the mergeable-summary theorem keeps
-    the N/(k+1) undercount bound through the per-batch merge."""
+    the N/(k+1) undercount bound through the per-batch merge.
+
+    INSERT-ONLY, enforced loudly — same contract and reason as
+    ``cms_sketch_writer``."""
     from wing_binlog_go_spark.operators.stats import misra_gries_topk
 
     if "://" in store_dir:
@@ -1035,11 +1143,14 @@ def mg_sketch_writer(
         )
 
     def write(env: DataFrame, batch_id: int) -> None:
+        if not _insert_only_probe(
+            env, table, "mg_sketch_writer",
+            _docs_usable(id_field, item_field),
+        ):
+            return
         docs = _insert_docs(env, table, id_field, item_field).withColumnRenamed(
             "text", "_payload"
         )
-        if docs.isEmpty():
-            return
         batch_key = docs.agg(F.min("doc_id")).collect()[0][0]
         part_dir = os.path.join(store_dir, f"bkey={batch_key}")
         # dir + parquet-presence probe, not bare isdir — see
