@@ -98,62 +98,67 @@ def test_registry_priority_window_and_no_failed_modules():
     """The driver verifies queries in registration order with a capped
     window (50/round). Coverage closed at round 4 (every registered
     query holds a driver CORRECTNESS row); the window keeps evidence
-    FRESH: round 8 leads with the fifteen keys that have never earned a
-    driver row (q150/q151 registered after the r7 window was cut;
-    q149b/q152/q153/q38j/q154/q38k/q155/q156/q38l/q37f/q37g/q157/q38m new this round), then the three
-    rows-only→oracle upgrades awaiting driver confirmation (q37d/q139
-    from r7, q38e from r8), then the full r4-stale band and an r5-band
-    refresh led by the bench headliners (q52 = the standing perf
-    watch). No operator module may silently fail to import
+    FRESH: round 9 leads with the three keys that have never earned a
+    driver hash row under their current oracle (q38n new this round;
+    q39x/q39y upgraded rows-only → unrolled-CTE BPE oracle this round),
+    then the ENTIRE r5-stale band — the 47 keys whose latest driver row
+    is round 5. The three r4 keys (q05/q13/q18) stay out one more round
+    by the judgment the r8 ledger already recorded as deliberate, and
+    lead the r10 window. No operator module may silently fail to import
     (no-silent-caps)."""
     from wing_binlog_go_spark import registry
 
     qs = registry.all_queries()
     assert registry.failed_modules == {}
     window = list(qs)[:50]
-    # (a) never-driver-verified keys lead, then the oracle upgrades
-    assert window[:18] == [
-        "q150_knn_graph", "q151_source_scorecard",
-        "q149b_cms_rolling_hash", "q152_classifier_heldout_auc",
-        "q153_knn_coreset", "q38j_ann_ivf_frozen",
-        "q154_label_propagation", "q38k_ann_lsh_frozen",
-        "q155_incremental_knn_graph", "q156_trustrank",
-        "q38l_ann_pq_frozen", "q37f_minhash_rolling",
-        "q37g_simhash_rolling", "q157_fuzzy_decontamination",
-        "q38m_ann_ivfpq_frozen",
-        "q37d_dedup_survivors", "q139_pagerank", "q38e_diversity_sample",
+    # (a) the new/upgraded oracles lead
+    assert window[:3] == [
+        "q38n_semantic_dedup_frozen",
+        "q39x_bpe_train",
+        "q39y_bpe_tokenize",
     ]
-    # (b) the full r4-stale band is in-window
+    # (b) the full r5-stale band is in-window
     for stale in (
-        "q01_parquet_scan", "q02_projection", "q03_filter",
-        "q04_in_predicate", "q06_inner_join",
-        "q07_broadcast_join", "q08_left_outer_join",
-        "q09_full_outer_join", "q10_left_semi_join",
-        "q11_left_anti_join", "q12_range_join",
-        "q15_asof_join", "q17_count_distinct",
-        "q19_rollup", "q20_having",
-        "q21_scalar_subquery", "q22_window_ranking", "q23_window_lag",
-        "q24_window_frame", "q25_multi_key_sort", "q26_topk_per_group",
-        "q27_union", "q39w_span_dedup", "q98_tpch_q8", "q99_tpch_q9",
-        "q100_tpch_q11", "q101_tpch_q20", "q102_tpch_q2",
-        "q103_tpch_q12", "q104_lateral_join", "q105_mode_median",
+        "q14_tpch_q3", "q16_tpch_q1", "q15b_asof_merge",
+        "q28_intersect", "q29_string_functions", "q30_date_functions",
+        "q31_math_decimal", "q32_conditional", "q33_array_functions",
+        "q34_map_functions", "q35_json_functions", "q36_exact_dedup",
+        "q37b_simhash_dedup", "q38c_embedding_near_dup",
+        "q38h_incremental_semantic_dedup",
+        "q39_word_count", "q39b_token_stats", "q39c_bpe_token_count",
+        "q39d_quality_score", "q39e_lang_id", "q39f_fingerprint_md5",
+        "q39g_minhash_sketch", "q39j_pii_scan", "q39k_repetition",
+        "q39l_stratified_sample", "q39n_corpus_shuffle",
+        "q39o_token_budget", "q40_sampling", "q41_except",
+        "q42_in_subquery", "q43_pivot", "q44_stats_agg",
+        "q45_percentiles", "q46_min_max_by", "q47_filtered_agg",
+        "q48_date_trunc", "q49_string_agg", "q50_lateral_explode",
+        "q53_window_distribution", "q54_correlated_subquery",
+        "q106_grouping_sets", "q107_time_weighted_avg",
+        "q108_gap_fill_locf", "q109_counter_increase",
+        "q110_gap_fill_interp", "q111_multimodal_near_dup",
+        "q112_fuzzy_edit_join",
     ):
         assert stale in window, stale
-    # keys holding fresh r6/r7 rows wait for r9
+    # keys holding fresh r6/r7/r8 rows wait for r10 (alongside the
+    # documented r4 trio q05/q13/q18, which leads it)
     for deferred in (
-        "q143_interval_overlap", "q146_quality_classifier",
-        "q148_ngram_novelty", "q51_null_handling", "q84_tpch_q10",
-        "q97_tpch_q21", "q38f_ann_pq", "q39t_heavy_hitters", "q14_tpch_q3",
-        "q15b_asof_merge", "q16_tpch_q1", "q18_approx_count_distinct",
         "q05_null_semantics", "q13_cross_join",
-        "q113_scd2_history", "q125_bm25", "q129_dedup_clusters",
+        "q18_approx_count_distinct",
+        "q01_parquet_scan", "q27_union", "q52_tpch_q5",
+        "q98_tpch_q8", "q105_mode_median", "q139_pagerank",
+        "q150_knn_graph", "q153_knn_coreset", "q155_incremental_knn_graph",
+        "q156_trustrank", "q157_fuzzy_decontamination",
+        "q38j_ann_ivf_frozen", "q38m_ann_ivfpq_frozen",
+        "q37f_minhash_rolling", "q149b_cms_rolling_hash",
+        "q152_classifier_heldout_auc",
     ):
         assert deferred not in window, deferred
     # (c) the graded operator families keep in-window representation
-    for family in ("q37", "q38", "q39", "q14", "q149", "q152", "q153"):
+    for family in ("q37", "q38", "q39", "q14", "q106", "q112"):
         assert any(k.startswith(family) for k in window), family
     # (d) the priority block fills the window exactly — nothing with a
-    # fresh r4/r5/r6 row sneaks in ahead of stale evidence
+    # fresh r6/r7/r8 row sneaks in ahead of stale evidence
     assert len(registry._PRIORITY) == 50
     assert window == list(registry._PRIORITY)
     # priority list stays consistent with what's actually registered

@@ -43,81 +43,72 @@ _OPERATOR_MODULES = (
 #: ``all_queries()`` call.  Tests assert this stays empty.
 failed_modules: dict[str, str] = {}
 
-# First 50 = the driver's verification window.  Round-8 layout (per the
-# r7 verdict's window plan): lead with the FIFTEEN keys that have never
-# earned a driver CORRECTNESS row (q150/q151 registered after the r7
-# window was cut; q149b/q152/q153/q38j/q154/q38k/q155/q156/q38l/q37f/q37g/q157/q38m
-# new this round), then the THREE
-# keys whose rows-only→oracle upgrade has never been driver-confirmed
-# (q37d/q139 upgraded in r7 but their latest rows predate it; q38e
-# upgraded this round), then the full r4-stale band — the stalest
-# evidence left (31 keys: the q01-q27 relational core minus q18 —
-# rows-only-by-design, waits for r9 — minus q05, whose Q5-family
-# twin q51 holds a fresh r7 row, and minus q13, the cross-join
-# baseline — plus q39w and q98-q105) — and the q52 slot (the
-# standing perf watch).  The remaining
-# r5 keys and the whole r6/r7 bands hold rows at most two rounds old
-# and rotate back in on r9.  After this window nothing in the ledger
-# is older than round 5.
+# First 50 = the driver's verification window.  Round-9 layout (per the
+# r8 verdict's window plan): lead with the keys that have never earned
+# a driver CORRECTNESS hash row under their current oracle — q38n (new
+# this round) and q39x/q39y (rows-only → oracle upgrades this round) —
+# then the ENTIRE r5-stale band, exactly the 47 keys whose latest
+# driver row is round 5.  The three r4 keys stay out one more round by
+# the same judgment the r8 ledger already recorded as deliberate
+# (q05's family twin q51 holds an r7 row; q13 is the bounded-scale
+# cross-join audit baseline; q18 is rows-only-by-design): first driver
+# evidence for the three new/upgraded oracles is worth more than
+# refreshing those three, and they LEAD the r10 window.  Everything
+# r6+ rotates behind them.
 _PRIORITY = (
-    # Never driver-verified (q150/q151 registered after the r7 window
-    # was cut; q149b/q152/q153/q38j/q154/q38k/q155/q156/q38l/q37f/q37g/q157/q38m are new this round).
-    "q150_knn_graph",
-    "q151_source_scorecard",
-    "q149b_cms_rolling_hash",
-    "q152_classifier_heldout_auc",
-    "q153_knn_coreset",
-    "q38j_ann_ivf_frozen",
-    "q154_label_propagation",
-    "q38k_ann_lsh_frozen",
-    "q155_incremental_knn_graph",
-    "q156_trustrank",
-    "q38l_ann_pq_frozen",
-    "q37f_minhash_rolling",
-    "q37g_simhash_rolling",
-    "q157_fuzzy_decontamination",
-    "q38m_ann_ivfpq_frozen",
-    # rows-only → oracle upgrades awaiting a driver hash-match row.
-    "q37d_dedup_survivors",
-    "q139_pagerank",
-    "q38e_diversity_sample",
-    # The r4-stale band: latest driver row is ROUND 4 (31 keys; q18,
-    # q05, q13 rotate to r9 — rows-only-by-design / fresh family twin
-    # / the cross-join audit baseline).
-    "q01_parquet_scan",
-    "q02_projection",
-    "q03_filter",
-    "q04_in_predicate",
-    "q06_inner_join",
-    "q07_broadcast_join",
-    "q08_left_outer_join",
-    "q09_full_outer_join",
-    "q10_left_semi_join",
-    "q11_left_anti_join",
-    "q12_range_join",
-    "q15_asof_join",
-    "q17_count_distinct",
-    "q19_rollup",
-    "q20_having",
-    "q21_scalar_subquery",
-    "q22_window_ranking",
-    "q23_window_lag",
-    "q24_window_frame",
-    "q25_multi_key_sort",
-    "q26_topk_per_group",
-    "q27_union",
-    "q39w_span_dedup",
-    "q98_tpch_q8",
-    "q99_tpch_q9",
-    "q100_tpch_q11",
-    "q101_tpch_q20",
-    "q102_tpch_q2",
-    "q103_tpch_q12",
-    "q104_lateral_join",
-    "q105_mode_median",
-    # r5-band refresh: bench-headline forms (q52 is the standing perf
-    # watch; q14 is smoke-run by entry() every round regardless).
-    "q52_tpch_q5",
+    # Never driver-verified under the current oracle: q38n is new;
+    # q39x/q39y gained their unrolled-CTE BPE oracles this round.
+    "q38n_semantic_dedup_frozen",
+    "q39x_bpe_train",
+    "q39y_bpe_tokenize",
+    # The full r5-stale band (47 keys; latest driver row = round 5).
+    "q14_tpch_q3",
+    "q16_tpch_q1",
+    "q15b_asof_merge",
+    "q28_intersect",
+    "q29_string_functions",
+    "q30_date_functions",
+    "q31_math_decimal",
+    "q32_conditional",
+    "q33_array_functions",
+    "q34_map_functions",
+    "q35_json_functions",
+    "q36_exact_dedup",
+    "q37b_simhash_dedup",
+    "q38c_embedding_near_dup",
+    "q38h_incremental_semantic_dedup",
+    "q39_word_count",
+    "q39b_token_stats",
+    "q39c_bpe_token_count",
+    "q39d_quality_score",
+    "q39e_lang_id",
+    "q39f_fingerprint_md5",
+    "q39g_minhash_sketch",
+    "q39j_pii_scan",
+    "q39k_repetition",
+    "q39l_stratified_sample",
+    "q39n_corpus_shuffle",
+    "q39o_token_budget",
+    "q40_sampling",
+    "q41_except",
+    "q42_in_subquery",
+    "q43_pivot",
+    "q44_stats_agg",
+    "q45_percentiles",
+    "q46_min_max_by",
+    "q47_filtered_agg",
+    "q48_date_trunc",
+    "q49_string_agg",
+    "q50_lateral_explode",
+    "q53_window_distribution",
+    "q54_correlated_subquery",
+    "q106_grouping_sets",
+    "q107_time_weighted_avg",
+    "q108_gap_fill_locf",
+    "q109_counter_increase",
+    "q110_gap_fill_interp",
+    "q111_multimodal_near_dup",
+    "q112_fuzzy_edit_join",
 )
 
 
