@@ -1845,3 +1845,107 @@ def test_incremental_knn_graph_dedupes_within_batch(spark, sf_small, tmp_path):
     assert {
         (r.src, r.dst, r.rnk) for r in read_knn_graph(spark, store).collect()
     } == want
+
+
+def test_knn_graph_delete_offline_retraction(spark, sf_small, tmp_path):
+    """knn_graph_delete is the documented offline retraction path the
+    stream route refuses online: after deleting ids the maintained
+    graph must equal the batch build over the REMAINING corpus; a
+    cluster fully retracted loses its edge partition; re-running the
+    same delete is a no-op (idempotent = crash-healable); and a later
+    ingest increment still converges."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.operators.similarity import (
+        incremental_knn_graph_apply,
+        knn_graph_clustered,
+        knn_graph_delete,
+        load_frozen_centroids,
+        read_knn_graph,
+    )
+    from wing_binlog_go_spark.tables import read_table
+
+    emb = (
+        read_table(spark, sf_small, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(120)
+    )
+    cents = load_frozen_centroids()
+    store = str(tmp_path / "g")
+    incremental_knn_graph_apply(spark, emb, store, cents, k=5)
+
+    victims = [r.vec_id for r in emb.orderBy("vec_id").limit(15).collect()]
+    st = knn_graph_delete(spark, store, victims, k=5)
+    assert st["deleted"] == 15 and st["clusters_rebuilt"]
+
+    remaining = emb.filter(~F.col("vec_id").isin(victims))
+    want = {
+        (r.src, r.dst, r.rnk)
+        for r in knn_graph_clustered(remaining, cents, k=5).collect()
+    }
+    got = {
+        (r.src, r.dst, r.rnk) for r in read_knn_graph(spark, store).collect()
+    }
+    assert got == want
+    # no deleted id survives as a node or a neighbor
+    assert not any(s in victims or d in victims for s, d, _ in got)
+
+    # idempotent: the same delete again removes nothing, changes nothing
+    st2 = knn_graph_delete(spark, store, victims, k=5)
+    assert st2["deleted"] == 0 and st2["clusters_rebuilt"] == []
+    assert {
+        (r.src, r.dst, r.rnk) for r in read_knn_graph(spark, store).collect()
+    } == want
+
+    # a later ingest increment over the retracted store still converges
+    more = emb.orderBy(F.desc("vec_id")).limit(10).select(
+        (F.col("vec_id") + 7_000_000).alias("vec_id"), "embedding"
+    )
+    incremental_knn_graph_apply(spark, more, store, cents, k=5)
+    want2 = {
+        (r.src, r.dst, r.rnk)
+        for r in knn_graph_clustered(
+            remaining.unionByName(more), cents, k=5
+        ).collect()
+    }
+    assert {
+        (r.src, r.dst, r.rnk) for r in read_knn_graph(spark, store).collect()
+    } == want2
+
+
+def test_knn_graph_delete_empties_a_cluster(spark, tmp_path):
+    """Retracting every member of a cluster must remove its edge
+    partition from the store directory, not leave an empty husk."""
+    import os
+
+    import numpy as np
+
+    from wing_binlog_go_spark.operators.similarity import (
+        incremental_knn_graph_apply,
+        knn_graph_delete,
+        read_knn_graph,
+    )
+
+    # two tight groups around two orthogonal centroids
+    cents = [[1.0] + [0.0] * 15, [0.0, 1.0] + [0.0] * 14]
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(6):  # cluster 0 members: ids 1..6
+        v = np.array(cents[0]) + rng.normal(0, 0.01, 16)
+        rows.append((i + 1, [float(x) for x in v]))
+    for i in range(6):  # cluster 1 members: ids 11..16
+        v = np.array(cents[1]) + rng.normal(0, 0.01, 16)
+        rows.append((i + 11, [float(x) for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    store = str(tmp_path / "g")
+    incremental_knn_graph_apply(spark, vecs, store, cents, k=3)
+    assert os.path.isdir(os.path.join(store, "edges", "cluster=0"))
+
+    st = knn_graph_delete(spark, store, [1, 2, 3, 4, 5, 6], k=3)
+    assert st["clusters_rebuilt"] == [0]
+    assert not os.path.isdir(os.path.join(store, "edges", "cluster=0"))
+    left = read_knn_graph(spark, store)
+    assert left.filter("cluster = 0").count() == 0
+    assert left.filter("cluster = 1").count() > 0  # untouched survives

@@ -612,3 +612,15 @@ def test_knn_coreset_join_is_cluster_equi(spark, sf_dir):
     p = plan_of(_Q["q153_knn_coreset"].spark(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_round9_new_query_plan_hygiene(spark, sf_dir):
+    """q38n (frozen-quantizer semantic dedup): no cartesian products,
+    no Python nodes at all (assignment enters as literal expressions;
+    the prune is a cluster equi-self-join + anti-join), and the
+    candidate join is a real equi-join — the SemDeDup Σ|c|²/2 bound."""
+    p = plan_of(_Q["q38n_semantic_dedup_frozen"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p

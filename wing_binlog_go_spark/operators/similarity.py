@@ -1997,10 +1997,15 @@ def incremental_knn_graph_apply(
 
     Returns (edges of the touched clusters, stats)."""
     import os as _os
-    import shutil as _shutil
+
+    from wing_binlog_go_spark.streaming.maintenance import recover_swap
 
     vec_dir = _os.path.join(store_dir, "vectors")
     edge_dir = _os.path.join(store_dir, "edges")
+    # an offline knn_graph_delete interrupted mid-swap leaves vectors/
+    # absent with only its backup — without this the exists() probe
+    # below would misread the store as brand-new and orphan history
+    recover_swap(vec_dir)
 
     assigned = assign_to_centroids(
         new_vectors.select(F.col(id_col), as_double(vec_col).alias("_v")),
@@ -2030,7 +2035,34 @@ def incremental_knn_graph_apply(
         n_fresh = n_batch
         assigned.write.parquet(vec_dir)
 
-    # rebuild every batch-named cluster from the updated store
+    edges = _rebuild_knn_clusters(spark, vec_dir, edge_dir, touched, k, id_col)
+    return edges, {
+        "batch": n_batch,
+        "replayed": n_batch - n_fresh,
+        "appended": n_fresh,
+        "clusters_rebuilt": sorted(touched),
+    }
+
+
+def _rebuild_knn_clusters(
+    spark: SparkSession,
+    vec_dir: str,
+    edge_dir: str,
+    touched: list,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Rebuild the edge partitions of ``touched`` clusters from the
+    CURRENT vector store and swap each in atomically — the shared back
+    half of graph maintenance (ingest increments AND offline
+    retraction): a pure function of ``vectors/``, which is what makes
+    replays and re-run deletes converge. A touched cluster with no
+    remaining vectors has its partition REMOVED (an empty live
+    partition and an absent one read identically, but absent keeps the
+    directory listing honest)."""
+    import os as _os
+    import shutil as _shutil
+
     corpus = (
         spark.read.parquet(vec_dir)
         .filter(F.col("cluster").isin(touched))
@@ -2059,8 +2091,10 @@ def incremental_knn_graph_apply(
         .select("cluster", "src", "dst", "rnk", F.col("_sim").alias("sim"))
         .localCheckpoint(eager=True)
     )
+    nonempty = {
+        r.cluster for r in corpus.select("cluster").distinct().collect()
+    }
     for c in touched:
-        part = edges.filter(F.col("cluster") == c).drop("cluster")
         stage = _os.path.join(edge_dir, "_staging", f"cluster={c}")
         # the retired copy ALSO lives under _staging: a crash mid-swap
         # must never leave a non-partition directory (cluster=N.old)
@@ -2071,6 +2105,11 @@ def incremental_knn_graph_apply(
         for leftover in (stage, old):
             if _os.path.isdir(leftover):
                 _shutil.rmtree(leftover)  # crashed earlier attempt
+        if c not in nonempty:
+            if _os.path.isdir(final):
+                _shutil.rmtree(final)  # cluster fully retracted
+            continue
+        part = edges.filter(F.col("cluster") == c).drop("cluster")
         part.write.mode("overwrite").parquet(stage)
         _os.makedirs(edge_dir, exist_ok=True)
         if _os.path.isdir(final):
@@ -2082,12 +2121,71 @@ def incremental_knn_graph_apply(
             _shutil.rmtree(old)
         else:
             _os.rename(stage, final)
-    return edges, {
-        "batch": n_batch,
-        "replayed": n_batch - n_fresh,
-        "appended": n_fresh,
-        "clusters_rebuilt": sorted(touched),
-    }
+    return edges
+
+
+def knn_graph_delete(
+    spark: SparkSession,
+    store_dir: str,
+    ids: "list[int] | DataFrame",
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> dict:
+    """OFFLINE retraction for the maintained kNN-graph store — the
+    delete path ``knn_graph_writer`` deliberately refuses online (its
+    insert-only probe raises on DELETE envelopes): run this as a
+    maintenance job over the retracted ids, then resume the stream.
+
+    Mechanics: the edge rebuild is a pure function of ``vectors/``, so
+    retraction = rewrite the vector store minus the ids (staged write +
+    atomic ``swap_dir`` — the upsert commit protocol; ``recover_swap``
+    first, so an interrupted previous delete rolls forward) and rebuild
+    exactly the clusters the removed vectors lived in
+    (:func:`_rebuild_knn_clusters`, the batch-named template; a cluster
+    left empty has its partition removed). Idempotent: re-running the
+    same delete removes nothing and rebuilds the same pure-function
+    partitions, so a crash anywhere is healed by re-running.
+
+    Scale shape: the vector-store rewrite is one scan (the same cost
+    class as ``compact_ivfpq_index``'s offline rewrite — at 100 TB both
+    belong in the maintenance window, not the hot path); the edge
+    rebuild stays cluster-bounded. Returns
+    {"deleted": n, "clusters_rebuilt": [...]}."""
+    import os as _os
+
+    from wing_binlog_go_spark.streaming.maintenance import (
+        recover_swap,
+        swap_dir,
+    )
+
+    vec_dir = _os.path.join(store_dir, "vectors")
+    edge_dir = _os.path.join(store_dir, "edges")
+    recover_swap(vec_dir)
+
+    if isinstance(ids, DataFrame):
+        doomed_ids = ids.select(F.col(ids.columns[0]).alias(id_col))
+    else:
+        doomed_ids = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    vecs = spark.read.parquet(vec_dir)
+    doomed = (
+        vecs.join(doomed_ids, id_col, "left_semi")
+        .select(id_col, "cluster")
+        .localCheckpoint(eager=True)  # outlives the vector-store swap
+    )
+    n_deleted = doomed.count()
+    if n_deleted == 0:
+        return {"deleted": 0, "clusters_rebuilt": []}
+    touched = [r.cluster for r in doomed.select("cluster").distinct().collect()]
+
+    remaining = vecs.join(doomed_ids, id_col, "left_anti")
+    staged = vec_dir.rstrip("/") + "._staging"
+    remaining.write.mode("overwrite").parquet(staged)
+    swap_dir(staged, vec_dir)
+
+    _rebuild_knn_clusters(spark, vec_dir, edge_dir, touched, k, id_col)
+    return {"deleted": n_deleted, "clusters_rebuilt": sorted(touched)}
 
 
 def read_knn_graph(spark: SparkSession, store_dir: str) -> DataFrame:

@@ -574,10 +574,11 @@ def knn_graph_writer(
     or a DELETE raises (``_insert_only_probe``) — id presence makes a
     later arrival a no-op, so a dropped retraction would leave the
     stale vector AND its edges in every future rebuild of its cluster.
-    (The rebuild IS a pure function of ``vectors/``, so the offline
-    delete path exists: remove the id from ``vectors/`` and rebuild
-    the touched clusters with the batch template; online retraction
-    support would wire exactly that here.)"""
+    The supported retraction path is OFFLINE:
+    ``operators.similarity.knn_graph_delete`` (rewrite ``vectors/``
+    minus the ids, rebuild exactly the touched clusters — pure
+    function of the store, idempotent, crash-healable); an update =
+    delete + re-insert through the stream."""
     from pyspark.sql import functions as F
 
     from wing_binlog_go_spark.operators.similarity import (
