@@ -1949,3 +1949,63 @@ def test_knn_graph_delete_empties_a_cluster(spark, tmp_path):
     left = read_knn_graph(spark, store)
     assert left.filter("cluster = 0").count() == 0
     assert left.filter("cluster = 1").count() > 0  # untouched survives
+
+
+def test_incremental_stores_dedupe_within_batch(spark, sf_small, tmp_path):
+    """The r8-advice in-batch duplicate hole, closed across EVERY
+    incremental store (not just the kNN graph): the store anti-join
+    only screens against history and equal ids never pair under the
+    smaller-id rule, so an INSERT delivered twice inside one
+    micro-batch (at-least-once CDC) used to enter the MinHash corpus,
+    the semantic-dedup vector store, and the PQ codes twice —
+    permanently. First-batch and later-batch paths both covered."""
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.operators.dedup import incremental_dedup_apply
+    from wing_binlog_go_spark.operators.similarity import (
+        incremental_pq_index_apply,
+        incremental_semantic_dedup_apply,
+    )
+    from wing_binlog_go_spark.tables import read_table
+
+    docs = (
+        read_table(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .limit(30)
+    )
+    dup_docs = docs.unionByName(docs)
+    store = str(tmp_path / "mh")
+    incremental_dedup_apply(spark, dup_docs, store, payload_cols=["text"])
+    mh = spark.read.parquet(store)
+    assert mh.count() == mh.select("doc_id").distinct().count()
+    # later batch: re-deliver a known doc twice plus a fresh dup pair
+    nxt = (
+        read_table(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id").between(200, 205))
+    )
+    incremental_dedup_apply(
+        spark, nxt.unionByName(nxt).unionByName(docs.limit(3)), store,
+        payload_cols=["text"],
+    )
+    mh = spark.read.parquet(store)
+    assert mh.count() == mh.select("doc_id").distinct().count()
+
+    emb = (
+        read_table(spark, sf_small, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(40)
+    )
+    dup_emb = emb.unionByName(emb)
+    sstore = str(tmp_path / "sem")
+    incremental_semantic_dedup_apply(spark, dup_emb, sstore, n_clusters=4)
+    import os
+
+    vecs = spark.read.parquet(os.path.join(sstore, "vectors"))
+    assert vecs.count() == vecs.select("vec_id").distinct().count()
+
+    pstore = str(tmp_path / "pq")
+    incremental_pq_index_apply(spark, dup_emb, pstore, m=4, n_codes=4)
+    codes = spark.read.parquet(os.path.join(pstore, "codes"))
+    per_id = codes.groupBy("vec_id").count().select("count").distinct().collect()
+    assert len(per_id) == 1  # every id has exactly m code rows, once

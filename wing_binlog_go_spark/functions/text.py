@@ -2274,6 +2274,11 @@ def incremental_novelty_apply(
     """
     import os as _os
 
+    # in-batch id dedup (see incremental_dedup_apply in operators.dedup):
+    # a duplicate would double its shingle postings and emit two
+    # novelty rows for one doc
+    new_docs = new_docs.dropDuplicates([id_col])
+
     sh_dir = _os.path.join(store_dir, "shingles")
     nov_dir = _os.path.join(store_dir, "novelty")
 

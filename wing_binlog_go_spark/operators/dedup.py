@@ -213,6 +213,13 @@ def incremental_dedup_apply(
     """
     import os
 
+    # in-batch id dedup: the anti-join only screens against HISTORY and
+    # equal ids never pair under the smaller-id rule, so a duplicate
+    # INSERT delivered twice inside one micro-batch (at-least-once CDC)
+    # would append twice and permanently duplicate the store row — the
+    # r8-advice kNN-store hole, closed across every incremental store
+    new_docs = new_docs.dropDuplicates([id_col])
+
     new_sigs = minhash_signature(
         new_docs, id_col, text_col, num_hashes, shingle_k
     ).localCheckpoint(eager=collect_stats)
@@ -1714,6 +1721,11 @@ def incremental_apss_apply(
     """
     import os as _os
 
+    # in-batch id dedup (see incremental_dedup_apply): equal ids never
+    # pair, so an in-batch duplicate INSERT would enter the sets store
+    # twice and double every later containment/similarity estimate
+    new_docs = new_docs.dropDuplicates([id_col])
+
     order_dir = _os.path.join(store_dir, "order")
     sets_dir = _os.path.join(store_dir, "sets")
 
@@ -2066,6 +2078,9 @@ def incremental_containment_apply(
     """
     import os as _os
 
+    # in-batch id dedup (see incremental_dedup_apply)
+    new_docs = new_docs.dropDuplicates([id_col])
+
     order_dir = _os.path.join(store_dir, "order")
     sets_dir = _os.path.join(store_dir, "sets")
     els_dir = _os.path.join(store_dir, "els_index")
@@ -2196,6 +2211,9 @@ def incremental_containment_dedup_apply(
     Returns (survivor_docs, stats).
     """
     import os as _os
+
+    # in-batch id dedup (see incremental_dedup_apply)
+    new_docs = new_docs.dropDuplicates([id_col])
 
     order_dir = _os.path.join(store_dir, "order")
     sets_dir = _os.path.join(store_dir, "sets")

@@ -456,6 +456,12 @@ def incremental_pq_index_apply(
     """
     import os as _os
 
+    # in-batch id dedup (see incremental_dedup_apply in operators.dedup):
+    # the anti-join only screens against the store and the first-batch
+    # path encodes verbatim, so an in-batch duplicate would write the
+    # same id's codes twice — permanent duplicate ANN candidates
+    new_vectors = new_vectors.dropDuplicates([id_col])
+
     codes_dir = _os.path.join(store_dir, "codes")
     if _os.path.exists(_os.path.join(store_dir, "codebooks.json")):
         _, books = load_pq_index(spark, store_dir)
@@ -757,6 +763,9 @@ def incremental_ivfpq_index_apply(
     with ``persist_ivfpq_index`` as offline compaction when drift
     accumulates. Returns {"batch": n, "replayed": r, "appended": a}."""
     import os as _os
+
+    # in-batch id dedup (see incremental_pq_index_apply)
+    new_vectors = new_vectors.dropDuplicates([id_col])
 
     codes_dir = _os.path.join(store_dir, "codes")
     if _ivfpq_meta_path(store_dir) is not None:
@@ -1269,6 +1278,11 @@ def incremental_semantic_dedup_apply(
     """
     import json as _json
     import os as _os
+
+    # in-batch id dedup (see incremental_dedup_apply in operators.dedup):
+    # equal ids never pair under the smaller-id rule, so an in-batch
+    # duplicate would survive twice and append twice to the vector store
+    new_docs = new_docs.dropDuplicates([id_col])
 
     cents_path = _os.path.join(store_dir, "centroids.json")
     vec_dir = _os.path.join(store_dir, "vectors")

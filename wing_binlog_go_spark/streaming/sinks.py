@@ -350,6 +350,13 @@ def _insert_docs(
             F.element_at("event.data", text_field).alias("text"),
         )
         .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        # an INSERT delivered twice inside one micro-batch is an
+        # at-least-once artifact, not two arrivals: without this the
+        # direct-append routes (classifier corpus) would store it twice
+        # and the sketches would double-count its tokens (the
+        # incremental stores ALSO dedup at their own entry — defense
+        # at both layers, same id-presence contract)
+        .dropDuplicates(["doc_id"])
     )
 
 
@@ -424,6 +431,7 @@ def _insert_vecs(
             ).alias("embedding"),
         )
         .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        .dropDuplicates(["vec_id"])  # see _insert_docs
     )
 
 
