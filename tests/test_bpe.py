@@ -305,3 +305,34 @@ def test_greedy_mode_rejects_unknown_mode(spark):
 
     with _pytest.raises(ValueError, match="mode"):
         bpe_train(_docs(spark), n_merges=2, mode="turbo")
+
+
+def test_frozen_expr_tokenizer_equals_udf_tokenizer(spark, sf_dir):
+    """bpe_token_count_expr (pure JVM replace chain over the committed
+    frozen merges) must count exactly what the Arrow-UDF segmenter
+    counts under the same merges — the hot-path form and the learned-
+    merges form can never drift. Plan stays Python-free."""
+    import io
+    from contextlib import redirect_stdout
+
+    from wing_binlog_go_spark.functions.text import (
+        bpe_tokenize_counts,
+        bpe_tokenize_counts_frozen,
+        load_frozen_bpe_merges,
+    )
+    from wing_binlog_go_spark.tables import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    merges3 = [(a, b, 0) for a, b in load_frozen_bpe_merges()]
+    udf_counts = {
+        r.doc_id: r.n_bpe_tokens for r in bpe_tokenize_counts(d, merges3).collect()
+    }
+    frozen = bpe_tokenize_counts_frozen(d)
+    expr_counts = {r.doc_id: r.n_bpe_tokens for r in frozen.collect()}
+    assert expr_counts == udf_counts and expr_counts
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        frozen.explain("formatted")
+    p = buf.getvalue()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

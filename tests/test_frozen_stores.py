@@ -46,3 +46,29 @@ def test_frozen_pq_books_shape():
     )
     for b in books:  # per-subspace codebooks must not collapse
         assert len({tuple(c) for c in b}) == 16
+
+
+def test_frozen_bpe_merges_shape_and_provenance():
+    """The committed tokenizer store (q39z embeds these merges as
+    literals in both engines): 20 well-formed merges, no duplicates
+    (a duplicate merge would be a no-op replace — a corrupted file),
+    no delimiter byte inside any symbol (the wrap trick depends on
+    it), and the loader returns exactly the committed pairs."""
+    from wing_binlog_go_spark.functions.text import load_frozen_bpe_merges
+
+    merges = load_frozen_bpe_merges()
+    assert len(merges) == 20
+    assert len(set(merges)) == 20
+    for a, b in merges:
+        assert a and b and "\x1f" not in a and "\x1f" not in b
+    meta = json.load(open(os.path.join(_RES, "bpe_merges_q39z.json")))
+    assert meta["n_merges"] == 20 and meta["min_count"] == 2
+    assert "sf0.01 documents" in meta["trained_on"]
+    assert merges == [(a, b) for a, b in meta["merges"]]
+    # later merges may consume earlier merges' output symbols, never
+    # symbols that no earlier step can produce: every non-initial
+    # symbol must be buildable
+    buildable = {a + b for a, b in merges}
+    for a, b in merges:
+        for s in (a, b):
+            assert len(s) == 1 or s == "</w>" or s in buildable, s

@@ -1547,6 +1547,125 @@ QUERIES["q39x_bpe_train"] = QuerySpec(_q_bpe_train, _bpe_train_oracle())
 QUERIES["q39y_bpe_tokenize"] = QuerySpec(_q_bpe_tokenize, _bpe_tokenize_oracle())
 
 
+# --- frozen-merges tokenizer: pure JVM column expressions ------------------
+
+_BPE_SEP_CHAR = "\x1f"
+
+
+def load_frozen_bpe_merges(
+    name: str = "bpe_merges_q39z",
+) -> list[tuple[str, str]]:
+    """Merge list from the committed tokenizer store — the BPE member
+    of the frozen-quantizer family (`resources/bpe_merges_q39z.json`,
+    trained once by ``bpe_train`` exact mode and versioned): a
+    production pipeline tokenizes every corpus with the SAME released
+    tokenizer, it never retrains per run."""
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "resources", f"{name}.json",
+    )
+    with open(path) as f:
+        return [(a, b) for a, b in _json.load(f)["merges"]]
+
+
+def bpe_token_count_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Per-word BPE token count under FROZEN merges as pure column
+    expressions — no Python anywhere: the word's symbols ride as a
+    ``\\x1f``-wrapped string and each merge is one ``replace`` (the
+    delimiter-wrap trick from the q39x/q39y oracle, which proves the
+    replace chain IS greedy left-to-right BPE application), so the
+    whole tokenizer inlines into whole-stage codegen. This is the
+    hot-path form: ``bpe_segment``'s Arrow UDF exists for IN-RUN
+    learned merges, whose list Python built moments earlier anyway;
+    with a released tokenizer the merges are literals and the JVM
+    needs no round-trip. Count = delimiter count / 2 (each symbol
+    carries exactly two)."""
+    sep = _BPE_SEP_CHAR
+    syms = _word_symbols(word)
+    s = F.concat(F.lit(sep), F.array_join(syms, sep + sep), F.lit(sep))
+    for a, b in merges:
+        s = F.replace(
+            s,
+            F.lit(sep + a + sep + sep + b + sep),
+            F.lit(sep + a + b + sep),
+        )
+    return (
+        (F.length(s) - F.length(F.replace(s, F.lit(sep), F.lit("")))) / 2
+    ).cast("bigint")
+
+
+def bpe_tokenize_counts_frozen(
+    docs: DataFrame,
+    merges: "list[tuple[str, str]] | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_bpe_tokens) under the COMMITTED frozen merges — the same
+    distinct-words → count → join-back shape as
+    :func:`bpe_tokenize_counts` (the replace chain runs once per
+    DISTINCT word, corpus rows only pay an equi-join), but with zero
+    Python in the plan."""
+    merges = merges if merges is not None else load_frozen_bpe_merges()
+    words = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w")
+    ).filter(F.col("w") != "")
+    lut = (
+        words.select("w")
+        .distinct()
+        .select("w", bpe_token_count_expr(F.col("w"), merges).alias("n_toks"))
+    )
+    return (
+        words.join(lut, "w")
+        .groupBy(id_col)
+        .agg(F.sum("n_toks").alias("n_bpe_tokens"))
+    )
+
+
+def _q_bpe_tokenize_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return bpe_tokenize_counts_frozen(d).orderBy("doc_id").limit(200)
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_tokenize_frozen_oracle() -> str:
+    """The committed merges as literals — the replace chain alone, no
+    train CTEs (contrast q39y, which replays training too)."""
+    sep = _BPE_SEP
+    s = _bpe_wrapped_expr("w")
+    for a, b in load_frozen_bpe_merges():
+        s = (
+            f"replace({s}, {sep} || {_sql_quote(a)} || {sep} || {sep} || "
+            f"{_sql_quote(b)} || {sep}, "
+            f"{sep} || {_sql_quote(a + b)} || {sep})"
+        )
+    return f"""
+WITH dwords AS MATERIALIZED (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+  ) WHERE w != ''
+), lut AS MATERIALIZED (
+  SELECT w,
+         CAST((length(seg) - length(replace(seg, {sep}, ''))) / 2 AS BIGINT)
+           AS n_toks
+  FROM (SELECT w, {s} AS seg FROM (SELECT DISTINCT w FROM dwords))
+)
+SELECT doc_id, CAST(SUM(n_toks) AS BIGINT) AS n_bpe_tokens
+FROM dwords JOIN lut USING (w)
+GROUP BY doc_id ORDER BY doc_id LIMIT 200
+"""
+
+
+QUERIES["q39z_bpe_tokenize_frozen"] = QuerySpec(
+    _q_bpe_tokenize_frozen, _bpe_tokenize_frozen_oracle()
+)
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style quality rule bundle
 # ---------------------------------------------------------------------------
