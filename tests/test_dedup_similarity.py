@@ -2009,3 +2009,133 @@ def test_incremental_stores_dedupe_within_batch(spark, sf_small, tmp_path):
     codes = spark.read.parquet(os.path.join(pstore, "codes"))
     per_id = codes.groupBy("vec_id").count().select("count").distinct().collect()
     assert len(per_id) == 1  # every id has exactly m code rows, once
+
+
+def test_pq_and_ivfpq_index_delete(spark, sf_small, tmp_path):
+    """The ANN stores' offline retraction (the ghost-vector fix for the
+    index side): deleted ids vanish from the codes, survivors'
+    codes are byte-identical (frozen codebooks untouched), re-running
+    is a no-op, and for IVF-PQ only the lists that contained the ids
+    are rewritten — with a fully-retracted list losing its partition."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.operators.similarity import (
+        incremental_ivfpq_index_apply,
+        incremental_pq_index_apply,
+        ivfpq_index_delete,
+        pq_index_delete,
+    )
+    from wing_binlog_go_spark.tables import read_table
+
+    emb = (
+        read_table(spark, sf_small, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(80)
+    )
+    victims = [r.vec_id for r in emb.orderBy("vec_id").limit(12).collect()]
+
+    pstore = str(tmp_path / "pq")
+    incremental_pq_index_apply(spark, emb, pstore, m=4, n_codes=4)
+    before = {
+        (r.vec_id, tuple(r._codes))
+        for r in spark.read.parquet(os.path.join(pstore, "codes"))
+        .select("vec_id", "_codes").collect()
+    }
+    st = pq_index_delete(spark, pstore, victims)
+    assert st["deleted_ids"] == 12
+    after = {
+        (r.vec_id, tuple(r._codes))
+        for r in spark.read.parquet(os.path.join(pstore, "codes"))
+        .select("vec_id", "_codes").collect()
+    }
+    assert after == {t for t in before if t[0] not in victims}
+    assert pq_index_delete(spark, pstore, victims) == {"deleted_ids": 0}
+
+    istore = str(tmp_path / "ivfpq")
+    incremental_ivfpq_index_apply(
+        spark, emb, istore, n_centroids=4, m=4, n_codes=4
+    )
+    codes_dir = os.path.join(istore, "codes")
+    coded = spark.read.parquet(codes_dir)
+    victim_lists = {
+        r._list for r in coded.filter(F.col("vec_id").isin(victims))
+        .select("_list").distinct().collect()
+    }
+    # swap_dir's documented isolation honesty: a DataFrame created
+    # before the swap pins the old file listing — read what's needed
+    # BEFORE deleting, re-read after
+    n_before = coded.count()
+    sti = ivfpq_index_delete(spark, istore, victims)
+    assert sti["deleted_ids"] == 12
+    assert set(sti["lists_rewritten"]) == {int(x) for x in victim_lists}
+    left = spark.read.parquet(codes_dir)
+    assert left.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert left.count() == n_before - 12
+    assert ivfpq_index_delete(spark, istore, victims)["deleted_ids"] == 0
+
+    # fully-retract one list → its partition directory disappears
+    lst = int(left.select("_list").first()._list)
+    members = [
+        r.vec_id for r in left.filter(F.col("_list") == lst)
+        .select("vec_id").collect()
+    ]
+    ivfpq_index_delete(spark, istore, members)
+    assert not os.path.isdir(os.path.join(codes_dir, f"_list={lst}"))
+
+
+def test_ivfpq_delete_interrupted_swap_is_restored(spark, sf_small, tmp_path):
+    """Crash window between 'retire old partition' and 'promote staged'
+    (codes are SOURCE data — a lost list is unrecoverable by rebuild):
+    _recover_list_swaps must restore the retired copy, after which
+    re-running the delete converges. Exercised through BOTH healers:
+    the next incremental apply and the delete itself."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.operators.similarity import (
+        incremental_ivfpq_index_apply,
+        ivfpq_index_delete,
+    )
+    from wing_binlog_go_spark.tables import read_table
+
+    emb = (
+        read_table(spark, sf_small, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(60)
+    )
+    istore = str(tmp_path / "ivfpq")
+    incremental_ivfpq_index_apply(
+        spark, emb, istore, n_centroids=4, m=4, n_codes=4
+    )
+    codes_dir = os.path.join(istore, "codes")
+    full = {r.vec_id for r in spark.read.parquet(codes_dir)
+            .select("vec_id").collect()}
+    lst = int(
+        spark.read.parquet(codes_dir).select("_list").first()._list
+    )
+    # simulate the crash: the list was retired but never promoted
+    final = os.path.join(codes_dir, f"_list={lst}")
+    old = os.path.join(codes_dir, "_staging", f"_list={lst}.old")
+    os.makedirs(os.path.dirname(old), exist_ok=True)
+    os.rename(final, old)
+
+    # healer #1: the next stream increment restores the list first, so
+    # its ids are NOT re-appended as fresh
+    st = incremental_ivfpq_index_apply(
+        spark, emb, istore, n_centroids=4, m=4, n_codes=4
+    )
+    assert st["appended"] == 0 and st["replayed"] == st["batch"]
+    assert {r.vec_id for r in spark.read.parquet(codes_dir)
+            .select("vec_id").collect()} == full
+
+    # crash again; healer #2: the delete itself restores, then deletes
+    os.rename(final, old)
+    victims = [r.vec_id for r in emb.orderBy("vec_id").limit(5).collect()]
+    st2 = ivfpq_index_delete(spark, istore, victims)
+    assert st2["deleted_ids"] == 5
+    assert {r.vec_id for r in spark.read.parquet(codes_dir)
+            .select("vec_id").collect()} == full - set(victims)

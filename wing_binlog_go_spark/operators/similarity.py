@@ -462,7 +462,12 @@ def incremental_pq_index_apply(
     # same id's codes twice — permanent duplicate ANN candidates
     new_vectors = new_vectors.dropDuplicates([id_col])
 
+    from wing_binlog_go_spark.streaming.maintenance import recover_swap
+
     codes_dir = _os.path.join(store_dir, "codes")
+    # a pq_index_delete interrupted mid-swap leaves codes/ absent with
+    # only its backup — roll it forward before probing the store
+    recover_swap(codes_dir)
     if _os.path.exists(_os.path.join(store_dir, "codebooks.json")):
         _, books = load_pq_index(spark, store_dir)
         fresh = new_vectors.join(
@@ -768,6 +773,12 @@ def incremental_ivfpq_index_apply(
     new_vectors = new_vectors.dropDuplicates([id_col])
 
     codes_dir = _os.path.join(store_dir, "codes")
+    # heal an ivfpq_index_delete interrupted mid-partition-swap before
+    # probing ids (a retired-but-never-promoted list would otherwise
+    # read as absent and its ids would re-append as "fresh")
+    if _os.path.isdir(codes_dir):
+        _recover_list_swaps(codes_dir)
+        spark.catalog.refreshByPath(codes_dir)
     if _ivfpq_meta_path(store_dir) is not None:
         _, coarse, books = load_ivfpq_index(spark, store_dir)
         fresh = new_vectors.join(
@@ -829,6 +840,154 @@ def _commit_ivfpq_store(
     swap_dir(staging, codes_dir)
     with open(_os.path.join(store_dir, "quantizers.json"), "w") as f:
         _json.dump(meta, f)
+
+
+def pq_index_delete(
+    spark: SparkSession,
+    store_dir: str,
+    ids: "list[int] | DataFrame",
+    id_col: str = "vec_id",
+) -> dict:
+    """OFFLINE retraction for the PQ index store — the delete path
+    ``pq_index_writer`` refuses online: without it a deleted vector's
+    codes keep answering ANN queries forever (the r8 verdict's ghost).
+    The codes table is flat (not list-partitioned), so retraction is
+    one staged rewrite minus the ids + atomic ``swap_dir`` —
+    ``recover_swap`` first, so an interrupted previous delete rolls
+    forward; idempotent, so re-running after any crash converges. The
+    frozen codebooks are untouched (codes of the survivors stay valid
+    by construction). Same offline cost class as ``persist_pq_index``;
+    the list-partitioned sibling (:func:`ivfpq_index_delete`) shows the
+    bounded-IO form. Returns {"deleted_ids": n}."""
+    import os as _os
+
+    from wing_binlog_go_spark.streaming.maintenance import (
+        recover_swap,
+        swap_dir,
+    )
+
+    codes_dir = _os.path.join(store_dir, "codes")
+    recover_swap(codes_dir)
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(F.col(ids.columns[0]).alias(id_col))
+    else:
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    codes = spark.read.parquet(codes_dir)
+    n = (
+        codes.join(ids_df, id_col, "left_semi")
+        .select(id_col).distinct().count()
+    )
+    if n == 0:
+        return {"deleted_ids": 0}
+    staged = codes_dir.rstrip("/") + "._staging"
+    codes.join(ids_df, id_col, "left_anti").write.mode("overwrite").parquet(
+        staged
+    )
+    swap_dir(staged, codes_dir)
+    # the swap happened behind Spark's file-listing cache — without the
+    # refresh, the session's next read of this path lists vanished files
+    spark.catalog.refreshByPath(codes_dir)
+    return {"deleted_ids": n}
+
+
+def _recover_list_swaps(codes_dir: str) -> None:
+    """Heal an interrupted per-list-partition swap
+    (:func:`ivfpq_index_delete`): a ``_staging/_list=N.old`` whose live
+    partition is ABSENT is the pre-delete copy retired by the first
+    rename of a swap that never finished — restore it (re-running the
+    delete then redoes the anti-join); one whose live partition exists
+    is completed-swap debris — discard, along with any leftover stage
+    dirs. Unlike the kNN edge partitions (pure functions of vectors/),
+    code partitions are SOURCE data: losing a list's untouched rows to
+    a crash window is not recoverable by a rebuild, hence the explicit
+    restore."""
+    import os as _os
+    import shutil as _shutil
+
+    staging = _os.path.join(codes_dir, "_staging")
+    if not _os.path.isdir(staging):
+        return
+    for name in sorted(_os.listdir(staging)):
+        path = _os.path.join(staging, name)
+        if name.endswith(".old"):
+            final = _os.path.join(codes_dir, name[: -len(".old")])
+            if _os.path.isdir(final):
+                _shutil.rmtree(path)  # completed swap: debris
+            else:
+                _os.rename(path, final)  # interrupted swap: restore
+        else:
+            _shutil.rmtree(path)  # half-written stage: discard
+
+
+def ivfpq_index_delete(
+    spark: SparkSession,
+    store_dir: str,
+    ids: "list[int] | DataFrame",
+    id_col: str = "vec_id",
+) -> dict:
+    """OFFLINE retraction for the LIST-PARTITIONED IVF-PQ store — the
+    bounded-IO form: only the inverted-list partitions that actually
+    contain the ids are rewritten (stage → retire → promote per
+    partition, the kNN edge-swap dance plus an explicit
+    ``_recover_list_swaps`` restore because codes are source data, not
+    a rebuildable function). A list left empty loses its partition.
+    The embedded ``_quantizers.json`` rides in the codes dir root and
+    is untouched. Idempotent. Returns {"deleted_ids": n,
+    "lists_rewritten": [...]}."""
+    import os as _os
+    import shutil as _shutil
+
+    codes_dir = _os.path.join(store_dir, "codes")
+    _recover_list_swaps(codes_dir)
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(F.col(ids.columns[0]).alias(id_col))
+    else:
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    codes = spark.read.parquet(codes_dir).withColumn(
+        "_list", F.col("_list").cast("int")
+    )
+    doomed = (
+        codes.join(ids_df, id_col, "left_semi")
+        .select(id_col, "_list")
+        .localCheckpoint(eager=True)  # outlives the partition swaps
+    )
+    n = doomed.select(id_col).distinct().count()
+    if n == 0:
+        return {"deleted_ids": 0, "lists_rewritten": []}
+    touched = [r._list for r in doomed.select("_list").distinct().collect()]
+
+    for lst in sorted(touched):
+        keep = (
+            spark.read.parquet(codes_dir)
+            .withColumn("_list", F.col("_list").cast("int"))
+            .filter(F.col("_list") == lst)  # partition-pruned read
+            .join(ids_df, id_col, "left_anti")
+            .drop("_list")
+            .localCheckpoint(eager=True)  # read fully BEFORE the swap
+        )
+        stage = _os.path.join(codes_dir, "_staging", f"_list={lst}")
+        old = _os.path.join(codes_dir, "_staging", f"_list={lst}.old")
+        final = _os.path.join(codes_dir, f"_list={lst}")
+        for leftover in (stage, old):
+            if _os.path.isdir(leftover):
+                _shutil.rmtree(leftover)
+        if keep.isEmpty():
+            if _os.path.isdir(final):
+                _shutil.rmtree(final)  # list fully retracted
+            continue
+        keep.write.mode("overwrite").parquet(stage)
+        if _os.path.isdir(final):
+            _os.rename(final, old)   # retire (restorable by recover)
+            _os.rename(stage, final)  # promote
+            _shutil.rmtree(old)
+        else:
+            _os.rename(stage, final)
+    spark.catalog.refreshByPath(codes_dir)  # renames bypass the listing cache
+    return {"deleted_ids": n, "lists_rewritten": sorted(touched)}
 
 
 def _ivfpq_meta_path(store_dir: str) -> str | None:
@@ -2135,6 +2294,9 @@ def _rebuild_knn_clusters(
             _shutil.rmtree(old)
         else:
             _os.rename(stage, final)
+    if _os.path.isdir(edge_dir):
+        # partition swaps bypass Spark's file-listing cache
+        spark.catalog.refreshByPath(edge_dir)
     return edges
 
 
@@ -2197,6 +2359,7 @@ def knn_graph_delete(
     staged = vec_dir.rstrip("/") + "._staging"
     remaining.write.mode("overwrite").parquet(staged)
     swap_dir(staged, vec_dir)
+    spark.catalog.refreshByPath(vec_dir)  # swap bypasses the listing cache
 
     _rebuild_knn_clusters(spark, vec_dir, edge_dir, touched, k, id_col)
     return {"deleted": n_deleted, "clusters_rebuilt": sorted(touched)}

@@ -627,6 +627,8 @@ def pq_index_writer(
 
     INSERT-ONLY, enforced loudly: a retraction raises — dropping it
     would leave ghost codes answering queries for a deleted vector.
+    The supported retraction path is OFFLINE:
+    ``operators.similarity.pq_index_delete``.
     """
     from pyspark.sql import functions as F
 
@@ -666,7 +668,9 @@ def ivfpq_index_writer(
     list partitions, not the corpus.
 
     INSERT-ONLY, enforced loudly — same contract and reason as
-    ``pq_index_writer``.
+    ``pq_index_writer``; offline retraction =
+    ``operators.similarity.ivfpq_index_delete`` (rewrites only the
+    inverted-list partitions containing the ids).
     """
     from pyspark.sql import functions as F
 
