@@ -2139,3 +2139,75 @@ def test_ivfpq_delete_interrupted_swap_is_restored(spark, sf_small, tmp_path):
     assert st2["deleted_ids"] == 5
     assert {r.vec_id for r in spark.read.parquet(codes_dir)
             .select("vec_id").collect()} == full - set(victims)
+
+
+def test_corpus_store_deletes(spark, sf_small, tmp_path):
+    """dedup_corpus_delete (flat MinHash store) and
+    semantic_corpus_delete (cluster-partitioned vector store): deleted
+    ids vanish, survivors are untouched, re-running is a no-op, only
+    the touched clusters are rewritten on the semantic side, and the
+    NEXT ingest increment treats a deleted id as genuinely fresh —
+    retraction then re-insert works end to end."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.operators.dedup import (
+        dedup_corpus_delete,
+        incremental_dedup_apply,
+    )
+    from wing_binlog_go_spark.operators.similarity import (
+        incremental_semantic_dedup_apply,
+        semantic_corpus_delete,
+    )
+    from wing_binlog_go_spark.tables import read_table
+
+    docs = (
+        read_table(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .limit(40)
+    )
+    store = str(tmp_path / "mh")
+    incremental_dedup_apply(spark, docs, store, payload_cols=["text"])
+    kept = {r.doc_id for r in spark.read.parquet(store).select("doc_id").collect()}
+    victims = sorted(kept)[:8]
+    st = dedup_corpus_delete(spark, store, victims)
+    assert st["deleted_ids"] == 8
+    now = {r.doc_id for r in spark.read.parquet(store).select("doc_id").collect()}
+    assert now == kept - set(victims)
+    assert dedup_corpus_delete(spark, store, victims) == {"deleted_ids": 0}
+    # a deleted id re-inserted through the stream is FRESH again
+    re_add = docs.filter(F.col("doc_id") == victims[0])
+    _, st2 = incremental_dedup_apply(spark, re_add, store, payload_cols=["text"])
+    assert st2["replayed"] == 0 and st2["batch"] == 1
+
+    emb = (
+        read_table(spark, sf_small, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(60)
+    )
+    sstore = str(tmp_path / "sem")
+    incremental_semantic_dedup_apply(spark, emb, sstore, n_clusters=4)
+    vec_dir = os.path.join(sstore, "vectors")
+    before = {r.vec_id for r in spark.read.parquet(vec_dir)
+              .select("vec_id").collect()}
+    svictims = sorted(before)[:6]
+    victim_clusters = {
+        int(r._cluster) for r in spark.read.parquet(vec_dir)
+        .filter(F.col("vec_id").isin(svictims))
+        .select("_cluster").distinct().collect()
+    }
+    sts = semantic_corpus_delete(spark, sstore, svictims)
+    assert sts["deleted_ids"] == 6
+    assert set(sts["clusters_rewritten"]) == victim_clusters
+    after = {r.vec_id for r in spark.read.parquet(vec_dir)
+             .select("vec_id").collect()}
+    assert after == before - set(svictims)
+    assert semantic_corpus_delete(spark, sstore, svictims)["deleted_ids"] == 0
+    # centroids untouched; a re-inserted id is fresh under the same
+    # frozen assignment
+    re_add = emb.filter(F.col("vec_id").isin(svictims))
+    _, st3 = incremental_semantic_dedup_apply(
+        spark, re_add, sstore, n_clusters=4
+    )
+    assert st3["replayed"] == 0 and st3["batch"] == 6

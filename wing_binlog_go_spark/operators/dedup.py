@@ -213,6 +213,12 @@ def incremental_dedup_apply(
     """
     import os
 
+    from wing_binlog_go_spark.streaming.maintenance import recover_swap
+
+    # heal a dedup_corpus_delete interrupted mid-swap before probing
+    # (the store would otherwise read as brand-new and orphan history)
+    recover_swap(store_dir)
+
     # in-batch id dedup: the anti-join only screens against HISTORY and
     # equal ids never pair under the smaller-id rule, so a duplicate
     # INSERT delivered twice inside one micro-batch (at-least-once CDC)
@@ -289,6 +295,55 @@ def incremental_dedup_apply(
             )
         to_store.write.mode("append").parquet(store_dir)
     return survivors, stats
+
+
+def dedup_corpus_delete(
+    spark: "SparkSession",
+    store_dir: str,
+    ids: "list | DataFrame",
+    id_col: str = "doc_id",
+) -> dict:
+    """OFFLINE retraction for the MinHash corpus/signature store — the
+    delete path ``dedup_corpus_writer`` refuses online: a dropped
+    retraction leaves the doc's text in the curated corpus AND its
+    signature suppressing future near-duplicates. The store is one flat
+    parquet table, so retraction is a staged rewrite minus the ids +
+    atomic ``swap_dir`` (``recover_swap`` first — an interrupted
+    previous delete rolls forward; ``incremental_dedup_apply`` runs the
+    same probe, so the stream self-heals too). Idempotent.
+
+    Semantics honesty (same as ``semantic_corpus_delete``): removing a
+    survivor does not resurrect the near-duplicates it suppressed — the
+    store only ever kept survivors; re-admitting suppressed history
+    means replaying the feed. Returns {"deleted_ids": n}."""
+    from pyspark.sql import DataFrame as _DF
+
+    from wing_binlog_go_spark.streaming.maintenance import (
+        recover_swap,
+        swap_dir,
+    )
+
+    recover_swap(store_dir)
+    if isinstance(ids, _DF):
+        ids_df = ids.select(F.col(ids.columns[0]).alias(id_col))
+    else:
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    store = spark.read.parquet(store_dir)
+    n = (
+        store.join(ids_df, id_col, "left_semi")
+        .select(id_col).distinct().count()
+    )
+    if n == 0:
+        return {"deleted_ids": 0}
+    staged = store_dir.rstrip("/") + "._staging"
+    store.join(ids_df, id_col, "left_anti").write.mode("overwrite").parquet(
+        staged
+    )
+    swap_dir(staged, store_dir)
+    spark.catalog.refreshByPath(store_dir)  # swap bypasses the listing cache
+    return {"deleted_ids": n}
 
 
 def _band_buckets(

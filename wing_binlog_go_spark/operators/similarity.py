@@ -777,7 +777,7 @@ def incremental_ivfpq_index_apply(
     # probing ids (a retired-but-never-promoted list would otherwise
     # read as absent and its ids would re-append as "fresh")
     if _os.path.isdir(codes_dir):
-        _recover_list_swaps(codes_dir)
+        _recover_partition_swaps(codes_dir)
         spark.catalog.refreshByPath(codes_dir)
     if _ivfpq_meta_path(store_dir) is not None:
         _, coarse, books = load_ivfpq_index(spark, store_dir)
@@ -892,27 +892,27 @@ def pq_index_delete(
     return {"deleted_ids": n}
 
 
-def _recover_list_swaps(codes_dir: str) -> None:
-    """Heal an interrupted per-list-partition swap
-    (:func:`ivfpq_index_delete`): a ``_staging/_list=N.old`` whose live
-    partition is ABSENT is the pre-delete copy retired by the first
-    rename of a swap that never finished — restore it (re-running the
-    delete then redoes the anti-join); one whose live partition exists
-    is completed-swap debris — discard, along with any leftover stage
-    dirs. Unlike the kNN edge partitions (pure functions of vectors/),
-    code partitions are SOURCE data: losing a list's untouched rows to
-    a crash window is not recoverable by a rebuild, hence the explicit
-    restore."""
+def _recover_partition_swaps(data_dir: str) -> None:
+    """Heal an interrupted per-partition swap (:func:`ivfpq_index_delete`,
+    :func:`semantic_corpus_delete`): a ``_staging/<part>.old`` whose
+    live partition is ABSENT is the pre-delete copy retired by the
+    first rename of a swap that never finished — restore it (re-running
+    the delete then redoes the anti-join); one whose live partition
+    exists is completed-swap debris — discard, along with any leftover
+    stage dirs. Unlike the kNN edge partitions (pure functions of
+    vectors/), these partitions are SOURCE data: losing a partition's
+    untouched rows to a crash window is not recoverable by a rebuild,
+    hence the explicit restore."""
     import os as _os
     import shutil as _shutil
 
-    staging = _os.path.join(codes_dir, "_staging")
+    staging = _os.path.join(data_dir, "_staging")
     if not _os.path.isdir(staging):
         return
     for name in sorted(_os.listdir(staging)):
         path = _os.path.join(staging, name)
         if name.endswith(".old"):
-            final = _os.path.join(codes_dir, name[: -len(".old")])
+            final = _os.path.join(data_dir, name[: -len(".old")])
             if _os.path.isdir(final):
                 _shutil.rmtree(path)  # completed swap: debris
             else:
@@ -931,16 +931,15 @@ def ivfpq_index_delete(
     bounded-IO form: only the inverted-list partitions that actually
     contain the ids are rewritten (stage → retire → promote per
     partition, the kNN edge-swap dance plus an explicit
-    ``_recover_list_swaps`` restore because codes are source data, not
+    ``_recover_partition_swaps`` restore because codes are source data, not
     a rebuildable function). A list left empty loses its partition.
     The embedded ``_quantizers.json`` rides in the codes dir root and
     is untouched. Idempotent. Returns {"deleted_ids": n,
     "lists_rewritten": [...]}."""
     import os as _os
-    import shutil as _shutil
 
     codes_dir = _os.path.join(store_dir, "codes")
-    _recover_list_swaps(codes_dir)
+    _recover_partition_swaps(codes_dir)
     if isinstance(ids, DataFrame):
         ids_df = ids.select(F.col(ids.columns[0]).alias(id_col))
     else:
@@ -960,24 +959,46 @@ def ivfpq_index_delete(
         return {"deleted_ids": 0, "lists_rewritten": []}
     touched = [r._list for r in doomed.select("_list").distinct().collect()]
 
-    for lst in sorted(touched):
+    _rewrite_partitions_minus_ids(
+        spark, codes_dir, "_list", touched, ids_df, id_col
+    )
+    return {"deleted_ids": n, "lists_rewritten": sorted(touched)}
+
+
+def _rewrite_partitions_minus_ids(
+    spark: SparkSession,
+    data_dir: str,
+    part_col: str,
+    touched: list,
+    ids_df: DataFrame,
+    id_col: str,
+) -> None:
+    """Rewrite each touched ``part_col=value`` partition of ``data_dir``
+    minus ``ids_df``'s ids — the bounded-IO retraction core shared by
+    the IVF-PQ index and the semantic corpus: stage → retire → promote
+    per partition under the :func:`_recover_partition_swaps` restore
+    contract; a partition left empty is removed; the listing cache is
+    refreshed at the end (the renames bypass it)."""
+    import os as _os
+    import shutil as _shutil
+
+    for p in sorted(touched):
         keep = (
-            spark.read.parquet(codes_dir)
-            .withColumn("_list", F.col("_list").cast("int"))
-            .filter(F.col("_list") == lst)  # partition-pruned read
+            spark.read.parquet(data_dir)
+            .filter(F.col(part_col) == p)  # partition-pruned read
             .join(ids_df, id_col, "left_anti")
-            .drop("_list")
+            .drop(part_col)
             .localCheckpoint(eager=True)  # read fully BEFORE the swap
         )
-        stage = _os.path.join(codes_dir, "_staging", f"_list={lst}")
-        old = _os.path.join(codes_dir, "_staging", f"_list={lst}.old")
-        final = _os.path.join(codes_dir, f"_list={lst}")
+        stage = _os.path.join(data_dir, "_staging", f"{part_col}={p}")
+        old = _os.path.join(data_dir, "_staging", f"{part_col}={p}.old")
+        final = _os.path.join(data_dir, f"{part_col}={p}")
         for leftover in (stage, old):
             if _os.path.isdir(leftover):
                 _shutil.rmtree(leftover)
         if keep.isEmpty():
             if _os.path.isdir(final):
-                _shutil.rmtree(final)  # list fully retracted
+                _shutil.rmtree(final)  # partition fully retracted
             continue
         keep.write.mode("overwrite").parquet(stage)
         if _os.path.isdir(final):
@@ -986,8 +1007,7 @@ def ivfpq_index_delete(
             _shutil.rmtree(old)
         else:
             _os.rename(stage, final)
-    spark.catalog.refreshByPath(codes_dir)  # renames bypass the listing cache
-    return {"deleted_ids": n, "lists_rewritten": sorted(touched)}
+    spark.catalog.refreshByPath(data_dir)  # renames bypass the listing cache
 
 
 def _ivfpq_meta_path(store_dir: str) -> str | None:
@@ -1438,6 +1458,13 @@ def incremental_semantic_dedup_apply(
     import json as _json
     import os as _os
 
+    # heal a semantic_corpus_delete interrupted mid-partition-swap
+    # before probing ids (a retired-but-never-promoted cluster would
+    # otherwise read as absent and its ids would re-append as fresh)
+    if _os.path.isdir(_os.path.join(store_dir, "vectors")):
+        _recover_partition_swaps(_os.path.join(store_dir, "vectors"))
+        spark.catalog.refreshByPath(_os.path.join(store_dir, "vectors"))
+
     # in-batch id dedup (see incremental_dedup_apply in operators.dedup):
     # equal ids never pair under the smaller-id rule, so an in-batch
     # duplicate would survive twice and append twice to the vector store
@@ -1545,6 +1572,54 @@ def incremental_semantic_dedup_apply(
     if stats["appended"]:
         survivors_sigs.write.mode("append").partitionBy("_cluster").parquet(vec_dir)
     return survivors, stats
+
+
+def semantic_corpus_delete(
+    spark: SparkSession,
+    store_dir: str,
+    ids: "list[int] | DataFrame",
+    id_col: str = "vec_id",
+) -> dict:
+    """OFFLINE retraction for the semantic-dedup corpus store — the
+    delete path ``semantic_dedup_corpus_writer`` refuses online. The
+    vector store is PARTITIONED BY ``_cluster``, so only the clusters
+    that contain the ids are rewritten
+    (:func:`_rewrite_partitions_minus_ids` — stage/retire/promote with
+    the explicit restore; the frozen ``centroids.json`` is untouched).
+    Idempotent; crash-healable via :func:`_recover_partition_swaps`,
+    which the next stream increment also runs.
+
+    Semantics honesty: removing a survivor does NOT resurrect the
+    near-duplicates it suppressed — the store only ever kept survivors,
+    so the suppressed docs are gone from the feed's perspective.
+    Retraction here means "this doc must stop existing / deduping
+    future arrivals", which the survivor-store contract supports; a
+    deployment that must re-admit suppressed history replays the feed.
+    Returns {"deleted_ids": n, "clusters_rewritten": [...]}."""
+    import os as _os
+
+    vec_dir = _os.path.join(store_dir, "vectors")
+    _recover_partition_swaps(vec_dir)
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(F.col(ids.columns[0]).alias(id_col))
+    else:
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    vecs = spark.read.parquet(vec_dir)
+    doomed = (
+        vecs.join(ids_df, id_col, "left_semi")
+        .select(id_col, "_cluster")
+        .localCheckpoint(eager=True)  # outlives the partition swaps
+    )
+    n = doomed.select(id_col).distinct().count()
+    if n == 0:
+        return {"deleted_ids": 0, "clusters_rewritten": []}
+    touched = [r._cluster for r in doomed.select("_cluster").distinct().collect()]
+    _rewrite_partitions_minus_ids(
+        spark, vec_dir, "_cluster", touched, ids_df, id_col
+    )
+    return {"deleted_ids": n, "clusters_rewritten": sorted(touched)}
 
 
 # ---------------------------------------------------------------------------

@@ -467,7 +467,8 @@ def dedup_corpus_writer(
     INSERT-ONLY, enforced loudly: an UPDATE/DELETE envelope for
     ``table`` raises (``_insert_only_probe``) — a silently-dropped
     retraction would leave ghost text in the corpus AND its signature
-    suppressing future near-duplicates forever.
+    suppressing future near-duplicates forever. Offline retraction =
+    ``operators.dedup.dedup_corpus_delete``.
     """
     from pyspark.sql import functions as F
 
@@ -531,7 +532,8 @@ def semantic_dedup_corpus_writer(
 
     INSERT-ONLY, enforced loudly: an UPDATE/DELETE envelope for
     ``table`` raises — dropping it would leave a ghost vector deduping
-    future arrivals against a row the replica no longer has.
+    future arrivals against a row the replica no longer has. Offline
+    retraction = ``operators.similarity.semantic_corpus_delete``.
     """
     from pyspark.sql import functions as F
 
