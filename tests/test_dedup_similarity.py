@@ -2211,3 +2211,48 @@ def test_corpus_store_deletes(spark, sf_small, tmp_path):
         spark, re_add, sstore, n_clusters=4
     )
     assert st3["replayed"] == 0 and st3["batch"] == 6
+
+
+def test_containment_corpus_delete(spark, sf_small, tmp_path):
+    """containment_corpus_delete: deleted docs vanish from sets/ AND
+    both posting indexes; survivors untouched; a deleted doc no longer
+    suppresses a later re-arrival of its own containing text (it is
+    fresh again and survives); idempotent."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.operators.dedup import (
+        containment_corpus_delete,
+        incremental_containment_dedup_apply,
+    )
+    from wing_binlog_go_spark.tables import read_table
+
+    docs = (
+        read_table(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .limit(30)
+    )
+    store = str(tmp_path / "cont")
+    survivors, _ = incremental_containment_dedup_apply(spark, docs, store)
+    kept = {r.doc_id for r in survivors.select("doc_id").collect()}
+    victims = sorted(kept)[:5]
+
+    st = containment_corpus_delete(spark, store, victims)
+    assert st["deleted_ids"] == 5
+    for sub in ("sets", "els_index", "pre_index"):
+        tbl = spark.read.parquet(os.path.join(store, sub))
+        assert tbl.filter(F.col("doc").isin(victims)).count() == 0, sub
+    left = {r.doc for r in spark.read.parquet(os.path.join(store, "sets"))
+            .select("doc").collect()}
+    assert left == kept - set(victims)
+    assert containment_corpus_delete(spark, store, victims) == {
+        "deleted_ids": 0
+    }
+
+    # the deleted doc's text re-delivered under the SAME id is fresh
+    # again and, with its old copy gone, survives
+    re_add = docs.filter(F.col("doc_id") == victims[0])
+    surv2, st2 = incremental_containment_dedup_apply(spark, re_add, store)
+    assert st2["replayed"] == 0
+    assert {r.doc_id for r in surv2.select("doc_id").collect()} == {victims[0]}

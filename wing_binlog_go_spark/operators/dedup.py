@@ -2141,6 +2141,14 @@ def incremental_containment_apply(
     els_dir = _os.path.join(store_dir, "els_index")
     pre_dir = _os.path.join(store_dir, "pre_index")
 
+    # heal a containment_corpus_delete interrupted mid-swap (the three
+    # mutable tables swap independently; recover_swap is a no-op when
+    # no backup exists)
+    from wing_binlog_go_spark.streaming.maintenance import recover_swap
+
+    for d in (sets_dir, els_dir, pre_dir):
+        recover_swap(d)
+
     def _empty_pairs():
         c = new_docs.select(F.col(id_col)).limit(0)
         return c.select(
@@ -2275,6 +2283,12 @@ def incremental_containment_dedup_apply(
     els_dir = _os.path.join(store_dir, "els_index")
     pre_dir = _os.path.join(store_dir, "pre_index")
 
+    # heal a containment_corpus_delete interrupted mid-swap
+    from wing_binlog_go_spark.streaming.maintenance import recover_swap
+
+    for d in (sets_dir, els_dir, pre_dir):
+        recover_swap(d)
+
     def explode_col(sets: DataFrame, col: str) -> DataFrame:
         return sets.select(F.col("doc"), F.explode(col).alias("s"))
 
@@ -2363,3 +2377,66 @@ def incremental_containment_dedup_apply(
         survivors_sets.select(F.col("doc").alias(id_col)), id_col, "left_semi"
     )
     return survivors, stats
+
+
+def containment_corpus_delete(
+    spark: SparkSession,
+    store_dir: str,
+    ids: "list | DataFrame",
+    id_col: str = "doc_id",
+) -> dict:
+    """OFFLINE retraction for the containment corpus store — the delete
+    path ``containment_corpus_writer`` refuses online. Three mutable
+    tables rewrite (staged + atomic ``swap_dir`` each): ``sets/``
+    FIRST — it is the presence authority, so the retraction is visible
+    the moment it lands — then the two posting indexes; an orphaned
+    posting left by a crash between the swaps is harmless (the verify
+    join reads ``sets/``, so a candidate against a deleted doc drops
+    out — the same duplicates-cost-storage-never-correctness argument
+    the append path makes), and re-running the delete sweeps orphans
+    because the index rewrites run whenever ANY table still holds the
+    ids. ``order/`` is untouched: the frozen founding rarity order only
+    needs to be a consistent total order, and keeping a deleted doc's
+    df contribution preserves every stored prefix's validity.
+    Idempotent. Returns {"deleted_ids": n}."""
+    import os as _os
+
+    from wing_binlog_go_spark.streaming.maintenance import (
+        recover_swap,
+        swap_dir,
+    )
+
+    sets_dir = _os.path.join(store_dir, "sets")
+    els_dir = _os.path.join(store_dir, "els_index")
+    pre_dir = _os.path.join(store_dir, "pre_index")
+    for d in (sets_dir, els_dir, pre_dir):
+        recover_swap(d)
+    if isinstance(ids, DataFrame):
+        doomed = ids.select(F.col(ids.columns[0]).alias("doc"))
+    else:
+        doomed = spark.createDataFrame([(int(i),) for i in ids], "doc long")
+
+    n = (
+        spark.read.parquet(sets_dir)
+        .join(doomed, "doc", "left_semi")
+        .select("doc").distinct().count()
+    )
+    touched_any = n > 0
+    for d in (els_dir, pre_dir):
+        if not touched_any:
+            touched_any = not (
+                spark.read.parquet(d)
+                .join(doomed, "doc", "left_semi")
+                .isEmpty()
+            )
+    if not touched_any:
+        return {"deleted_ids": 0}
+
+    for d in (sets_dir, els_dir, pre_dir):  # sets FIRST (see docstring)
+        staged = d.rstrip("/") + "._staging"
+        spark.read.parquet(d).join(doomed, "doc", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(staged)
+        swap_dir(staged, d)
+        spark.catalog.refreshByPath(d)
+    return {"deleted_ids": n}

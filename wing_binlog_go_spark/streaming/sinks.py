@@ -904,7 +904,8 @@ def containment_corpus_writer(
 
     INSERT-ONLY, enforced loudly: a retraction raises — a dropped
     DELETE would leave the doc's shingle sets suppressing future
-    arrivals it contains."""
+    arrivals it contains. Offline retraction =
+    ``operators.dedup.containment_corpus_delete``."""
     from wing_binlog_go_spark.operators.dedup import (
         incremental_containment_dedup_apply,
     )
