@@ -61,7 +61,7 @@ def test_frozen_bpe_merges_shape_and_provenance():
     assert len(set(merges)) == 20
     for a, b in merges:
         assert a and b and "\x1f" not in a and "\x1f" not in b
-    meta = json.load(open(os.path.join(_RES, "bpe_merges_q39z.json")))
+    meta = json.load(open(os.path.join(_RES, "bpe_merges_q39u.json")))
     assert meta["n_merges"] == 20 and meta["min_count"] == 2
     assert "sf0.01 documents" in meta["trained_on"]
     assert merges == [(a, b) for a, b in meta["merges"]]

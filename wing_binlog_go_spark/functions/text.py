@@ -1553,10 +1553,10 @@ _BPE_SEP_CHAR = "\x1f"
 
 
 def load_frozen_bpe_merges(
-    name: str = "bpe_merges_q39z",
+    name: str = "bpe_merges_q39u",
 ) -> list[tuple[str, str]]:
     """Merge list from the committed tokenizer store — the BPE member
-    of the frozen-quantizer family (`resources/bpe_merges_q39z.json`,
+    of the frozen-quantizer family (`resources/bpe_merges_q39u.json`,
     trained once by ``bpe_train`` exact mode and versioned): a
     production pipeline tokenizes every corpus with the SAME released
     tokenizer, it never retrains per run."""
@@ -1661,7 +1661,7 @@ GROUP BY doc_id ORDER BY doc_id LIMIT 200
 """
 
 
-QUERIES["q39z_bpe_tokenize_frozen"] = QuerySpec(
+QUERIES["q39u_bpe_tokenize_frozen"] = QuerySpec(
     _q_bpe_tokenize_frozen, _bpe_tokenize_frozen_oracle()
 )
 
