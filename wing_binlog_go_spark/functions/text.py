@@ -2574,3 +2574,71 @@ ORDER BY flags.source
 QUERIES["q151_source_scorecard"] = QuerySpec(
     _q_source_scorecard, _SOURCE_SCORECARD_ORACLE
 )
+
+
+def bpe_segments_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Per-word BPE segmentation under FROZEN merges as a pure column
+    expression: the same replace chain as :func:`bpe_token_count_expr`,
+    but returning the token ARRAY (strip the outer delimiters, split on
+    the double delimiter) instead of just its size — full-fidelity
+    tokenization, still zero Python in the plan."""
+    sep = _BPE_SEP_CHAR
+    syms = _word_symbols(word)
+    s = F.concat(F.lit(sep), F.array_join(syms, sep + sep), F.lit(sep))
+    for a, b in merges:
+        s = F.replace(
+            s,
+            F.lit(sep + a + sep + sep + b + sep),
+            F.lit(sep + a + b + sep),
+        )
+    return F.split(F.btrim(s, F.lit(sep)), sep + sep)
+
+
+def _q_bpe_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocabulary's full segmentation table under the committed
+    frozen tokenizer — what an inspection/debug surface for a released
+    tokenizer shows: every distinct corpus word, its token count, and
+    the tokens themselves (joined with '|' so both engines hash one
+    string column). One distinct pass + row-local expressions."""
+    d = read_table(spark, sf_dir, "documents")
+    merges = load_frozen_bpe_merges()
+    words = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    toks = bpe_segments_expr(F.col("w"), merges)
+    return (
+        words.select(
+            "w",
+            F.size(toks).cast("bigint").alias("n_toks"),
+            F.array_join(toks, "|").alias("toks"),
+        )
+        .orderBy("w")
+        .limit(300)
+    )
+
+
+def _bpe_segments_oracle() -> str:
+    sep = _BPE_SEP
+    s = _bpe_wrapped_expr("w")
+    for a, b in load_frozen_bpe_merges():
+        s = (
+            f"replace({s}, {sep} || {_sql_quote(a)} || {sep} || {sep} || "
+            f"{_sql_quote(b)} || {sep}, "
+            f"{sep} || {_sql_quote(a + b)} || {sep})"
+        )
+    return f"""
+WITH dw AS MATERIALIZED (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+  ) WHERE w != ''
+), seg AS (
+  SELECT w, string_split(trim({s}, {sep}), {sep} || {sep}) AS l FROM dw
+)
+SELECT w, CAST(len(l) AS BIGINT) AS n_toks, array_to_string(l, '|') AS toks
+FROM seg ORDER BY w LIMIT 300
+"""
+
+
+QUERIES["q158_bpe_segments"] = QuerySpec(_q_bpe_segments, _bpe_segments_oracle())
