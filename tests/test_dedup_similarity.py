@@ -2256,3 +2256,59 @@ def test_containment_corpus_delete(spark, sf_small, tmp_path):
     surv2, st2 = incremental_containment_dedup_apply(spark, re_add, store)
     assert st2["replayed"] == 0
     assert {r.doc_id for r in surv2.select("doc_id").collect()} == {victims[0]}
+
+
+def test_knn_graph_update_moves_vector_across_clusters(spark, tmp_path):
+    """knn_graph_update = delete + re-ingest: an UPDATE that moves a
+    vector's embedding to a different cluster must rebuild BOTH
+    clusters — the old one loses the node and its edges, the new one
+    gains them — and the final graph equals the batch build over the
+    updated corpus. Unknown ids degrade to plain inserts."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.operators.similarity import (
+        incremental_knn_graph_apply,
+        knn_graph_clustered,
+        knn_graph_update,
+        read_knn_graph,
+    )
+
+    cents = [[1.0] + [0.0] * 15, [0.0, 1.0] + [0.0] * 14]
+    rng = np.random.RandomState(9)
+    rows = [
+        (i + 1, [float(x) for x in np.array(cents[0]) + rng.normal(0, 0.01, 16)])
+        for i in range(6)
+    ] + [
+        (i + 11, [float(x) for x in np.array(cents[1]) + rng.normal(0, 0.01, 16)])
+        for i in range(6)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    store = str(tmp_path / "g")
+    incremental_knn_graph_apply(spark, vecs, store, cents, k=3)
+
+    # move id 1 from cluster 0's neighborhood to cluster 1's, and add
+    # a brand-new id 99 (update on an unknown id = insert)
+    moved = [float(x) for x in np.array(cents[1]) + rng.normal(0, 0.01, 16)]
+    newv = [float(x) for x in np.array(cents[0]) + rng.normal(0, 0.01, 16)]
+    upd = spark.createDataFrame(
+        [(1, moved), (99, newv)], "vec_id long, embedding array<double>"
+    )
+    st = knn_graph_update(spark, store, upd, cents, k=3)
+    assert st["deleted"] == 1 and st["clusters_retracted"] == [0]
+    assert st["appended"] == 2 and sorted(st["clusters_rebuilt"]) == [0, 1]
+
+    updated = vecs.filter(F.col("vec_id") != 1).unionByName(upd)
+    want = {
+        (r.src, r.dst, r.rnk)
+        for r in knn_graph_clustered(updated, cents, k=3).collect()
+    }
+    got = {
+        (r.src, r.dst, r.rnk) for r in read_knn_graph(spark, store).collect()
+    }
+    assert got == want
+    # the moved node now lives in cluster 1's edge set
+    g = read_knn_graph(spark, store)
+    assert g.filter("src = 1 AND cluster = 1").count() > 0
+    assert g.filter("src = 1 AND cluster = 0").count() == 0

@@ -2440,3 +2440,81 @@ def containment_corpus_delete(
         swap_dir(staged, d)
         spark.catalog.refreshByPath(d)
     return {"deleted_ids": n}
+
+
+def minhash_bottomk_rolling(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    size: int = 8,
+    base: int = 31,
+) -> DataFrame:
+    """Bottom-``size`` sketch of DISTINCT rolling-hashed shingles — the
+    hash-checkable twin of ``functions.text.minhash_sketch`` (q39g,
+    whose xxhash64 has no SQL replay): same compact doc fingerprint,
+    same bottom-k Jaccard-overlap estimator, but under the q37f/q149b
+    polynomial family so the sketch TABLE itself cross-engine
+    hash-matches. Distinct is taken on the HASH values (two shingles
+    colliding must fill one slot in both engines). Zero shuffle —
+    per-row fold, sort, slice."""
+    sh = df.select(
+        F.col(id_col),
+        F.filter(
+            word_shingles(text_col, shingle_k), lambda s: F.length(s) > 0
+        ).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    hashes = F.array_distinct(
+        F.transform(F.col("_sh"), lambda s: _roll(s, base))
+    )
+    sketch = F.slice(F.array_sort(hashes), 1, size)
+    return sh.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(sketch, lambda x: x.cast("string")), "|"
+        ).alias("sketch"),
+    )
+
+
+def _q_minhash_sketch_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        minhash_bottomk_rolling(docs)
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+def _minhash_sketch_rolling_oracle() -> str:
+    roll = (
+        f"list_reduce(list_prepend({_MH_ROLL_SEED}::BIGINT,"
+        " list_transform(range(1, length(s) + 1), i -> ascii(s[i]))),"
+        f" (a, b) -> (a * 31 + b) % {_MH_ROLL_P})"
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), sh AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+                ELSE [array_to_string(t, ' ')] END)) AS s
+  FROM base
+), shf AS MATERIALIZED (
+  SELECT doc_id, s FROM sh WHERE length(s) > 0
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(
+           list_slice(list_sort(list_distinct(list({roll}))), 1, 8),
+           x -> x::VARCHAR),
+         '|') AS sketch
+FROM shf GROUP BY doc_id ORDER BY doc_id LIMIT 200
+"""
+
+
+QUERIES["q159_minhash_sketch_rolling"] = QuerySpec(
+    _q_minhash_sketch_rolling, _minhash_sketch_rolling_oracle()
+)

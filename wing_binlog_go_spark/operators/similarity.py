@@ -3442,3 +3442,38 @@ ORDER BY a.vec_id
 QUERIES["q38n_semantic_dedup_frozen"] = QuerySpec(
     _q_semantic_dedup_frozen, _semantic_dedup_frozen_oracle()
 )
+
+
+def knn_graph_update(
+    spark: SparkSession,
+    store_dir: str,
+    new_vectors: DataFrame,
+    cents: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """OFFLINE update for the maintained kNN-graph store — the r8
+    advice's "reassign the vector and rebuild both its old and new
+    clusters", composed from the two primitives: retract the ids
+    (:func:`knn_graph_delete` — rebuilds the OLD clusters without them)
+    then re-ingest the new vectors (:func:`incremental_knn_graph_apply`
+    — frozen assignment places them, rebuilding the NEW clusters).
+    Both halves are idempotent and crash-healable, so re-running the
+    whole update after any crash converges; an id unknown to the store
+    degrades to a plain insert (delete is a no-op on it). Returns
+    {"deleted": d, "clusters_retracted": [...], "appended": a,
+    "clusters_rebuilt": [...]}."""
+    dstats = knn_graph_delete(
+        spark, store_dir, new_vectors.select(id_col), k=k, id_col=id_col
+    )
+    _, astats = incremental_knn_graph_apply(
+        spark, new_vectors, store_dir, cents, k=k,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return {
+        "deleted": dstats["deleted"],
+        "clusters_retracted": dstats["clusters_rebuilt"],
+        "appended": astats["appended"],
+        "clusters_rebuilt": astats["clusters_rebuilt"],
+    }
