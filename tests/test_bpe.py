@@ -336,3 +336,39 @@ def test_frozen_expr_tokenizer_equals_udf_tokenizer(spark, sf_dir):
         frozen.explain("formatted")
     p = buf.getvalue()
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_frozen_segments_reassemble_and_match_counts(spark, sf_dir):
+    """Lossless-segmentation invariant for the frozen expression
+    tokenizer: concatenating a word's tokens reproduces the word plus
+    its '</w>' terminator exactly (merges can regroup, never alter,
+    the symbol stream), and the per-word token count column agrees
+    with the segment table."""
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.functions.text import (
+        bpe_segments_expr,
+        bpe_token_count_expr,
+        load_frozen_bpe_merges,
+    )
+    from wing_binlog_go_spark.operators.dedup import tokens
+    from wing_binlog_go_spark.tables import read_table
+
+    merges = load_frozen_bpe_merges()
+    words = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    toks = bpe_segments_expr(F.col("w"), merges)
+    bad = words.select(
+        "w",
+        F.array_join(toks, "").alias("glued"),
+        F.size(toks).cast("bigint").alias("n1"),
+        bpe_token_count_expr(F.col("w"), merges).alias("n2"),
+    ).filter(
+        (F.col("glued") != F.concat(F.col("w"), F.lit("</w>")))
+        | (F.col("n1") != F.col("n2"))
+    )
+    assert bad.isEmpty(), bad.limit(5).collect()

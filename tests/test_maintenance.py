@@ -702,3 +702,92 @@ def test_store_routes_tolerate_alter_and_other_tables(spark, tmp_path):
     w(batch, 0)
     got = {(r.doc_id, r.text) for r in read_dedup_corpus(spark, store).collect()}
     assert got == {(1, "alpha beta gamma")}
+
+
+def test_retraction_runbook_raise_delete_offline_resume(spark, tmp_path):
+    """The full retraction runbook on the kNN-graph route: (1) inserts
+    maintain the store; (2) a DELETE envelope makes the route raise —
+    the batch is NOT applied, the store is untouched; (3) the operator
+    runs the offline knn_graph_delete; (4) the stream resumes with new
+    inserts and the final graph equals the batch build over exactly
+    the surviving + new vectors."""
+    import json as _json
+
+    import numpy as np
+    import pytest
+
+    from wing_binlog_go_spark.operators.similarity import (
+        knn_graph_clustered,
+        knn_graph_delete,
+        read_knn_graph,
+    )
+    from wing_binlog_go_spark.streaming.sinks import knn_graph_writer
+
+    cents = [[1.0] + [0.0] * 15, [0.0, 1.0] + [0.0] * 14]
+    rng = np.random.RandomState(3)
+
+    def vec(c):
+        return [float(x) for x in np.array(cents[c]) + rng.normal(0, 0.01, 16)]
+
+    store = str(tmp_path / "g")
+    w = knn_graph_writer(
+        store, "crawl.documents", vec_field="embedding", centroids=cents, k=3
+    )
+    first = {i: vec(i % 2) for i in range(1, 9)}
+    w(
+        _env_batch(
+            spark,
+            [("insert", i, {"id": str(i), "embedding": _json.dumps(v)})
+             for i, v in first.items()],
+        ),
+        0,
+    )
+    before = {
+        (r.src, r.dst, r.rnk) for r in read_knn_graph(spark, store).collect()
+    }
+
+    # (2) the retraction batch fails LOUDLY and applies nothing
+    poison = _env_batch(
+        spark,
+        [
+            ("insert", 20, {"id": "20", "embedding": _json.dumps(vec(0))}),
+            ("delete", 21, {"id": "3", "embedding": _json.dumps(first[3])}),
+        ],
+    )
+    with pytest.raises(ValueError, match="insert-only"):
+        w(poison, 1)
+    assert {
+        (r.src, r.dst, r.rnk) for r in read_knn_graph(spark, store).collect()
+    } == before
+
+    # (3) the operator applies the retraction offline
+    st = knn_graph_delete(spark, store, [3], k=3)
+    assert st["deleted"] == 1
+
+    # (4) the stream resumes; the insert the poison batch carried is
+    # re-delivered in the healed batch (at-least-once replay)
+    w(
+        _env_batch(
+            spark,
+            [("insert", 20, {"id": "20", "embedding": _json.dumps(vec(0))})],
+        ),
+        2,
+    )
+    # expected = the batch build over the store's OWN vector set (no
+    # RNG bookkeeping): id 3 must be gone, id 20 present
+    import os
+
+    from pyspark.sql import functions as F
+
+    vecs = spark.read.parquet(os.path.join(store, "vectors")).select(
+        "vec_id", F.col("vector").alias("embedding")
+    )
+    ids = {r.vec_id for r in vecs.select("vec_id").collect()}
+    assert 3 not in ids and 20 in ids and len(ids) == 8
+    want = {
+        (r.src, r.dst, r.rnk)
+        for r in knn_graph_clustered(vecs, cents, k=3).collect()
+    }
+    assert {
+        (r.src, r.dst, r.rnk) for r in read_knn_graph(spark, store).collect()
+    } == want
