@@ -2312,3 +2312,255 @@ def test_knn_graph_update_moves_vector_across_clusters(spark, tmp_path):
     g = read_knn_graph(spark, store)
     assert g.filter("src = 1 AND cluster = 1").count() > 0
     assert g.filter("src = 1 AND cluster = 0").count() == 0
+
+
+def test_pq_index_update_reencodes_against_frozen_books(spark, sf_small, tmp_path):
+    """pq_index_update = delete + re-encode: the updated id gets fresh
+    codes under the UNCHANGED frozen codebooks, untouched rows'
+    codes are byte-identical, and an unknown id degrades to insert."""
+    import json as _json
+    import os
+
+    from wing_binlog_go_spark.operators.similarity import (
+        incremental_pq_index_apply,
+        load_pq_index,
+        pq_encode,
+        pq_index_update,
+    )
+    from wing_binlog_go_spark.tables import read_table
+
+    emb = (
+        read_table(spark, sf_small, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(80)
+    )
+    store = str(tmp_path / "pq")
+    incremental_pq_index_apply(spark, emb, store, m=4, n_codes=4)
+    with open(os.path.join(store, "codebooks.json")) as f:
+        books_before = _json.load(f)["books"]
+    before = {
+        r.vec_id: tuple(r._codes)
+        for r in spark.read.parquet(os.path.join(store, "codes")).collect()
+    }
+
+    # update id 3 to id 77's embedding; insert unknown id 9001
+    donor = emb.filter(F.col("vec_id") == 77).first().embedding
+    upd = spark.createDataFrame(
+        [(3, donor), (9001, donor)], "vec_id long, embedding array<double>"
+    )
+    st = pq_index_update(spark, store, upd, m=4, n_codes=4)
+    assert st == {"deleted": 1, "appended": 2, "replayed": 0}
+
+    with open(os.path.join(store, "codebooks.json")) as f:
+        assert _json.load(f)["books"] == books_before  # frozen across update
+
+    after = {
+        r.vec_id: tuple(r._codes)
+        for r in spark.read.parquet(os.path.join(store, "codes")).collect()
+    }
+    assert len(after) == len(before) + 1
+    _, books = load_pq_index(spark, store)
+    want = tuple(
+        pq_encode(upd.filter("vec_id = 3"), books).first()._codes
+    )
+    assert after[3] == want and after[9001] == want
+    assert after[3] == after[77]  # same embedding now → same codes
+    for vid, codes in before.items():
+        if vid != 3:
+            assert after[vid] == codes  # untouched rows byte-identical
+
+    # idempotent: re-running the same update converges to the same store
+    st2 = pq_index_update(spark, store, upd, m=4, n_codes=4)
+    assert st2 == {"deleted": 2, "appended": 2, "replayed": 0}
+    again = {
+        r.vec_id: tuple(r._codes)
+        for r in spark.read.parquet(os.path.join(store, "codes")).collect()
+    }
+    assert again == after
+
+
+def test_ivfpq_index_update_moves_vector_across_lists(spark, sf_small, tmp_path):
+    """ivfpq_index_update: an update that moves a vector's embedding to
+    another inverted list retracts it from the old list's partition and
+    lands it in the new one; both halves partition-bounded."""
+    import os
+
+    from wing_binlog_go_spark.operators.similarity import (
+        incremental_ivfpq_index_apply,
+        ivfpq_index_update,
+    )
+    from wing_binlog_go_spark.tables import read_table
+
+    emb = (
+        read_table(spark, sf_small, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(80)
+    )
+    store = str(tmp_path / "ivfpq")
+    incremental_ivfpq_index_apply(spark, emb, store, n_centroids=4, m=4, n_codes=4)
+    codes_dir = os.path.join(store, "codes")
+    coded = spark.read.parquet(codes_dir)
+    n_before = coded.count()
+
+    # pick a victim and a donor that live in DIFFERENT lists
+    lists = {r.vec_id: r._list for r in coded.select("vec_id", "_list").collect()}
+    victim = min(lists)
+    donor = next(v for v in sorted(lists) if lists[v] != lists[victim])
+    donor_vec = emb.filter(F.col("vec_id") == donor).first().embedding
+    upd = spark.createDataFrame(
+        [(victim, donor_vec)], "vec_id long, embedding array<double>"
+    )
+    st = ivfpq_index_update(
+        spark, store, upd, n_centroids=4, m=4, n_codes=4
+    )
+    assert st["deleted"] == 1 and st["appended"] == 1 and st["replayed"] == 0
+    assert st["lists_retracted"] == [int(lists[victim])]
+
+    after = spark.read.parquet(codes_dir)
+    assert after.count() == n_before
+    moved = after.filter(F.col("vec_id") == victim).collect()
+    assert len(moved) == 1 and int(moved[0]._list) == int(lists[donor])
+    assert tuple(moved[0]._codes) == tuple(
+        after.filter(F.col("vec_id") == donor).first()._codes
+    )
+
+
+def test_semantic_corpus_update_dedupes_as_if_fresh(spark, sf_small, tmp_path):
+    """semantic_corpus_update: an update that turns a doc into a
+    near-duplicate of surviving history REMOVES it (survivor-store
+    semantics), one that moves it to fresh content keeps it with the
+    new vector; the frozen centroids never move."""
+    import json as _json
+    import os
+
+    import numpy as np
+
+    from wing_binlog_go_spark.operators.similarity import (
+        incremental_semantic_dedup_apply,
+        semantic_corpus_update,
+    )
+    from wing_binlog_go_spark.tables import read_table
+
+    store = str(tmp_path / "sem")
+    emb = read_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    b1 = emb.orderBy("vec_id").limit(50)
+    incremental_semantic_dedup_apply(spark, b1, store, threshold=0.97, n_clusters=4)
+    with open(os.path.join(store, "centroids.json")) as f:
+        cents_before = _json.load(f)["centroids"]
+
+    rows = b1.orderBy("vec_id").limit(2).collect()
+    rng = np.random.RandomState(11)
+    v_other = np.asarray(rows[1].embedding, dtype=np.float64)
+    near_dup = v_other + rng.normal(0, 1e-5, v_other.shape)
+    fresh = rng.normal(0, 1.0, v_other.shape)
+
+    # update doc rows[0] into a near-copy of rows[1] → dropped
+    vid = rows[0].vec_id
+    upd1 = spark.createDataFrame(
+        [(vid, [float(x) for x in near_dup])], "vec_id long, embedding array<double>"
+    )
+    surv1, st1 = semantic_corpus_update(
+        spark, store, upd1, threshold=0.97, n_clusters=4
+    )
+    assert st1["deleted"] == 1 and st1["appended"] == 0
+    assert surv1.count() == 0
+    stored = spark.read.parquet(os.path.join(store, "vectors"))
+    assert stored.filter(F.col("vec_id") == vid).count() == 0
+    assert stored.count() == 49
+
+    # update the same id again, now to fresh content → re-admitted
+    upd2 = spark.createDataFrame(
+        [(vid, [float(x) for x in fresh])], "vec_id long, embedding array<double>"
+    )
+    surv2, st2 = semantic_corpus_update(
+        spark, store, upd2, threshold=0.97, n_clusters=4
+    )
+    assert st2["deleted"] == 0 and st2["appended"] == 1
+    assert {r.vec_id for r in surv2.collect()} == {vid}
+    assert spark.read.parquet(os.path.join(store, "vectors")).count() == 50
+
+    with open(os.path.join(store, "centroids.json")) as f:
+        assert _json.load(f)["centroids"] == cents_before  # frozen
+
+
+def test_dedup_corpus_update_changes_suppression(spark, tmp_path):
+    """dedup_corpus_update: the OLD text stops suppressing future
+    near-duplicates the moment the update lands, the NEW text starts —
+    and an update that makes the doc a near-copy of other history
+    removes it (survivor-store semantics)."""
+    import random
+
+    from wing_binlog_go_spark.operators.dedup import (
+        dedup_corpus_update,
+        incremental_dedup_apply,
+    )
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(10**6)}" for _ in range(200)]
+    t1 = " ".join(words[:60])
+    t2 = " ".join(words[60:120])
+    t3 = " ".join(words[120:180])
+    store = str(tmp_path / "mh")
+    docs = spark.createDataFrame([(1, t1), (2, t2)], "doc_id long, text string")
+    incremental_dedup_apply(spark, docs, store)
+
+    # update doc 1's text to t3 (fresh content) → survives with new text
+    upd = spark.createDataFrame([(1, t3)], "doc_id long, text string")
+    surv, st = dedup_corpus_update(spark, store, upd)
+    assert st["deleted"] == 1 and st["appended"] == 1
+    assert {r.doc_id for r in surv.collect()} == {1}
+
+    # a near-copy of the RETIRED t1 is fresh again; near-copies of t2
+    # and of the NEW t3 are suppressed
+    near = lambda t: t.rsplit(" ", 1)[0] + " zz"
+    probe = spark.createDataFrame(
+        [(50, near(t1)), (51, near(t2)), (52, near(t3))],
+        "doc_id long, text string",
+    )
+    surv2, st2 = incremental_dedup_apply(spark, probe, store)
+    assert {r.doc_id for r in surv2.collect()} == {50}
+    assert st2["dup_vs_history"] == 2
+
+    # update doc 1 into a near-copy of doc 2 → removed entirely
+    upd2 = spark.createDataFrame([(1, near(t2))], "doc_id long, text string")
+    surv3, st3 = dedup_corpus_update(spark, store, upd2)
+    assert st3["deleted"] == 1 and st3["appended"] == 0
+    assert surv3.count() == 0
+    assert spark.read.parquet(store).filter("doc_id = 1").count() == 0
+
+
+def test_containment_corpus_update_swaps_the_container(spark, tmp_path):
+    """containment_corpus_update: a snippet of the doc's NEW text is
+    caught after the update, a snippet of its OLD text is not — under
+    the UNCHANGED frozen founding order."""
+    import random
+
+    from wing_binlog_go_spark.operators.dedup import (
+        containment_corpus_update,
+        incremental_containment_dedup_apply,
+    )
+
+    rng = random.Random(13)
+    words = [f"c{rng.randrange(10**6)}" for _ in range(120)]
+    old_text = " ".join(words[:40])
+    other = " ".join(words[40:80])
+    new_text = " ".join(words[80:120])
+    store = str(tmp_path / "cont")
+    docs = spark.createDataFrame(
+        [(1, old_text), (2, other)], "doc_id long, text string"
+    )
+    incremental_containment_dedup_apply(spark, docs, store)
+
+    upd = spark.createDataFrame([(1, new_text)], "doc_id long, text string")
+    surv, st = containment_corpus_update(spark, store, upd)
+    assert st["deleted"] == 1
+    assert {r.doc_id for r in surv.collect()} == {1}
+
+    # quote of the NEW text → contained in updated doc 1, dropped;
+    # quote of the OLD text → nothing contains it anymore, survives
+    probe = spark.createDataFrame(
+        [(50, " ".join(words[80:100])), (51, " ".join(words[:20]))],
+        "doc_id long, text string",
+    )
+    surv2, _ = incremental_containment_dedup_apply(spark, probe, store)
+    assert {r.doc_id for r in surv2.collect()} == {51}

@@ -2518,3 +2518,88 @@ FROM shf GROUP BY doc_id ORDER BY doc_id LIMIT 200
 QUERIES["q159_minhash_sketch_rolling"] = QuerySpec(
     _q_minhash_sketch_rolling, _minhash_sketch_rolling_oracle()
 )
+
+
+def dedup_corpus_update(
+    spark: SparkSession,
+    store_dir: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **apply_kwargs,
+) -> "tuple[DataFrame, dict]":
+    """OFFLINE update for the MinHash corpus/signature store — the
+    UPDATE-envelope story for the route that refuses updates online
+    (``dedup_corpus_writer``'s insert-only probe): retract the ids
+    (:func:`dedup_corpus_delete` — staged rewrite + atomic swap) then
+    re-run the increment dedup on the new text
+    (:func:`incremental_dedup_apply` — the ids are gone from the store,
+    so they re-enter as fresh). Survivor-store semantics, same as
+    :func:`~wing_binlog_go_spark.operators.similarity.semantic_corpus_update`:
+    the updated doc is deduped AS IF FRESH — if its new text now
+    near-matches surviving history it is dropped (an update that turns
+    a doc into a duplicate removes it, exactly as the batch operator
+    would); updates never resurrect docs the old text suppressed. Both
+    halves idempotent ⇒ re-running after any crash converges; unknown
+    ids degrade to inserts; a missing store makes this a first-batch
+    ingest. Returns the apply's ``(survivor_docs, stats)`` with
+    ``stats["deleted"]`` added."""
+    import os as _os
+
+    from wing_binlog_go_spark.streaming.maintenance import recover_swap
+
+    recover_swap(store_dir)  # roll an interrupted delete forward first
+    if _os.path.isdir(store_dir):
+        dstats = dedup_corpus_delete(
+            spark, store_dir, new_docs.select(id_col), id_col=id_col
+        )
+    else:
+        dstats = {"deleted_ids": 0}
+    survivors, astats = incremental_dedup_apply(
+        spark, new_docs, store_dir, id_col=id_col, text_col=text_col,
+        **apply_kwargs,
+    )
+    astats = dict(astats)
+    astats["deleted"] = dstats["deleted_ids"]
+    return survivors, astats
+
+
+def containment_corpus_update(
+    spark: SparkSession,
+    store_dir: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **apply_kwargs,
+) -> "tuple[DataFrame, dict]":
+    """OFFLINE update for the containment corpus store — retract the
+    ids (:func:`containment_corpus_delete`: ``sets/`` first = presence
+    authority, then both posting indexes) and re-run the containment
+    dedup on the new text (:func:`incremental_containment_dedup_apply`).
+    The frozen founding rarity order is untouched by both halves, so
+    every stored prefix stays valid across any number of updates —
+    the new text's elements rank under the SAME total order its
+    neighbors were indexed under. Survivor-store semantics as in
+    :func:`dedup_corpus_update`; both halves idempotent ⇒
+    crash-healable whole. Returns the apply's ``(survivor_docs,
+    stats)`` with ``stats["deleted"]`` added."""
+    import os as _os
+
+    from wing_binlog_go_spark.streaming.maintenance import recover_swap
+
+    sets_dir = _os.path.join(store_dir, "sets")
+    for sub in ("sets", "els_index", "pre_index"):
+        recover_swap(_os.path.join(store_dir, sub))
+    if _os.path.isdir(sets_dir):
+        dstats = containment_corpus_delete(
+            spark, store_dir, new_docs.select(id_col), id_col=id_col
+        )
+    else:
+        dstats = {"deleted_ids": 0}
+    survivors, astats = incremental_containment_dedup_apply(
+        spark, new_docs, store_dir, id_col=id_col, text_col=text_col,
+        **apply_kwargs,
+    )
+    astats = dict(astats)
+    astats["deleted"] = dstats["deleted_ids"]
+    return survivors, astats

@@ -3477,3 +3477,124 @@ def knn_graph_update(
         "appended": astats["appended"],
         "clusters_rebuilt": astats["clusters_rebuilt"],
     }
+
+
+def pq_index_update(
+    spark: SparkSession,
+    store_dir: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **apply_kwargs,
+) -> dict:
+    """OFFLINE update for the PQ index store — the UPDATE-envelope
+    story for the route that refuses updates online
+    (``pq_index_writer``'s insert-only probe): retract the ids
+    (:func:`pq_index_delete` — one staged rewrite minus the ids) then
+    re-encode the new embeddings against the FROZEN codebooks
+    (:func:`incremental_pq_index_apply` — the anti-join sees the ids
+    gone, so they re-enter as fresh). Both halves idempotent, so
+    re-running the whole update after any crash converges; an id
+    unknown to the store degrades to a plain insert, and an update
+    against a store that does not exist yet is a pure first-batch
+    ingest. Codes of untouched vectors stay valid by construction (the
+    books never move — the frozen-quantizer contract). Returns
+    {"deleted": d, "appended": a, "replayed": r}."""
+    import os as _os
+
+    from wing_binlog_go_spark.streaming.maintenance import recover_swap
+
+    codes_dir = _os.path.join(store_dir, "codes")
+    recover_swap(codes_dir)  # roll an interrupted delete forward first
+    if _os.path.isdir(codes_dir):
+        dstats = pq_index_delete(
+            spark, store_dir, new_vectors.select(id_col), id_col=id_col
+        )
+    else:
+        dstats = {"deleted_ids": 0}
+    astats = incremental_pq_index_apply(
+        spark, new_vectors, store_dir, id_col=id_col, vec_col=vec_col,
+        **apply_kwargs,
+    )
+    return {
+        "deleted": dstats["deleted_ids"],
+        "appended": astats["appended"],
+        "replayed": astats["replayed"],
+    }
+
+
+def ivfpq_index_update(
+    spark: SparkSession,
+    store_dir: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **apply_kwargs,
+) -> dict:
+    """OFFLINE update for the LIST-PARTITIONED IVF-PQ store — same
+    composition as :func:`pq_index_update` but both halves are
+    partition-bounded: the delete rewrites only the inverted lists that
+    hold the ids (:func:`ivfpq_index_delete`), and the re-ingest
+    appends only into the lists the frozen coarse quantizer assigns the
+    new embeddings to (:func:`incremental_ivfpq_index_apply`) — a
+    vector whose update moves it across lists leaves its old list and
+    lands in its new one, exactly the kNN-graph update's
+    cluster-crossing shape. Idempotent halves ⇒ crash-healable whole.
+    Returns {"deleted": d, "lists_retracted": [...], "appended": a,
+    "replayed": r}."""
+    import os as _os
+
+    if _os.path.isdir(_os.path.join(store_dir, "codes")):
+        dstats = ivfpq_index_delete(
+            spark, store_dir, new_vectors.select(id_col), id_col=id_col
+        )
+    else:
+        dstats = {"deleted_ids": 0, "lists_rewritten": []}
+    astats = incremental_ivfpq_index_apply(
+        spark, new_vectors, store_dir, id_col=id_col, vec_col=vec_col,
+        **apply_kwargs,
+    )
+    return {
+        "deleted": dstats["deleted_ids"],
+        "lists_retracted": dstats["lists_rewritten"],
+        "appended": astats["appended"],
+        "replayed": astats["replayed"],
+    }
+
+
+def semantic_corpus_update(
+    spark: SparkSession,
+    store_dir: str,
+    new_docs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **apply_kwargs,
+) -> "tuple[DataFrame, dict]":
+    """OFFLINE update for the semantic-dedup corpus — retract the ids
+    (:func:`semantic_corpus_delete`, cluster-bounded rewrite) then
+    re-ingest the new embeddings
+    (:func:`incremental_semantic_dedup_apply`, frozen-centroid
+    assignment). Semantics follow the survivor-store contract: the
+    updated doc re-enters dedup AS IF FRESH, so if its new embedding
+    now near-matches surviving history it is (correctly) dropped and
+    the update returns it in neither the survivors nor the store —
+    an "update" that turns a doc into a duplicate removes it, the
+    same way the batch operator would have. Updates never resurrect
+    docs the old version suppressed (see ``semantic_corpus_delete``'s
+    semantics-honesty note). Returns the apply's
+    ``(survivor_docs, stats)`` with ``stats["deleted"]`` added."""
+    import os as _os
+
+    if _os.path.isdir(_os.path.join(store_dir, "vectors")):
+        dstats = semantic_corpus_delete(
+            spark, store_dir, new_docs.select(id_col), id_col=id_col
+        )
+    else:
+        dstats = {"deleted_ids": 0, "clusters_rewritten": []}
+    survivors, astats = incremental_semantic_dedup_apply(
+        spark, new_docs, store_dir, id_col=id_col, vec_col=vec_col,
+        **apply_kwargs,
+    )
+    astats = dict(astats)
+    astats["deleted"] = dstats["deleted_ids"]
+    return survivors, astats
