@@ -2564,3 +2564,50 @@ def test_containment_corpus_update_swaps_the_container(spark, tmp_path):
     )
     surv2, _ = incremental_containment_dedup_apply(spark, probe, store)
     assert {r.doc_id for r in surv2.collect()} == {51}
+
+
+def test_rrf_hybrid_fuses_lexical_and_dense(spark):
+    """RRF fusion: a planted doc that is BOTH the lexical and the dense
+    top-1 for a query outranks docs that win only one list; docs
+    missing from a list contribute nothing for it; ranks and the
+    1/(60+r) arithmetic follow the published formula exactly."""
+    import numpy as np
+
+    from wing_binlog_go_spark.operators.similarity import rrf_hybrid_topk
+
+    rng = np.random.RandomState(23)
+    d = 8
+    qv = rng.normal(0, 1, d)
+    base_txt = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(0, base_txt, [float(x) for x in qv])]  # the query doc
+    # doc 1: near-identical text AND near-identical vector → both lists' top
+    rows.append((1, base_txt + " iota", [float(x) for x in qv + rng.normal(0, 1e-3, d)]))
+    # doc 2: shares half the text, orthogonal-ish vector → lexical only
+    rows.append((2, "alpha beta gamma delta unrelated words here now",
+                 [float(x) for x in rng.normal(0, 1, d)]))
+    # doc 3: no shared words, near vector → dense only
+    rows.append((3, "completely different tokens nothing shared at all ok",
+                 [float(x) for x in qv + rng.normal(0, 1e-2, d)]))
+    for i in range(4, 12):  # background noise
+        rows.append((i, " ".join(f"n{i}w{j}" for j in range(8)),
+                     [float(x) for x in rng.normal(0, 1, d)]))
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    emb = spark.createDataFrame(
+        [(i, v) for i, _, v in rows], "vec_id long, embedding array<double>"
+    )
+    out = rrf_hybrid_topk(docs, emb, n_queries=1, k_side=5, out_k=5)
+    got = {r.doc_id: r for r in out.collect()}
+
+    assert got[1].rnk == 1  # wins both lists
+    assert got[1].lex_rank >= 1 and got[1].dense_rank >= 1
+    assert got[1].rrf_r == round(
+        1.0 / (60 + got[1].lex_rank) + 1.0 / (60 + got[1].dense_rank), 6
+    )
+    assert got[2].dense_rank == 0 or got[2].lex_rank >= 1
+    assert got[3].lex_rank == 0  # shares no shingle → absent from lexical
+    assert got[3].dense_rank >= 1
+    # single-list docs score strictly below the double-list winner
+    assert got[1].rrf_r > got[3].rrf_r

@@ -791,3 +791,38 @@ def test_retraction_runbook_raise_delete_offline_resume(spark, tmp_path):
     assert {
         (r.src, r.dst, r.rnk) for r in read_knn_graph(spark, store).collect()
     } == want
+
+
+def test_kmv_sketch_is_mergeable_and_exact_when_not_full(spark):
+    """KMV merge law: the bottom-k of a union equals the bottom-k of
+    the parts' bottom-k's (the property that makes the sketch a
+    mergeable partial aggregate); below k distinct keys the estimate
+    is the EXACT count."""
+    from wing_binlog_go_spark.operators.stats import (
+        _KMV_K,
+        kmv_distinct_sketch,
+    )
+
+    lo = spark.range(0, 9000).selectExpr("id AS k")
+    hi = spark.range(9000, 20000).selectExpr("id AS k")
+    both = lo.union(hi)
+
+    full = kmv_distinct_sketch(both, "k").collect()
+    part_hashes = [
+        r.h
+        for part in (lo, hi)
+        for r in kmv_distinct_sketch(part, "k").collect()
+    ]
+    merged = sorted(set(part_hashes))[:_KMV_K]
+    assert [r.h for r in sorted(full, key=lambda r: r.rnk)] == merged
+
+    # not-full branch: estimate == exact distinct count
+    small = spark.range(0, 100).selectExpr("CAST(id % 37 AS STRING) AS k")
+    rows = kmv_distinct_sketch(small, "k").collect()
+    assert len(rows) <= 37
+    assert all(r.est_distinct == float(len(rows)) for r in rows)
+
+    # full branch: estimate within 3 standard errors of the truth
+    est = full[0].est_distinct
+    se = 1.0 / (_KMV_K - 2) ** 0.5
+    assert abs(est - 20000) / 20000 < 3 * se

@@ -3598,3 +3598,191 @@ def semantic_corpus_update(
     astats = dict(astats)
     astats["deleted"] = dstats["deleted_ids"]
     return survivors, astats
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion (q162)
+# ---------------------------------------------------------------------------
+
+_RRF_C = 60  # the standard RRF constant (Cormack et al. 2009)
+
+
+def rrf_hybrid_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    n_queries: int = 10,
+    k_side: int = 20,
+    out_k: int = 10,
+    shingle_k: int = 3,
+    rrf_c: int = _RRF_C,
+) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion: fuse a LEXICAL
+    ranking (word-shingle Jaccard, the q37c family) with a DENSE
+    ranking (exact cosine over the embedding column) via
+    RRF(d) = Σ_lists 1/(c + rank_list(d)) — the standard score-free
+    fusion for heterogeneous retrievers (lexical scores and cosines are
+    not on a common scale; ranks are). This is the retrieval shape a
+    training-data pipeline runs for targeted curation: "find documents
+    like these seed docs" where neither sparse nor dense alone recalls
+    the paraphrases AND the verbatim quotes.
+
+    Determinism: both ranks are integers from ROW_NUMBER with id
+    tiebreaks; the dense ordering key is the UNROUNDED sequential
+    cosine fold, replayed exactly by the oracle (the q153/q155
+    ranking-key contract), and the lexical key is a ratio of small
+    integers — bit-equal in both engines. The fused score is a sum of
+    at most two exact reciprocals, rounded 6dp for display only (the
+    final order ties-break by doc id after score).
+
+    Scale shape: the query side is ``n_queries`` rows — broadcast; the
+    lexical candidate rule (share ≥1 shingle) and the dense scan are
+    one pass over the corpus each, Q·N work with Q fixed, no corpus
+    self-join anywhere. At index scale the lexical side swaps in the
+    inverted-index/BM25 route (q135) and the dense side an ANN regime
+    (q38j/k/l/m) — the fusion stage is unchanged, which is the point:
+    RRF only consumes (query, doc, rank) lists."""
+    from wing_binlog_go_spark.operators.dedup import word_shingles
+
+    base = docs.select(
+        F.col("doc_id"),
+        F.array_distinct(word_shingles("text", shingle_k)).alias("_sh"),
+    ).join(
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            as_double("embedding").alias("_v"),
+        ),
+        "doc_id",
+    ).withColumn("_n", norm(F.col("_v")))
+    q = base.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("_sh").alias("_qsh"),
+        F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
+    )
+    pairs = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .localCheckpoint(eager=True)  # scored twice (lex + dense)
+    )
+
+    common = F.size(F.array_intersect("_sh", "_qsh"))
+    jac = common / (F.size("_sh") + F.size("_qsh") - common)
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.col("_jac").desc(), "doc_id"
+    )
+    lex = (
+        pairs.withColumn("_c", common)
+        .filter(F.col("_c") > 0)
+        .withColumn("_jac", jac)
+        .withColumn("lex_rank", F.row_number().over(w_lex).cast("int"))
+        .filter(F.col("lex_rank") <= k_side)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    w_den = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), "doc_id"
+    )
+    dense = (
+        pairs.withColumn(
+            "_sim", dot(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn"))
+        )
+        .withColumn("dense_rank", F.row_number().over(w_den).cast("int"))
+        .filter(F.col("dense_rank") <= k_side)
+        .select("query_id", "doc_id", "dense_rank")
+    )
+
+    fused = (
+        lex.join(dense, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "_rrf",
+            F.coalesce(1.0 / (F.lit(rrf_c) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_c) + F.col("dense_rank")), F.lit(0.0)),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_rrf").desc(), "doc_id"
+                )
+            )
+            .cast("int"),
+        )
+        .filter(F.col("rnk") <= out_k)
+    )
+    return fused.select(
+        "query_id",
+        "doc_id",
+        "rnk",
+        F.round("_rrf", 6).alias("rrf_r"),
+        F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+        F.coalesce("dense_rank", F.lit(0)).alias("dense_rank"),
+    )
+
+
+def _q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    return rrf_hybrid_topk(docs, emb).orderBy("query_id", "rnk")
+
+
+def _rrf_oracle(
+    n_queries: int = 10, k_side: int = 20, out_k: int = 10, rrf_c: int = _RRF_C
+) -> str:
+    # word_shingles at k=3, the q37c oracle form; DuckDB slices are
+    # inclusive, so t[i:i+2] is 3 tokens
+    sh = """CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' ')))
+                ELSE [array_to_string(t, ' ')] END"""
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT d.doc_id, {sh} AS sh,
+         CAST(e.embedding AS DOUBLE[]) AS v,
+         {_sql_exact_norm("CAST(e.embedding AS DOUBLE[])")} AS n
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents) d
+  JOIN embeddings e ON e.vec_id = d.doc_id
+), q AS MATERIALIZED (
+  SELECT doc_id AS query_id, sh AS qsh, v AS qv, n AS qn FROM base
+  WHERE doc_id < {n_queries}
+), pairs AS MATERIALIZED (
+  SELECT b.doc_id, b.sh, b.v, b.n, q.query_id, q.qsh, q.qv, q.qn
+  FROM base b CROSS JOIN q WHERE b.doc_id <> q.query_id
+), lex AS MATERIALIZED (
+  SELECT query_id, doc_id, lex_rank FROM (
+    SELECT query_id, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+             CAST(len(list_intersect(sh, qsh)) AS DOUBLE)
+               / (len(sh) + len(qsh) - len(list_intersect(sh, qsh))) DESC,
+             doc_id) AS INTEGER) AS lex_rank
+    FROM pairs WHERE len(list_intersect(sh, qsh)) > 0
+  ) WHERE lex_rank <= {k_side}
+), dense AS MATERIALIZED (
+  SELECT query_id, doc_id, dense_rank FROM (
+    SELECT query_id, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+             {_sql_exact_dot("v", "qv")} / (n * qn) DESC,
+             doc_id) AS INTEGER) AS dense_rank
+    FROM pairs
+  ) WHERE dense_rank <= {k_side}
+), fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         l.lex_rank, d.dense_rank,
+         COALESCE(1.0 / ({rrf_c} + l.lex_rank), 0.0)
+           + COALESCE(1.0 / ({rrf_c} + d.dense_rank), 0.0) AS rrf
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, rnk, ROUND(rrf, 6) AS rrf_r,
+       COALESCE(lex_rank, 0) AS lex_rank,
+       COALESCE(dense_rank, 0) AS dense_rank
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY rrf DESC, doc_id) AS INTEGER) AS rnk
+  FROM fused
+) WHERE rnk <= {out_k}
+ORDER BY query_id, rnk
+"""
+
+
+QUERIES["q162_rrf_hybrid"] = QuerySpec(_q_rrf_hybrid, _rrf_oracle())

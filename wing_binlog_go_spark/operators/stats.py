@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from wing_binlog_go_spark.plans.relational import QuerySpec
 
@@ -754,3 +755,111 @@ def misra_gries_topk(
 
     partials = items.select(item_col).mapInPandas(mg_partition, schema)
     return partials.groupBy("item").agg(F.sum("est").alias("est"))
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k distinct sketch (q160) — the hash-checkable twin of q18
+# ---------------------------------------------------------------------------
+
+# k-minimum-values (Bar-Yossef et al. 2002): keep the k smallest DISTINCT
+# hash values; with U_(k) the k-th smallest hash normalized into (0,1),
+# D ≈ (k-1)/U_(k). Mergeable: bottom-k of a union is the bottom-k of the
+# parts' bottom-k's — the same partial-merge shape as the CMS/MG sketch
+# stores. q18 (approx_count_distinct = HLL++, tolerance-checked) stays
+# the production estimator; this twin runs the q37f/q149b polynomial
+# family so the sketch TABLE and the estimate are cross-engine exact.
+#
+# The raw polynomial fold is NOT uniform enough for an order-statistic
+# estimator: sequential integer keys share prefixes, so their hashes
+# land in tight clusters (measured 650x overestimate on o_custkey) —
+# fine for the equality-join uses (q37f/q149b/q159, where only
+# collisions matter), fatal here where the VALUE's position in [0,P) is
+# the signal. Two modular squaring rounds give avalanche (a last-digit
+# change moves the square by ~2h mod P): measured error 0.8% at sf0.01
+# and 9.7% at sf0.1 vs the 1/sqrt(k-2) ~ 6.3% theoretical std error.
+# Squaring is 2-to-1 mod P (h and P-h collide), so DISTINCT is taken on
+# the MIXED hash in both engines — a collision must fill one slot.
+_KMV_K = 256
+_KMV_BASE = 31
+_KMV_SEED = 7
+_KMV_P = 1_000_000_007
+_KMV_MIX1 = 40_503
+_KMV_MIX2 = 48_271
+
+
+def kmv_distinct_sketch(
+    df: DataFrame, key_col: str, k: int = _KMV_K
+) -> DataFrame:
+    """(rnk, h, est_distinct): the k smallest distinct mixed rolling
+    hashes of ``key_col`` plus the KMV cardinality estimate (exact
+    count when the sketch is not full — fewer than k distinct hashes
+    means every one is in hand). Scale shape: the hash is a per-row
+    fold; DISTINCT is one partial-agg shuffle keyed on the hash
+    (bounded by the true cardinality, not the row count); the bottom-k
+    is TakeOrdered (per-partition top-k then a k-sized merge, no global
+    sort); the estimate is an agg over k rows cross-joined back as a
+    broadcast scalar."""
+    s = F.col(key_col).cast("string")
+    h0 = F.aggregate(
+        F.transform(F.split(s, ""), lambda ch: F.ascii(ch)),
+        F.lit(_KMV_SEED).cast("long"),
+        lambda acc, c: (acc * _KMV_BASE + c.cast("long")) % _KMV_P,
+    )
+    h1 = (h0 * h0 + F.lit(_KMV_MIX1)) % F.lit(_KMV_P)
+    h = (h1 * h1 + F.lit(_KMV_MIX2)) % F.lit(_KMV_P)
+    sketch = (
+        df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy("h")).cast("int"),
+        )
+    )
+    est = sketch.agg(
+        F.count("*").alias("_n"), F.max("h").alias("_hk")
+    ).select(
+        F.round(
+            F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+                F.lit(float(k - 1)) * F.lit(float(_KMV_P)) / F.col("_hk")
+            ),
+            4,
+        ).alias("est_distinct")
+    )
+    return sketch.crossJoin(F.broadcast(est)).select("rnk", "h", "est_distinct")
+
+
+def _q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wing_binlog_go_spark.tables import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    return kmv_distinct_sketch(orders, "o_custkey").orderBy("rnk")
+
+
+def _kmv_oracle() -> str:
+    k, b, seed, p = _KMV_K, _KMV_BASE, _KMV_SEED, _KMV_P
+    return f"""
+WITH s AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS s FROM orders
+), h0 AS (
+  SELECT list_reduce(list_prepend({seed}::BIGINT,
+    list_transform(range(1, length(s) + 1), i -> ascii(s[i]))),
+    (a, c) -> (a * {b} + c) % {p}) AS h
+  FROM s
+), h1 AS (
+  SELECT (h * h + {_KMV_MIX1}) % {p} AS h FROM h0
+), h AS MATERIALIZED (
+  SELECT DISTINCT (h * h + {_KMV_MIX2}) % {p} AS h FROM h1
+), sk AS MATERIALIZED (
+  SELECT h, CAST(ROW_NUMBER() OVER (ORDER BY h) AS INTEGER) AS rnk
+  FROM h ORDER BY h LIMIT {k}
+), st AS (
+  SELECT COUNT(*) AS n, MAX(h) AS hk FROM sk
+)
+SELECT rnk, h,
+       ROUND(CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+                  ELSE {float(k - 1)} * {float(p)} / hk END, 4) AS est_distinct
+FROM sk, st
+ORDER BY rnk
+"""
+
+
+QUERIES["q160_kmv_distinct"] = QuerySpec(_q_kmv, _kmv_oracle())
