@@ -826,3 +826,87 @@ def test_kmv_sketch_is_mergeable_and_exact_when_not_full(spark):
     est = full[0].est_distinct
     se = 1.0 / (_KMV_K - 2) ** 0.5
     assert abs(est - 20000) / 20000 < 3 * se
+
+
+def test_kmv_route_end_to_end_and_insert_only(spark, tmp_path):
+    """The streaming distinct-count sketch: two batches of keys sketch
+    into per-batch partitions; the merged read equals the batch-built
+    sketch over ALL the keys (closure under union), a replay under a
+    fresh checkpoint changes nothing, and a DELETE envelope raises —
+    the family's loud retraction contract."""
+    import json as _json
+
+    import pytest
+
+    from wing_binlog_go_spark.operators.stats import kmv_distinct_sketch
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+    from wing_binlog_go_spark.streaming.sinks import (
+        kmv_sketch_writer,
+        read_kmv_sketch,
+    )
+
+    users = {1: "u_100", 2: "u_200", 3: "u_100", 4: "u_300"}  # 3 distinct
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    for fi, ids in enumerate([(1, 2), (3, 4)]):
+        with open(log_dir / f"f{fi}.jsonl", "w") as f:
+            for ev, did in enumerate(ids):
+                rec = {
+                    "binlog_file": f"mysql-bin.{fi:06d}",
+                    "binlog_pos": 4 + ev * 50, "xid_commit": True,
+                    "database": "crawl", "table": "sessions",
+                    "action": "insert", "row_no": 0, "before": None,
+                    "after": {"id": str(did), "user": users[did]},
+                    "ddl_query": None,
+                    "ts_header": "2018-04-19T05:21:27.000Z", "gtid": None,
+                }
+                f.write(_json.dumps(rec) + "\n")
+
+    store = str(tmp_path / "kmv")
+    route = Route(
+        "kmv",
+        kmv_sketch_writer(store, "crawl.sessions", key_field="user", k=8),
+    )
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+
+    merged = read_kmv_sketch(spark, store, k=8).collect()
+    all_keys = spark.createDataFrame(
+        [(u,) for u in users.values()], ["user"]
+    )
+    want = kmv_distinct_sketch(all_keys, "user", k=8).collect()
+    key = lambda rows: sorted((r.rnk, r.h, r.est_distinct) for r in rows)
+    assert key(merged) == key(want)
+    assert merged[0].est_distinct == 3.0  # not-full branch: exact
+
+    # replay under a fresh checkpoint: bottom-k is idempotent AND the
+    # commit probe skips, so the store is unchanged either way
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+    assert key(read_kmv_sketch(spark, store, k=8).collect()) == key(want)
+
+    # a DELETE envelope on the maintained table raises loudly
+    del_log = tmp_path / "dlog"
+    del_log.mkdir()
+    with open(del_log / "f0.jsonl", "w") as f:
+        f.write(_json.dumps({
+            "binlog_file": "mysql-bin.000009", "binlog_pos": 4,
+            "xid_commit": True, "database": "crawl", "table": "sessions",
+            "action": "delete", "row_no": 0,
+            "before": {"id": "1", "user": "u_100"}, "after": None,
+            "ddl_query": None,
+            "ts_header": "2018-04-19T05:21:27.000Z", "gtid": None,
+        }) + "\n")
+    q = run_pipeline(
+        spark, str(del_log), [route], str(tmp_path / "ckpt3"),
+        max_files_per_trigger=1,
+    )
+    with pytest.raises(Exception, match="insert-only"):
+        q.awaitTermination(60)
+        q.processAllAvailable()

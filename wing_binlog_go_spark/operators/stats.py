@@ -787,6 +787,50 @@ _KMV_MIX1 = 40_503
 _KMV_MIX2 = 48_271
 
 
+def kmv_hash(key_col) -> F.Column:
+    """The mixed KMV hash of a key column: polynomial fold of the
+    string form, then the two squaring rounds (see the family note)."""
+    s = (F.col(key_col) if isinstance(key_col, str) else key_col).cast(
+        "string"
+    )
+    h0 = F.aggregate(
+        F.transform(F.split(s, ""), lambda ch: F.ascii(ch)),
+        F.lit(_KMV_SEED).cast("long"),
+        lambda acc, c: (acc * _KMV_BASE + c.cast("long")) % _KMV_P,
+    )
+    h1 = (h0 * h0 + F.lit(_KMV_MIX1)) % F.lit(_KMV_P)
+    return (h1 * h1 + F.lit(_KMV_MIX2)) % F.lit(_KMV_P)
+
+
+def kmv_bottom_k(hashes: DataFrame, k: int = _KMV_K) -> DataFrame:
+    """The k smallest distinct values of a single-column ``(h)`` frame
+    — both the sketch BUILD (from raw per-row hashes) and the sketch
+    MERGE (from a union of partial sketches) are this one operation;
+    that closure under union is the mergeability."""
+    return hashes.select("h").distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = _KMV_K) -> DataFrame:
+    """(rnk, h, est_distinct) from a bottom-k sketch: exact count when
+    not full, (k-1)·P/h_(k) otherwise; the estimate is an agg over ≤k
+    rows cross-joined back as a broadcast scalar, and the rnk window
+    orders ≤k rows (bounded single-partition window by design)."""
+    ranked = sketch.withColumn(
+        "rnk", F.row_number().over(Window.orderBy("h")).cast("int")
+    )
+    est = ranked.agg(
+        F.count("*").alias("_n"), F.max("h").alias("_hk")
+    ).select(
+        F.round(
+            F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+                F.lit(float(k - 1)) * F.lit(float(_KMV_P)) / F.col("_hk")
+            ),
+            4,
+        ).alias("est_distinct")
+    )
+    return ranked.crossJoin(F.broadcast(est)).select("rnk", "h", "est_distinct")
+
+
 def kmv_distinct_sketch(
     df: DataFrame, key_col: str, k: int = _KMV_K
 ) -> DataFrame:
@@ -799,32 +843,9 @@ def kmv_distinct_sketch(
     is TakeOrdered (per-partition top-k then a k-sized merge, no global
     sort); the estimate is an agg over k rows cross-joined back as a
     broadcast scalar."""
-    s = F.col(key_col).cast("string")
-    h0 = F.aggregate(
-        F.transform(F.split(s, ""), lambda ch: F.ascii(ch)),
-        F.lit(_KMV_SEED).cast("long"),
-        lambda acc, c: (acc * _KMV_BASE + c.cast("long")) % _KMV_P,
+    return kmv_estimate(
+        kmv_bottom_k(df.select(kmv_hash(key_col).alias("h")), k), k
     )
-    h1 = (h0 * h0 + F.lit(_KMV_MIX1)) % F.lit(_KMV_P)
-    h = (h1 * h1 + F.lit(_KMV_MIX2)) % F.lit(_KMV_P)
-    sketch = (
-        df.select(h.alias("h")).distinct().orderBy("h").limit(k)
-        .withColumn(
-            "rnk",
-            F.row_number().over(Window.orderBy("h")).cast("int"),
-        )
-    )
-    est = sketch.agg(
-        F.count("*").alias("_n"), F.max("h").alias("_hk")
-    ).select(
-        F.round(
-            F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
-                F.lit(float(k - 1)) * F.lit(float(_KMV_P)) / F.col("_hk")
-            ),
-            4,
-        ).alias("est_distinct")
-    )
-    return sketch.crossJoin(F.broadcast(est)).select("rnk", "h", "est_distinct")
 
 
 def _q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:

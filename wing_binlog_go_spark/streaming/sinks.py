@@ -1203,3 +1203,80 @@ def read_mg_sketch(spark, store_dir: str) -> DataFrame:
         .groupBy("item")
         .agg(F.sum("est").alias("est"))
     )
+
+
+def kmv_sketch_writer(
+    store_dir: str,
+    table: str,
+    key_field: str = "id",
+    id_field: str = "id",
+    k: int = 256,
+):
+    """Route writer maintaining a KMV distinct-count sketch of
+    ``key_field`` from the CDC stream (`operators.stats.kmv_bottom_k`)
+    — the streaming "how many distinct users/keys has this table ever
+    seen" estimator, third member of the mergeable-sketch store family
+    (CMS counts frequencies, MG names the heavy items, KMV sizes the
+    key space). Per batch the k smallest distinct mixed hashes land in
+    a partition keyed by the batch's min doc id, committed by staging +
+    atomic ``os.rename`` — the identical commit shape and replay probe
+    as ``cms_sketch_writer``, and for the same reason read through the
+    merge: bottom-k over a union equals bottom-k of the parts'
+    bottom-k's (closure under union IS the mergeability), so
+    ``read_kmv_sketch`` just re-sketches the concatenated partitions —
+    k·#batches rows, never the raw key stream.
+
+    A REPLAYED batch here would actually be harmless to the merged
+    value (bottom-k is idempotent under re-union, unlike the additive
+    CMS/MG merges) — the probe exists to keep the store
+    single-writer-per-batch and the family contract uniform.
+
+    INSERT-ONLY, enforced loudly: a retraction raises — an order
+    statistic cannot un-see a deleted key's hash."""
+    from wing_binlog_go_spark.operators.stats import kmv_bottom_k, kmv_hash
+
+    if "://" in store_dir:
+        raise ValueError(
+            "kmv_sketch_writer: store_dir must be a POSIX path "
+            f"(got {store_dir!r}) — the batch-commit probe is os-level"
+        )
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        if not _insert_only_probe(
+            env, table, "kmv_sketch_writer",
+            _docs_usable(id_field, key_field),
+        ):
+            return
+        docs = _insert_docs(env, table, id_field, key_field).withColumnRenamed(
+            "text", "_key"
+        )
+        batch_key = docs.agg(F.min("doc_id")).collect()[0][0]
+        part_dir = os.path.join(store_dir, f"bkey={batch_key}")
+        # dir + parquet-presence probe — see cms_sketch_writer
+        if os.path.isdir(part_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(part_dir)
+        ):
+            return  # replayed batch: partition rename already committed
+        sketch = kmv_bottom_k(
+            docs.select(kmv_hash("_key").alias("h")), k
+        )
+        stage_dir = os.path.join(store_dir, "_staging", f"bkey={batch_key}")
+        if os.path.isdir(stage_dir):
+            shutil.rmtree(stage_dir)  # crashed earlier attempt: discard
+        sketch.write.mode("overwrite").parquet(stage_dir)
+        os.makedirs(store_dir, exist_ok=True)
+        if os.path.isdir(part_dir):
+            shutil.rmtree(part_dir)  # parquet-less debris — see cms writer
+        os.rename(stage_dir, part_dir)  # the commit point
+
+    return write
+
+
+def read_kmv_sketch(spark, store_dir: str, k: int = 256) -> DataFrame:
+    """(rnk, h, est_distinct): the merged KMV sketch — bottom-k over
+    the union of every committed batch partition, plus the estimate."""
+    from wing_binlog_go_spark.operators.stats import kmv_bottom_k, kmv_estimate
+
+    return kmv_estimate(
+        kmv_bottom_k(spark.read.parquet(store_dir).select("h"), k), k
+    )
