@@ -910,3 +910,86 @@ def test_kmv_route_end_to_end_and_insert_only(spark, tmp_path):
     with pytest.raises(Exception, match="insert-only"):
         q.awaitTermination(60)
         q.processAllAvailable()
+
+
+def _qdigest_reference(counts, bits=10, k=64):
+    """Independent pure-Python q-digest (Shrivastava et al. compress)."""
+    n = sum(counts.values())
+    t = n // k
+    nodes = dict(counts)
+    for depth in range(bits, 0, -1):
+        lo, hi = 1 << depth, 1 << (depth + 1)
+        cur = {i: c for i, c in nodes.items() if lo <= i < hi}
+        for pid in sorted({i // 2 for i in cur}):
+            fam = cur.get(2 * pid, 0) + cur.get(2 * pid + 1, 0) + nodes.get(pid, 0)
+            if fam <= t:
+                nodes.pop(2 * pid, None)
+                nodes.pop(2 * pid + 1, None)
+                if fam > 0:
+                    nodes[pid] = fam
+    return nodes
+
+
+def test_qdigest_matches_reference_and_merges(spark):
+    """qdigest_build equals the independent reference on random
+    multisets; quantile estimates respect the bits/k rank-error bound;
+    and union-then-recompress (the MERGE) equals the reference digest
+    of the union — the mergeability the streaming store family needs."""
+    import bisect
+    import random
+
+    from collections import Counter
+
+    from wing_binlog_go_spark.operators.stats import (
+        qdigest_build,
+        qdigest_compress,
+        qdigest_quantiles,
+    )
+
+    bits, k = 10, 64
+    rng = random.Random(31)
+    vals = [min(1023, max(0, int(rng.gauss(400, 150)))) for _ in range(4000)]
+
+    df = spark.createDataFrame([(v,) for v in vals], "n_chars long")
+    got = {r.id: r.cnt for r in qdigest_build(df, "n_chars", bits, k).collect()}
+    want = _qdigest_reference(
+        {v + (1 << bits): c for v, c in Counter(vals).items()}, bits, k
+    )
+    assert got == want
+
+    # ranges: every digest row's [lo, hi] must be the id's dyadic span
+    for r in qdigest_build(df, "n_chars", bits, k).collect():
+        level = r.id.bit_length() - 1
+        span = 1 << (bits - level)
+        assert r.lo == (r.id - (1 << level)) * span
+        assert r.hi == r.lo + span - 1
+
+    # quantiles: rank error within bits/k of n
+    sv = sorted(vals)
+    n = len(sv)
+    ests = {
+        r.q_permille: r.est
+        for r in qdigest_quantiles(
+            qdigest_build(df, "n_chars", bits, k), [100, 500, 900]
+        ).collect()
+    }
+    for qpm, est in ests.items():
+        r_est = bisect.bisect_right(sv, est)
+        assert abs(r_est - qpm * n / 1000.0) <= (bits / k) * n + 1
+
+    # merge law: digest(A) ∪ digest(B) recompressed == reference(A ∪ B
+    # leaf counts merged at the NODE level) — closure under union
+    a, b = vals[:2000], vals[2000:]
+    da = {r.id: r.cnt for r in qdigest_build(
+        spark.createDataFrame([(v,) for v in a], "n_chars long"),
+        "n_chars", bits, k).collect()}
+    db = {r.id: r.cnt for r in qdigest_build(
+        spark.createDataFrame([(v,) for v in b], "n_chars long"),
+        "n_chars", bits, k).collect()}
+    u = Counter(da)
+    u.update(db)
+    union_df = spark.createDataFrame(
+        [(i, c) for i, c in u.items()], "id long, cnt long"
+    )
+    merged = {r.id: r.cnt for r in qdigest_compress(union_df, bits, k).collect()}
+    assert merged == _qdigest_reference(dict(u), bits, k)

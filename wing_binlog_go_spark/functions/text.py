@@ -2642,3 +2642,115 @@ FROM seg ORDER BY w LIMIT 300
 
 
 QUERIES["q158_bpe_segments"] = QuerySpec(_q_bpe_segments, _bpe_segments_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index source drift (q163)
+# ---------------------------------------------------------------------------
+
+_PSI_BIN_WIDTH = 50  # n_chars histogram bucket width
+
+
+def psi_source_drift(
+    docs: DataFrame,
+    feature_col: str = "n_chars",
+    group_col: str = "source",
+    bin_width: int = _PSI_BIN_WIDTH,
+) -> DataFrame:
+    """Per-source Population Stability Index of a document feature
+    against the whole-corpus profile — the drift monitor a training-
+    data pipeline runs per ingest source: PSI < 0.1 is stable, 0.1-0.25
+    drifting, > 0.25 a source whose distribution no longer matches the
+    corpus (re-weigh or investigate before it skews the mixture).
+
+    PSI(s) = Σ_bins (p_b − q_b)·ln(p_b / q_b), p the source's binned
+    feature distribution, q the corpus-wide one, both Laplace-smoothed
+    (+1 per observed bin) so an empty source bin contributes a finite
+    penalty instead of ±inf. Bins are fixed-width on the raw feature —
+    no quantile fitting, so the binning is a map-side expression and
+    the same bin means the same thing across sources and runs.
+
+    Determinism: the per-bin terms are ratios of integers through one
+    ln each; the SUM over bins folds a bin-ORDERED collected list
+    (F.aggregate over sort_array), not a shuffle-order SUM, so the
+    float addition order is pinned and the oracle replays it exactly
+    (the _sql_exact_dot contract, applied to an aggregate). Scale
+    shape: two partial-agg groupBys (source×bin, bin) on bounded keys,
+    a broadcast of the ≤#bins global profile, and a per-source fold
+    over ≤#bins elements — nothing touches raw rows twice."""
+    b = docs.select(
+        F.col(group_col).alias("source"),
+        F.floor(F.col(feature_col) / bin_width).cast("long").alias("bin"),
+    )
+    gbins = b.groupBy("bin").agg(F.count("*").alias("cg"))
+    scounts = b.groupBy("source", "bin").agg(F.count("*").alias("cs"))
+    stotals = b.groupBy("source").agg(F.count("*").alias("ns"))
+    totals = b.agg(
+        F.count("*").alias("n_total"), F.count_distinct("bin").alias("n_bins")
+    )
+    grid = (
+        stotals.crossJoin(F.broadcast(gbins))
+        .crossJoin(F.broadcast(totals))
+        .join(scounts, ["source", "bin"], "left")
+        .fillna(0, subset=["cs"])
+    )
+    p = (F.col("cs") + 1) / (F.col("ns") + F.col("n_bins"))
+    q = (F.col("cg") + 1) / (F.col("n_total") + F.col("n_bins"))
+    terms = grid.select(
+        "source",
+        "ns",
+        "bin",
+        ((p - q) * F.log(p / q)).alias("term"),
+    )
+    return terms.groupBy("source").agg(
+        F.max("ns").alias("n_docs"),
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("bin", "term"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            ),
+            6,
+        ).alias("psi_r"),
+    )
+
+
+def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return psi_source_drift(docs).orderBy("source")
+
+
+_PSI_ORACLE = f"""
+WITH b AS MATERIALIZED (
+  SELECT source, CAST(floor(n_chars / {_PSI_BIN_WIDTH}) AS BIGINT) AS bin
+  FROM documents
+), gbins AS MATERIALIZED (
+  SELECT bin, COUNT(*) AS cg FROM b GROUP BY bin
+), scounts AS MATERIALIZED (
+  SELECT source, bin, COUNT(*) AS cs FROM b GROUP BY source, bin
+), stotals AS MATERIALIZED (
+  SELECT source, COUNT(*) AS ns FROM b GROUP BY source
+), totals AS MATERIALIZED (
+  SELECT COUNT(*) AS n_total, COUNT(DISTINCT bin) AS n_bins FROM b
+), grid AS MATERIALIZED (
+  SELECT st.source, st.ns, g.bin, g.cg, COALESCE(sc.cs, 0) AS cs,
+         t.n_total, t.n_bins
+  FROM stotals st CROSS JOIN gbins g CROSS JOIN totals t
+  LEFT JOIN scounts sc ON sc.source = st.source AND sc.bin = g.bin
+), terms AS MATERIALIZED (
+  SELECT source, ns, bin,
+         (CAST(cs + 1 AS DOUBLE) / (ns + n_bins)
+            - CAST(cg + 1 AS DOUBLE) / (n_total + n_bins))
+         * ln((CAST(cs + 1 AS DOUBLE) / (ns + n_bins))
+              / (CAST(cg + 1 AS DOUBLE) / (n_total + n_bins))) AS term
+  FROM grid
+)
+SELECT source, MAX(ns) AS n_docs,
+       ROUND(list_reduce(list_prepend(0.0, list(term ORDER BY bin)),
+                         (a, x) -> a + x), 6) AS psi_r
+FROM terms
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["q163_psi_drift"] = QuerySpec(_q_psi_drift, _PSI_ORACLE)

@@ -884,3 +884,238 @@ ORDER BY rnk
 
 
 QUERIES["q160_kmv_distinct"] = QuerySpec(_q_kmv, _kmv_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Q-digest mergeable quantile sketch (q164) — quantiles join the family
+# ---------------------------------------------------------------------------
+
+# Shrivastava et al. 2004 ("Medians and Beyond"): counts on the dyadic
+# tree over an integer universe [0, 2^bits); bottom-up, two children
+# and their parent collapse into the parent whenever their combined
+# count fits under floor(n/k). Rank error ≤ bits/k of n. The family's
+# fourth member (CMS = frequency, MG = heavy items, KMV = cardinality,
+# Q-digest = quantiles) and, unlike GK/KLL/t-digest, DETERMINISTIC and
+# ORDER-FREE: the digest is a pure function of the value MULTISET
+# (merge decisions read only per-parent counts), so the whole sketch
+# TABLE is cross-engine hash-checkable and distributed shuffle order
+# cannot change the answer. Merge = add count tables + recompress —
+# closure the streaming store leans on.
+_QD_BITS = 10
+_QD_K = 64
+
+
+def _qd_level(node_id):
+    """Tree depth of a heap id as a branch-free integer CASE — no
+    float log2 (log2(2^d) landing at d−1e-16 would mislabel a whole
+    level)."""
+    c = F
+    expr = F.lit(0)
+    for d in range(_QD_BITS, 0, -1):
+        expr = c.when(F.col(node_id) >= (1 << d), d) if d == _QD_BITS else expr.when(
+            F.col(node_id) >= (1 << d), d
+        )
+    return expr.otherwise(0)
+
+
+def qdigest_compress(
+    nodes: DataFrame, bits: int = _QD_BITS, k: int = _QD_K
+) -> DataFrame:
+    """Compress an (id, cnt) dyadic-tree count table into a Q-digest:
+    for each depth bottom-up, a parent family (left child + right
+    child + parent) whose total fits under floor(n/k) collapses into
+    the parent. Works on raw leaf counts (build) and on a union of
+    digests (merge) alike. Each level is one groupBy + two anti-joins
+    over a frame bounded by the DIGEST size (≤ distinct values), with
+    a lineage cut per level — ``bits`` bounded driver iterations, the
+    documented bounded-iteration class (BPE/GD/PageRank)."""
+    n = nodes.agg(F.sum("cnt")).collect()[0][0] or 0
+    t = int(n) // k
+    for depth in range(bits, 0, -1):
+        lo, hi = 1 << depth, 1 << (depth + 1)
+        in_level = (F.col("id") >= lo) & (F.col("id") < hi)
+        cur = nodes.filter(in_level)
+        rest = nodes.filter(~in_level)
+        fam = cur.groupBy(
+            F.floor(F.col("id") / 2).cast("long").alias("pid")
+        ).agg(F.sum("cnt").alias("csum"))
+        dec = (
+            fam.join(
+                rest.select(F.col("id").alias("pid"), F.col("cnt").alias("pcnt")),
+                "pid",
+                "left",
+            )
+            .fillna(0, subset=["pcnt"])
+            .withColumn("newcnt", F.col("csum") + F.col("pcnt"))
+            .withColumn("do_merge", F.col("newcnt") <= t)
+        )
+        merged = dec.filter("do_merge").select(
+            F.col("pid").alias("id"), F.col("newcnt").alias("cnt")
+        )
+        merged_pids = dec.filter("do_merge").select("pid")
+        nodes = (
+            rest.join(
+                merged_pids.withColumnRenamed("pid", "id"), "id", "left_anti"
+            )
+            .unionByName(
+                cur.join(
+                    merged_pids,
+                    F.floor(F.col("id") / 2).cast("long") == F.col("pid"),
+                    "left_anti",
+                )
+            )
+            .unionByName(merged)
+            # the frame is UNIVERSE-bounded (≤ 2^(bits+1) node ids, no
+            # matter how many raw rows fed the leaves), so collapsing
+            # the union's accumulated partitioning is safe by design —
+            # without it each level's checkpoint materializes hundreds
+            # of near-empty shuffle partitions
+            .coalesce(1)
+            .localCheckpoint(eager=True)  # bits levels of lineage
+        )
+    return nodes
+
+
+def qdigest_build(
+    df: DataFrame, value_col: str, bits: int = _QD_BITS, k: int = _QD_K
+) -> DataFrame:
+    """(id, lo, hi, cnt): the Q-digest of an integer column clamped
+    into [0, 2^bits) — one partial-agg groupBy over the data (the only
+    pass that sees raw rows), then the count-table compress."""
+    cap = (1 << bits) - 1
+    leaves = (
+        df.select(
+            (
+                F.least(F.greatest(F.col(value_col).cast("long"), F.lit(0)), F.lit(cap))
+                + F.lit(1 << bits)
+            ).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    digest = qdigest_compress(leaves, bits, k)
+    level = _qd_level("id")
+    span = F.pow(F.lit(2.0), F.lit(bits) - level).cast("long")
+    lo = (F.col("id") - F.pow(F.lit(2.0), level).cast("long")) * span
+    return digest.select(
+        "id",
+        lo.alias("lo"),
+        (lo + span - 1).alias("hi"),
+        "cnt",
+    )
+
+
+def qdigest_quantiles(
+    digest: DataFrame, quantiles_permille: "list[int]"
+) -> DataFrame:
+    """(q_permille, est): for each requested quantile, the smallest
+    node right-endpoint whose post-order cumulative count reaches
+    ceil(q·n) — integer targets via permille arithmetic, so no float
+    enters the rank logic at all. The cumsum window orders ≤digest-size
+    rows (bounded by design, like the KMV rnk window)."""
+    w = Window.orderBy("hi", (F.col("hi") - F.col("lo")))
+    ranked = digest.withColumn("cum", F.sum("cnt").over(w))
+    total = digest.agg(F.sum("cnt").alias("n"))
+    qs = ranked.sparkSession.createDataFrame(
+        [(int(q),) for q in quantiles_permille], "q_permille long"
+    )
+    grid = qs.crossJoin(F.broadcast(total)).withColumn(
+        "target", F.floor((F.col("q_permille") * F.col("n") + 999) / 1000)
+    )
+    return (
+        grid.join(ranked, ranked["cum"] >= grid["target"])
+        .groupBy("q_permille")
+        .agg(F.min("hi").alias("est"))
+    )
+
+
+def _q_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wing_binlog_go_spark.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return qdigest_build(docs, "n_chars").orderBy("id")
+
+
+def _q_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wing_binlog_go_spark.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return qdigest_quantiles(
+        qdigest_build(docs, "n_chars"), [10, 250, 500, 750, 900, 990]
+    ).orderBy("q_permille")
+
+
+def _qd_sql_level_case() -> str:
+    whens = " ".join(
+        f"WHEN id >= {1 << d} THEN {d}" for d in range(_QD_BITS, 0, -1)
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+def _qdigest_cte(bits: int = _QD_BITS, k: int = _QD_K) -> str:
+    """The shared build: leaf counts + one CTE pair per depth, ending
+    in ``digest`` with (id, lo, hi, cnt)."""
+    cap = (1 << bits) - 1
+    parts = [f"""
+WITH l{bits} AS MATERIALIZED (
+  SELECT CAST(least(greatest(n_chars, 0), {cap}) + {1 << bits} AS BIGINT) AS id,
+         COUNT(*)::BIGINT AS cnt
+  FROM documents GROUP BY 1
+), tot AS MATERIALIZED (
+  SELECT SUM(cnt) // {k} AS t FROM l{bits}
+)"""]
+    for d in range(bits, 0, -1):
+        lo, hi = 1 << d, 1 << (d + 1)
+        parts.append(f""", dec{d} AS MATERIALIZED (
+  SELECT f.pid, f.csum + COALESCE(p.cnt, 0) AS newcnt
+  FROM (SELECT id // 2 AS pid, CAST(SUM(cnt) AS BIGINT) AS csum
+        FROM l{d} WHERE id >= {lo} AND id < {hi} GROUP BY 1) f
+  LEFT JOIN l{d} p ON p.id = f.pid
+  WHERE f.csum + COALESCE(p.cnt, 0) <= (SELECT t FROM tot)
+), l{d - 1} AS MATERIALIZED (
+  SELECT id, cnt FROM l{d}
+  WHERE NOT (id >= {lo} AND id < {hi})
+    AND id NOT IN (SELECT pid FROM dec{d})
+  UNION ALL
+  SELECT id, cnt FROM l{d}
+  WHERE id >= {lo} AND id < {hi}
+    AND id // 2 NOT IN (SELECT pid FROM dec{d})
+  UNION ALL
+  SELECT pid AS id, newcnt AS cnt FROM dec{d}
+)""")
+    parts.append(f""", digest AS MATERIALIZED (
+  SELECT id,
+         (id - CAST(pow(2, {_qd_sql_level_case()}) AS BIGINT))
+           * CAST(pow(2, {bits} - {_qd_sql_level_case()}) AS BIGINT) AS lo,
+         (id - CAST(pow(2, {_qd_sql_level_case()}) AS BIGINT) + 1)
+           * CAST(pow(2, {bits} - {_qd_sql_level_case()}) AS BIGINT) - 1 AS hi,
+         cnt
+  FROM l0
+)""")
+    return "".join(parts)
+
+
+def _qdigest_oracle() -> str:
+    return _qdigest_cte() + """
+SELECT id, lo, hi, cnt FROM digest ORDER BY id
+"""
+
+
+def _qdigest_quantiles_oracle() -> str:
+    return _qdigest_cte() + """, ranked AS MATERIALIZED (
+  SELECT hi, SUM(cnt) OVER (ORDER BY hi, hi - lo
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM digest
+), n AS (SELECT SUM(cnt) AS n FROM digest),
+qs AS (SELECT unnest([10, 250, 500, 750, 900, 990]) AS q_permille)
+SELECT q_permille, MIN(hi) AS est
+FROM qs CROSS JOIN n JOIN ranked ON ranked.cum >= (q_permille * n.n + 999) // 1000
+GROUP BY q_permille
+ORDER BY q_permille
+"""
+
+
+QUERIES["q164_qdigest"] = QuerySpec(_q_qdigest, _qdigest_oracle())
+QUERIES["q164b_qdigest_quantiles"] = QuerySpec(
+    _q_qdigest_quantiles, _qdigest_quantiles_oracle()
+)
