@@ -993,3 +993,112 @@ def test_qdigest_matches_reference_and_merges(spark):
     )
     merged = {r.id: r.cnt for r in qdigest_compress(union_df, bits, k).collect()}
     assert merged == _qdigest_reference(dict(u), bits, k)
+
+
+def test_qdigest_route_end_to_end_and_insert_only(spark, tmp_path):
+    """The streaming quantile sketch: per-batch digests land in
+    partitions; the merged read equals the node-wise union of the batch
+    digests recompressed (the paper's merge, checked against the
+    pure-Python reference); quantiles off the merged digest respect the
+    rank bound; replay is a no-op; DELETE raises."""
+    import bisect
+    import json as _json
+
+    from collections import Counter
+
+    import pytest
+
+    from wing_binlog_go_spark.operators.stats import qdigest_quantiles
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+    from wing_binlog_go_spark.streaming.sinks import (
+        qdigest_sketch_writer,
+        read_qdigest_sketch,
+    )
+
+    import random
+
+    rng = random.Random(41)
+    vals = {i: min(1023, max(0, int(rng.gauss(300, 140)))) for i in range(1, 41)}
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    batches = [list(range(1, 21)), list(range(21, 41))]
+    for fi, ids in enumerate(batches):
+        with open(log_dir / f"f{fi}.jsonl", "w") as f:
+            for ev, did in enumerate(ids):
+                rec = {
+                    "binlog_file": f"mysql-bin.{fi:06d}",
+                    "binlog_pos": 4 + ev * 50, "xid_commit": True,
+                    "database": "metrics", "table": "samples",
+                    "action": "insert", "row_no": 0, "before": None,
+                    "after": {"id": str(did), "v": str(vals[did])},
+                    "ddl_query": None,
+                    "ts_header": "2018-04-19T05:21:27.000Z", "gtid": None,
+                }
+                f.write(_json.dumps(rec) + "\n")
+
+    store = str(tmp_path / "qd")
+    route = Route(
+        "qd",
+        qdigest_sketch_writer(store, "metrics.samples", value_field="v", k=8),
+    )
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+
+    merged = {r.id: r.cnt for r in read_qdigest_sketch(spark, store, k=8).collect()}
+    # reference: recompress the node-wise union of the two batch digests
+    from pyspark.sql import functions as F
+
+    parts = spark.read.parquet(store).groupBy("id").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    u = {r.id: r.cnt for r in parts.collect()}
+    assert merged == _qdigest_reference(dict(Counter(u)), 10, 8)
+
+    # quantiles off the merged digest: rank error within bits/k
+    sv = sorted(vals.values())
+    n = len(sv)
+    mdf = spark.createDataFrame(
+        [(i, c) for i, c in merged.items()], "id long, cnt long"
+    )
+    level = lambda i: i.bit_length() - 1
+    rows = [
+        (i, (i - (1 << level(i))) * (1 << (10 - level(i))),
+         (i - (1 << level(i)) + 1) * (1 << (10 - level(i))) - 1, c)
+        for i, c in merged.items()
+    ]
+    spans = spark.createDataFrame(rows, "id long, lo long, hi long, cnt long")
+    for r in qdigest_quantiles(spans, [500, 900]).collect():
+        r_est = bisect.bisect_right(sv, r.est)
+        assert abs(r_est - r.q_permille * n / 1000.0) <= (10 / 8) * n + 1
+
+    # replay under a fresh checkpoint: store unchanged
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+    merged2 = {r.id: r.cnt for r in read_qdigest_sketch(spark, store, k=8).collect()}
+    assert merged2 == merged
+
+    # DELETE raises loudly
+    del_log = tmp_path / "dlog"
+    del_log.mkdir()
+    with open(del_log / "f0.jsonl", "w") as f:
+        f.write(_json.dumps({
+            "binlog_file": "mysql-bin.000009", "binlog_pos": 4,
+            "xid_commit": True, "database": "metrics", "table": "samples",
+            "action": "delete", "row_no": 0,
+            "before": {"id": "1", "v": "10"}, "after": None,
+            "ddl_query": None,
+            "ts_header": "2018-04-19T05:21:27.000Z", "gtid": None,
+        }) + "\n")
+    q = run_pipeline(
+        spark, str(del_log), [route], str(tmp_path / "ckpt3"),
+        max_files_per_trigger=1,
+    )
+    with pytest.raises(Exception, match="insert-only"):
+        q.awaitTermination(60)
+        q.processAllAvailable()

@@ -1280,3 +1280,83 @@ def read_kmv_sketch(spark, store_dir: str, k: int = 256) -> DataFrame:
     return kmv_estimate(
         kmv_bottom_k(spark.read.parquet(store_dir).select("h"), k), k
     )
+
+
+def qdigest_sketch_writer(
+    store_dir: str,
+    table: str,
+    value_field: str = "value",
+    id_field: str = "id",
+    bits: int = 10,
+    k: int = 64,
+):
+    """Route writer maintaining a Q-digest quantile sketch from the CDC
+    stream (`operators.stats.qdigest_build`) — the fourth member of the
+    mergeable-sketch store family (CMS frequency, MG heavy items, KMV
+    cardinality, Q-digest QUANTILES): "what is the p99 of this column
+    over everything the table has ever seen" without keeping the rows.
+    Per batch the batch's digest lands in a partition keyed by the
+    batch's min doc id under the family's staging + atomic-rename
+    commit and parquet-presence replay probe. ``read_qdigest_sketch``
+    merges by the sketch's own closure: union the partitions' count
+    tables node-wise and recompress — the result is the digest of the
+    concatenated batches (order-free, so replay ORDER can't change it
+    either; the probe guards the ADDITIVE union, which would
+    double-count a replayed batch like CMS/MG).
+
+    INSERT-ONLY, enforced loudly: a retraction raises — a count on a
+    dyadic range cannot un-see a deleted row's value."""
+    from wing_binlog_go_spark.operators.stats import qdigest_build
+
+    if "://" in store_dir:
+        raise ValueError(
+            "qdigest_sketch_writer: store_dir must be a POSIX path "
+            f"(got {store_dir!r}) — the batch-commit probe is os-level"
+        )
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        if not _insert_only_probe(
+            env, table, "qdigest_sketch_writer",
+            _docs_usable(id_field, value_field),
+        ):
+            return
+        docs = _insert_docs(env, table, id_field, value_field).withColumnRenamed(
+            "text", "_value"
+        )
+        batch_key = docs.agg(F.min("doc_id")).collect()[0][0]
+        part_dir = os.path.join(store_dir, f"bkey={batch_key}")
+        # dir + parquet-presence probe — see cms_sketch_writer
+        if os.path.isdir(part_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(part_dir)
+        ):
+            return  # replayed batch: partition rename already committed
+        sketch = qdigest_build(docs, "_value", bits=bits, k=k).select(
+            "id", "cnt"
+        )
+        stage_dir = os.path.join(store_dir, "_staging", f"bkey={batch_key}")
+        if os.path.isdir(stage_dir):
+            shutil.rmtree(stage_dir)  # crashed earlier attempt: discard
+        sketch.write.mode("overwrite").parquet(stage_dir)
+        os.makedirs(store_dir, exist_ok=True)
+        if os.path.isdir(part_dir):
+            shutil.rmtree(part_dir)  # parquet-less debris — see cms writer
+        os.rename(stage_dir, part_dir)  # the commit point
+
+    return write
+
+
+def read_qdigest_sketch(
+    spark, store_dir: str, bits: int = 10, k: int = 64
+) -> DataFrame:
+    """(id, cnt): the merged Q-digest — node-wise sum of every
+    committed batch partition's count table, recompressed under the
+    merged total's threshold (the merge IS the sketch's own compress,
+    so accuracy degrades no worse than the bits/k bound)."""
+    from wing_binlog_go_spark.operators.stats import qdigest_compress
+
+    summed = (
+        spark.read.parquet(store_dir)
+        .groupBy("id")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return qdigest_compress(summed, bits=bits, k=k)
