@@ -1102,3 +1102,84 @@ def test_qdigest_route_end_to_end_and_insert_only(spark, tmp_path):
     with pytest.raises(Exception, match="insert-only"):
         q.awaitTermination(60)
         q.processAllAvailable()
+
+
+def test_drift_monitor_route(spark, tmp_path):
+    """Streaming PSI drift: the first batch freezes the reference
+    profile; a same-distribution batch scores low, a shifted source
+    scores high; replay is a no-op; UPDATE/DELETE envelopes are ignored
+    (arrival measurements, the curation_stats posture — no raise)."""
+    import json as _json
+    import os
+    import random
+
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+    from wing_binlog_go_spark.streaming.sinks import (
+        drift_monitor_writer,
+        read_drift_monitor,
+    )
+
+    rng = random.Random(47)
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+
+    def rec(fi, pos, did, src, v, action="insert"):
+        body = {"id": str(did), "src": src, "len": str(v)}
+        return {
+            "binlog_file": f"mysql-bin.{fi:06d}", "binlog_pos": pos,
+            "xid_commit": True, "database": "crawl", "table": "docs",
+            "action": action, "row_no": 0,
+            "before": None if action == "insert" else body,
+            "after": body if action == "insert" else None,
+            "ddl_query": None,
+            "ts_header": "2018-04-19T05:21:27.000Z", "gtid": None,
+        }
+
+    # batch 1 (reference): two sources, values ~N(300, 80)
+    with open(log_dir / "f0.jsonl", "w") as f:
+        for i in range(1, 81):
+            v = min(1023, max(0, int(rng.gauss(300, 80))))
+            f.write(_json.dumps(rec(0, 4 + i * 30, i, f"s{i % 2}", v)) + "\n")
+    # batch 2: s0 stays on-profile, s1 SHIFTS to ~N(800, 40); one
+    # delete and one update ride along and must be ignored
+    with open(log_dir / "f1.jsonl", "w") as f:
+        for i in range(101, 141):
+            on = i % 2 == 0
+            v = min(1023, max(0, int(rng.gauss(300 if on else 800, 80 if on else 40))))
+            f.write(_json.dumps(rec(1, 4 + i * 30, i, "s0" if on else "s1", v)) + "\n")
+        f.write(_json.dumps(rec(1, 9000, 1, "s0", 300, action="delete")) + "\n")
+
+    store = str(tmp_path / "drift")
+    route = Route(
+        "drift",
+        drift_monitor_writer(store, "crawl.docs", value_field="len",
+                             group_field="src"),
+    )
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+
+    assert os.path.exists(os.path.join(store, "reference.json"))
+    rows = {(r.bkey, r.source): r for r in read_drift_monitor(spark, store).collect()}
+    # two batches x (2 sources + __all__) rows
+    assert {b for b, _ in rows} == {1, 101}
+    b2_on = rows[(101, "s0")].psi_r
+    b2_off = rows[(101, "s1")].psi_r
+    assert b2_off > 0.25, (b2_on, b2_off)   # the shifted source alarms
+    assert b2_off > 4 * b2_on               # and clearly above the stable one
+
+    # replay under a fresh checkpoint: same rows, reference unchanged
+    with open(os.path.join(store, "reference.json")) as f:
+        ref1 = _json.load(f)
+    q = run_pipeline(
+        spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(60)
+    rows2 = {(r.bkey, r.source): r.psi_r
+             for r in read_drift_monitor(spark, store).collect()}
+    assert rows2 == {k: v.psi_r for k, v in rows.items()}
+    with open(os.path.join(store, "reference.json")) as f:
+        assert _json.load(f) == ref1

@@ -1345,6 +1345,152 @@ def qdigest_sketch_writer(
     return write
 
 
+def drift_monitor_writer(
+    store_dir: str,
+    table: str,
+    value_field: str = "value",
+    group_field: str = "source",
+    id_field: str = "id",
+    bin_width: int = 50,
+    cap: int = 1023,
+):
+    """Route writer monitoring per-source feature DRIFT from the CDC
+    stream — the streaming form of q163's PSI: the FIRST batch freezes
+    the corpus reference profile (fixed-width histogram over the
+    clamped domain, atomic tmp+rename json — the centroids.json
+    contract), and every batch appends one (source, n_docs, psi_r) row
+    per arriving source plus an ``__all__`` total row, PSI of the
+    batch's binned distribution against the frozen reference. An
+    operator watches the table for a source whose psi_r crosses the
+    0.25 line — the crawl-gone-bad alarm fires batches before the
+    corpus-level stats move.
+
+    Bins are a FIXED grid (cap//bin_width + 1 buckets over the clamped
+    domain), so every batch's profile is comparable to the reference by
+    construction and the binning stays a map-side expression; both
+    distributions are Laplace-smoothed; the PSI sum folds a bin-ORDERED
+    collected list (the q163 determinism contract). Commit: rows land
+    in a ``bkey=`` partition via staging + atomic rename, so replays
+    are no-ops (the sketch-family shape).
+
+    Deliberately NOT under the store routes' loud insert-only probe —
+    same reasoning as ``curation_stats_writer``: this route maintains
+    per-batch ARRIVAL measurements, not a mirror; an UPDATE/DELETE is
+    not an arrival and cannot diverge a measurement that never claimed
+    to track current state."""
+    if "://" in store_dir:
+        raise ValueError(
+            "drift_monitor_writer: store_dir must be a POSIX path "
+            f"(got {store_dir!r}) — the batch-commit probe is os-level"
+        )
+    n_bins = cap // bin_width + 1
+
+    def write(env: DataFrame, batch_id: int) -> None:
+        spark = env.sparkSession
+        rows = (
+            env.filter(
+                (F.col("event_type") == "insert")
+                & (F.concat_ws(".", "database", "table") == table)
+            )
+            .select(
+                F.element_at("event.data", id_field).cast("long").alias("doc_id"),
+                F.element_at("event.data", group_field).alias("source"),
+                F.element_at("event.data", value_field).cast("long").alias("v"),
+            )
+            .filter(
+                F.col("doc_id").isNotNull()
+                & F.col("source").isNotNull()
+                & F.col("v").isNotNull()
+            )
+            .dropDuplicates(["doc_id"])
+            .withColumn(
+                "bin",
+                F.floor(
+                    F.least(F.greatest("v", F.lit(0)), F.lit(cap)) / bin_width
+                ).cast("long"),
+            )
+        )
+        if rows.isEmpty():
+            return
+        batch_key = rows.agg(F.min("doc_id")).collect()[0][0]
+        part_dir = os.path.join(store_dir, "psi", f"bkey={batch_key}")
+        if os.path.isdir(part_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(part_dir)
+        ):
+            return  # replayed batch
+
+        ref_path = os.path.join(store_dir, "reference.json")
+        if not os.path.exists(ref_path):
+            # first batch IS the reference: freeze its global profile
+            os.makedirs(store_dir, exist_ok=True)
+            prof = {
+                int(r.bin): int(r.c)
+                for r in rows.groupBy("bin").agg(F.count("*").alias("c")).collect()
+            }
+            tmp = ref_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"bins": prof, "n": sum(prof.values()),
+                     "bin_width": bin_width, "cap": cap}, f,
+                )
+            os.rename(tmp, ref_path)
+        with open(ref_path) as f:
+            ref = json.load(f)
+        ref_rows = [(int(b), int(c)) for b, c in ref["bins"].items()]
+        ref_n = int(ref["n"])
+        # the FIXED grid: every bucket of the clamped domain, with the
+        # reference count (0 where the reference saw nothing)
+        refc = {b: c for b, c in ref_rows}
+        grid = spark.createDataFrame(
+            [(b, refc.get(b, 0)) for b in range(n_bins)], "bin long, cg long"
+        )
+
+        groups = rows.select("source", "bin").unionByName(
+            rows.select(F.lit("__all__").alias("source"), "bin")
+        )
+        scounts = groups.groupBy("source", "bin").agg(F.count("*").alias("cs"))
+        stotals = groups.groupBy("source").agg(F.count("*").alias("ns"))
+        full = (
+            stotals.crossJoin(F.broadcast(grid))
+            .join(scounts, ["source", "bin"], "left")
+            .fillna(0, subset=["cs"])
+        )
+        p = (F.col("cs") + 1) / (F.col("ns") + n_bins)
+        q = (F.col("cg") + 1) / (ref_n + n_bins)
+        psi = (
+            full.select(
+                "source", "ns", "bin", ((p - q) * F.log(p / q)).alias("term")
+            )
+            .groupBy("source")
+            .agg(
+                F.max("ns").alias("n_docs"),
+                F.round(
+                    F.aggregate(
+                        F.sort_array(F.collect_list(F.struct("bin", "term"))),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["term"],
+                    ),
+                    6,
+                ).alias("psi_r"),
+            )
+        )
+        stage_dir = os.path.join(store_dir, "_staging", f"bkey={batch_key}")
+        if os.path.isdir(stage_dir):
+            shutil.rmtree(stage_dir)
+        psi.write.mode("overwrite").parquet(stage_dir)
+        os.makedirs(os.path.join(store_dir, "psi"), exist_ok=True)
+        if os.path.isdir(part_dir):
+            shutil.rmtree(part_dir)
+        os.rename(stage_dir, part_dir)  # the commit point
+
+    return write
+
+
+def read_drift_monitor(spark, store_dir: str) -> DataFrame:
+    """(bkey, source, n_docs, psi_r): the per-batch drift table."""
+    return spark.read.parquet(os.path.join(store_dir, "psi"))
+
+
 def read_qdigest_sketch(
     spark, store_dir: str, bits: int = 10, k: int = 64
 ) -> DataFrame:
