@@ -1183,3 +1183,42 @@ def test_drift_monitor_route(spark, tmp_path):
     assert rows2 == {k: v.psi_r for k, v in rows.items()}
     with open(os.path.join(store, "reference.json")) as f:
         assert _json.load(f) == ref1
+
+
+def test_qdigest_grouped_equals_per_group_builds(spark):
+    """The grouped compress maintains INDEPENDENT digests: for each
+    group, the grouped build's nodes equal a standalone build over just
+    that group's values (thresholds are per-group, families never mix),
+    and per-group quantiles equal the ungrouped extractor run on each
+    slice."""
+    import random
+
+    from wing_binlog_go_spark.operators.stats import (
+        qdigest_build,
+        qdigest_quantiles,
+        qdigest_quantiles_by_group,
+    )
+
+    rng = random.Random(53)
+    rows = []
+    for g, (mu, sd, n) in {"a": (200, 60, 900), "b": (700, 90, 400)}.items():
+        rows += [(g, min(1023, max(0, int(rng.gauss(mu, sd))))) for _ in range(n)]
+    df = spark.createDataFrame(rows, "g string, v long")
+
+    grouped = qdigest_build(df, "v", k=32, group_col="g")
+    by_group = {
+        g: {r.id: r.cnt for r in grouped.filter(f"g = '{g}'").collect()}
+        for g in ("a", "b")
+    }
+    for g in ("a", "b"):
+        solo = qdigest_build(df.filter(f"g = '{g}'"), "v", k=32)
+        assert by_group[g] == {r.id: r.cnt for r in solo.collect()}, g
+
+    got = {
+        (r.g, r.q_permille): r.est
+        for r in qdigest_quantiles_by_group(grouped, [500, 900], "g").collect()
+    }
+    for g in ("a", "b"):
+        solo = qdigest_build(df.filter(f"g = '{g}'"), "v", k=32)
+        for r in qdigest_quantiles(solo, [500, 900]).collect():
+            assert got[(g, r.q_permille)] == r.est, (g, r.q_permille)

@@ -919,7 +919,10 @@ def _qd_level(node_id):
 
 
 def qdigest_compress(
-    nodes: DataFrame, bits: int = _QD_BITS, k: int = _QD_K
+    nodes: DataFrame,
+    bits: int = _QD_BITS,
+    k: int = _QD_K,
+    group_col: "str | None" = None,
 ) -> DataFrame:
     """Compress an (id, cnt) dyadic-tree count table into a Q-digest:
     for each depth bottom-up, a parent family (left child + right
@@ -928,76 +931,103 @@ def qdigest_compress(
     digests (merge) alike. Each level is one groupBy + two anti-joins
     over a frame bounded by the DIGEST size (≤ distinct values), with
     a lineage cut per level — ``bits`` bounded driver iterations, the
-    documented bounded-iteration class (BPE/GD/PageRank)."""
-    n = nodes.agg(F.sum("cnt")).collect()[0][0] or 0
-    t = int(n) // k
+    documented bounded-iteration class (BPE/GD/PageRank).
+
+    With ``group_col`` one INDEPENDENT digest per group value is
+    maintained in the same frames ("p99 per event type over 100 TB in
+    one pass"): the merge threshold is per-group floor(n_g/k), carried
+    as a broadcast-joined column rather than a collected scalar, and
+    every per-level key gains the group — same level count, same
+    shuffle count, regardless of how many groups ride along."""
+    grp = group_col or "_g"
+    if group_col is None:
+        nodes = nodes.withColumn("_g", F.lit(0))
+    thresholds = nodes.groupBy(grp).agg(
+        F.floor(F.sum("cnt") / k).cast("long").alias("_t")
+    ).localCheckpoint(eager=True)  # totals are level-invariant; compute once
     for depth in range(bits, 0, -1):
         lo, hi = 1 << depth, 1 << (depth + 1)
         in_level = (F.col("id") >= lo) & (F.col("id") < hi)
         cur = nodes.filter(in_level)
         rest = nodes.filter(~in_level)
         fam = cur.groupBy(
-            F.floor(F.col("id") / 2).cast("long").alias("pid")
+            grp, F.floor(F.col("id") / 2).cast("long").alias("pid")
         ).agg(F.sum("cnt").alias("csum"))
         dec = (
             fam.join(
-                rest.select(F.col("id").alias("pid"), F.col("cnt").alias("pcnt")),
-                "pid",
+                rest.select(
+                    grp, F.col("id").alias("pid"), F.col("cnt").alias("pcnt")
+                ),
+                [grp, "pid"],
                 "left",
             )
             .fillna(0, subset=["pcnt"])
             .withColumn("newcnt", F.col("csum") + F.col("pcnt"))
-            .withColumn("do_merge", F.col("newcnt") <= t)
+            .join(F.broadcast(thresholds), grp)
+            .withColumn("do_merge", F.col("newcnt") <= F.col("_t"))
         )
         merged = dec.filter("do_merge").select(
-            F.col("pid").alias("id"), F.col("newcnt").alias("cnt")
+            grp, F.col("pid").alias("id"), F.col("newcnt").alias("cnt")
         )
-        merged_pids = dec.filter("do_merge").select("pid")
+        merged_pids = dec.filter("do_merge").select(grp, "pid")
         nodes = (
             rest.join(
-                merged_pids.withColumnRenamed("pid", "id"), "id", "left_anti"
+                merged_pids.withColumnRenamed("pid", "id"),
+                [grp, "id"],
+                "left_anti",
             )
             .unionByName(
-                cur.join(
-                    merged_pids,
-                    F.floor(F.col("id") / 2).cast("long") == F.col("pid"),
+                cur.withColumn(
+                    "_pid", F.floor(F.col("id") / 2).cast("long")
+                )
+                .join(
+                    merged_pids.withColumnRenamed("pid", "_pid"),
+                    [grp, "_pid"],
                     "left_anti",
                 )
+                .drop("_pid")
             )
             .unionByName(merged)
-            # the frame is UNIVERSE-bounded (≤ 2^(bits+1) node ids, no
-            # matter how many raw rows fed the leaves), so collapsing
-            # the union's accumulated partitioning is safe by design —
-            # without it each level's checkpoint materializes hundreds
-            # of near-empty shuffle partitions
+            # the frame is UNIVERSE-bounded (≤ #groups · 2^(bits+1)
+            # node ids, no matter how many raw rows fed the leaves), so
+            # collapsing the union's accumulated partitioning is safe
+            # by design — without it each level's checkpoint
+            # materializes hundreds of near-empty shuffle partitions
             .coalesce(1)
             .localCheckpoint(eager=True)  # bits levels of lineage
         )
-    return nodes
+    return nodes.drop("_g") if group_col is None else nodes
 
 
 def qdigest_build(
-    df: DataFrame, value_col: str, bits: int = _QD_BITS, k: int = _QD_K
+    df: DataFrame,
+    value_col: str,
+    bits: int = _QD_BITS,
+    k: int = _QD_K,
+    group_col: "str | None" = None,
 ) -> DataFrame:
-    """(id, lo, hi, cnt): the Q-digest of an integer column clamped
-    into [0, 2^bits) — one partial-agg groupBy over the data (the only
-    pass that sees raw rows), then the count-table compress."""
+    """([group,] id, lo, hi, cnt): the Q-digest of an integer column
+    clamped into [0, 2^bits) — one partial-agg groupBy over the data
+    (the only pass that sees raw rows), then the count-table compress.
+    With ``group_col``, one independent digest per group in the same
+    pass (see :func:`qdigest_compress`)."""
     cap = (1 << bits) - 1
+    node = (
+        F.least(F.greatest(F.col(value_col).cast("long"), F.lit(0)), F.lit(cap))
+        + F.lit(1 << bits)
+    ).alias("id")
+    gcols = [group_col] if group_col else []
     leaves = (
-        df.select(
-            (
-                F.least(F.greatest(F.col(value_col).cast("long"), F.lit(0)), F.lit(cap))
-                + F.lit(1 << bits)
-            ).alias("id")
-        )
-        .groupBy("id")
+        df.select(*gcols, node)
+        .groupBy(*gcols, "id")
         .agg(F.count("*").alias("cnt"))
     )
-    digest = qdigest_compress(leaves, bits, k)
+    digest = qdigest_compress(leaves, bits, k, group_col=group_col)
     level = _qd_level("id")
     span = F.pow(F.lit(2.0), F.lit(bits) - level).cast("long")
     lo = (F.col("id") - F.pow(F.lit(2.0), level).cast("long")) * span
     return digest.select(
+        *gcols,
         "id",
         lo.alias("lo"),
         (lo + span - 1).alias("hi"),
@@ -1008,25 +1038,45 @@ def qdigest_build(
 def qdigest_quantiles(
     digest: DataFrame, quantiles_permille: "list[int]"
 ) -> DataFrame:
-    """(q_permille, est): for each requested quantile, the smallest
-    node right-endpoint whose post-order cumulative count reaches
-    ceil(q·n) — integer targets via permille arithmetic, so no float
-    enters the rank logic at all. The cumsum window orders ≤digest-size
-    rows (bounded by design, like the KMV rnk window)."""
-    w = Window.orderBy("hi", (F.col("hi") - F.col("lo")))
+    """([group,] q_permille, est): for each requested quantile, the
+    smallest node right-endpoint whose post-order cumulative count
+    reaches ceil(q·n) — integer targets via permille arithmetic, so no
+    float enters the rank logic at all. The cumsum window orders
+    ≤digest-size rows per group (bounded by design, like the KMV rnk
+    window). Pass ``group_col`` for a grouped digest."""
+    return _qdigest_quantiles_impl(digest, quantiles_permille, None)
+
+
+def _qdigest_quantiles_impl(
+    digest: DataFrame,
+    quantiles_permille: "list[int]",
+    group_col: "str | None",
+) -> DataFrame:
+    gcols = [group_col] if group_col else []
+    w = Window.partitionBy(*gcols).orderBy("hi", (F.col("hi") - F.col("lo")))
     ranked = digest.withColumn("cum", F.sum("cnt").over(w))
-    total = digest.agg(F.sum("cnt").alias("n"))
+    total = digest.groupBy(*gcols).agg(F.sum("cnt").alias("n"))
     qs = ranked.sparkSession.createDataFrame(
         [(int(q),) for q in quantiles_permille], "q_permille long"
     )
-    grid = qs.crossJoin(F.broadcast(total)).withColumn(
+    grid = total.crossJoin(F.broadcast(qs)).withColumn(
         "target", F.floor((F.col("q_permille") * F.col("n") + 999) / 1000)
     )
-    return (
-        grid.join(ranked, ranked["cum"] >= grid["target"])
-        .groupBy("q_permille")
-        .agg(F.min("hi").alias("est"))
-    )
+    cond = ranked["cum"] >= grid["target"]
+    for g in gcols:
+        cond = cond & (ranked[g] == grid[g])
+    joined = grid.join(ranked, cond)
+    return joined.groupBy(
+        *[grid[g] for g in gcols], "q_permille"
+    ).agg(F.min("hi").alias("est"))
+
+
+def qdigest_quantiles_by_group(
+    digest: DataFrame, quantiles_permille: "list[int]", group_col: str
+) -> DataFrame:
+    """Per-group quantiles off a grouped digest — one pass, bounded
+    state per group (the "p99 per event type" shape)."""
+    return _qdigest_quantiles_impl(digest, quantiles_permille, group_col)
 
 
 def _q_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1118,4 +1168,109 @@ ORDER BY q_permille
 QUERIES["q164_qdigest"] = QuerySpec(_q_qdigest, _qdigest_oracle())
 QUERIES["q164b_qdigest_quantiles"] = QuerySpec(
     _q_qdigest_quantiles, _qdigest_quantiles_oracle()
+)
+
+
+def _q_qdigest_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wing_binlog_go_spark.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.floor("value").cast("long").alias("v")
+    )
+    return qdigest_build(ev, "v", group_col="event_type").orderBy(
+        "event_type", "id"
+    )
+
+
+def _q_qdigest_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wing_binlog_go_spark.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.floor("value").cast("long").alias("v")
+    )
+    return qdigest_quantiles_by_group(
+        qdigest_build(ev, "v", group_col="event_type"),
+        [500, 900, 990],
+        "event_type",
+    ).orderBy("event_type", "q_permille")
+
+
+def _qdigest_grouped_cte(bits: int = _QD_BITS, k: int = _QD_K) -> str:
+    """The grouped build: one digest per event_type, same per-level CTE
+    unroll as :func:`_qdigest_cte` with the group riding every key
+    (anti-membership via NOT EXISTS — composite-key NOT IN is the
+    null-trap form)."""
+    cap = (1 << bits) - 1
+    parts = [f"""
+WITH l{bits} AS MATERIALIZED (
+  SELECT event_type AS g,
+         CAST(least(greatest(CAST(floor(value) AS BIGINT), 0), {cap})
+              + {1 << bits} AS BIGINT) AS id,
+         COUNT(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+), tot AS MATERIALIZED (
+  SELECT g, SUM(cnt) // {k} AS t FROM l{bits} GROUP BY g
+)"""]
+    for d in range(bits, 0, -1):
+        lo, hi = 1 << d, 1 << (d + 1)
+        parts.append(f""", dec{d} AS MATERIALIZED (
+  SELECT f.g, f.pid, f.csum + COALESCE(p.cnt, 0) AS newcnt
+  FROM (SELECT g, id // 2 AS pid, CAST(SUM(cnt) AS BIGINT) AS csum
+        FROM l{d} WHERE id >= {lo} AND id < {hi} GROUP BY 1, 2) f
+  LEFT JOIN l{d} p ON p.g = f.g AND p.id = f.pid
+  JOIN tot ON tot.g = f.g
+  WHERE f.csum + COALESCE(p.cnt, 0) <= tot.t
+), l{d - 1} AS MATERIALIZED (
+  SELECT g, id, cnt FROM l{d} x
+  WHERE NOT (id >= {lo} AND id < {hi})
+    AND NOT EXISTS (SELECT 1 FROM dec{d} m
+                    WHERE m.g = x.g AND m.pid = x.id)
+  UNION ALL
+  SELECT g, id, cnt FROM l{d} x
+  WHERE id >= {lo} AND id < {hi}
+    AND NOT EXISTS (SELECT 1 FROM dec{d} m
+                    WHERE m.g = x.g AND m.pid = x.id // 2)
+  UNION ALL
+  SELECT g, pid AS id, newcnt AS cnt FROM dec{d}
+)""")
+    parts.append(f""", digest AS MATERIALIZED (
+  SELECT g AS event_type, id,
+         (id - CAST(pow(2, {_qd_sql_level_case()}) AS BIGINT))
+           * CAST(pow(2, {bits} - {_qd_sql_level_case()}) AS BIGINT) AS lo,
+         (id - CAST(pow(2, {_qd_sql_level_case()}) AS BIGINT) + 1)
+           * CAST(pow(2, {bits} - {_qd_sql_level_case()}) AS BIGINT) - 1 AS hi,
+         cnt
+  FROM l0
+)""")
+    return "".join(parts)
+
+
+def _qdigest_grouped_oracle() -> str:
+    return _qdigest_grouped_cte() + """
+SELECT event_type, id, lo, hi, cnt FROM digest ORDER BY event_type, id
+"""
+
+
+def _qdigest_grouped_quantiles_oracle() -> str:
+    return _qdigest_grouped_cte() + """, ranked AS MATERIALIZED (
+  SELECT event_type, hi,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY hi, hi - lo
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM digest
+), n AS (SELECT event_type, SUM(cnt) AS n FROM digest GROUP BY event_type),
+qs AS (SELECT unnest([500, 900, 990]) AS q_permille)
+SELECT n.event_type, q_permille, MIN(hi) AS est
+FROM n CROSS JOIN qs
+JOIN ranked ON ranked.event_type = n.event_type
+           AND ranked.cum >= (q_permille * n.n + 999) // 1000
+GROUP BY n.event_type, q_permille
+ORDER BY n.event_type, q_permille
+"""
+
+
+QUERIES["q165_qdigest_by_group"] = QuerySpec(
+    _q_qdigest_grouped, _qdigest_grouped_oracle()
+)
+QUERIES["q165b_qdigest_group_quantiles"] = QuerySpec(
+    _q_qdigest_grouped_quantiles, _qdigest_grouped_quantiles_oracle()
 )
