@@ -624,3 +624,44 @@ def test_round9_new_query_plan_hygiene(spark, sf_dir):
     assert "BatchEvalPython" not in p
     assert "ArrowEvalPython" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_round9_continuation_plan_hygiene(spark, sf_dir):
+    """The r9-continuation keys: no cartesian products (q160/q164's
+    1-row broadcast-scalar estimate join is the one allowed
+    BroadcastNestedLoopJoin class — asserted separately), no Python
+    nodes anywhere (sketches, folds and fusion are all JVM column
+    expressions), and aggregation is partial where it exists."""
+    # q160/q164*: the 1-row broadcast estimate/target join; q163: the
+    # source x bin GRID build — both sides are agg outputs bounded by
+    # #sources and #bins, not data-sized
+    scalar_bnlj_ok = {"q160_kmv_distinct", "q163_psi_drift",
+                      "q164_qdigest", "q164b_qdigest_quantiles",
+                      "q165b_qdigest_group_quantiles"}
+    for name in (
+        "q160_kmv_distinct",
+        "q161_triangle_count",
+        "q162_rrf_hybrid",
+        "q163_psi_drift",
+        "q164_qdigest",
+        "q164b_qdigest_quantiles",
+        "q165_qdigest_by_group",
+        "q165b_qdigest_group_quantiles",
+        "q158_bpe_segments",
+        "q159_minhash_sketch_rolling",
+    ):
+        p = plan_of(_Q[name].spark(spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        if name not in scalar_bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in p, name
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name
+
+
+def test_triangle_closure_join_is_equi(spark, sf_dir):
+    """q161's wedge closure must hash-join on the (least, greatest)
+    expression pair — degree orientation only bounds the fan-out if the
+    closure probe stays an equi-join, never a nested-loop scan."""
+    p = plan_of(_Q["q161_triangle_count"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
