@@ -1062,13 +1062,21 @@ def _qdigest_quantiles_impl(
     grid = total.crossJoin(F.broadcast(qs)).withColumn(
         "target", F.floor((F.col("q_permille") * F.col("n") + 999) / 1000)
     )
+    # disambiguate the group columns before the self-ish join
+    for g in gcols:
+        grid = grid.withColumnRenamed(g, f"_grid_{g}")
     cond = ranked["cum"] >= grid["target"]
     for g in gcols:
-        cond = cond & (ranked[g] == grid[g])
-    joined = grid.join(ranked, cond)
-    return joined.groupBy(
-        *[grid[g] for g in gcols], "q_permille"
+        cond = cond & (ranked[g] == grid[f"_grid_{g}"])
+    # the grid is #groups·#quantiles rows — broadcast it so the probe
+    # is the bounded-build-side nested-loop class, never a cartesian
+    joined = ranked.join(F.broadcast(grid), cond)
+    out = joined.groupBy(
+        *[f"_grid_{g}" for g in gcols], "q_permille"
     ).agg(F.min("hi").alias("est"))
+    for g in gcols:
+        out = out.withColumnRenamed(f"_grid_{g}", g)
+    return out
 
 
 def qdigest_quantiles_by_group(
