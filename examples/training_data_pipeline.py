@@ -242,6 +242,35 @@ def main() -> None:
     print("label audit:", n_dis, "docs disagree with their kNN",
           "neighborhood — review-first candidates")
 
+    # --- monitoring stages (r9) ----------------------------------------
+    # sketches size the corpus without keeping it (distinct sources of
+    # truth for dashboards over 100 TB), PSI flags the source whose
+    # length profile drifted from the corpus, and hybrid retrieval
+    # fuses the lexical and dense rankings for seed-driven curation
+    from wing_binlog_go_spark.functions.text import psi_source_drift
+    from wing_binlog_go_spark.operators.similarity import rrf_hybrid_topk
+    from wing_binlog_go_spark.operators.stats import (
+        kmv_distinct_sketch,
+        qdigest_build,
+        qdigest_quantiles,
+    )
+
+    est = kmv_distinct_sketch(docs, "doc_id").first().est_distinct
+    print("KMV: ~", est, "distinct doc ids from a 256-hash sketch",
+          "(1/sqrt(k-2) ~ 6% standard error; exact below 256 distinct)")
+    qd = qdigest_build(docs.select(F.col("n_chars")), "n_chars")
+    qs_ = {r.q_permille: r.est
+           for r in qdigest_quantiles(qd, [500, 990]).collect()}
+    print("q-digest: median n_chars <=", qs_[500], "| p99 <=", qs_[990],
+          "(", qd.count(), "nodes instead of the raw column )")
+    worst = (psi_source_drift(docs)
+             .orderBy(F.desc("psi_r")).first())
+    print("PSI drift: worst source", worst.source, "at", worst.psi_r,
+          "(>0.25 = investigate before it skews the mixture)")
+    fused = rrf_hybrid_topk(docs, emb, n_queries=3, out_k=3)
+    print("hybrid retrieval: top-3 per seed doc via RRF:",
+          [(r.query_id, r.doc_id) for r in fused.orderBy("query_id", "rnk").collect()])
+
 
 if __name__ == "__main__":
     main()
