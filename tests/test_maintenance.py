@@ -1222,3 +1222,22 @@ def test_qdigest_grouped_equals_per_group_builds(spark):
         solo = qdigest_build(df.filter(f"g = '{g}'"), "v", k=32)
         for r in qdigest_quantiles(solo, [500, 900]).collect():
             assert got[(g, r.q_permille)] == r.est, (g, r.q_permille)
+
+
+def test_kmv_set_ops_accuracy(spark):
+    """KMV set algebra vs exact truth on planted integer sets with a
+    known overlap: every estimate within 3 standard errors."""
+    from wing_binlog_go_spark.operators.stats import _KMV_K, kmv_set_ops
+
+    # |A| = 6000, |B| = 5000, |A∩B| = 1500 → J = 1500/9500
+    a = spark.range(0, 6000).selectExpr("id AS k")
+    b = spark.range(4500, 9500).selectExpr("id AS k")
+    row = kmv_set_ops(a, b).collect()[0]
+    se = 1.0 / (_KMV_K - 2) ** 0.5
+    assert abs(row.est_a - 6000) / 6000 < 3 * se
+    assert abs(row.est_b - 5000) / 5000 < 3 * se
+    assert abs(row.est_union - 9500) / 9500 < 3 * se
+    j = 1500 / 9500
+    jse = (j * (1 - j) / _KMV_K) ** 0.5
+    assert abs(row.jacc_r - j) < 4 * jse + 2 * 3 * se * j
+    assert abs(row.est_intersection - 1500) / 1500 < 0.35

@@ -1282,3 +1282,134 @@ QUERIES["q165_qdigest_by_group"] = QuerySpec(
 QUERIES["q165b_qdigest_group_quantiles"] = QuerySpec(
     _q_qdigest_grouped_quantiles, _qdigest_grouped_quantiles_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations (q166) — sketch-space corpus overlap audit
+# ---------------------------------------------------------------------------
+
+
+def kmv_set_ops(
+    set_a: DataFrame, set_b: DataFrame, k: int = _KMV_K
+) -> DataFrame:
+    """One row (est_a, est_b, est_union, jacc_r, est_intersection):
+    distinct-cardinality and overlap estimates for two key sets from
+    their KMV sketches (Beyer et al. 2007): the union sketch is the
+    bottom-k of the combined hashes (closure under union), the Jaccard
+    estimate is the fraction of the union's bottom-k present in BOTH
+    sets, and |A∩B| ≈ J·|A∪B|. The corpus-overlap audit a mixing
+    pipeline runs before weighting two sources — "how much of B's
+    vocabulary is already in A" — without ever joining the raw sets;
+    std error ~ sqrt(J(1−J)/k) on J. Inputs are single-column frames
+    of keys; all hashes share the q160 mixed family so the whole row
+    is cross-engine checkable."""
+    ha = set_a.select(
+        kmv_hash(set_a.columns[0]).alias("h")
+    ).distinct().localCheckpoint(eager=True)  # membership-probed twice
+    hb = set_b.select(
+        kmv_hash(set_b.columns[0]).alias("h")
+    ).distinct().localCheckpoint(eager=True)
+    union_k = kmv_bottom_k(ha.unionByName(hb), k)
+    est_u = kmv_estimate(union_k, k).select(
+        F.col("est_distinct").alias("est_union")
+    ).distinct()
+    est_a = kmv_estimate(kmv_bottom_k(ha, k), k).select(
+        F.col("est_distinct").alias("est_a")
+    ).distinct()
+    est_b = kmv_estimate(kmv_bottom_k(hb, k), k).select(
+        F.col("est_distinct").alias("est_b")
+    ).distinct()
+    both = (
+        union_k.join(ha, "h", "left_semi")
+        .join(hb, "h", "left_semi")
+        .agg(F.count("*").alias("n_both"))
+    )
+    n_union = union_k.agg(F.count("*").alias("n_k"))
+    jacc = (
+        both.crossJoin(F.broadcast(n_union))
+        .select((F.col("n_both") / F.col("n_k")).alias("jacc"))
+    )
+    return (
+        est_a.crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(jacc))
+        .select(
+            F.round("est_a", 4).alias("est_a"),
+            F.round("est_b", 4).alias("est_b"),
+            F.round("est_union", 4).alias("est_union"),
+            F.round("jacc", 6).alias("jacc_r"),
+            F.round(F.col("jacc") * F.col("est_union"), 4).alias(
+                "est_intersection"
+            ),
+        )
+    )
+
+
+def _q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wing_binlog_go_spark.operators.dedup import word_shingles
+    from wing_binlog_go_spark.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    grp_a = [f"src{i}" for i in range(5)]
+    grp_b = [f"src{i}" for i in range(5, 10)]
+
+    def shingle_set(srcs):
+        return (
+            docs.filter(F.col("source").isin(srcs))
+            .select(F.explode(word_shingles("text", 3)).alias("s"))
+            .filter(F.length("s") > 0)
+        )
+
+    return kmv_set_ops(shingle_set(grp_a), shingle_set(grp_b))
+
+
+def _kmv_set_ops_oracle() -> str:
+    k, b, seed, p = _KMV_K, _KMV_BASE, _KMV_SEED, _KMV_P
+    sh = """CASE WHEN len(t) >= 3
+            THEN list_transform(range(1, len(t) - 1),
+                                i -> array_to_string(t[i:i+2], ' '))
+            ELSE [array_to_string(t, ' ')] END"""
+    mix = (
+        f"list_reduce(list_prepend({seed}::BIGINT,"
+        f" list_transform(range(1, length(s) + 1), i -> ascii(s[i]))),"
+        f" (a, c) -> (a * {b} + c) % {p})"
+    )
+    return f"""
+WITH d AS (
+  SELECT source, string_split(lower(text), ' ') AS t FROM documents
+), sh AS MATERIALIZED (
+  SELECT source, unnest({sh}) AS s FROM d
+), ha AS MATERIALIZED (
+  SELECT DISTINCT (h1 * h1 + {_KMV_MIX2}) % {p} AS h FROM (
+    SELECT (h0 * h0 + {_KMV_MIX1}) % {p} AS h1 FROM (
+      SELECT {mix} AS h0 FROM sh
+      WHERE source IN ('src0','src1','src2','src3','src4') AND length(s) > 0))
+), hb AS MATERIALIZED (
+  SELECT DISTINCT (h1 * h1 + {_KMV_MIX2}) % {p} AS h FROM (
+    SELECT (h0 * h0 + {_KMV_MIX1}) % {p} AS h1 FROM (
+      SELECT {mix} AS h0 FROM sh
+      WHERE source IN ('src5','src6','src7','src8','src9') AND length(s) > 0))
+), uk AS MATERIALIZED (
+  SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb) ORDER BY h LIMIT {k}
+), ak AS (SELECT h FROM ha ORDER BY h LIMIT {k}),
+bk AS (SELECT h FROM hb ORDER BY h LIMIT {k}),
+est AS (
+  SELECT
+    (SELECT CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                 ELSE {float(k - 1)} * {float(p)} / MAX(h) END FROM ak) AS est_a,
+    (SELECT CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                 ELSE {float(k - 1)} * {float(p)} / MAX(h) END FROM bk) AS est_b,
+    (SELECT CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                 ELSE {float(k - 1)} * {float(p)} / MAX(h) END FROM uk) AS est_union,
+    (SELECT CAST(COUNT(*) AS DOUBLE) FROM uk
+     WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb))
+      / (SELECT COUNT(*) FROM uk) AS jacc
+)
+SELECT ROUND(est_a, 4) AS est_a, ROUND(est_b, 4) AS est_b,
+       ROUND(est_union, 4) AS est_union, ROUND(jacc, 6) AS jacc_r,
+       ROUND(jacc * est_union, 4) AS est_intersection
+FROM est
+"""
+
+
+QUERIES["q166_kmv_set_ops"] = QuerySpec(_q_kmv_set_ops, _kmv_set_ops_oracle())
