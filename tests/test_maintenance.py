@@ -1241,3 +1241,98 @@ def test_kmv_set_ops_accuracy(spark):
     jse = (j * (1 - j) / _KMV_K) ** 0.5
     assert abs(row.jacc_r - j) < 4 * jse + 2 * 3 * se * j
     assert abs(row.est_intersection - 1500) / 1500 < 0.35
+
+
+def test_compact_sketch_store_preserves_answers_and_blocks_replays(spark, tmp_path):
+    """compact_sketch_store: after collapsing N bkey partitions to one,
+    every reader returns BIT-IDENTICAL answers (the stored form is the
+    merged-but-uncompressed table the readers merge anyway), a full
+    changelog replay under a fresh checkpoint is still a no-op (the
+    _compacted.json manifest blocks absorbed bkeys), and re-running the
+    compaction converges."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.streaming.maintenance import (
+        compact_sketch_store,
+    )
+    from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
+    from wing_binlog_go_spark.streaming.sinks import (
+        cms_sketch_writer,
+        kmv_sketch_writer,
+        read_cms_sketch,
+        read_kmv_sketch,
+    )
+
+    texts = {
+        1: "alpha beta gamma alpha", 2: "beta delta epsilon",
+        3: "alpha zeta zeta eta", 4: "theta beta alpha",
+        5: "iota kappa alpha", 6: "beta beta lambda",
+    }
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    for fi, ids in enumerate([(1, 2), (3, 4), (5, 6)]):
+        with open(log_dir / f"f{fi}.jsonl", "w") as f:
+            for ev, did in enumerate(ids):
+                f.write(_json.dumps({
+                    "binlog_file": f"mysql-bin.{fi:06d}",
+                    "binlog_pos": 4 + ev * 50, "xid_commit": True,
+                    "database": "crawl", "table": "documents",
+                    "action": "insert", "row_no": 0, "before": None,
+                    "after": {"id": str(did), "text": texts[did]},
+                    "ddl_query": None,
+                    "ts_header": "2018-04-19T05:21:27.000Z", "gtid": None,
+                }) + "\n")
+
+    cms_store = str(tmp_path / "cms")
+    kmv_store = str(tmp_path / "kmv")
+    routes = [
+        Route("cms", cms_sketch_writer(cms_store, "crawl.documents",
+                                       width=64, depth=4)),
+        Route("kmv", kmv_sketch_writer(kmv_store, "crawl.documents",
+                                       key_field="text", k=8)),
+    ]
+    q = run_pipeline(
+        spark, str(log_dir), routes, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(90)
+
+    want_cms = {(r.j, r.col): r.cnt
+                for r in read_cms_sketch(spark, cms_store).collect()}
+    want_kmv = [(r.rnk, r.h, r.est_distinct)
+                for r in read_kmv_sketch(spark, kmv_store, k=8)
+                .orderBy("rnk").collect()]
+    n_parts = lambda d: sum(1 for e in os.listdir(d) if e.startswith("bkey="))
+    assert n_parts(cms_store) == 3 and n_parts(kmv_store) == 3
+
+    st = compact_sketch_store(spark, cms_store, "cms")
+    assert len(st["absorbed"]) == 3
+    st2 = compact_sketch_store(spark, kmv_store, "kmv", k=8)
+    assert len(st2["absorbed"]) == 3
+    assert n_parts(cms_store) == 1 and n_parts(kmv_store) == 1
+
+    got_cms = {(r.j, r.col): r.cnt
+               for r in read_cms_sketch(spark, cms_store).collect()}
+    got_kmv = [(r.rnk, r.h, r.est_distinct)
+               for r in read_kmv_sketch(spark, kmv_store, k=8)
+               .orderBy("rnk").collect()]
+    assert got_cms == want_cms
+    assert got_kmv == want_kmv
+
+    # replay the WHOLE changelog under a fresh checkpoint: absorbed
+    # bkeys are blocked by the manifest, the surviving partition by
+    # presence — the additive CMS sketch must NOT double-count
+    q = run_pipeline(
+        spark, str(log_dir), routes, str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(90)
+    assert {(r.j, r.col): r.cnt
+            for r in read_cms_sketch(spark, cms_store).collect()} == want_cms
+    assert n_parts(cms_store) == 1  # no partition was re-created
+
+    # compaction of a single partition is a no-op
+    assert compact_sketch_store(spark, cms_store, "cms")["absorbed"] == []

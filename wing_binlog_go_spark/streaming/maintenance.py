@@ -227,3 +227,122 @@ def optimize_zorder(
     )
     swap_dir(staged, path)
     return parquet_file_count(path)
+
+
+# ---------------------------------------------------------------------------
+# sketch-store compaction
+# ---------------------------------------------------------------------------
+
+def _sum_merge(group_cols, sum_col):
+    from pyspark.sql import functions as F
+
+    def merge(df, _params):
+        return df.groupBy(*group_cols).agg(F.sum(sum_col).alias(sum_col))
+
+    return merge
+
+
+def _kmv_merge(df, params):
+    from wing_binlog_go_spark.operators.stats import kmv_bottom_k
+
+    return kmv_bottom_k(df, int(params.get("k", 256)))
+
+
+# kind → merge fn over the concatenated partitions. Each stores the
+# MERGED-BUT-UNCOMPRESSED form, so the reader's own merge (sum /
+# bottom-k / recompress) gives BIT-IDENTICAL results over one compacted
+# partition or the original N — compaction can never change an answer,
+# only the partition count.
+_SKETCH_MERGES = {
+    "cms": _sum_merge(["j", "col"], "cnt"),
+    "mg": _sum_merge(["item"], "est"),
+    "kmv": _kmv_merge,
+    "qdigest": _sum_merge(["id"], "cnt"),
+}
+
+
+def sketch_manifest_path(store_dir: str) -> str:
+    return os.path.join(store_dir, "_compacted.json")
+
+
+def absorbed_batch_keys(store_dir: str) -> set:
+    """bkeys whose partitions were absorbed by a past compaction — the
+    writers' replay probes treat these as committed (the partition no
+    longer exists, but re-sketching the batch would double-count the
+    additive merges)."""
+    import json as _json
+
+    path = sketch_manifest_path(store_dir)
+    if not os.path.exists(path):
+        return set()
+    with open(path) as f:
+        return set(_json.load(f)["absorbed"])
+
+
+def compact_sketch_store(
+    spark: SparkSession, store_dir: str, kind: str, **params
+) -> dict:
+    """Collapse a sketch store's accumulated ``bkey=`` batch partitions
+    into ONE — the maintenance-window answer to a long-lived stream
+    route writing a partition per micro-batch (the reader's merge cost
+    grows with #batches; after compaction it is one partition again).
+
+    Correctness contract, in order:
+
+    1. The MANIFEST commits first (atomic tmp+rename): every absorbed
+       bkey is recorded in ``_compacted.json`` before any partition
+       moves, so an at-least-once replay of an absorbed batch is a
+       no-op from this moment on (the writers' probes consult the
+       manifest as well as partition presence). A crash after the
+       manifest but before the swap leaves both the manifest AND the
+       original partitions — the probe's OR makes that state safe, and
+       re-running the compaction converges.
+    2. The merged table stages under ``_staging/`` and lands as the
+       single partition ``bkey=<min absorbed key>`` via the
+       stage/retire/promote rename dance; the retired partitions are
+       removed only after the promote.
+    3. What is stored is the MERGED-BUT-UNCOMPRESSED form (summed CMS
+       cells / summed MG estimates / union bottom-k / node-wise summed
+       q-digest counts), so the read path — which merges anyway —
+       returns bit-identical answers before and after compaction.
+
+    Returns {"absorbed": [...], "kind": kind}."""
+    import json as _json
+
+    if kind not in _SKETCH_MERGES:
+        raise ValueError(
+            f"compact_sketch_store: unknown kind {kind!r} "
+            f"(one of {sorted(_SKETCH_MERGES)})"
+        )
+    data_root = store_dir
+    parts = sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(data_root)
+        if e.startswith("bkey=") and os.path.isdir(os.path.join(data_root, e))
+    )
+    if len(parts) <= 1:
+        return {"absorbed": [], "kind": kind}
+
+    # 1. manifest first — replays of absorbed batches must no-op even
+    # if we crash mid-swap
+    absorbed = sorted(set(parts) | absorbed_batch_keys(store_dir))
+    tmp = sketch_manifest_path(store_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"absorbed": absorbed}, f)
+    os.rename(tmp, sketch_manifest_path(store_dir))
+
+    # 2. merge and stage
+    merged = _SKETCH_MERGES[kind](
+        spark.read.parquet(data_root).drop("bkey"), params
+    )
+    keep_key = parts[0]
+    stage = os.path.join(data_root, "_staging", "compacted")
+    shutil.rmtree(stage, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(stage)
+
+    # 3. retire the old partitions, promote the merged one
+    for pkey in parts:
+        shutil.rmtree(os.path.join(data_root, f"bkey={pkey}"))
+    os.rename(stage, os.path.join(data_root, f"bkey={keep_key}"))
+    spark.catalog.refreshByPath(data_root)  # renames bypass the cache
+    return {"absorbed": absorbed, "kind": kind}

@@ -1043,6 +1043,24 @@ def read_novelty_stats(spark, store_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(store_dir, "novelty"))
 
 
+
+def _sketch_batch_committed(store_dir: str, part_dir: str, batch_key) -> bool:
+    """The sketch-store replay probe: a batch is committed if its
+    partition exists WITH parquet (rename-committed dirs always hold
+    files; bare dirs are pre-rename crash debris) OR its bkey was
+    absorbed by a past ``compact_sketch_store`` run (the partition is
+    gone, but re-sketching would double-count the additive merges —
+    the manifest is written before any partition moves, so this OR is
+    crash-safe across the whole compaction window)."""
+    from wing_binlog_go_spark.streaming.maintenance import absorbed_batch_keys
+
+    if os.path.isdir(part_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(part_dir)
+    ):
+        return True
+    return batch_key in absorbed_batch_keys(store_dir)
+
+
 def cms_sketch_writer(
     store_dir: str,
     table: str,
@@ -1087,16 +1105,12 @@ def cms_sketch_writer(
         )
         batch_key = docs.agg(F.min("doc_id")).collect()[0][0]
         part_dir = os.path.join(store_dir, f"bkey={batch_key}")
-        # committed = dir exists AND holds parquet: rename-committed
-        # dirs always contain files, so the extra check is free for
-        # them — it exists for stores created by the PRE-rename
-        # append-mode writer, where a crash could leave a bare bkey=
-        # directory; a dir-only probe would treat that debris as
-        # committed and permanently undercount the merged sketch
-        if os.path.isdir(part_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(part_dir)
-        ):
-            return  # replayed batch: partition rename already committed
+        # committed = partition-with-parquet OR absorbed-by-compaction
+        # (see _sketch_batch_committed; the parquet check exists for
+        # stores created by the PRE-rename append-mode writer, where a
+        # crash could leave a bare bkey= directory)
+        if _sketch_batch_committed(store_dir, part_dir, batch_key):
+            return  # replayed batch: already committed or absorbed
         toks = docs.select(
             F.explode(F.split(F.lower("_payload"), " ")).alias("tok")
         )
@@ -1169,13 +1183,9 @@ def mg_sketch_writer(
         )
         batch_key = docs.agg(F.min("doc_id")).collect()[0][0]
         part_dir = os.path.join(store_dir, f"bkey={batch_key}")
-        # dir + parquet-presence probe, not bare isdir — see
-        # cms_sketch_writer: protects pre-rename-era crash debris
-        # (a bare bkey= dir) from masquerading as a committed batch
-        if os.path.isdir(part_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(part_dir)
-        ):
-            return  # replayed batch: partition rename already committed
+        # partition-with-parquet OR absorbed — see _sketch_batch_committed
+        if _sketch_batch_committed(store_dir, part_dir, batch_key):
+            return  # replayed batch: already committed or absorbed
         toks = docs.select(
             F.explode(F.split(F.lower("_payload"), " ")).alias("tok")
         )
@@ -1252,11 +1262,9 @@ def kmv_sketch_writer(
         )
         batch_key = docs.agg(F.min("doc_id")).collect()[0][0]
         part_dir = os.path.join(store_dir, f"bkey={batch_key}")
-        # dir + parquet-presence probe — see cms_sketch_writer
-        if os.path.isdir(part_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(part_dir)
-        ):
-            return  # replayed batch: partition rename already committed
+        # partition-with-parquet OR absorbed — see _sketch_batch_committed
+        if _sketch_batch_committed(store_dir, part_dir, batch_key):
+            return  # replayed batch: already committed or absorbed
         sketch = kmv_bottom_k(
             docs.select(kmv_hash("_key").alias("h")), k
         )
@@ -1325,11 +1333,9 @@ def qdigest_sketch_writer(
         )
         batch_key = docs.agg(F.min("doc_id")).collect()[0][0]
         part_dir = os.path.join(store_dir, f"bkey={batch_key}")
-        # dir + parquet-presence probe — see cms_sketch_writer
-        if os.path.isdir(part_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(part_dir)
-        ):
-            return  # replayed batch: partition rename already committed
+        # partition-with-parquet OR absorbed — see _sketch_batch_committed
+        if _sketch_batch_committed(store_dir, part_dir, batch_key):
+            return  # replayed batch: already committed or absorbed
         sketch = qdigest_build(docs, "_value", bits=bits, k=k).select(
             "id", "cnt"
         )
