@@ -637,7 +637,8 @@ def test_round9_continuation_plan_hygiene(spark, sf_dir):
     # #sources and #bins, not data-sized
     scalar_bnlj_ok = {"q160_kmv_distinct", "q163_psi_drift",
                       "q164_qdigest", "q164b_qdigest_quantiles",
-                      "q165b_qdigest_group_quantiles"}
+                      "q165b_qdigest_group_quantiles",
+                      "q166_kmv_set_ops"}  # 1-row estimate joins
     for name in (
         "q160_kmv_distinct",
         "q161_triangle_count",
@@ -649,6 +650,8 @@ def test_round9_continuation_plan_hygiene(spark, sf_dir):
         "q165b_qdigest_group_quantiles",
         "q158_bpe_segments",
         "q159_minhash_sketch_rolling",
+        "q166_kmv_set_ops",
+        "q167_rrf_bm25_ann",
     ):
         p = plan_of(_Q[name].spark(spark, sf_dir))
         assert "CartesianProduct" not in p, name

@@ -3786,3 +3786,186 @@ ORDER BY query_id, rnk
 
 
 QUERIES["q162_rrf_hybrid"] = QuerySpec(_q_rrf_hybrid, _rrf_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Index-scale hybrid retrieval: BM25 + frozen-IVF ANN under RRF (q167)
+# ---------------------------------------------------------------------------
+
+_Q167_TERMS = ("hash", "stream", "spark")
+
+
+def rrf_bm25_ann(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: "list[str]",
+    cents: "list[list[float]]",
+    k_side: int = 20,
+    out_k: int = 10,
+    n_probe: int = 2,
+    rrf_c: int = _RRF_C,
+) -> DataFrame:
+    """The index-scale form of :func:`rrf_hybrid_topk` — the swap-in
+    its docstring promises, materialized: the LEXICAL list is real
+    Okapi BM25 over the query terms (q125's scorer — inverted-index
+    shape, term filter before any shuffle) and the DENSE list is
+    frozen-IVF ANN expansion (q38j's probe-pruned search) seeded by the
+    TOP BM25 HIT's embedding — classic pseudo-relevance feedback:
+    sparse retrieval finds the anchor, dense retrieval pulls in its
+    paraphrase neighborhood, RRF fuses the two rankings.
+
+    Determinism: the lexical ordering key is the ROUNDED BM25 (6dp,
+    exactly the value q125 hash-proves cross-engine; doc_id tiebreak),
+    the dense key is the q38j exact-fold contract, and the fusion is
+    rank-only. The seed never enters the dense list (IVF excludes
+    self) but keeps its lexical rank, so it fuses at the top on the
+    lexical signal alone — which is correct: it IS the best lexical
+    answer."""
+    from wing_binlog_go_spark.functions.text import bm25_scores
+
+    lex_all = bm25_scores(docs, list(query_terms)).filter(F.col("bm25") > 0)
+    w_lex = Window.orderBy(F.round("bm25", 6).desc(), F.asc("doc_id"))
+    lex = (
+        lex_all.withColumn("lex_rank", F.row_number().over(w_lex).cast("int"))
+        .filter(F.col("lex_rank") <= k_side)
+        .select("doc_id", "lex_rank")
+        .localCheckpoint(eager=True)  # seed lookup + fusion both read it
+    )
+    seed_q = (
+        lex.filter(F.col("lex_rank") == 1)
+        .join(emb, lex["doc_id"] == emb["vec_id"])
+        .select(F.col("doc_id").alias("query_id"), "embedding")
+    )
+    dense = ivf_topk_frozen(
+        emb, seed_q, cents, k=k_side, n_probe=n_probe
+    ).select(
+        F.col("vec_id").alias("doc_id"), F.col("rnk").alias("dense_rank")
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .withColumn(
+            "_rrf",
+            F.coalesce(1.0 / (F.lit(rrf_c) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_c) + F.col("dense_rank")), F.lit(0.0)),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.col("_rrf").desc(), "doc_id"))
+            .cast("int"),
+        )
+        .filter(F.col("rnk") <= out_k)
+    )
+    return fused.select(
+        "doc_id",
+        "rnk",
+        F.round("_rrf", 6).alias("rrf_r"),
+        F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+        F.coalesce("dense_rank", F.lit(0)).alias("dense_rank"),
+    )
+
+
+def _q_rrf_bm25_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wing_binlog_go_spark.tables import read_table as _rt
+
+    docs = _rt(spark, sf_dir, "documents")
+    emb = _rt(spark, sf_dir, "embeddings")
+    return rrf_bm25_ann(
+        docs, emb, list(_Q167_TERMS), load_frozen_centroids()
+    ).orderBy("rnk")
+
+
+def _rrf_bm25_ann_oracle(
+    k_side: int = 20, out_k: int = 10, n_probe: int = _Q38J_N_PROBE,
+    rrf_c: int = _RRF_C,
+) -> str:
+    terms = ", ".join(f"'{t}'" for t in _Q167_TERMS)
+    k_cents = len(load_frozen_centroids())
+    q_dists = ",\n         ".join(_frozen_dist_cols("qv"))
+    unpivot = "\n  UNION ALL\n".join(
+        f"  SELECT {i} AS cluster, d{i} AS dist FROM qd"
+        for i in range(k_cents)
+    )
+    return _frozen_assign_cte() + f""", tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), dlen AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+), hit AS (
+  SELECT * FROM tok WHERE term IN ({terms})
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM hit GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM hit) GROUP BY term
+), consts AS (
+  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+         (SELECT AVG(dl) FROM dlen) AS avgdl
+), bscore AS MATERIALIZED (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * 2.2)
+           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         ), 6) AS bm25
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN dlen ON tf.doc_id = dlen.doc_id
+  CROSS JOIN consts
+  GROUP BY tf.doc_id
+  HAVING SUM(tf) > 0
+), lex AS MATERIALIZED (
+  SELECT doc_id, lex_rank FROM (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+             AS lex_rank
+    FROM bscore WHERE bm25 > 0
+  ) WHERE lex_rank <= {k_side}
+), q AS MATERIALIZED (
+  SELECT l.doc_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv
+  FROM lex l JOIN embeddings e ON e.vec_id = l.doc_id
+  WHERE l.lex_rank = 1
+), qd AS MATERIALIZED (
+  SELECT {q_dists} FROM q
+), unpv AS MATERIALIZED (
+{unpivot}
+), probed AS MATERIALIZED (
+  SELECT cluster FROM (
+    SELECT cluster, ROW_NUMBER() OVER (ORDER BY dist, cluster) AS rn
+    FROM unpv
+  ) WHERE rn <= {n_probe}
+), cv AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, CAST(e.embedding AS DOUBLE[]) AS v,
+         {_sql_exact_norm("CAST(e.embedding AS DOUBLE[])")} AS n
+  FROM assigned a JOIN embeddings e USING (vec_id)
+), dense AS MATERIALIZED (
+  SELECT doc_id, dense_rank FROM (
+    SELECT c.vec_id AS doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY
+             {_sql_exact_dot("c.v", "q.qv")}
+               / (c.n * {_sql_exact_norm("q.qv")}) DESC,
+             c.vec_id) AS INTEGER) AS dense_rank
+    FROM cv c JOIN probed p ON c.cluster = p.cluster
+    CROSS JOIN q
+    WHERE c.vec_id <> (SELECT query_id FROM q)
+  ) WHERE dense_rank <= {k_side}
+), fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         l.lex_rank, d.dense_rank,
+         COALESCE(1.0 / ({rrf_c} + l.lex_rank), 0.0)
+           + COALESCE(1.0 / ({rrf_c} + d.dense_rank), 0.0) AS rrf
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, rnk, ROUND(rrf, 6) AS rrf_r,
+       COALESCE(lex_rank, 0) AS lex_rank,
+       COALESCE(dense_rank, 0) AS dense_rank
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER)
+    AS rnk
+  FROM fused
+) WHERE rnk <= {out_k}
+ORDER BY rnk
+"""
+
+
+QUERIES["q167_rrf_bm25_ann"] = QuerySpec(_q_rrf_bm25_ann, _rrf_bm25_ann_oracle())
