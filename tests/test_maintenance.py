@@ -1336,3 +1336,46 @@ def test_compact_sketch_store_preserves_answers_and_blocks_replays(spark, tmp_pa
 
     # compaction of a single partition is a no-op
     assert compact_sketch_store(spark, cms_store, "cms")["absorbed"] == []
+
+
+def test_compact_sketch_store_mg_and_qdigest_kinds(spark, tmp_path):
+    """The two remaining merge kinds: MG (summed estimates) and
+    Q-digest (node-wise summed counts — stored UNCOMPRESSED so the
+    reader's recompress is bit-identical before and after)."""
+    import os
+
+    from wing_binlog_go_spark.streaming.maintenance import compact_sketch_store
+    from wing_binlog_go_spark.streaming.sinks import (
+        read_mg_sketch,
+        read_qdigest_sketch,
+    )
+
+    mg_store = str(tmp_path / "mg")
+    for bkey, items in [(1, [("a", 3), ("b", 1)]), (5, [("a", 2), ("c", 4)])]:
+        spark.createDataFrame(items, "item string, est long").write.parquet(
+            os.path.join(mg_store, f"bkey={bkey}")
+        )
+    want_mg = {r.item: r.est for r in read_mg_sketch(spark, mg_store).collect()}
+    assert want_mg == {"a": 5, "b": 1, "c": 4}
+    st = compact_sketch_store(spark, mg_store, "mg")
+    assert st["absorbed"] == [1, 5]
+    assert {r.item: r.est
+            for r in read_mg_sketch(spark, mg_store).collect()} == want_mg
+
+    qd_store = str(tmp_path / "qd")
+    for bkey, nodes in [(1, [(1024 + 7, 9), (1024 + 8, 3)]),
+                        (9, [(1024 + 7, 2), (1024 + 100, 5)])]:
+        spark.createDataFrame(nodes, "id long, cnt long").write.parquet(
+            os.path.join(qd_store, f"bkey={bkey}")
+        )
+    want_qd = {r.id: r.cnt
+               for r in read_qdigest_sketch(spark, qd_store, k=4).collect()}
+    compact_sketch_store(spark, qd_store, "qdigest")
+    assert sum(1 for e in os.listdir(qd_store) if e.startswith("bkey=")) == 1
+    got_qd = {r.id: r.cnt
+              for r in read_qdigest_sketch(spark, qd_store, k=4).collect()}
+    assert got_qd == want_qd
+    # the compacted partition stores the UNCOMPRESSED node sums
+    raw = {r.id: r.cnt
+           for r in spark.read.parquet(os.path.join(qd_store, "bkey=1")).collect()}
+    assert raw == {1024 + 7: 11, 1024 + 8: 3, 1024 + 100: 5}
