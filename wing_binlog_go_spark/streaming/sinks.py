@@ -1416,9 +1416,11 @@ def drift_monitor_writer(
                 ).cast("long"),
             )
         )
-        if rows.isEmpty():
-            return
+        # one driver action doubles as the emptiness probe (min of an
+        # empty frame is NULL) — the curation_stats one-agg budget
         batch_key = rows.agg(F.min("doc_id")).collect()[0][0]
+        if batch_key is None:
+            return
         part_dir = os.path.join(store_dir, "psi", f"bkey={batch_key}")
         if os.path.isdir(part_dir) and any(
             f.endswith(".parquet") for f in os.listdir(part_dir)
