@@ -1379,3 +1379,172 @@ def test_compact_sketch_store_mg_and_qdigest_kinds(spark, tmp_path):
     raw = {r.id: r.cnt
            for r in spark.read.parquet(os.path.join(qd_store, "bkey=1")).collect()}
     assert raw == {1024 + 7: 11, 1024 + 8: 3, 1024 + 100: 5}
+
+
+def test_compact_sketch_store_crash_windows_converge(spark, tmp_path):
+    """The retire/promote window is RESTORABLE (r9 advice): a crash
+    anywhere between the staged-merge plan commit and the final cleanup
+    leaves either the original partitions or their hidden ``.old``
+    copies on disk, and the recovery probe at the next
+    ``compact_sketch_store`` entry rolls the run forward — no state
+    loses the store, none double-counts."""
+    import json as _json
+    import os
+
+    from wing_binlog_go_spark.streaming.maintenance import (
+        _sketch_compaction_plan_path,
+        compact_sketch_store,
+        sketch_manifest_path,
+    )
+    from wing_binlog_go_spark.streaming.sinks import read_mg_sketch
+
+    WANT = {"a": 5, "b": 1, "c": 4}
+
+    def build_store(name):
+        store = str(tmp_path / name)
+        for bkey, items in [(1, [("a", 3), ("b", 1)]),
+                            (5, [("a", 2), ("c", 4)])]:
+            spark.createDataFrame(
+                items, "item string, est long"
+            ).write.parquet(os.path.join(store, f"bkey={bkey}"))
+        return store
+
+    def seed_manifest_plan_stage(store):
+        """Reproduce the real run's state after the plan commit: the
+        manifest, the completed staged merge, and the plan file."""
+        with open(sketch_manifest_path(store), "w") as f:
+            _json.dump({"absorbed": [1, 5]}, f)
+        stage = os.path.join(store, "_staging", "compacted")
+        spark.createDataFrame(
+            list(WANT.items()), "item string, est long"
+        ).write.mode("overwrite").parquet(stage)
+        with open(_sketch_compaction_plan_path(store), "w") as f:
+            _json.dump({"keep": 1, "parts": [1, 5]}, f)
+
+    def assert_converged(store):
+        assert {r.item: r.est
+                for r in read_mg_sketch(spark, store).collect()} == WANT
+        assert sum(1 for e in os.listdir(store)
+                   if e.startswith("bkey=")) == 1
+        staging = os.path.join(store, "_staging")
+        if os.path.isdir(staging):
+            assert not any(e.endswith(".old") or e == "compacted"
+                           or e.endswith(".plan.json")
+                           for e in os.listdir(staging))
+        # the manifest still blocks replays of the absorbed batches
+        with open(sketch_manifest_path(store)) as f:
+            assert set(_json.load(f)["absorbed"]) == {1, 5}
+        # and a re-run is a clean no-op
+        assert compact_sketch_store(spark, store, "mg")["absorbed"] == []
+
+    # --- state A: crash MID-RETIRE (the advice's exact window: the old
+    # code rmtree'd here and the merge sat invisible under _staging) ---
+    st_a = build_store("a")
+    seed_manifest_plan_stage(st_a)
+    os.rename(os.path.join(st_a, "bkey=1"),
+              os.path.join(st_a, "_staging", "bkey=1.old"))
+    # bkey=5 still live; promote never happened
+    spark.catalog.refreshByPath(st_a)
+    compact_sketch_store(spark, st_a, "mg")
+    assert_converged(st_a)
+
+    # --- state B: crash AFTER the promote, before cleanup ---
+    st_b = build_store("b")
+    seed_manifest_plan_stage(st_b)
+    os.rename(os.path.join(st_b, "bkey=1"),
+              os.path.join(st_b, "_staging", "bkey=1.old"))
+    os.rename(os.path.join(st_b, "bkey=5"),
+              os.path.join(st_b, "_staging", "bkey=5.old"))
+    os.rename(os.path.join(st_b, "_staging", "compacted"),
+              os.path.join(st_b, "bkey=1"))  # the promote
+    spark.catalog.refreshByPath(st_b)
+    compact_sketch_store(spark, st_b, "mg")
+    assert_converged(st_b)  # WANT, not doubled: .olds must NOT restore
+
+    # --- state C: crash BEFORE the plan commit (half-written stage) ---
+    st_c = build_store("c")
+    stage = os.path.join(st_c, "_staging", "compacted")
+    spark.createDataFrame(
+        [("junk", 99)], "item string, est long"
+    ).write.parquet(stage)  # incomplete/stale merge, no plan
+    compact_sketch_store(spark, st_c, "mg")
+    assert_converged(st_c)
+
+
+def test_compact_sketch_store_injected_crash_then_rerun(spark, tmp_path, monkeypatch):
+    """Drive the REAL compaction and kill it at the promote rename (all
+    partitions already retired — the worst point): the next run must
+    recover the full store from the ``.old`` copies + staged merge."""
+    import os
+
+    from wing_binlog_go_spark.streaming import maintenance as M
+    from wing_binlog_go_spark.streaming.sinks import read_mg_sketch
+
+    store = str(tmp_path / "mg")
+    for bkey, items in [(1, [("a", 3), ("b", 1)]), (5, [("a", 2), ("c", 4)])]:
+        spark.createDataFrame(items, "item string, est long").write.parquet(
+            os.path.join(store, f"bkey={bkey}")
+        )
+    want = {r.item: r.est for r in read_mg_sketch(spark, store).collect()}
+
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        if src.endswith(os.path.join("_staging", "compacted")):
+            raise RuntimeError("injected crash at the promote")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(M.os, "rename", crashing_rename)
+    try:
+        M.compact_sketch_store(spark, store, "mg")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(M.os, "rename", real_rename)
+
+    # mid-crash: both partitions retired, merge staged but not promoted
+    assert not any(e.startswith("bkey=") for e in os.listdir(store)
+                   if os.path.isdir(os.path.join(store, e)))
+    assert os.path.isdir(os.path.join(store, "_staging", "compacted"))
+
+    st = M.compact_sketch_store(spark, store, "mg")  # heals, then no-ops
+    assert st["absorbed"] == []
+    spark.catalog.refreshByPath(store)
+    assert {r.item: r.est
+            for r in read_mg_sketch(spark, store).collect()} == want
+    assert sum(1 for e in os.listdir(store) if e.startswith("bkey=")) == 1
+
+
+def test_qdigest_writer_filters_non_numeric_values(spark, tmp_path):
+    """Non-numeric payloads must be FILTERED, not clamped to bin 0
+    (r9 advice): greatest() skips the NULL a failed cast produces, so
+    the uncast path silently counted garbage rows at value 0 and skewed
+    the low quantiles. The writer now applies drift_monitor_writer's
+    cast-and-filter rule."""
+    import os
+
+    from wing_binlog_go_spark.streaming.sinks import qdigest_sketch_writer
+
+    store = str(tmp_path / "qd")
+    w = qdigest_sketch_writer(store, "crawl.documents", value_field="v",
+                              bits=10, k=1024)
+    env = _env_batch(spark, [
+        ("insert", 1, {"id": "1", "v": "800"}),
+        ("insert", 2, {"id": "2", "v": "oops"}),       # non-numeric
+        ("insert", 3, {"id": "3", "v": "812"}),
+        ("insert", 4, {"id": "4", "v": ""}),           # empty string
+        ("insert", 5, {"id": "5", "v": "790"}),
+    ])
+    w(env, 0)
+    nodes = {r.id: r.cnt for r in spark.read.parquet(store).collect()}
+    # exactly the 3 numeric rows counted; nothing lands in the 0 leaf
+    assert sum(nodes.values()) == 3
+    assert (1 << 10) + 0 not in nodes
+    assert all(i >= (1 << 10) + 790 for i in nodes)
+
+    # a batch with ONLY unusable values is not an arrival: no partition
+    store2 = str(tmp_path / "qd2")
+    w2 = qdigest_sketch_writer(store2, "crawl.documents", value_field="v")
+    w2(_env_batch(spark, [("insert", 1, {"id": "9", "v": "nope"})]), 0)
+    assert not os.path.isdir(store2) or not any(
+        e.startswith("bkey=") for e in os.listdir(store2)
+    )

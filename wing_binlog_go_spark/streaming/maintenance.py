@@ -279,6 +279,72 @@ def absorbed_batch_keys(store_dir: str) -> set:
         return set(_json.load(f)["absorbed"])
 
 
+def _sketch_compaction_plan_path(store_dir: str) -> str:
+    return os.path.join(store_dir, "_staging", "compacted.plan.json")
+
+
+def _recover_sketch_compaction(store_dir: str) -> bool:
+    """Heal an interrupted ``compact_sketch_store`` run — the
+    multi-partition sibling of ``_recover_partition_swaps``, which
+    cannot be reused verbatim because N retired partitions promote into
+    ONE merged partition: restoring every ``.old`` whose live dir is
+    missing would double-count the absorbed batches after the promote.
+
+    The plan file (``_staging/compacted.plan.json``, committed via
+    tmp+fsync+rename only AFTER the staged merge finished writing)
+    disambiguates every crash window:
+
+    - plan present + stage dir present → the merge is complete but the
+      promote never happened: ROLL FORWARD — retire any still-live
+      absorbed partitions into ``_staging/bkey=<p>.old``, promote the
+      stage to ``bkey=<keep>``, then clean up.
+    - plan present + stage dir absent → the promote happened; only the
+      cleanup was interrupted: delete the ``.old`` copies and the plan.
+    - plan absent → any ``_staging/compacted`` dir is a half-written
+      merge (crash before the plan commit): discard it. ``.old`` dirs
+      cannot exist without a plan (the plan is deleted LAST), but are
+      swept defensively — they are invisible to reads either way.
+
+    Returns True if any rename/deletion was performed (the caller then
+    refreshes the listing cache)."""
+    import json as _json
+
+    staging = os.path.join(store_dir, "_staging")
+    if not os.path.isdir(staging):
+        return False
+    changed = False
+    plan_path = _sketch_compaction_plan_path(store_dir)
+    stage = os.path.join(staging, "compacted")
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            plan = _json.load(f)
+        keep, parts = int(plan["keep"]), [int(p) for p in plan["parts"]]
+        if os.path.isdir(stage):
+            # merge complete, promote pending: finish the retire+promote
+            for pkey in parts:
+                live = os.path.join(store_dir, f"bkey={pkey}")
+                old = os.path.join(staging, f"bkey={pkey}.old")
+                if os.path.isdir(live):
+                    if os.path.isdir(old):
+                        # a live copy alongside its retired .old can only
+                        # be a rewrite of an absorbed batch, which the
+                        # manifest forbids — keep the original .old
+                        shutil.rmtree(live)
+                    else:
+                        os.rename(live, old)
+            os.rename(stage, os.path.join(store_dir, f"bkey={keep}"))
+        # promote done (by us or before the crash): finish the cleanup
+        for entry in list(os.listdir(staging)):
+            if entry.startswith("bkey=") and entry.endswith(".old"):
+                shutil.rmtree(os.path.join(staging, entry))
+        os.remove(plan_path)
+        changed = True
+    elif os.path.isdir(stage):
+        shutil.rmtree(stage)  # merge crashed before the plan commit
+        changed = True
+    return changed
+
+
 def compact_sketch_store(
     spark: SparkSession, store_dir: str, kind: str, **params
 ) -> dict:
@@ -289,18 +355,27 @@ def compact_sketch_store(
 
     Correctness contract, in order:
 
-    1. The MANIFEST commits first (atomic tmp+rename): every absorbed
-       bkey is recorded in ``_compacted.json`` before any partition
-       moves, so an at-least-once replay of an absorbed batch is a
-       no-op from this moment on (the writers' probes consult the
+    0. A recovery probe (:func:`_recover_sketch_compaction`) heals any
+       interrupted prior run first — restoring retired ``.old``
+       partitions or promoting a completed staged merge, per its plan
+       file — so every entry state converges.
+    1. The MANIFEST commits first (atomic tmp+fsync+rename): every
+       absorbed bkey is recorded in ``_compacted.json`` before any
+       partition moves, so an at-least-once replay of an absorbed batch
+       is a no-op from this moment on (the writers' probes consult the
        manifest as well as partition presence). A crash after the
        manifest but before the swap leaves both the manifest AND the
        original partitions — the probe's OR makes that state safe, and
        re-running the compaction converges.
-    2. The merged table stages under ``_staging/`` and lands as the
-       single partition ``bkey=<min absorbed key>`` via the
-       stage/retire/promote rename dance; the retired partitions are
-       removed only after the promote.
+    2. The merged table stages under ``_staging/compacted``; once the
+       write finishes, the PLAN (keep key + absorbed keys) commits via
+       tmp+fsync+rename. Only then does the retire begin: each absorbed
+       ``bkey=<p>`` renames to ``_staging/bkey=<p>.old`` (hidden from
+       reads, recoverable), the stage promotes to ``bkey=<keep>``, and
+       the ``.old`` copies + plan are deleted LAST. A crash anywhere in
+       this window leaves either the originals or their ``.old`` copies
+       on disk — never a state where the only complete merge is
+       invisible — and the recovery probe rolls it forward.
     3. What is stored is the MERGED-BUT-UNCOMPRESSED form (summed CMS
        cells / summed MG estimates / union bottom-k / node-wise summed
        q-digest counts), so the read path — which merges anyway —
@@ -315,6 +390,8 @@ def compact_sketch_store(
             f"(one of {sorted(_SKETCH_MERGES)})"
         )
     data_root = store_dir
+    if _recover_sketch_compaction(store_dir):
+        spark.catalog.refreshByPath(data_root)  # renames bypass the cache
     parts = sorted(
         int(e.split("=", 1)[1])
         for e in os.listdir(data_root)
@@ -323,26 +400,44 @@ def compact_sketch_store(
     if len(parts) <= 1:
         return {"absorbed": [], "kind": kind}
 
+    def _commit_json(payload: dict, path: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+
     # 1. manifest first — replays of absorbed batches must no-op even
     # if we crash mid-swap
     absorbed = sorted(set(parts) | absorbed_batch_keys(store_dir))
-    tmp = sketch_manifest_path(store_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        _json.dump({"absorbed": absorbed}, f)
-    os.rename(tmp, sketch_manifest_path(store_dir))
+    _commit_json({"absorbed": absorbed}, sketch_manifest_path(store_dir))
 
-    # 2. merge and stage
+    # 2. merge, stage, then commit the plan (= "the staged merge is
+    # complete and covers exactly these partitions")
     merged = _SKETCH_MERGES[kind](
         spark.read.parquet(data_root).drop("bkey"), params
     )
     keep_key = parts[0]
-    stage = os.path.join(data_root, "_staging", "compacted")
+    staging = os.path.join(data_root, "_staging")
+    stage = os.path.join(staging, "compacted")
     shutil.rmtree(stage, ignore_errors=True)
     merged.write.mode("overwrite").parquet(stage)
+    _commit_json(
+        {"keep": keep_key, "parts": parts},
+        _sketch_compaction_plan_path(store_dir),
+    )
 
-    # 3. retire the old partitions, promote the merged one
+    # 3. retire the old partitions RESTORABLY, promote the merged one,
+    # delete the retired copies only after the promote
     for pkey in parts:
-        shutil.rmtree(os.path.join(data_root, f"bkey={pkey}"))
+        os.rename(
+            os.path.join(data_root, f"bkey={pkey}"),
+            os.path.join(staging, f"bkey={pkey}.old"),
+        )
     os.rename(stage, os.path.join(data_root, f"bkey={keep_key}"))
+    for pkey in parts:
+        shutil.rmtree(os.path.join(staging, f"bkey={pkey}.old"))
+    os.remove(_sketch_compaction_plan_path(store_dir))
     spark.catalog.refreshByPath(data_root)  # renames bypass the cache
     return {"absorbed": absorbed, "kind": kind}

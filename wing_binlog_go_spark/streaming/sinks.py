@@ -1313,7 +1313,16 @@ def qdigest_sketch_writer(
     double-count a replayed batch like CMS/MG).
 
     INSERT-ONLY, enforced loudly: a retraction raises — a count on a
-    dyadic range cannot un-see a deleted row's value."""
+    dyadic range cannot un-see a deleted row's value.
+
+    Non-numeric payloads are FILTERED, not clamped: ``qdigest_build``'s
+    domain clamp is ``least(greatest(cast(v AS long), 0), cap)`` and
+    Spark's ``greatest`` skips NULLs, so feeding it an uncast string
+    column would silently count every unparseable row in bin 0 and skew
+    the low quantiles (the ``drift_monitor_writer`` cast-and-filter
+    rule, applied here). The usability predicate requires the cast to
+    succeed, so the insert-only probe's count, the batch key, and the
+    sketched rows all agree on which rows are usable."""
     from wing_binlog_go_spark.operators.stats import qdigest_build
 
     if "://" in store_dir:
@@ -1322,14 +1331,21 @@ def qdigest_sketch_writer(
             f"(got {store_dir!r}) — the batch-commit probe is os-level"
         )
 
+    def _value_usable():
+        return (
+            F.element_at("event.data", id_field).cast("long").isNotNull()
+            & F.element_at("event.data", value_field).cast("long").isNotNull()
+        )
+
     def write(env: DataFrame, batch_id: int) -> None:
         if not _insert_only_probe(
-            env, table, "qdigest_sketch_writer",
-            _docs_usable(id_field, value_field),
+            env, table, "qdigest_sketch_writer", _value_usable()
         ):
             return
-        docs = _insert_docs(env, table, id_field, value_field).withColumnRenamed(
-            "text", "_value"
+        docs = (
+            _insert_docs(env, table, id_field, value_field)
+            .select("doc_id", F.col("text").cast("long").alias("_value"))
+            .filter(F.col("_value").isNotNull())
         )
         batch_key = docs.agg(F.min("doc_id")).collect()[0][0]
         part_dir = os.path.join(store_dir, f"bkey={batch_key}")
