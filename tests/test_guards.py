@@ -98,67 +98,75 @@ def test_registry_priority_window_and_no_failed_modules():
     """The driver verifies queries in registration order with a capped
     window (50/round). Coverage closed at round 4 (every registered
     query holds a driver CORRECTNESS row); the window keeps evidence
-    FRESH: round 9 leads with the three keys that have never earned a
-    driver hash row under their current oracle (q38n new this round;
-    q39x/q39y upgraded rows-only → unrolled-CTE BPE oracle this round),
-    then the ENTIRE r5-stale band — the 47 keys whose latest driver row
-    is round 5. The three r4 keys (q05/q13/q18) stay out one more round
-    by the judgment the r8 ledger already recorded as deliberate, and
-    lead the r10 window. No operator module may silently fail to import
-    (no-silent-caps)."""
+    FRESH: round 10 leads with the 14 late-r9 oracle keys that have
+    never earned a driver row (the r9 verdict marks them weak until
+    CORRECTNESS_r10 is green), then q111b (new: the frozen-phash twin
+    that oracles the multimodal family), then the r4-stale trio
+    q05/q13/q18, then 32 of the 47 r6-vintage keys. No operator module
+    may silently fail to import (no-silent-caps)."""
     from wing_binlog_go_spark import registry
 
     qs = registry.all_queries()
     assert registry.failed_modules == {}
     window = list(qs)[:50]
-    # (a) the new/upgraded oracles lead
-    assert window[:3] == [
-        "q38n_semantic_dedup_frozen",
-        "q39x_bpe_train",
-        "q39y_bpe_tokenize",
+    # (a) the never-driver-rowed r9 batch + the new q111b lead
+    assert window[:15] == [
+        "q39u_bpe_tokenize_frozen",
+        "q158_bpe_segments",
+        "q159_minhash_sketch_rolling",
+        "q160_kmv_distinct",
+        "q161_triangle_count",
+        "q162_rrf_hybrid",
+        "q163_psi_drift",
+        "q164_qdigest",
+        "q164b_qdigest_quantiles",
+        "q165_qdigest_by_group",
+        "q165b_qdigest_group_quantiles",
+        "q166_kmv_set_ops",
+        "q167_rrf_bm25_ann",
+        "q168_weighted_apss",
+        "q111b_multimodal_near_dup_frozen",
     ]
-    # (b) the full r5-stale band is in-window
+    # (b) the r4-stale trio follows, then the r6 band fills the window
+    assert window[15:18] == [
+        "q05_null_semantics",
+        "q13_cross_join",
+        "q18_approx_count_distinct",
+    ]
     for stale in (
-        "q14_tpch_q3", "q16_tpch_q1", "q15b_asof_merge",
-        "q28_intersect", "q29_string_functions", "q30_date_functions",
-        "q31_math_decimal", "q32_conditional", "q33_array_functions",
-        "q34_map_functions", "q35_json_functions", "q36_exact_dedup",
-        "q37b_simhash_dedup", "q38c_embedding_near_dup",
-        "q38h_incremental_semantic_dedup",
-        "q39_word_count", "q39b_token_stats", "q39c_bpe_token_count",
-        "q39d_quality_score", "q39e_lang_id", "q39f_fingerprint_md5",
-        "q39g_minhash_sketch", "q39j_pii_scan", "q39k_repetition",
-        "q39l_stratified_sample", "q39n_corpus_shuffle",
-        "q39o_token_budget", "q40_sampling", "q41_except",
-        "q42_in_subquery", "q43_pivot", "q44_stats_agg",
-        "q45_percentiles", "q46_min_max_by", "q47_filtered_agg",
-        "q48_date_trunc", "q49_string_agg", "q50_lateral_explode",
-        "q53_window_distribution", "q54_correlated_subquery",
-        "q106_grouping_sets", "q107_time_weighted_avg",
-        "q108_gap_fill_locf", "q109_counter_increase",
-        "q110_gap_fill_interp", "q111_multimodal_near_dup",
-        "q112_fuzzy_edit_join",
+        "q113_scd2_history", "q114_fuzzy_varlen_join",
+        "q115_pit_scd2_join", "q116_asof_tolerance", "q117_apss_join",
+        "q118_context_chunks", "q119_table_stats",
+        "q120_deterministic_split", "q121_gopher_quality",
+        "q122_table_checksum", "q123_text_normalize",
+        "q124_decontaminated_corpus", "q125_bm25", "q126_column_profile",
+        "q127_event_transitions", "q128_pmi_collocations",
+        "q129_dedup_clusters", "q130_decay_features", "q131_ri_audit",
+        "q132_windowed_funnel", "q133_last_touch_attribution",
+        "q134_snapshot_diff", "q135_inverted_index", "q136_asof_forward",
+        "q137_asof_nearest", "q138_containment_join",
+        "q140_khop_reachability", "q141_leakage_safe_split",
+        "q142_weighted_sample", "q38i_ann_ivfpq", "q39p_boilerplate",
+        "q39q_temperature_mix",
     ):
         assert stale in window, stale
-    # keys holding fresh r6/r7/r8 rows wait for r10 (alongside the
-    # documented r4 trio q05/q13/q18, which leads it)
+    # keys holding fresh r7/r8/r9 rows wait for r11, as do the 15
+    # documented leftovers (q39r/q39s/q39z + the q67-q79 extras — one
+    # slot yielded to q111b per the r9 verdict's ask #2)
     for deferred in (
-        "q05_null_semantics", "q13_cross_join",
-        "q18_approx_count_distinct",
-        "q01_parquet_scan", "q27_union", "q52_tpch_q5",
-        "q98_tpch_q8", "q105_mode_median", "q139_pagerank",
-        "q150_knn_graph", "q153_knn_coreset", "q155_incremental_knn_graph",
-        "q156_trustrank", "q157_fuzzy_decontamination",
-        "q38j_ann_ivf_frozen", "q38m_ann_ivfpq_frozen",
-        "q37f_minhash_rolling", "q149b_cms_rolling_hash",
-        "q152_classifier_heldout_auc",
+        "q14_tpch_q3", "q16_tpch_q1", "q38n_semantic_dedup_frozen",
+        "q39x_bpe_train", "q39y_bpe_tokenize", "q112_fuzzy_edit_join",
+        "q111_multimodal_near_dup", "q52_tpch_q5",
+        "q39r_winnowing", "q39s_bigram_lm", "q39z_bloom_decontamination",
+        "q67_histogram", "q79_top_terms_per_lang",
+        "q150_knn_graph", "q156_trustrank",
     ):
         assert deferred not in window, deferred
     # (c) the graded operator families keep in-window representation
-    for family in ("q37", "q38", "q39", "q14", "q106", "q112"):
+    for family in ("q38", "q39", "q113", "q117", "q125", "q160"):
         assert any(k.startswith(family) for k in window), family
     # (d) the priority block fills the window exactly — nothing with a
-    # fresh r6/r7/r8 row sneaks in ahead of stale evidence
+    # fresh r7/r8/r9 row sneaks in ahead of stale evidence
     assert len(registry._PRIORITY) == 50
     assert window == list(registry._PRIORITY)
     # priority list stays consistent with what's actually registered

@@ -1888,3 +1888,67 @@ def test_resample_sinc_beats_linear_near_nyquist():
     # not folded: 3 kHz is above the 2 kHz Nyquist of 4 kHz output
     down = codecs.resample_sinc(tone, 8000, 4000)
     assert np.sqrt(np.mean(down[cut] ** 2)) < 0.05  # vs 0.35 RMS input
+
+
+def test_q111b_frozen_phash_store_provenance_and_pairs(spark):
+    """The committed phash table (resources/phashes_q111.json) must be
+    exactly what the REAL codec path produces for the q111 fixture
+    media — the provenance that makes the q111b hash-match evidence FOR
+    the decode-backed family, not beside it. Per doc: 3 format
+    encodings share one hash (the q111 triangle), the chunk-1 variant
+    sits at hamming 1 (pairs), the chunk-0 variant at hamming 2
+    (candidate via the agreeing chunk, rejected by the verify) — so
+    q111b's 6 pairs/doc exercise accept, boundary, and reject."""
+    import numpy as np
+
+    from wing_binlog_go_spark.multimodal import decode_image
+    from wing_binlog_go_spark.multimodal.codecs import (
+        encode_bmp,
+        encode_png,
+        encode_webp,
+        grayscale,
+        phash64,
+    )
+    from wing_binlog_go_spark.multimodal.queries import (
+        _q_multimodal_near_dup_frozen,
+        load_frozen_phashes,
+    )
+
+    store = load_frozen_phashes()
+    committed = {int(m): int(h) for m, h in store["media"]}
+    assert store["max_hamming"] == 1 and store["n_chunks"] == 2
+    assert len(committed) == 40  # 8 docs x (3 formats + 2 variants)
+
+    def signed(h):
+        h &= 0xFFFFFFFFFFFFFFFF
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    for did in range(8):
+        img = np.random.RandomState(did).randint(
+            0, 256, (16, 16, 3), dtype=np.uint8
+        )
+        for k, payload in enumerate(
+            (encode_bmp(img), encode_png(img), encode_webp(img))
+        ):
+            real = phash64(grayscale(decode_image(payload)))
+            assert committed[did * 10 + k] == real, (did, k)
+        base = committed[did * 10]
+        assert committed[did * 10 + 3] == signed(base ^ (1 << 37))
+        assert committed[did * 10 + 4] == signed(base ^ 0b101)
+
+    pairs = _q_multimodal_near_dup_frozen(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(pairs) == 48  # 6 per doc x 8 docs
+    by_doc = {}
+    for r in pairs:
+        assert r.media_a // 10 == r.media_b // 10  # docs never cross-pair
+        by_doc.setdefault(r.media_a // 10, []).append(
+            (r.media_a % 10, r.media_b % 10, r.hamming)
+        )
+    want = sorted(
+        [(a, b, 0) for a in range(3) for b in range(a + 1, 3)]
+        + [(k, 3, 1) for k in range(3)]
+    )
+    for did, got in by_doc.items():
+        assert sorted(got) == want, did  # variant 4 rejected everywhere

@@ -84,3 +84,107 @@ def _q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q111_multimodal_near_dup"] = QuerySpec(_q_multimodal_near_dup, None)  # phash — no SQL oracle; exact triangle asserted in tests
+
+
+def load_frozen_phashes() -> dict:
+    """The committed perceptual-hash table for the fixture media
+    (``resources/phashes_q111.json``) — the q38e/q38n frozen-store
+    recipe applied to the multimodal family: the binary DECODE step has
+    no SQL oracle, so the hashes it produces were computed ONCE through
+    the real codec path (encode BMP/PNG/WebP → decode → grayscale →
+    ``codecs.phash64``) and committed; the pigeonhole candidate join +
+    exact hamming verify DOWNSTREAM of decode then enters both engines
+    as the same literals. Per doc: the 3 format encodings (identical
+    pixels → identical hash, the q111 triangle), plus two synthetic
+    boundary variants of the fixture hash — one bit flipped in chunk 1
+    (hamming 1: must pair via the agreeing chunk 0) and two bits
+    flipped in chunk 0 (hamming 2: candidate via chunk 1, rejected by
+    the exact verify) — so the hash-match exercises accept, boundary,
+    and reject paths, not just distance-0 triangles."""
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "resources", "phashes_q111.json",
+    )
+    with open(path) as f:
+        return _json.load(f)
+
+
+def _q_multimodal_near_dup_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q111's hash-matched twin: the SAME pigeonhole join operator
+    (``hamming_chunk_pairs``) over the committed phash table, scoped to
+    the sf's first-8 documents exactly like q111 synthesizes its media
+    corpus."""
+    from wing_binlog_go_spark.operators.dedup import hamming_chunk_pairs
+
+    store = load_frozen_phashes()
+    media = spark.createDataFrame(
+        [(int(m), int(h)) for m, h in store["media"]],
+        "media_id long, phash long",
+    )
+    first8 = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(8)
+    )
+    scoped = media.join(
+        F.broadcast(first8),
+        F.expr("media_id DIV 10") == F.col("doc_id"),
+        "left_semi",
+    )
+    return (
+        hamming_chunk_pairs(
+            scoped, "media_id", "phash",
+            max_hamming=int(store["max_hamming"]),
+            n_chunks=int(store["n_chunks"]),
+            out_a="media_a", out_b="media_b",
+        )
+        .select("media_a", "media_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("media_a", "media_b")
+    )
+
+
+def _q111b_oracle() -> str:
+    store = load_frozen_phashes()
+    vals = ", ".join(f"({int(m)}, CAST({int(h)} AS BIGINT))" for m, h in store["media"])
+    mh, nc = int(store["max_hamming"]), int(store["n_chunks"])
+    bits = 64 // nc
+    mask = (1 << bits) - 1
+    chunk_rows = " UNION ALL ".join(f"SELECT {c} AS chunk_no" for c in range(nc))
+    # DuckDB's >> on BIGINT is an ARITHMETIC shift where Spark's
+    # shiftrightunsigned is logical, but the & mask keeps only the low
+    # `bits` bits of the shifted value — the sign-fill difference lives
+    # entirely in the masked-away upper bits, so the chunk values agree
+    # bit-for-bit across engines for every sign of hash.
+    return f"""
+WITH media(media_id, phash) AS (VALUES {vals}),
+first8 AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 8),
+scoped AS (
+  SELECT m.media_id, m.phash
+  FROM media m JOIN first8 f ON m.media_id // 10 = f.doc_id
+),
+chunked AS (
+  SELECT s.media_id, s.phash, c.chunk_no,
+         (s.phash >> ({bits} * c.chunk_no)) & {mask} AS chunk
+  FROM scoped s, ({chunk_rows}) c
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+  FROM chunked a
+  JOIN chunked b
+    ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk
+   AND a.media_id < b.media_id
+)
+SELECT media_a, media_b, hamming FROM cand
+WHERE hamming <= {mh}
+ORDER BY media_a, media_b
+"""
+
+
+QUERIES["q111b_multimodal_near_dup_frozen"] = QuerySpec(
+    _q_multimodal_near_dup_frozen, _q111b_oracle()
+)

@@ -43,72 +43,75 @@ _OPERATOR_MODULES = (
 #: ``all_queries()`` call.  Tests assert this stays empty.
 failed_modules: dict[str, str] = {}
 
-# First 50 = the driver's verification window.  Round-9 layout (per the
-# r8 verdict's window plan): lead with the keys that have never earned
-# a driver CORRECTNESS hash row under their current oracle — q38n (new
-# this round) and q39x/q39y (rows-only → oracle upgrades this round) —
-# then the ENTIRE r5-stale band, exactly the 47 keys whose latest
-# driver row is round 5.  The three r4 keys stay out one more round by
-# the same judgment the r8 ledger already recorded as deliberate
-# (q05's family twin q51 holds an r7 row; q13 is the bounded-scale
-# cross-join audit baseline; q18 is rows-only-by-design): first driver
-# evidence for the three new/upgraded oracles is worth more than
-# refreshing those three, and they LEAD the r10 window.  Everything
-# r6+ rotates behind them.
+# First 50 = the driver's verification window.  Round-10 layout (per
+# the r9 verdict's asks #1/#2/#4): lead with the 14 late-r9 oracle keys
+# that have NEVER earned a driver row (builder-side oracle evidence
+# only — the verdict marks the whole batch weak until CORRECTNESS_r10
+# shows them green), then q111b (new this round: the frozen-phash twin
+# that finally oracles the multimodal family — verdict ask #2's done
+# criterion is its driver hash row), then the r4-stale trio
+# q05/q13/q18 (the oldest ledger entries, deferred twice by recorded
+# judgment), then 32 of the 47 r6-vintage keys — the operator-family
+# band q113–q142 plus q38i/q39p/q39q.  The 15 keys left older than r7
+# (q39r/q39s/q39z + the q67–q79 relational extras) rotate to r11; the
+# verdict's ≤14 target yields exactly one slot to q111b's driver row,
+# the higher-value evidence (q39r's winnowing family is covered by
+# q39f/q148 rows; the q67–q79 forms are trivial relational shapes).
 _PRIORITY = (
-    # Never driver-verified under the current oracle: q38n is new;
-    # q39x/q39y gained their unrolled-CTE BPE oracles this round.
-    "q38n_semantic_dedup_frozen",
-    "q39x_bpe_train",
-    "q39y_bpe_tokenize",
-    # The full r5-stale band (47 keys; latest driver row = round 5).
-    "q14_tpch_q3",
-    "q16_tpch_q1",
-    "q15b_asof_merge",
-    "q28_intersect",
-    "q29_string_functions",
-    "q30_date_functions",
-    "q31_math_decimal",
-    "q32_conditional",
-    "q33_array_functions",
-    "q34_map_functions",
-    "q35_json_functions",
-    "q36_exact_dedup",
-    "q37b_simhash_dedup",
-    "q38c_embedding_near_dup",
-    "q38h_incremental_semantic_dedup",
-    "q39_word_count",
-    "q39b_token_stats",
-    "q39c_bpe_token_count",
-    "q39d_quality_score",
-    "q39e_lang_id",
-    "q39f_fingerprint_md5",
-    "q39g_minhash_sketch",
-    "q39j_pii_scan",
-    "q39k_repetition",
-    "q39l_stratified_sample",
-    "q39n_corpus_shuffle",
-    "q39o_token_budget",
-    "q40_sampling",
-    "q41_except",
-    "q42_in_subquery",
-    "q43_pivot",
-    "q44_stats_agg",
-    "q45_percentiles",
-    "q46_min_max_by",
-    "q47_filtered_agg",
-    "q48_date_trunc",
-    "q49_string_agg",
-    "q50_lateral_explode",
-    "q53_window_distribution",
-    "q54_correlated_subquery",
-    "q106_grouping_sets",
-    "q107_time_weighted_avg",
-    "q108_gap_fill_locf",
-    "q109_counter_increase",
-    "q110_gap_fill_interp",
-    "q111_multimodal_near_dup",
-    "q112_fuzzy_edit_join",
+    # Never driver-verified (landed after the r9 driver run).
+    "q39u_bpe_tokenize_frozen",
+    "q158_bpe_segments",
+    "q159_minhash_sketch_rolling",
+    "q160_kmv_distinct",
+    "q161_triangle_count",
+    "q162_rrf_hybrid",
+    "q163_psi_drift",
+    "q164_qdigest",
+    "q164b_qdigest_quantiles",
+    "q165_qdigest_by_group",
+    "q165b_qdigest_group_quantiles",
+    "q166_kmv_set_ops",
+    "q167_rrf_bm25_ann",
+    "q168_weighted_apss",
+    # New this round: the multimodal family's first hash-matched key.
+    "q111b_multimodal_near_dup_frozen",
+    # The r4-stale trio — oldest rows in the ledger.
+    "q05_null_semantics",
+    "q13_cross_join",
+    "q18_approx_count_distinct",
+    # 32 of the r6-vintage band (latest driver row = round 6).
+    "q113_scd2_history",
+    "q114_fuzzy_varlen_join",
+    "q115_pit_scd2_join",
+    "q116_asof_tolerance",
+    "q117_apss_join",
+    "q118_context_chunks",
+    "q119_table_stats",
+    "q120_deterministic_split",
+    "q121_gopher_quality",
+    "q122_table_checksum",
+    "q123_text_normalize",
+    "q124_decontaminated_corpus",
+    "q125_bm25",
+    "q126_column_profile",
+    "q127_event_transitions",
+    "q128_pmi_collocations",
+    "q129_dedup_clusters",
+    "q130_decay_features",
+    "q131_ri_audit",
+    "q132_windowed_funnel",
+    "q133_last_touch_attribution",
+    "q134_snapshot_diff",
+    "q135_inverted_index",
+    "q136_asof_forward",
+    "q137_asof_nearest",
+    "q138_containment_join",
+    "q140_khop_reachability",
+    "q141_leakage_safe_split",
+    "q142_weighted_sample",
+    "q38i_ann_ivfpq",
+    "q39p_boilerplate",
+    "q39q_temperature_mix",
 )
 
 
