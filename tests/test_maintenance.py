@@ -1548,3 +1548,72 @@ def test_qdigest_writer_filters_non_numeric_values(spark, tmp_path):
     assert not os.path.isdir(store2) or not any(
         e.startswith("bkey=") for e in os.listdir(store2)
     )
+
+
+def test_sketch_writers_single_probe_action_per_batch(spark, tmp_path, monkeypatch):
+    """The sketch routes' batch key now rides in the insert-only
+    probe's aggregation (r9 verdict ask #5: per-batch fixed cost is the
+    end-to-end/gateway gap): a non-replayed batch must submit exactly
+    TWO driver actions — the probe (count + violation + min key in one
+    agg) and the staged sketch write — and a replayed batch exactly
+    ONE. Actions counted directly; AQE makes job ids the wrong unit."""
+    import pyspark.sql.readwriter as _RW
+
+    try:
+        import pyspark.sql.classic.dataframe as _D
+    except ImportError:  # pragma: no cover - older pyspark
+        import pyspark.sql.dataframe as _D
+
+    from wing_binlog_go_spark.streaming.sinks import (
+        cms_sketch_writer,
+        kmv_sketch_writer,
+        mg_sketch_writer,
+        qdigest_sketch_writer,
+        read_cms_sketch,
+    )
+
+    calls = {"count": 0, "collect": 0, "write": 0}
+    orig_count, orig_collect = _D.DataFrame.count, _D.DataFrame.collect
+    orig_parquet = _RW.DataFrameWriter.parquet
+    monkeypatch.setattr(_D.DataFrame, "count",
+                        lambda self: (calls.__setitem__("count", calls["count"] + 1),
+                                      orig_count(self))[1])
+    monkeypatch.setattr(_D.DataFrame, "collect",
+                        lambda self: (calls.__setitem__("collect", calls["collect"] + 1),
+                                      orig_collect(self))[1])
+    monkeypatch.setattr(
+        _RW.DataFrameWriter, "parquet",
+        lambda self, *a, **kw: (calls.__setitem__("write", calls["write"] + 1),
+                                orig_parquet(self, *a, **kw))[1],
+    )
+
+    env = _env_batch(spark, [
+        ("insert", 1, {"id": "1", "text": "alpha beta", "v": "7"}),
+        ("insert", 2, {"id": "2", "text": "beta gamma", "v": "9"}),
+    ])
+    writers = {
+        "cms": cms_sketch_writer(str(tmp_path / "cms"), "crawl.documents",
+                                 width=32, depth=2),
+        "mg": mg_sketch_writer(str(tmp_path / "mg"), "crawl.documents", k=4),
+        "kmv": kmv_sketch_writer(str(tmp_path / "kmv"), "crawl.documents",
+                                 key_field="text", k=4),
+        "qd": qdigest_sketch_writer(str(tmp_path / "qd"), "crawl.documents",
+                                    value_field="v", k=8),
+    }
+    for name, w in writers.items():
+        calls.update(count=0, collect=0, write=0)
+        w(env, 0)
+        assert calls == {"count": 0, "collect": 1, "write": 1}, (name, calls)
+        calls.update(count=0, collect=0, write=0)
+        w(env, 0)  # replay: probe only, partition presence short-circuits
+        assert calls == {"count": 0, "collect": 1, "write": 0}, (name, calls)
+
+    # the folded key equals the old min(doc_id) derivation: bkey=1
+    import os
+    for name in writers:
+        store = str(tmp_path / name)
+        assert sorted(
+            e for e in os.listdir(store) if e.startswith("bkey=")
+        ) == ["bkey=1"], name
+    assert {(r.j, r.col) for r in read_cms_sketch(
+        spark, str(tmp_path / "cms")).collect()}  # readable

@@ -360,7 +360,9 @@ def _insert_docs(
     )
 
 
-def _insert_only_probe(env: DataFrame, table: str, op_name: str, usable) -> int:
+def _insert_only_probe(
+    env: DataFrame, table: str, op_name: str, usable, key_expr=None
+):
     """The STORE-MAINTAINING routes' shared insert-only contract — the
     foreachBatch sibling of ``streaming.aggregate._fresh_inserts``: a
     CDC stream CAN carry UPDATE/DELETE envelopes for the maintained
@@ -376,20 +378,34 @@ def _insert_only_probe(env: DataFrame, table: str, op_name: str, usable) -> int:
     envelope (non-null id, parseable payload, ...): the return value is
     the count of USABLE insert rows, so the probe doubles as the
     routes' former ``docs.isEmpty()`` action — one driver job, not two.
+
+    ``key_expr`` (optional) folds the route's batch-key derivation into
+    the SAME aggregation: when given, the return value is the tuple
+    ``(n, min(key_expr) over usable insert rows)`` — the sketch routes'
+    at-least-once-stable ``min(doc_id)`` batch key used to cost a
+    second driver job per micro-batch on top of the probe (r9 verdict
+    ask #5: per-batch fixed cost is the end-to-end/gateway gap).
     """
+    aggs = [
+        F.sum(
+            ((F.col("event_type") == "insert") & usable).cast("long")
+        ).alias("n"),
+        F.max(
+            F.when(
+                ~F.col("event_type").isin("insert", "alter"),
+                F.col("event_type"),
+            )
+        ).alias("bad"),
+    ]
+    if key_expr is not None:
+        aggs.append(
+            F.min(
+                F.when((F.col("event_type") == "insert") & usable, key_expr)
+            ).alias("bkey")
+        )
     row = (
         env.filter(F.concat_ws(".", "database", "table") == table)
-        .agg(
-            F.sum(
-                ((F.col("event_type") == "insert") & usable).cast("long")
-            ).alias("n"),
-            F.max(
-                F.when(
-                    ~F.col("event_type").isin("insert", "alter"),
-                    F.col("event_type"),
-                )
-            ).alias("bad"),
-        )
+        .agg(*aggs)
         .collect()[0]
     )
     if row["bad"] is not None:
@@ -401,7 +417,8 @@ def _insert_only_probe(env: DataFrame, table: str, op_name: str, usable) -> int:
             "updates/deletes elsewhere, or retrain/rebuild the store "
             "offline and redeploy."
         )
-    return int(row["n"] or 0)
+    n = int(row["n"] or 0)
+    return (n, row["bkey"]) if key_expr is not None else n
 
 
 def _docs_usable(id_field: str, text_field: str):
@@ -1095,15 +1112,16 @@ def cms_sketch_writer(
         )
 
     def write(env: DataFrame, batch_id: int) -> None:
-        if not _insert_only_probe(
+        n, batch_key = _insert_only_probe(
             env, table, "cms_sketch_writer",
             _docs_usable(id_field, item_field),
-        ):
+            key_expr=F.element_at("event.data", id_field).cast("long"),
+        )
+        if not n:
             return
         docs = _insert_docs(env, table, id_field, item_field).withColumnRenamed(
             "text", "_payload"
         )
-        batch_key = docs.agg(F.min("doc_id")).collect()[0][0]
         part_dir = os.path.join(store_dir, f"bkey={batch_key}")
         # committed = partition-with-parquet OR absorbed-by-compaction
         # (see _sketch_batch_committed; the parquet check exists for
@@ -1173,15 +1191,16 @@ def mg_sketch_writer(
         )
 
     def write(env: DataFrame, batch_id: int) -> None:
-        if not _insert_only_probe(
+        n, batch_key = _insert_only_probe(
             env, table, "mg_sketch_writer",
             _docs_usable(id_field, item_field),
-        ):
+            key_expr=F.element_at("event.data", id_field).cast("long"),
+        )
+        if not n:
             return
         docs = _insert_docs(env, table, id_field, item_field).withColumnRenamed(
             "text", "_payload"
         )
-        batch_key = docs.agg(F.min("doc_id")).collect()[0][0]
         part_dir = os.path.join(store_dir, f"bkey={batch_key}")
         # partition-with-parquet OR absorbed — see _sketch_batch_committed
         if _sketch_batch_committed(store_dir, part_dir, batch_key):
@@ -1252,15 +1271,16 @@ def kmv_sketch_writer(
         )
 
     def write(env: DataFrame, batch_id: int) -> None:
-        if not _insert_only_probe(
+        n, batch_key = _insert_only_probe(
             env, table, "kmv_sketch_writer",
             _docs_usable(id_field, key_field),
-        ):
+            key_expr=F.element_at("event.data", id_field).cast("long"),
+        )
+        if not n:
             return
         docs = _insert_docs(env, table, id_field, key_field).withColumnRenamed(
             "text", "_key"
         )
-        batch_key = docs.agg(F.min("doc_id")).collect()[0][0]
         part_dir = os.path.join(store_dir, f"bkey={batch_key}")
         # partition-with-parquet OR absorbed — see _sketch_batch_committed
         if _sketch_batch_committed(store_dir, part_dir, batch_key):
@@ -1338,16 +1358,17 @@ def qdigest_sketch_writer(
         )
 
     def write(env: DataFrame, batch_id: int) -> None:
-        if not _insert_only_probe(
-            env, table, "qdigest_sketch_writer", _value_usable()
-        ):
+        n, batch_key = _insert_only_probe(
+            env, table, "qdigest_sketch_writer", _value_usable(),
+            key_expr=F.element_at("event.data", id_field).cast("long"),
+        )
+        if not n:
             return
         docs = (
             _insert_docs(env, table, id_field, value_field)
             .select("doc_id", F.col("text").cast("long").alias("_value"))
             .filter(F.col("_value").isNotNull())
         )
-        batch_key = docs.agg(F.min("doc_id")).collect()[0][0]
         part_dir = os.path.join(store_dir, f"bkey={batch_key}")
         # partition-with-parquet OR absorbed — see _sketch_batch_committed
         if _sketch_batch_committed(store_dir, part_dir, batch_key):
