@@ -546,6 +546,25 @@ def simhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _widen_for_verify(pairs: DataFrame, *key_cols: str) -> DataFrame:
+    """Re-spread a candidate-pair frame before a per-row-expensive
+    verify join.
+
+    AQE coalesces shuffle output by BYTES, and a candidate-pair row is
+    a few longs — so on a duplicate-heavy corpus the distinct() shuffle
+    can collapse millions of candidates into one or two partitions
+    while the verify cost (array_intersect over the full element sets,
+    weighted-overlap folds) is per ROW. Measured: q117's entire verify
+    stage ran on a single core for 20+ minutes at the synthetic sf1
+    corpus (10 near-copies per doc) because the pair frame coalesced to
+    2 partitions; the same query finishes in seconds once spread. An
+    explicit numbered repartition is exempt from AQE coalescing, so
+    verify parallelism tracks the candidate count; the extra shuffle
+    moves only (id, id) rows — noise next to the verify it unlocks."""
+    sc = pairs.sparkSession.sparkContext
+    return pairs.repartition(sc.defaultParallelism, *key_cols)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1644,6 +1663,7 @@ def apss_prefix_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
+    cand = _widen_for_verify(cand, "doc_a")
     sa = sets.select(
         F.col("doc").alias("doc_a"), F.col("els").alias("_ea"), F.col("n").alias("n_a")
     )
@@ -1876,6 +1896,7 @@ def _apss_verify(
         .select("a.da", "b.db")
         .distinct()
     )
+    cand = _widen_for_verify(cand, "da")
     sa = fresh.select(
         F.col("doc").alias("da"), F.col("els").alias("_ea"), F.col("n").alias("n_a")
     )
@@ -2020,6 +2041,7 @@ def containment_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
+    cand = _widen_for_verify(cand, "doc_a")
     sa = sets.select(
         F.col("doc").alias("doc_a"), F.col("els").alias("_ea"), F.col("n").alias("n_a")
     )
@@ -2076,6 +2098,7 @@ def _containment_verify(
 ) -> DataFrame:
     """Exact directional verify over candidate (doc_a, doc_b) pairs:
     containment = |A∩B| / |A| ≥ t, A the contained side."""
+    cand = _widen_for_verify(cand, "doc_a")
     sa = sets_a.select(
         F.col("doc").alias("doc_a"), F.col("els").alias("_ea"),
         F.col("n").alias("n_a"),
@@ -2708,6 +2731,7 @@ def weighted_apss_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    cand = _widen_for_verify(cand, "doc_a")
     ua = unit.select(F.col("doc").alias("doc_a"), "term", F.col("w").alias("wa"))
     ub = unit.select(F.col("doc").alias("doc_b"), "term", F.col("w").alias("wb"))
     verified = (

@@ -38,6 +38,19 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
+        # --- memory ------------------------------------------------------
+        # Spark's local-mode default driver heap is 1 GiB — on the declared
+        # test box (local[32], 128 GiB) that starves every broadcast build
+        # and hash aggregate into spill/GC, and a runtime-converted
+        # broadcast join of a mis-estimated side dies with
+        # "not enough memory to build and broadcast" (measured: q117's
+        # verify at the synthetic sf1 corpus). Static conf: effective only
+        # for the session that creates the JVM (spark-submit owns it on a
+        # real cluster).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        )
         # --- planner ---------------------------------------------------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
