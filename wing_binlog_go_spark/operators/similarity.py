@@ -2952,6 +2952,12 @@ def _q_ann_lsh_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cand = c if cand is None else cand.unionByName(c)
     cand = cand.distinct()
+    # pure (query_id, vec_id) pairs: re-spread before the per-row dot
+    # verify (AQE coalesces the tiny-bytes pair shuffle — see
+    # operators.dedup._widen_for_verify for the measured failure mode)
+    from wing_binlog_go_spark.operators.dedup import _widen_for_verify
+
+    cand = _widen_for_verify(cand, "query_id")
     qv = q.select("query_id", "_qv", "_qn")
     cv = corpus.select("vec_id", "_v", "_n")
     scored = (
@@ -3302,6 +3308,12 @@ def knn_graph(
         .select(F.col("a._id").alias("src"), F.col("bb._id").alias("dst"))
         .distinct()
     )
+    # pure (src, dst) pairs: re-spread before the per-row dot verify
+    # (AQE coalesces the tiny-bytes pair shuffle — see
+    # operators.dedup._widen_for_verify for the measured failure mode)
+    from wing_binlog_go_spark.operators.dedup import _widen_for_verify
+
+    cand = _widen_for_verify(cand, "src")
     sv = c.select(F.col(id_col).alias("src"), F.col("_v").alias("_sv"),
                   F.col("_n").alias("_sn"))
     dv = c.select(F.col(id_col).alias("dst"), F.col("_v").alias("_dv"),
