@@ -1145,40 +1145,78 @@ def embedding_near_dup_lsh(
     table are compared, so the join is equi on (table, bucket) — near
     dups at cos≥0.95 (θ≤18°) collide in one of 6 8-bit tables with
     p ≈ 1-(1-(1-18/180)^8)^6 ≈ 0.98."""
+    from wing_binlog_go_spark.operators.dedup import _widen_for_verify
+
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("_v")).withColumn(
         "_n", norm(F.col("_v"))
-    )
+    ).localCheckpoint(eager=True)  # bucket explode + both verify rejoins
     buckets = all_table_buckets(n_bits, n_tables, dim)
     b = c.select(
-        id_col, "_v", "_n", F.posexplode(buckets(F.col("_v"))).alias("tbl", "bkt")
+        F.col(id_col).alias("_id"),
+        F.posexplode(buckets(F.col("_v"))).alias("tbl", "bkt"),
     )
-    lhs = b.select(
-        F.col(id_col).alias("id_a"),
-        F.col("_v").alias("_va"),
-        F.col("_n").alias("_na"),
-        "tbl",
-        "bkt",
-    )
-    rhs = b.select(
-        F.col(id_col).alias("id_b"),
-        F.col("_v").alias("_vb"),
-        F.col("_n").alias("_nb"),
-        "tbl",
-        "bkt",
-    )
+    # ids-only candidates: a vector collides in MANY tables, and carrying
+    # the vectors through the distinct() would shuffle each duplicate
+    # candidate's full payload (measured: a 10-near-copy corpus put
+    # hundreds of GB through this distinct). Dedup the (id, id) pairs
+    # first, re-spread (AQE coalesces the tiny-bytes pair shuffle), THEN
+    # rejoin the vectors once per surviving pair for the exact verify.
     cand = (
-        lhs.join(rhs, ["tbl", "bkt"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb", "_na", "_nb")
+        b.alias("a")
+        .join(b.alias("bb"), ["tbl", "bkt"])
+        .filter(F.col("a._id") < F.col("bb._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("bb._id").alias("id_b"))
         .distinct()
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.round(
-            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
-        ).alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= threshold)
+    cand = _widen_for_verify(cand, "id_a")
+    va = c.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
+                  F.col("_n").alias("_na"))
+    vb = c.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
+                  F.col("_n").alias("_nb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def auto_lsh_params(
+    n: int,
+    threshold: float,
+    miss_bound: float = 1e-7,
+    target_bucket: int = 32,
+    max_bits: int = 16,
+) -> "tuple[int, int]":
+    """(n_bits, n_tables) sized to the corpus: bucket occupancy drives
+    candidate volume QUADRATICALLY (buckets hold ~n/2^b vectors, pairs
+    per bucket ~(n/2^b)²/2), so a fixed b stops pruning as n grows —
+    measured: b=4 at a 10× corpus put ~200M candidate pairs through the
+    verify. b = ceil(log2(n / target_bucket)) keeps per-bucket pairs
+    bounded; L then comes from the recall bound — a true pair at
+    cos = threshold agrees on one hyperplane with p = 1 - θ/π, on a
+    whole table with p^b, and misses every table with (1 - p^b)^L ≤
+    miss_bound. At n=200/t=0.95 this yields exactly the old (4, 16)
+    defaults, so small-corpus behavior is unchanged. ``max_bits`` caps
+    signature growth: past ~2^16 buckets per table, move to the IVF /
+    IVF-PQ paths (list-partitioned probe IO) instead of ever-wider LSH.
+    """
+    import math
+
+    n_bits = max(4, min(max_bits, math.ceil(math.log2(max(n, 1) / target_bucket))
+                        if n > target_bucket else 4))
+    p_plane = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p_table = p_plane ** n_bits
+    if p_table >= 1.0:
+        return n_bits, 1
+    n_tables = max(1, math.ceil(math.log(miss_bound) / math.log(1.0 - p_table)))
+    return n_bits, n_tables
 
 
 def embedding_near_dup_pairs(
@@ -1186,8 +1224,8 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bits: int = 4,
-    n_tables: int = 16,
+    n_bits: int | None = None,
+    n_tables: int | None = None,
     dim: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold — LSH-bucketed
@@ -1195,16 +1233,24 @@ def embedding_near_dup_pairs(
     the only join is equi on (table, bucket), never corpus×corpus
     (plan-gated in test_plans.py), and every surviving pair carries its
     EXACT cosine, so the output is a subset of the brute-force answer
-    with per-pair miss probability (1-(1-θ/π)^b)^L ≈ 4.7e-8 at the
-    defaults (b=4 hyperplanes × L=16 tables, θ = arccos 0.95) — far
-    below one expected miss per 10^7 true pairs. The q38c driver oracle
-    AND a local two-scale test both assert exact set equality with
+    with per-pair miss probability (1-(1-θ/π)^b)^L ≤ 1e-7 — far below
+    one expected miss per 10^6 true pairs. The q38c driver oracle AND a
+    local two-scale test both assert exact set equality with
     :func:`embedding_near_dup_bruteforce` on the fixture corpora.
 
-    Raise ``n_bits`` as the corpus grows (buckets must stay bounded)
-    and ``n_tables`` with it to hold the miss bound; the product
-    b·L only costs signature width, not join fan-out.
+    ``n_bits``/``n_tables`` default to CORPUS-SIZED values
+    (:func:`auto_lsh_params` — one count() when either is None): bucket
+    occupancy drives candidate volume quadratically, so the fixed b=4
+    the fixtures used stops pruning as the corpus grows, while the
+    table count re-derives from the recall bound so the miss
+    probability holds at every size. At the fixture scales the auto
+    values reproduce the old (4, 16) defaults exactly. Pass both
+    explicitly to pin a signature (e.g. for a persisted store).
     """
+    if n_bits is None or n_tables is None:
+        auto_b, auto_l = auto_lsh_params(corpus.count(), threshold)
+        n_bits = auto_b if n_bits is None else n_bits
+        n_tables = auto_l if n_tables is None else n_tables
     return embedding_near_dup_lsh(
         corpus, threshold, n_bits=n_bits, n_tables=n_tables, dim=dim,
         id_col=id_col, vec_col=vec_col,
