@@ -2663,3 +2663,28 @@ def test_weighted_apss_complete_vs_bruteforce(spark, sf_small):
             for r in weighted_apss_pairs(docs, threshold=t).collect()
         }
         assert got == want, t
+
+
+def test_auto_lsh_params_fixture_parity_and_scaling():
+    """auto_lsh_params must reproduce the pre-r10 (4, 16) signature at
+    fixture scale (so committed evidence is untouched), grow bits
+    logarithmically with the corpus (bounded bucket occupancy), grow
+    tables with bits (the recall bound), and cap signature width at the
+    documented IVF handoff point."""
+    import math
+
+    from wing_binlog_go_spark.operators.similarity import auto_lsh_params
+
+    assert auto_lsh_params(200, 0.95) == (4, 16)     # fixture parity
+    assert auto_lsh_params(1, 0.95)[0] == 4          # floor
+    prev_b = prev_l = 0
+    for n in (200, 2_000, 20_000, 10**6, 10**9):
+        b, l = auto_lsh_params(n, 0.95)
+        assert b >= prev_b and l >= prev_l, (n, b, l)
+        prev_b, prev_l = b, l
+        # the recall bound really holds at the returned (b, L)
+        p = (1.0 - math.acos(0.95) / math.pi) ** b
+        assert (1.0 - p) ** l <= 1e-7, (n, b, l)
+    assert auto_lsh_params(10**12, 0.95)[0] == 16    # max_bits cap
+    # a looser threshold needs fewer tables at the same bits
+    assert auto_lsh_params(200, 0.99)[1] <= auto_lsh_params(200, 0.95)[1]
