@@ -1330,6 +1330,12 @@ def fuzzy_prefix_pairs(
         (i * prefix_len // nseg, (i + 1) * prefix_len // nseg)
         for i in range(nseg)
     ]
+    # Spread the input first: a small corpus parquet reads as ONE
+    # partition, and with a broadcast-planned segment join the whole
+    # probe-explode → join → candidate pipeline would run inside that
+    # single scan task (measured: ~100 s single-core at sf0.1). One
+    # tiny shuffle of the raw texts buys full-width candidates.
+    docs = _widen_for_verify(docs, id_col)
     p = docs.filter(F.length(text_col) >= prefix_len).select(
         F.col(id_col), F.substring(text_col, 1, prefix_len).alias("_t")
     )
@@ -1369,6 +1375,10 @@ def fuzzy_prefix_pairs(
         )
         .distinct()
     )
+    # levenshtein on full texts is O(len_a·len_b) PER PAIR — even a few
+    # thousand candidates deserve every core (measured: ~100 s on one
+    # task at sf0.1 before the spread)
+    cand = _widen_for_verify(cand, "id_a", "id_b")
     return (
         cand.withColumn("dist", F.levenshtein("_ta", "_tb"))
         .filter(F.col("dist") <= k)
@@ -1442,6 +1452,9 @@ def fuzzy_edit_join(
     checks exactly that domain.
     """
     nseg = k + 1
+    # spread the input — same single-partition-scan reasoning as
+    # fuzzy_prefix_pairs
+    docs = _widen_for_verify(docs, id_col)
     p = docs.filter(F.length(text_col) > k).select(
         F.col(id_col), F.col(text_col).alias("_t"), F.length(text_col).alias("_l")
     )
@@ -1521,6 +1534,8 @@ def fuzzy_edit_join(
         )
         .distinct()
     )
+    # per-pair levenshtein cost — spread like the fixed-length form
+    cand = _widen_for_verify(cand, "id_a", "id_b")
     main = (
         cand.withColumn("dist", F.levenshtein("_ta", "_tb"))
         .filter(F.col("dist") <= k)
@@ -1559,6 +1574,7 @@ def fuzzy_edit_join(
             F.greatest("_stx", "_ptx").alias("_tb"),
         )
         .distinct()
+        .transform(lambda d: _widen_for_verify(d, "id_a", "id_b"))
         .withColumn("dist", F.levenshtein("_ta", "_tb"))
         .filter(F.col("dist") <= k)
         .select("id_a", "id_b", "dist")
@@ -1663,7 +1679,7 @@ def apss_prefix_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    cand = _widen_for_verify(cand, "doc_a")
+    cand = _widen_for_verify(cand, "doc_a", "doc_b")
     sa = sets.select(
         F.col("doc").alias("doc_a"), F.col("els").alias("_ea"), F.col("n").alias("n_a")
     )
@@ -1896,7 +1912,7 @@ def _apss_verify(
         .select("a.da", "b.db")
         .distinct()
     )
-    cand = _widen_for_verify(cand, "da")
+    cand = _widen_for_verify(cand, "da", "db")
     sa = fresh.select(
         F.col("doc").alias("da"), F.col("els").alias("_ea"), F.col("n").alias("n_a")
     )
@@ -2041,7 +2057,7 @@ def containment_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    cand = _widen_for_verify(cand, "doc_a")
+    cand = _widen_for_verify(cand, "doc_a", "doc_b")
     sa = sets.select(
         F.col("doc").alias("doc_a"), F.col("els").alias("_ea"), F.col("n").alias("n_a")
     )
@@ -2098,7 +2114,7 @@ def _containment_verify(
 ) -> DataFrame:
     """Exact directional verify over candidate (doc_a, doc_b) pairs:
     containment = |A∩B| / |A| ≥ t, A the contained side."""
-    cand = _widen_for_verify(cand, "doc_a")
+    cand = _widen_for_verify(cand, "doc_a", "doc_b")
     sa = sets_a.select(
         F.col("doc").alias("doc_a"), F.col("els").alias("_ea"),
         F.col("n").alias("n_a"),
@@ -2706,9 +2722,15 @@ def weighted_apss_pairs(
     ).localCheckpoint(eager=True)  # feeds maxw, postings, and verify
 
     maxw = unit.groupBy("term").agg(F.max("w").alias("maxw"))
-    order = maxw.withColumn(
-        "trank",
-        F.row_number().over(Window.orderBy(F.desc("maxw"), "term")).cast("long"),
+    # global vocabulary rank WITHOUT a partition-less window (which
+    # sorts the whole vocabulary on one task — the q53 flaw): the
+    # two-phase range-partitioned running count gives the identical
+    # row_number because the (maxw DESC, term) order is total (term is
+    # unique), so the tail-bound folds and the oracle hash are unchanged
+    from wing_binlog_go_spark.functions.envelope import with_dense_index
+
+    order = with_dense_index(
+        maxw, [F.col("maxw").desc(), F.col("term")], out="trank"
     )
     ranked = unit.join(order, "term")
     # inclusive tail bound per (doc, term): fold w·maxw over the doc's
@@ -2731,7 +2753,7 @@ def weighted_apss_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    cand = _widen_for_verify(cand, "doc_a")
+    cand = _widen_for_verify(cand, "doc_a", "doc_b")
     ua = unit.select(F.col("doc").alias("doc_a"), "term", F.col("w").alias("wa"))
     ub = unit.select(F.col("doc").alias("doc_b"), "term", F.col("w").alias("wb"))
     verified = (

@@ -1168,7 +1168,7 @@ def embedding_near_dup_lsh(
         .select(F.col("a._id").alias("id_a"), F.col("bb._id").alias("id_b"))
         .distinct()
     )
-    cand = _widen_for_verify(cand, "id_a")
+    cand = _widen_for_verify(cand, "id_a", "id_b")
     va = c.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
                   F.col("_n").alias("_na"))
     vb = c.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
@@ -3003,7 +3003,7 @@ def _q_ann_lsh_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operators.dedup._widen_for_verify for the measured failure mode)
     from wing_binlog_go_spark.operators.dedup import _widen_for_verify
 
-    cand = _widen_for_verify(cand, "query_id")
+    cand = _widen_for_verify(cand, "query_id", "vec_id")
     qv = q.select("query_id", "_qv", "_qn")
     cv = corpus.select("vec_id", "_v", "_n")
     scored = (
@@ -3359,7 +3359,7 @@ def knn_graph(
     # operators.dedup._widen_for_verify for the measured failure mode)
     from wing_binlog_go_spark.operators.dedup import _widen_for_verify
 
-    cand = _widen_for_verify(cand, "src")
+    cand = _widen_for_verify(cand, "src", "dst")
     sv = c.select(F.col(id_col).alias("src"), F.col("_v").alias("_sv"),
                   F.col("_n").alias("_sn"))
     dv = c.select(F.col(id_col).alias("dst"), F.col("_v").alias("_dv"),
