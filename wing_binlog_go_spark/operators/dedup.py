@@ -2754,23 +2754,56 @@ def weighted_apss_pairs(
         .distinct()
     )
     cand = _widen_for_verify(cand, "doc_a", "doc_b")
-    ua = unit.select(F.col("doc").alias("doc_a"), "term", F.col("w").alias("wa"))
-    ub = unit.select(F.col("doc").alias("doc_b"), "term", F.col("w").alias("wb"))
+    # Verify WITHOUT the per-(pair, term) groupBy: the old form joined
+    # candidates to per-term weight rows and collect_list-sorted every
+    # pair's shared terms — an object-aggregation sort whose spill grew
+    # with candidates × terms (measured: filled the disk at the
+    # synthetic sf1 corpus, where 10 near-copies per doc multiply true
+    # pairs ~1000×). Each doc's profile now rides as ONE row (sorted
+    # term array + term→weight map); the shared terms are
+    # array_intersect of two sorted arrays — which preserves the first
+    # array's ascending term order, exactly the old fold's sort order —
+    # and the dot product folds map lookups in that same order, so the
+    # floats (and the oracle hash) are bit-identical while the
+    # per-pair state is one bounded row.
+    profiles = unit.groupBy("doc").agg(
+        F.sort_array(F.collect_list("term")).alias("_terms"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("term", "w")))
+        ).alias("_wm"),
+    )
+    pa = profiles.select(
+        F.col("doc").alias("doc_a"),
+        F.col("_terms").alias("_tsa"), F.col("_wm").alias("_wma"),
+    )
+    pb = profiles.select(
+        F.col("doc").alias("doc_b"),
+        F.col("_terms").alias("_tsb"), F.col("_wm").alias("_wmb"),
+    )
+    if n_docs <= 500_000:
+        # broadcast the profile table while it plausibly fits (~GB at
+        # the cap): the candidate stream then never shuffles rows that
+        # carry profiles — the pair rows stay a few longs end to end
+        # and the fold runs map-side. Past the cap the joins fall back
+        # to shuffles; the duplicate-heavy stress run showed the wide
+        # intermediate is what actually hurts, so keep pair rows thin
+        # for as long as the corpus allows.
+        pa, pb = F.broadcast(pa), F.broadcast(pb)
     verified = (
-        cand.join(ua, "doc_a")
-        .join(ub, ["doc_b", "term"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
             F.round(
                 F.aggregate(
-                    F.sort_array(
-                        F.collect_list(F.struct("term", (F.col("wa") * F.col("wb")).alias("p")))
-                    ),
+                    F.array_intersect("_tsa", "_tsb"),
                     F.lit(0.0),
-                    lambda acc, x: acc + x["p"],
+                    lambda acc, t: acc
+                    + F.element_at("_wma", t) * F.element_at("_wmb", t),
                 ),
                 6,
-            ).alias("cos_r")
+            ).alias("cos_r"),
         )
         .filter(F.col("cos_r") >= threshold)
     )
