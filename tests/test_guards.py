@@ -98,72 +98,67 @@ def test_registry_priority_window_and_no_failed_modules():
     """The driver verifies queries in registration order with a capped
     window (50/round). Coverage closed at round 4 (every registered
     query holds a driver CORRECTNESS row); the window keeps evidence
-    FRESH: round 10 leads with the 14 late-r9 oracle keys that have
-    never earned a driver row (the r9 verdict marks them weak until
-    CORRECTNESS_r10 is green), then q111b (new: the frozen-phash twin
-    that oracles the multimodal family), then the r4-stale trio
-    q05/q13/q18, then 32 of the 47 r6-vintage keys. No operator module
-    may silently fail to import (no-silent-caps)."""
+    FRESH: round 11 leads with the 15 pre-r7 ledger keys (the r10
+    verdict's ask #2 drain list), then 35 of the 50 r7-vintage keys —
+    the q37/q38 production forms, the TPC-H q84–q97 band, the
+    q143–q149 band, the q39 curation forms, q80/q83. No operator
+    module may silently fail to import (no-silent-caps)."""
     from wing_binlog_go_spark import registry
 
     qs = registry.all_queries()
     assert registry.failed_modules == {}
     window = list(qs)[:50]
-    # (a) the never-driver-rowed r9 batch + the new q111b lead
+    # (a) the 15 pre-r7 ledger keys lead
     assert window[:15] == [
-        "q39u_bpe_tokenize_frozen",
-        "q158_bpe_segments",
-        "q159_minhash_sketch_rolling",
-        "q160_kmv_distinct",
-        "q161_triangle_count",
-        "q162_rrf_hybrid",
-        "q163_psi_drift",
-        "q164_qdigest",
-        "q164b_qdigest_quantiles",
-        "q165_qdigest_by_group",
-        "q165b_qdigest_group_quantiles",
-        "q166_kmv_set_ops",
-        "q167_rrf_bm25_ann",
-        "q168_weighted_apss",
-        "q111b_multimodal_near_dup_frozen",
+        "q39r_winnowing",
+        "q39s_bigram_lm",
+        "q39z_bloom_decontamination",
+        "q67_histogram",
+        "q68_sessionization",
+        "q69_funnel",
+        "q70_retention",
+        "q71_unpivot",
+        "q72_struct_ops",
+        "q74_time_bucket",
+        "q75_date_spine",
+        "q76_cube_grouping",
+        "q77_range_frame",
+        "q78_grouped_dedup",
+        "q79_top_terms_per_lang",
     ]
-    # (b) the r4-stale trio follows, then the r6 band fills the window
-    assert window[15:18] == [
-        "q05_null_semantics",
-        "q13_cross_join",
-        "q18_approx_count_distinct",
-    ]
+    # (b) the r7-vintage refresh band fills the window
     for stale in (
-        "q113_scd2_history", "q114_fuzzy_varlen_join",
-        "q115_pit_scd2_join", "q116_asof_tolerance", "q117_apss_join",
-        "q118_context_chunks", "q119_table_stats",
-        "q120_deterministic_split", "q121_gopher_quality",
-        "q122_table_checksum", "q123_text_normalize",
-        "q124_decontaminated_corpus", "q125_bm25", "q126_column_profile",
-        "q127_event_transitions", "q128_pmi_collocations",
-        "q129_dedup_clusters", "q130_decay_features", "q131_ri_audit",
-        "q132_windowed_funnel", "q133_last_touch_attribution",
-        "q134_snapshot_diff", "q135_inverted_index", "q136_asof_forward",
-        "q137_asof_nearest", "q138_containment_join",
-        "q140_khop_reachability", "q141_leakage_safe_split",
-        "q142_weighted_sample", "q38i_ann_ivfpq", "q39p_boilerplate",
-        "q39q_temperature_mix",
+        "q37_minhash_dedup", "q37c_ngram_jaccard", "q38_ann_brute_force",
+        "q38b_ann_lsh", "q38d_ann_ivf", "q38f_ann_pq",
+        "q38g_semantic_dedup",
+        "q84_tpch_q10", "q85_point_in_time_join", "q86_tpch_q18",
+        "q87_tpch_q7", "q88_tpch_q13", "q89_tpch_q16", "q90_tpch_q17",
+        "q91_tpch_q19", "q92_tpch_q22", "q93_tpch_q4", "q94_tpch_q6",
+        "q95_tpch_q14", "q96_tpch_q15", "q97_tpch_q21",
+        "q143_interval_overlap", "q144_weighted_sample_per_group",
+        "q145_ccnet_mix", "q146_quality_classifier",
+        "q147_classifier_filtered_corpus", "q148_ngram_novelty",
+        "q149_cms_heavy_hitters",
+        "q39h_tfidf", "q39i_decontamination", "q39m_sequence_pack",
+        "q39t_heavy_hitters", "q39v_source_cap",
+        "q80_quantile_bins", "q83_event_dedup_window",
     ):
         assert stale in window, stale
-    # keys holding fresh r7/r8/r9 rows wait for r11, as do the 15
-    # documented leftovers (q39r/q39s/q39z + the q67-q79 extras — one
-    # slot yielded to q111b per the r9 verdict's ask #2)
+    # keys holding fresh r8/r9/r10 rows wait their turn, as do the 15
+    # r7-vintage leftovers (q51, q55–q66, q81, q82 — rotate to r12)
     for deferred in (
         "q14_tpch_q3", "q16_tpch_q1", "q38n_semantic_dedup_frozen",
         "q39x_bpe_train", "q39y_bpe_tokenize", "q112_fuzzy_edit_join",
         "q111_multimodal_near_dup", "q52_tpch_q5",
-        "q39r_winnowing", "q39s_bigram_lm", "q39z_bloom_decontamination",
-        "q67_histogram", "q79_top_terms_per_lang",
+        "q168_weighted_apss", "q111b_multimodal_near_dup_frozen",
+        "q117_apss_join", "q125_bm25",
+        "q51_null_handling", "q55_first_last_value", "q66_bigrams",
+        "q81_doc_length_curation", "q82_cross_lingual_mix",
         "q150_knn_graph", "q156_trustrank",
     ):
         assert deferred not in window, deferred
     # (c) the graded operator families keep in-window representation
-    for family in ("q38", "q39", "q113", "q117", "q125", "q160"):
+    for family in ("q37", "q38", "q39", "q8", "q14", "q149"):
         assert any(k.startswith(family) for k in window), family
     # (d) the priority block fills the window exactly — nothing with a
     # fresh r7/r8/r9 row sneaks in ahead of stale evidence

@@ -43,75 +43,74 @@ _OPERATOR_MODULES = (
 #: ``all_queries()`` call.  Tests assert this stays empty.
 failed_modules: dict[str, str] = {}
 
-# First 50 = the driver's verification window.  Round-10 layout (per
-# the r9 verdict's asks #1/#2/#4): lead with the 14 late-r9 oracle keys
-# that have NEVER earned a driver row (builder-side oracle evidence
-# only — the verdict marks the whole batch weak until CORRECTNESS_r10
-# shows them green), then q111b (new this round: the frozen-phash twin
-# that finally oracles the multimodal family — verdict ask #2's done
-# criterion is its driver hash row), then the r4-stale trio
-# q05/q13/q18 (the oldest ledger entries, deferred twice by recorded
-# judgment), then 32 of the 47 r6-vintage keys — the operator-family
-# band q113–q142 plus q38i/q39p/q39q.  The 15 keys left older than r7
-# (q39r/q39s/q39z + the q67–q79 relational extras) rotate to r11; the
-# verdict's ≤14 target yields exactly one slot to q111b's driver row,
-# the higher-value evidence (q39r's winnowing family is covered by
-# q39f/q148 rows; the q67–q79 forms are trivial relational shapes).
+# First 50 = the driver's verification window.  Round-11 layout (per
+# the r10 verdict's ask #2): lead with the 15 keys whose latest driver
+# row is pre-r7 (q39r/q39s/q39z + the q67–q79 relational extras — the
+# oldest entries left in the staleness ledger), then fill the other 35
+# slots from the 50 r7-vintage keys, operator families before trivial
+# relational forms: the q37/q38 production dedup+ANN forms, the full
+# TPC-H q84–q97 band, the q143–q149 mixing/classifier/sketch band, the
+# q39 text-curation forms, and q80/q83.  The 15 r7-vintage keys that
+# don't fit (q51, q55–q66, q81, q82 — small relational/function
+# shapes, all regression-tested) rotate to r12; after r11 nothing in
+# the ledger is older than r7.
 _PRIORITY = (
-    # Never driver-verified (landed after the r9 driver run).
-    "q39u_bpe_tokenize_frozen",
-    "q158_bpe_segments",
-    "q159_minhash_sketch_rolling",
-    "q160_kmv_distinct",
-    "q161_triangle_count",
-    "q162_rrf_hybrid",
-    "q163_psi_drift",
-    "q164_qdigest",
-    "q164b_qdigest_quantiles",
-    "q165_qdigest_by_group",
-    "q165b_qdigest_group_quantiles",
-    "q166_kmv_set_ops",
-    "q167_rrf_bm25_ann",
-    "q168_weighted_apss",
-    # New this round: the multimodal family's first hash-matched key.
-    "q111b_multimodal_near_dup_frozen",
-    # The r4-stale trio — oldest rows in the ledger.
-    "q05_null_semantics",
-    "q13_cross_join",
-    "q18_approx_count_distinct",
-    # 32 of the r6-vintage band (latest driver row = round 6).
-    "q113_scd2_history",
-    "q114_fuzzy_varlen_join",
-    "q115_pit_scd2_join",
-    "q116_asof_tolerance",
-    "q117_apss_join",
-    "q118_context_chunks",
-    "q119_table_stats",
-    "q120_deterministic_split",
-    "q121_gopher_quality",
-    "q122_table_checksum",
-    "q123_text_normalize",
-    "q124_decontaminated_corpus",
-    "q125_bm25",
-    "q126_column_profile",
-    "q127_event_transitions",
-    "q128_pmi_collocations",
-    "q129_dedup_clusters",
-    "q130_decay_features",
-    "q131_ri_audit",
-    "q132_windowed_funnel",
-    "q133_last_touch_attribution",
-    "q134_snapshot_diff",
-    "q135_inverted_index",
-    "q136_asof_forward",
-    "q137_asof_nearest",
-    "q138_containment_join",
-    "q140_khop_reachability",
-    "q141_leakage_safe_split",
-    "q142_weighted_sample",
-    "q38i_ann_ivfpq",
-    "q39p_boilerplate",
-    "q39q_temperature_mix",
+    # Pre-r7 vintage — the verdict's ask #2 drain list.
+    "q39r_winnowing",
+    "q39s_bigram_lm",
+    "q39z_bloom_decontamination",
+    "q67_histogram",
+    "q68_sessionization",
+    "q69_funnel",
+    "q70_retention",
+    "q71_unpivot",
+    "q72_struct_ops",
+    "q74_time_bucket",
+    "q75_date_spine",
+    "q76_cube_grouping",
+    "q77_range_frame",
+    "q78_grouped_dedup",
+    "q79_top_terms_per_lang",
+    # r7-vintage: production dedup + similarity forms.
+    "q37_minhash_dedup",
+    "q37c_ngram_jaccard",
+    "q38_ann_brute_force",
+    "q38b_ann_lsh",
+    "q38d_ann_ivf",
+    "q38f_ann_pq",
+    "q38g_semantic_dedup",
+    # r7-vintage: the TPC-H q84–q97 band.
+    "q84_tpch_q10",
+    "q85_point_in_time_join",
+    "q86_tpch_q18",
+    "q87_tpch_q7",
+    "q88_tpch_q13",
+    "q89_tpch_q16",
+    "q90_tpch_q17",
+    "q91_tpch_q19",
+    "q92_tpch_q22",
+    "q93_tpch_q4",
+    "q94_tpch_q6",
+    "q95_tpch_q14",
+    "q96_tpch_q15",
+    "q97_tpch_q21",
+    # r7-vintage: mixing / classifier / sketch band.
+    "q143_interval_overlap",
+    "q144_weighted_sample_per_group",
+    "q145_ccnet_mix",
+    "q146_quality_classifier",
+    "q147_classifier_filtered_corpus",
+    "q148_ngram_novelty",
+    "q149_cms_heavy_hitters",
+    # r7-vintage: text-curation forms.
+    "q39h_tfidf",
+    "q39i_decontamination",
+    "q39m_sequence_pack",
+    "q39t_heavy_hitters",
+    "q39v_source_cap",
+    # r7-vintage: remaining operator-ish shapes.
+    "q80_quantile_bins",
+    "q83_event_dedup_window",
 )
 
 
