@@ -2688,3 +2688,9 @@ def test_auto_lsh_params_fixture_parity_and_scaling():
     assert auto_lsh_params(10**12, 0.95)[0] == 16    # max_bits cap
     # a looser threshold needs fewer tables at the same bits
     assert auto_lsh_params(200, 0.99)[1] <= auto_lsh_params(200, 0.95)[1]
+    # loose thresholds at saturated bits hit the max_tables clamp (the
+    # recall-derived L would otherwise run to hundreds of tables —
+    # ~620 at t=0.8 — multiplying the posexplode fan-out per vector);
+    # the clamp logs the weakened miss bound and points at IVF/IVF-PQ
+    assert auto_lsh_params(10**9, 0.8)[1] == 96
+    assert auto_lsh_params(10**9, 0.8, max_tables=32)[1] == 32

@@ -2655,6 +2655,7 @@ def weighted_apss_pairs(
     threshold: float = 0.9,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ext_beta: float = 0.2,
 ) -> DataFrame:
     """EXACT all-pairs TF-IDF cosine join — the WEIGHTED member of the
     APSS family (Bayardo et al. 2007 "Scaling Up All Pairs Similarity
@@ -2673,6 +2674,38 @@ def weighted_apss_pairs(
     term in one of the two tails, so dot ≤ tail_bound(a) +
     tail_bound(b) < t — no true pair is missed; candidates are exactly
     the prefix-posting equi-join, never doc × doc.
+
+    Candidate TIGHTENING (Bayardo norm bounds / L2AP-style suffix-norm
+    filter, adapted to the symmetric-prefix formulation): the raw t/2
+    bound admits every pair sharing ONE prefix term, which explodes on
+    duplicate-heavy corpora (measured ~10⁸ candidates at the synthetic
+    sf1 stress). Two additions, both on the EXISTING postings join:
+
+    * L2 prefix extension: beyond the sound t/2 core, each doc keeps
+      posting rows until its remaining suffix L2-norm falls below
+      ``ext_beta`` (default 0.2). Extension rows do NOT admit new
+      candidates — a pair must still share a CORE∩CORE term (the t/2
+      soundness argument) — they only feed the bound below. Measured
+      at sf0.1 the extension adds <5 % posting rows because the
+      high-weight head already carries most of the norm mass.
+    * Cauchy–Schwarz pair bound: the pair groupBy (the SAME shuffle
+      the old distinct() paid) accumulates the exact partial dot over
+      matched posted terms, dot_pp = Σ_M w_a·w_b, plus Σ_M w_a² and
+      Σ_M w_b². Every unmatched shared term is un-posted by at least
+      one side, so its mass sits in a tail of norm tn_d =
+      ‖d beyond its posted rows‖ ≤ ext_beta, and by Cauchy–Schwarz
+      dot ≤ dot_pp + tn_a·√(1−Σ_M w_b²) + tn_b·√(1−Σ_M w_a²).
+      Pairs whose bound cannot reach t are dropped before the verify
+      join (measured: 12.49 M → 34 k candidates at sf0.1, 366×).
+
+    The bound is ≥ the true dot under exact arithmetic; the filter
+    compares against t − 1e-9 so float non-associativity in the bound
+    sums (≈1e-15 relative) can never drop a true pair — pruned pairs
+    provably verify below t, so the output (and the oracle hash) is
+    unchanged. ``ext_beta`` trades posting volume for pruning power:
+    lower β posts more of each vector (β=0 posts everything — exact
+    dots, zero false candidates, maximal join width); on a corpus of
+    long documents raise β toward t/2 to keep posting lists short.
 
     Float determinism (the oracle hash-matches the full pipeline): the
     doc norm, the per-doc suffix bounds, and the verify dot product are
@@ -2699,7 +2732,18 @@ def weighted_apss_pairs(
         .groupBy("doc", "term")
         .agg(F.count("*").cast("double").alias("tf"))
     )
-    n_docs = tok.select("doc").distinct().count()  # scalar, one agg
+    # one scalar action: doc count (for idf) + posting count / term
+    # bytes (to size the verify-stage profile broadcast in BYTES — a
+    # doc-count gate alone lets long documents push the profile table
+    # past Spark's hard 8 GB broadcast limit and fail the job)
+    _stats = tok.agg(
+        F.countDistinct("doc").alias("nd"),
+        F.count("*").alias("np"),
+        F.sum(F.length("term")).alias("tl"),
+    ).first()
+    n_docs = int(_stats["nd"] or 0)
+    n_postings = int(_stats["np"] or 0)
+    term_chars = int(_stats["tl"] or 0)
     dfreq = tok.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     w_raw = tok.join(dfreq, "term").select(
         "doc", "term", (F.col("tf") * F.log(1.0 + F.lit(float(n_docs)) / F.col("df"))).alias("w")
@@ -2741,17 +2785,68 @@ def weighted_apss_pairs(
         .orderBy(F.desc("trank"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # posted rows = sound t/2 core ∪ L2 extension (docstring); both
+    # membership rules are monotone along the rank order, so the
+    # posted set stays a rank-closed head of each doc's terms and
+    # tn = the norm of everything after the LAST posted row — the
+    # second/third windows share the doc partitioning, no new shuffle
     prefix = (
         ranked.withColumn("tailb", F.sum(F.col("w") * F.col("maxw")).over(w_tail))
-        .filter(F.col("tailb") >= t_half)
-        .select("doc", "term")
+        .withColumn("sn2", F.sum(F.col("w") * F.col("w")).over(w_tail))
+        .withColumn("is_core", F.col("tailb") >= t_half)
+        .filter(
+            (F.col("tailb") >= t_half)
+            | (F.col("sn2") >= float(ext_beta) * float(ext_beta))
+        )
+        .withColumn(
+            "tn",
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    F.min(F.col("sn2") - F.col("w") * F.col("w")).over(
+                        Window.partitionBy("doc")
+                    ),
+                )
+            ),
+        )
+        .select("doc", "term", "w", "is_core", "tn")
     )
+    matches = prefix.select(
+        F.col("doc").alias("doc_a"), "term",
+        F.col("w").alias("wa"), F.col("is_core").alias("ca"),
+        F.col("tn").alias("tna"),
+    ).join(
+        prefix.select(
+            F.col("doc").alias("doc_b"), "term",
+            F.col("w").alias("wb"), F.col("is_core").alias("cb"),
+            F.col("tn").alias("tnb"),
+        ),
+        "term",
+    ).filter(F.col("doc_a") < F.col("doc_b"))
+    # the pair groupBy replaces the old distinct() — same shuffle keys,
+    # cheap multiply-add aggregates per matched row — and prunes pairs
+    # whose Cauchy–Schwarz bound cannot reach t. first(tn*) is a
+    # per-doc constant; the float margin is in the docstring.
+    _ra = F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - F.col("ma2")))
+    _rb = F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - F.col("mb2")))
     cand = (
-        prefix.select(F.col("doc").alias("doc_a"), "term")
-        .join(prefix.select(F.col("doc").alias("doc_b"), "term"), "term")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        matches.groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("dot_pp"),
+            F.sum(F.col("wa") * F.col("wa")).alias("ma2"),
+            F.sum(F.col("wb") * F.col("wb")).alias("mb2"),
+            F.max(F.col("ca") & F.col("cb")).alias("has_core"),
+            F.first("tna").alias("tna"),
+            F.first("tnb").alias("tnb"),
+        )
+        .filter(
+            F.col("has_core")
+            & (
+                F.col("dot_pp") + F.col("tna") * _rb + F.col("tnb") * _ra
+                >= threshold - 1e-9
+            )
+        )
         .select("doc_a", "doc_b")
-        .distinct()
     )
     cand = _widen_for_verify(cand, "doc_a", "doc_b")
     # Verify WITHOUT the per-(pair, term) groupBy: the old form joined
@@ -2780,14 +2875,18 @@ def weighted_apss_pairs(
         F.col("doc").alias("doc_b"),
         F.col("_terms").alias("_tsb"), F.col("_wm").alias("_wmb"),
     )
-    if n_docs <= 500_000:
-        # broadcast the profile table while it plausibly fits (~GB at
-        # the cap): the candidate stream then never shuffles rows that
-        # carry profiles — the pair rows stay a few longs end to end
-        # and the fold runs map-side. Past the cap the joins fall back
-        # to shuffles; the duplicate-heavy stress run showed the wide
-        # intermediate is what actually hurts, so keep pair rows thin
-        # for as long as the corpus allows.
+    # Broadcast gate in BYTES, not doc count: each profile row carries
+    # the doc's full term array + term→weight map, so long documents
+    # (thousands of unique terms) blow a count-only gate past Spark's
+    # HARD 8 GB broadcast-table limit — a job failure, not a spill.
+    # Estimate from the posting stats already collected: per posting ≈
+    # term chars twice (array + map key, UTF-8) + 8 B weight + ~24 B
+    # object overhead. Gate at 2 GiB (4× clear of the hard limit).
+    # Past the gate the joins fall back to shuffles — slower but
+    # correct at any corpus size; the candidate stream stays thin
+    # (a few longs per pair) while the corpus allows map-side folds.
+    est_profile_bytes = 2 * term_chars + 32 * n_postings
+    if est_profile_bytes <= 2 << 30:
         pa, pb = F.broadcast(pa), F.broadcast(pb)
     verified = (
         cand.join(pa, "doc_a")

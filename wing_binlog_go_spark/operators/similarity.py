@@ -21,6 +21,8 @@ aggregate) on doubles; no Python UDFs.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -30,6 +32,8 @@ from pyspark.sql.window import Window
 
 from wing_binlog_go_spark.plans.relational import QuerySpec
 from wing_binlog_go_spark.tables import read_table
+
+logger = logging.getLogger(__name__)
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -1134,8 +1138,8 @@ def ivfpq_topk(
 def embedding_near_dup_lsh(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_bits: int = 8,
-    n_tables: int = 6,
+    n_bits: int | None = 8,
+    n_tables: int | None = 6,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1144,12 +1148,21 @@ def embedding_near_dup_lsh(
     embedding_near_dup_pairs): only vectors sharing a bucket in some
     table are compared, so the join is equi on (table, bucket) — near
     dups at cos≥0.95 (θ≤18°) collide in one of 6 8-bit tables with
-    p ≈ 1-(1-(1-18/180)^8)^6 ≈ 0.98."""
+    p ≈ 1-(1-(1-18/180)^8)^6 ≈ 0.98.
+
+    Pass ``n_bits``/``n_tables`` as None to auto-size from the corpus
+    (:func:`auto_lsh_params`); the sizing count() runs on the
+    localCheckpoint'ed frame, so an uncached derived corpus's input
+    pipeline still executes exactly once per call."""
     from wing_binlog_go_spark.operators.dedup import _widen_for_verify
 
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("_v")).withColumn(
         "_n", norm(F.col("_v"))
     ).localCheckpoint(eager=True)  # bucket explode + both verify rejoins
+    if n_bits is None or n_tables is None:
+        auto_b, auto_l = auto_lsh_params(c.count(), threshold)
+        n_bits = auto_b if n_bits is None else n_bits
+        n_tables = auto_l if n_tables is None else n_tables
     buckets = all_table_buckets(n_bits, n_tables, dim)
     b = c.select(
         F.col(id_col).alias("_id"),
@@ -1193,6 +1206,7 @@ def auto_lsh_params(
     miss_bound: float = 1e-7,
     target_bucket: int = 32,
     max_bits: int = 16,
+    max_tables: int = 96,
 ) -> "tuple[int, int]":
     """(n_bits, n_tables) sized to the corpus: bucket occupancy drives
     candidate volume QUADRATICALLY (buckets hold ~n/2^b vectors, pairs
@@ -1206,6 +1220,17 @@ def auto_lsh_params(
     defaults, so small-corpus behavior is unchanged. ``max_bits`` caps
     signature growth: past ~2^16 buckets per table, move to the IVF /
     IVF-PQ paths (list-partitioned probe IO) instead of ever-wider LSH.
+    ``max_tables`` caps the posexplode fan-out symmetrically: once bits
+    saturate, LOOSER thresholds blow the recall-derived L up without
+    bound (threshold 0.8 at large n → ~620 tables, 0.7 → thousands),
+    multiplying per-vector work past anything the bucketing saves. The
+    default (96) clears every tight-threshold regime the engine
+    commits to (t ≥ 0.95 needs ≤ 81 tables even at n = 10⁹ with bits
+    saturated) so their 1e-7 recall contract is never silently
+    weakened; only the loose-threshold blowups hit the clamp, and the
+    clamp is LOUD — it logs the achieved miss bound at the capped L so
+    callers can see the recall contract weakened and move to the
+    IVF/IVF-PQ handoff above instead.
     """
     import math
 
@@ -1216,6 +1241,17 @@ def auto_lsh_params(
     if p_table >= 1.0:
         return n_bits, 1
     n_tables = max(1, math.ceil(math.log(miss_bound) / math.log(1.0 - p_table)))
+    if n_tables > max_tables:
+        achieved = (1.0 - p_table) ** max_tables
+        logger.warning(
+            "auto_lsh_params: recall bound %g at threshold=%g/n=%d wants "
+            "L=%d tables (> max_tables=%d); clamping to %d with per-pair "
+            "miss probability %.2e — for loose thresholds at this scale "
+            "use the IVF/IVF-PQ paths instead of wider LSH",
+            miss_bound, threshold, n, n_tables, max_tables, max_tables,
+            achieved,
+        )
+        n_tables = max_tables
     return n_bits, n_tables
 
 
@@ -1245,12 +1281,11 @@ def embedding_near_dup_pairs(
     table count re-derives from the recall bound so the miss
     probability holds at every size. At the fixture scales the auto
     values reproduce the old (4, 16) defaults exactly. Pass both
-    explicitly to pin a signature (e.g. for a persisted store).
+    explicitly to pin a signature (e.g. for a persisted store). The
+    sizing count() runs INSIDE :func:`embedding_near_dup_lsh` on its
+    localCheckpoint'ed frame, so a derived (uncached) corpus's input
+    pipeline executes once per call, not once per action.
     """
-    if n_bits is None or n_tables is None:
-        auto_b, auto_l = auto_lsh_params(corpus.count(), threshold)
-        n_bits = auto_b if n_bits is None else n_bits
-        n_tables = auto_l if n_tables is None else n_tables
     return embedding_near_dup_lsh(
         corpus, threshold, n_bits=n_bits, n_tables=n_tables, dim=dim,
         id_col=id_col, vec_col=vec_col,

@@ -25,6 +25,28 @@ _WAREHOUSE_DIR = os.environ.get("SPARK_GRAFT_WAREHOUSE") or os.path.join(
 )
 
 
+def _default_driver_mem() -> str:
+    """Driver-heap default derived from the machine, not assumed.
+
+    A flat 32g default (the declared 128 GiB bench box) gets the JVM
+    OOM-KILLED by the cgroup on smaller dev/CI machines — a hard kill,
+    not a spill. Take half of MemAvailable, clamped to [1g, 32g];
+    SPARK_GRAFT_DRIVER_MEM stays the explicit override for the bench
+    box. Falls back to Spark's own 1g default if /proc/meminfo is
+    unreadable (non-Linux).
+    """
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_kb = int(line.split()[1])
+                    gb = max(1, min(32, avail_kb // (2 * 1024 * 1024)))
+                    return f"{gb}g"
+    except OSError:
+        pass
+    return "1g"
+
+
 def get_spark(
     app_name: str = "wing-binlog-go-spark",
     master: str | None = None,
@@ -44,12 +66,15 @@ def get_spark(
         # and hash aggregate into spill/GC, and a runtime-converted
         # broadcast join of a mis-estimated side dies with
         # "not enough memory to build and broadcast" (measured: q117's
-        # verify at the synthetic sf1 corpus). Static conf: effective only
+        # verify at the synthetic sf1 corpus). The default is derived from
+        # the box (half of MemAvailable, clamped to 32g) so a cgroup-limited
+        # container is not OOM-killed by an oversized heap; the bench box
+        # pins it via SPARK_GRAFT_DRIVER_MEM. Static conf: effective only
         # for the session that creates the JVM (spark-submit owns it on a
         # real cluster).
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem(),
         )
         # --- planner ---------------------------------------------------
         .config("spark.sql.adaptive.enabled", "true")

@@ -339,9 +339,18 @@ def _recover_sketch_compaction(store_dir: str) -> bool:
                 shutil.rmtree(os.path.join(staging, entry))
         os.remove(plan_path)
         changed = True
-    elif os.path.isdir(stage):
-        shutil.rmtree(stage)  # merge crashed before the plan commit
-        changed = True
+    else:
+        if os.path.isdir(stage):
+            shutil.rmtree(stage)  # merge crashed before the plan commit
+            changed = True
+        # the documented defensive sweep: .old dirs cannot exist without
+        # a plan (the plan is deleted LAST), but if one ever does it is
+        # invisible to reads and unreachable by any recovery branch —
+        # remove it so the staging dir converges to empty
+        for entry in list(os.listdir(staging)):
+            if entry.startswith("bkey=") and entry.endswith(".old"):
+                shutil.rmtree(os.path.join(staging, entry))
+                changed = True
     return changed
 
 
