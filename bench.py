@@ -1,12 +1,25 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Paired-run protocol (the r10 verdict's drift adjudication, now built
+in): set SPARK_GRAFT_BENCH_PAIRED_REF to a checkout of the reference
+tree (the r8 bench tree, commit 4d1e4bb — ``git worktree add
+.claude/worktrees/r8tree 4d1e4bb``) and bench.py runs N interleaved
+pairs (SPARK_GRAFT_BENCH_PAIRS, default 5) of fresh-process bench runs
+— reference tree vs this tree, alternating which goes first — and
+writes paired medians to BENCH_PAIRED_r{round}.json. This box swings
+±25 % across sessions, so single-tree round-over-round totals cannot
+distinguish machine drift from a code regression; paired same-session
+medians can.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
@@ -41,7 +54,94 @@ HEADLINE = [
 ]
 
 
+def _bench_round(repo_dir: str) -> int:
+    """Round number = latest driver CORRECTNESS round + 1, so repeated
+    bench runs within one round overwrite the same side artifacts."""
+    correctness = [
+        int(name[len("CORRECTNESS_r"):-len(".json")])
+        for name in os.listdir(repo_dir)
+        if name.startswith("CORRECTNESS_r") and name.endswith(".json")
+        and name[len("CORRECTNESS_r"):-len(".json")].isdigit()
+    ]
+    return max(correctness, default=0) + 1
+
+
+def _run_tree_once(tree: str) -> dict | None:
+    """One fresh-process bench run of ``tree``; returns its parsed JSON
+    line (None on failure). The child env strips the paired-mode vars
+    so the run is a plain single-tree bench, and pins RUNS=2 (the r10
+    adjudication protocol)."""
+    env = dict(os.environ)
+    env.pop("SPARK_GRAFT_BENCH_PAIRED_REF", None)
+    env["SPARK_GRAFT_BENCH_RUNS"] = env.get("SPARK_GRAFT_BENCH_PAIRED_RUNS", "2")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(tree, "bench.py")],
+            cwd=tree, env=env, capture_output=True, text=True, timeout=1800,
+        )
+        line = out.stdout.strip().rsplit("\n", 1)[-1]
+        return json.loads(line)
+    except Exception as exc:  # noqa: BLE001 - recorded in the artifact
+        print(f"paired bench: run in {tree} failed: {exc}", file=sys.stderr)
+        return None
+
+
+def _paired_main(ref_tree: str) -> None:
+    """Interleaved paired bench: N pairs of (reference tree, this tree)
+    fresh-process runs, alternating which tree goes first so slow
+    box-drift within the session cancels. Emits ONE JSON line with the
+    paired medians and writes the full per-run record to
+    BENCH_PAIRED_r{round}.json."""
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    n_pairs = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "5"))
+    runs: list[dict] = []
+    for i in range(n_pairs):
+        order = [("ref", ref_tree), ("cur", repo_dir)]
+        if i % 2:
+            order.reverse()
+        for tag, tree in order:
+            res = _run_tree_once(tree)
+            runs.append({"pair": i, "tree": tag, "result": res})
+    totals = {
+        tag: [r["result"]["value"] for r in runs
+              if r["tree"] == tag and r["result"]]
+        for tag in ("ref", "cur")
+    }
+    med = {tag: round(statistics.median(v), 3) if v else None
+           for tag, v in totals.items()}
+    per_query: dict[str, dict] = {}
+    for tag in ("ref", "cur"):
+        qs = [r["result"]["queries"] for r in runs
+              if r["tree"] == tag and r["result"]]
+        for name in qs[0] if qs else {}:
+            vals = [q[name] for q in qs if name in q]
+            per_query.setdefault(name, {})[tag] = round(
+                statistics.median(vals), 3)
+    for name, d in per_query.items():
+        if d.get("ref") and d.get("cur"):
+            d["ratio"] = round(d["cur"] / d["ref"], 3)
+    result = {
+        "metric": "paired_headline_median_total",
+        "unit": "sec",
+        "pairs": n_pairs,
+        "ref_tree": ref_tree,
+        "median_total": med,
+        "cur_vs_ref": round(med["cur"] / med["ref"], 3)
+        if med["ref"] and med["cur"] else None,
+    }
+    path = os.path.join(
+        repo_dir, f"BENCH_PAIRED_r{_bench_round(repo_dir):02d}.json")
+    with open(path, "w") as f:
+        json.dump({**result, "per_query_median": per_query, "runs": runs},
+                  f, indent=1)
+    print(json.dumps(result))
+
+
 def main() -> None:
+    ref_tree = os.environ.get("SPARK_GRAFT_BENCH_PAIRED_REF")
+    if ref_tree:
+        _paired_main(ref_tree)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("wing-binlog-go-spark-bench")
@@ -119,16 +219,13 @@ def main() -> None:
     # map inlined overflowed the driver's tail capture and BENCH_r07
     # recorded parsed: null. The headline line must stay compact and
     # must be the LAST stdout line.
-    # Round number = latest driver CORRECTNESS round + 1, so repeated
-    # bench runs within one round overwrite the same dist file instead
-    # of minting a new number per invocation.
-    correctness = [
-        int(name[len("CORRECTNESS_r"):-len(".json")])
-        for name in os.listdir(repo_dir)
-        if name.startswith("CORRECTNESS_r") and name.endswith(".json")
-        and name[len("CORRECTNESS_r"):-len(".json")].isdigit()
-    ]
-    dist_round = max(correctness, default=0) + 1
+    dist_round = _bench_round(repo_dir)
+    # if this round has a committed paired-protocol artifact, reference
+    # it from the headline line so the driver's BENCH_r{N} points at
+    # the drift-adjudicated numbers
+    paired_path = f"BENCH_PAIRED_r{dist_round:02d}.json"
+    if os.path.exists(os.path.join(repo_dir, paired_path)):
+        result["paired_artifact"] = paired_path
     dist_path = os.path.join(repo_dir, f"BENCH_DIST_r{dist_round:02d}.json")
     with open(dist_path, "w") as f:
         json.dump(

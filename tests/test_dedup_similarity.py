@@ -2566,6 +2566,25 @@ def test_containment_corpus_update_swaps_the_container(spark, tmp_path):
     assert {r.doc_id for r in surv2.collect()} == {51}
 
 
+def test_rrf_hybrid_is_labeled_audit_twin_of_q167():
+    """q162's exact dense leg scales with corpus size (1.8 s at sf0.1 →
+    57 s at the sf1 decade, SCALE.md table 2), so it carries the q38
+    brute-force convention: the docstring must label it audit-only and
+    point at the index-backed production route (q167's rrf_bm25_ann),
+    so nobody wires the exhaustive form into a large-corpus pipeline."""
+    from wing_binlog_go_spark.operators.similarity import (
+        rrf_bm25_ann,
+        rrf_hybrid_topk,
+    )
+
+    doc = rrf_hybrid_topk.__doc__
+    assert "AUDIT-ONLY" in doc
+    assert "rrf_bm25_ann" in doc
+    # and the production route really is the index-backed form
+    assert "BM25" in rrf_bm25_ann.__doc__
+    assert "IVF" in rrf_bm25_ann.__doc__
+
+
 def test_rrf_hybrid_fuses_lexical_and_dense(spark):
     """RRF fusion: a planted doc that is BOTH the lexical and the dense
     top-1 for a query outranks docs that win only one list; docs
@@ -2614,10 +2633,11 @@ def test_rrf_hybrid_fuses_lexical_and_dense(spark):
 
 
 def test_weighted_apss_complete_vs_bruteforce(spark, sf_small):
-    """The t/2 symmetric suffix-bound prefix filter is COMPLETE: the
-    filtered join returns exactly the brute-force TF-IDF cosine pairs
-    at several thresholds, and the prefix postings are a strict subset
-    of the full postings (the filter actually prunes)."""
+    """BOTH candidate paths are COMPLETE: the dense-GEMM dispatch (the
+    fixture vocab is tiny, so it is the default route) and the sparse
+    t/2-prefix + L2-extension + Cauchy-Schwarz path (forced via
+    dense_vocab_cutoff=0) each return exactly the brute-force TF-IDF
+    cosine pairs at several thresholds."""
     from pyspark.sql import functions as F
 
     from wing_binlog_go_spark.operators.dedup import weighted_apss_pairs
@@ -2658,11 +2678,14 @@ def test_weighted_apss_complete_vs_bruteforce(spark, sf_small):
             (r.doc_a, r.doc_b)
             for r in brute.filter(F.col("cos_r") >= t).collect()
         }
-        got = {
-            (r.doc_a, r.doc_b)
-            for r in weighted_apss_pairs(docs, threshold=t).collect()
-        }
-        assert got == want, t
+        for cutoff in (1024, 0):  # dense dispatch, then forced sparse
+            got = {
+                (r.doc_a, r.doc_b)
+                for r in weighted_apss_pairs(
+                    docs, threshold=t, dense_vocab_cutoff=cutoff
+                ).collect()
+            }
+            assert got == want, (t, cutoff)
 
 
 def test_auto_lsh_params_fixture_parity_and_scaling():

@@ -652,7 +652,6 @@ def test_round9_continuation_plan_hygiene(spark, sf_dir):
         "q159_minhash_sketch_rolling",
         "q166_kmv_set_ops",
         "q167_rrf_bm25_ann",
-        "q168_weighted_apss",
     ):
         p = plan_of(_Q[name].spark(spark, sf_dir))
         assert "CartesianProduct" not in p, name
@@ -660,6 +659,16 @@ def test_round9_continuation_plan_hygiene(spark, sf_dir):
             assert "BroadcastNestedLoopJoin" not in p, name
         assert "BatchEvalPython" not in p, name
         assert "ArrowEvalPython" not in p, name
+    # q168 at fixture scale dispatches to the DOCUMENTED dense-GEMM
+    # candidate path (tiny vocab): the one Python node must be the
+    # blocked applyInPandas GEMM (one BLAS call per block pair — the
+    # IVF-assignment precedent), never row-at-a-time eval, and the
+    # block pairing is an equi-join on block ids, not a cartesian
+    p = plan_of(_Q["q168_weighted_apss"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "FlatMapGroupsInPandas" in p
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
 
 
 def test_triangle_closure_join_is_equi(spark, sf_dir):

@@ -2650,12 +2650,121 @@ def containment_corpus_update(
 # ---------------------------------------------------------------------------
 
 
+def _weighted_apss_candidates_dense(
+    unit: DataFrame,
+    order: DataFrame,
+    n_docs: int,
+    vocab: int,
+    threshold: float,
+) -> DataFrame:
+    """Blocked dense-GEMM candidate generation for SMALL vocabularies.
+
+    With a tiny vocabulary every posting list is hot: pairs sharing ≥1
+    term ≈ all pairs, so the prefix-postings self-join degenerates to
+    Σ_t c_t² row-products fanned over at most |vocab| shuffle keys —
+    measured at the synthetic sf1 stress (31-term vocab, 50k docs):
+    ~3.7·10¹⁰ matched rows on ≤31-way parallelism, unkillable by any
+    candidate bound because the bound never sees a row until the join
+    has produced it. The dense shape is the answer Spark can execute:
+    docs become unit-norm vocab-dim vectors, doc blocks pair up
+    (i ≤ j — each unordered pair lands in exactly ONE block-pair
+    group), and one NumPy GEMM per group scores every cross pair,
+    emitting only those with dot ≥ t − 1e-6. O(n²·V) flops total but
+    vectorized and perfectly balanced across (n/block)² tasks, with no
+    shuffle wider than rows × n_blocks.
+
+    Python boundary note (the similarity.py IVF-assignment precedent):
+    this is one BLAS call per block pair inside applyInPandas, not
+    row-at-a-time Python — the exact work a JVM expression cannot
+    express. The GEMM dot is a float64 sum whose error (~1e-13 for
+    vocab-sized folds) is far inside the 1e-6 candidate margin; every
+    candidate is re-scored by the exact pinned-order verify fold, so
+    the output (and the oracle hash) is unchanged by this path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from wing_binlog_go_spark.functions.envelope import with_dense_index
+
+    spark = unit.sparkSession
+    id_type = unit.schema["doc"].dataType.simpleString()
+    # ~32 MB per block matrix: two blocks + an 8 MB GEMM chunk per task
+    block = max(1024, min(8192, (32 << 20) // max(vocab * 8, 1)))
+    n_blocks = max(1, -(-n_docs // block))
+    docs_idx = (
+        with_dense_index(unit.select("doc").distinct(), [F.col("doc")], out="_didx")
+        .withColumn("_bid", ((F.col("_didx") - 1) / block).cast("int"))
+        .drop("_didx")
+    )
+    rows = (
+        unit.join(order.select("term", "trank"), "term")
+        .join(docs_idx, "doc")
+        .select("doc", "trank", "w", "_bid")
+    )
+    pair_ids = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bid_a int, bid_b int",
+    )
+    side_a = rows.join(
+        F.broadcast(pair_ids), rows["_bid"] == pair_ids["bid_a"]
+    ).select("doc", "trank", "w", "bid_a", "bid_b", F.lit(0).alias("_side"))
+    # diagonal groups reuse side a as both operands — don't ship twice
+    side_b = rows.join(
+        F.broadcast(pair_ids.filter(F.col("bid_a") != F.col("bid_b"))),
+        rows["_bid"] == pair_ids["bid_b"],
+    ).select("doc", "trank", "w", "bid_a", "bid_b", F.lit(1).alias("_side"))
+    thr = float(threshold) - 1e-6
+    n_dims = int(vocab)
+
+    def emit(key, pdf):
+        a = pdf[pdf["_side"] == 0]
+        b = a if key[0] == key[1] else pdf[pdf["_side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+
+        def mat(part):
+            ids = np.sort(part["doc"].unique())
+            pos = {d: i for i, d in enumerate(ids)}
+            m = np.zeros((len(ids), n_dims))
+            m[
+                part["doc"].map(pos).to_numpy(),
+                part["trank"].to_numpy(dtype=np.int64) - 1,
+            ] = part["w"].to_numpy(dtype=np.float64)
+            return ids, m
+
+        ia, ma = mat(a)
+        ib, mb = mat(b) if key[0] != key[1] else (ia, ma)
+        out_a: list = []
+        out_b: list = []
+        step = max(1, (8 << 20) // max(len(ib) * 8, 1))
+        for s in range(0, len(ia), step):
+            gram = ma[s : s + step] @ mb.T
+            hit = np.argwhere(gram >= thr)
+            if hit.size:
+                da, db = ia[hit[:, 0] + s], ib[hit[:, 1]]
+                keep = da < db
+                out_a.append(da[keep])
+                out_b.append(db[keep])
+        if not out_a:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+
+    return (
+        side_a.unionByName(side_b)
+        .groupBy("bid_a", "bid_b")
+        .applyInPandas(emit, schema=f"doc_a {id_type}, doc_b {id_type}")
+    )
+
+
 def weighted_apss_pairs(
     docs: DataFrame,
     threshold: float = 0.9,
     id_col: str = "doc_id",
     text_col: str = "text",
     ext_beta: float = 0.2,
+    dense_vocab_cutoff: int = 1024,
 ) -> DataFrame:
     """EXACT all-pairs TF-IDF cosine join — the WEIGHTED member of the
     APSS family (Bayardo et al. 2007 "Scaling Up All Pairs Similarity
@@ -2738,10 +2847,12 @@ def weighted_apss_pairs(
     # past Spark's hard 8 GB broadcast limit and fail the job)
     _stats = tok.agg(
         F.countDistinct("doc").alias("nd"),
+        F.countDistinct("term").alias("nv"),
         F.count("*").alias("np"),
         F.sum(F.length("term")).alias("tl"),
     ).first()
     n_docs = int(_stats["nd"] or 0)
+    vocab = int(_stats["nv"] or 0)
     n_postings = int(_stats["np"] or 0)
     term_chars = int(_stats["tl"] or 0)
     dfreq = tok.groupBy("term").agg(F.count("*").cast("double").alias("df"))
@@ -2785,6 +2896,15 @@ def weighted_apss_pairs(
         .orderBy(F.desc("trank"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    if 0 < vocab <= dense_vocab_cutoff:
+        # tiny vocabulary ⇒ every posting list is hot and the sparse
+        # self-join degenerates quadratically on ≤|vocab| shuffle keys
+        # (see _weighted_apss_candidates_dense) — candidates come from
+        # the blocked GEMM instead; the verify below is unchanged
+        cand = _weighted_apss_candidates_dense(
+            unit, order, n_docs, vocab, threshold
+        )
+        return _weighted_apss_verify(unit, cand, threshold, n_docs, n_postings, term_chars)
     # posted rows = sound t/2 core ∪ L2 extension (docstring); both
     # membership rules are monotone along the rank order, so the
     # posted set stays a rank-closed head of each doc's terms and
@@ -2848,19 +2968,36 @@ def weighted_apss_pairs(
         )
         .select("doc_a", "doc_b")
     )
+    return _weighted_apss_verify(
+        unit, cand, threshold, n_docs, n_postings, term_chars
+    )
+
+
+def _weighted_apss_verify(
+    unit: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    n_docs: int,
+    n_postings: int,
+    term_chars: int,
+) -> DataFrame:
+    """Exact verify shared by the sparse-postings and dense-GEMM
+    candidate paths — the stage whose float order the oracle replays.
+
+    Verify WITHOUT the per-(pair, term) groupBy: the old form joined
+    candidates to per-term weight rows and collect_list-sorted every
+    pair's shared terms — an object-aggregation sort whose spill grew
+    with candidates × terms (measured: filled the disk at the
+    synthetic sf1 corpus, where 10 near-copies per doc multiply true
+    pairs ~1000×). Each doc's profile now rides as ONE row (sorted
+    term array + term→weight map); the shared terms are
+    array_intersect of two sorted arrays — which preserves the first
+    array's ascending term order, exactly the old fold's sort order —
+    and the dot product folds map lookups in that same order, so the
+    floats (and the oracle hash) are bit-identical while the
+    per-pair state is one bounded row.
+    """
     cand = _widen_for_verify(cand, "doc_a", "doc_b")
-    # Verify WITHOUT the per-(pair, term) groupBy: the old form joined
-    # candidates to per-term weight rows and collect_list-sorted every
-    # pair's shared terms — an object-aggregation sort whose spill grew
-    # with candidates × terms (measured: filled the disk at the
-    # synthetic sf1 corpus, where 10 near-copies per doc multiply true
-    # pairs ~1000×). Each doc's profile now rides as ONE row (sorted
-    # term array + term→weight map); the shared terms are
-    # array_intersect of two sorted arrays — which preserves the first
-    # array's ascending term order, exactly the old fold's sort order —
-    # and the dot product folds map lookups in that same order, so the
-    # floats (and the oracle hash) are bit-identical while the
-    # per-pair state is one bounded row.
     profiles = unit.groupBy("doc").agg(
         F.sort_array(F.collect_list("term")).alias("_terms"),
         F.map_from_entries(

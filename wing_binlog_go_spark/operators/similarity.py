@@ -3727,13 +3727,24 @@ def rrf_hybrid_topk(
     at most two exact reciprocals, rounded 6dp for display only (the
     final order ties-break by doc id after score).
 
-    Scale shape: the query side is ``n_queries`` rows — broadcast; the
-    lexical candidate rule (share ≥1 shingle) and the dense scan are
-    one pass over the corpus each, Q·N work with Q fixed, no corpus
-    self-join anywhere. At index scale the lexical side swaps in the
-    inverted-index/BM25 route (q135) and the dense side an ANN regime
-    (q38j/k/l/m) — the fusion stage is unchanged, which is the point:
-    RRF only consumes (query, doc, rank) lists."""
+    AUDIT-ONLY at scale (the q38-brute-force convention): the dense
+    leg is an EXACT cosine over the whole corpus, so runtime scales
+    with corpus size — measured 1.8 s at sf0.1 → 57 s at the synthetic
+    sf1 decade (SCALE.md table 2). The PRODUCTION hybrid route is
+    :func:`rrf_bm25_ann` (q167): BM25 over the inverted index +
+    the frozen-IVF ANN leg, probing index partitions instead of
+    scanning vectors. This form remains first-class as q167's exact
+    audit twin — same fusion stage, exhaustive legs — for recall
+    audits at bounded scale.
+
+    Scale shape (of this audit form): the query side is ``n_queries``
+    rows — broadcast; the lexical candidate rule (share ≥1 shingle)
+    and the dense scan are one pass over the corpus each, Q·N work
+    with Q fixed, no corpus self-join anywhere. At index scale the
+    lexical side swaps in the inverted-index/BM25 route (q135) and the
+    dense side an ANN regime (q38j/k/l/m) — the fusion stage is
+    unchanged, which is the point: RRF only consumes
+    (query, doc, rank) lists."""
     from wing_binlog_go_spark.operators.dedup import word_shingles
 
     base = docs.select(
