@@ -3107,3 +3107,23 @@ ORDER BY doc_a, doc_b
 QUERIES["q168_weighted_apss"] = QuerySpec(
     _q_weighted_apss, _weighted_apss_oracle()
 )
+
+
+def _q_weighted_apss_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q168 with the SPARSE candidate path forced (dense_vocab_cutoff=0)
+    so the driver hash-verifies the prefix+L2-extension+Cauchy-Schwarz
+    route too — the fixture vocabulary is tiny, so plain q168
+    dispatches to the dense-GEMM path and would otherwise be the only
+    one carrying oracle evidence. Same oracle: both candidate schemes
+    are complete, so the verified output is identical."""
+    from wing_binlog_go_spark.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return weighted_apss_pairs(
+        docs, threshold=0.9, dense_vocab_cutoff=0
+    ).orderBy("doc_a", "doc_b")
+
+
+QUERIES["q168b_weighted_apss_sparse"] = QuerySpec(
+    _q_weighted_apss_sparse, _weighted_apss_oracle()
+)
