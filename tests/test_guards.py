@@ -141,11 +141,12 @@ def test_registry_priority_window_and_no_failed_modules():
         "q149_cms_heavy_hitters",
         "q39h_tfidf", "q39i_decontamination", "q39m_sequence_pack",
         "q39t_heavy_hitters", "q39v_source_cap",
-        "q80_quantile_bins", "q83_event_dedup_window",
+        "q80_quantile_bins", "q168b_weighted_apss_sparse",
     ):
         assert stale in window, stale
-    # keys holding fresh r8/r9/r10 rows wait their turn, as do the 15
-    # r7-vintage leftovers (q51, q55–q66, q81, q82 — rotate to r12)
+    # keys holding fresh r8/r9/r10 rows wait their turn, as do the 16
+    # r7-vintage leftovers (q51, q55–q66, q81, q82, q83 — rotate to
+    # r12; one slot yielded to the new q168b, the r10 q111b precedent)
     for deferred in (
         "q14_tpch_q3", "q16_tpch_q1", "q38n_semantic_dedup_frozen",
         "q39x_bpe_train", "q39y_bpe_tokenize", "q112_fuzzy_edit_join",

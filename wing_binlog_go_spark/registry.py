@@ -50,10 +50,12 @@ failed_modules: dict[str, str] = {}
 # slots from the 50 r7-vintage keys, operator families before trivial
 # relational forms: the q37/q38 production dedup+ANN forms, the full
 # TPC-H q84–q97 band, the q143–q149 mixing/classifier/sketch band, the
-# q39 text-curation forms, and q80/q83.  The 15 r7-vintage keys that
-# don't fit (q51, q55–q66, q81, q82 — small relational/function
-# shapes, all regression-tested) rotate to r12; after r11 nothing in
-# the ledger is older than r7.
+# q39 text-curation forms, and q80 — plus ONE slot for q168b, the new
+# forced-sparse weighted-APSS oracle twin (the r10 q111b precedent: a
+# new key must not sit never-rowed outside the window).  The 16
+# r7-vintage keys that don't fit (q51, q55–q66, q81, q82, q83 — small
+# relational/function shapes, all regression-tested) rotate to r12;
+# after r11 nothing in the ledger is older than r7.
 _PRIORITY = (
     # Pre-r7 vintage — the verdict's ask #2 drain list.
     "q39r_winnowing",
@@ -110,7 +112,8 @@ _PRIORITY = (
     "q39v_source_cap",
     # r7-vintage: remaining operator-ish shapes.
     "q80_quantile_bins",
-    "q83_event_dedup_window",
+    # New this round: the forced-sparse weighted-APSS oracle twin.
+    "q168b_weighted_apss_sparse",
 )
 
 
