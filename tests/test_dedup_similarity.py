@@ -2688,6 +2688,77 @@ def test_weighted_apss_complete_vs_bruteforce(spark, sf_small):
             assert got == want, (t, cutoff)
 
 
+def test_weighted_apss_random_corpora_both_paths_complete(spark):
+    """Randomized completeness guard for the r11 candidate machinery:
+    seeded synthetic corpora with skewed Zipf-ish term draws (repeats
+    ⇒ tf weights; singleton terms ⇒ rank-order and extension edges),
+    checked at two thresholds through BOTH dispatch routes and two
+    ext_beta settings (0.45 ⇒ no extension — core bounds must stay
+    complete on their own; 0.2 = default). Expected answer = exact
+    TF-IDF cosine over all pairs computed in numpy with the same
+    6dp-rounded compare."""
+    import itertools
+    import math
+    import random as _random
+
+    import numpy as np
+
+    from wing_binlog_go_spark.operators.dedup import weighted_apss_pairs
+
+    for seed in (7, 23):
+        rng = _random.Random(seed)
+        vocab = [f"w{i}" for i in range(14)]
+        docs_py = []
+        for d in range(48):
+            n_terms = rng.randint(1, 12)
+            # skew: low-index words are hot; occasional repeats drive tf
+            words = [vocab[min(int(abs(rng.gauss(0, 4))), 13)]
+                     for _ in range(n_terms)]
+            if d % 7 == 0 and d:  # planted near-dups of the previous doc
+                words = docs_py[-1][1].split(" ")[: max(1, n_terms)] + [
+                    vocab[rng.randrange(14)]
+                ]
+            docs_py.append((d, " ".join(words)))
+        docs = spark.createDataFrame(docs_py, "doc_id long, text string")
+
+        # exact numpy answer with the operator's weighting
+        tf: dict = {}
+        for d, text in docs_py:
+            for w in text.lower().split(" "):
+                if w:
+                    tf[(d, w)] = tf.get((d, w), 0) + 1
+        n_docs = len({d for d, _ in tf})
+        df_ct: dict = {}
+        for (_, w) in tf:
+            df_ct[w] = df_ct.get(w, 0) + 1
+        weights: dict = {}
+        for (d, w), c in tf.items():
+            weights.setdefault(d, {})[w] = c * math.log(
+                1.0 + n_docs / df_ct[w])
+        for d, wm in weights.items():
+            nn = math.sqrt(sum(v * v for v in wm.values()))
+            for w in wm:
+                wm[w] /= nn
+        for t in (0.85, 0.95):
+            want = set()
+            for a, b in itertools.combinations(sorted(weights), 2):
+                # ascending-term fold order, rounded like the operator
+                dot = np.float64(0.0)
+                for w in sorted(set(weights[a]) & set(weights[b])):
+                    dot = dot + weights[a][w] * weights[b][w]
+                if round(float(dot), 6) >= t:
+                    want.add((a, b))
+            for cutoff, beta in ((1024, 0.2), (0, 0.2), (0, 0.45)):
+                got = {
+                    (r.doc_a, r.doc_b)
+                    for r in weighted_apss_pairs(
+                        docs, threshold=t,
+                        dense_vocab_cutoff=cutoff, ext_beta=beta,
+                    ).collect()
+                }
+                assert got == want, (seed, t, cutoff, beta)
+
+
 def test_auto_lsh_params_fixture_parity_and_scaling():
     """auto_lsh_params must reproduce the pre-r10 (4, 16) signature at
     fixture scale (so committed evidence is untouched), grow bits
