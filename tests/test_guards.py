@@ -99,9 +99,10 @@ def test_registry_priority_window_and_no_failed_modules():
     window (50/round). Coverage closed at round 4 (every registered
     query holds a driver CORRECTNESS row); the window keeps evidence
     FRESH: round 11 leads with the 15 pre-r7 ledger keys (the r10
-    verdict's ask #2 drain list), then 35 of the 50 r7-vintage keys —
+    verdict's ask #2 drain list), then 34 of the 50 r7-vintage keys —
     the q37/q38 production forms, the TPC-H q84–q97 band, the
-    q143–q149 band, the q39 curation forms, q80/q83. No operator
+    q143–q149 band, the q39 curation forms, q80 — plus one slot for
+    the new q168b oracle twin (q83 rotates to r12). No operator
     module may silently fail to import (no-silent-caps)."""
     from wing_binlog_go_spark import registry
 
@@ -155,6 +156,7 @@ def test_registry_priority_window_and_no_failed_modules():
         "q117_apss_join", "q125_bm25",
         "q51_null_handling", "q55_first_last_value", "q66_bigrams",
         "q81_doc_length_curation", "q82_cross_lingual_mix",
+        "q83_event_dedup_window",
         "q150_knn_graph", "q156_trustrank",
     ):
         assert deferred not in window, deferred

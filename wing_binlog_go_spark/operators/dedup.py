@@ -2656,6 +2656,7 @@ def _weighted_apss_candidates_dense(
     n_docs: int,
     vocab: int,
     threshold: float,
+    n_postings: int = 0,
 ) -> DataFrame:
     """Blocked dense-GEMM candidate generation for SMALL vocabularies.
 
@@ -2688,8 +2689,23 @@ def _weighted_apss_candidates_dense(
 
     spark = unit.sparkSession
     id_type = unit.schema["doc"].dataType.simpleString()
-    # ~32 MB per block matrix: two blocks + an 8 MB GEMM chunk per task
-    block = max(1024, min(8192, (32 << 20) // max(vocab * 8, 1)))
+    # Two independent per-group memory bounds pick the block size:
+    # (a) ~32 MB per densified block matrix (block × vocab doubles);
+    # (b) the RAW posting frame the group receives BEFORE densifying —
+    #     ~2 blocks × avg-terms-per-doc Arrow rows — capped at ~2M rows
+    #     (a few hundred MB of pandas worst-case). Near the vocab
+    #     cutoff with long documents, (b) is the binding constraint:
+    #     vocab=1024 docs carrying most of the vocabulary would put
+    #     ~8.4M posting rows into one group under (a) alone.
+    avg_terms = max(1, n_postings // max(n_docs, 1))
+    block = max(
+        256,
+        min(
+            8192,
+            (32 << 20) // max(vocab * 8, 1),
+            2_000_000 // (2 * avg_terms),
+        ),
+    )
     n_blocks = max(1, -(-n_docs // block))
     docs_idx = (
         with_dense_index(unit.select("doc").distinct(), [F.col("doc")], out="_didx")
@@ -2774,15 +2790,22 @@ def weighted_apss_pairs(
     sharing named entities, templated docs — the similarity the
     unweighted overlap misses.
 
-    Candidate rule (symmetric t/2 suffix bound): order the vocabulary
-    once globally by (max normalized weight DESC, term); each doc emits
-    postings ONLY for its prefix — the minimal head of its terms in
-    that order such that the remaining tail's bound
-    Σ w_d(t)·maxw(t) < t/2 (membership: inclusive tail bound ≥ t/2).
-    Soundness: a pair sharing no prefix∩prefix term has every shared
-    term in one of the two tails, so dot ≤ tail_bound(a) +
-    tail_bound(b) < t — no true pair is missed; candidates are exactly
-    the prefix-posting equi-join, never doc × doc.
+    Emit contract: ALL pairs whose 6dp-ROUNDED cosine ≥ t — i.e. exact
+    cos ≥ t − 5e-7 — which is what the oracle states directly (full
+    term join + rounded filter). Every candidate device below runs at
+    the effective threshold t_eff = t − 1e-6 so the rounding band can
+    never be pruned away.
+
+    Candidate rule (symmetric t_eff/2 suffix bound): order the
+    vocabulary once globally by (max normalized weight DESC, term);
+    each doc emits postings ONLY for its prefix — the minimal head of
+    its terms in that order such that the remaining tail's bound
+    Σ w_d(t)·maxw(t) < t_eff/2 (membership: inclusive tail bound ≥
+    t_eff/2). Soundness: a pair sharing no prefix∩prefix term has
+    every shared term in one of the two tails, so dot ≤ tail_bound(a)
+    + tail_bound(b) < t_eff < t − 5e-7 — below everything the rounded
+    verify can emit; candidates are exactly the prefix-posting
+    equi-join, never doc × doc.
 
     Candidate TIGHTENING (Bayardo norm bounds / L2AP-style suffix-norm
     filter, adapted to the symmetric-prefix formulation): the raw t/2
@@ -2804,14 +2827,17 @@ def weighted_apss_pairs(
       one side, so its mass sits in a tail of norm tn_d =
       ‖d beyond its posted rows‖ ≤ ext_beta, and by Cauchy–Schwarz
       dot ≤ dot_pp + tn_a·√(1−Σ_M w_b²) + tn_b·√(1−Σ_M w_a²).
-      Pairs whose bound cannot reach t are dropped before the verify
-      join (measured: 12.49 M → 34 k candidates at sf0.1, 366×).
+      Pairs whose bound cannot reach t_eff are dropped before the
+      verify join (measured: 12.49 M → 34 k candidates at sf0.1,
+      366×).
 
     The bound is ≥ the true dot under exact arithmetic; the filter
-    compares against t − 1e-9 so float non-associativity in the bound
-    sums (≈1e-15 relative) can never drop a true pair — pruned pairs
-    provably verify below t, so the output (and the oracle hash) is
-    unchanged. ``ext_beta`` trades posting volume for pruning power:
+    compares against t_eff = t − 1e-6, which sits a full rounding
+    half-step PLUS float-order noise below anything the rounded
+    verify emits (exact cos ≥ t − 5e-7) — pruned pairs provably
+    verify below t after rounding, so the output (and the oracle
+    hash) is unchanged. ``ext_beta`` trades posting volume for
+    pruning power:
     lower β posts more of each vector (β=0 posts everything — exact
     dots, zero false candidates, maximal join width); on a corpus of
     long documents raise β toward t/2 to keep posting lists short.
@@ -2830,7 +2856,14 @@ def weighted_apss_pairs(
     the hot-term fan-out exactly as PPJoin does for sets; verify joins
     touch candidate pairs only. Returns (doc_a, doc_b, cos_r).
     """
-    t_half = float(threshold) / 2.0
+    # The verify emits pairs whose 6dp-ROUNDED cosine >= t, i.e. exact
+    # cos >= t - 5e-7. Every completeness device below therefore runs
+    # at the effective threshold t - 1e-6 (margin 2x the rounding
+    # half-step, absorbing the ~1e-13 float-order noise in the bound
+    # sums): the t/2 core rule recalls every pair the ROUNDED filter
+    # can emit, and the Cauchy-Schwarz prune can never drop one.
+    t_eff = float(threshold) - 1e-6
+    t_half = t_eff / 2.0
 
     tok = (
         docs.select(
@@ -2902,9 +2935,9 @@ def weighted_apss_pairs(
         # (see _weighted_apss_candidates_dense) — candidates come from
         # the blocked GEMM instead; the verify below is unchanged
         cand = _weighted_apss_candidates_dense(
-            unit, order, n_docs, vocab, threshold
+            unit, order, n_docs, vocab, threshold, n_postings
         )
-        return _weighted_apss_verify(unit, cand, threshold, n_docs, n_postings, term_chars)
+        return _weighted_apss_verify(unit, cand, threshold, n_postings, term_chars)
     # posted rows = sound t/2 core ∪ L2 extension (docstring); both
     # membership rules are monotone along the rank order, so the
     # posted set stays a rank-closed head of each doc's terms and
@@ -2963,13 +2996,13 @@ def weighted_apss_pairs(
             F.col("has_core")
             & (
                 F.col("dot_pp") + F.col("tna") * _rb + F.col("tnb") * _ra
-                >= threshold - 1e-9
+                >= t_eff
             )
         )
         .select("doc_a", "doc_b")
     )
     return _weighted_apss_verify(
-        unit, cand, threshold, n_docs, n_postings, term_chars
+        unit, cand, threshold, n_postings, term_chars
     )
 
 
@@ -2977,7 +3010,6 @@ def _weighted_apss_verify(
     unit: DataFrame,
     cand: DataFrame,
     threshold: float,
-    n_docs: int,
     n_postings: int,
     term_chars: int,
 ) -> DataFrame:
@@ -3054,7 +3086,16 @@ def _q_weighted_apss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _weighted_apss_oracle(threshold: float = 0.9) -> str:
-    t_half = threshold / 2.0
+    # Candidates = DISTINCT pairs sharing ANY term: every pair with
+    # cos > 0 shares a term, so this is the assumption-free form of
+    # "emit all pairs whose 6dp-ROUNDED cosine >= t" — the operator's
+    # contract. (The previous prefix-join CTE mirrored the Spark
+    # candidate scheme, but the t/2 completeness argument only covers
+    # exact cos >= t, NOT the rounding band [t - 5e-7, t) that the
+    # rounded verify also emits — pairs there may share no prefix
+    # term, making the candidate scheme observable in the output. The
+    # oracle now states the semantics; both Spark paths prune with a
+    # 1e-6 margin that provably covers the band.)
     return f"""
 WITH tok AS MATERIALIZED (
   SELECT doc_id AS doc, term, COUNT(*)::DOUBLE AS tf FROM (
@@ -3074,20 +3115,9 @@ dfq AS MATERIALIZED (
   FROM w_raw GROUP BY doc
 ), unit AS MATERIALIZED (
   SELECT w_raw.doc, term, w / nn AS w FROM w_raw JOIN norms USING (doc)
-), ord AS MATERIALIZED (
-  SELECT term, maxw,
-         ROW_NUMBER() OVER (ORDER BY maxw DESC, term) AS trank
-  FROM (SELECT term, MAX(w) AS maxw FROM unit GROUP BY term)
-), tails AS MATERIALIZED (
-  SELECT doc, term,
-         SUM(w * maxw) OVER (PARTITION BY doc ORDER BY trank DESC
-                             ROWS UNBOUNDED PRECEDING) AS tailb
-  FROM unit JOIN ord USING (term)
-), prefix AS MATERIALIZED (
-  SELECT doc, term FROM tails WHERE tailb >= {t_half}
 ), cand AS MATERIALIZED (
   SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-  FROM prefix a JOIN prefix b ON a.term = b.term AND a.doc < b.doc
+  FROM unit a JOIN unit b ON a.term = b.term AND a.doc < b.doc
 ), verified AS (
   SELECT c.doc_a, c.doc_b,
          ROUND(list_reduce(list_prepend(0.0,

@@ -30,21 +30,45 @@ def _default_driver_mem() -> str:
 
     A flat 32g default (the declared 128 GiB bench box) gets the JVM
     OOM-KILLED by the cgroup on smaller dev/CI machines — a hard kill,
-    not a spill. Take half of MemAvailable, clamped to [1g, 32g];
-    SPARK_GRAFT_DRIVER_MEM stays the explicit override for the bench
-    box. Falls back to Spark's own 1g default if /proc/meminfo is
-    unreadable (non-Linux).
+    not a spill. Take half of the effective memory, clamped to
+    [1g, 32g]; SPARK_GRAFT_DRIVER_MEM stays the explicit override for
+    the bench box. Effective memory = min(MemAvailable, cgroup limit):
+    /proc/meminfo is NOT cgroup-namespaced, so inside a memory-limited
+    container (no lxcfs) it reports the HOST — sizing from it alone
+    recreates exactly the OOM-kill this function exists to prevent.
+    Reads cgroup v2 (/sys/fs/cgroup/memory.max) and v1
+    (memory.limit_in_bytes); "max"/absent/unreadable means unlimited.
+    Falls back to Spark's own 1g default if nothing is readable
+    (non-Linux).
     """
+    avail_b = None
     try:
         with open("/proc/meminfo") as f:
             for line in f:
                 if line.startswith("MemAvailable:"):
-                    avail_kb = int(line.split()[1])
-                    gb = max(1, min(32, avail_kb // (2 * 1024 * 1024)))
-                    return f"{gb}g"
+                    avail_b = int(line.split()[1]) * 1024
+                    break
     except OSError:
         pass
-    return "1g"
+    for cg in (
+        "/sys/fs/cgroup/memory.max",
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",
+    ):
+        try:
+            with open(cg) as f:
+                raw = f.read().strip()
+            if raw.isdigit():
+                limit = int(raw)
+                # v1 reports ~2^63 when unlimited — ignore absurd values
+                if limit < 1 << 50:
+                    avail_b = limit if avail_b is None else min(avail_b, limit)
+            break
+        except OSError:
+            continue
+    if avail_b is None:
+        return "1g"
+    gb = max(1, min(32, avail_b // (2 * 1024**3)))
+    return f"{gb}g"
 
 
 def get_spark(
