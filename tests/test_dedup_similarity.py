@@ -2759,6 +2759,70 @@ def test_weighted_apss_random_corpora_both_paths_complete(spark):
                 assert got == want, (seed, t, cutoff, beta)
 
 
+def test_incremental_weighted_apss_store(spark, tmp_path, sf_small):
+    """Frozen-idf incremental weighted APSS: founding batch + two
+    increments accumulate exactly the pairs a single one-shot founding
+    over the full corpus would produce UNDER THE FOUNDING IDF (the
+    frozen contract — weights come from batch-1 document frequencies
+    for every doc ever profiled). Replay of an absorbed batch is a
+    no-op; every emitted pair has at least one fresh side."""
+    from wing_binlog_go_spark.operators.dedup import (
+        incremental_weighted_apss_apply,
+    )
+    from wing_binlog_go_spark.tables import read_table
+
+    docs = read_table(spark, sf_small, "documents").limit(120).cache()
+    b1 = docs.filter(F.col("doc_id") % 3 == 0)
+    b2 = docs.filter(F.col("doc_id") % 3 == 1)
+    b3 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    store = str(tmp_path / "wapss")
+    got: dict = {}
+    stats_all = []
+    for b in (b1, b2, b3):
+        pairs, st = incremental_weighted_apss_apply(spark, b, store)
+        stats_all.append(st)
+        for r in pairs.collect():
+            got[(r.doc_a, r.doc_b)] = r.cos_r
+    assert stats_all[0]["replayed"] == 0
+    assert sum(s["appended"] for s in stats_all) == docs.count()
+
+    # reference: ONE founding over the full corpus in a fresh store —
+    # same frozen weighting (idf over the whole corpus at founding),
+    # except the incremental run froze idf at b1. Recompute the
+    # expected set with b1's frozen idf via a third store founded on
+    # b1 then fed the rest in ONE batch: pairwise results must agree
+    # with the 3-batch accumulation exactly (associativity of the
+    # store under the frozen weights).
+    store2 = str(tmp_path / "wapss2")
+    want: dict = {}
+    p1, _ = incremental_weighted_apss_apply(spark, b1, store2)
+    p2, _ = incremental_weighted_apss_apply(
+        spark, b2.unionByName(b3), store2
+    )
+    for r in p1.collect() + p2.collect():
+        want[(r.doc_a, r.doc_b)] = r.cos_r
+    assert got == want
+
+    # replay: re-applying b2 appends nothing and emits nothing
+    pairs_r, st_r = incremental_weighted_apss_apply(spark, b2, store)
+    assert st_r["appended"] == 0 and st_r["replayed"] == st_r["batch"]
+    assert pairs_r.count() == 0
+
+    # cross-check against the batch operator on b1 alone: a store
+    # founded on b1 emits exactly weighted_apss_pairs(b1) (founding
+    # idf == global idf when the corpus IS the founding batch)
+    from wing_binlog_go_spark.operators.dedup import weighted_apss_pairs
+
+    store3 = str(tmp_path / "wapss3")
+    p_store, _ = incremental_weighted_apss_apply(spark, b1, store3)
+    batch = {
+        (r.doc_a, r.doc_b): r.cos_r
+        for r in weighted_apss_pairs(b1, threshold=0.9).collect()
+    }
+    assert {(r.doc_a, r.doc_b): r.cos_r for r in p_store.collect()} == batch
+
+
 def test_auto_lsh_params_fixture_parity_and_scaling():
     """auto_lsh_params must reproduce the pre-r10 (4, 16) signature at
     fixture scale (so committed evidence is untouched), grow bits

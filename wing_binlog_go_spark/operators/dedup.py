@@ -3157,3 +3157,265 @@ def _q_weighted_apss_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q168b_weighted_apss_sparse"] = QuerySpec(
     _q_weighted_apss_sparse, _weighted_apss_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# Incremental weighted APSS (frozen-idf store) — q168's daily-crawl form
+# ---------------------------------------------------------------------------
+
+
+def _frozen_unit_profiles(
+    docs: DataFrame,
+    idf: DataFrame,
+    n0: float,
+    id_col: str,
+    text_col: str,
+    t_half: float,
+) -> DataFrame:
+    """(doc, terms asc, term→weight map, prefix terms, tn) under the
+    FROZEN founding idf: w = tf·ln(1 + n0/df₀), unit-normalized with
+    the pinned ascending-term fold; unseen terms take df₀ = 1
+    (maximally rare — the standard frozen-vocabulary convention).
+
+    The posted prefix is each doc's OWN top-weight head (w DESC, term)
+    until the unposted suffix norm < t_half — entirely intrinsic: the
+    Cauchy–Schwarz completeness argument (a missed pair's shared terms
+    are unposted by one side, so dot ≤ tn_a·‖b‖ + tn_b·‖a‖ ≤
+    tn_a + tn_b < t) needs NO cross-doc maxw order, which is what
+    makes the rule stable as the corpus grows — new docs never change
+    old prefixes, unlike the batch operator's global-maxw rule.
+    """
+    tok = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.lower(text_col), " ")).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("doc", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    w_raw = tok.join(idf, "term", "left").select(
+        "doc",
+        "term",
+        (
+            F.col("tf")
+            * F.log(1.0 + F.lit(float(n0)) / F.coalesce(F.col("df"), F.lit(1.0)))
+        ).alias("w"),
+    )
+    norms = w_raw.groupBy("doc").agg(
+        F.sqrt(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "w"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["w"] * x["w"],
+            )
+        ).alias("nn")
+    )
+    unit = w_raw.join(norms, "doc").select(
+        "doc", "term", (F.col("w") / F.col("nn")).alias("w")
+    )
+    # per-doc own-weight order; suffix norm² from the rare end
+    w_suf = (
+        Window.partitionBy("doc")
+        .orderBy(F.asc("w"), F.desc("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = unit.withColumn("sn2", F.sum(F.col("w") * F.col("w")).over(w_suf))
+    return (
+        marked.groupBy("doc")
+        .agg(
+            F.sort_array(F.collect_list("term")).alias("terms"),
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("term", "w")))
+            ).alias("wm"),
+            # posted = rows whose inclusive suffix-from-the-light-end
+            # norm² ≥ t_half² (cutting before them would leave ≥ t_half)
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("sn2") >= F.lit(t_half * t_half), F.col("term")
+                    )
+                )
+            ).alias("pre"),
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    F.min(
+                        F.when(
+                            F.col("sn2") >= F.lit(t_half * t_half),
+                            F.col("sn2") - F.col("w") * F.col("w"),
+                        )
+                    ),
+                )
+            ).alias("tn"),
+        )
+    )
+
+
+def _weighted_apss_store_verify(
+    fresh: DataFrame, other: DataFrame, threshold: float, within_batch: bool
+) -> DataFrame:
+    """Prefix equi-join candidates + exact pinned-order cosine between a
+    fresh profile frame and another (both (doc, terms, wm, pre, tn));
+    the same emit contract as the batch operator: 6dp-rounded cos ≥ t,
+    candidates complete at t_eff = t − 1e-6 by the Cauchy–Schwarz
+    argument in :func:`_frozen_unit_profiles`."""
+    t_eff = float(threshold) - 1e-6
+    a = fresh.select(F.col("doc").alias("da"), F.explode("pre").alias("s"))
+    b = other.select(F.col("doc").alias("db"), F.explode("pre").alias("s"))
+    cond = F.col("da") < F.col("db") if within_batch else F.col("da") != F.col("db")
+    cand = (
+        a.join(b, "s").filter(cond)
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+        )
+        .distinct()
+    )
+    cand = _widen_for_verify(cand, "doc_a", "doc_b")
+    # no broadcast hint: ``other`` is the unbounded history store, so
+    # the profile rejoin must stay a shuffle join (AQE may still pick
+    # broadcast while the store is small) — the batch operator's
+    # bytes-gated broadcast does not transfer to a growing store
+    prof = fresh.unionByName(other).dropDuplicates(["doc"])
+    prof_a = prof.select(
+        F.col("doc").alias("doc_a"),
+        F.col("terms").alias("_tsa"), F.col("wm").alias("_wma"),
+    )
+    prof_b = prof.select(
+        F.col("doc").alias("doc_b"),
+        F.col("terms").alias("_tsb"), F.col("wm").alias("_wmb"),
+    )
+    return (
+        cand.join(prof_a, "doc_a")
+        .join(prof_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.aggregate(
+                    F.array_intersect("_tsa", "_tsb"),
+                    F.lit(0.0),
+                    lambda acc, t: acc
+                    + F.element_at("_wma", t) * F.element_at("_wmb", t),
+                ),
+                6,
+            ).alias("cos_r"),
+        )
+        .filter(F.col("cos_r") >= threshold)
+    )
+
+
+def incremental_weighted_apss_apply(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+) -> "tuple[DataFrame, dict]":
+    """TF-IDF cosine all-pairs for an ingest increment against the
+    corpus history — :func:`weighted_apss_pairs`'s incremental form,
+    completing the dedup-store family (MinHash `incremental_dedup`,
+    set `incremental_apss`, containment): the daily-crawl workflow
+    where today's documents must pair against every prior day without
+    re-reading history text.
+
+    FROZEN-IDF contract (the frozen-quantizer convention of the
+    PQ/IVF-PQ and set-APSS stores): document frequencies and the
+    corpus size n₀ freeze at store creation (persisted as ``idf/``),
+    so every doc ever profiled carries weights from the SAME
+    vocabulary statistics and stored cosines stay comparable across
+    batches. Unseen terms take df₀ = 1. Refreshing the idf = rebuild
+    (offline compaction). Cosines therefore equal a batch recompute
+    UNDER THE FOUNDING WEIGHTS (test-asserted), not a batch recompute
+    with drifted global idf — that is the point, not a caveat.
+
+    Candidates: each doc posts its own top-weight prefix until its
+    unposted norm < t_eff/2 (intrinsic, no global order — see
+    :func:`_frozen_unit_profiles`); fresh prefixes equi-join history ∪
+    batch prefixes. Store: ``idf/`` (term, df) + ``profiles/``
+    (doc, terms, wm, pre, tn); ids already stored are replay no-ops;
+    history text is never re-read. Founding commit is keyed on
+    ``profiles/`` with ``idf/`` written overwrite-first, mirroring
+    incremental_apss_apply's crash story.
+
+    Returns (pairs, stats): pairs = (doc_a, doc_b, cos_r) with ≥1
+    fresh side; stats = {batch, replayed, appended, pairs_vs_history,
+    pairs_in_batch}.
+    """
+    import os as _os
+
+    new_docs = new_docs.dropDuplicates([id_col])
+    idf_dir = _os.path.join(store_dir, "idf")
+    prof_dir = _os.path.join(store_dir, "profiles")
+    t_half = (float(threshold) - 1e-6) / 2.0
+
+    def _empty_pairs():
+        c = new_docs.select(F.col(id_col)).limit(0)
+        return (
+            c.select(F.col(id_col).alias("doc_a"))
+            .crossJoin(c.select(F.col(id_col).alias("doc_b")))
+            .withColumn("cos_r", F.lit(0.0))
+        )
+
+    if not _os.path.exists(prof_dir):
+        tok = (
+            new_docs.select(
+                F.col(id_col).alias("doc"),
+                F.explode(F.split(F.lower(text_col), " ")).alias("term"),
+            )
+            .filter(F.length("term") > 0)
+            .groupBy("doc", "term")
+            .count()
+        )
+        stats = tok.agg(
+            F.countDistinct("doc").alias("nd")
+        ).first()
+        n0 = float(stats["nd"] or 0)
+        tok.groupBy("term").agg(
+            F.count("*").cast("double").alias("df")
+        ).withColumn("n0", F.lit(n0)).write.mode("overwrite").parquet(idf_dir)
+        idf = spark.read.parquet(idf_dir)
+        prof = _frozen_unit_profiles(
+            new_docs, idf.select("term", "df"), n0, id_col, text_col, t_half
+        ).localCheckpoint(eager=True)
+        n_batch = prof.count()
+        prof.write.parquet(prof_dir)
+        pairs = _weighted_apss_store_verify(
+            prof, prof, threshold, within_batch=True
+        )
+        return pairs, {
+            "batch": n_batch, "replayed": 0, "appended": n_batch,
+            "pairs_vs_history": 0, "pairs_in_batch": pairs.count(),
+        }
+
+    idf = spark.read.parquet(idf_dir)
+    n0 = float(idf.select("n0").first()["n0"])
+    history = spark.read.parquet(prof_dir)
+    n_batch = new_docs.count()
+    fresh_docs = new_docs.join(
+        history.select(F.col("doc").alias(id_col)), id_col, "left_anti"
+    )
+    prof = _frozen_unit_profiles(
+        fresh_docs, idf.select("term", "df"), n0, id_col, text_col, t_half
+    ).localCheckpoint(eager=True)
+    n_fresh = prof.count()
+    if n_fresh == 0:
+        return _empty_pairs(), {
+            "batch": n_batch, "replayed": n_batch, "appended": 0,
+            "pairs_vs_history": 0, "pairs_in_batch": 0,
+        }
+    hist_pairs = _weighted_apss_store_verify(
+        prof, history, threshold, within_batch=False
+    )
+    batch_pairs = _weighted_apss_store_verify(
+        prof, prof, threshold, within_batch=True
+    )
+    n_hist = hist_pairs.count()
+    n_in_batch = batch_pairs.count()
+    prof.write.mode("append").parquet(prof_dir)
+    return hist_pairs.unionByName(batch_pairs), {
+        "batch": n_batch, "replayed": n_batch - n_fresh, "appended": n_fresh,
+        "pairs_vs_history": n_hist, "pairs_in_batch": n_in_batch,
+    }
