@@ -98,70 +98,74 @@ def test_registry_priority_window_and_no_failed_modules():
     """The driver verifies queries in registration order with a capped
     window (50/round). Coverage closed at round 4 (every registered
     query holds a driver CORRECTNESS row); the window keeps evidence
-    FRESH: round 11 leads with the 15 pre-r7 ledger keys (the r10
-    verdict's ask #2 drain list), then 34 of the 50 r7-vintage keys —
-    the q37/q38 production forms, the TPC-H q84–q97 band, the
-    q143–q149 band, the q39 curation forms, q80 — plus one slot for
-    the new q168b oracle twin (q83 rotates to r12). No operator
-    module may silently fail to import (no-silent-caps)."""
+    FRESH: round 12 leads with the 16 r7-vintage ledger keys (the r11
+    verdict's ask #2 drain list — q51, q55–q66, q81–q83), then 34 of
+    the 50 r8-vintage keys — the rolling/frozen dedup+ANN twins, the
+    graph/classifier band q139/q149b/q150–q157, the r8 TPC-H shapes,
+    and the operator/window forms.  After r12 nothing in the ledger is
+    older than r8.  No operator module may silently fail to import
+    (no-silent-caps)."""
     from wing_binlog_go_spark import registry
 
     qs = registry.all_queries()
     assert registry.failed_modules == {}
     window = list(qs)[:50]
-    # (a) the 15 pre-r7 ledger keys lead
-    assert window[:15] == [
-        "q39r_winnowing",
-        "q39s_bigram_lm",
-        "q39z_bloom_decontamination",
-        "q67_histogram",
-        "q68_sessionization",
-        "q69_funnel",
-        "q70_retention",
-        "q71_unpivot",
-        "q72_struct_ops",
-        "q74_time_bucket",
-        "q75_date_spine",
-        "q76_cube_grouping",
-        "q77_range_frame",
-        "q78_grouped_dedup",
-        "q79_top_terms_per_lang",
+    # (a) the 16 r7-vintage ledger keys lead
+    assert window[:16] == [
+        "q51_null_handling",
+        "q55_first_last_value",
+        "q56_union_all",
+        "q57_regexp_functions",
+        "q58_bitwise",
+        "q59_nullsafe_equality",
+        "q60_array_hof",
+        "q61_map_entries",
+        "q62_interval_arith",
+        "q63_recursive_cte",
+        "q64_values_inline",
+        "q65_ilike",
+        "q66_bigrams",
+        "q81_doc_length_curation",
+        "q82_cross_lingual_mix",
+        "q83_event_dedup_window",
     ]
-    # (b) the r7-vintage refresh band fills the window
+    # (b) the r8-vintage refresh band fills the window
     for stale in (
-        "q37_minhash_dedup", "q37c_ngram_jaccard", "q38_ann_brute_force",
-        "q38b_ann_lsh", "q38d_ann_ivf", "q38f_ann_pq",
-        "q38g_semantic_dedup",
-        "q84_tpch_q10", "q85_point_in_time_join", "q86_tpch_q18",
-        "q87_tpch_q7", "q88_tpch_q13", "q89_tpch_q16", "q90_tpch_q17",
-        "q91_tpch_q19", "q92_tpch_q22", "q93_tpch_q4", "q94_tpch_q6",
-        "q95_tpch_q14", "q96_tpch_q15", "q97_tpch_q21",
-        "q143_interval_overlap", "q144_weighted_sample_per_group",
-        "q145_ccnet_mix", "q146_quality_classifier",
-        "q147_classifier_filtered_corpus", "q148_ngram_novelty",
-        "q149_cms_heavy_hitters",
-        "q39h_tfidf", "q39i_decontamination", "q39m_sequence_pack",
-        "q39t_heavy_hitters", "q39v_source_cap",
-        "q80_quantile_bins", "q168b_weighted_apss_sparse",
+        "q37d_dedup_survivors", "q37f_minhash_rolling",
+        "q37g_simhash_rolling", "q38e_diversity_sample",
+        "q38j_ann_ivf_frozen", "q38k_ann_lsh_frozen",
+        "q38l_ann_pq_frozen", "q38m_ann_ivfpq_frozen", "q39w_span_dedup",
+        "q139_pagerank", "q149b_cms_rolling_hash", "q150_knn_graph",
+        "q151_source_scorecard", "q152_classifier_heldout_auc",
+        "q153_knn_coreset", "q154_label_propagation",
+        "q155_incremental_knn_graph", "q156_trustrank",
+        "q157_fuzzy_decontamination",
+        "q52_tpch_q5", "q98_tpch_q8", "q99_tpch_q9", "q100_tpch_q11",
+        "q101_tpch_q20", "q102_tpch_q2", "q103_tpch_q12",
+        "q12_range_join", "q15_asof_join", "q104_lateral_join",
+        "q105_mode_median",
+        "q17_count_distinct", "q22_window_ranking", "q24_window_frame",
+        "q26_topk_per_group",
     ):
         assert stale in window, stale
-    # keys holding fresh r8/r9/r10 rows wait their turn, as do the 16
-    # r7-vintage leftovers (q51, q55–q66, q81, q82, q83 — rotate to
-    # r12; one slot yielded to the new q168b, the r10 q111b precedent)
+    # keys holding fresh r9/r10/r11 rows wait their turn, as do the 16
+    # r8-vintage leftovers (q01–q11, q19–q21, q23, q25, q27 — the
+    # smallest relational shapes, rotate to r13)
     for deferred in (
         "q14_tpch_q3", "q16_tpch_q1", "q38n_semantic_dedup_frozen",
         "q39x_bpe_train", "q39y_bpe_tokenize", "q112_fuzzy_edit_join",
-        "q111_multimodal_near_dup", "q52_tpch_q5",
-        "q168_weighted_apss", "q111b_multimodal_near_dup_frozen",
+        "q111_multimodal_near_dup",
+        "q168_weighted_apss", "q168b_weighted_apss_sparse",
+        "q111b_multimodal_near_dup_frozen",
         "q117_apss_join", "q125_bm25",
-        "q51_null_handling", "q55_first_last_value", "q66_bigrams",
-        "q81_doc_length_curation", "q82_cross_lingual_mix",
-        "q83_event_dedup_window",
-        "q150_knn_graph", "q156_trustrank",
+        "q37_minhash_dedup", "q38_ann_brute_force", "q39h_tfidf",
+        "q84_tpch_q10", "q97_tpch_q21", "q149_cms_heavy_hitters",
+        "q01_parquet_scan", "q06_inner_join", "q20_having",
+        "q25_multi_key_sort",
     ):
         assert deferred not in window, deferred
     # (c) the graded operator families keep in-window representation
-    for family in ("q37", "q38", "q39", "q8", "q14", "q149"):
+    for family in ("q37", "q38", "q39", "q5", "q10", "q15"):
         assert any(k.startswith(family) for k in window), family
     # (d) the priority block fills the window exactly — nothing with a
     # fresh r7/r8/r9 row sneaks in ahead of stale evidence

@@ -43,77 +43,76 @@ _OPERATOR_MODULES = (
 #: ``all_queries()`` call.  Tests assert this stays empty.
 failed_modules: dict[str, str] = {}
 
-# First 50 = the driver's verification window.  Round-11 layout (per
-# the r10 verdict's ask #2): lead with the 15 keys whose latest driver
-# row is pre-r7 (q39r/q39s/q39z + the q67–q79 relational extras — the
-# oldest entries left in the staleness ledger), then fill the other 35
-# slots from the 50 r7-vintage keys, operator families before trivial
-# relational forms: the q37/q38 production dedup+ANN forms, the full
-# TPC-H q84–q97 band, the q143–q149 mixing/classifier/sketch band, the
-# q39 text-curation forms, and q80 — plus ONE slot for q168b, the new
-# forced-sparse weighted-APSS oracle twin (the r10 q111b precedent: a
-# new key must not sit never-rowed outside the window).  The 16
-# r7-vintage keys that don't fit (q51, q55–q66, q81, q82, q83 — small
-# relational/function shapes, all regression-tested) rotate to r12;
-# after r11 nothing in the ledger is older than r7.
+# First 50 = the driver's verification window.  Round-12 layout (per
+# the r11 verdict's ask #2): lead with the 16 keys whose latest driver
+# row is r7 (q51, q55–q66, q81–q83 — the oldest entries left in the
+# staleness ledger), then fill the other 34 slots from the 50
+# r8-vintage keys, operator families before trivial relational forms:
+# the rolling/frozen dedup + ANN twins (q37d/f/g, q38e/j/k/l/m,
+# q39w), the graph/classifier/decontamination band (q139, q149b,
+# q150–q157), the r8 TPC-H shapes (q52, q98–q103), the as-of/range/
+# lateral/mode operator shapes (q12, q15, q104, q105), and three
+# window/agg forms (q17, q22, q24, q26).  The 16 r8-vintage keys that
+# don't fit (q01–q11, q19–q21, q23, q25, q27 — the smallest relational
+# shapes, all regression-tested and plan-gated) rotate to r13; after
+# r12 nothing in the ledger is older than r8.
 _PRIORITY = (
-    # Pre-r7 vintage — the verdict's ask #2 drain list.
-    "q39r_winnowing",
-    "q39s_bigram_lm",
-    "q39z_bloom_decontamination",
-    "q67_histogram",
-    "q68_sessionization",
-    "q69_funnel",
-    "q70_retention",
-    "q71_unpivot",
-    "q72_struct_ops",
-    "q74_time_bucket",
-    "q75_date_spine",
-    "q76_cube_grouping",
-    "q77_range_frame",
-    "q78_grouped_dedup",
-    "q79_top_terms_per_lang",
-    # r7-vintage: production dedup + similarity forms.
-    "q37_minhash_dedup",
-    "q37c_ngram_jaccard",
-    "q38_ann_brute_force",
-    "q38b_ann_lsh",
-    "q38d_ann_ivf",
-    "q38f_ann_pq",
-    "q38g_semantic_dedup",
-    # r7-vintage: the TPC-H q84–q97 band.
-    "q84_tpch_q10",
-    "q85_point_in_time_join",
-    "q86_tpch_q18",
-    "q87_tpch_q7",
-    "q88_tpch_q13",
-    "q89_tpch_q16",
-    "q90_tpch_q17",
-    "q91_tpch_q19",
-    "q92_tpch_q22",
-    "q93_tpch_q4",
-    "q94_tpch_q6",
-    "q95_tpch_q14",
-    "q96_tpch_q15",
-    "q97_tpch_q21",
-    # r7-vintage: mixing / classifier / sketch band.
-    "q143_interval_overlap",
-    "q144_weighted_sample_per_group",
-    "q145_ccnet_mix",
-    "q146_quality_classifier",
-    "q147_classifier_filtered_corpus",
-    "q148_ngram_novelty",
-    "q149_cms_heavy_hitters",
-    # r7-vintage: text-curation forms.
-    "q39h_tfidf",
-    "q39i_decontamination",
-    "q39m_sequence_pack",
-    "q39t_heavy_hitters",
-    "q39v_source_cap",
-    # r7-vintage: remaining operator-ish shapes.
-    "q80_quantile_bins",
-    # New this round: the forced-sparse weighted-APSS oracle twin.
-    "q168b_weighted_apss_sparse",
+    # r7 vintage — the verdict's ask #2 drain list (all 16).
+    "q51_null_handling",
+    "q55_first_last_value",
+    "q56_union_all",
+    "q57_regexp_functions",
+    "q58_bitwise",
+    "q59_nullsafe_equality",
+    "q60_array_hof",
+    "q61_map_entries",
+    "q62_interval_arith",
+    "q63_recursive_cte",
+    "q64_values_inline",
+    "q65_ilike",
+    "q66_bigrams",
+    "q81_doc_length_curation",
+    "q82_cross_lingual_mix",
+    "q83_event_dedup_window",
+    # r8 vintage: rolling / frozen dedup + ANN oracle twins.
+    "q37d_dedup_survivors",
+    "q37f_minhash_rolling",
+    "q37g_simhash_rolling",
+    "q38e_diversity_sample",
+    "q38j_ann_ivf_frozen",
+    "q38k_ann_lsh_frozen",
+    "q38l_ann_pq_frozen",
+    "q38m_ann_ivfpq_frozen",
+    "q39w_span_dedup",
+    # r8 vintage: graph / classifier / decontamination band.
+    "q139_pagerank",
+    "q149b_cms_rolling_hash",
+    "q150_knn_graph",
+    "q151_source_scorecard",
+    "q152_classifier_heldout_auc",
+    "q153_knn_coreset",
+    "q154_label_propagation",
+    "q155_incremental_knn_graph",
+    "q156_trustrank",
+    "q157_fuzzy_decontamination",
+    # r8 vintage: TPC-H shapes.
+    "q52_tpch_q5",
+    "q98_tpch_q8",
+    "q99_tpch_q9",
+    "q100_tpch_q11",
+    "q101_tpch_q20",
+    "q102_tpch_q2",
+    "q103_tpch_q12",
+    # r8 vintage: operator shapes.
+    "q12_range_join",
+    "q15_asof_join",
+    "q104_lateral_join",
+    "q105_mode_median",
+    # r8 vintage: window / agg forms.
+    "q17_count_distinct",
+    "q22_window_ranking",
+    "q24_window_frame",
+    "q26_topk_per_group",
 )
 
 
