@@ -2823,6 +2823,47 @@ def test_incremental_weighted_apss_store(spark, tmp_path, sf_small):
     assert {(r.doc_a, r.doc_b): r.cos_r for r in p_store.collect()} == batch
 
 
+def test_incremental_weighted_apss_store_empty_text_docs(spark, tmp_path):
+    """Docs whose text tokenizes to zero terms (empty string, spaces)
+    persist with an empty profile row: the founding batch counts them
+    in batch/appended, a replay anti-joins them as already-seen
+    (replayed == batch, appended == 0), and they pair with nothing —
+    the r11 ADVICE stats-contract fix."""
+    from wing_binlog_go_spark.operators.dedup import (
+        incremental_weighted_apss_apply,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "the quick brown fox jumps"),
+        (3, ""),            # zero terms
+        (4, "   "),         # whitespace-only: zero terms after split
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "wapss_empty")
+
+    pairs, st = incremental_weighted_apss_apply(spark, docs, store)
+    assert st["batch"] == 4 and st["appended"] == 4 and st["replayed"] == 0
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got == {(1, 2)}  # empty docs pair with nothing
+
+    # exact replay: EVERY doc (including the empty ones) is recognized
+    pairs_r, st_r = incremental_weighted_apss_apply(spark, docs, store)
+    assert st_r["batch"] == 4 and st_r["replayed"] == 4
+    assert st_r["appended"] == 0 and pairs_r.count() == 0
+
+    # an increment mixing a fresh empty doc and a fresh near-dup
+    inc = spark.createDataFrame(
+        [(5, ""), (6, "the quick brown fox jumps")],
+        "doc_id long, text string",
+    )
+    pairs_i, st_i = incremental_weighted_apss_apply(spark, inc, store)
+    assert st_i["batch"] == 2 and st_i["appended"] == 2
+    assert st_i["replayed"] == 0
+    got_i = {(r.doc_a, r.doc_b) for r in pairs_i.collect()}
+    assert got_i == {(1, 6), (2, 6)}
+
+
 def test_auto_lsh_params_fixture_parity_and_scaling():
     """auto_lsh_params must reproduce the pre-r10 (4, 16) signature at
     fixture scale (so committed evidence is untouched), grow bits

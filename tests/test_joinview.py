@@ -420,7 +420,7 @@ def test_bucketed_joinview_leaves_untouched_buckets_alone(spark, tmp_path):
     rows += [("orders", "insert", 100 + i, {"id": str(100 + i), "cust": str(i)},
               None, None) for i in range(10)]
     _apply_b(spark, state, _env(spark, rows), n=8)
-    view_glob = os.path.join(state, "view", "vb=*", "*.parquet")
+    view_glob = os.path.join(state, "view", "vb=*", "rb=*", "*.parquet")
     before = {p: os.path.getmtime(p) for p in glob.glob(view_glob)}
 
     from wing_binlog_go_spark.streaming.joinview import _bucket_of
@@ -616,3 +616,68 @@ def test_read_bucketed_raises_on_corrupt_bucket(spark, tmp_path):
     (bucket / "part-00000.snappy.parquet").write_bytes(b"not parquet at all")
     with pytest.raises(Exception):
         _read_bucketed(spark, str(corrupt), schema).collect()
+
+
+def test_bucketed_joinview_delta_reads_prune_to_matching_buckets(spark, tmp_path):
+    """The r12 dual-bucket claim observed from the READ side: a left-
+    only batch must not scan (a) left sb buckets it didn't touch,
+    (b) right jb buckets its delta join keys don't hash to, or (c) view
+    vb buckets outside the affected set. Corrupt parquet files planted
+    in exactly those buckets prove the prune — an unpruned scan of any
+    of them would raise (negative control asserted), the bucketed apply
+    does not."""
+    from wing_binlog_go_spark.streaming.joinview import (
+        _bucket_of,
+        read_joinview_bucketed,
+    )
+    from wing_binlog_go_spark.streaming.pipeline import pk_str
+
+    n = 8
+    state = str(tmp_path / "jv")
+
+    def b_of(val):
+        return (
+            spark.createDataFrame([(val,)], "k string")
+            .select(_bucket_of("k", n).alias("b"))
+            .collect()[0]
+            .b
+        )
+
+    rows = [("customers", "insert", i + 1, {"id": str(i), "seg": "A"}, None, None)
+            for i in range(16)]
+    rows += [("orders", "insert", 100 + i, {"id": str(100 + i), "cust": str(i)},
+              None, None) for i in range(16)]
+    _apply_b(spark, state, _env(spark, rows), n=n)
+
+    sb105 = b_of(pk_str("105"))     # touched left pk / affected view vb
+    jb6 = b_of("6")                 # the update's NEW join key bucket
+    poison = b"not parquet at all"
+    planted = []
+    for child, bucket_dir in (
+        ("left", f"sb={(sb105 + 1) % n}/jb=0"),
+        ("right", f"sb=0/jb={(jb6 + 1) % n}"),
+        ("view", f"vb={(sb105 + 1) % n}/rb=0"),
+    ):
+        d = os.path.join(state, child, *bucket_dir.split("/"))
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, "part-99999.snappy.parquet")
+        with open(p, "wb") as f:
+            f.write(poison)
+        planted.append(p)
+
+    # negative control: the poison IS poisonous to a full scan
+    with pytest.raises(Exception):
+        read_joinview_bucketed(spark, state).collect()
+
+    b2 = _env(
+        spark,
+        [("orders", "update", 200, None,
+          {"id": "105", "cust": "5"}, {"id": "105", "cust": "6"})],
+    )
+    _apply_b(spark, state, b2, n=n)  # pruned reads: must not touch poison
+
+    for p in planted:
+        os.remove(p)
+    pairs = _pairs_b(spark, state)
+    assert ("105", "6") in pairs and ("105", "5") not in pairs
+    assert ("104", "4") in pairs  # untouched pair survives

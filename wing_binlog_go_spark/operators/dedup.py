@@ -2656,7 +2656,6 @@ def _weighted_apss_candidates_dense(
     n_docs: int,
     vocab: int,
     threshold: float,
-    n_postings: int = 0,
 ) -> DataFrame:
     """Blocked dense-GEMM candidate generation for SMALL vocabularies.
 
@@ -2692,18 +2691,22 @@ def _weighted_apss_candidates_dense(
     # Two independent per-group memory bounds pick the block size:
     # (a) ~32 MB per densified block matrix (block × vocab doubles);
     # (b) the RAW posting frame the group receives BEFORE densifying —
-    #     ~2 blocks × avg-terms-per-doc Arrow rows — capped at ~2M rows
-    #     (a few hundred MB of pandas worst-case). Near the vocab
-    #     cutoff with long documents, (b) is the binding constraint:
-    #     vocab=1024 docs carrying most of the vocabulary would put
-    #     ~8.4M posting rows into one group under (a) alone.
-    avg_terms = max(1, n_postings // max(n_docs, 1))
+    #     ~2 blocks × MAX-terms-per-doc Arrow rows — capped at ~2M rows
+    #     (a few hundred MB of pandas worst-case). Sized from the max,
+    #     not the corpus mean (the r11 ADVICE finding): a skewed block
+    #     of long documents could exceed the mean-based cap by up to
+    #     vocab/avg_terms. The max is one cheap agg over the posting
+    #     frame; with the 256-row floor the worst group is still only
+    #     2·256·vocab ≤ 2·256·1024 rows.
+    max_terms = int(
+        unit.groupBy("doc").count().agg(F.max("count")).first()[0] or 1
+    )
     block = max(
         256,
         min(
             8192,
             (32 << 20) // max(vocab * 8, 1),
-            2_000_000 // (2 * avg_terms),
+            2_000_000 // (2 * max_terms),
         ),
     )
     n_blocks = max(1, -(-n_docs // block))
@@ -2717,16 +2720,30 @@ def _weighted_apss_candidates_dense(
         .join(docs_idx, "doc")
         .select("doc", "trank", "w", "_bid")
     )
-    pair_ids = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "bid_a int, bid_b int",
+    # block-pair ids generated DISTRIBUTIVELY (spark.range self-join on
+    # i ≤ j), never as a driver-side Python list — O(n_blocks²) tuples
+    # through createDataFrame would serialize tens of millions of rows
+    # on the driver before any distributed work for a multi-million-doc
+    # small-vocab corpus (the r11 ADVICE finding)
+    pair_ids = (
+        spark.range(n_blocks)
+        .select(F.col("id").cast("int").alias("bid_a"))
+        .join(
+            spark.range(n_blocks).select(F.col("id").cast("int").alias("bid_b")),
+            F.col("bid_a") <= F.col("bid_b"),
+        )
     )
+    # broadcast only while the pair table is broadcast-sized; past that
+    # (~2M pairs ≈ 16 MB) let it shuffle — correctness is identical
+    n_pairs = n_blocks * (n_blocks + 1) // 2
+    if n_pairs <= 2_000_000:
+        pair_ids = F.broadcast(pair_ids)
     side_a = rows.join(
-        F.broadcast(pair_ids), rows["_bid"] == pair_ids["bid_a"]
+        pair_ids, rows["_bid"] == pair_ids["bid_a"]
     ).select("doc", "trank", "w", "bid_a", "bid_b", F.lit(0).alias("_side"))
     # diagonal groups reuse side a as both operands — don't ship twice
     side_b = rows.join(
-        F.broadcast(pair_ids.filter(F.col("bid_a") != F.col("bid_b"))),
+        pair_ids.filter(F.col("bid_a") != F.col("bid_b")),
         rows["_bid"] == pair_ids["bid_b"],
     ).select("doc", "trank", "w", "bid_a", "bid_b", F.lit(1).alias("_side"))
     thr = float(threshold) - 1e-6
@@ -2935,7 +2952,7 @@ def weighted_apss_pairs(
         # (see _weighted_apss_candidates_dense) — candidates come from
         # the blocked GEMM instead; the verify below is unchanged
         cand = _weighted_apss_candidates_dense(
-            unit, order, n_docs, vocab, threshold, n_postings
+            unit, order, n_docs, vocab, threshold
         )
         return _weighted_apss_verify(unit, cand, threshold, n_postings, term_chars)
     # posted rows = sound t/2 core ∪ L2 extension (docstring); both
@@ -3184,6 +3201,13 @@ def _frozen_unit_profiles(
     tn_a + tn_b < t) needs NO cross-doc maxw order, which is what
     makes the rule stable as the corpus grows — new docs never change
     old prefixes, unlike the batch operator's global-maxw rule.
+
+    Every input doc id gets a profile row — docs whose text tokenizes
+    to ZERO terms carry an empty profile (terms=[], pre=[], tn=0: they
+    post nothing and cos 0 with everything). Without the row, such a
+    doc would never reach the store, so every replay of its batch
+    would re-derive it as "fresh" while the stats reported it replayed
+    — the contract drift the r11 ADVICE named.
     """
     tok = (
         docs.select(
@@ -3221,34 +3245,40 @@ def _frozen_unit_profiles(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     marked = unit.withColumn("sn2", F.sum(F.col("w") * F.col("w")).over(w_suf))
-    return (
-        marked.groupBy("doc")
-        .agg(
-            F.sort_array(F.collect_list("term")).alias("terms"),
-            F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct("term", "w")))
-            ).alias("wm"),
-            # posted = rows whose inclusive suffix-from-the-light-end
-            # norm² ≥ t_half² (cutting before them would leave ≥ t_half)
-            F.array_sort(
-                F.collect_list(
+    prof = marked.groupBy("doc").agg(
+        F.sort_array(F.collect_list("term")).alias("terms"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("term", "w")))
+        ).alias("wm"),
+        # posted = rows whose inclusive suffix-from-the-light-end
+        # norm² ≥ t_half² (cutting before them would leave ≥ t_half)
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("sn2") >= F.lit(t_half * t_half), F.col("term"))
+            )
+        ).alias("pre"),
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                F.min(
                     F.when(
-                        F.col("sn2") >= F.lit(t_half * t_half), F.col("term")
+                        F.col("sn2") >= F.lit(t_half * t_half),
+                        F.col("sn2") - F.col("w") * F.col("w"),
                     )
-                )
-            ).alias("pre"),
-            F.sqrt(
-                F.greatest(
-                    F.lit(0.0),
-                    F.min(
-                        F.when(
-                            F.col("sn2") >= F.lit(t_half * t_half),
-                            F.col("sn2") - F.col("w") * F.col("w"),
-                        )
-                    ),
-                )
-            ).alias("tn"),
-        )
+                ),
+            )
+        ).alias("tn"),
+    )
+    return docs.select(F.col(id_col).alias("doc")).distinct().join(
+        prof, "doc", "left"
+    ).select(
+        "doc",
+        F.coalesce("terms", F.array().cast("array<string>")).alias("terms"),
+        F.coalesce(
+            "wm", F.create_map().cast("map<string,double>")
+        ).alias("wm"),
+        F.coalesce("pre", F.array().cast("array<string>")).alias("pre"),
+        F.coalesce("tn", F.lit(0.0)).alias("tn"),
     )
 
 
@@ -3369,7 +3399,12 @@ def incremental_weighted_apss_apply(
 
     Returns (pairs, stats): pairs = (doc_a, doc_b, cos_r) with ≥1
     fresh side; stats = {batch, replayed, appended, pairs_vs_history,
-    pairs_in_batch}.
+    pairs_in_batch}. Docs whose text tokenizes to ZERO terms persist
+    with an empty profile row (terms=[], pre=[], tn=0 — they pair with
+    nothing), so a replay of their batch correctly anti-joins them as
+    already-seen and ``batch``/``replayed``/``appended`` count every
+    distinct input id the same way on the founding and increment
+    paths.
     """
     import os as _os
 

@@ -32,20 +32,25 @@ def _default_driver_mem() -> str:
     OOM-KILLED by the cgroup on smaller dev/CI machines — a hard kill,
     not a spill. Take half of the effective memory, clamped to
     [1g, 32g]; SPARK_GRAFT_DRIVER_MEM stays the explicit override for
-    the bench box. Effective memory = min(MemAvailable, cgroup limit):
-    /proc/meminfo is NOT cgroup-namespaced, so inside a memory-limited
-    container (no lxcfs) it reports the HOST — sizing from it alone
-    recreates exactly the OOM-kill this function exists to prevent.
-    Reads cgroup v2 (/sys/fs/cgroup/memory.max) and v1
-    (memory.limit_in_bytes); "max"/absent/unreadable means unlimited.
-    Falls back to Spark's own 1g default if nothing is readable
-    (non-Linux).
+    the bench box. Effective memory = min(MemTotal, cgroup limit):
+    MemTotal, not MemAvailable, because the heap ceiling is PERMANENT
+    for the process — sizing it from instantaneous free memory on a
+    transiently busy box would silently pin a small heap for the whole
+    session lifetime (the r11 ADVICE finding). The cgroup limit keeps
+    the container case honest: /proc/meminfo is NOT cgroup-namespaced,
+    so inside a memory-limited container (no lxcfs) it reports the
+    HOST — sizing from it alone recreates exactly the OOM-kill this
+    function exists to prevent. Reads cgroup v2
+    (/sys/fs/cgroup/memory.max) and v1 (memory.limit_in_bytes);
+    "max"/absent/unreadable means unlimited. Falls back to Spark's own
+    1g default if nothing is readable (non-Linux). The chosen heap is
+    logged once so an undersized session is diagnosable.
     """
     avail_b = None
     try:
         with open("/proc/meminfo") as f:
             for line in f:
-                if line.startswith("MemAvailable:"):
+                if line.startswith("MemTotal:"):
                     avail_b = int(line.split()[1]) * 1024
                     break
     except OSError:
@@ -68,6 +73,13 @@ def _default_driver_mem() -> str:
     if avail_b is None:
         return "1g"
     gb = max(1, min(32, avail_b // (2 * 1024**3)))
+    import logging
+
+    logging.getLogger(__name__).info(
+        "driver heap default %dg (effective memory %.1f GiB)",
+        gb,
+        avail_b / 1024**3,
+    )
     return f"{gb}g"
 
 

@@ -44,12 +44,15 @@ pairs anti-joined away) and enters the new ones (delta join under the
 new key); deletes remove every pair the row participated in.
 
 Scale shape (100 TB): the delta joins shuffle O(|Δ|) rows against the
-side states partitioned on the join key; the touched-pk sets are
-batch-sized and broadcast. The full-table rewrite of a CHANGED side and
-of the view is this flat layout's cost floor — at billions of live rows
-use ``incremental_joinview_apply_bucketed`` below (hash-bucketed
-children, only buckets holding touched keys rewrite) or a Delta MERGE;
-the delta algebra is identical in all three.
+side states; the touched-pk sets are batch-sized and broadcast. The
+full-table rewrite of a CHANGED side and of the view is this flat
+layout's cost floor — at billions of live rows use
+``incremental_joinview_apply_bucketed`` below (children DUAL
+hash-bucketed: sides on (pk, join key), the view on (_pk_l, _pk_r), so
+both the rewrites AND every per-batch read — the delta joins' probe of
+the other side, the view's removals keyed on the right pk — prune to
+the buckets the batch's keys hash to) or a Delta MERGE; the delta
+algebra is identical in all three.
 """
 
 from __future__ import annotations
@@ -282,30 +285,68 @@ def _distinct_ints(df: DataFrame, col: str) -> list[int]:
     return sorted(r[0] for r in df.select(col).distinct().collect())
 
 
-def _overwrite_buckets(
-    df: DataFrame, path: str, part_col: str, affected: list[int]
+def _in_buckets(df: DataFrame, col: str, buckets: list[int]) -> DataFrame:
+    """Partition-pruned bucket filter; an empty bucket list is the
+    empty frame (``isin([])`` is not a legal Spark predicate)."""
+    if not buckets:
+        return df.limit(0)
+    return df.filter(F.col(col).isin(buckets))
+
+
+def _overwrite_buckets2(
+    df: DataFrame, path: str, c1: str, c2: str, affected_c1: list[int]
 ) -> None:
-    """Dynamic partition overwrite that ALSO handles the pitfall the
-    mode itself has: a partition whose new content is EMPTY is never
-    overwritten (Spark writes no partition for zero rows), so rows
-    deleted down to an empty bucket would silently resurrect. Buckets
-    in ``affected`` with no surviving rows are removed explicitly after
-    the write; a crash between the write and the removals reconverges
-    on replay (the stale bucket's rows are all touched-key rows, so the
-    bucket re-enters the affected set and recomputes to empty again)."""
+    """Dual-partition (``c1``/``c2``) dynamic overwrite that ALSO
+    handles the pitfall the mode itself has: a partition whose new
+    content is EMPTY is never overwritten (Spark writes no partition
+    for zero rows), so rows deleted down to an empty bucket would
+    silently resurrect. Extended to the second level: the caller
+    recomputes the ENTIRE content of the
+    ``affected_c1`` buckets, so any old leaf under them that receives
+    no rows (a row's secondary value moved — e.g. a join-key change
+    relocating a side row to a new jb — or the leaf emptied by
+    deletes) is removed explicitly after the write. A crash between
+    the write and the removals reconverges on replay: stale-leaf rows
+    all carry touched keys, so their c1 bucket re-enters the affected
+    set and recomputes; the stale copy loses last-writer-wins to the
+    replayed change (a moved row's two copies always differ in
+    ``event_index``)."""
     import shutil
 
-    frame = df.localCheckpoint(eager=True)  # one compute: presence + write
-    present = set(_distinct_ints(frame.select(part_col), part_col))
+    # Cluster rows by their leaf combo before the write: without this,
+    # every write task emits a file into every combo it holds rows for
+    # (tasks × combos files — ~8k tiny files per child at 16 buckets,
+    # which made every later listing+scan the dominant cost). One
+    # shuffle of just the touched-bucket content caps it at one file
+    # per combo.
+    frame = df.repartition(F.col(c1), F.col(c2)).localCheckpoint(eager=True)
+    present = {
+        (r[0], r[1]) for r in frame.select(c1, c2).distinct().collect()
+    }
     if present:
         (
             frame.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(part_col)
+            .partitionBy(c1, c2)
             .parquet(path)
         )
-    for b in set(affected) - present:
-        shutil.rmtree(os.path.join(path, f"{part_col}={b}"), ignore_errors=True)
+    for b1 in affected_c1:
+        d1 = os.path.join(path, f"{c1}={b1}")
+        if not os.path.isdir(d1):
+            continue
+        for e in os.scandir(d1):
+            if not (e.is_dir() and e.name.startswith(f"{c2}=")):
+                continue
+            raw = e.name.split("=", 1)[1]
+            v2 = None if raw == "__HIVE_DEFAULT_PARTITION__" else int(raw)
+            if (b1, v2) not in present:
+                shutil.rmtree(e.path, ignore_errors=True)
+        # a c1 dir emptied of every leaf must go too: a partition dir
+        # with no files under it breaks schema inference on read
+        if not any(
+            e.is_dir() and e.name.startswith(f"{c2}=") for e in os.scandir(d1)
+        ):
+            shutil.rmtree(d1, ignore_errors=True)
 
 
 def _read_bucketed(spark: SparkSession, path: str, schema: str) -> DataFrame:
@@ -324,7 +365,11 @@ def _read_bucketed(spark: SparkSession, path: str, schema: str) -> DataFrame:
             e.is_dir() and "=" in e.name for e in os.scandir(path)
         )
         if has_buckets:
-            return spark.read.parquet(path)
+            # Explicit schema (bucket/partition columns included): no
+            # footer-based schema inference per apply — partition
+            # discovery is a pure listing, and no data file is opened
+            # until a (partition-pruned) scan actually needs it.
+            return spark.read.schema(schema).parquet(path)
     return spark.createDataFrame([], schema)
 
 
@@ -350,29 +395,39 @@ def incremental_joinview_apply_bucketed(
     pk_right: str | list[str] = "id",
     num_buckets: int = 16,
 ) -> None:
-    """The flat apply's scale form: sides hash-bucketed on ``_pk`` and
-    the view on ``_pk_l``, maintained by DYNAMIC PARTITION OVERWRITE of
-    only the buckets a batch touches — per-batch IO is O(|Δ| + touched
-    buckets), never a full-state rewrite (the upgrade path the flat
-    docstring promises, without leaving plain parquet).
+    """The flat apply's scale form: every child DUAL-bucketed so each
+    per-batch read prunes to touched buckets — sides on
+    ``(sb=hash(_pk), jb=hash(join key))``, the view on
+    ``(vb=hash(_pk_l), rb=hash(_pk_r))`` — maintained by DYNAMIC
+    PARTITION OVERWRITE of only the buckets a batch touches. Per-batch
+    IO is O(|Δ| + touched buckets), never a full-state scan (the
+    upgrade path the flat docstring promises, without leaving plain
+    parquet).
 
-    Affected view buckets = buckets of the touched LEFT keys ∪ buckets
-    of existing pairs whose ``_pk_r`` is touched (found by one
-    column-pruned scan of the view's (_pk_r, vb) columns — removals
-    keyed on the non-bucketing side are the reason a naive single-key
-    partition scheme is not enough) ∪ buckets of the right-delta join's
-    new pairs. Every added pair provably lands inside the affected set,
-    so untouched buckets are byte-stable (test-asserted by mtime).
+    The second partition level is what removes the r11 scale term (the
+    delta⋈full-other-side join-key scan): the delta rows' join keys
+    hash to a batch-sized set of ``jb`` buckets, so the delta join
+    reads ONLY the other side's matching jb partitions — state/num_
+    buckets of the side per distinct delta join key, not the whole
+    side. Likewise the view's removals keyed on the non-bucketing side
+    (pairs whose ``_pk_r`` is touched) probe only the ``rb`` buckets
+    the touched right keys hash to, instead of a full (column-pruned)
+    view scan.
+
+    Affected view (vb) buckets = buckets of the touched LEFT keys ∪
+    buckets of existing pairs whose ``_pk_r`` is touched (the
+    rb-pruned probe above) ∪ buckets of the right-delta join's new
+    pairs. Every added pair provably lands inside the affected set, so
+    untouched vb buckets are byte-stable (test-asserted by mtime).
 
     Commit = the root meta's fsynced atomic replace AFTER all bucket
     overwrites. A crash mid-overwrite leaves some buckets new and some
     old with the OLD mark: the redelivered batch re-merges sides
-    last-writer-wins (idempotent per bucket) and re-derives each
-    affected bucket's final content from scratch — already-written
-    buckets recompute to the same rows (their adds are touched-key
-    pairs, so the anti-join strips and re-adds them), unwritten ones
-    catch up. Convergence, not atomicity, is the contract — same as the
-    flat variant's child-swap ordering.
+    last-writer-wins (idempotent per bucket; a jk-moved row's stale
+    leaf copy loses LWW to the replayed change and its stale leaf is
+    re-removed) and re-derives each affected bucket's final content
+    from scratch. Convergence, not atomicity, is the contract — same
+    as the flat variant's child-swap ordering.
     """
     left_dir = os.path.join(state_dir, "left")
     right_dir = os.path.join(state_dir, "right")
@@ -400,35 +455,61 @@ def incremental_joinview_apply_bucketed(
         commit_mark()  # other tables' events: mark only, zero table IO
         return
 
-    side_schema = _SIDE_SCHEMA + ", sb int"
+    side_schema = _SIDE_SCHEMA + ", sb int, jb int"
 
-    def read_side(path: str) -> DataFrame:
-        return _read_bucketed(spark, path, side_schema)
+    def read_side(path: str, key: str) -> DataFrame:
+        """One side with its join key projected: (_pk, jk, row, sb, jb)."""
+        return _read_bucketed(spark, path, side_schema).select(
+            "_pk", F.element_at("row", key).alias("jk"), "row", "sb", "jb"
+        )
 
-    def merge_side_buckets(path: str, changes: DataFrame) -> None:
+    def merge_side_buckets(path: str, changes: DataFrame, key: str) -> list[int]:
+        """Merge the batch's changes into the touched sb buckets;
+        returns the touched sb list (empty ⇒ side untouched)."""
         if changes.isEmpty():
-            return
+            return []
         touched = changes.select(_bucket_of("_pk", num_buckets).alias("sb"))
         buckets = _distinct_ints(touched, "sb")
-        old = read_side(path).filter(F.col("sb").isin(buckets)).select(
-            "_pk", "row", "event_index"
+        old = _in_buckets(
+            _read_bucketed(spark, path, side_schema), "sb", buckets
+        ).select("_pk", "row", "event_index")
+        merged = (
+            _merge_side(old, changes)
+            .withColumn("sb", _bucket_of("_pk", num_buckets))
+            .withColumn(
+                "jb", _bucket_of(F.element_at("row", key), num_buckets)
+            )
         )
-        merged = _merge_side(old, changes).withColumn(
-            "sb", _bucket_of("_pk", num_buckets)
-        )
-        _overwrite_buckets(merged, path, "sb", buckets)
+        _overwrite_buckets2(merged, path, "sb", "jb", buckets)
+        return buckets
 
-    merge_side_buckets(left_dir, ch_l)
-    merge_side_buckets(right_dir, ch_r)
+    sb_l = merge_side_buckets(left_dir, ch_l, key_left)
+    sb_r = merge_side_buckets(right_dir, ch_r, key_right)
 
-    new_l = read_side(left_dir).select(
-        "_pk", F.element_at("row", key_left).alias("jk"), F.col("row")
-    )
-    new_r = read_side(right_dir).select(
-        "_pk", F.element_at("row", key_right).alias("jk"), F.col("row")
-    )
+    new_l = read_side(left_dir, key_left)
+    new_r = read_side(right_dir, key_right)
     t_l = ch_l.select("_pk").distinct().localCheckpoint(eager=True)
     t_r = ch_r.select("_pk").distinct().localCheckpoint(eager=True)
+
+    # current rows of the touched keys: sb-pruned point reads, O(|Δ|)
+    del_l = (
+        _in_buckets(new_l, "sb", sb_l)
+        .join(F.broadcast(t_l), "_pk", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    del_r = (
+        _in_buckets(new_r, "sb", sb_r)
+        .join(F.broadcast(t_r), "_pk", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+
+    def jk_buckets(delta: DataFrame) -> list[int]:
+        return _distinct_ints(
+            delta.filter(F.col("jk").isNotNull()).select(
+                _bucket_of("jk", num_buckets).alias("jb")
+            ),
+            "jb",
+        )
 
     def pairs(lhs: DataFrame, rhs: DataFrame) -> DataFrame:
         l = lhs.select(
@@ -443,21 +524,32 @@ def incremental_joinview_apply_bucketed(
             "_pk_l", "_pk_r", "jk", "row_l", "row_r"
         )
 
-    add_l = pairs(new_l.join(F.broadcast(t_l), "_pk", "left_semi"), new_r)
+    # ΔA ⋈ B covers (touched-l × anything); (A ∖ ΔA) ⋈ ΔB covers the
+    # remaining touched-r pairs exactly once. Each full-side operand is
+    # jb-pruned to the delta's join-key buckets before the join.
+    add_l = pairs(del_l, _in_buckets(new_r, "jb", jk_buckets(del_l)))
     add_r = pairs(
-        new_l.join(F.broadcast(t_l), "_pk", "left_anti"),
-        new_r.join(F.broadcast(t_r), "_pk", "left_semi"),
+        _in_buckets(new_l, "jb", jk_buckets(del_r)).join(
+            F.broadcast(t_l), "_pk", "left_anti"
+        ),
+        del_r,
     ).localCheckpoint(eager=True)  # feeds the bucket set AND the union
 
-    old_view = _read_bucketed(spark, view_dir, _VIEW_SCHEMA + ", vb int")
+    view_schema = _VIEW_SCHEMA + ", vb int, rb int"
+    old_view = _read_bucketed(spark, view_dir, view_schema)
 
     # affected view buckets: touched-left keys, pairs losing a touched
-    # right key (column-pruned scan of (_pk_r, vb)), and right-delta adds
+    # right key (rb-pruned probe), and right-delta adds
+    rb_r = _distinct_ints(
+        t_r.select(_bucket_of("_pk", num_buckets).alias("rb")), "rb"
+    )
     vb_sets = [
         t_l.select(_bucket_of("_pk", num_buckets).alias("vb")),
-        old_view.join(
+        _in_buckets(old_view, "rb", rb_r)
+        .join(
             F.broadcast(t_r.withColumnRenamed("_pk", "_pk_r")), "_pk_r", "left_semi"
-        ).select("vb"),
+        )
+        .select("vb"),
         add_r.select(_bucket_of("_pk_l", num_buckets).alias("vb")),
     ]
     affected = _distinct_ints(
@@ -468,7 +560,7 @@ def incremental_joinview_apply_bucketed(
         return
 
     kept = (
-        old_view.filter(F.col("vb").isin(affected))
+        _in_buckets(old_view, "vb", affected)
         .select("_pk_l", "_pk_r", "jk", "row_l", "row_r")
         .join(
             F.broadcast(t_l.withColumnRenamed("_pk", "_pk_l")), "_pk_l", "left_anti"
@@ -481,8 +573,9 @@ def incremental_joinview_apply_bucketed(
         kept.unionByName(add_l)
         .unionByName(add_r)
         .withColumn("vb", _bucket_of("_pk_l", num_buckets))
+        .withColumn("rb", _bucket_of("_pk_r", num_buckets))
     )
-    _overwrite_buckets(new_view, view_dir, "vb", affected)
+    _overwrite_buckets2(new_view, view_dir, "vb", "rb", affected)
     commit_mark()
 
 
@@ -516,12 +609,12 @@ def joinview_bucketed_writer(
 
 
 def read_joinview_bucketed(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The bucketed view, bucket column dropped — same shape as the
+    """The bucketed view, bucket columns dropped — same shape as the
     flat reader."""
     view_dir = os.path.join(state_dir, "view")
-    return _read_bucketed(spark, view_dir, _VIEW_SCHEMA + ", vb int").select(
-        "_pk_l", "_pk_r", "jk", "row_l", "row_r"
-    )
+    return _read_bucketed(
+        spark, view_dir, _VIEW_SCHEMA + ", vb int, rb int"
+    ).select("_pk_l", "_pk_r", "jk", "row_l", "row_r")
 
 
 def bootstrap_joinview(
