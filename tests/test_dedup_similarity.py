@@ -2864,6 +2864,87 @@ def test_incremental_weighted_apss_store_empty_text_docs(spark, tmp_path):
     assert got_i == {(1, 6), (2, 6)}
 
 
+def test_incremental_weighted_apss_store_term_bucket_prune(spark, tmp_path):
+    """The r12 posting layout: an increment's history probe reads ONLY
+    the postings/ term buckets its fresh prefixes hash to (corrupt
+    parquet planted in an un-probed bucket proves it — an unpruned
+    read would raise), and a crash-replay double-append of the same
+    posting rows changes nothing (read-side dedup)."""
+    import glob
+    import os
+    import shutil
+
+    from wing_binlog_go_spark.operators.dedup import (
+        incremental_weighted_apss_apply,
+    )
+
+    ntb = 16
+    store = str(tmp_path / "wapss_tb")
+    found = spark.createDataFrame(
+        [(i, f"alpha bravo t{i} t{i} t{i}") for i in range(40)]
+        + [(100, "xray yankee zulu zulu")],
+        "doc_id long, text string",
+    )
+    incremental_weighted_apss_apply(
+        spark, found, store, num_term_buckets=ntb
+    )[0].count()
+    buckets = {
+        int(d.rsplit("=", 1)[1])
+        for d in glob.glob(os.path.join(store, "postings", "tb=*"))
+    }
+    assert len(buckets) > 2  # founding vocabulary spans several buckets
+
+    # the increment's prefixes: terms of "xray yankee zulu" only
+    inc = spark.createDataFrame(
+        [(101, "xray yankee zulu zulu")], "doc_id long, text string"
+    )
+    from wing_binlog_go_spark.operators.dedup import (
+        _apss_store_postings,
+        _frozen_unit_profiles,
+    )
+
+    idf = spark.read.parquet(os.path.join(store, "idf"))
+    n0 = float(idf.select("n0").first()["n0"])
+    probe_tbs = {
+        r.tb
+        for r in _apss_store_postings(
+            _frozen_unit_profiles(
+                inc, idf.select("term", "df"), n0, "doc_id", "text",
+                (0.9 - 1e-6) / 2.0,
+            ),
+            ntb,
+        ).select("tb").distinct().collect()
+    }
+    dead = sorted(buckets - probe_tbs)
+    assert dead, "fixture must have history buckets outside the probe set"
+    planted = os.path.join(store, "postings", f"tb={dead[0]}",
+                           "part-99999.snappy.parquet")
+    with open(planted, "wb") as f:
+        f.write(b"not parquet at all")
+
+    pairs, st = incremental_weighted_apss_apply(
+        spark, inc, store, num_term_buckets=ntb
+    )
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}  # pruned: no raise
+    assert got == {(100, 101)}
+    os.remove(planted)
+
+    # crash-replay double-append: copy every posting file again (the
+    # postings-before-profiles crash picture), then add one more doc —
+    # pair results must be unchanged by the duplicates
+    post_dir = os.path.join(store, "postings")
+    for fp in glob.glob(os.path.join(post_dir, "tb=*", "part-*.parquet")):
+        shutil.copy(fp, fp.replace("part-", "dup-part-"))
+    inc2 = spark.createDataFrame(
+        [(102, "xray yankee zulu zulu")], "doc_id long, text string"
+    )
+    pairs2, _ = incremental_weighted_apss_apply(
+        spark, inc2, store, num_term_buckets=ntb
+    )
+    got2 = {(r.doc_a, r.doc_b) for r in pairs2.collect()}
+    assert got2 == {(100, 102), (101, 102)}
+
+
 def test_auto_lsh_params_fixture_parity_and_scaling():
     """auto_lsh_params must reproduce the pre-r10 (4, 16) signature at
     fixture scale (so committed evidence is untouched), grow bits

@@ -420,7 +420,7 @@ def test_bucketed_joinview_leaves_untouched_buckets_alone(spark, tmp_path):
     rows += [("orders", "insert", 100 + i, {"id": str(100 + i), "cust": str(i)},
               None, None) for i in range(10)]
     _apply_b(spark, state, _env(spark, rows), n=8)
-    view_glob = os.path.join(state, "view", "vb=*", "rb=*", "*.parquet")
+    view_glob = os.path.join(state, "view", "vb=*", "*.parquet")
     before = {p: os.path.getmtime(p) for p in glob.glob(view_glob)}
 
     from wing_binlog_go_spark.streaming.joinview import _bucket_of
@@ -619,9 +619,11 @@ def test_read_bucketed_raises_on_corrupt_bucket(spark, tmp_path):
 
 
 def test_bucketed_joinview_delta_reads_prune_to_matching_buckets(spark, tmp_path):
-    """The r12 dual-bucket claim observed from the READ side: a left-
-    only batch must not scan (a) left sb buckets it didn't touch,
-    (b) right jb buckets its delta join keys don't hash to, or (c) view
+    """The r12 posting-route claim observed from the READ side: a left-
+    only batch must not scan (a) left data buckets it didn't touch,
+    (b) left-posting jb buckets outside the batch's old∪new join keys,
+    (c) right-posting jb buckets its delta join keys don't hash to,
+    (d) right data buckets no routed candidate hashes to, or (e) view
     vb buckets outside the affected set. Corrupt parquet files planted
     in exactly those buckets prove the prune — an unpruned scan of any
     of them would raise (negative control asserted), the bucketed apply
@@ -650,15 +652,19 @@ def test_bucketed_joinview_delta_reads_prune_to_matching_buckets(spark, tmp_path
     _apply_b(spark, state, _env(spark, rows), n=n)
 
     sb105 = b_of(pk_str("105"))     # touched left pk / affected view vb
-    jb6 = b_of("6")                 # the update's NEW join key bucket
+    sb_c6 = b_of(pk_str("6"))       # the routed right candidate's bucket
+    jb5, jb6 = b_of("5"), b_of("6")  # old and new join-key buckets
+    lpost_ok = {jb5, jb6}           # left posting rewrite touches both
     poison = b"not parquet at all"
     planted = []
     for child, bucket_dir in (
-        ("left", f"sb={(sb105 + 1) % n}/jb=0"),
-        ("right", f"sb=0/jb={(jb6 + 1) % n}"),
-        ("view", f"vb={(sb105 + 1) % n}/rb=0"),
+        ("left", f"sb={(sb105 + 1) % n}"),
+        ("left_jk", f"jb={next(b for b in range(n) if b not in lpost_ok)}"),
+        ("right_jk", f"jb={(jb6 + 1) % n if (jb6 + 1) % n != jb6 else (jb6 + 2) % n}"),
+        ("right", f"sb={(sb_c6 + 1) % n}"),
+        ("view", f"vb={(sb105 + 1) % n}"),
     ):
-        d = os.path.join(state, child, *bucket_dir.split("/"))
+        d = os.path.join(state, child, bucket_dir)
         os.makedirs(d, exist_ok=True)
         p = os.path.join(d, "part-99999.snappy.parquet")
         with open(p, "wb") as f:

@@ -3282,14 +3282,38 @@ def _frozen_unit_profiles(
     )
 
 
+def _apss_store_postings(prof: DataFrame, ntb: int | None = None) -> DataFrame:
+    """A profile frame's PREFIX POSTING rows (doc, tn, s, w) — the
+    exact rows the store verify's candidate equi-join consumes. With
+    ``ntb``, adds the term-bucket column ``tb = hash(s) mod ntb`` the
+    persisted ``postings/`` layout partitions on, so an increment's
+    history probe prunes to the buckets its fresh prefixes touch."""
+    rows = prof.select(
+        F.col("doc"), F.col("tn"), F.explode("pre").alias("s"), F.col("wm")
+    ).select("doc", "tn", "s", F.element_at("wm", F.col("s")).alias("w"))
+    if ntb is not None:
+        rows = rows.withColumn(
+            "tb", F.pmod(F.xxhash64("s"), F.lit(int(ntb))).cast("int")
+        )
+    return rows
+
+
 def _weighted_apss_store_verify(
-    fresh: DataFrame, other: DataFrame, threshold: float, within_batch: bool
+    fresh: DataFrame,
+    other: DataFrame,
+    threshold: float,
+    within_batch: bool,
+    fresh_post: DataFrame | None = None,
+    other_post: DataFrame | None = None,
 ) -> DataFrame:
     """Prefix equi-join candidates + exact pinned-order cosine between a
     fresh profile frame and another (both (doc, terms, wm, pre, tn));
     the same emit contract as the batch operator: 6dp-rounded cos ≥ t,
     candidates complete at t_eff = t − 1e-6 by the Cauchy–Schwarz
-    argument in :func:`_frozen_unit_profiles`."""
+    argument in :func:`_frozen_unit_profiles`. Posting rows derive
+    from the profile frames unless pre-built frames are passed (the
+    increment path passes the term-bucket-pruned ``postings/`` read as
+    ``other_post`` so history profiles are never exploded per batch)."""
     t_eff = float(threshold) - 1e-6
     # posting rows carry the term's weight + the doc's unposted-tail
     # norm so the pair groupBy (same shuffle keys the plain distinct()
@@ -3298,16 +3322,22 @@ def _weighted_apss_store_verify(
     # it, every candidate pair reaches the WIDE profile rejoin —
     # measured at a 100k-doc founding batch (vocab 6k): the un-pruned
     # verify join spilled past the box's free disk.
-    def _post(df, doc_out, w_out, tn_out):
-        return df.select(
-            F.col("doc").alias(doc_out), F.col("tn").alias(tn_out),
-            F.explode("pre").alias("s"), F.col("wm"),
-        ).select(
-            doc_out, tn_out, "s", F.element_at("wm", F.col("s")).alias(w_out)
+    def _std(post, doc_out, w_out, tn_out):
+        return post.select(
+            F.col("doc").alias(doc_out),
+            F.col("tn").alias(tn_out),
+            "s",
+            F.col("w").alias(w_out),
         )
 
-    a = _post(fresh, "da", "wa", "tna")
-    b = _post(other, "db", "wb", "tnb")
+    a = _std(
+        fresh_post if fresh_post is not None else _apss_store_postings(fresh),
+        "da", "wa", "tna",
+    )
+    b = _std(
+        other_post if other_post is not None else _apss_store_postings(other),
+        "db", "wb", "tnb",
+    )
     cond = F.col("da") < F.col("db") if within_batch else F.col("da") != F.col("db")
     _ra = F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - F.col("ma2")))
     _rb = F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - F.col("mb2")))
@@ -3370,6 +3400,7 @@ def incremental_weighted_apss_apply(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.9,
+    num_term_buckets: int = 64,
 ) -> "tuple[DataFrame, dict]":
     """TF-IDF cosine all-pairs for an ingest increment against the
     corpus history — :func:`weighted_apss_pairs`'s incremental form,
@@ -3392,10 +3423,21 @@ def incremental_weighted_apss_apply(
     unposted norm < t_eff/2 (intrinsic, no global order — see
     :func:`_frozen_unit_profiles`); fresh prefixes equi-join history ∪
     batch prefixes. Store: ``idf/`` (term, df) + ``profiles/``
-    (doc, terms, wm, pre, tn); ids already stored are replay no-ops;
-    history text is never re-read. Founding commit is keyed on
-    ``profiles/`` with ``idf/`` written overwrite-first, mirroring
-    incremental_apss_apply's crash story.
+    (doc, terms, wm, pre, tn) + ``postings/`` — the profiles' prefix
+    posting rows (doc, tn, s, w) partitioned by term bucket
+    ``tb = hash(term) mod num_term_buckets`` (persisted in ``idf/`` so
+    the bucketing stays stable for the store's lifetime). The history
+    side of an increment's candidate join reads ONLY the tb partitions
+    the fresh prefixes touch (the searchindex term-filter pattern) and
+    never re-explodes history profiles; the wide profile frame is read
+    solely for the candidates' exact rejoin. Ids already stored are
+    replay no-ops; history text is never re-read. Founding commit is
+    keyed on ``profiles/`` with ``idf/`` and ``postings/`` written
+    first, mirroring incremental_apss_apply's crash story; increments
+    append postings BEFORE profiles, so a crash between the two
+    re-derives the batch as fresh and re-appends — duplicate posting
+    rows from such a replay are dropped at read (dropDuplicates on
+    (s, doc)), never trusted to be absent.
 
     Returns (pairs, stats): pairs = (doc_a, doc_b, cos_r) with ≥1
     fresh side; stats = {batch, replayed, appended, pairs_vs_history,
@@ -3411,6 +3453,7 @@ def incremental_weighted_apss_apply(
     new_docs = new_docs.dropDuplicates([id_col])
     idf_dir = _os.path.join(store_dir, "idf")
     prof_dir = _os.path.join(store_dir, "profiles")
+    post_dir = _os.path.join(store_dir, "postings")
     t_half = (float(threshold) - 1e-6) / 2.0
 
     def _empty_pairs():
@@ -3437,12 +3480,18 @@ def incremental_weighted_apss_apply(
         n0 = float(stats["nd"] or 0)
         tok.groupBy("term").agg(
             F.count("*").cast("double").alias("df")
-        ).withColumn("n0", F.lit(n0)).write.mode("overwrite").parquet(idf_dir)
+        ).withColumn("n0", F.lit(n0)).withColumn(
+            "ntb", F.lit(int(num_term_buckets))
+        ).write.mode("overwrite").parquet(idf_dir)
         idf = spark.read.parquet(idf_dir)
         prof = _frozen_unit_profiles(
             new_docs, idf.select("term", "df"), n0, id_col, text_col, t_half
         ).localCheckpoint(eager=True)
         n_batch = prof.count()
+        post = _apss_store_postings(prof, int(num_term_buckets))
+        post.repartition(F.col("tb")).write.mode("overwrite").partitionBy(
+            "tb"
+        ).parquet(post_dir)
         prof.write.parquet(prof_dir)
         pairs = _weighted_apss_store_verify(
             prof, prof, threshold, within_batch=True
@@ -3453,7 +3502,9 @@ def incremental_weighted_apss_apply(
         }
 
     idf = spark.read.parquet(idf_dir)
-    n0 = float(idf.select("n0").first()["n0"])
+    _meta = idf.select("n0", *(["ntb"] if "ntb" in idf.columns else [])).first()
+    n0 = float(_meta["n0"])
+    ntb = int(_meta["ntb"]) if "ntb" in idf.columns else int(num_term_buckets)
     history = spark.read.parquet(prof_dir)
     n_batch = new_docs.count()
     fresh_docs = new_docs.join(
@@ -3468,14 +3519,35 @@ def incremental_weighted_apss_apply(
             "batch": n_batch, "replayed": n_batch, "appended": 0,
             "pairs_vs_history": 0, "pairs_in_batch": 0,
         }
+    fresh_post = _apss_store_postings(prof, ntb).localCheckpoint(eager=True)
+    # history candidate rows: tb-pruned posting read (only the term
+    # buckets the fresh prefixes touch), deduped against crash-replay
+    # double-appends; the file listing is snapshotted HERE, before the
+    # appends below, so the returned lazy frames stay pre-append
+    tbs = sorted(
+        r[0] for r in fresh_post.select("tb").distinct().collect()
+    )
+    hist_post = (
+        spark.read.schema("doc " + prof.schema["doc"].dataType.simpleString()
+                          + ", tn double, s string, w double, tb int")
+        .parquet(post_dir)
+        .filter(F.col("tb").isin(tbs))
+        .dropDuplicates(["s", "doc"])
+    )
     hist_pairs = _weighted_apss_store_verify(
-        prof, history, threshold, within_batch=False
+        prof, history, threshold, within_batch=False,
+        fresh_post=fresh_post, other_post=hist_post,
     )
     batch_pairs = _weighted_apss_store_verify(
-        prof, prof, threshold, within_batch=True
+        prof, prof, threshold, within_batch=True,
+        fresh_post=fresh_post, other_post=fresh_post,
     )
     n_hist = hist_pairs.count()
     n_in_batch = batch_pairs.count()
+    # postings append FIRST (see docstring's crash story)
+    fresh_post.repartition(F.col("tb")).write.mode("append").partitionBy(
+        "tb"
+    ).parquet(post_dir)
     prof.write.mode("append").parquet(prof_dir)
     return hist_pairs.unionByName(batch_pairs), {
         "batch": n_batch, "replayed": n_batch - n_fresh, "appended": n_fresh,

@@ -47,12 +47,13 @@ Scale shape (100 TB): the delta joins shuffle O(|Δ|) rows against the
 side states; the touched-pk sets are batch-sized and broadcast. The
 full-table rewrite of a CHANGED side and of the view is this flat
 layout's cost floor — at billions of live rows use
-``incremental_joinview_apply_bucketed`` below (children DUAL
-hash-bucketed: sides on (pk, join key), the view on (_pk_l, _pk_r), so
-both the rewrites AND every per-batch read — the delta joins' probe of
-the other side, the view's removals keyed on the right pk — prune to
-the buckets the batch's keys hash to) or a Delta MERGE; the delta
-algebra is identical in all three.
+``incremental_joinview_apply_bucketed`` below (data hash-bucketed on
+the pk, one narrow join-key-bucketed (jk, _pk) posting per side
+routing every cross-side lookup, so both the rewrites AND every
+per-batch read — the delta joins' probe of the other side, the view's
+removals keyed on the right pk — prune to the buckets the batch's
+keys hash to) or a Delta MERGE; the delta algebra is identical in all
+three.
 """
 
 from __future__ import annotations
@@ -293,60 +294,38 @@ def _in_buckets(df: DataFrame, col: str, buckets: list[int]) -> DataFrame:
     return df.filter(F.col(col).isin(buckets))
 
 
-def _overwrite_buckets2(
-    df: DataFrame, path: str, c1: str, c2: str, affected_c1: list[int]
+def _overwrite_buckets(
+    df: DataFrame, path: str, part_col: str, affected: list[int]
 ) -> None:
-    """Dual-partition (``c1``/``c2``) dynamic overwrite that ALSO
-    handles the pitfall the mode itself has: a partition whose new
-    content is EMPTY is never overwritten (Spark writes no partition
-    for zero rows), so rows deleted down to an empty bucket would
-    silently resurrect. Extended to the second level: the caller
-    recomputes the ENTIRE content of the
-    ``affected_c1`` buckets, so any old leaf under them that receives
-    no rows (a row's secondary value moved — e.g. a join-key change
-    relocating a side row to a new jb — or the leaf emptied by
-    deletes) is removed explicitly after the write. A crash between
-    the write and the removals reconverges on replay: stale-leaf rows
-    all carry touched keys, so their c1 bucket re-enters the affected
-    set and recomputes; the stale copy loses last-writer-wins to the
-    replayed change (a moved row's two copies always differ in
-    ``event_index``)."""
+    """Dynamic partition overwrite that ALSO handles the pitfall the
+    mode itself has: a partition whose new content is EMPTY is never
+    overwritten (Spark writes no partition for zero rows), so rows
+    deleted down to an empty bucket would silently resurrect. Buckets
+    in ``affected`` with no surviving rows are removed explicitly after
+    the write; a crash between the write and the removals reconverges
+    on replay (the stale bucket's rows are all touched-key rows, so the
+    bucket re-enters the affected set and recomputes to empty again).
+
+    Rows are clustered by bucket before the write: without this, every
+    write task emits a file into every bucket it holds rows for
+    (tasks × buckets tiny files, which makes every later listing+scan
+    the dominant cost). One shuffle of just the touched-bucket content
+    caps it at roughly one file per bucket."""
     import shutil
 
-    # Cluster rows by their leaf combo before the write: without this,
-    # every write task emits a file into every combo it holds rows for
-    # (tasks × combos files — ~8k tiny files per child at 16 buckets,
-    # which made every later listing+scan the dominant cost). One
-    # shuffle of just the touched-bucket content caps it at one file
-    # per combo.
-    frame = df.repartition(F.col(c1), F.col(c2)).localCheckpoint(eager=True)
-    present = {
-        (r[0], r[1]) for r in frame.select(c1, c2).distinct().collect()
-    }
+    frame = (
+        df.repartition(F.col(part_col)).localCheckpoint(eager=True)
+    )  # one compute: presence + write
+    present = set(_distinct_ints(frame.select(part_col), part_col))
     if present:
         (
             frame.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(c1, c2)
+            .partitionBy(part_col)
             .parquet(path)
         )
-    for b1 in affected_c1:
-        d1 = os.path.join(path, f"{c1}={b1}")
-        if not os.path.isdir(d1):
-            continue
-        for e in os.scandir(d1):
-            if not (e.is_dir() and e.name.startswith(f"{c2}=")):
-                continue
-            raw = e.name.split("=", 1)[1]
-            v2 = None if raw == "__HIVE_DEFAULT_PARTITION__" else int(raw)
-            if (b1, v2) not in present:
-                shutil.rmtree(e.path, ignore_errors=True)
-        # a c1 dir emptied of every leaf must go too: a partition dir
-        # with no files under it breaks schema inference on read
-        if not any(
-            e.is_dir() and e.name.startswith(f"{c2}=") for e in os.scandir(d1)
-        ):
-            shutil.rmtree(d1, ignore_errors=True)
+    for b in set(affected) - present:
+        shutil.rmtree(os.path.join(path, f"{part_col}={b}"), ignore_errors=True)
 
 
 def _read_bucketed(spark: SparkSession, path: str, schema: str) -> DataFrame:
@@ -383,6 +362,31 @@ def joinview_bucketed_high_water(state_dir: str) -> int:
         return -1
 
 
+_POST_SCHEMA = "jk string, _pk string, jb int"
+
+
+def _env_old_jks(fresh: DataFrame, table: str, key: str) -> DataFrame:
+    """The batch's own PRE-IMAGE join keys for one table: update
+    ``old_data`` + delete ``data`` images. Replay-stable (derived from
+    the redelivered envelope, not from mutable state), which is what
+    makes the view's removal probe exact across crash replays — after
+    a crash that merged a side but never rewrote the view, the side's
+    "old" row already shows the new key, but the envelope still says
+    what the pairs in the view were built from."""
+    e = fresh.filter(F.col("table") == table)
+    return (
+        e.filter(F.col("event_type") == "update")
+        .select(F.element_at("event.old_data", key).alias("jk"))
+        .unionByName(
+            e.filter(F.col("event_type") == "delete").select(
+                F.element_at("event.data", key).alias("jk")
+            )
+        )
+        .filter(F.col("jk").isNotNull())
+        .distinct()
+    )
+
+
 def incremental_joinview_apply_bucketed(
     spark: SparkSession,
     env_batch: DataFrame,
@@ -395,42 +399,58 @@ def incremental_joinview_apply_bucketed(
     pk_right: str | list[str] = "id",
     num_buckets: int = 16,
 ) -> None:
-    """The flat apply's scale form: every child DUAL-bucketed so each
-    per-batch read prunes to touched buckets — sides on
-    ``(sb=hash(_pk), jb=hash(join key))``, the view on
-    ``(vb=hash(_pk_l), rb=hash(_pk_r))`` — maintained by DYNAMIC
-    PARTITION OVERWRITE of only the buckets a batch touches. Per-batch
-    IO is O(|Δ| + touched buckets), never a full-state scan (the
-    upgrade path the flat docstring promises, without leaving plain
-    parquet).
+    """The flat apply's scale form: side DATA hash-bucketed on ``_pk``
+    and the view on ``_pk_l`` (dynamic partition overwrite of only the
+    buckets a batch touches), plus one NARROW ``(jk, _pk)`` POSTING per
+    side bucketed on the join key that ROUTES every cross-side lookup.
+    Per-batch IO is O(|Δ| + touched buckets), never a full-state scan.
 
-    The second partition level is what removes the r11 scale term (the
-    delta⋈full-other-side join-key scan): the delta rows' join keys
-    hash to a batch-sized set of ``jb`` buckets, so the delta join
-    reads ONLY the other side's matching jb partitions — state/num_
-    buckets of the side per distinct delta join key, not the whole
-    side. Likewise the view's removals keyed on the non-bucketing side
-    (pairs whose ``_pk_r`` is touched) probe only the ``rb`` buckets
-    the touched right keys hash to, instead of a full (column-pruned)
-    view scan.
+    The posting is what removes the r11 scale term (the delta⋈full-
+    other-side join-key scan) without the write amplification a dual-
+    partitioned data layout pays (measured: (sb, jb) data leaves turn a
+    1k-uniform-pk batch into thousands of tiny leaf rewrites). Reads:
+    the delta's join keys hash to a batch-sized set of jb buckets, the
+    other side's posting is scanned only there (narrow: two string
+    columns), and the matching rows are fetched from the data buckets
+    the candidate pks hash to. Writes: data rewrites touched pk
+    buckets, the posting rewrites touched jk buckets — both ≤
+    num_buckets dirs per batch.
+
+    Posting contract: after each batch it holds (jk, _pk) for every
+    LIVE row of its side (entries for all current rows; maintained by
+    rewriting the jb buckets of the batch's old ∪ new join keys). A
+    crash replay can leave STALE extra entries (a moved row's old-key
+    entry whose bucket the replay no longer touches) — harmless false
+    positives: every routed candidate is re-joined on the REAL key
+    from the data row, so a stale entry costs a lookup, never a wrong
+    pair. Missing entries cannot survive: the posting for a side is
+    rewritten before the view in every batch that touches the side,
+    and an unwritten posting comes with an unwritten view + old mark,
+    so the replay redoes both.
 
     Affected view (vb) buckets = buckets of the touched LEFT keys ∪
-    buckets of existing pairs whose ``_pk_r`` is touched (the
-    rb-pruned probe above) ∪ buckets of the right-delta join's new
-    pairs. Every added pair provably lands inside the affected set, so
-    untouched vb buckets are byte-stable (test-asserted by mtime).
+    buckets of pairs losing a touched RIGHT key — found by probing the
+    LEFT posting with the touched right rows' PRE-BATCH join keys
+    (pre-merge data image ∪ the batch's own old_data/delete images, so
+    the probe stays exact across crash replays) — ∪ buckets of the
+    right-delta join's new pairs. Every added pair provably lands
+    inside the affected set, so untouched vb buckets are byte-stable
+    (test-asserted by mtime), and the view itself is never scanned
+    outside the affected buckets (test-asserted by planted corrupt
+    files).
 
     Commit = the root meta's fsynced atomic replace AFTER all bucket
-    overwrites. A crash mid-overwrite leaves some buckets new and some
-    old with the OLD mark: the redelivered batch re-merges sides
-    last-writer-wins (idempotent per bucket; a jk-moved row's stale
-    leaf copy loses LWW to the replayed change and its stale leaf is
-    re-removed) and re-derives each affected bucket's final content
-    from scratch. Convergence, not atomicity, is the contract — same
-    as the flat variant's child-swap ordering.
+    overwrites, in the fixed order left data → left posting → right
+    data → right posting → view → mark. A crash anywhere leaves the
+    OLD mark: the redelivered batch re-merges sides last-writer-wins
+    (idempotent per bucket) and re-derives each affected bucket's
+    final content from scratch. Convergence, not atomicity, is the
+    contract — same as the flat variant's child-swap ordering.
     """
     left_dir = os.path.join(state_dir, "left")
     right_dir = os.path.join(state_dir, "right")
+    lpost_dir = os.path.join(state_dir, "left_jk")
+    rpost_dir = os.path.join(state_dir, "right_jk")
     view_dir = os.path.join(state_dir, "view")
     os.makedirs(state_dir, exist_ok=True)
 
@@ -455,60 +475,103 @@ def incremental_joinview_apply_bucketed(
         commit_mark()  # other tables' events: mark only, zero table IO
         return
 
-    side_schema = _SIDE_SCHEMA + ", sb int, jb int"
+    data_schema = _SIDE_SCHEMA + ", sb int"
 
-    def read_side(path: str, key: str) -> DataFrame:
-        """One side with its join key projected: (_pk, jk, row, sb, jb)."""
-        return _read_bucketed(spark, path, side_schema).select(
-            "_pk", F.element_at("row", key).alias("jk"), "row", "sb", "jb"
+    def read_data(path: str, key: str) -> DataFrame:
+        """One side with its join key projected: (_pk, jk, row, sb)."""
+        return _read_bucketed(spark, path, data_schema).select(
+            "_pk", F.element_at("row", key).alias("jk"), "row", "sb"
         )
 
-    def merge_side_buckets(path: str, changes: DataFrame, key: str) -> list[int]:
-        """Merge the batch's changes into the touched sb buckets;
-        returns the touched sb list (empty ⇒ side untouched)."""
-        if changes.isEmpty():
-            return []
-        touched = changes.select(_bucket_of("_pk", num_buckets).alias("sb"))
-        buckets = _distinct_ints(touched, "sb")
-        old = _in_buckets(
-            _read_bucketed(spark, path, side_schema), "sb", buckets
-        ).select("_pk", "row", "event_index")
-        merged = (
-            _merge_side(old, changes)
-            .withColumn("sb", _bucket_of("_pk", num_buckets))
-            .withColumn(
-                "jb", _bucket_of(F.element_at("row", key), num_buckets)
-            )
-        )
-        _overwrite_buckets2(merged, path, "sb", "jb", buckets)
-        return buckets
+    def read_post(path: str) -> DataFrame:
+        return _read_bucketed(spark, path, _POST_SCHEMA)
 
-    sb_l = merge_side_buckets(left_dir, ch_l, key_left)
-    sb_r = merge_side_buckets(right_dir, ch_r, key_right)
-
-    new_l = read_side(left_dir, key_left)
-    new_r = read_side(right_dir, key_right)
     t_l = ch_l.select("_pk").distinct().localCheckpoint(eager=True)
     t_r = ch_r.select("_pk").distinct().localCheckpoint(eager=True)
 
-    # current rows of the touched keys: sb-pruned point reads, O(|Δ|)
-    del_l = (
-        _in_buckets(new_l, "sb", sb_l)
-        .join(F.broadcast(t_l), "_pk", "left_semi")
-        .localCheckpoint(eager=True)
-    )
-    del_r = (
-        _in_buckets(new_r, "sb", sb_r)
-        .join(F.broadcast(t_r), "_pk", "left_semi")
-        .localCheckpoint(eager=True)
-    )
-
-    def jk_buckets(delta: DataFrame) -> list[int]:
-        return _distinct_ints(
-            delta.filter(F.col("jk").isNotNull()).select(
+    def side_apply(data_dir, post_dir, changes, t, key, env_old):
+        """Merge one side's data buckets and rewrite its jk posting.
+        Returns (live delta rows post-merge, pre-batch jks of the
+        touched pks) — both checkpointed batch-sized frames."""
+        if changes.isEmpty():
+            empty_rows = read_data(data_dir, key).limit(0)
+            return empty_rows, spark.createDataFrame([], "jk string")
+        sbs = _distinct_ints(
+            changes.select(_bucket_of("_pk", num_buckets).alias("sb")), "sb"
+        )
+        # pre-batch jks: pre-merge data image of the touched pks ∪ the
+        # envelope's own old images (must materialize BEFORE the data
+        # overwrite below invalidates the lazy read)
+        old_jks = (
+            _in_buckets(read_data(data_dir, key), "sb", sbs)
+            .join(F.broadcast(t), "_pk", "left_semi")
+            .select("jk")
+            .filter(F.col("jk").isNotNull())
+            .unionByName(env_old)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        old_all = _in_buckets(
+            _read_bucketed(spark, data_dir, data_schema), "sb", sbs
+        ).select("_pk", "row", "event_index")
+        merged = _merge_side(old_all, changes).withColumn(
+            "sb", _bucket_of("_pk", num_buckets)
+        )
+        _overwrite_buckets(merged, data_dir, "sb", sbs)
+        del_rows = (
+            _in_buckets(read_data(data_dir, key), "sb", sbs)
+            .join(F.broadcast(t), "_pk", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        new_jks = del_rows.select("jk").filter(F.col("jk").isNotNull())
+        jbs = _distinct_ints(
+            old_jks.unionByName(new_jks).select(
                 _bucket_of("jk", num_buckets).alias("jb")
             ),
             "jb",
+        )
+        new_post = (
+            _in_buckets(read_post(post_dir), "jb", jbs)
+            .join(F.broadcast(t), "_pk", "left_anti")
+            .select("jk", "_pk")
+            .unionByName(
+                del_rows.filter(F.col("jk").isNotNull()).select("jk", "_pk")
+            )
+            .withColumn("jb", _bucket_of("jk", num_buckets))
+        )
+        if jbs:
+            _overwrite_buckets(new_post, post_dir, "jb", jbs)
+        return del_rows, old_jks
+
+    del_l, _old_jks_l = side_apply(
+        left_dir, lpost_dir, ch_l, t_l, key_left,
+        _env_old_jks(fresh, left_table, key_left),
+    )
+    del_r, old_jks_r = side_apply(
+        right_dir, rpost_dir, ch_r, t_r, key_right,
+        _env_old_jks(fresh, right_table, key_right),
+    )
+
+    def route_rows(post_dir, data_dir, key, jks: DataFrame) -> DataFrame:
+        """Live rows of a side whose jk ∈ jks, via the narrow posting:
+        jb-pruned posting scan → candidate pks → sb-pruned row fetch.
+        Stale posting entries survive only until the pair join re-checks
+        the real key."""
+        jbs = _distinct_ints(
+            jks.select(_bucket_of("jk", num_buckets).alias("jb")), "jb"
+        )
+        cand = (
+            _in_buckets(read_post(post_dir), "jb", jbs)
+            .join(F.broadcast(jks), "jk", "left_semi")
+            .select("_pk")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sbs = _distinct_ints(
+            cand.select(_bucket_of("_pk", num_buckets).alias("sb")), "sb"
+        )
+        return _in_buckets(read_data(data_dir, key), "sb", sbs).join(
+            cand, "_pk", "left_semi"
         )
 
     def pairs(lhs: DataFrame, rhs: DataFrame) -> DataFrame:
@@ -526,30 +589,32 @@ def incremental_joinview_apply_bucketed(
 
     # ΔA ⋈ B covers (touched-l × anything); (A ∖ ΔA) ⋈ ΔB covers the
     # remaining touched-r pairs exactly once. Each full-side operand is
-    # jb-pruned to the delta's join-key buckets before the join.
-    add_l = pairs(del_l, _in_buckets(new_r, "jb", jk_buckets(del_l)))
+    # replaced by its posting-routed fetch.
+    jks_l = del_l.select("jk").filter(F.col("jk").isNotNull()).distinct()
+    jks_r = del_r.select("jk").filter(F.col("jk").isNotNull()).distinct()
+    add_l = pairs(del_l, route_rows(rpost_dir, right_dir, key_right, jks_l))
     add_r = pairs(
-        _in_buckets(new_l, "jb", jk_buckets(del_r)).join(
+        route_rows(lpost_dir, left_dir, key_left, jks_r).join(
             F.broadcast(t_l), "_pk", "left_anti"
         ),
         del_r,
     ).localCheckpoint(eager=True)  # feeds the bucket set AND the union
 
-    view_schema = _VIEW_SCHEMA + ", vb int, rb int"
+    view_schema = _VIEW_SCHEMA + ", vb int"
     old_view = _read_bucketed(spark, view_dir, view_schema)
 
-    # affected view buckets: touched-left keys, pairs losing a touched
-    # right key (rb-pruned probe), and right-delta adds
-    rb_r = _distinct_ints(
-        t_r.select(_bucket_of("_pk", num_buckets).alias("rb")), "rb"
+    # affected view buckets: touched-left keys; pairs losing a touched
+    # right key (probe the LEFT posting with the right rows' pre-batch
+    # jks — vb = bucket(_pk_l) = bucket of the posting's _pk); and
+    # right-delta adds
+    jbs_probe = _distinct_ints(
+        old_jks_r.select(_bucket_of("jk", num_buckets).alias("jb")), "jb"
     )
     vb_sets = [
         t_l.select(_bucket_of("_pk", num_buckets).alias("vb")),
-        _in_buckets(old_view, "rb", rb_r)
-        .join(
-            F.broadcast(t_r.withColumnRenamed("_pk", "_pk_r")), "_pk_r", "left_semi"
-        )
-        .select("vb"),
+        _in_buckets(read_post(lpost_dir), "jb", jbs_probe)
+        .join(F.broadcast(old_jks_r), "jk", "left_semi")
+        .select(_bucket_of("_pk", num_buckets).alias("vb")),
         add_r.select(_bucket_of("_pk_l", num_buckets).alias("vb")),
     ]
     affected = _distinct_ints(
@@ -573,9 +638,8 @@ def incremental_joinview_apply_bucketed(
         kept.unionByName(add_l)
         .unionByName(add_r)
         .withColumn("vb", _bucket_of("_pk_l", num_buckets))
-        .withColumn("rb", _bucket_of("_pk_r", num_buckets))
     )
-    _overwrite_buckets2(new_view, view_dir, "vb", "rb", affected)
+    _overwrite_buckets(new_view, view_dir, "vb", affected)
     commit_mark()
 
 
@@ -609,12 +673,12 @@ def joinview_bucketed_writer(
 
 
 def read_joinview_bucketed(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The bucketed view, bucket columns dropped — same shape as the
+    """The bucketed view, bucket column dropped — same shape as the
     flat reader."""
     view_dir = os.path.join(state_dir, "view")
-    return _read_bucketed(
-        spark, view_dir, _VIEW_SCHEMA + ", vb int, rb int"
-    ).select("_pk_l", "_pk_r", "jk", "row_l", "row_r")
+    return _read_bucketed(spark, view_dir, _VIEW_SCHEMA + ", vb int").select(
+        "_pk_l", "_pk_r", "jk", "row_l", "row_r"
+    )
 
 
 def bootstrap_joinview(
