@@ -3269,17 +3269,22 @@ def _frozen_unit_profiles(
             )
         ).alias("tn"),
     )
-    return docs.select(F.col(id_col).alias("doc")).distinct().join(
-        prof, "doc", "left"
-    ).select(
-        "doc",
-        F.coalesce("terms", F.array().cast("array<string>")).alias("terms"),
-        F.coalesce(
-            "wm", F.create_map().cast("map<string,double>")
-        ).alias("wm"),
-        F.coalesce("pre", F.array().cast("array<string>")).alias("pre"),
-        F.coalesce("tn", F.lit(0.0)).alias("tn"),
+    # NARROW anti-join finds the (typically few) zero-term ids; the
+    # wide profile frame passes through unshuffled — a left-join of
+    # all ids against the wide frame measured +30% on a 100k founding
+    empty_rows = (
+        docs.select(F.col(id_col).alias("doc"))
+        .distinct()
+        .join(prof.select("doc"), "doc", "left_anti")
+        .select(
+            "doc",
+            F.array().cast("array<string>").alias("terms"),
+            F.create_map().cast("map<string,double>").alias("wm"),
+            F.array().cast("array<string>").alias("pre"),
+            F.lit(0.0).alias("tn"),
+        )
     )
+    return prof.unionByName(empty_rows)
 
 
 def _apss_store_postings(prof: DataFrame, ntb: int | None = None) -> DataFrame:
