@@ -2945,6 +2945,50 @@ def test_incremental_weighted_apss_store_term_bucket_prune(spark, tmp_path):
     assert got2 == {(100, 102), (101, 102)}
 
 
+def test_weighted_apss_cost_model_dispatch(spark):
+    """The r12 dispatch extension: past the hard vocab<=1024 cutoff the
+    path choice is a measured cost model (dense when n^2*V < sum(df^2)
+    * 3000 and the GEMM group count is schedulable). A Zipf-skewed
+    moderate-vocab corpus must route DENSE (its hot posting lists make
+    the sparse join quadratic), an all-unique-terms corpus must stay
+    SPARSE, and dense_vocab_cutoff=0 must force sparse regardless.
+    Result equality of the two paths is asserted by
+    test_weighted_apss_random_corpora_both_paths_complete."""
+    import random as _random
+
+    from wing_binlog_go_spark.operators.dedup import weighted_apss_pairs
+
+    rng = _random.Random(1207)
+    n = 1500
+    # Zipf-ish skew over ~2000 terms (> the 1024 hard cutoff)
+    skew_rows = [
+        (i, " ".join(
+            f"t{min(2000, int(rng.paretovariate(0.7)))}" for _ in range(20)
+        ))
+        for i in range(n)
+    ]
+    skew = spark.createDataFrame(skew_rows, "doc_id long, text string")
+    plan_dense = weighted_apss_pairs(skew, threshold=0.9)._jdf.queryExecution(
+    ).analyzed().toString()
+    assert "FlatMapGroupsInPandas" in plan_dense  # the blocked GEMM
+
+    # every doc carries only its own private terms: sum(df^2) = vocab,
+    # the sparse join is empty-cheap -> cost model keeps sparse
+    uniq_rows = [
+        (i, " ".join(f"u{i}_{j}" for j in range(10))) for i in range(n)
+    ]
+    uniq = spark.createDataFrame(uniq_rows, "doc_id long, text string")
+    plan_sparse = weighted_apss_pairs(uniq, threshold=0.9)._jdf.queryExecution(
+    ).analyzed().toString()
+    assert "FlatMapGroupsInPandas" not in plan_sparse
+
+    # forced sparse (the q168b oracle twin's form) never goes dense
+    plan_forced = weighted_apss_pairs(
+        skew, threshold=0.9, dense_vocab_cutoff=0
+    )._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandas" not in plan_forced
+
+
 def test_auto_lsh_params_fixture_parity_and_scaling():
     """auto_lsh_params must reproduce the pre-r10 (4, 16) signature at
     fixture scale (so committed evidence is untouched), grow bits

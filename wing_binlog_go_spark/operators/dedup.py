@@ -2946,11 +2946,37 @@ def weighted_apss_pairs(
         .orderBy(F.desc("trank"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    if 0 < vocab <= dense_vocab_cutoff:
+    use_dense = 0 < vocab <= dense_vocab_cutoff
+    if not use_dense and dense_vocab_cutoff > 0 and vocab > 0:
+        # COST-MODEL extension past the hard cutoff (r12 crossover
+        # probe, 20k Zipf-skewed docs): the blocked GEMM sustained
+        # ~3·10¹¹ flop/s while the posting self-join — skew-limited by
+        # its hot shuffle keys — processed ~10⁷–10⁸ rows/s, and dense
+        # beat sparse at EVERY probed vocab (1k: 7.9 vs 248.5 s, 4k:
+        # 13.3 vs 170.9, 10k: 18.3 vs 80.8). Sparse join work scales
+        # with Σ_t df_t² (its matched-row count before pruning), dense
+        # with n²·V; prefer dense when n²·V < Σdf² × 3000 (the
+        # measured rate ratio with a 3× safety margin toward sparse,
+        # whose asymptotics in n are better on flat-df corpora).
+        # Feasibility gate: the GEMM schedules ~n_blocks²/2 groups;
+        # past ~200k groups task scheduling dominates — stay sparse.
+        sum_df2 = float(
+            dfreq.agg(F.sum(F.col("df") * F.col("df"))).first()[0] or 0.0
+        )
+        dense_flops = float(n_docs) * float(n_docs) * float(vocab)
+        block_est = max(256, min(8192, (32 << 20) // max(vocab * 8, 1)))
+        n_blocks_est = -(-n_docs // block_est)
+        use_dense = (
+            dense_flops < sum_df2 * 3000.0
+            and n_blocks_est * (n_blocks_est + 1) // 2 <= 200_000
+        )
+    if use_dense:
         # tiny vocabulary ⇒ every posting list is hot and the sparse
         # self-join degenerates quadratically on ≤|vocab| shuffle keys
         # (see _weighted_apss_candidates_dense) — candidates come from
-        # the blocked GEMM instead; the verify below is unchanged
+        # the blocked GEMM instead; the verify below is unchanged.
+        # Forced-sparse callers (dense_vocab_cutoff=0, the q168b oracle
+        # twin) never reach either branch of the dispatch.
         cand = _weighted_apss_candidates_dense(
             unit, order, n_docs, vocab, threshold
         )
