@@ -687,3 +687,178 @@ def test_bucketed_joinview_delta_reads_prune_to_matching_buckets(spark, tmp_path
     pairs = _pairs_b(spark, state)
     assert ("105", "6") in pairs and ("105", "5") not in pairs
     assert ("104", "4") in pairs  # untouched pair survives
+
+
+def _apply_m(spark, state, batch, n=8):
+    from wing_binlog_go_spark.streaming.joinview import (
+        incremental_joinview_apply_mor,
+    )
+
+    incremental_joinview_apply_mor(
+        spark, batch, state, "orders", "customers", "cust", "id", num_buckets=n
+    )
+
+
+def _pairs_m(spark, state):
+    from wing_binlog_go_spark.streaming.joinview import read_joinview_mor
+
+    return {
+        (r.row_l["id"], r.row_r["id"])
+        for r in read_joinview_mor(spark, state).collect()
+    }
+
+
+def test_mor_joinview_matches_flat_randomized(spark, tmp_path):
+    """The merge-on-read layout equals the flat layout after every one
+    of 3 randomized batches, STILL equals it after a mid-sequence
+    compaction, and after one more post-compaction batch (log entries
+    composing over a compacted base)."""
+    from wing_binlog_go_spark.streaming.joinview import compact_joinview_mor
+
+    rng = random.Random(1208)
+    flat = str(tmp_path / "flat")
+    mor = str(tmp_path / "mor")
+    model = {"orders": {}, "customers": {}}
+    idx = 0
+
+    def fresh_row(tb):
+        if tb == "customers":
+            return {"id": str(rng.randrange(10)), "seg": str(rng.randrange(3))}
+        return {"id": str(rng.randrange(100)), "cust": str(rng.randrange(10))}
+
+    def gen_batch(n):
+        nonlocal idx
+        rows = []
+        for _ in range(n):
+            tb = rng.choice(("orders", "customers"))
+            side = model[tb]
+            op = rng.choice(("insert", "insert", "update", "delete"))
+            if op == "insert" or not side:
+                idx += 1
+                row = fresh_row(tb)
+                if row["id"] in side:
+                    rows.append((tb, "update", idx, None, dict(side[row["id"]]), row))
+                else:
+                    rows.append((tb, "insert", idx, row, None, None))
+                side[row["id"]] = row
+            elif op == "update":
+                idx += 1
+                pk = rng.choice(sorted(side))
+                old = dict(side[pk])
+                new = fresh_row(tb)
+                if new["id"] != pk and new["id"] in side:
+                    continue
+                rows.append((tb, "update", idx, None, old, new))
+                del side[pk]
+                side[new["id"]] = new
+            else:
+                idx += 1
+                pk = rng.choice(sorted(side))
+                rows.append((tb, "delete", idx, dict(side[pk]), None, None))
+                del side[pk]
+        return rows
+
+    for _ in range(3):
+        b = _env(spark, gen_batch(25))
+        _apply(spark, flat, b)
+        _apply_m(spark, mor, b)
+        assert _pairs_m(spark, mor) == _pairs(spark, flat)
+
+    compact_joinview_mor(spark, mor, "cust", "id", num_buckets=8)
+    assert _pairs_m(spark, mor) == _pairs(spark, flat)
+    assert not os.listdir(os.path.join(mor, "log"))  # entries folded
+
+    b = _env(spark, gen_batch(25))
+    _apply(spark, flat, b)
+    _apply_m(spark, mor, b)
+    assert _pairs_m(spark, mor) == _pairs(spark, flat)
+
+
+def test_mor_joinview_replay_and_crash_idempotence(spark, tmp_path):
+    """A redelivered batch (entry written, mark regressed — the crash
+    picture) appends a DUPLICATE entry whose touch-sets kill the first
+    copy's adds: the reader sees each pair exactly once. A stale
+    compacted entry (crash between base swap and entry deletion) is
+    skipped by the marker and removed."""
+    import json as _json
+    import shutil
+
+    from wing_binlog_go_spark.streaming.joinview import (
+        compact_joinview_mor,
+        joinview_mor_high_water,
+        read_joinview_mor,
+    )
+
+    state = str(tmp_path / "mor")
+    b1 = _env(
+        spark,
+        [
+            ("customers", "insert", 1, {"id": "1", "seg": "A"}, None, None),
+            ("customers", "insert", 2, {"id": "2", "seg": "B"}, None, None),
+            ("orders", "insert", 3, {"id": "10", "cust": "1"}, None, None),
+        ],
+    )
+    b2 = _env(
+        spark,
+        [
+            ("orders", "update", 4, None,
+             {"id": "10", "cust": "1"}, {"id": "10", "cust": "2"}),
+            ("orders", "insert", 5, {"id": "11", "cust": "1"}, None, None),
+        ],
+    )
+    _apply_m(spark, state, b1)
+    _apply_m(spark, state, b2)
+    want = {("10", "2"), ("11", "1")}
+    assert _pairs_m(spark, state) == want
+
+    # crash replay: regress the mark, redeliver b2 (duplicate entry)
+    with open(os.path.join(state, "_join_meta.json"), "w") as f:
+        _json.dump({"max_event_index": 3}, f)
+    _apply_m(spark, state, b2)
+    assert _pairs_m(spark, state) == want
+    assert joinview_mor_high_water(state) == 5
+    # the duplicate rows must not double-count
+    assert read_joinview_mor(spark, state).count() == 2
+
+    # stale entry after compaction: copy an entry aside, compact,
+    # restore the copy — marker seq makes the reader skip + delete it
+    log = os.path.join(state, "log")
+    entry = sorted(os.listdir(log))[0]
+    shutil.copytree(os.path.join(log, entry), str(tmp_path / "stale"))
+    compact_joinview_mor(spark, state, "cust", "id")
+    shutil.copytree(str(tmp_path / "stale"), os.path.join(log, entry))
+    assert _pairs_m(spark, state) == want
+    assert not os.path.exists(os.path.join(log, entry))  # lazily removed
+
+
+def test_mor_apply_never_rewrites_base(spark, tmp_path):
+    """The merge-on-read promise measured at the file level: after a
+    compaction, further applies leave every base file byte-stable
+    (mtimes unchanged) — per-batch IO is the log append alone."""
+    import glob
+
+    from wing_binlog_go_spark.streaming.joinview import compact_joinview_mor
+
+    state = str(tmp_path / "mor")
+    rows = [("customers", "insert", i + 1, {"id": str(i), "seg": "A"}, None, None)
+            for i in range(10)]
+    rows += [("orders", "insert", 100 + i, {"id": str(100 + i), "cust": str(i)},
+              None, None) for i in range(10)]
+    _apply_m(spark, state, _env(spark, rows))
+    compact_joinview_mor(spark, state, "cust", "id")
+
+    base_glob = os.path.join(state, "base", "**", "*.parquet")
+    before = {p: os.path.getmtime(p) for p in glob.glob(base_glob, recursive=True)}
+    assert before, "compaction must have produced base files"
+
+    b2 = _env(
+        spark,
+        [("orders", "update", 200, None,
+          {"id": "105", "cust": "5"}, {"id": "105", "cust": "6"})],
+    )
+    _apply_m(spark, state, b2)
+    after = {p: os.path.getmtime(p) for p in glob.glob(base_glob, recursive=True)}
+    assert after == before
+    pairs = _pairs_m(spark, state)
+    assert ("105", "6") in pairs and ("105", "5") not in pairs
+    assert ("104", "4") in pairs

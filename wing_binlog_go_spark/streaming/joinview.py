@@ -53,7 +53,12 @@ routing every cross-side lookup, so both the rewrites AND every
 per-batch read — the delta joins' probe of the other side, the view's
 removals keyed on the right pk — prune to the buckets the batch's
 keys hash to) or a Delta MERGE; the delta algebra is identical in all
-three.
+three. For HIGH-ENTROPY update streams (each batch touching ~every
+bucket, where any copy-on-write layout rewrites ~the whole state per
+batch — the measured law in SCALE.md round 12) use
+``incremental_joinview_apply_mor``: per-batch appends one log entry,
+reads fold base ∪ log last-writer-wins, and
+``compact_joinview_mor`` amortizes the rewrite.
 """
 
 from __future__ import annotations
@@ -738,3 +743,471 @@ def bootstrap_joinview(
         .select("_pk_l", "_pk_r", "jk", "row_l", "row_r")
     )
     _swap_child(view, os.path.join(state_dir, "view"), meta_mx=high_water)
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read layout: per-batch IO = O(|Δ|) appends, COW deferred to
+# compaction — the answer to the bucketed layout's measured rewrite law
+# (state × (1 − e^(−k/nb)) per batch; see SCALE.md round 12)
+# ---------------------------------------------------------------------------
+
+_CH_SCHEMA = "_pk string, row map<string,string>, is_delete boolean, event_index bigint"
+
+
+def _mor_dirs(state_dir: str) -> "tuple[str, str]":
+    return os.path.join(state_dir, "base"), os.path.join(state_dir, "log")
+
+
+def joinview_mor_high_water(state_dir: str) -> int:
+    """Root replay mark of the merge-on-read layout (same −1 tolerance
+    as every other maintainer)."""
+    try:
+        with open(os.path.join(state_dir, _META)) as f:
+            return int(json.load(f)["max_event_index"])
+    except (OSError, ValueError, KeyError):
+        return -1
+
+
+def _mor_compact_meta(base_dir: str) -> dict:
+    try:
+        with open(os.path.join(base_dir, "_compact.json")) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _mor_compacted_through(base_dir: str) -> int:
+    """Log entries with seq ≤ this are already folded into base (the
+    compaction marker rides the base swap, so a crash between the swap
+    and the entry deletions leaves stale-but-ignored entries)."""
+    try:
+        return int(_mor_compact_meta(base_dir)["through_seq"])
+    except (ValueError, KeyError):
+        return -1
+
+
+def _mor_base_buckets(base_dir: str, default: int) -> int:
+    """The bucket count the base was WRITTEN with (persisted in the
+    compaction marker) — every jb/sb/vb computation must follow it, or
+    a caller passing a different ``num_buckets`` than the compaction
+    used would silently route reads to the wrong partitions (an empty
+    candidate set, not an error)."""
+    try:
+        return int(_mor_compact_meta(base_dir)["num_buckets"])
+    except (ValueError, KeyError):
+        return int(default)
+
+
+def _mor_entries(state_dir: str) -> "list[tuple[int, str]]":
+    """Live log entries as (seq, path), ascending; staging orphans and
+    already-compacted entries are skipped (and the latter removed)."""
+    import shutil
+
+    base_dir, log_dir = _mor_dirs(state_dir)
+    through = _mor_compacted_through(base_dir)
+    out = []
+    if os.path.isdir(log_dir):
+        for e in os.scandir(log_dir):
+            if not e.is_dir():
+                continue
+            if e.name.endswith("._staging"):
+                shutil.rmtree(e.path, ignore_errors=True)  # crash orphan
+                continue
+            if e.name.startswith("e") and e.name[1:].isdigit():
+                seq = int(e.name[1:])
+                if seq <= through:
+                    shutil.rmtree(e.path, ignore_errors=True)  # folded
+                else:
+                    out.append((seq, e.path))
+    return sorted(out)
+
+
+def _mor_log_side(spark: SparkSession, state_dir: str, which: str) -> DataFrame:
+    """All live log entries' change rows for one side, tagged with their
+    entry seq: (_pk, row, is_delete, event_index, seq)."""
+    frames = [
+        spark.read.schema(_CH_SCHEMA)
+        .parquet(os.path.join(path, which))
+        .withColumn("seq", F.lit(seq))
+        for seq, path in _mor_entries(state_dir)
+    ]
+    empty = spark.createDataFrame([], _CH_SCHEMA + ", seq int")
+    out = empty
+    for fr in frames:
+        out = out.unionByName(fr)
+    return out
+
+
+def incremental_joinview_apply_mor(
+    spark: SparkSession,
+    env_batch: DataFrame,
+    state_dir: str,
+    left_table: str,
+    right_table: str,
+    key_left: str,
+    key_right: str,
+    pk_left: str | list[str] = "id",
+    pk_right: str | list[str] = "id",
+    num_buckets: int = 16,
+) -> None:
+    """MERGE-ON-READ join-view maintenance: each batch APPENDS one log
+    entry (the two sides' LWW-collapsed change rows + the delta joins'
+    added pairs) and rewrites NOTHING — per-batch IO is O(|Δ| + routed
+    reads + log size), with the copy-on-write cost deferred to
+    :func:`compact_joinview_mor`. This is the high-entropy-update
+    answer the bucketed layout's measured rewrite law demands (a
+    1k-uniform-key batch rewrites ~the whole state there; here it
+    appends ~1k rows + its pairs).
+
+    State = ``base/`` (the bucketed layout's children, written only by
+    compaction) + ``log/eNNNNNNNN/`` entries (chl, chr, adds). Current
+    side rows = base ∪ log, folded last-writer-wins by ``event_index``
+    — exactly ``_merge_side``'s rule, so base and log rows compose
+    without special cases. Delta joins route through base postings
+    (jb-pruned) for the base part and scan the (small) log directly
+    for the rest.
+
+    View semantics at read (:func:`read_joinview_mor`): a base pair
+    dies if ANY entry touches its ``_pk_l`` or ``_pk_r``; an entry's
+    added pair dies if a LATER entry touches either key (its
+    replacement, if still live, is in that later entry's adds). This
+    seq-fold also makes crash replays idempotent: a redelivered batch
+    (entry renamed, mark not advanced) appends a duplicate entry whose
+    touch-sets kill the earlier copy's adds — the reader sees each
+    pair once, whichever entry it came from.
+
+    Commit = the entry dir's staged rename, then the root mark's
+    fsynced replace. Convergence, not atomicity, as everywhere else.
+    """
+    base_dir, log_dir = _mor_dirs(state_dir)
+    os.makedirs(log_dir, exist_ok=True)
+    recover_swap(base_dir)  # a crashed compaction's half-swap
+    num_buckets = _mor_base_buckets(base_dir, num_buckets)
+
+    high = joinview_mor_high_water(state_dir)
+    fresh = env_batch.filter(F.col("event_index") > high)
+    mx = fresh.agg(F.max("event_index")).collect()[0][0]
+    if mx is None:
+        return
+
+    ch_l = _side_changes(fresh, left_table, pk_left).localCheckpoint(eager=True)
+    ch_r = _side_changes(fresh, right_table, pk_right).localCheckpoint(eager=True)
+
+    def commit_mark() -> None:
+        tmp = os.path.join(state_dir, _META + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"max_event_index": int(mx)}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(state_dir, _META))
+
+    if ch_l.isEmpty() and ch_r.isEmpty():
+        commit_mark()
+        return
+
+    data_schema = _SIDE_SCHEMA + ", sb int"
+
+    # effective log per side = committed entries ∪ THIS batch, LWW'd
+    eff_l = _collapse_lww(
+        _mor_log_side(spark, state_dir, "chl").drop("seq").unionByName(ch_l)
+    ).localCheckpoint(eager=True)
+    eff_r = _collapse_lww(
+        _mor_log_side(spark, state_dir, "chr").drop("seq").unionByName(ch_r)
+    ).localCheckpoint(eager=True)
+
+    def base_rows(which: str, key: str) -> DataFrame:
+        return _read_bucketed(
+            spark, os.path.join(base_dir, which), data_schema
+        ).select(
+            "_pk",
+            F.element_at("row", key).alias("jk"),
+            "row",
+            F.lit(False).alias("is_delete"),
+            "event_index",
+            "sb",
+        )
+
+    def with_jk(df: DataFrame, key: str) -> DataFrame:
+        return df.select(
+            "_pk", F.element_at("row", key).alias("jk"), "row",
+            "is_delete", "event_index",
+        )
+
+    def fold_live(parts: "list[DataFrame]") -> DataFrame:
+        """LWW over (pk, row, is_delete, event_index) frames → live
+        rows with jk recomputed by the caller's projection."""
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return (
+            _collapse_lww(u.select("_pk", "row", "is_delete", "event_index"))
+            .filter(~F.col("is_delete"))
+            .select("_pk", "row", "event_index")
+        )
+
+    def current_rows_of(which, key, eff, t):
+        """Live rows of the touched pks: base (sb-pruned) ∪ effective
+        log, folded."""
+        sbs = _distinct_ints(
+            t.select(_bucket_of("_pk", num_buckets).alias("sb")), "sb"
+        )
+        b = _in_buckets(base_rows(which, key), "sb", sbs).join(
+            F.broadcast(t), "_pk", "left_semi"
+        )
+        e = eff.join(F.broadcast(t), "_pk", "left_semi")
+        return with_jk(
+            fold_live([b.drop("jk", "sb"), e]).withColumn(
+                "is_delete", F.lit(False)
+            ),
+            key,
+        ).drop("is_delete")
+
+    def fetch_matching(which, post_name, key, eff, jks: DataFrame) -> DataFrame:
+        """Live rows of one side whose jk ∈ jks: base rows routed via
+        the base posting ∪ effective-log rows, folded LWW so a log row
+        supersedes (or deletes) its base version, then re-filtered on
+        the REAL jk."""
+        jbs = _distinct_ints(
+            jks.select(_bucket_of("jk", num_buckets).alias("jb")), "jb"
+        )
+        cand = (
+            _in_buckets(
+                _read_bucketed(
+                    spark, os.path.join(base_dir, post_name), _POST_SCHEMA
+                ),
+                "jb",
+                jbs,
+            )
+            .join(F.broadcast(jks), "jk", "left_semi")
+            .select("_pk")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sbs = _distinct_ints(
+            cand.select(_bucket_of("_pk", num_buckets).alias("sb")), "sb"
+        )
+        b = (
+            _in_buckets(base_rows(which, key), "sb", sbs)
+            .join(cand, "_pk", "left_semi")
+            .drop("jk", "sb")
+        )
+        # log rows for: base-candidate pks (supersede/delete) + rows
+        # whose own current jk matches (moved/inserted into the keys)
+        e_hit = with_jk(eff, key).join(
+            F.broadcast(jks), "jk", "left_semi"
+        ).drop("jk")
+        e_pk = eff.join(cand, "_pk", "left_semi")
+        e = e_hit.unionByName(e_pk).dropDuplicates(["_pk", "event_index"])
+        rows = with_jk(
+            fold_live([b, e]).withColumn("is_delete", F.lit(False)), key
+        ).drop("is_delete")
+        return rows.join(F.broadcast(jks), "jk", "left_semi")
+
+    t_l = ch_l.select("_pk").distinct().localCheckpoint(eager=True)
+    t_r = ch_r.select("_pk").distinct().localCheckpoint(eager=True)
+    del_l = current_rows_of("left", key_left, eff_l, t_l).localCheckpoint(
+        eager=True
+    )
+    del_r = current_rows_of("right", key_right, eff_r, t_r).localCheckpoint(
+        eager=True
+    )
+    jks_l = del_l.select("jk").filter(F.col("jk").isNotNull()).distinct()
+    jks_r = del_r.select("jk").filter(F.col("jk").isNotNull()).distinct()
+
+    def pairs(lhs: DataFrame, rhs: DataFrame) -> DataFrame:
+        l = lhs.select(
+            F.col("_pk").alias("_pk_l"), "jk", F.col("row").alias("row_l")
+        )
+        r = rhs.select(
+            F.col("_pk").alias("_pk_r"),
+            F.col("jk").alias("_jk_r"),
+            F.col("row").alias("row_r"),
+        )
+        return l.join(r, l["jk"] == r["_jk_r"]).select(
+            "_pk_l", "_pk_r", "jk", "row_l", "row_r"
+        )
+
+    add_l = pairs(del_l, fetch_matching("right", "right_jk", key_right, eff_r, jks_l))
+    add_r = pairs(
+        fetch_matching("left", "left_jk", key_left, eff_l, jks_r).join(
+            F.broadcast(t_l), "_pk", "left_anti"
+        ),
+        del_r,
+    )
+    adds = add_l.unionByName(add_r)
+
+    entries = _mor_entries(state_dir)
+    seq = (entries[-1][0] + 1) if entries else _mor_compacted_through(base_dir) + 1
+    entry = os.path.join(log_dir, f"e{seq:08d}")
+    staging = entry + "._staging"
+    ch_l.write.mode("overwrite").parquet(os.path.join(staging, "chl"))
+    ch_r.write.mode("overwrite").parquet(os.path.join(staging, "chr"))
+    adds.write.mode("overwrite").parquet(os.path.join(staging, "adds"))
+    os.replace(staging, entry)
+    commit_mark()
+
+
+def read_joinview_mor(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The merge-on-read view: base pairs minus pairs touching any
+    logged key, plus each entry's adds minus those a LATER entry
+    touches (see the apply's docstring for why this fold is exact and
+    replay-idempotent)."""
+    base_dir, _ = _mor_dirs(state_dir)
+    base = _read_bucketed(
+        spark, os.path.join(base_dir, "view"), _VIEW_SCHEMA + ", vb int"
+    ).select("_pk_l", "_pk_r", "jk", "row_l", "row_r")
+    entries = _mor_entries(state_dir)
+    if not entries:
+        return base
+
+    def touches(which: str) -> DataFrame:
+        return (
+            _mor_log_side(spark, state_dir, which)
+            .groupBy("_pk")
+            .agg(F.max("seq").alias("mseq"))
+        )
+
+    m_l = touches("chl").localCheckpoint(eager=True)
+    m_r = touches("chr").localCheckpoint(eager=True)
+    kept = base.join(
+        F.broadcast(m_l.withColumnRenamed("_pk", "_pk_l")), "_pk_l", "left_anti"
+    ).join(
+        F.broadcast(m_r.withColumnRenamed("_pk", "_pk_r")), "_pk_r", "left_anti"
+    )
+    adds = None
+    for seq, path in entries:
+        a = spark.read.schema(_VIEW_SCHEMA).parquet(
+            os.path.join(path, "adds")
+        ).withColumn("seq", F.lit(seq))
+        adds = a if adds is None else adds.unionByName(a)
+    live_adds = (
+        adds.join(
+            F.broadcast(
+                m_l.select(F.col("_pk").alias("_pk_l"), F.col("mseq").alias("ml"))
+            ),
+            "_pk_l",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                m_r.select(F.col("_pk").alias("_pk_r"), F.col("mseq").alias("mr"))
+            ),
+            "_pk_r",
+            "left",
+        )
+        .filter(
+            (F.coalesce(F.col("ml"), F.lit(-1)) <= F.col("seq"))
+            & (F.coalesce(F.col("mr"), F.lit(-1)) <= F.col("seq"))
+        )
+        .select("_pk_l", "_pk_r", "jk", "row_l", "row_r")
+    )
+    return kept.unionByName(live_adds)
+
+
+def compact_joinview_mor(
+    spark: SparkSession,
+    state_dir: str,
+    key_left: str,
+    key_right: str,
+    num_buckets: int = 16,
+) -> None:
+    """Fold the log into ``base/`` (the amortized COW the apply defers):
+    materialize the folded sides and view, write a fresh bucketed base
+    (data partitioned on pk bucket, postings on jk bucket, view on
+    ``_pk_l`` bucket) to a staging dir, swap it in — the compaction
+    marker ``_compact.json`` rides the swap — then delete the folded
+    entries. A crash after the swap leaves stale entries the marker
+    makes every reader skip (and the next apply/compaction delete);
+    a crash before it leaves the old base + full log, and the next
+    compaction simply redoes the fold. ``key_left``/``key_right`` must
+    be the same join keys every apply used (they rebuild the postings
+    the routed fetches prune on)."""
+    import shutil
+
+    base_dir, _ = _mor_dirs(state_dir)
+    entries = _mor_entries(state_dir)
+    if not entries:
+        return
+    through = entries[-1][0]
+    data_schema = _SIDE_SCHEMA + ", sb int"
+
+    view = read_joinview_mor(spark, state_dir).localCheckpoint(eager=True)
+
+    def folded_side(which: str, log_name: str) -> DataFrame:
+        b = _read_bucketed(
+            spark, os.path.join(base_dir, which), data_schema
+        ).select("_pk", "row", "event_index")
+        log = _mor_log_side(spark, state_dir, log_name)
+        return _merge_side(b, log.drop("seq")).localCheckpoint(eager=True)
+
+    sides = {
+        "left": folded_side("left", "chl"),
+        "right": folded_side("right", "chr"),
+    }
+    staging = base_dir.rstrip("/") + "._staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    for which, key in (("left", key_left), ("right", key_right)):
+        side = sides[which]
+        side.withColumn("sb", _bucket_of("_pk", num_buckets)).repartition(
+            F.col("sb")
+        ).write.partitionBy("sb").parquet(os.path.join(staging, which))
+        post = (
+            side.select(
+                F.element_at("row", key).alias("jk"), F.col("_pk")
+            )
+            .filter(F.col("jk").isNotNull())
+            .withColumn("jb", _bucket_of("jk", num_buckets))
+        )
+        post.repartition(F.col("jb")).write.partitionBy("jb").parquet(
+            os.path.join(staging, f"{which}_jk")
+        )
+    view.withColumn("vb", _bucket_of("_pk_l", num_buckets)).repartition(
+        F.col("vb")
+    ).write.partitionBy("vb").parquet(os.path.join(staging, "view"))
+    with open(os.path.join(staging, "_compact.json"), "w") as f:
+        json.dump(
+            {"through_seq": int(through), "num_buckets": int(num_buckets)}, f
+        )
+        f.flush()
+        os.fsync(f.fileno())
+    swap_dir(staging, base_dir)
+    for seq, path in entries:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def joinview_mor_writer(
+    state_dir: str,
+    left_table: str,
+    right_table: str,
+    key_left: str,
+    key_right: str,
+    pk_left: str | list[str] = "id",
+    pk_right: str | list[str] = "id",
+    num_buckets: int = 16,
+    compact_every: int = 0,
+):
+    """foreachBatch hook for the merge-on-read layout; with
+    ``compact_every`` > 0, folds the log into base whenever it reaches
+    that many entries (the read-cost reset, same cadence contract as
+    the CMS route's compaction)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_joinview_apply_mor(
+            batch_df.sparkSession,
+            batch_df,
+            state_dir,
+            left_table,
+            right_table,
+            key_left,
+            key_right,
+            pk_left,
+            pk_right,
+            num_buckets,
+        )
+        if compact_every and len(_mor_entries(state_dir)) >= compact_every:
+            compact_joinview_mor(
+                batch_df.sparkSession, state_dir, key_left, key_right,
+                num_buckets,
+            )
+
+    return write
