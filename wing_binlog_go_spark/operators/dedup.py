@@ -3336,6 +3336,7 @@ def _weighted_apss_store_verify(
     within_batch: bool,
     fresh_post: DataFrame | None = None,
     other_post: DataFrame | None = None,
+    other_prof_for=None,
 ) -> DataFrame:
     """Prefix equi-join candidates + exact pinned-order cosine between a
     fresh profile frame and another (both (doc, terms, wm, pre, tn));
@@ -3344,7 +3345,12 @@ def _weighted_apss_store_verify(
     argument in :func:`_frozen_unit_profiles`. Posting rows derive
     from the profile frames unless pre-built frames are passed (the
     increment path passes the term-bucket-pruned ``postings/`` read as
-    ``other_post`` so history profiles are never exploded per batch)."""
+    ``other_post`` so history profiles are never exploded per batch).
+    With ``other_prof_for`` (a callback cand → profile frame), the
+    candidate frame is materialized first and the OTHER side of the
+    exact rejoin is fetched through it — the increment path prunes the
+    wide history ``profiles/`` read to the doc buckets the candidates
+    actually name instead of scanning every profile per batch."""
     t_eff = float(threshold) - 1e-6
     # posting rows carry the term's weight + the doc's unposted-tail
     # norm so the pair groupBy (same shuffle keys the plain distinct()
@@ -3391,6 +3397,9 @@ def _weighted_apss_store_verify(
         .select("doc_a", "doc_b")
     )
     cand = _widen_for_verify(cand, "doc_a", "doc_b")
+    if other_prof_for is not None:
+        cand = cand.localCheckpoint(eager=True)
+        other = other_prof_for(cand)
     # no broadcast hint: ``other`` is the unbounded history store, so
     # the profile rejoin must stay a shuffle join (AQE may still pick
     # broadcast while the store is small) — the batch operator's
@@ -3454,7 +3463,9 @@ def incremental_weighted_apss_apply(
     unposted norm < t_eff/2 (intrinsic, no global order — see
     :func:`_frozen_unit_profiles`); fresh prefixes equi-join history ∪
     batch prefixes. Store: ``idf/`` (term, df) + ``profiles/``
-    (doc, terms, wm, pre, tn) + ``postings/`` — the profiles' prefix
+    (doc, terms, wm, pre, tn; partitioned on the doc bucket so the
+    exact rejoin reads only the buckets its candidates name) +
+    ``postings/`` — the profiles' prefix
     posting rows (doc, tn, s, w) partitioned by term bucket
     ``tb = hash(term) mod num_term_buckets`` (persisted in ``idf/`` so
     the bucketing stays stable for the store's lifetime). The history
@@ -3523,7 +3534,11 @@ def incremental_weighted_apss_apply(
         post.repartition(F.col("tb")).write.mode("overwrite").partitionBy(
             "tb"
         ).parquet(post_dir)
-        prof.write.parquet(prof_dir)
+        # profiles partitioned on the DOC bucket: increments prune the
+        # wide exact-rejoin read to the buckets their candidates name
+        prof.withColumn(
+            "db", F.pmod(F.xxhash64("doc"), F.lit(int(num_term_buckets))).cast("int")
+        ).repartition(F.col("db")).write.partitionBy("db").parquet(prof_dir)
         pairs = _weighted_apss_store_verify(
             prof, prof, threshold, within_batch=True
         )
@@ -3536,7 +3551,7 @@ def incremental_weighted_apss_apply(
     _meta = idf.select("n0", *(["ntb"] if "ntb" in idf.columns else [])).first()
     n0 = float(_meta["n0"])
     ntb = int(_meta["ntb"]) if "ntb" in idf.columns else int(num_term_buckets)
-    history = spark.read.parquet(prof_dir)
+    history = spark.read.parquet(prof_dir).drop("db")
     n_batch = new_docs.count()
     fresh_docs = new_docs.join(
         history.select(F.col("doc").alias(id_col)), id_col, "left_anti"
@@ -3565,9 +3580,35 @@ def incremental_weighted_apss_apply(
         .filter(F.col("tb").isin(tbs))
         .dropDuplicates(["s", "doc"])
     )
+    id_t = prof.schema["doc"].dataType.simpleString()
+    prof_schema = (
+        f"doc {id_t}, terms array<string>, wm map<string,double>, "
+        "pre array<string>, tn double, db int"
+    )
+
+    def pruned_hist_profiles(cand: DataFrame) -> DataFrame:
+        ids = cand.select(F.col("doc_a").alias("doc")).unionByName(
+            cand.select(F.col("doc_b").alias("doc"))
+        )
+        dbs = sorted(
+            r[0]
+            for r in ids.select(
+                F.pmod(F.xxhash64("doc"), F.lit(ntb)).cast("int").alias("b")
+            ).distinct().collect()
+        )
+        if not dbs:
+            return history.limit(0)
+        return (
+            spark.read.schema(prof_schema)
+            .parquet(prof_dir)
+            .filter(F.col("db").isin(dbs))
+            .drop("db")
+        )
+
     hist_pairs = _weighted_apss_store_verify(
         prof, history, threshold, within_batch=False,
         fresh_post=fresh_post, other_post=hist_post,
+        other_prof_for=pruned_hist_profiles,
     )
     batch_pairs = _weighted_apss_store_verify(
         prof, prof, threshold, within_batch=True,
@@ -3579,7 +3620,11 @@ def incremental_weighted_apss_apply(
     fresh_post.repartition(F.col("tb")).write.mode("append").partitionBy(
         "tb"
     ).parquet(post_dir)
-    prof.write.mode("append").parquet(prof_dir)
+    prof.withColumn(
+        "db", F.pmod(F.xxhash64("doc"), F.lit(ntb)).cast("int")
+    ).repartition(F.col("db")).write.mode("append").partitionBy("db").parquet(
+        prof_dir
+    )
     return hist_pairs.unionByName(batch_pairs), {
         "batch": n_batch, "replayed": n_batch - n_fresh, "appended": n_fresh,
         "pairs_vs_history": n_hist, "pairs_in_batch": n_in_batch,
