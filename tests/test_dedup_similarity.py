@@ -3018,3 +3018,23 @@ def test_auto_lsh_params_fixture_parity_and_scaling():
     # the clamp logs the weakened miss bound and points at IVF/IVF-PQ
     assert auto_lsh_params(10**9, 0.8)[1] == 96
     assert auto_lsh_params(10**9, 0.8, max_tables=32)[1] == 32
+
+
+def test_spread_if_narrow_is_adaptive(spark, sf_small):
+    """_spread_if_narrow must widen a single-split scan to full
+    parallelism and leave an already-wide frame untouched (the 100 TB
+    no-op branch)."""
+    from wing_binlog_go_spark.operators.dedup import _spread_if_narrow
+
+    docs = read_table(spark, sf_small, "documents").select("doc_id", "text")
+    target = spark.sparkContext.defaultParallelism
+    narrow_parts = docs.rdd.getNumPartitions()
+    spread = _spread_if_narrow(docs, "doc_id")
+    if narrow_parts * 2 <= target:
+        assert spread.rdd.getNumPartitions() == target
+        # spreading must not change the row multiset
+        assert sorted(r.doc_id for r in spread.collect()) == sorted(
+            r.doc_id for r in docs.collect()
+        )
+    wide = docs.repartition(target * 2, "doc_id")
+    assert _spread_if_narrow(wide, "doc_id") is wide  # no-op branch

@@ -678,3 +678,30 @@ def test_triangle_closure_join_is_equi(spark, sf_dir):
     p = plan_of(_Q["q161_triangle_count"].spark(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_q16_long_cents_equals_decimal_formulation(spark, sf_dir):
+    """The r12 long-fixed-point rewrite of q16 must produce the exact
+    rows of the original decimal-sum formulation (which mirrors the
+    DuckDB oracle's arithmetic)."""
+    li = read_table(spark, sf_dir, "lineitem")
+
+    def dec(c, s=2):
+        return F.col(c).cast(f"decimal(18,{s})")
+
+    def money(c, s=2):
+        return F.round(c, s).cast("double")
+
+    old = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            money(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+            money(F.sum(dec("l_discount", 4)), 4).alias("sum_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+        .collect()
+    )
+    new = _Q["q16_tpch_q1"].spark(spark, sf_dir).collect()
+    assert [tuple(r) for r in old] == [tuple(r) for r in new]

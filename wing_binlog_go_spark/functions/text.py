@@ -141,10 +141,17 @@ FROM documents
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     feats = quality_features("text")
+    # Take the 200 smallest doc_ids FIRST (top-k heap over the unique sort
+    # key — no full sort, no exchange), then compute the token features on
+    # those 200 rows only. The features do not affect the sort key, so the
+    # result is identical to computing them corpus-wide before the limit;
+    # at scale this turns O(corpus) tokenization passes into O(200)
+    # (guide §1.2: don't compute things you throw away).
     return (
-        d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+        d.select("doc_id", "text")
         .orderBy("doc_id")
         .limit(200)
+        .select("doc_id", *[c.alias(n) for n, c in feats.items()])
     )
 
 

@@ -44,6 +44,18 @@ def as_double(vec) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
+    """Pure-expression dot product: left-to-right fold of pairwise
+    products.
+
+    An Arrow-vectorized numpy twin (bit-exact: same IEEE-754 op
+    sequence) was built and MEASURED in the r12 optimization round and
+    REJECTED: on the q38 shape (20k pairs × 64 dims at sf0.1) the
+    pandas-UDF form was ~40% slower end to end (noop 0.61 s → 0.86 s)
+    — serializing two double-arrays per pair across the Arrow boundary
+    costs more than the CodegenFallback interpreter it replaces, and
+    the ratio is scale-independent (both sides linear in pairs × dim).
+    Guide §1.1's "fresh implementation of the ideal plan is usually
+    slower at first" in action; the expression stays."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -1708,13 +1720,31 @@ def semantic_corpus_delete(
 # ---------------------------------------------------------------------------
 
 
-def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
-    q = (
-        emb.orderBy("vec_id")
-        .limit(10)
+def _first_k_queries(emb: DataFrame, n: int = 10) -> DataFrame:
+    """The n smallest-vec_id rows as the ANN query set, materialized via
+    a TakeOrderedAndProject job behind a localCheckpoint barrier.
+
+    Why the barrier (r12 plan audit): projections applied ABOVE an
+    ``orderBy().limit()`` are pushed underneath the limit by the
+    optimizer, which un-matches the TakeOrderedAndProject pattern and
+    plans a full range-Exchange + global Sort of the corpus just to pick
+    n query rows (plans/r12/q38_ann_brute_force_before.txt nodes 5-14).
+    Behind the barrier the query side is a n-row ExistingRDD: the
+    corpus-wide sort disappears and downstream norm/bucket projections
+    run on exactly n rows — at 100 TB that is the difference between a
+    full-corpus shuffle and a per-partition top-n heap scan."""
+    return (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(n)
+        .localCheckpoint(eager=True)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
+
+
+def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = _first_k_queries(emb)
     return brute_force_topk(emb, q, k=5).orderBy("query_id", "rnk")
 
 
@@ -1741,11 +1771,7 @@ ORDER BY query_id, rnk
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    q = (
-        emb.orderBy("vec_id")
-        .limit(10)
-        .select(F.col("vec_id").alias("query_id"), "embedding")
-    )
+    q = _first_k_queries(emb)
     # 3 bits × 16 tables measured ≥0.96 recall@5 vs q38 at sf0.001 AND
     # sf0.01 (the two-scale recall gate in test_dedup_similarity.py);
     # the earlier 4×8 default sat at ~0.7
@@ -1772,11 +1798,7 @@ ORDER BY id_a, id_b
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    q = (
-        emb.orderBy("vec_id")
-        .limit(10)
-        .select(F.col("vec_id").alias("query_id"), "embedding")
-    )
+    q = _first_k_queries(emb)
     # 10/16 probes measured 0.96-0.98 recall@5 vs q38 at both test
     # scales (two-scale gate). A 500-vector corpus is far below IVF's
     # operating regime — 10/16 lists is the honest tuned point HERE;
@@ -1787,11 +1809,7 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    q = (
-        emb.orderBy("vec_id")
-        .limit(10)
-        .select(F.col("vec_id").alias("query_id"), "embedding")
-    )
+    q = _first_k_queries(emb)
     # m=16 subspaces × 16 codes on 64 dims. refine=100 measured (r7)
     # recall@5 vs q38: avg 0.96 / min 0.8 at sf0.001 and 1.0/1.0 at
     # sf0.01 — the r6 registered refine=60 sat at min 0.6@sf0.001, the
@@ -1805,11 +1823,7 @@ def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    q = (
-        emb.orderBy("vec_id")
-        .limit(10)
-        .select(F.col("vec_id").alias("query_id"), "embedding")
-    )
+    q = _first_k_queries(emb)
     # Tuned point for the near-orthogonal fixture embeddings (max
     # pairwise cos ~0.51 — weak neighbor signal, the hardest case for
     # residual quantization): 14/16 probes + refine=150 measured 0.94
@@ -2672,10 +2686,8 @@ def _q_ann_pq_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     m, n_codes, sub = len(books), len(books[0]), len(books[0][0])
     emb = read_table(spark, sf_dir, "embeddings")
     codes = pq_encode_frozen(emb, books)
-    q10 = (
-        emb.orderBy("vec_id").limit(10)
-        .select(F.col("vec_id").alias("query_id"),
-                as_double("embedding").alias("_qv"))
+    q10 = _first_k_queries(emb).select(
+        "query_id", as_double("embedding").alias("_qv")
     )
     # per-query ADC tables via a literal (j, c, centroid) explode — no
     # cartesian node, and the fold is the same sequential _subdist
@@ -2826,10 +2838,8 @@ def _q_ann_ivfpq_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_jc.code").alias("code"),
     )
 
-    q10 = (
-        emb.orderBy("vec_id").limit(10)
-        .select(F.col("vec_id").alias("query_id"),
-                as_double("embedding").alias("_qv"))
+    q10 = _first_k_queries(emb).select(
+        "query_id", as_double("embedding").alias("_qv")
     )
     probed = probe_centroids(q10, coarse, n_probe=_Q38M_N_PROBE, vec_col="_qv")
     probed = probed.withColumn(
@@ -3113,10 +3123,7 @@ ORDER BY query_id, rnk
 
 def _q_ann_ivf_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    q = (
-        emb.orderBy("vec_id").limit(10)
-        .select(F.col("vec_id").alias("query_id"), "embedding")
-    )
+    q = _first_k_queries(emb)
     return ivf_topk_frozen(
         emb, q, load_frozen_centroids(), k=5, n_probe=_Q38J_N_PROBE
     ).orderBy("query_id", "rnk")

@@ -330,15 +330,44 @@ def q15(spark, sf_dir):
 )
 def q16(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    # Hash aggregate with map-side partial aggregation; decimal sums are
-    # partition-order independent so the plan is stable at any parallelism.
+    # Hash aggregate with map-side partial aggregation. The sums run on
+    # LONG fixed-point units, not decimals: per row the value is still
+    # rounded by the same cast-to-decimal(18,s) as before (identical
+    # per-row semantics), then scaled to an exact integer, so the long
+    # SUM is exact and partition-order independent like the decimal sum
+    # — but the agg buffer is a primitive long instead of a Decimal with
+    # per-row overflow bookkeeping.  Measured (r12, sf0.1, noop sink):
+    # 1.89 s → 0.74 s for this aggregate; value equality with the
+    # decimal formulation asserted in test_plans.py.  Long capacity:
+    # Σ|x|·10^s must stay < 2^63 — at 100 TB lineitem (~6·10^11 rows ×
+    # ≤10^7 cents) that is ~6·10^18 < 9.2·10^18, inside range; the
+    # decimal oracle SQL is unchanged.
+    def _cents(col: str, s: int = 2):
+        return (F.col(col).cast(f"decimal(18,{s})") * (10**s)).cast("long")
+
+    def _uncents(sum_col, s: int = 2):
+        # exact: long → decimal(38,0), × the exact decimal literal 10^-s
+        return F.round(
+            sum_col.cast("decimal(38,0)")
+            * F.lit(10**-s).cast(f"decimal({s},{s})"),
+            s,
+        ).cast("double")
+
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _money(F.sum(_dec("l_quantity"))).alias("sum_qty"),
-            _money(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
-            _money(F.sum(_dec("l_discount", 4)), 4).alias("sum_disc"),
+            F.sum(_cents("l_quantity")).alias("_sq"),
+            F.sum(_cents("l_extendedprice")).alias("_sp"),
+            F.sum(_cents("l_discount", 4)).alias("_sd"),
             F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            _uncents(F.col("_sq")).alias("sum_qty"),
+            _uncents(F.col("_sp")).alias("sum_base_price"),
+            _uncents(F.col("_sd"), 4).alias("sum_disc"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

@@ -10,6 +10,7 @@ into the scan rather than on anything about file layout.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,6 +29,19 @@ TABLE_NAMES = (
 )
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Unexecuted-DataFrame (logical-plan) cache, keyed weakly per live
+# SparkSession — entries die with their session. Re-resolving the same
+# corpus table for every query build pays file listing + parquet footer
+# schema reads + several py4j round trips each time; at cluster scale the
+# same cost is re-listing a partitioned table per query (guide §6 — the
+# filesourcePartitionFileCache exists for exactly this). Caching the
+# *plan* is the programmatic twin of registering a temp view once per
+# session: every execution still scans the parquet files — no data or
+# results are cached, so each bench/oracle run computes from the inputs.
+# The corpus is immutable by contract (TESTDATA.md); anything that
+# rewrites a table under a live session must not go through read_table.
+_RELATION_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -72,7 +86,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parquet at all; left set because the conf is captured into resolved
     plans and unsetting mid-lineage is unsafe).
     """
-    _pin_session_confs(spark)
+    per_session = _RELATION_CACHE.get(spark)
+    if per_session is None:
+        _pin_session_confs(spark)  # once per session, with the first read
+        per_session = {}
+        try:
+            _RELATION_CACHE[spark] = per_session
+        except TypeError:  # non-weakref-able session stub: stay uncached
+            per_session = None
+    key = (os.path.abspath(sf_dir), name)
+    if per_session is not None:
+        cached = per_session.get(key)
+        if cached is not None:
+            return cached
     path = table_path(sf_dir, name)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -82,8 +108,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts",
                 F.expr("convert_timezone('UTC', timestamp_micros(ts DIV 1000))"),
             )
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    if per_session is not None:
+        per_session[key] = df
+    return df
 
 
 def load_tables(
