@@ -577,7 +577,9 @@ def simhash_dedup_pairs(
     # (same reasoning as minhash_dedup_pairs): the chunk expressions and
     # the self-join's two sides otherwise each re-derive the signature
     # stage (measured ~1.6× on the headline corpus).
-    sig = simhash_signature(df, id_col, text_col).localCheckpoint(eager=True)
+    sig = simhash_signature(
+        _spread_if_narrow(df.select(id_col, text_col), id_col), id_col, text_col
+    ).localCheckpoint(eager=True)
     return hamming_chunk_pairs(sig, id_col, "simhash", max_hamming)
 
 
@@ -617,7 +619,7 @@ def ngram_jaccard_pairs(
     # by the self-join's two sides AND the sizes aggregate — without the
     # barrier it's recomputed three times (measured ~9× total on the
     # oracle corpus).
-    sh = df.select(
+    sh = _spread_if_narrow(df.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("s")
     ).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
@@ -866,7 +868,7 @@ def rolling_signatures(
     """(doc, mh: array<long>[8]) — per-row MinHash signatures under the
     rolling-hash family, zero shuffle. Shared by the self-join dedup
     (q37f) and the corpus-vs-benchmark decontamination (q157)."""
-    sh = df.select(
+    sh = _spread_if_narrow(df.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("doc"),
         F.filter(
             word_shingles(text_col, shingle_k), lambda s: F.length(s) > 0
