@@ -71,6 +71,28 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _adc_expr(codes: Column, tbl: Column, m: int, n_codes: int) -> Column:
+    """ADC distance: sum over subspaces j of tbl[j*n_codes + codes[j]].
+
+    Unrolled per-subspace element_at sum instead of the
+    ``aggregate(zip_with(codes, sequence, lookup))`` fold: HOFs are
+    CodegenFallback (interpreted, two array allocations per candidate
+    pair), while GetArrayItem + ElementAt + double add whole-stage-
+    codegen.  This runs once per (candidate row × query) — the hot
+    expression of every PQ / IVF-PQ scan.  Micro A/B at 5M pairs, m=8,
+    n_codes=16 (tools/ab_adc_micro.py, r12): net cost 0.36 s → 0.055 s
+    (~6.5×).  Bit-identical: additions stay in subspace order seeded
+    from 0.0, and the index arithmetic is the same integer expression.
+    (The 64-element double dot product does NOT benefit — see ``dot``.)
+    """
+    out = F.lit(0.0)
+    for j in range(m):
+        out = out + F.element_at(
+            tbl, (F.lit(j * n_codes) + codes[j] + 1).cast("int")
+        )
+    return out
+
+
 def _l2n(mat: np.ndarray) -> np.ndarray:
     """Row-wise L2 normalize with a zero-norm clamp: an all-zero
     embedding stays the zero vector (it lands in a valid coarse list /
@@ -582,14 +604,9 @@ def pq_topk(
         "_qn", norm(F.col("_qv"))
     )
 
-    # ADC distance: fold over (subspace, code) pairs indexing the flat
-    # table — JVM-side HOFs, no Python per corpus row.
-    pairs = F.zip_with(
-        F.col("_codes"),
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda code, j: F.element_at(F.col("_tbl"), (j * n_codes + code + 1).cast("int")),
-    )
-    adc = F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
+    # ADC distance: unrolled per-subspace table lookup sum (codegen;
+    # bit-identical to the former HOF fold — see _adc_expr).
+    adc = _adc_expr(F.col("_codes"), F.col("_tbl"), m, n_codes)
 
     cand = (
         coded.crossJoin(broadcast(qt))
@@ -1119,14 +1136,7 @@ def ivfpq_topk(
     cand = coded.join(broadcast(probed), "_list").filter(
         F.col(id_col) != F.col(query_id_col)
     )
-    pairs = F.zip_with(
-        F.col("_codes"),
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda code, j: F.element_at(
-            F.col("_tbl"), (j * n_codes + code + 1).cast("int")
-        ),
-    )
-    adc = F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
+    adc = _adc_expr(F.col("_codes"), F.col("_tbl"), m, n_codes)
     cand = cand.select(
         query_id_col, id_col, "_cv", "_qv", "_cn", "_qn", adc.alias("_adc")
     )
