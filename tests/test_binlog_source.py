@@ -16,6 +16,7 @@ from wing_binlog_go_spark.sources.changelog import (
     fixture_records,
     write_fixture_changelog,
 )
+from tests.streamwait import await_done
 
 
 def test_gtid_set_parse_and_contains():
@@ -67,8 +68,7 @@ def test_stream_resumes_without_rereading_and_sees_appends(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(60)
-
+        await_done(q)
     run()
     n_fixture = len(fixture_records())
     assert len(out) == n_fixture
@@ -114,7 +114,7 @@ def test_start_gtid_skips_contained_transactions(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    await_done(q)
     assert len(out) == len(kept)
 
 
@@ -213,7 +213,7 @@ def test_malformed_changelog_line_dead_letters_instead_of_killing_stream(
         source="binlog",
         dead_letter_dir=dl,
     )
-    q.awaitTermination(60)
+    await_done(q)
     assert len(store) == 2  # both valid records survived the garbage
     dead = spark.read.parquet(dl)
     assert dead.count() == 2  # the non-JSON line + the coordinate-less one

@@ -14,6 +14,7 @@ from wing_binlog_go_spark.functions.classifier import (
     train_logreg,
 )
 from wing_binlog_go_spark.tables import read_table
+from tests.streamwait import await_done
 
 
 def test_trained_classifier_separates_planted_corpus(spark):
@@ -197,7 +198,7 @@ def test_classifier_corpus_route_end_to_end(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(90)
+    await_done(q)
     kept = {r.doc_id: r.score for r in read_classifier_corpus(spark, store).collect()}
     assert set(kept) == {101, 104}
     assert all(s >= 0.5 for s in kept.values())
@@ -207,7 +208,7 @@ def test_classifier_corpus_route_end_to_end(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(90)
+    await_done(q)
     assert {
         r.doc_id for r in read_classifier_corpus(spark, store).collect()
     } == {101, 104}

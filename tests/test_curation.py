@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from wing_binlog_go_spark.functions.curation import curate
 from wing_binlog_go_spark.tables import read_table
+from tests.streamwait import await_done
 
 
 @pytest.fixture(scope="module")
@@ -750,7 +751,7 @@ def test_novelty_route_end_to_end(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
+    await_done(q)
     nov = {r.doc_id: r.novelty for r in read_novelty_stats(spark, store).collect()}
     assert set(nov) == {1, 2, 3}
     assert nov[1] == 1.0 and nov[2] == 1.0
@@ -760,5 +761,5 @@ def test_novelty_route_end_to_end(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
+    await_done(q)
     assert read_novelty_stats(spark, store).count() == 3

@@ -39,6 +39,7 @@ from wing_binlog_go_spark.streaming.sinks import (
     read_semantic_corpus,
     semantic_dedup_corpus_writer,
 )
+from tests.streamwait import await_done
 
 _BASE = (
     "the patient grey owl watches from a very tall oak tree near the "
@@ -132,8 +133,7 @@ def test_full_curation_fanout_single_pipeline(spark, tmp_path):
         spark, str(log_dir), routes, str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
-
+    await_done(q)
     def snapshot():
         stats = read_curation_stats(spark, stats_dir)
         return {
@@ -179,7 +179,7 @@ def test_full_curation_fanout_single_pipeline(spark, tmp_path):
         spark, str(log_dir), routes, str(tmp_path / "ckpt2"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    await_done(q)
     s2 = snapshot()
     # stats gains no rows (batch-id partitions already committed under
     # the SAME batch ids on replay)

@@ -14,6 +14,7 @@ from wing_binlog_go_spark.operators.dedup import (
 )
 from wing_binlog_go_spark.operators.similarity import brute_force_topk, lsh_topk
 from wing_binlog_go_spark.tables import read_table
+from tests.streamwait import await_done
 
 
 @pytest.fixture(scope="module")
@@ -1615,7 +1616,7 @@ def test_containment_corpus_route_e2e(spark, tmp_path):
         str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
+    await_done(q)
     assert sorted(
         r.doc_id for r in read_containment_corpus(spark, store).collect()
     ) == [1, 3]

@@ -11,6 +11,7 @@ from wing_binlog_go_spark.streaming.aggregate import (
     applied_index,
     incremental_agg_apply,
 )
+from tests.streamwait import await_done
 
 
 def _env(spark, rows):
@@ -158,7 +159,7 @@ def test_incremental_agg_route_through_pipeline(spark, tmp_path):
         str(tmp_path / "ckpt"),
         include=[r"fixtures\.cdc_typed_all"],
     )
-    q.awaitTermination(60)
+    await_done(q)
     got = {
         r.grp: (r.agg_sum, r.agg_count)
         for r in spark.read.parquet(state).collect()
@@ -386,7 +387,7 @@ def test_minmax_route_composed_with_upsert_replica(spark, tmp_path):
         str(tmp_path / "ckpt"),
         include=[r"fixtures\.cdc_typed_all"],
     )
-    q.awaitTermination(60)
+    await_done(q)
     got = _minmax_state(spark, state)
     # same surviving rows as the SUM/COUNT pipeline test; every group is
     # a single row so min == max == its value
@@ -693,7 +694,7 @@ def test_sketch_maintainers_as_pipeline_routes(spark, tmp_path):
         ],
         str(tmp_path / "ckpt"),
     )
-    q.awaitTermination(90)
+    await_done(q)
     qs = {
         r.grp: (r.n, r.q50)
         for r in quantile_view(spark.read.parquet(qstate)).collect()

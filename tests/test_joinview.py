@@ -18,6 +18,7 @@ from wing_binlog_go_spark.streaming.joinview import (
     joinview_writer,
     read_joinview,
 )
+from tests.streamwait import await_done
 
 
 def _env(spark, rows):
@@ -271,7 +272,7 @@ def test_joinview_route_through_pipeline(spark, tmp_path):
         str(tmp_path / "ckpt"),
         include=[r"shop\.(orders|customers)"],
     )
-    q.awaitTermination(60)
+    await_done(q)
     assert _pairs(spark, state) == {("10", "1"), ("11", "1")}
 
 
@@ -548,7 +549,7 @@ def test_bucketed_joinview_route_through_pipeline(spark, tmp_path):
         str(tmp_path / "ckpt"),
         include=[r"shop\.(orders|customers)"],
     )
-    q.awaitTermination(60)
+    await_done(q)
     got = {
         (r.row_l["id"], r.row_r["id"])
         for r in read_joinview_bucketed(spark, state).collect()

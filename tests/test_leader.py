@@ -7,6 +7,7 @@ import os
 import time
 
 from wing_binlog_go_spark.streaming.leader import FileLeaderElector
+from tests.streamwait import await_done
 
 
 def _lease(tmp_path):
@@ -177,7 +178,7 @@ def test_ha_failover_continues_pipeline_from_shared_checkpoint(spark, tmp_path):
     assert a.try_acquire()
     got_a: list = []
     q = run_pipeline(spark, str(log_dir), [Route("m", collecting_writer(got_a))], shared)
-    q.awaitTermination(60)
+    await_done(q)
     idx_a = [_json.loads(p)["event_index"] for _, p in got_a]
     assert idx_a == list(range(1, len(f1) + 1))
 
@@ -194,7 +195,7 @@ def test_ha_failover_continues_pipeline_from_shared_checkpoint(spark, tmp_path):
             f.write(_json.dumps(r) + "\n")
     got_b: list = []
     q2 = run_pipeline(spark, str(log_dir), [Route("m", collecting_writer(got_b))], shared)
-    q2.awaitTermination(60)
+    await_done(q2)
     idx_b = [_json.loads(p)["event_index"] for _, p in got_b]
     assert idx_b == list(range(len(f1) + 1, len(f1) + len(f2) + 1))
     # zombie A cannot reacquire while B's lease is fresh
@@ -240,7 +241,7 @@ def test_torn_commit_failover_neither_skips_nor_duplicates_index(spark, tmp_path
 
     q = run_pipeline(spark, str(log_dir), [Route("m", crash_after_write)], shared)
     try:
-        q.awaitTermination(60)
+        await_done(q)
     except Exception:
         pass  # the simulated crash surfaces through the query
     assert not q.isActive
@@ -256,7 +257,7 @@ def test_torn_commit_failover_neither_skips_nor_duplicates_index(spark, tmp_path
 
     got_b: list = []
     q2 = run_pipeline(spark, str(log_dir), [Route("m", collecting_writer(got_b))], shared)
-    q2.awaitTermination(60)
+    await_done(q2)
     idx_b = [_json.loads(p)["event_index"] for _, p in got_b]
     # The torn batch REPLAYS with byte-identical indexes (no skip — the
     # stream did not advance past it; no fresh indexes — base_for hands
@@ -272,7 +273,7 @@ def test_torn_commit_failover_neither_skips_nor_duplicates_index(spark, tmp_path
             f.write(_json.dumps(r) + "\n")
     got_c: list = []
     q3 = run_pipeline(spark, str(log_dir), [Route("m", collecting_writer(got_c))], shared)
-    q3.awaitTermination(60)
+    await_done(q3)
     idx_c = [_json.loads(p)["event_index"] for _, p in got_c]
     assert idx_c == list(range(len(f1) + 1, len(f1) + len(f2) + 1))
 

@@ -7,6 +7,7 @@ from wing_binlog_go_spark.streaming.maintenance import (
     parquet_file_count,
 )
 from wing_binlog_go_spark.tables import read_table
+from tests.streamwait import await_done
 
 
 def test_compaction_reduces_files_preserves_data(spark, sf_dir, tmp_path):
@@ -306,8 +307,7 @@ def test_cms_route_end_to_end(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
-
+    await_done(q)
     merged = {(r.j, r.col): r.cnt for r in read_cms_sketch(spark, store).collect()}
     all_toks = spark.createDataFrame(
         [(t,) for txt in texts.values() for t in txt.split(" ")], ["tok"]
@@ -320,7 +320,7 @@ def test_cms_route_end_to_end(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
+    await_done(q)
     merged2 = {(r.j, r.col): r.cnt for r in read_cms_sketch(spark, store).collect()}
     assert merged2 == want
 
@@ -374,8 +374,7 @@ def test_cms_route_crash_mid_commit_is_retried_not_skipped(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
-
+    await_done(q)
     merged = {(r.j, r.col): r.cnt
               for r in read_cms_sketch(spark, str(store)).collect()}
     all_toks = spark.createDataFrame(
@@ -430,8 +429,7 @@ def test_cms_route_pre_rename_debris_is_not_a_commit(spark, tmp_path):
         cms_sketch_writer(str(store), "crawl.documents", width=64, depth=4),
     )
     q = run_pipeline(spark, str(log_dir), [route], str(tmp_path / "ckpt"))
-    q.awaitTermination(60)
-
+    await_done(q)
     merged = {(r.j, r.col): r.cnt
               for r in read_cms_sketch(spark, str(store)).collect()}
     all_toks = spark.createDataFrame(
@@ -513,8 +511,7 @@ def test_mg_route_end_to_end(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
-
+    await_done(q)
     exact: dict = {}
     for txt in texts.values():
         for t in txt.split(" "):
@@ -533,7 +530,7 @@ def test_mg_route_end_to_end(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
+    await_done(q)
     assert {r.item: r.est for r in read_mg_sketch(spark, store).collect()} == est
 
 
@@ -588,8 +585,7 @@ def test_knn_graph_route_end_to_end(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
-
+    await_done(q)
     all_vecs = spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in vecs.items()],
         "vec_id long, embedding array<double>",
@@ -608,7 +604,7 @@ def test_knn_graph_route_end_to_end(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
+    await_done(q)
     assert {
         (r.src, r.dst, r.rnk) for r in read_knn_graph(spark, store).collect()
     } == want
@@ -871,8 +867,7 @@ def test_kmv_route_end_to_end_and_insert_only(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
-
+    await_done(q)
     merged = read_kmv_sketch(spark, store, k=8).collect()
     all_keys = spark.createDataFrame(
         [(u,) for u in users.values()], ["user"]
@@ -888,7 +883,7 @@ def test_kmv_route_end_to_end_and_insert_only(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
+    await_done(q)
     assert key(read_kmv_sketch(spark, store, k=8).collect()) == key(want)
 
     # a DELETE envelope on the maintained table raises loudly
@@ -908,7 +903,7 @@ def test_kmv_route_end_to_end_and_insert_only(spark, tmp_path):
         max_files_per_trigger=1,
     )
     with pytest.raises(Exception, match="insert-only"):
-        q.awaitTermination(60)
+        await_done(q)
         q.processAllAvailable()
 
 
@@ -1045,8 +1040,7 @@ def test_qdigest_route_end_to_end_and_insert_only(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
-
+    await_done(q)
     merged = {r.id: r.cnt for r in read_qdigest_sketch(spark, store, k=8).collect()}
     # reference: recompress the node-wise union of the two batch digests
     from pyspark.sql import functions as F
@@ -1079,7 +1073,7 @@ def test_qdigest_route_end_to_end_and_insert_only(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
+    await_done(q)
     merged2 = {r.id: r.cnt for r in read_qdigest_sketch(spark, store, k=8).collect()}
     assert merged2 == merged
 
@@ -1100,7 +1094,7 @@ def test_qdigest_route_end_to_end_and_insert_only(spark, tmp_path):
         max_files_per_trigger=1,
     )
     with pytest.raises(Exception, match="insert-only"):
-        q.awaitTermination(60)
+        await_done(q)
         q.processAllAvailable()
 
 
@@ -1159,8 +1153,7 @@ def test_drift_monitor_route(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
-
+    await_done(q)
     assert os.path.exists(os.path.join(store, "reference.json"))
     rows = {(r.bkey, r.source): r for r in read_drift_monitor(spark, store).collect()}
     # two batches x (2 sources + __all__) rows
@@ -1177,7 +1170,7 @@ def test_drift_monitor_route(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
+    await_done(q)
     rows2 = {(r.bkey, r.source): r.psi_r
              for r in read_drift_monitor(spark, store).collect()}
     assert rows2 == {k: v.psi_r for k, v in rows.items()}
@@ -1298,8 +1291,7 @@ def test_compact_sketch_store_preserves_answers_and_blocks_replays(spark, tmp_pa
         spark, str(log_dir), routes, str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(90)
-
+    await_done(q)
     want_cms = {(r.j, r.col): r.cnt
                 for r in read_cms_sketch(spark, cms_store).collect()}
     want_kmv = [(r.rnk, r.h, r.est_distinct)
@@ -1329,7 +1321,7 @@ def test_compact_sketch_store_preserves_answers_and_blocks_replays(spark, tmp_pa
         spark, str(log_dir), routes, str(tmp_path / "ckpt2"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(90)
+    await_done(q)
     assert {(r.j, r.col): r.cnt
             for r in read_cms_sketch(spark, cms_store).collect()} == want_cms
     assert n_parts(cms_store) == 1  # no partition was re-created

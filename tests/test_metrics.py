@@ -10,6 +10,7 @@ from wing_binlog_go_spark.sources.changelog import write_fixture_changelog
 from wing_binlog_go_spark.streaming.metrics import PipelineMetrics, summarize
 from wing_binlog_go_spark.streaming.pipeline import Route, run_pipeline
 from wing_binlog_go_spark.streaming.sinks import collecting_writer
+from tests.streamwait import await_done
 
 
 def test_metrics_listener_records_batches(spark, tmp_path):
@@ -26,7 +27,7 @@ def test_metrics_listener_records_batches(spark, tmp_path):
             [Route("m", collecting_writer(got))],
             str(tmp_path / "ckpt"),
         )
-        q.awaitTermination(60)
+        await_done(q)
         qid = str(q.id)
         # the listener bus delivers events asynchronously; progress for
         # an availableNow query can land after awaitTermination returns

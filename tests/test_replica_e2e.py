@@ -19,6 +19,7 @@ from wing_binlog_go_spark.streaming.sinks import (
     read_typed_replica,
     typed_replica_writer,
 )
+from tests.streamwait import await_done
 
 
 def _registry() -> SchemaRegistry:
@@ -49,7 +50,7 @@ def test_typed_replica_end_to_end(spark, tmp_path):
         [Route("replica", typed_replica_writer(reg, ["fixtures.cdc_typed_all"], base))],
         str(tmp_path / "ckpt"),
     )
-    q.awaitTermination(90)
+    await_done(q)
     replica = read_typed_replica(spark, reg, "fixtures.cdc_typed_all", base)
     assert dict(replica.dtypes) == {
         "id": "bigint", "c_vchar": "string", "c_int": "int", "c_new": "string"
@@ -74,7 +75,7 @@ def test_partitioned_archive_layout(spark, tmp_path):
         [Route("archive", partitioned_archive_writer(out))],
         str(tmp_path / "ckpt"),
     )
-    q.awaitTermination(90)
+    await_done(q)
     # hive-style partition dirs by database/table/event_date
     assert os.path.isdir(os.path.join(out, "database=fixtures"))
     sub = os.path.join(out, "database=fixtures", "table=cdc_typed_all")

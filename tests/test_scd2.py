@@ -26,6 +26,7 @@ from wing_binlog_go_spark.streaming.sinks import (
     read_scd2_history,
     scd2_history_writer,
 )
+from tests.streamwait import await_done
 
 ENV_SCHEMA = (
     "event_type string, event_index long, "
@@ -148,7 +149,7 @@ def test_scd2_history_route_end_to_end(spark, tmp_path):
         [Route("scd2", scd2_history_writer(reg, ["fixtures.cdc_typed_all"], base))],
         str(tmp_path / "ckpt"),
     )
-    q.awaitTermination(90)
+    await_done(q)
     hist = read_scd2_history(spark, reg, "fixtures.cdc_typed_all", base)
     rows = {}
     for r in hist.collect():
@@ -351,7 +352,7 @@ def test_bucketed_scd2_route_and_typed_read(spark, tmp_path):
         ],
         str(tmp_path / "ckpt"),
     )
-    q.awaitTermination(90)
+    await_done(q)
     hist = read_scd2_history(spark, reg, "fixtures.cdc_typed_all", base)
     rows = {}
     for r in hist.collect():
@@ -433,7 +434,7 @@ def test_pit_enrich_route_joins_dimension_state_at_event_time(spark, tmp_path):
         ),
     ]
     q = run_pipeline(spark, str(log), routes, str(tmp_path / "ckpt"))
-    q.awaitTermination(90)
+    await_done(q)
     got = {
         r.id: (r.amount, r.dim_tier)
         for r in read_pit_enriched(spark, out).collect()
@@ -449,7 +450,7 @@ def test_pit_enrich_route_joins_dimension_state_at_event_time(spark, tmp_path):
     # replay the same changelog through a fresh checkpoint: appends
     # land twice, the read view stays exactly-once on event_index
     q2 = run_pipeline(spark, str(log), routes, str(tmp_path / "ckpt2"))
-    q2.awaitTermination(90)
+    await_done(q2)
     again = {
         r.id: (r.amount, r.dim_tier)
         for r in read_pit_enriched(spark, out).collect()

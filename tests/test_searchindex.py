@@ -15,6 +15,7 @@ from wing_binlog_go_spark.streaming.searchindex import (
     read_search_postings,
     search_index_writer,
 )
+from tests.streamwait import await_done
 
 DOCS1 = [
     (1, "spark streams the binlog into a hash index"),
@@ -104,7 +105,7 @@ def test_search_index_route_and_insert_only_guard(spark, tmp_path):
         str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
+    await_done(q)
     got = {
         r.doc_id: r.bm25 for r in bm25_over_index(spark, store, QUERY).collect()
     }

@@ -15,6 +15,7 @@ except ImportError:
     _HAS_PROTOBUF = False
 
 from wing_binlog_go_spark.streaming.stateful import running_event_counts, sessionize
+from tests.streamwait import await_done
 
 
 def _write_jsonl(path, rows):
@@ -41,8 +42,7 @@ def test_running_counts_across_restart(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(90)
-
+        await_done(q)
     run()
     got = {(r.key): r.running_total for r in out}
     assert got == {"db.t1": 2, "db.t2": 1}
@@ -76,8 +76,7 @@ def test_sessionize_closes_on_gap(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(90)
-
+        await_done(q)
     run()
     assert out == []  # session still open
     # next batch 31 minutes later closes the first session
@@ -115,8 +114,7 @@ def test_running_counts_tws_across_restart(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(90)
-
+        await_done(q)
     run()
     got = {r.key: r.running_total for r in out}
     assert got == {"db.t1": 2, "db.t2": 1}

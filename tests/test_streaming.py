@@ -27,6 +27,7 @@ from wing_binlog_go_spark.streaming.windows import (
     session_counts,
     tumbling_counts,
 )
+from tests.streamwait import await_done
 
 
 def test_pipeline_fanout_and_filters(spark, tmp_path):
@@ -42,7 +43,7 @@ def test_pipeline_fanout_and_filters(spark, tmp_path):
         spark, str(log_dir), routes, checkpoint_dir=str(tmp_path / "ckpt"),
         exclude=[r"^ignored_db\..*"],
     )
-    q.awaitTermination(60)
+    await_done(q)
     n_fixture = len(fixture_records())
     assert len(all_events) == n_fixture - 1  # ignored_db excluded pre-decode
     payloads = [json.loads(p) for _, p in typed_only]
@@ -64,7 +65,7 @@ def test_pipeline_index_continuity_across_restart(spark, tmp_path):
             f.write(json.dumps(r) + "\n")
     got: list = []
     q = run_pipeline(spark, str(log_dir), [Route("m", collecting_writer(got))], ckpt)
-    q.awaitTermination(60)
+    await_done(q)
     idx_first = [json.loads(p)["event_index"] for _, p in got]
     assert idx_first == list(range(1, len(f1) + 1))
     # "restart": new file arrives, new query same checkpoint
@@ -73,7 +74,7 @@ def test_pipeline_index_continuity_across_restart(spark, tmp_path):
             f.write(json.dumps(r) + "\n")
     got2: list = []
     q2 = run_pipeline(spark, str(log_dir), [Route("m", collecting_writer(got2))], ckpt)
-    q2.awaitTermination(60)
+    await_done(q2)
     idx_second = [json.loads(p)["event_index"] for _, p in got2]
     # continues after the persisted base — no reuse, no gaps (O10/O11)
     assert idx_second == list(range(len(f1) + 1, len(f1) + len(f2) + 1))
@@ -93,7 +94,7 @@ def test_upsert_materialization(spark, tmp_path):
     q = run_pipeline(
         spark, str(log_dir), [Route("mat", materialize)], str(tmp_path / "ckpt")
     )
-    q.awaitTermination(60)
+    await_done(q)
     final = {r._pk: r.row for r in spark.read.parquet(target).collect()}
     # id=1,2 updated to v2; id=3 plain; id=5 deleted; 99,100,200,201 inserted
     assert final[pk_str("1")]["c_vchar"] == "row1v2"
@@ -148,7 +149,7 @@ def test_binlog_datasource_batch_and_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    await_done(q)
     assert len(out) == len(fixture_records())
     # ordered by binlog coordinates (file, pos, row)
     coords = [(r.binlog_file, r.binlog_pos, r.row_no) for r in out]
@@ -167,7 +168,7 @@ def test_pipeline_over_binlog_source(spark, tmp_path):
         str(tmp_path / "ckpt"),
         source="binlog",
     )
-    q.awaitTermination(90)
+    await_done(q)
     payloads = [json.loads(p) for _, p in got]
     assert len(payloads) == len(fixture_records())
     idx = sorted(p["event_index"] for p in payloads)
@@ -245,7 +246,7 @@ def test_streaming_window_agg_with_watermark(spark, tmp_path, late_events):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    await_done(q)
     # append mode emits only windows sealed by the watermark: max ts 00:58
     # − 10 min = 00:48 ⇒ the 00:55 window stays open and is NOT emitted
     got = {
@@ -279,7 +280,7 @@ def test_stream_static_join_enrichment(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    await_done(q)
     got = {
         (r.user_id, r.tier)
         for r in spark.sql("SELECT user_id, tier FROM enriched").collect()
@@ -313,7 +314,7 @@ def test_stream_stream_interval_join(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    await_done(q)
     got = [(r.k, r.v) for r in spark.sql("SELECT k, v FROM ssj").collect()]
     assert got == [(1, "in")]
 
@@ -340,8 +341,7 @@ def test_late_event_beyond_watermark_dropped(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(60)
-
+        await_done(q)
     def write(name, rows):
         with open(src / name, "w") as f:
             for r in rows:
@@ -395,7 +395,7 @@ def test_dedupe_within_watermark_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    await_done(q)
     got = spark.sql("SELECT event_index FROM dedup ORDER BY event_index").collect()
     assert [r.event_index for r in got] == [1, 2]
 
@@ -421,7 +421,7 @@ def test_upsert_delta_matches_parquet_semantics(spark, tmp_path):
     q = run_pipeline(
         spark, str(log_dir), [Route("mat", materialize)], str(tmp_path / "ckpt")
     )
-    q.awaitTermination(60)
+    await_done(q)
     final = {r._pk: r.row for r in spark.read.format("delta").load(target).collect()}
     assert final[pk_str("1")]["c_vchar"] == "row1v2"
     assert pk_str("5") not in final
@@ -458,14 +458,14 @@ def test_pipeline_max_files_per_trigger_controls_batching(spark, tmp_path):
         spark, str(log_dir), [Route("rec", recorder)],
         str(tmp_path / "ckpt2"), max_files_per_trigger=2,
     )
-    q.awaitTermination(60)
+    await_done(q)
     assert sorted(seen) == [2, 2]
 
     seen.clear()
     q = run_pipeline(
         spark, str(log_dir), [Route("rec", recorder)], str(tmp_path / "ckpt10"),
     )
-    q.awaitTermination(60)
+    await_done(q)
     assert seen == [4]
 
 
@@ -504,7 +504,7 @@ def test_pipeline_dead_letter_captures_malformed_records(spark, tmp_path):
         spark, str(log_dir), [Route("rec", recorder)],
         str(tmp_path / "ckpt"), dead_letter_dir=dlq,
     )
-    q.awaitTermination(60)
+    await_done(q)
     # two valid inserts, consecutive indexes (1-based within the batch)
     assert sorted(r.event_index for r in captured) == [1, 2]
     assert all(r.event_type == "insert" for r in captured)
@@ -538,7 +538,7 @@ def test_pipeline_without_dead_letter_keeps_old_behavior(spark, tmp_path):
         seen.append(env.count())
 
     q = run_pipeline(spark, str(log_dir), [Route("rec", recorder)], str(tmp_path / "ckpt"))
-    q.awaitTermination(60)
+    await_done(q)
     assert seen == [1]
 
 
@@ -588,7 +588,7 @@ def test_dedup_corpus_route_end_to_end(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
+    await_done(q)
     corpus = {r.doc_id: r.text for r in read_dedup_corpus(spark, store).collect()}
     assert set(corpus) == {1, 2}
     assert corpus[1] == base
@@ -598,7 +598,7 @@ def test_dedup_corpus_route_end_to_end(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
+    await_done(q)
     assert read_dedup_corpus(spark, store).count() == 2
 
 
@@ -650,7 +650,7 @@ def test_semantic_dedup_corpus_route_end_to_end(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
+    await_done(q)
     corpus = {r.vec_id for r in read_semantic_corpus(spark, store).collect()}
     assert corpus == {1, 2, 3}  # 4 dropped as near-dup of 1
 
@@ -659,7 +659,7 @@ def test_semantic_dedup_corpus_route_end_to_end(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
+    await_done(q)
     assert read_semantic_corpus(spark, store).count() == 3
 
 
@@ -707,7 +707,7 @@ def test_pq_index_route_end_to_end(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
+    await_done(q)
     idx = load_pq_index(spark, store)
     assert idx[0].count() == 8
 
@@ -718,7 +718,7 @@ def test_pq_index_route_end_to_end(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
+    await_done(q)
     idx2 = load_pq_index(spark, store)
     assert idx2[0].count() == 8
     with open(f"{store}/codebooks.json") as f:
@@ -777,7 +777,7 @@ def test_ivfpq_index_route_end_to_end(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
+    await_done(q)
     idx = load_ivfpq_index(spark, store)
     assert idx[0].count() == 8
     # the on-disk layout is the inverted index
@@ -789,7 +789,7 @@ def test_ivfpq_index_route_end_to_end(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
+    await_done(q)
     idx2 = load_ivfpq_index(spark, store)
     assert idx2[0].count() == 8
     with open(f"{store}/quantizers.json") as f:
@@ -843,7 +843,7 @@ def test_dedup_corpus_route_with_quality_gate(spark, tmp_path):
         dedup_corpus_writer(store, "crawl.docs", quality_filter=gate),
     )
     q = run_pipeline(spark, str(log_dir), [route], str(tmp_path / "ckpt"))
-    q.awaitTermination(60)
+    await_done(q)
     ids = sorted(r.doc_id for r in read_dedup_corpus(spark, store).collect())
     assert ids == [1]  # 2 failed quality; 3 (exact copy) deduped against 1
 
@@ -898,8 +898,7 @@ def test_curation_stats_route_end_to_end(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
-
+    await_done(q)
     rows = {r.batch_id: r for r in read_curation_stats(spark, stats_dir).collect()}
     assert set(rows) == {0, 1}
     b0 = rows[0]
@@ -916,7 +915,7 @@ def test_curation_stats_route_end_to_end(spark, tmp_path):
         spark, str(log_dir), [route], str(tmp_path / "ckpt2"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(60)
+    await_done(q)
     assert read_curation_stats(spark, stats_dir).count() == 2
 
 
@@ -1021,8 +1020,7 @@ def test_five_route_fanout_composes_end_to_end(spark, tmp_path):
         Route("search", search_index_writer(idx, "shop.docs")),
     ]
     q = run_pipeline(spark, str(log), routes, str(tmp_path / "ckpt"))
-    q.awaitTermination(120)
-
+    await_done(q)
     # replica: latest customer state + both orders
     cust = {r.id: r.tier for r in
             read_typed_replica(spark, reg, "shop.customer", replica).collect()}

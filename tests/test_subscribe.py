@@ -39,6 +39,7 @@ from wing_binlog_go_spark.streaming.subscribe import (
     SubscribeServer,
     pack,
 )
+from tests.streamwait import await_done
 
 
 # ---------------------------------------------------------------------------
@@ -230,8 +231,7 @@ def test_pipeline_to_subscribers_end_to_end(spark, tmp_path):
             [Route("tcp", subscribe_route_writer(server))],
             checkpoint_dir=str(tmp_path / "ckpt"),
         )
-        q.awaitTermination(60)
-
+        await_done(q)
         n_all = len(fixture_records())
         all_events = [json.loads(p) for p in firehose.events(n_all, timeout=30)]
         assert len(all_events) == n_all

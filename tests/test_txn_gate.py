@@ -8,6 +8,7 @@ import json
 
 from wing_binlog_go_spark.sources.changelog import fixture_records
 from wing_binlog_go_spark.streaming.txn import txn_gate
+from tests.streamwait import await_done
 
 
 def _write_jsonl(path, rows):
@@ -43,8 +44,7 @@ def test_txn_gate_holds_split_transaction_until_commit(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(90)
-
+        await_done(q)
     run()
     released_1 = [r for b in batches for r in b]
     gtids_1 = {r.gtid for r in released_1}
@@ -89,7 +89,7 @@ def test_txn_gate_passes_null_gtid_through(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(90)
+    await_done(q)
     assert len(out) == 1 and out[0].after["id"] == "1"
 
 
@@ -117,8 +117,7 @@ def test_pipeline_with_txn_atomic_routes_see_closed_transactions(spark, tmp_path
             str(tmp_path / "ckpt"),
             txn_atomic=True,
         )
-        q.awaitTermination(90)
-
+        await_done(q)
     run()
     env_1 = sorted((json.loads(p) for _, p in got), key=lambda e: e["event_index"])
     texts_1 = {
@@ -170,8 +169,7 @@ def test_txn_gate_times_out_commitless_transaction_loudly(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(90)
-
+        await_done(q)
     # (the HOLD behavior at the default 10-minute timeout is covered by
     # test_txn_gate_holds_split_transaction_until_commit; here the
     # short timeout may fire within the first availableNow run itself)
