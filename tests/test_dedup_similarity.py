@@ -3039,3 +3039,108 @@ def test_spread_if_narrow_is_adaptive(spark, sf_small):
         )
     wide = docs.repartition(target * 2, "doc_id")
     assert _spread_if_narrow(wide, "doc_id") is wide  # no-op branch
+
+
+# ---------------------------------------------------------------------------
+# r13: parsed-SQL expression builders must be bit-identical to the
+# Column-API forms they replaced (construction-cost optimization only —
+# both paths coexist; string args take the one-F.expr fast path, Column
+# args the original py4j composition)
+# ---------------------------------------------------------------------------
+
+_EDGE_TEXTS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, ""),
+    (3, "one"),
+    (4, "two words"),
+    (5, "  leading doubled  and trailing spaces  "),
+    (6, "UPPER Case MiXeD tokens here"),
+    (7, "a b c d e f g h i j k l m n o p"),
+    (8, "repeat repeat repeat repeat repeat"),
+]
+
+
+def test_expr_string_builders_match_column_api(spark):
+    """word_shingles / word_ngrams_all / _sig_agree / dot / norm /
+    as_double / _adc_expr: string-arg (parsed SQL) and Column-arg
+    (py4j-composed) paths must yield identical rows on edge texts."""
+    from wing_binlog_go_spark.operators import dedup as D
+    from wing_binlog_go_spark.operators import similarity as S
+
+    df = spark.createDataFrame(_EDGE_TEXTS, ["doc_id", "text"])
+    for k in (2, 3, 5):
+        got = df.select(
+            D.word_shingles("text", k).alias("s_new"),
+            D.word_shingles(F.col("text"), k).alias("s_old"),
+            D.word_ngrams_all("text", k).alias("g_new"),
+            D.word_ngrams_all(F.col("text"), k).alias("g_old"),
+        ).collect()
+        for r in got:
+            assert r.s_new == r.s_old, (k, r)
+            assert r.g_new == r.g_old, (k, r)
+
+    sig = df.select(
+        "doc_id",
+        F.expr("transform(sequence(1, 16), i -> xxhash64(i, doc_id))").alias("mh"),
+    )
+    pairs = sig.alias("a").crossJoin(sig.alias("b"))
+    agree = pairs.select(
+        D._sig_agree("a.mh", "b.mh", 16).alias("new"),
+        D._sig_agree(F.col("a.mh"), F.col("b.mh"), 16).alias("old"),
+    ).collect()
+    assert all(r.new == r.old for r in agree)
+
+    vecs = spark.range(20).select(
+        F.col("id"),
+        F.expr(
+            "transform(sequence(1, 8), i -> CAST(xxhash64(i, id) % 1000 AS DOUBLE)"
+            " / 250.0)"
+        ).alias("v"),
+        F.expr("transform(sequence(1, 8), i -> CAST(pmod(xxhash64(i, id + 7), 16)"
+               " AS INT))").alias("codes"),
+        F.expr("transform(sequence(1, 128), i -> CAST(xxhash64(i, id) % 100 AS"
+               " DOUBLE) / 10.0)").alias("tbl"),
+    )
+    both = vecs.alias("a").crossJoin(vecs.alias("b")).select(
+        S.dot("a.v", "b.v").alias("dot_new"),
+        S.dot(F.col("a.v"), F.col("b.v")).alias("dot_old"),
+        S.norm("a.v").alias("n_new"),
+        S.norm(F.col("a.v")).alias("n_old"),
+        S._adc_expr("a.codes", "a.tbl", 8, 16).alias("adc_new"),
+        S._adc_expr(F.col("a.codes"), F.col("a.tbl"), 8, 16).alias("adc_old"),
+        S.as_double("a.v").alias("d_new"),
+        S.as_double(F.col("a.v")).alias("d_old"),
+    ).collect()
+    for r in both:
+        # bitwise equality, not approx: both forms must fold in the
+        # same order over the same element expressions
+        assert r.dot_new == r.dot_old
+        assert r.n_new == r.n_old
+        assert r.adc_new == r.adc_old
+        assert r.d_new == r.d_old
+
+
+def test_minhash_signature_matches_hof_reference(spark):
+    """The parsed-SQL minhash fold equals the original Column-API
+    nested-lambda fold (kept inline here as the reference)."""
+    from wing_binlog_go_spark.operators import dedup as D
+
+    df = spark.createDataFrame(_EDGE_TEXTS, ["doc_id", "text"])
+    num_hashes, k = 16, 3
+    shingle_hashes = F.transform(
+        D.word_shingles(F.col("text"), k), lambda s: F.xxhash64(s)
+    )
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    ref = F.aggregate(
+        shingle_hashes,
+        F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(acc, seeds, lambda a, i: F.least(a, F.xxhash64(i, h))),
+    )
+    got = (
+        D.minhash_signature(df, "doc_id", "text", num_hashes, k)
+        .join(df.select("doc_id", ref.alias("ref")), "doc_id")
+        .collect()
+    )
+    assert len(got) == len(_EDGE_TEXTS)
+    for r in got:
+        assert r.mh == r.ref, r.doc_id

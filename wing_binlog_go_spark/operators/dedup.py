@@ -35,6 +35,24 @@ QUERIES: dict[str, QuerySpec] = {}
 # ---------------------------------------------------------------------------
 # building blocks
 # ---------------------------------------------------------------------------
+#
+# r13 note on construction style: the hot builders below are emitted as
+# single SQL strings through one F.expr call instead of composed Column
+# objects. The two forms analyze to the same expression tree (asserted
+# bit-identical in tests), but the Column API pays one py4j round trip
+# per operator node — measured 150–260 ms to construct one 16-term
+# _sig_agree vs ~1 ms for the parsed string (the JVM parser is
+# microseconds per node). Query CONSTRUCTION is driver wall-clock on
+# every build, so this is the same cost class as the r12 relation
+# cache: overhead before the first task can launch.
+
+
+def _name_sql(col) -> "str | None":
+    """SQL fragment for a column argument: the raw name when it is a
+    string (raw, not backtick-quoted, so dotted alias paths like
+    ``a.mh`` keep F.col's multipart-name semantics), None for Column
+    objects — callers then fall back to the Column-API builder."""
+    return col if isinstance(col, str) else None
 
 
 def tokens(col) -> F.Column:
@@ -81,6 +99,29 @@ def _word_shingles_hof(col, k: int = 3) -> F.Column:
     )
 
 
+def _ngrams_sql(name: str, k: int, distinct: bool) -> str:
+    """SQL-string twin of ``word_shingles`` (distinct=True) /
+    ``word_ngrams_all`` (distinct=False) for a plain column name: same
+    CASE structure, same patterns, one parser call instead of ~25 py4j
+    round trips (see the r13 construction note above)."""
+    low = f"lower({name})"
+    toks = f"split({low}, ' ')"
+    pat = r"(?:^|[ ])(?=(" + " ".join([r"[^ ]+"] * k) + r"))"
+    fast = f"regexp_extract_all({low}, '{pat}', 1)"
+    hof = (
+        f"transform(sequence(1, greatest(size({toks}) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({toks}, i, {k})))"
+    )
+    if distinct:
+        fast = f"array_distinct({fast})"
+        hof = f"array_distinct({hof})"
+    return (
+        f"CASE WHEN size({toks}) < {k} THEN array({low}) "
+        f"WHEN {low} RLIKE '(^ )|( $)|(  )' THEN {hof} "
+        f"ELSE {fast} END"
+    )
+
+
 def word_ngrams_all(col, k: int = 2) -> F.Column:
     """ALL overlapping k-word n-grams, repeats included (the multiset —
     unlike ``word_shingles`` which deduplicates); docs shorter than k
@@ -90,7 +131,10 @@ def word_ngrams_all(col, k: int = 2) -> F.Column:
     occurrence counts are what repetition statistics aggregate, and the
     lookahead yields every overlapping occurrence in one codegen pass.
     """
-    c = F.col(col) if isinstance(col, str) else col
+    name = _name_sql(col)
+    if name is not None:
+        return F.expr(_ngrams_sql(name, k, distinct=False))
+    c = col
     low = F.lower(c)
     toks = tokens(col)
     pat = r"(?:^|[ ])(?=(" + " ".join([r"[^ ]+"] * k) + r"))"
@@ -118,7 +162,10 @@ def word_shingles(col, k: int = 3) -> F.Column:
     from leading/trailing/doubled spaces — take the exact HOF fallback
     per row, so semantics are identical for every input, not just
     single-spaced corpora."""
-    c = F.col(col) if isinstance(col, str) else col
+    name = _name_sql(col)
+    if name is not None:
+        return F.expr(_ngrams_sql(name, k, distinct=True))
+    c = col
     low = F.lower(c)
     toks = tokens(col)
     pat = r"(?:^|[ ])(?=(" + " ".join([r"[^ ]+"] * k) + r"))"
@@ -148,6 +195,13 @@ def _sig_agree(left, right, n: int) -> F.Column:
     double dot product — see ``similarity.dot`` — so it is applied only
     to these short equality counts.)
     """
+    ln, rn = _name_sql(left), _name_sql(right)
+    if ln is not None and rn is not None:
+        # one parser call; the Column-API loop below costs ~60 py4j
+        # round trips (~150 ms measured) to build the same tree
+        return F.expr(
+            " + ".join(f"CAST(({ln}[{i}] = {rn}[{i}]) AS INT)" for i in range(n))
+        )
     l = F.col(left) if isinstance(left, str) else left
     r = F.col(right) if isinstance(right, str) else right
     out = (l[0] == r[0]).cast("int")
@@ -184,14 +238,16 @@ def minhash_signature(
     # 32 python workers cost more than the interpreter), so the
     # expression form stays and the fix is input partitioning, not a
     # Python kernel.
-    shingle_hashes = F.transform(word_shingles(text_col, k), lambda s: F.xxhash64(s))
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    mh = F.aggregate(
-        shingle_hashes,
-        F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes),
-        lambda acc, h: F.zip_with(
-            acc, seeds, lambda a, i: F.least(a, F.xxhash64(i, h))
-        ),
+    # Emitted as ONE SQL string (r13): the nested lambda chain via the
+    # Column API costs ~40 py4j round trips per build; the parsed string
+    # analyzes to the identical fold (bit-identity asserted in
+    # test_dedup_similarity).
+    mh = F.expr(
+        f"aggregate(transform({_ngrams_sql(text_col, k, distinct=True)}, "
+        f"s -> xxhash64(s)), "
+        f"array_repeat({2**63 - 1}L, {num_hashes}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {num_hashes - 1}), "
+        f"(a, i) -> least(a, xxhash64(i, h))))"
     )
     return df.select(id_col, mh.alias("mh"))
 
@@ -410,17 +466,18 @@ def _band_buckets(
     hash folds the band's minhash slice through xxhash64 so the join
     key is a scalar, not an array."""
     rows_per_band = num_hashes // bands
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[
-                    F.element_at("mh", b * rows_per_band + i + 1)
-                    for i in range(rows_per_band)
-                ],
+    band_hashes = F.expr(
+        "array("
+        + ", ".join(
+            f"xxhash64({b}, "
+            + ", ".join(
+                f"element_at(mh, {b * rows_per_band + i + 1})"
+                for i in range(rows_per_band)
             )
+            + ")"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     return signatures.select(
         F.col(id_col).alias("doc"),
@@ -511,8 +568,9 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # sums to sign bits. Token hashing is the fold's child → one eval.
     tok = df.select(
         id_col,
-        F.transform(
-            F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t)
+        F.expr(
+            f"transform(array_distinct(split(lower({text_col}), ' ')), "
+            "t -> xxhash64(t))"
         ).alias("_th"),
     )
     sim = F.expr(
@@ -555,11 +613,13 @@ def hamming_chunk_pairs(
         )
     bits = 64 // n_chunks
     mask = (1 << bits) - 1
-    chunks = F.array(
-        *[
-            F.shiftrightunsigned(F.col(hash_col), bits * c).bitwiseAND(F.lit(mask))
+    chunks = F.expr(
+        "array("
+        + ", ".join(
+            f"(shiftrightunsigned({hash_col}, {bits * c}) & {mask})"
             for c in range(n_chunks)
-        ]
+        )
+        + ")"
     )
     b = sig.select(
         F.col(id_col).alias("_id"),
@@ -877,6 +937,16 @@ def _roll(s: F.Column, base: int) -> F.Column:
     )
 
 
+def _roll_sql(s: str, base: int) -> str:
+    """SQL-string twin of ``_roll`` (one parser call per base instead of
+    ~15 py4j round trips — the r13 construction note)."""
+    return (
+        f"aggregate(transform(split({s}, ''), ch -> ascii(ch)), "
+        f"CAST({_MH_ROLL_SEED} AS BIGINT), "
+        f"(acc, c) -> ((acc * {base} + CAST(c AS BIGINT)) % {_MH_ROLL_P}))"
+    )
+
+
 def rolling_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -888,27 +958,25 @@ def rolling_signatures(
     (q37f) and the corpus-vs-benchmark decontamination (q157)."""
     sh = _spread_if_narrow(df.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("doc"),
-        F.filter(
-            word_shingles(text_col, shingle_k), lambda s: F.length(s) > 0
+        F.expr(
+            f"filter({_ngrams_sql(text_col, shingle_k, distinct=True)}, "
+            "s -> length(s) > 0)"
         ).alias("_sh"),
     ).filter(F.size("_sh") > 0).localCheckpoint(eager=True)
 
     # 8 per-row array_min folds over the materialized shingle column
     # (the checkpoint keeps CollapseProject from inlining the shingle
-    # builder into every fold — the q37 lesson). The per-base lambda
-    # comes from a closure FACTORY: a `lambda s, b=b:` default arg
-    # makes the callable arity-2 and F.transform then binds b to the
-    # ELEMENT INDEX, silently replacing every base.
-    def _hash_with(base: int):
-        return lambda s: _roll(s, base)
-
+    # builder into every fold — the q37 lesson), emitted as one parsed
+    # SQL string (the r13 construction note).
     return sh.select(
         "doc",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("_sh"), _hash_with(b)))
+        F.expr(
+            "array("
+            + ", ".join(
+                f"array_min(transform(_sh, s -> {_roll_sql('s', b)}))"
                 for b in _MH_ROLL_BASES
-            ]
+            )
+            + ")"
         ).alias("mh"),
     ).localCheckpoint(eager=True)
 
@@ -919,17 +987,15 @@ def _rolling_bands(sigs: DataFrame) -> DataFrame:
     per_band = len(_MH_ROLL_BASES) // _MH_ROLL_BANDS
     return sigs.select(
         "doc", "mh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.element_at("mh", b * per_band + 1).alias("k1"),
-                        F.element_at("mh", b * per_band + 2).alias("k2"),
-                    )
-                    for b in range(_MH_ROLL_BANDS)
-                ]
+        F.expr(
+            "explode(array("
+            + ", ".join(
+                f"named_struct('band', {b}, "
+                f"'k1', element_at(mh, {b * per_band + 1}), "
+                f"'k2', element_at(mh, {b * per_band + 2}))"
+                for b in range(_MH_ROLL_BANDS)
             )
+            + "))"
         ).alias("_b"),
     ).select("doc", "mh", "_b.band", "_b.k1", "_b.k2")
 

@@ -38,12 +38,25 @@ logger = logging.getLogger(__name__)
 QUERIES: dict[str, QuerySpec] = {}
 
 
+def _name_sql(col) -> "str | None":
+    """SQL fragment for a column argument: the raw name when it is a
+    string (raw, so dotted alias paths keep F.col's multipart-name
+    semantics), None for Column objects. String arguments take a
+    single-F.expr fast path below: the Column-API lambda chains cost
+    ~15-25 py4j round trips per call site to build, the parsed string
+    ~1 ms — same construction-cost class as the r12 relation cache
+    (driver wall-clock on every query build)."""
+    return col if isinstance(col, str) else None
+
+
 def as_double(vec) -> Column:
-    c = F.col(vec) if isinstance(vec, str) else vec
-    return F.transform(c, lambda x: x.cast("double"))
+    name = _name_sql(vec)
+    if name is not None:
+        return F.expr(f"transform({name}, x -> CAST(x AS DOUBLE))")
+    return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a, b) -> Column:
     """Pure-expression dot product: left-to-right fold of pairwise
     products.
 
@@ -56,22 +69,34 @@ def dot(a: Column, b: Column) -> Column:
     the ratio is scale-independent (both sides linear in pairs × dim).
     Guide §1.1's "fresh implementation of the ideal plan is usually
     slower at first" in action; the expression stays."""
+    an, bn = _name_sql(a), _name_sql(b)
+    if an is not None and bn is not None:
+        return F.expr(
+            f"aggregate(zip_with({an}, {bn}, (x, y) -> x * y), 0.0D, "
+            "(acc, x) -> acc + x)"
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a) -> Column:
+    name = _name_sql(a)
+    if name is not None:
+        return F.expr(
+            f"sqrt(aggregate(transform({name}, x -> x * x), 0.0D, "
+            "(acc, x) -> acc + x))"
+        )
     return F.sqrt(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def _adc_expr(codes: Column, tbl: Column, m: int, n_codes: int) -> Column:
+def _adc_expr(codes, tbl, m: int, n_codes: int) -> Column:
     """ADC distance: sum over subspaces j of tbl[j*n_codes + codes[j]].
 
     Unrolled per-subspace element_at sum instead of the
@@ -85,6 +110,17 @@ def _adc_expr(codes: Column, tbl: Column, m: int, n_codes: int) -> Column:
     from 0.0, and the index arithmetic is the same integer expression.
     (The 64-element double dot product does NOT benefit — see ``dot``.)
     """
+    cn, tn = _name_sql(codes), _name_sql(tbl)
+    if cn is not None and tn is not None:
+        # one parser call; the unrolled Column-API loop costs ~40 py4j
+        # round trips per build (the r13 construction note in dedup.py)
+        return F.expr(
+            "0.0D + "
+            + " + ".join(
+                f"element_at({tn}, CAST((({j * n_codes} + {cn}[{j}]) + 1) AS INT))"
+                for j in range(m)
+            )
+        )
     out = F.lit(0.0)
     for j in range(m):
         out = out + F.element_at(
@@ -121,18 +157,18 @@ def brute_force_topk(
     passes of the fold interpreter over every vector element.
     """
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("_cv")).withColumn(
-        "_cn", norm(F.col("_cv"))
+        "_cn", norm("_cv")
     )
     q = queries.select(
         F.col(query_id_col), as_double(vec_col).alias("_qv")
-    ).withColumn("_qn", norm(F.col("_qv")))
+    ).withColumn("_qn", norm("_qv"))
     scored = (
         c.crossJoin(broadcast(q))
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias(
+            (dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))).alias(
                 "_sim"
             ),
         )
@@ -206,11 +242,11 @@ def lsh_topk(
     extra tables recover recall.
     """
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("_cv")).withColumn(
-        "_cn", norm(F.col("_cv"))
+        "_cn", norm("_cv")
     )
     q = queries.select(
         F.col(query_id_col), as_double(vec_col).alias("_qv")
-    ).withColumn("_qn", norm(F.col("_qv")))
+    ).withColumn("_qn", norm("_qv"))
     buckets = all_table_buckets(n_bits, n_tables, dim)
 
     def with_buckets(df, vcol, out_prefix):
@@ -238,7 +274,7 @@ def lsh_topk(
     scored = cand.select(
         query_id_col,
         id_col,
-        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("_sim"),
+        (dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))).alias("_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("_sim"), F.asc(id_col))
     return (
@@ -272,11 +308,11 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
 
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("_cv")).withColumn(
-        "_cn", norm(F.col("_cv"))
+        "_cn", norm("_cv")
     )
     q = queries.select(
         F.col(query_id_col), as_double(vec_col).alias("_qv")
-    ).withColumn("_qn", norm(F.col("_qv")))
+    ).withColumn("_qn", norm("_qv"))
 
     train = c.select(array_to_vector("_cv").alias("features"))
     km = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(train)
@@ -324,7 +360,7 @@ def ivf_topk(
     scored = cand.select(
         query_id_col,
         id_col,
-        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("_sim"),
+        (dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))).alias("_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("_sim"), F.asc(id_col))
     return (
@@ -425,7 +461,7 @@ def pq_encode(
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("_cv"))
     encode = _pq_encoder(books)
     return c.withColumn("_codes", encode(F.col("_cv"))).withColumn(
-        "_cn", norm(F.col("_cv"))
+        "_cn", norm("_cv")
     )
 
 
@@ -601,12 +637,12 @@ def pq_topk(
         return pd.Series(list(tables.reshape(len(mat), m * n_codes)))
 
     qt = q.withColumn("_tbl", adc_table(F.col("_qv"))).withColumn(
-        "_qn", norm(F.col("_qv"))
+        "_qn", norm("_qv")
     )
 
     # ADC distance: unrolled per-subspace table lookup sum (codegen;
     # bit-identical to the former HOF fold — see _adc_expr).
-    adc = _adc_expr(F.col("_codes"), F.col("_tbl"), m, n_codes)
+    adc = _adc_expr("_codes", "_tbl", m, n_codes)
 
     cand = (
         coded.crossJoin(broadcast(qt))
@@ -620,7 +656,7 @@ def pq_topk(
     scored = refined.select(
         query_id_col,
         id_col,
-        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("_sim"),
+        (dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))).alias("_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("_sim"), F.asc(id_col))
     return (
@@ -737,7 +773,7 @@ def ivfpq_encode(
     PQ codes in ONE Arrow pass, plus the full vector and its norm for
     the refine fetch — the disk layout of an IVF-PQ system."""
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("_cv")).withColumn(
-        "_cn", norm(F.col("_cv"))
+        "_cn", norm("_cv")
     )
     enc = _ivfpq_encoder(coarse, books)
     # coalesce makes the join key non-nullable so Catalyst doesn't
@@ -1124,7 +1160,7 @@ def ivfpq_topk(
         coded = ivfpq_encode(corpus, coarse, books, id_col, vec_col)
     q = queries.select(
         F.col(query_id_col), as_double(vec_col).alias("_qv")
-    ).withColumn("_qn", norm(F.col("_qv")))
+    ).withColumn("_qn", norm("_qv"))
     probe = _ivfpq_prober(coarse, books, n_probe)
     probed = q.select(
         query_id_col, "_qv", "_qn", F.explode(probe(F.col("_qv"))).alias("_p")
@@ -1136,7 +1172,7 @@ def ivfpq_topk(
     cand = coded.join(broadcast(probed), "_list").filter(
         F.col(id_col) != F.col(query_id_col)
     )
-    adc = _adc_expr(F.col("_codes"), F.col("_tbl"), m, n_codes)
+    adc = _adc_expr("_codes", "_tbl", m, n_codes)
     cand = cand.select(
         query_id_col, id_col, "_cv", "_qv", "_cn", "_qn", adc.alias("_adc")
     )
@@ -1147,7 +1183,7 @@ def ivfpq_topk(
     scored = refined.select(
         query_id_col,
         id_col,
-        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("_sim"),
+        (dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))).alias("_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("_sim"), F.asc(id_col))
     return (
@@ -1179,7 +1215,7 @@ def embedding_near_dup_lsh(
     from wing_binlog_go_spark.operators.dedup import _widen_for_verify
 
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("_v")).withColumn(
-        "_n", norm(F.col("_v"))
+        "_n", norm("_v")
     ).localCheckpoint(eager=True)  # bucket explode + both verify rejoins
     if n_bits is None or n_tables is None:
         auto_b, auto_l = auto_lsh_params(c.count(), threshold)
@@ -1215,7 +1251,7 @@ def embedding_near_dup_lsh(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+                dot("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
@@ -1328,10 +1364,10 @@ def embedding_near_dup_bruteforce(
     """
     a = corpus.select(
         F.col(id_col).alias("id_a"), as_double(vec_col).alias("_va")
-    ).withColumn("_na", norm(F.col("_va")))
+    ).withColumn("_na", norm("_va"))
     b = corpus.select(
         F.col(id_col).alias("id_b"), as_double(vec_col).alias("_vb")
-    ).withColumn("_nb", norm(F.col("_vb")))
+    ).withColumn("_nb", norm("_vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
@@ -1339,7 +1375,7 @@ def embedding_near_dup_bruteforce(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+                dot("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
@@ -1485,7 +1521,7 @@ def semantic_dedup(
         assigned.select(
             F.col(id_col), "_cluster", as_double(vec_col).alias("_v")
         )
-        .withColumn("_n", norm(F.col("_v")))
+        .withColumn("_n", norm("_v"))
         .localCheckpoint(eager=True)
     )
     lhs = sides.select(
@@ -1504,7 +1540,7 @@ def semantic_dedup(
         lhs.join(rhs, "_cluster")
         .filter(F.col("_id_keep") < F.col("_id_drop"))
         .filter(
-            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            dot("_va", "_vb") / (F.col("_na") * F.col("_nb"))
             >= F.lit(threshold)
         )
         .select(F.col("_id_drop").alias(id_col))
@@ -1599,7 +1635,7 @@ def incremental_semantic_dedup_apply(
             "_cluster",
             *(payload_cols or []),
         )
-        .withColumn("_n", norm(F.col("_v")))
+        .withColumn("_n", norm("_v"))
         .localCheckpoint(eager=collect_stats)
     )
     if collect_stats:
@@ -1634,7 +1670,7 @@ def incremental_semantic_dedup_apply(
                 "_cluster",
             )
             .filter(
-                dot(F.col("a._v"), F.col("_vh")) / (F.col("a._n") * F.col("_nh"))
+                dot("a._v", "_vh") / (F.col("a._n") * F.col("_nh"))
                 >= F.lit(threshold)
             )
             .select(F.col(f"a.{id_col}").alias(id_col))
@@ -1656,7 +1692,7 @@ def incremental_semantic_dedup_apply(
         lhs.join(rhs, "_cluster")
         .filter(F.col("_id_keep") < F.col("_id_drop"))
         .filter(
-            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            dot("_va", "_vb") / (F.col("_na") * F.col("_nb"))
             >= F.lit(threshold)
         )
         .select(F.col("_id_drop").alias(id_col))
@@ -2015,7 +2051,7 @@ def knn_graph_clustered(
             corpus.select(F.col(id_col), as_double(vec_col).alias("_v")),
             cents, "_v",
         )
-        .withColumn("_n", norm(F.col("_v")))
+        .withColumn("_n", norm("_v"))
         # referenced twice (both self-join sides); the barrier also
         # stops CollapseProject from duplicating the HOF assignment
         .localCheckpoint(eager=True)
@@ -2033,7 +2069,7 @@ def knn_graph_clustered(
         .filter(F.col("src") != F.col("dst"))
         .select(
             "cluster", "src", "dst",
-            (dot(F.col("_sv"), F.col("_dv"))
+            (dot("_sv", "_dv")
              / (F.col("_sn") * F.col("_dn"))).alias("_sim"),
         )
     )
@@ -2201,7 +2237,7 @@ def ivf_topk_frozen(
             corpus.select(F.col(id_col), as_double(vec_col).alias("_v")),
             cents, "_v",
         )
-        .withColumn("_n", norm(F.col("_v")))
+        .withColumn("_n", norm("_v"))
         .select(
             F.col(id_col), F.col("_cluster").alias("cluster"),
             F.col("_v"), F.col("_n"),
@@ -2212,14 +2248,14 @@ def ivf_topk_frozen(
         cents, n_probe=n_probe, vec_col="_qv",
     ).select(
         F.col(query_id_col), F.col("_cluster").alias("cluster"),
-        F.col("_qv"), norm(F.col("_qv")).alias("_qn"),
+        F.col("_qv"), norm("_qv").alias("_qn"),
     )
     scored = (
         probed.join(assigned, "cluster")
         .filter(F.col(query_id_col) != F.col(id_col))
         .select(
             query_id_col, id_col,
-            (dot(F.col("_qv"), F.col("_v"))
+            (dot("_qv", "_v")
              / (F.col("_qn") * F.col("_n"))).alias("_sim"),
         )
     )
@@ -2419,7 +2455,7 @@ def _rebuild_knn_clusters(
     corpus = (
         spark.read.parquet(vec_dir)
         .filter(F.col("cluster").isin(touched))
-        .withColumn("_n", norm(F.col("vector")))
+        .withColumn("_n", norm("vector"))
         .localCheckpoint(eager=True)  # two self-join sides below
     )
     lhs = corpus.select(
@@ -2436,7 +2472,7 @@ def _rebuild_knn_clusters(
         .filter(F.col("src") != F.col("dst"))
         .select(
             "cluster", "src", "dst",
-            (dot(F.col("_sv"), F.col("_dv"))
+            (dot("_sv", "_dv")
              / (F.col("_sn") * F.col("_dn"))).alias("_sim"),
         )
         .withColumn("rnk", F.row_number().over(w))
@@ -3035,7 +3071,7 @@ def _q_ann_lsh_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     bcols = lsh_bucket_exprs(F.col("_v"), planes)
     corpus = base.select(
         "vec_id", "_v", *[b.alias(f"_b{t}") for t, b in enumerate(bcols)]
-    ).withColumn("_n", norm(F.col("_v"))).localCheckpoint(eager=True)
+    ).withColumn("_n", norm("_v")).localCheckpoint(eager=True)
     q = (
         corpus.orderBy("vec_id").limit(10)
         .select(
@@ -3066,7 +3102,7 @@ def _q_ann_lsh_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cv, "vec_id")
         .select(
             "query_id", "vec_id",
-            (dot(F.col("_qv"), F.col("_v"))
+            (dot("_qv", "_v")
              / (F.col("_qn") * F.col("_n"))).alias("_sim"),
         )
     )
@@ -3386,7 +3422,7 @@ def knn_graph(
     corpus and the exact cosine ranks the survivors.
     """
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("_v")).withColumn(
-        "_n", norm(F.col("_v"))
+        "_n", norm("_v")
     ).localCheckpoint(eager=True)  # referenced 3x (both join sides + vectors):
     # cut lineage so the scan + HOF norm fold run once, the same cure
     # dedup.py prescribes for this shape
@@ -3422,7 +3458,7 @@ def knn_graph(
         .select(
             "src",
             "dst",
-            (dot(F.col("_sv"), F.col("_dv")) / (F.col("_sn") * F.col("_dn"))).alias("_sim"),
+            (dot("_sv", "_dv") / (F.col("_sn") * F.col("_dn"))).alias("_sim"),
         )
     )
     w = Window.partitionBy("src").orderBy(F.desc("_sim"), F.asc("dst"))
@@ -3485,7 +3521,7 @@ def semantic_dedup_frozen(
             F.col("_cluster").cast("int").alias("cluster"),
             "_v",
         )
-        .withColumn("_n", norm(F.col("_v")))
+        .withColumn("_n", norm("_v"))
         # referenced three times (both join sides + the survivor base)
         .localCheckpoint(eager=True)
     )
@@ -3501,7 +3537,7 @@ def semantic_dedup_frozen(
         lhs.join(rhs, "cluster")
         .filter(F.col("_id_keep") < F.col("_id_drop"))
         .filter(
-            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            dot("_va", "_vb") / (F.col("_na") * F.col("_nb"))
             >= F.lit(float(threshold))
         )
         .select(F.col("_id_drop").alias(id_col))
@@ -3773,7 +3809,7 @@ def rrf_hybrid_topk(
             as_double("embedding").alias("_v"),
         ),
         "doc_id",
-    ).withColumn("_n", norm(F.col("_v")))
+    ).withColumn("_n", norm("_v"))
     q = base.filter(F.col("doc_id") < n_queries).select(
         F.col("doc_id").alias("query_id"),
         F.col("_sh").alias("_qsh"),
@@ -3804,7 +3840,7 @@ def rrf_hybrid_topk(
     )
     dense = (
         pairs.withColumn(
-            "_sim", dot(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn"))
+            "_sim", dot("_v", "_qv") / (F.col("_n") * F.col("_qn"))
         )
         .withColumn("dense_rank", F.row_number().over(w_den).cast("int"))
         .filter(F.col("dense_rank") <= k_side)
