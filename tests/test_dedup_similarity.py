@@ -3144,3 +3144,37 @@ def test_minhash_signature_matches_hof_reference(spark):
     assert len(got) == len(_EDGE_TEXTS)
     for r in got:
         assert r.mh == r.ref, r.doc_id
+
+
+def test_persisted_signature_length_mismatch_fails_loudly(spark, tmp_path):
+    """ADVICE r12: a signature store built with fewer hashes than the
+    num_hashes passed to minhash_dedup_pairs must raise, not silently
+    return zero duplicate pairs (out-of-bounds element_at -> NULL agree
+    sum -> every candidate filtered)."""
+    from wing_binlog_go_spark.operators.dedup import (
+        load_minhash_signatures,
+        minhash_dedup_pairs,
+        persist_minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta epsilon"),
+         (3, "completely different text right here")],
+        ["doc_id", "text"],
+    )
+    store = str(tmp_path / "sigstore")
+    persist_minhash_signatures(docs, store, num_hashes=8)
+    sigs = load_minhash_signatures(spark, store)
+
+    # matching width: the exact-dup pair is found
+    ok = minhash_dedup_pairs(None, num_hashes=8, bands=4, signatures=sigs)
+    assert [(r.doc_a, r.doc_b) for r in ok.collect()] == [(1, 2)]
+
+    # mismatched width: loud failure instead of an empty result
+    import pytest as _pytest
+
+    bad = minhash_dedup_pairs(None, num_hashes=16, bands=8, signatures=sigs)
+    with _pytest.raises(Exception) as ei:
+        bad.collect()
+    assert "does not match num_hashes=16" in str(ei.value)

@@ -466,7 +466,7 @@ def _band_buckets(
     hash folds the band's minhash slice through xxhash64 so the join
     key is a scalar, not an array."""
     rows_per_band = num_hashes // bands
-    band_hashes = F.expr(
+    arr = (
         "array("
         + ", ".join(
             f"xxhash64({b}, "
@@ -478,6 +478,18 @@ def _band_buckets(
             for b in range(bands)
         )
         + ")"
+    )
+    # Loud length guard (ADVICE r12): a persisted signature store built
+    # with fewer hashes than num_hashes would read element_at out of
+    # bounds as NULL, the agree sum would go NULL, and the dedup would
+    # silently report ZERO duplicates. One size() comparison per row
+    # (codegen, trivial next to the 8 xxhash64 calls) turns the
+    # store/param mismatch into an error instead.
+    band_hashes = F.expr(
+        f"CASE WHEN size(mh) = {num_hashes} THEN {arr} "
+        f"ELSE raise_error(format_string("
+        f"'minhash signature length %d does not match num_hashes={num_hashes}'"
+        f", size(mh))) END"
     )
     return signatures.select(
         F.col(id_col).alias("doc"),
