@@ -7,7 +7,7 @@ from __future__ import annotations
 import json
 
 from wing_binlog_go_spark.sources.changelog import fixture_records
-from wing_binlog_go_spark.streaming.txn import txn_gate
+from wing_binlog_go_spark.streaming.txn import gate_drain_conf, txn_gate
 from tests.streamwait import await_done
 
 
@@ -36,14 +36,15 @@ def test_txn_gate_holds_split_transaction_until_commit(spark, tmp_path):
 
     def run():
         stream = spark.readStream.schema(CHANGE_SCHEMA).json(str(src))
-        q = (
-            txn_gate(stream)
-            .writeStream.outputMode("append")
-            .foreachBatch(lambda df, bid: batches.append(df.collect()))
-            .option("checkpointLocation", str(tmp_path / "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
+        with gate_drain_conf(spark):
+            q = (
+                txn_gate(stream)
+                .writeStream.outputMode("append")
+                .foreachBatch(lambda df, bid: batches.append(df.collect()))
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
         await_done(q)
     run()
     released_1 = [r for b in batches for r in b]
@@ -81,14 +82,15 @@ def test_txn_gate_passes_null_gtid_through(spark, tmp_path):
     _write_jsonl(src / "a.jsonl", [rec])
     out: list = []
     stream = spark.readStream.schema(CHANGE_SCHEMA).json(str(src))
-    q = (
-        txn_gate(stream)
-        .writeStream.outputMode("append")
-        .foreachBatch(lambda df, bid: out.extend(df.collect()))
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    with gate_drain_conf(spark):
+        q = (
+            txn_gate(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: out.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
     await_done(q)
     assert len(out) == 1 and out[0].after["id"] == "1"
 
@@ -161,14 +163,15 @@ def test_txn_gate_times_out_commitless_transaction_loudly(spark, tmp_path):
 
     def run():
         stream = spark.readStream.schema(CHANGE_SCHEMA).json(str(src))
-        q = (
-            txn_gate(stream, hold_timeout_ms=1500)
-            .writeStream.outputMode("append")
-            .foreachBatch(lambda df, bid: batches.append(df.collect()))
-            .option("checkpointLocation", str(tmp_path / "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
+        with gate_drain_conf(spark):
+            q = (
+                txn_gate(stream, hold_timeout_ms=1500)
+                .writeStream.outputMode("append")
+                .foreachBatch(lambda df, bid: batches.append(df.collect()))
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
         await_done(q)
     # (the HOLD behavior at the default 10-minute timeout is covered by
     # test_txn_gate_holds_split_transaction_until_commit; here the

@@ -238,6 +238,14 @@ def run_pipeline(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    if txn_atomic and available_now:
+        # without this the gate's ProcessingTimeTimeout keeps the
+        # availableNow run constructing empty micro-batches forever
+        # (see gate_drain_conf) — the drain would never terminate
+        from wing_binlog_go_spark.streaming.txn import gate_drain_conf
+
+        with gate_drain_conf(spark):
+            return writer.start()
     return writer.start()
 
 

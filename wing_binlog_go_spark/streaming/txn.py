@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import logging
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -55,6 +56,33 @@ _COLS = [f.name for f in CHANGE_SCHEMA.fields]
 #: otherwise strand its transaction in keyed state forever — never
 #: delivered, never dead-lettered, state growing without bound.
 DEFAULT_HOLD_TIMEOUT_MS = 10 * 60 * 1000
+
+
+@contextmanager
+def gate_drain_conf(spark):
+    """Start availableNow drains of gated streams under this guard.
+
+    The gate's ``ProcessingTimeTimeout`` makes the stateful operator
+    report ``shouldRunAnotherBatch = true`` on every trigger, and with
+    ``spark.sql.streaming.noDataMicroBatches.enabled`` (default true)
+    an ``availableNow`` run then constructs empty micro-batches forever
+    after the data is drained — the query NEVER terminates (measured:
+    45 empty batches/min, identical released rows either way). Disabling
+    no-data batches for the query restores availableNow's terminate-
+    when-drained contract; processing-time timeouts then fire on the
+    next DATA batch past the deadline, which is the gate's documented
+    release path (the commit marker — or any later traffic — is always
+    in flight). The streaming query clones the session conf at
+    ``start()``, so restoring the conf afterwards does not affect the
+    running query.
+    """
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def txn_gate(
