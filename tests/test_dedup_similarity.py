@@ -3146,6 +3146,69 @@ def test_minhash_signature_matches_hof_reference(spark):
         assert r.mh == r.ref, r.doc_id
 
 
+def test_simhash_swar_fold_matches_wide_reference(spark):
+    """r13: the 16-lane SWAR popcount fold in simhash_signature must be
+    bit-identical to the original 64-wide ±1 fold (kept inline here as
+    the reference): lane k of acc[j] counts bit (j+16k), and the sign
+    test 2*cnt > n is exactly the old sum > 0."""
+    from wing_binlog_go_spark.operators.dedup import simhash_signature
+
+    df = spark.createDataFrame(_EDGE_TEXTS, ["doc_id", "text"])
+    ref = F.expr(
+        """
+        aggregate(
+          zip_with(
+            aggregate(transform(array_distinct(split(lower(text), ' ')),
+                                t -> xxhash64(t)),
+                      array_repeat(0, 64),
+                      (acc, h) -> zip_with(acc, sequence(0, 63),
+                        (a, b) -> a + IF((shiftright(h, b) & 1) = 1, 1, -1))),
+            sequence(0, 63),
+            (s, b) -> IF(s > 0, shiftleft(cast(1 as long), b),
+                         cast(0 as long))),
+          cast(0 as long), (acc, x) -> acc | x)
+        """
+    )
+    got = (
+        simhash_signature(df, "doc_id", "text")
+        .join(df.select("doc_id", ref.alias("ref")), "doc_id")
+        .collect()
+    )
+    assert len(got) == len(_EDGE_TEXTS)
+    for r in got:
+        assert r.simhash == r.ref, r.doc_id
+
+
+def test_rolling_fused_fold_matches_per_base_reference(spark):
+    """r13: the fused 8-accumulator rolling fold must be bit-identical
+    per base to the original 8 separate array_min folds (built here from
+    _roll, the kept Column-API reference)."""
+    from wing_binlog_go_spark.operators.dedup import (
+        _MH_ROLL_BASES,
+        _roll,
+        rolling_signatures,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(_EDGE_TEXTS, ["doc_id", "text"])
+    sh = F.filter(word_shingles(F.col("text"), 3), lambda s: F.length(s) > 0)
+    def _min_roll(base: int):
+        # NB: a default-arg lambda (s, base=base) would be read by
+        # F.transform as the two-arg (element, index) form
+        return F.array_min(F.transform(sh, lambda s: _roll(s, base)))
+
+    ref = F.array(*[_min_roll(b) for b in _MH_ROLL_BASES])
+    refs = df.select("doc_id", ref.alias("ref")).filter(F.size(sh) > 0)
+    got = (
+        rolling_signatures(df, "doc_id", "text")
+        .join(refs, F.col("doc") == F.col("doc_id"))
+        .collect()
+    )
+    assert len(got) == refs.count()
+    for r in got:
+        assert r.mh == r.ref, r.doc
+
+
 def test_persisted_signature_length_mismatch_fails_loudly(spark, tmp_path):
     """ADVICE r12: a signature store built with fewer hashes than the
     num_hashes passed to minhash_dedup_pairs must raise, not silently

@@ -242,6 +242,12 @@ def minhash_signature(
     # Column API costs ~40 py4j round trips per build; the parsed string
     # analyzes to the identical fold (bit-identity asserted in
     # test_dedup_similarity).
+    # r13 negative result (tools/ab_sig_folds.py `minhash`): swapping the
+    # zip_with/sequence fold state for a named_struct of 16 fields (the
+    # trick that wins for simhash) measured ~17% SLOWER (0.70 → 0.82 s
+    # net at 200k docs × 48 shingles) — here the 16 xxhash64 calls per
+    # shingle dominate and the struct row alloc costs more than the
+    # array machinery it removes. The fold is at its interpreter floor.
     mh = F.expr(
         f"aggregate(transform({_ngrams_sql(text_col, k, distinct=True)}, "
         f"s -> xxhash64(s)), "
@@ -576,8 +582,19 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     what 64 separate expressions cost).
     """
     # Same loop-order rule as minhash_signature: fold ONCE over token
-    # hashes, maintaining all 64 bit-sums per element; then reduce the
-    # sums to sign bits. Token hashing is the fold's child → one eval.
+    # hashes. The fold state is 16 SWAR longs, not 64 ±1 counters: each
+    # long packs 4 × 16-bit lanes, lane k of acc[j] counting how many
+    # token hashes have bit (j + 16k) set — per token the update is
+    # 16 shift-and-adds instead of 64 branchy ±1 adds (4× less work,
+    # no IF). The sign test is unchanged arithmetic: the old fold's sum
+    # for bit b is cnt_b − (n − cnt_b), so sum > 0 ⟺ 2·cnt_b > n
+    # exactly. aggregate()'s finish lambda binds the final counters once
+    # per row and assembles the 64 sign bits. 16-bit lanes overflow at
+    # 65536 distinct tokens per document — such rows (none exist in any
+    # real corpus; a 64 KiB-vocabulary single doc) take the original
+    # 64-wide fold via the size guard, so semantics are exact for every
+    # input. Micro A/B (tools/ab_sig_folds.py, 200k docs × 64 tokens):
+    # 3.56 s → 1.12 s net (~3.2×), bit-identical on corpus + edge rows.
     tok = df.select(
         id_col,
         F.expr(
@@ -585,8 +602,18 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "t -> xxhash64(t))"
         ).alias("_th"),
     )
-    sim = F.expr(
-        """
+    swar_mask = 0x0001000100010001
+    swar = f"""
+        aggregate(_th, array_repeat(cast(0 as long), 16),
+          (acc, h) -> zip_with(acc, sequence(0, 15),
+            (a, j) -> a + (shiftright(h, j) & {swar_mask})),
+          acc -> aggregate(sequence(0, 63), cast(0 as long),
+            (s, b) -> s | IF(2 * (shiftright(acc[b % 16], 16 * (b div 16))
+                                  & 65535) > size(_th),
+                             shiftleft(cast(1 as long), b),
+                             cast(0 as long))))
+    """
+    wide64 = """
         aggregate(
           zip_with(
             aggregate(_th, array_repeat(0, 64),
@@ -596,7 +623,9 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             (s, b) -> IF(s > 0, shiftleft(cast(1 as long), b),
                          cast(0 as long))),
           cast(0 as long), (acc, x) -> acc | x)
-        """
+    """
+    sim = F.expr(
+        f"CASE WHEN size(_th) < 65536 THEN {swar} ELSE {wide64} END"
     )
     return tok.select(F.col(id_col), sim.alias("simhash"))
 
@@ -976,19 +1005,33 @@ def rolling_signatures(
         ).alias("_sh"),
     ).filter(F.size("_sh") > 0).localCheckpoint(eager=True)
 
-    # 8 per-row array_min folds over the materialized shingle column
-    # (the checkpoint keeps CollapseProject from inlining the shingle
-    # builder into every fold — the q37 lesson), emitted as one parsed
-    # SQL string (the r13 construction note).
+    # ONE fused per-row fold over the materialized shingle column (the
+    # checkpoint keeps CollapseProject from inlining the shingle builder
+    # into the fold — the q37 lesson), emitted as one parsed SQL string
+    # (the r13 construction note). The 8 per-base array_min folds each
+    # re-split and re-walked every shingle's characters (8 regex splits
+    # + 8 char passes per shingle); the fused form splits once and
+    # carries all 8 accumulators through a single char pass, then folds
+    # the per-shingle 8-vector into the running per-base minimum with
+    # zip_with/least. Same seed, same per-char (acc·base + code) % P in
+    # the same order → bit-identical per base (asserted in
+    # tools/ab_sig_folds.py: 0 mismatches, corpus + edge shingles;
+    # timing 0.91 s → 0.48 s net at 50k docs × 24 shingles, ~1.9×).
+    seed8 = ", ".join(f"CAST({_MH_ROLL_SEED} AS BIGINT)" for _ in _MH_ROLL_BASES)
+    step8 = ", ".join(
+        f"((acc[{j}] * {b} + CAST(c AS BIGINT)) % {_MH_ROLL_P})"
+        for j, b in enumerate(_MH_ROLL_BASES)
+    )
+    roll8 = (
+        f"aggregate(transform(split(s, ''), ch -> ascii(ch)), "
+        f"array({seed8}), (acc, c) -> array({step8}))"
+    )
     return sh.select(
         "doc",
         F.expr(
-            "array("
-            + ", ".join(
-                f"array_min(transform(_sh, s -> {_roll_sql('s', b)}))"
-                for b in _MH_ROLL_BASES
-            )
-            + ")"
+            f"aggregate(_sh, array_repeat(CAST({2**63 - 1} AS BIGINT), "
+            f"{len(_MH_ROLL_BASES)}), "
+            f"(mins, s) -> zip_with(mins, {roll8}, (m, r) -> least(m, r)))"
         ).alias("mh"),
     ).localCheckpoint(eager=True)
 
