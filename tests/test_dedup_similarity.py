@@ -3209,6 +3209,77 @@ def test_rolling_fused_fold_matches_per_base_reference(spark):
         assert r.mh == r.ref, r.doc
 
 
+def test_simhash_rolling_swar_matches_pow_reference(spark):
+    """r13: q37g's 48-bit fingerprint via the 16-lane SWAR fold must be
+    bit-identical to the original pow/floor ±1-sum formulation (kept
+    inline here as the reference, built from the same shingle+roll
+    chain)."""
+    from wing_binlog_go_spark.operators.dedup import (
+        _MH_ROLL_P,
+        _MH_ROLL_SEED,
+        simhash_rolling_pairs,
+    )
+
+    df = spark.createDataFrame(
+        _EDGE_TEXTS
+        + [
+            (101, "alpha beta gamma delta epsilon zeta eta theta"),
+            (102, "alpha beta gamma delta epsilon zeta eta theta"),
+            (103, "alpha beta gamma delta epsilon zeta eta iota"),
+        ],
+        ["doc_id", "text"],
+    )
+    # reference fingerprints: the original pow/floor formulation
+    roll = (
+        f"aggregate(transform(split(t, ''), ch -> ascii(ch)), "
+        f"CAST({_MH_ROLL_SEED} AS BIGINT), "
+        f"(acc, c) -> ((acc * 31 + CAST(c AS BIGINT)) % {_MH_ROLL_P}))"
+    )
+    from wing_binlog_go_spark.operators.dedup import _ngrams_sql
+
+    hashed = (
+        f"transform(filter({_ngrams_sql('text', 3, distinct=True)}, "
+        f"t -> length(t) > 0), t -> {roll})"
+    )
+    ref_fp = F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate({hashed}, array_repeat(cast(0 as long), 48),
+              (acc, h) -> zip_with(acc, sequence(0, 47),
+                (a, j) -> a + IF(CAST(floor(CAST(h AS DOUBLE)
+                                  / power(2.0, CAST(j AS DOUBLE))) AS BIGINT)
+                                 % 2 = 1, 1, -1))),
+            sequence(0, 47),
+            (s, j) -> IF(s > 0, CAST(power(2.0, CAST(j AS DOUBLE)) AS BIGINT),
+                         cast(0 as long))),
+          cast(0 as long), (acc, x) -> acc + x)
+        """
+    )
+    refs = df.select("doc_id", ref_fp.alias("fp")).filter(
+        F.expr(f"size({hashed})") > 0
+    )
+    ref_rows = {r.doc_id: r.fp for r in refs.collect()}
+    # reference pairs: chunk join + hamming filter over the reference fps
+    import itertools
+
+    exp_pairs = set()
+    for a, b in itertools.combinations(sorted(ref_rows), 2):
+        fa, fb = ref_rows[a], ref_rows[b]
+        shares_chunk = any(
+            (fa >> off) & 0xFFFF == (fb >> off) & 0xFFFF
+            for off in (0, 16, 32)
+        )
+        if shares_chunk and bin(fa ^ fb).count("1") <= 2:
+            exp_pairs.add((a, b))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_rolling_pairs(df, "doc_id", "text").collect()
+    }
+    assert got == exp_pairs
+    assert (101, 102) in got  # identical docs must pair
+
+
 def test_persisted_signature_length_mismatch_fails_loudly(spark, tmp_path):
     """ADVICE r12: a signature store built with fewer hashes than the
     num_hashes passed to minhash_dedup_pairs must raise, not silently

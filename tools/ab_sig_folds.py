@@ -118,6 +118,31 @@ def minhash_struct() -> str:
     )
 
 
+FP48_OLD = """
+aggregate(
+  zip_with(
+    aggregate(_hs, array_repeat(cast(0 as long), 48),
+              (acc, h) -> zip_with(acc, sequence(0, 47),
+                (a, j) -> a + IF(CAST(floor(CAST(h AS DOUBLE)
+                                  / power(2.0, CAST(j AS DOUBLE))) AS BIGINT)
+                                 % 2 = 1, 1, -1))),
+    sequence(0, 47),
+    (s, j) -> IF(s > 0, CAST(power(2.0, CAST(j AS DOUBLE)) AS BIGINT),
+                 cast(0 as long))),
+  cast(0 as long), (acc, x) -> acc + x)
+"""
+
+FP48_SWAR = f"""
+aggregate(_hs, array_repeat(cast(0 as long), 16),
+  (acc, h) -> zip_with(acc, sequence(0, 15),
+    (a, j) -> a + (shiftright(h, j) & {0x0000000100010001})),
+  acc -> aggregate(sequence(0, 47), cast(0 as long),
+    (s, b) -> s + IF(2 * (shiftright(acc[b % 16], 16 * (b div 16)) & 65535)
+                       > size(_hs),
+                     shiftleft(cast(1 as long), b), cast(0 as long))))
+"""
+
+
 # --- harness -----------------------------------------------------------------
 
 
@@ -242,13 +267,54 @@ def run_minhash(spark) -> None:
     )
 
 
+def run_fp48(spark) -> None:
+    """q37g's 48-bit fingerprint fold: pow/floor bit extraction vs the
+    16-lane SWAR fold (rolling hashes are < 2^30, so lanes j, j+16,
+    j+32 cover all 48 positions)."""
+    n_sh = N_SHINGLES
+    print(f"fp48: {N_DOCS} docs x {n_sh} rolling hashes x 48 bits")
+    base = (
+        spark.range(N_DOCS)
+        .repartition(32)
+        .select(
+            "id",
+            F.expr(
+                f"transform(sequence(0, {n_sh - 1}), "
+                "i -> pmod(xxhash64(id, i), 1000000007))"
+            ).alias("_hs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    edge = spark.createDataFrame([(0,), (1,), (2,)], "id long").select(
+        "id",
+        F.expr(
+            "CASE WHEN id = 0 THEN array(CAST(0 AS BIGINT)) "
+            "WHEN id = 1 THEN array(CAST(1073741823 AS BIGINT)) "
+            "ELSE array_repeat(CAST(7 AS BIGINT), 3) END"
+        ).alias("_hs"),
+    )
+    _identity(base, FP48_OLD, FP48_SWAR, "fp48 corpus")
+    _identity(edge, FP48_OLD, FP48_SWAR, "fp48 edges")
+    _time(
+        {
+            "baseline": base.select(F.lit(0).alias("s")),
+            "powfloor": base.select(F.expr(FP48_OLD).alias("s")),
+            "swar16": base.select(F.expr(FP48_SWAR).alias("s")),
+        },
+        N_RUNS,
+    )
+
+
 def main() -> None:
-    which = sys.argv[1:] or ["simhash", "rolling", "minhash"]
+    which = sys.argv[1:] or ["simhash", "rolling", "minhash", "fp48"]
     spark = get_spark("ab-sig-folds")
     for name in which:
-        {"simhash": run_simhash, "rolling": run_rolling, "minhash": run_minhash}[
-            name
-        ](spark)
+        {
+            "simhash": run_simhash,
+            "rolling": run_rolling,
+            "minhash": run_minhash,
+            "fp48": run_fp48,
+        }[name](spark)
 
 
 if __name__ == "__main__":

@@ -1321,46 +1321,71 @@ def simhash_rolling_pairs(
     64-bit xxhash64 form (q37b) keeps its planted-recall evidence;
     this form hash-matches the pipeline."""
     n_bits = _SH_ROLL_BITS
-    toks = F.filter(
-        word_shingles(text_col, 3), lambda t: F.length(t) > 0
+    # Per-shingle rolling hashes, materialized ONCE (r13): the fp fold
+    # below needs size(_hs) both as the SWAR overflow guard and as the
+    # sign divisor, and without a barrier the optimizer would inline the
+    # per-char rolling folds into every reference (the q37 lesson). The
+    # zero-shingle filter matches the oracle (such docs have no hash
+    # rows in its GROUP BY and thus no fingerprint; an all-zero fp would
+    # otherwise pair every empty doc with every other empty doc).
+    hs = (
+        # single-row-group input ⇒ the per-char rolling folds would run
+        # on one core; spread first (no-op on well-partitioned input —
+        # the r12 §2.5 treatment, which this path had missed: measured
+        # 24.7 s → ~1.6 s for the signature jobs at sf1synth)
+        _spread_if_narrow(df.select(id_col, text_col), id_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.expr(
+                f"transform(filter({_ngrams_sql(text_col, 3, distinct=True)}, "
+                f"t -> length(t) > 0), t -> {_roll_sql('t', 31)})"
+            ).alias("_hs"),
+        )
+        .filter(F.size("_hs") > 0)
+        .localCheckpoint(eager=True)
     )
-    hashed = F.transform(toks, lambda t: _roll(t, 31))
-    # pyspark's shiftright/shiftleft wrappers take a PYTHON int for the
-    # shift, so a lambda-variable bit index can't use them; 2^j via pow
-    # is exact here (h < 2^30, powers ≤ 2^15 — far inside double range)
-    p2 = lambda j: F.pow(F.lit(2.0), j.cast("double"))  # noqa: E731
-    sums = F.aggregate(
-        hashed,
-        F.array_repeat(F.lit(0).cast("long"), n_bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.sequence(F.lit(0), F.lit(n_bits - 1)),
-            lambda a, j: a
-            + F.when(
-                F.floor(h.cast("double") / p2(j)).cast("long") % 2 == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
-        ),
-    )
-    fp_expr = F.aggregate(
-        F.zip_with(
-            sums,
-            F.sequence(F.lit(0), F.lit(n_bits - 1)),
-            lambda s, j: F.when(s > 0, p2(j).cast("long"))
-            .otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    fps = (
-        df
-        # zero-token docs have no hash rows in the oracle's GROUP BY and
-        # thus no fingerprint; drop them here too (an all-zero fp would
-        # otherwise pair every empty doc with every other empty doc)
-        .filter(F.size(toks) > 0)
-        .select(F.col(id_col).alias("doc"), fp_expr.alias("fp"))
-        .localCheckpoint(eager=True)  # self-joined below; HOF tree cut once
-    )
+    # r13: the old fold extracted each of the 48 bits per token with
+    # DOUBLE pow/floor/%2 (the Column-API shiftright needs a Python-int
+    # shift, so a lambda bit index couldn't use it — a SQL string can).
+    # New fold: 16 SWAR longs of 16-bit lanes (mask selects bits j,
+    # j+16, j+32 — the rolling hash is < 2^30 < 2^48, matching n_bits),
+    # finish assembles fp as Σ 2^b where 2·cnt_b > n — exactly the old
+    # ±1-sum sign (sum = 2·cnt − n), and exactly the oracle's
+    # SUM(CASE (h >> b) & 1 ...) > 0 since floor(h/2^b) % 2 ≡
+    # shiftright(h, b) & 1 for h ≥ 0. Rows with ≥65536 shingles (lane
+    # capacity) take the original-semantics 48-wide fold via the size
+    # guard (O(1) on the materialized column). Micro A/B
+    # (tools/ab_sig_folds.py fp48): ~9× on the fold; bit-identity
+    # pinned by test_simhash_rolling_swar_matches_pow_reference and the
+    # q37g oracle hash (the chain is fully DuckDB-replayable).
+    mask3 = 0x0000000100010001
+    swar = f"""
+        aggregate(_hs, array_repeat(cast(0 as long), 16),
+          (acc, h) -> zip_with(acc, sequence(0, 15),
+            (a, j) -> a + (shiftright(h, j) & {mask3})),
+          acc -> aggregate(sequence(0, {n_bits - 1}), cast(0 as long),
+            (s, b) -> s + IF(2 * (shiftright(acc[b % 16], 16 * (b div 16))
+                                  & 65535) > size(_hs),
+                             shiftleft(cast(1 as long), b),
+                             cast(0 as long))))
+    """
+    wide48 = f"""
+        aggregate(
+          zip_with(
+            aggregate(_hs, array_repeat(cast(0 as long), {n_bits}),
+                      (acc, h) -> zip_with(acc, sequence(0, {n_bits - 1}),
+                        (a, b) -> a + IF((shiftright(h, b) & 1) = 1, 1, -1))),
+            sequence(0, {n_bits - 1}),
+            (s, b) -> IF(s > 0, shiftleft(cast(1 as long), b),
+                         cast(0 as long))),
+          cast(0 as long), (acc, x) -> acc + x)
+    """
+    fps = hs.select(
+        "doc",
+        F.expr(
+            f"CASE WHEN size(_hs) < 65536 THEN {swar} ELSE {wide48} END"
+        ).alias("fp"),
+    ).localCheckpoint(eager=True)  # self-joined below; HOF tree cut once
     chunks = fps.select(
         "doc", "fp",
         *[
