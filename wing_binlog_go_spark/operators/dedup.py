@@ -2714,11 +2714,21 @@ def minhash_bottomk_rolling(
 
 def _q_minhash_sketch_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return (
-        minhash_bottomk_rolling(docs)
-        .orderBy("doc_id")
-        .limit(200)
+    # r13, the q39d early-limit transform (guide §1.2): keep the 200
+    # smallest doc_ids FIRST (among docs with a non-empty shingle set —
+    # the same rows the sketch builder itself would keep, so the
+    # composition is result-identical), then run the per-char rolling
+    # fold + sort + slice on those 200 rows instead of the corpus. The
+    # cheap shingle non-emptiness test is the only per-row work that
+    # stays corpus-wide (the limit's filter needs it); the fold moved
+    # from O(corpus) to O(200). sf1synth: 11.8 s → measured after.
+    nonempty = docs.select("doc_id", "text").filter(
+        F.size(
+            F.filter(word_shingles("text", 3), lambda s: F.length(s) > 0)
+        )
+        > 0
     )
+    return minhash_bottomk_rolling(nonempty.orderBy("doc_id").limit(200))
 
 
 def _minhash_sketch_rolling_oracle() -> str:
