@@ -705,3 +705,37 @@ def test_q16_long_cents_equals_decimal_formulation(spark, sf_dir):
     )
     new = _Q["q16_tpch_q1"].spark(spark, sf_dir).collect()
     assert [tuple(r) for r in old] == [tuple(r) for r in new]
+
+
+def test_logreg_iteration_reuses_doc_partitioning(spark, sf_dir):
+    """r13: train_logreg persists features repartition("doc")-ed so the
+    per-iteration groupBy("doc") (margins) and join on "doc" (gradient)
+    reuse one exchange (guide §2.4). One GD iteration's plan must carry
+    exactly ONE hash exchange — the ≤dim-row partial-aggregated idx
+    gradient — and must never reshuffle the feature table by doc."""
+    from wing_binlog_go_spark.functions.classifier import (
+        _DIM,
+        _margins,
+        hashed_token_features,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = hashed_token_features(docs, dim=_DIM).repartition("doc").persist()
+    try:
+        feats.count()  # materialize the cache like train_logreg does
+        w = [0.0] * _DIM
+        err = _margins(feats, w).select("doc", F.col("margin").alias("err"))
+        g = (
+            feats.join(err, "doc")
+            .groupBy("idx")
+            .agg(F.sum(F.col("val") * F.col("err")).alias("g"))
+        )
+        p = g._jdf.queryExecution().executedPlan().toString()
+        # strip the cached InMemoryRelation's own build plan: only the
+        # iteration's incremental work matters
+        iteration = p.split("InMemoryRelation", 1)[0]
+        assert "Exchange hashpartitioning(idx" in iteration
+        assert "Exchange hashpartitioning(doc" not in iteration
+        assert iteration.count("Exchange hashpartitioning") == 1
+    finally:
+        feats.unpersist()

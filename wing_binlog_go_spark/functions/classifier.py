@@ -70,7 +70,15 @@ def hashed_token_features(
     bounded regardless of document size). Long/sparse form: one row per
     (doc, bucket) pair — at 100 TB this is the only layout that avoids
     shuffling dim-wide dense vectors for mostly-empty buckets."""
-    toks = docs.select(
+    from wing_binlog_go_spark.operators.dedup import _spread_if_narrow
+
+    # single-row-group input ⇒ the explode + per-char bucket folds would
+    # run on one core (r13; the r12 §2.5 treatment). Partitioning only —
+    # the downstream groupBy counts are integers and val is one exact
+    # division, so results carry no summation-order sensitivity.
+    toks = _spread_if_narrow(
+        docs.select(id_col, text_col), id_col
+    ).select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(text_col)).alias("tok"),
         F.size(tokens(text_col)).alias("n_toks"),
@@ -131,7 +139,17 @@ def train_logreg(
     collect. Driver holds only the model."""
     if n_batches < 1:
         raise ValueError(f"train_logreg: n_batches must be >= 1, got {n_batches}")
-    feats = features.persist()
+    # Persist the features DOC-PARTITIONED (r13, guide §2.4: operations
+    # keyed the same way share one exchange): every iteration runs a
+    # groupBy("doc") (margins) and a join on "doc" (gradient), and
+    # hashpartitioning(doc) satisfies both, so the per-iteration
+    # exchanges of the WHOLE feature table — 2 × n_iter of them — drop
+    # to zero; the only remaining per-iteration shuffle is the ≤dim-row
+    # partial-aggregated idx gradient. (The cached layout from the
+    # builder's groupBy(doc, idx) does NOT satisfy a doc-only
+    # clustering, so each iteration re-exchanged the features before.)
+    # The mini-batch pmod filter is row-local and keeps the partitioning.
+    feats = features.repartition("doc").persist()
     labs = labels.select(F.col("doc"), F.col("y").cast("double")).persist()
     if n_batches == 1:
         batch_sizes = {0: labs.count()}
