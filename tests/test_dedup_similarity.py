@@ -3312,3 +3312,40 @@ def test_persisted_signature_length_mismatch_fails_loudly(spark, tmp_path):
     with _pytest.raises(Exception) as ei:
         bad.collect()
     assert "does not match num_hashes=16" in str(ei.value)
+
+
+def test_prefilter_threshold_equals_postfilter_composition(spark, docs_with_dups):
+    """r13 shuffle cut: the band-join estimate filter moved BELOW the
+    dedupe exchange (filter → groupBy.first instead of groupBy.first →
+    filter). Legal because every band-copy of a pair carries the
+    identical estimate. This test pins the commutation on real data:
+    each operator at threshold=t must equal itself at threshold=0 (all
+    collisions kept through the dedupe) filtered post-hoc — the old
+    composition."""
+    from wing_binlog_go_spark.operators.dedup import (
+        fuzzy_decontaminate_pairs,
+        minhash_rolling_pairs,
+    )
+
+    t = 0.5
+    docs = docs_with_dups
+
+    new = minhash_dedup_pairs(docs, threshold=t)
+    old = minhash_dedup_pairs(docs, threshold=0.0).filter(
+        F.col("est_jaccard") >= t
+    )
+    assert new.exceptAll(old).count() == 0 and old.exceptAll(new).count() == 0
+
+    new = minhash_rolling_pairs(docs, threshold=t)
+    old = minhash_rolling_pairs(docs, threshold=0.0).filter(
+        F.col("est_jaccard") >= t
+    )
+    assert new.exceptAll(old).count() == 0 and old.exceptAll(new).count() == 0
+
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    new = fuzzy_decontaminate_pairs(corpus, bench, threshold=t)
+    old = fuzzy_decontaminate_pairs(corpus, bench, threshold=0.0).filter(
+        F.col("est_jaccard") >= t
+    )
+    assert new.exceptAll(old).count() == 0 and old.exceptAll(new).count() == 0

@@ -385,9 +385,14 @@ def incremental_dedup_apply(
             )
             .select(F.col("a.doc").alias(id_col),
                     (agree / F.lit(num_hashes)).alias("_est"))
+            # threshold before the per-id exchange: max(_est) ≥ t ⟺ some
+            # row has _est ≥ t, and only the id survives downstream — so
+            # dropping sub-threshold rows map-side is result-identical
+            # (r13, guide §2.3; Catalyst can't push a predicate on a
+            # max() output below its aggregate)
+            .filter(F.col("_est") >= threshold)
             .groupBy(id_col)
             .agg(F.max("_est").alias("_est"))
-            .filter(F.col("_est") >= threshold)
             .select(id_col)
         )
         dropped = dup_hist
@@ -560,11 +565,20 @@ def minhash_dedup_pairs(
             F.col("b.doc").alias("doc_b"),
             (agree / F.lit(num_hashes)).alias("est_jaccard"),
         )
+        # threshold BEFORE the dedupe exchange (r13, guide §2.3 "filter
+        # before you shuffle"): every band-copy of a pair carries the
+        # IDENTICAL estimate (computed from the same two signature
+        # arrays), so filtering copies then deduping ≡ deduping then
+        # filtering — but the sub-threshold false-positive candidates
+        # (the majority of band collisions at low thresholds) now die
+        # map-side instead of crossing the Exchange. Catalyst cannot do
+        # this itself: est_jaccard is a first()-agg output, and
+        # predicates on agg outputs don't push below the aggregate.
+        .filter(F.col("est_jaccard") >= threshold)
         # pairs colliding in several bands appear once per band; the
         # estimate is identical on every copy → first() dedupes
         .groupBy("doc_a", "doc_b")
         .agg(F.first("est_jaccard").alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= threshold)
     )
 
 
@@ -1089,9 +1103,11 @@ def minhash_rolling_pairs(
             F.col("b.doc").alias("doc_b"),
             (agree / F.lit(float(n))).alias("est_jaccard"),
         )
+        # threshold before the dedupe exchange — identical-estimate
+        # copies make the orders equivalent (see minhash_dedup_pairs)
+        .filter(F.col("est_jaccard") >= threshold)
         .groupBy("doc_a", "doc_b")
         .agg(F.first("est_jaccard").alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= threshold)
     )
 
 
@@ -1203,9 +1219,11 @@ def fuzzy_decontaminate_pairs(
             F.col("b.doc").alias("bench_id"),
             (agree / F.lit(float(n))).alias("est_jaccard"),
         )
+        # threshold before the dedupe exchange — identical-estimate
+        # copies make the orders equivalent (see minhash_dedup_pairs)
+        .filter(F.col("est_jaccard") >= threshold)
         .groupBy("doc_id", "bench_id")
         .agg(F.first("est_jaccard").alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= threshold)
     )
 
 
